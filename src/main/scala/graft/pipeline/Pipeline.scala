@@ -1,0 +1,151 @@
+package graft.pipeline
+
+import graft.export.Export
+import graft.ingest.{Reader, SourceFormat}
+import graft.ops.{Merge, RowNumbers, UpdatedAt, Validate}
+import graft.schema.FrictionlessSchema
+import graft.table.TableStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.sql.Timestamp
+
+/** Ingestion method ADT — the reference's write dispositions
+  * (C2 branch, pipeline_ckan_to_bigquery.py:360-372). */
+sealed trait IngestionMethod
+object IngestionMethod {
+  case object Overwrite extends IngestionMethod
+  case object Append extends IngestionMethod
+  case object Upsert extends IngestionMethod
+  def fromName(s: String): IngestionMethod = s.toLowerCase match {
+    case "overwrite" | "replace" => Overwrite
+    case "append" | "insert"     => Append
+    case "upsert"                => Upsert
+    case other =>
+      throw new IllegalArgumentException(s"Unknown ingestion method: $other")
+  }
+}
+
+/** Pipeline configuration — mirror of the reference's 5-block params payload
+  * (pipeline_ckan_to_bigquery.py:54-89), minus the cloud-credential blocks
+  * (environment-bound non-goals, SURVEY §7.3). */
+final case class PipelineConfig(
+    resourcePath: String,
+    tableName: String,
+    method: IngestionMethod = IngestionMethod.Overwrite,
+    format: Option[SourceFormat] = None,
+    schema: Option[FrictionlessSchema] = None, // None → infer
+    validate: Boolean = false,
+    limitErrors: Int = 1000,
+    rowNumberColumn: String = "_id", // others_config.row_number_column
+    updatedAtColumn: String = "_updated_at", // others_config.record_updated_at_column
+    exportPath: Option[String] = None,
+    exportFormat: SourceFormat = SourceFormat.Csv,
+    exportSingleFile: Boolean = false
+)
+
+/** Status callback — replaces the reference's fire-and-forget CKAN status
+  * side-channel + failure email (C5/C6, aircan/dependencies/utils/ckan.py:
+  * 13-78, utils/email.py:12-117). Implementations must never throw. */
+trait StatusCallback {
+  def update(state: String, message: String): Unit
+}
+object LogStatusCallback extends StatusCallback {
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.pipeline")
+  def update(state: String, message: String): Unit =
+    try log.info(s"[$state] $message")
+    catch { case _: Throwable => () }
+}
+
+/** Structured pipeline failure carrying the validation report JSON —
+  * mirror of `AirflowException(json)` (pipeline_ckan_to_bigquery.py:298-312). */
+final class PipelineException(val payload: String)
+    extends RuntimeException(payload)
+
+/** The end-to-end pipeline: ingest → (validate) → row-number →
+  * overwrite/append/upsert → (ordered export). One driver program replaces
+  * the reference's DAG of Celery tasks (SURVEY §3.1); the XCom process
+  * boundary disappears, the BQ remote-execution boundary becomes Spark's
+  * driver→executor boundary.
+  */
+final class Pipeline(
+    spark: SparkSession,
+    store: TableStore,
+    status: StatusCallback = LogStatusCallback
+) {
+
+  def run(cfg: PipelineConfig, jobTs: Timestamp = new Timestamp(System.currentTimeMillis())): DataFrame = {
+    status.update("pending", s"starting ${cfg.tableName} (${cfg.method})")
+
+    // 1. schema: provided → sanitize | infer (py:271-282)
+    val schema = cfg.schema
+      .map(_.sanitized)
+      .getOrElse(Reader.inferSchema(spark, cfg.resourcePath, cfg.format))
+
+    // 2. optional validation; invalid → structured abort (py:287-317)
+    if (cfg.validate) {
+      val fmt = cfg.format.getOrElse(SourceFormat.detect(cfg.resourcePath))
+      val rawOpts = Reader.ReadOptions(format = Some(fmt), schema = None,
+        rowNumberColumn = Some(cfg.rowNumberColumn))
+      val raw = fmt match {
+        case SourceFormat.Csv | SourceFormat.Tsv =>
+          // all-string phase-1 read for the cast audit
+          Reader.readRaw(spark, cfg.resourcePath, fmt,
+            Reader.ReadOptions(schema = Some(schema)))
+        case _ => Reader.readRaw(spark, cfg.resourcePath, fmt, rawOpts)
+      }
+      val withId = RowNumbers.withRowNumbers(raw, cfg.rowNumberColumn, 1L)
+      val report = Validate.validate(withId, schema, cfg.limitErrors,
+        rowIdCol = Some(cfg.rowNumberColumn))
+      if (!report.valid) {
+        status.update("failed", s"validation failed: ${report.errorCount} errors")
+        throw new PipelineException(report.toJson)
+      }
+      status.update("progress", s"validated ${report.rowCount} rows")
+    }
+
+    // 3. row-number start: MAX(_id)+1 for append/upsert, 1 for overwrite
+    //    (py:322 → warehouse.py:13-31)
+    val start = cfg.method match {
+      case IngestionMethod.Overwrite => 1L
+      case _ => store.nextRowNumberStart(cfg.tableName, cfg.rowNumberColumn)
+    }
+
+    // 4. ingest with numbering
+    val df = Reader.read(spark, cfg.resourcePath, Reader.ReadOptions(
+      format = cfg.format, schema = Some(schema),
+      rowNumberColumn = Some(cfg.rowNumberColumn), rowNumberStart = start))
+    status.update("progress", s"ingested ${cfg.resourcePath}")
+
+    // 5. write branch (C2)
+    cfg.method match {
+      case IngestionMethod.Overwrite =>
+        store.overwrite(cfg.tableName, UpdatedAt.stamp(df, jobTs, cfg.updatedAtColumn))
+      case IngestionMethod.Append =>
+        store.append(cfg.tableName, UpdatedAt.stamp(df, jobTs, cfg.updatedAtColumn))
+      case IngestionMethod.Upsert =>
+        val keys = Validate.requireUniqueKeys(schema, df.columns.toIndexedSeq)
+        if (!store.exists(cfg.tableName)) {
+          // clone-from-stage-schema when target absent (warehouse.py:138-151)
+          store.createLike(cfg.tableName,
+            UpdatedAt.stamp(df, jobTs, cfg.updatedAtColumn))
+        }
+        val merged = Merge.merge(store.scan(cfg.tableName), df, jobTs,
+          Merge.MergeSpec(uniqueKeys = keys,
+            preserveColumns = Seq(cfg.rowNumberColumn),
+            updatedAtColumn = Some(cfg.updatedAtColumn),
+            dedupOrderCol = Some(cfg.rowNumberColumn)))
+        store.overwrite(cfg.tableName, merged)
+    }
+    status.update("progress", s"wrote ${cfg.tableName}")
+
+    // 6. optional ordered export (py:483-569)
+    cfg.exportPath.foreach { out =>
+      Export.export(store.scan(cfg.tableName), out, Export.ExportOptions(
+        format = cfg.exportFormat, orderBy = Some(cfg.rowNumberColumn),
+        singleFile = cfg.exportSingleFile))
+      status.update("progress", s"exported to $out")
+    }
+
+    status.update("success", s"${cfg.tableName} complete")
+    store.scan(cfg.tableName)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.ingest.SourceFormat
+import graft.pipeline._
+import graft.schema.{FieldConstraints, FrictionlessField, FrictionlessSchema}
+import graft.table.TableStore
+import java.nio.file.Files
+
+/** End-to-end smoke drive of the full pipeline surface: CSV ingest →
+  * overwrite → upsert (changed + unchanged + new rows) → ordered export,
+  * plus the failure paths (upsert without keys, sanitize collision,
+  * validation abort). Run: `sbt "runMain graft.tools.Smoke"`. */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get("local[8]", 8)
+    val work = Files.createTempDirectory("graft_smoke")
+    val csv1 = work.resolve("batch1.csv")
+    val csv2 = work.resolve("batch2.csv")
+    Files.writeString(csv1,
+      """id,name,amount
+        |1,alpha,10.5
+        |2,beta,20.0
+        |3,gamma,30.25
+        |""".stripMargin)
+    // batch2: id=2 changed, id=3 unchanged, id=4 new, id=4 duplicated (dedup)
+    Files.writeString(csv2,
+      """id,name,amount
+        |2,beta,99.99
+        |3,gamma,30.25
+        |4,delta,40.0
+        |4,delta-dup,41.0
+        |""".stripMargin)
+
+    val schema = FrictionlessSchema(List(
+      FrictionlessField("id", "integer", constraints = FieldConstraints(unique = true)),
+      FrictionlessField("name", "string"),
+      FrictionlessField("amount", "number")))
+
+    val store = new TableStore(spark, work.resolve("tables").toString)
+    val pipe = new Pipeline(spark, store)
+
+    println("=== overwrite batch1 ===")
+    pipe.run(PipelineConfig(csv1.toString, "t", IngestionMethod.Overwrite,
+      format = Some(SourceFormat.Csv), schema = Some(schema), validate = true))
+      .orderBy("_id").show(false)
+
+    // validate=false: in-file duplicate keys are handled by the merge's
+    // stage dedup (A2); validate=true would abort on the unique constraint,
+    // matching the reference's frictionless behavior.
+    println("=== upsert batch2 ===")
+    pipe.run(PipelineConfig(csv2.toString, "t", IngestionMethod.Upsert,
+      format = Some(SourceFormat.Csv), schema = Some(schema), validate = false,
+      exportPath = Some(work.resolve("export").toString),
+      exportSingleFile = true))
+      .orderBy("_id").show(false)
+
+    println("=== exported file ===")
+    import scala.jdk.CollectionConverters._
+    Files.list(work.resolve("export")).iterator().asScala
+      .filter(_.toString.endsWith(".csv"))
+      .foreach(p => println(Files.readString(p)))
+
+    println("=== probe: upsert without unique keys ===")
+    val noKeys = FrictionlessSchema(schema.fields.map(f =>
+      f.copy(constraints = FieldConstraints())))
+    try {
+      pipe.run(PipelineConfig(csv2.toString, "t2", IngestionMethod.Upsert,
+        format = Some(SourceFormat.Csv), schema = Some(noKeys)))
+      println("ERROR: should have thrown")
+    } catch { case e: IllegalArgumentException => println(s"OK: ${e.getMessage}") }
+
+    println("=== probe: validation abort on bad rows ===")
+    val bad = work.resolve("bad.csv")
+    Files.writeString(bad, "id,name,amount\nx,one,1.0\n2,,oops\n")
+    val reqSchema = FrictionlessSchema(List(
+      FrictionlessField("id", "integer", constraints = FieldConstraints(unique = true)),
+      FrictionlessField("name", "string", constraints = FieldConstraints(required = true)),
+      FrictionlessField("amount", "number")))
+    try {
+      pipe.run(PipelineConfig(bad.toString, "t3", IngestionMethod.Overwrite,
+        format = Some(SourceFormat.Csv), schema = Some(reqSchema), validate = true))
+      println("ERROR: should have thrown")
+    } catch { case e: PipelineException => println(s"OK report: ${e.payload}") }
+
+    println("=== probe: sanitize collision ===")
+    try {
+      graft.schema.Sanitizer.sanitizeAll(Seq("a b", "a_b"))
+      println("ERROR: should have thrown")
+    } catch { case e: IllegalArgumentException => println(s"OK: ${e.getMessage}") }
+
+    spark.stop()
+  }
+}
