@@ -1,0 +1,46 @@
+package graft.export
+
+import graft.SparkSpec
+import graft.ingest.SourceFormat
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+class ExportSpec extends SparkSpec {
+
+  private def listFiles(dir: Path, suffix: String): Seq[Path] =
+    Files.list(dir).iterator().asScala.filter(_.toString.endsWith(suffix)).toSeq
+
+  test("ordered single-file csv with header (O1+W4)") {
+    val d = Files.createTempDirectory("graft_export")
+    val df = spark.range(0, 100, 1, 5).toDF("v")
+      .withColumn("_id", lit(100) - col("v")).select("_id", "v")
+    Export.export(df, d.resolve("out").toString,
+      Export.ExportOptions(SourceFormat.Csv, singleFile = true))
+    val files = listFiles(d.resolve("out"), ".csv")
+    assert(files.size == 1)
+    val lines = Files.readAllLines(files.head).asScala
+    assert(lines.head == "_id,v")
+    val ids = lines.tail.map(_.split(",")(0).toLong)
+    assert(ids.toSeq == ids.sorted.toSeq) // ordered by _id
+  }
+
+  test("multi-shard export keeps global order across part files (O2)") {
+    val d = Files.createTempDirectory("graft_export2")
+    val df = spark.range(0, 10000, 1, 8).toDF("_id")
+    Export.export(df, d.resolve("out").toString,
+      Export.ExportOptions(SourceFormat.Csv, header = false))
+    val parts = listFiles(d.resolve("out"), ".csv").sortBy(_.getFileName.toString)
+    val all = parts.flatMap(p => Files.readAllLines(p).asScala.map(_.toLong))
+    assert(all.toSeq == all.sorted.toSeq) // concat in name order is sorted
+    assert(all.size == 10000)
+  }
+
+  test("ndjson export") {
+    val d = Files.createTempDirectory("graft_export3")
+    Export.export(spark.range(3).toDF("_id"), d.resolve("out").toString,
+      Export.ExportOptions(SourceFormat.Ndjson, singleFile = true))
+    val f = listFiles(d.resolve("out"), ".json")
+    assert(Files.readAllLines(f.head).asScala.head == """{"_id":0}""")
+  }
+}

@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.schema.{FieldConstraints, FrictionlessField, FrictionlessSchema}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+class ValidateSpec extends SparkSpec {
+
+  private val schema = FrictionlessSchema(List(
+    FrictionlessField("id", "integer", constraints = FieldConstraints(required = true, unique = true)),
+    FrictionlessField("name", "string", constraints = FieldConstraints(required = true)),
+    FrictionlessField("amount", "number"),
+    FrictionlessField("day", "date")))
+
+  private def df(rows: Row*) = spark.createDataFrame(
+    java.util.List.of(rows: _*),
+    StructType(Seq("_id", "id", "name", "amount", "day").map {
+      case "_id" => StructField("_id", LongType)
+      case n     => StructField(n, StringType)
+    }))
+
+  test("clean data validates with stats") {
+    val report = Validate.validate(
+      df(Row(1L, "1", "a", "1.5", "2024-01-01"), Row(2L, "2", "b", "", null)),
+      schema, rowIdCol = Some("_id"))
+    assert(report.valid && report.rowCount == 2 && report.errorCount == 0)
+  }
+
+  test("type, required, and unique errors with row numbers") {
+    val report = Validate.validate(
+      df(
+        Row(1L, "x", "a", "1.5", "2024-01-01"),   // id type error
+        Row(2L, "2", "", "oops", "not-a-date"),   // required + 2 type errors
+        Row(3L, "3", "c", "1", "2024-01-01"),
+        Row(4L, "3", "d", "1", "2024-01-01")),    // duplicate id=3
+      schema, rowIdCol = Some("_id"))
+    assert(!report.valid)
+    assert(report.rowCount == 4)
+    val codes = report.errors.groupBy(_.code).view.mapValues(_.size).toMap
+    assert(codes("type-error") == 3)
+    assert(codes("constraint-error") == 1)
+    assert(codes("unique-error") == 1)
+    val idErr = report.errors.find(e => e.code == "type-error" && e.fieldName == "id").get
+    assert(idErr.rowNumber.contains(1L) && idErr.cell.contains("x"))
+    // report serializes to JSON
+    assert(report.toJson.contains("\"valid\":false"))
+  }
+
+  test("error cap bounds collection (limit_errors semantics)") {
+    val rows = (1 to 50).map(i => Row(i.toLong, "bad", "n", "1", "2024-01-01"))
+    val report = Validate.validate(df(rows: _*), schema, limitErrors = 10,
+      rowIdCol = Some("_id"))
+    assert(report.errorCount == 10)
+  }
+
+  test("declared field absent from data → missing-field errors") {
+    val narrow = spark.createDataFrame(
+      java.util.List.of(Row("1", "a")),
+      StructType(Seq(StructField("id", StringType), StructField("name", StringType))))
+    val report = Validate.validate(narrow, schema)
+    assert(report.errors.exists(_.code == "missing-field"))
+  }
+
+  test("requireUniqueKeys precondition") {
+    intercept[IllegalArgumentException] {
+      Validate.requireUniqueKeys(
+        FrictionlessSchema(List(FrictionlessField("a", "string"))), Seq("a"))
+    }
+    intercept[IllegalArgumentException] {
+      Validate.requireUniqueKeys(schema, Seq("name", "amount"))
+    }
+    assert(Validate.requireUniqueKeys(schema, Seq("id", "name", "amount", "day")) == List("id"))
+  }
+}
