@@ -16,8 +16,8 @@ object SparkEntry {
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Core.queries
+    graft.queries.Core.queries ++ graft.queries.Ext.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.Core.oracles
+    graft.queries.Core.oracles ++ graft.queries.Ext.oracles
 }

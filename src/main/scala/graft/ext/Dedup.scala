@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for training-data pipelines — exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard. Designed for 100 TB corpora:
+  *
+  *   - signatures/fingerprints are per-row narrow transforms (no shuffle,
+  *     whole-stage codegen — no UDFs anywhere),
+  *   - candidate generation shuffles by band key only: each of the B bands
+  *     is a (band, key)-partitioned self-join whose per-key groups are tiny
+  *     (true near-dup clusters), so no quadratic blowup and skew stays
+  *     bounded by real duplicate-cluster size,
+  *   - verification (exact Jaccard) runs only on candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: content-hash groupBy keeping the lowest-id row per group —
+    * one partial-aggregating shuffle on the 128-bit hash; add `copies` count
+    * for reporting. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+
+  /** Per-document MinHash signature + LSH band keys. Narrow transform. */
+  def minhashBands(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val withSig = df
+      .withColumn("shingles", TextHash.shingles(col(textCol)))
+      .withColumn("sig", TextHash.minhashSignature(col("shingles")))
+    val bandCols = (0 until TextHash.Bands).map { b =>
+      val slice = (0 until TextHash.RowsPerBand)
+        .map(r => element_at(col("sig"), b * TextHash.RowsPerBand + r + 1))
+      struct(lit(b).as("band"), concat_ws("-", slice: _*).as("key")).as(s"b$b")
+    }
+    withSig.select(col(idCol) +: col("shingles") +: col("sig") +: bandCols: _*)
+  }
+
+  /** MinHash LSH near-dup candidate pairs, Jaccard-verified.
+    *
+    * explode(bands) → self-join on (band, key) → distinct pairs →
+    * exact Jaccard on the shingle sets → threshold filter. The self-join
+    * shuffles by band key; duplicate candidate pairs from multiple bands are
+    * collapsed before the (more expensive) verification.
+    */
+  def minhashPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val banded = minhashBands(df, textCol, idCol)
+    val exploded = banded.select(
+      col(idCol), col("shingles"),
+      explode(array((0 until TextHash.Bands).map(b => col(s"b$b")): _*)).as("bk"))
+      .select(col(idCol), col("shingles"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+    val a = exploded.select(col(idCol).as("a_id"), col("shingles").as("a_sh"),
+      col("band"), col("key"))
+    val b = exploded.select(col(idCol).as("b_id"), col("shingles").as("b_sh"),
+      col("band"), col("key"))
+    val candidates = a.join(b, Seq("band", "key"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sh", "b_sh")
+      .dropDuplicates("a_id", "b_id")
+
+    candidates
+      .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
+      .where(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Exact Jaccard similarity of two string-array columns (as sets). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Per-document 60-bit SimHash fingerprint. Narrow transform. */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), TextHash.simhash(split(col(textCol), " ")).as("simhash"))
+
+  /** Hamming distance between two simhash columns. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Character n-gram Jaccard similarity between paired text columns (a
+    * character-level verification measure for near-dup candidates).
+    * `substr` with a Column start position only exists in SQL form, hence
+    * the expr-built `transform(sequence(...), i -> substr(text, i, n))`. */
+  def charNgramJaccard(df: DataFrame, aCol: String, bCol: String, n: Int = 3): DataFrame =
+    df.withColumn("a_grams",
+        array_distinct(expr(s"transform(sequence(1, greatest(length($aCol)-${n - 1},1)), i -> substr($aCol, i, $n))")))
+      .withColumn("b_grams",
+        array_distinct(expr(s"transform(sequence(1, greatest(length($bCol)-${n - 1},1)), i -> substr($bCol, i, $n))")))
+      .withColumn("jaccard", jaccard(col("a_grams"), col("b_grams")))
+      .drop("a_grams", "b_grams")
+}

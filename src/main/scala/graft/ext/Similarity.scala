@@ -1,0 +1,146 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `Array[Float]` columns.
+  *
+  * Scale design:
+  *   - `bruteForceTopK` broadcasts the (small) query set against the corpus
+  *     — one map-side pass, no corpus shuffle; per-partition top-k would be
+  *     the next refinement (Spark's sort-based window on (query, -cos) with
+  *     AQE handles 100 TB as a range-partitioned sort over q×k rows only
+  *     after the cheap filter).
+  *   - `lshBucket` assigns every vector a signed-random-projection bucket in
+  *     a single narrow pass; ANN then joins query buckets to corpus buckets
+  *     (shuffle keyed by bucket — bounded by bucket occupancy, no n²).
+  *
+  * Determinism: float sums are order-dependent and Spark's decimal addition
+  * re-types `decimal(38,15)+decimal(38,15)` to `decimal(38,14)` (precision
+  * cap) — so dot products are accumulated as EXACT int64 sums of
+  * 1e15-quantized element products (round-half-away in every engine), and
+  * hyperplanes use small integer coefficients on 1e7-quantized vectors.
+  */
+object Similarity {
+
+  /** Quantization scale for element products (1e15: 64 products of |v|≤1
+    * stay far inside int64). */
+  val DotScale = 1e15
+
+  /** Exact scaled dot product of two float-array columns: int64 sum of
+    * round(x*y*1e15). Divide by [[DotScale]] for the real value. */
+  def dotScaled(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b,
+        (x, y) => round(x.cast("double") * y.cast("double") * lit(DotScale)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Exact double dot product recovered from the scaled sum. */
+  def dotDecimal(a: Column, b: Column): Column =
+    dotScaled(a, b).cast("double") / lit(DotScale)
+
+  /** Vector L2 norm via the same exact-integer path. */
+  def normDecimal(a: Column): Column =
+    sqrt(aggregate(
+      transform(a, x => round(x.cast("double") * x.cast("double") * lit(DotScale)).cast("long")),
+      lit(0L), (acc, x) => acc + x).cast("double") / lit(DotScale))
+
+  /** Brute-force cosine top-k: for each query vector (small set, broadcast),
+    * rank all corpus vectors by cosine, keep k. */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int
+  ): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", normDecimal(col("q_vec")))
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_norm", normDecimal(col("c_vec")))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("c_id") =!= col("q_id"))
+      .withColumn("cosine",
+        dotDecimal(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "c_id", "rank", "cosine")
+  }
+
+  /** Number of signed-random-projection hyperplanes (bucket bits). 6 bits =
+    * 64 buckets — sized so testdata buckets hold useful candidate sets; at
+    * 100 TB raise toward log2(n/target_bucket_size). */
+  val NumPlanes = 6
+
+  /** Deterministic small-int hyperplane coefficient c(i,j) ∈ [-3,3]. */
+  def coeff(i: Int, j: Int): Long = ((i * 37 + j * 101) % 7) - 3
+
+  /** LSH bucket id: sign bits of integer dot products between the
+    * 1e7-quantized vector and NumPlanes fixed hyperplanes. Narrow, exact
+    * int64 math — byte-identical across engines. */
+  def lshBucket(vec: Column, dim: Int): Column = {
+    val quantized = transform(vec, x => round(x.cast("double") * lit(1e7)).cast("long"))
+    val dots = (0 until NumPlanes).map { i =>
+      val coeffs = array((0 until dim).map(j => lit(coeff(i, j))): _*)
+      aggregate(zip_with(quantized, coeffs, (x, c) => x * c), lit(0L), (a, x) => a + x)
+    }
+    dots.zipWithIndex.map { case (d, i) =>
+      when(d >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Approximate NN: candidates share the query's bucket; exact cosine +
+    * top-k within candidates only. Falls back to fewer-than-k results when a
+    * bucket is sparse (standard ANN recall tradeoff; multi-probe = join on
+    * neighboring buckets would raise recall). */
+  def annTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      k: Int
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .withColumn("bucket", lshBucket(col("c_vec"), dim))
+      .withColumn("c_norm", normDecimal(col("c_vec")))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("bucket", lshBucket(col("q_vec"), dim))
+      .withColumn("q_norm", normDecimal(col("q_vec")))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("c_id") =!= col("q_id"))
+      .withColumn("cosine",
+        dotDecimal(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "c_id", "rank", "cosine")
+  }
+
+  /** Blocked near-dup pairs: all pairs within a blocking key (e.g. a label
+    * or an LSH bucket) with cosine above a threshold. */
+  def blockedNearDupPairs(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      blockCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val base = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+      col(vecCol).as("vec")).withColumn("norm", normDecimal(col("vec")))
+    val a = base.select(col("block"), col("id").as("a_id"),
+      col("vec").as("a_vec"), col("norm").as("a_norm"))
+    val b = base.select(col("block"), col("id").as("b_id"),
+      col("vec").as("b_vec"), col("norm").as("b_norm"))
+    a.join(b, Seq("block"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("cosine",
+        dotDecimal(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm")))
+      .where(col("cosine") >= threshold)
+      .select(col("block"), col("a_id"), col("b_id"), col("cosine"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators for training-data pipelines: token counting,
+  * quality scoring, language identification, document fingerprinting.
+  * All narrow per-row transforms (codegen'd expressions, no UDFs, no
+  * shuffles) — at 100 TB these run at scan speed.
+  */
+object TextStats {
+
+  /** BPE-ish segmentation regex: letter runs, digit runs, single
+    * non-alphanumeric marks (identical semantics in Java and RE2). */
+  val BpeIshPattern = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  /** Whitespace tokens (empties filtered — leading/trailing/multiple
+    * spaces don't create tokens). */
+  def wsTokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_ws_tokens", size(wsTokens(col(textCol))))
+      .withColumn("n_bpeish_tokens",
+        size(regexp_extract_all(col(textCol), lit(BpeIshPattern), lit(0))))
+      .withColumn("n_chars_measured", length(col(textCol)))
+
+  /** Quality signals: token count, average token length, punctuation ratio,
+    * stopword ratio, and a fixed-weight composite score. Scalar double
+    * arithmetic in a fixed expression order — deterministic. */
+  val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val toks = wsTokens(col(textCol))
+    val nTok = size(toks)
+    val nChar = length(col(textCol))
+    val punct = length(regexp_replace(col(textCol), "[a-zA-Z0-9 ]", ""))
+    val stops = size(filter(toks, t => t.isin(Stopwords.map(lit(_)): _*)))
+    df.withColumn("n_tokens", nTok)
+      .withColumn("avg_token_len",
+        (nChar - (nTok - 1)).cast("double") / nTok.cast("double"))
+      .withColumn("punct_ratio", punct.cast("double") / nChar.cast("double"))
+      .withColumn("stopword_ratio", stops.cast("double") / nTok.cast("double"))
+      .withColumn("quality",
+        col("stopword_ratio") * 0.4
+          + (lit(1.0) - col("punct_ratio")) * 0.4
+          + when(col("n_tokens") >= 20 && col("n_tokens") <= 1000, 0.2).otherwise(0.0))
+  }
+
+  /** Stopword lists per language for the n-gram/stopword language-ID
+    * heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "a", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "las", "es", "y"))
+
+  /** Language-ID: argmax of per-language marker-token counts, ties broken
+    * by the fixed language order above. */
+  def langId(df: DataFrame, textCol: String): DataFrame = {
+    val toks = wsTokens(lower(col(textCol)))
+    val scored = LangMarkers.foldLeft(df) { case (d, (lang, markers)) =>
+      d.withColumn(s"score_$lang",
+        size(filter(toks, t => t.isin(markers.map(lit(_)): _*))))
+    }
+    val langs = LangMarkers.map(_._1)
+    val pick = langs.init.zipWithIndex.foldRight(lit(langs.last): Column) {
+      case ((lang, i), els) =>
+        val beatsRest = langs.drop(i + 1)
+          .map(o => col(s"score_$lang") >= col(s"score_$o"))
+          .reduce(_ && _)
+        when(beatsRest, lit(lang)).otherwise(els)
+    }
+    scored.withColumn("lang_pred", pick)
+  }
+
+  /** Document fingerprints: md5 of whitespace-normalized lowercase text,
+    * plus a 31-multiplier polynomial rolling hash mod 2^31-1 (byte-exact in
+    * any engine; char-positional, ASCII-safe). */
+  def fingerprint(df: DataFrame, textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    df.withColumn("fp_md5", md5(norm))
+      .withColumn("fp_rolling",
+        aggregate(
+          expr(s"transform(sequence(1, length(trim(regexp_replace(lower($textCol), '\\\\s+', ' ')))), i -> ascii(substr(trim(regexp_replace(lower($textCol), '\\\\s+', ' ')), i, 1)))"),
+          lit(0L),
+          (acc, x) => (acc * 31 + x) % TextHash.P))
+  }
+}

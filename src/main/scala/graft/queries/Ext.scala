@@ -1,0 +1,330 @@
+package graft.queries
+
+import graft.ext.{Dedup, Similarity, TextHash, TextStats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extension-operator queries (training-data pipeline ops) with DuckDB
+  * oracles generated from the SAME constants as the Spark implementations
+  * (hash params, hyperplane coefficients, quantization scales) — the oracle
+  * SQL and the Spark plan are two renderings of one deterministic spec.
+  */
+object Ext {
+  import Tables.t
+
+  /** documents ∪ appended near-duplicate copies (doc_id+1000000) — the
+    * shared fixture for near-dup operators. */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    docs.unionByName(
+      docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" zz dup marker")).as("text")))
+  }
+
+  private val NearDupCorpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' zz dup marker' FROM documents
+      |  WHERE doc_id % 10 = 0)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ext_dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.unionByName(
+        docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      Dedup.exact(corpus, "text", "doc_id").orderBy("keep_id")
+    }),
+
+    "ext_minhash_signature" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("sh", TextHash.shingles(col("text")))
+        .withColumn("sig", TextHash.minhashSignature(col("sh")))
+        .select(col("doc_id"),
+          element_at(col("sig"), 1).as("m0"),
+          element_at(col("sig"), 6).as("m5"),
+          element_at(col("sig"), 11).as("m10"),
+          element_at(col("sig"), 16).as("m15"))
+        .orderBy("doc_id")),
+
+    "ext_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(nearDupCorpus(s, dir), "text", "doc_id", threshold = 0.6)
+        .orderBy("a_id", "b_id")),
+
+    "ext_dedup_simhash" -> ((s, dir) => {
+      val sim = Dedup.simhash(nearDupCorpus(s, dir), "text", "doc_id")
+      val orig = sim.select(col("doc_id"), col("simhash").as("sim_a"))
+        .where(col("doc_id") % 10 === 0).where(col("doc_id") < 1000000L)
+      val dup = sim.where(col("doc_id") >= 1000000L)
+        .select((col("doc_id") - 1000000L).as("doc_id"), col("simhash").as("sim_b"))
+      orig.join(dup, "doc_id")
+        .withColumn("hamming", Dedup.hamming(col("sim_a"), col("sim_b")))
+        .orderBy("doc_id")
+    }),
+
+    "ext_ngram_jaccard" -> ((s, dir) => {
+      val c = nearDupCorpus(s, dir)
+      val orig = c.where(col("doc_id") % 10 === 0 && col("doc_id") < 1000000L)
+        .select(col("doc_id"), col("text").as("a_text"))
+      val dup = c.where(col("doc_id") >= 1000000L)
+        .select((col("doc_id") - 1000000L).as("doc_id"), col("text").as("b_text"))
+      Dedup.charNgramJaccard(orig.join(dup, "doc_id"), "a_text", "b_text")
+        .select("doc_id", "jaccard").orderBy("doc_id")
+    }),
+
+    "ext_knn_cosine" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5), "embedding", "vec_id", 10)
+        .orderBy("q_id", "rank")
+    }),
+
+    "ext_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.annTopK(e, e.where(col("vec_id") < 5), "embedding", "vec_id", 64, 5)
+        .orderBy("q_id", "rank")
+    }),
+
+    "ext_lsh_buckets" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), Similarity.lshBucket(col("embedding"), 64).as("bucket"))
+        .orderBy("vec_id")),
+
+    "ext_dedup_embedding" -> ((s, dir) =>
+      Similarity.blockedNearDupPairs(
+        t(s, dir, "embeddings").where(col("vec_id") < 300),
+        "embedding", "vec_id", "label", threshold = 0.2)
+        .orderBy("block", "a_id", "b_id")),
+
+    "ext_token_stats" -> ((s, dir) =>
+      TextStats.tokenCounts(t(s, dir, "documents"), "text")
+        .drop("text").orderBy("doc_id")),
+
+    "ext_quality_score" -> ((s, dir) =>
+      TextStats.qualityScore(t(s, dir, "documents"), "text")
+        .drop("text").orderBy("doc_id")),
+
+    "ext_lang_id" -> ((s, dir) =>
+      TextStats.langId(t(s, dir, "documents"), "text")
+        .drop("text").orderBy("doc_id")),
+
+    "ext_fingerprint" -> ((s, dir) =>
+      TextStats.fingerprint(t(s, dir, "documents"), "text")
+        .drop("text").orderBy("doc_id"))
+  )
+
+  // --------------------------------------------------------------------
+  // Oracle SQL (DuckDB), generated from the same constants.
+  // --------------------------------------------------------------------
+
+  private val P = TextHash.P
+
+  private def shinglesSqlInline = TextHash.shinglesSql("text")
+
+  /** embeddings CTE with scaled int64 norms (mirror of Similarity.normDecimal). */
+  private val NormCte =
+    s"""n AS (
+       |  SELECT vec_id, label, embedding,
+       |    sqrt(CAST(list_reduce(list_prepend(0::BIGINT,
+       |      [CAST(round(CAST(embedding[i] AS DOUBLE)*CAST(embedding[i] AS DOUBLE)*1e15) AS BIGINT)
+       |       FOR i IN range(1,65)]), (a,x) -> a+x) AS DOUBLE) / 1e15) AS nrm
+       |  FROM embeddings)""".stripMargin
+
+  private def dotSql(ae: String, be: String): String =
+    s"""(CAST(list_reduce(list_prepend(0::BIGINT,
+       |  [CAST(round(CAST($ae[i] AS DOUBLE)*CAST($be[i] AS DOUBLE)*1e15) AS BIGINT)
+       |   FOR i IN range(1,65)]), (a,x) -> a+x) AS DOUBLE) / 1e15)""".stripMargin
+
+  /** bucket CTE (mirror of Similarity.lshBucket: 1e7 quantization, 6 planes,
+    * coeff(i,j) = ((i*37+j*101)%7)-3, bit set when dot >= 0). */
+  private val BucketExpr = {
+    val dots = (0 until Similarity.NumPlanes).map { i =>
+      val terms = s"[ (((${i}*37 + j*101) % 7) - 3) * vq[j+1] FOR j IN range(0,64)]"
+      s"(CASE WHEN list_reduce(list_prepend(0::BIGINT, $terms), (a,x) -> a+x) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }
+    dots.mkString("(", " + ", ")")
+  }
+
+  private val BucketCte =
+    s"""v AS (
+       |  SELECT vec_id, embedding,
+       |    [CAST(round(CAST(embedding[j] AS DOUBLE)*1e7) AS BIGINT) FOR j IN range(1,65)] AS vq
+       |  FROM embeddings),
+       |bk AS (SELECT vec_id, embedding, $BucketExpr AS bucket FROM v)""".stripMargin
+
+  private def tokensSql(textE: String) =
+    s"list_filter(string_split($textE, ' '), t -> t <> '')"
+
+  val oracles: Map[String, String] = Map(
+    "ext_dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0)
+        |SELECT md5(text) AS fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS copies
+        |FROM corpus GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "ext_minhash_signature" -> {
+      def m(i: Int): String = {
+        val (a, b) = TextHash.hashParams(i)
+        s"list_min(list_transform(sh, s -> ($a * ${TextHash.hmodSql("s")} + $b) % $P)) AS m$i"
+      }
+      s"""WITH sh AS (SELECT doc_id, $shinglesSqlInline AS sh FROM documents)
+         |SELECT doc_id, ${m(0)}, ${m(5)}, ${m(10)}, ${m(15)}
+         |FROM sh ORDER BY doc_id""".stripMargin
+    },
+
+    "ext_dedup_minhash" -> {
+      val sigSql = TextHash.minhashSignatureSql("sh")
+      val bandSelects = (0 until TextHash.Bands).map { b =>
+        val parts = (0 until TextHash.RowsPerBand)
+          .map(r => s"sig[${b * TextHash.RowsPerBand + r + 1}]").mkString(", ")
+        s"SELECT doc_id, sh, $b AS band, concat_ws('-', $parts) AS key FROM sigs"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $NearDupCorpusSql,
+         |shingled AS (SELECT doc_id, $shinglesSqlInline AS sh FROM corpus),
+         |sigs AS (SELECT doc_id, sh, $sigSql AS sig FROM shingled),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+         |  WHERE a.doc_id < b.doc_id),
+         |verified AS (
+         |  SELECT c.a_id, c.b_id,
+         |    CAST(len(list_filter(list_distinct(sa.sh), x -> list_contains(sb.sh, x))) AS DOUBLE)
+         |      / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) AS jaccard
+         |  FROM cand c
+         |  JOIN shingled sa ON sa.doc_id = c.a_id
+         |  JOIN shingled sb ON sb.doc_id = c.b_id)
+         |SELECT a_id, b_id, jaccard FROM verified
+         |WHERE jaccard >= 0.6 ORDER BY a_id, b_id""".stripMargin
+    },
+
+    "ext_dedup_simhash" ->
+      s"""WITH $NearDupCorpusSql,
+         |${TextHash.simhashSql("corpus", "doc_id", "text")}
+         |SELECT o.doc_id, o.simhash AS sim_a, d.simhash AS sim_b,
+         |       bit_count(xor(o.simhash, d.simhash)) AS hamming
+         |FROM sim o JOIN sim d ON d.doc_id = o.doc_id + 1000000
+         |WHERE o.doc_id % 10 = 0 AND o.doc_id < 1000000
+         |ORDER BY o.doc_id""".stripMargin,
+
+    "ext_ngram_jaccard" ->
+      s"""WITH $NearDupCorpusSql,
+         |grams AS (
+         |  SELECT doc_id, list_distinct(
+         |    [substr(text, i, 3) FOR i IN range(1, greatest(len(text)-1, 2))]) AS g
+         |  FROM corpus)
+         |SELECT a.doc_id AS doc_id,
+         |  CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE)
+         |    / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) AS jaccard
+         |FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1000000
+         |WHERE a.doc_id % 10 = 0 AND a.doc_id < 1000000
+         |ORDER BY a.doc_id""".stripMargin,
+
+    "ext_knn_cosine" ->
+      s"""WITH $NormCte,
+         |q AS (SELECT * FROM n WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+         |  FROM n c CROSS JOIN q WHERE c.vec_id <> q.vec_id)
+         |SELECT q_id, c_id, rank, cosine FROM (
+         |  SELECT q_id, c_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+         |  FROM scored) WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "ext_ann_lsh" ->
+      s"""WITH $BucketCte,
+         |nb AS (
+         |  SELECT bk.vec_id, bk.embedding, bk.bucket,
+         |    sqrt(CAST(list_reduce(list_prepend(0::BIGINT,
+         |      [CAST(round(CAST(bk.embedding[i] AS DOUBLE)*CAST(bk.embedding[i] AS DOUBLE)*1e15) AS BIGINT)
+         |       FOR i IN range(1,65)]), (a,x) -> a+x) AS DOUBLE) / 1e15) AS nrm
+         |  FROM bk),
+         |q AS (SELECT * FROM nb WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+         |  FROM nb c JOIN q ON c.bucket = q.bucket WHERE c.vec_id <> q.vec_id)
+         |SELECT q_id, c_id, rank, cosine FROM (
+         |  SELECT q_id, c_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+         |  FROM scored) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "ext_lsh_buckets" ->
+      s"""WITH $BucketCte
+         |SELECT vec_id, bucket FROM bk ORDER BY vec_id""".stripMargin,
+
+    "ext_dedup_embedding" ->
+      s"""WITH $NormCte,
+         |base AS (SELECT label AS block, vec_id, embedding, nrm FROM n WHERE vec_id < 300)
+         |SELECT a.block AS block, a.vec_id AS a_id, b.vec_id AS b_id,
+         |  ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+         |FROM base a JOIN base b ON a.block = b.block AND a.vec_id < b.vec_id
+         |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.2
+         |ORDER BY block, a_id, b_id""".stripMargin,
+
+    "ext_token_stats" ->
+      s"""SELECT doc_id, lang, source, n_chars,
+         |  len(${tokensSql("text")}) AS n_ws_tokens,
+         |  len(regexp_extract_all(text, '${TextStats.BpeIshPattern}')) AS n_bpeish_tokens,
+         |  len(text) AS n_chars_measured
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ext_quality_score" -> {
+      val toks = tokensSql("text")
+      val stopList = TextStats.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""SELECT doc_id, lang, source, n_chars,
+         |  len($toks) AS n_tokens,
+         |  CAST(len(text) - (len($toks) - 1) AS DOUBLE) / CAST(len($toks) AS DOUBLE) AS avg_token_len,
+         |  CAST(len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE) AS punct_ratio,
+         |  CAST(len(list_filter($toks, t -> list_contains($stopList, t))) AS DOUBLE) / CAST(len($toks) AS DOUBLE) AS stopword_ratio,
+         |  (CAST(len(list_filter($toks, t -> list_contains($stopList, t))) AS DOUBLE) / CAST(len($toks) AS DOUBLE)) * 0.4
+         |    + (1.0 - CAST(len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE)) * 0.4
+         |    + (CASE WHEN len($toks) >= 20 AND len($toks) <= 1000 THEN 0.2 ELSE 0.0 END) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "ext_lang_id" -> {
+      val toks = tokensSql("lower(text)")
+      def score(markers: Seq[String]) = {
+        val list = markers.map(w => s"'$w'").mkString("[", ",", "]")
+        s"len(list_filter($toks, t -> list_contains($list, t)))"
+      }
+      val scores = TextStats.LangMarkers
+        .map { case (l, m) => s"${score(m)} AS score_$l" }.mkString(",\n  ")
+      val langs = TextStats.LangMarkers.map(_._1)
+      val pick = {
+        def caseFor(i: Int): String =
+          if (i == langs.length - 1) s"'${langs(i)}'"
+          else {
+            val cond = langs.drop(i + 1)
+              .map(o => s"score_${langs(i)} >= score_$o").mkString(" AND ")
+            s"CASE WHEN $cond THEN '${langs(i)}' ELSE ${caseFor(i + 1)} END"
+          }
+        caseFor(0)
+      }
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, source, n_chars,
+         |  $scores
+         |  FROM documents)
+         |SELECT doc_id, lang, source, n_chars, score_en, score_de, score_fr, score_es,
+         |       $pick AS lang_pred
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+
+    "ext_fingerprint" ->
+      s"""WITH nrm AS (
+         |  SELECT doc_id, lang, source, n_chars,
+         |         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+         |  FROM documents)
+         |SELECT doc_id, lang, source, n_chars, md5(norm) AS fp_md5,
+         |  list_reduce(list_prepend(0::BIGINT,
+         |    [ascii(substr(norm, i, 1))::BIGINT FOR i IN range(1, len(norm)+1)]),
+         |    (a,x) -> (a*31 + x) % $P) AS fp_rolling
+         |FROM nrm ORDER BY doc_id""".stripMargin
+  )
+}
