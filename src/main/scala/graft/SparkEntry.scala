@@ -16,8 +16,10 @@ object SparkEntry {
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Core.queries ++ graft.queries.Ext.queries
+    graft.queries.Core.queries ++ graft.queries.Ext.queries ++
+      graft.queries.Analytics.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.Core.oracles ++ graft.queries.Ext.oracles
+    graft.queries.Core.oracles ++ graft.queries.Ext.oracles ++
+      graft.queries.Analytics.oracles
 }

@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, decoded/feature-extracted per partition.
+  *
+  * The actual media codecs are NOT available in this environment, so the
+  * decode step is a clearly-marked DETERMINISTIC STUB (`decodeStub`) — the
+  * Spark-side contract is real and tested: schema (binary payload + struct
+  * metadata), partition-wise batch iteration (`mapPartitions`, one decoder
+  * init per partition — the Scala analogue of a pandas-batched UDF), and the
+  * feature-row output shape. Swapping `decodeStub` for a real codec changes
+  * no plumbing.
+  *
+  * Scale notes: binary payloads make wide rows — keep
+  * `spark.sql.files.maxPartitionBytes` moderate, never collect; feature
+  * extraction is embarrassingly parallel (no shuffle).
+  */
+object Multimodal {
+
+  final case class MediaRecord(
+      doc_id: Long,
+      kind: String, // image | audio | video
+      payload: Array[Byte])
+
+  final case class MediaFeatures(
+      doc_id: Long,
+      kind: String,
+      byte_len: Long,
+      width: Int, // stub: derived dimensions
+      height: Int,
+      channels: Int,
+      first_byte: Int,
+      n_frames: Int)
+
+  implicit val mediaRecordEnc: Encoder[MediaRecord] = Encoders.product[MediaRecord]
+  implicit val mediaFeaturesEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
+
+  /** Attach a fake binary payload derived from a text column (UTF-8 bytes) —
+    * the testdata has no real media; this exercises the binary-column path
+    * end-to-end. kind cycles image/audio/video by doc_id. */
+  def attachBinary(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+      col(idCol).cast("long").as("doc_id"),
+      element_at(
+        typedLit(Seq("image", "audio", "video")),
+        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col(textCol), "UTF-8").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** STUB decoder: a real implementation would parse the codec header and
+    * decode frames (??? in this container — no image/audio libs). The stub
+    * derives deterministic pseudo-features from the bytes so the pipeline is
+    * testable end-to-end. One "decoder init" per partition, batch iteration
+    * inside — the real-codec call pattern. */
+  def decodeStub(records: Iterator[MediaRecord]): Iterator[MediaFeatures] = {
+    // per-partition decoder initialization would happen here (expensive
+    // library setup amortized over the partition, not per row)
+    records.map { r =>
+      val len = r.payload.length
+      MediaFeatures(
+        doc_id = r.doc_id,
+        kind = r.kind,
+        byte_len = len.toLong,
+        width = len % 640,
+        height = len % 480,
+        channels = 3,
+        first_byte = if (len > 0) r.payload(0) & 0xff else -1,
+        n_frames = if (r.kind == "video") len % 30 else 1)
+    }
+  }
+
+  /** Full pipeline: attach binary → partition-wise decode → features. */
+  def extractFeatures(df: DataFrame, idCol: String, textCol: String): Dataset[MediaFeatures] =
+    attachBinary(df, idCol, textCol).mapPartitions(decodeStub)
+
+  /** Frame sampling for video payloads: every `stride`-th byte offset as a
+    * stub "frame" (the real op samples decoded frames); demonstrates
+    * exploding one media row into per-frame rows without a shuffle. */
+  def sampleFrames(media: Dataset[MediaRecord], stride: Int): DataFrame = {
+    media.toDF()
+      .where(col("kind") === "video")
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, int(octet_length(payload)/$stride)), i -> i * $stride)"))
+          .as(Seq("frame_idx", "byte_offset")))
+  }
+}

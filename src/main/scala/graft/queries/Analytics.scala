@@ -1,0 +1,196 @@
+package graft.queries
+
+import graft.ext.Multimodal
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Analytical, windowed/streaming-semantics, and multimodal queries.
+  *
+  * The join queries are the bench workhorses: dimension sides carry explicit
+  * `broadcast` hints (map-side joins, no fact-table shuffle), aggregates use
+  * exact DECIMAL sums cast to DOUBLE at the end, and every output has a
+  * total deterministic order.
+  */
+object Analytics {
+  import Tables.t
+
+  private def revenue = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+    .cast("decimal(25,6)")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q3 flavor: shipping priority
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(sum(revenue).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // TPC-H Q5 flavor: local supplier volume per nation
+    "q5_local_supplier" -> ((s, dir) => {
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region").where(col("r_name") === "ASIA")
+      val supp = t(s, dir, "supplier")
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1994-01-01").cast("timestamp"))
+        .where(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      t(s, dir, "lineitem")
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(revenue).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
+    // TPC-H Q10 flavor: top returned-revenue customers
+    "q10_returned_items" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+        .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(sum(revenue).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    // windowed running total (partitioned analytic window — no global sort)
+    "w_running_total" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      t(s, dir, "orders").where(col("o_custkey") < 100)
+        .withColumn("running_total",
+          sum(col("o_totalprice").cast("decimal(20,2)")).over(w).cast("double"))
+        .select("o_custkey", "o_orderkey", "running_total")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // streaming-semantics windows (same functions serve readStream inputs)
+    "stream_tumbling_hour" -> ((s, dir) =>
+      StreamingIngest.tumblingAgg(
+        Tables.events(s, dir), "ts_us", "1 hour", Seq("event_type"),
+        Seq(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(20,2)")).cast("double").as("sum_value")))
+        .orderBy("window_start", "event_type")),
+
+    "stream_sliding_window" -> ((s, dir) =>
+      StreamingIngest.slidingAgg(
+        Tables.events(s, dir), "ts_us", "1 hour", "30 minutes", Seq("event_type"),
+        Seq(count(lit(1)).as("n_events")))
+        .orderBy("window_start", "event_type")),
+
+    "stream_session_window" -> ((s, dir) =>
+      StreamingIngest.sessionAgg(
+        Tables.events(s, dir), "ts_us", "30 minutes", Seq("user_id"),
+        Seq(count(lit(1)).as("n_events")))
+        .orderBy("user_id", "session_start")),
+
+    // multimodal: binary payload + partition-wise decode (stubbed codec)
+    "ext_multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text")
+        .toDF().orderBy("doc_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "w_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "stream_tumbling_hour" ->
+      """WITH e AS (SELECT epoch_ns(ts)//1000 AS us, event_type, value FROM events)
+        |SELECT make_timestamp(us - us % 3600000000) AS window_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "stream_sliding_window" ->
+      """WITH e AS (SELECT epoch_ns(ts)//1000 AS us, event_type FROM events),
+        |w AS (SELECT make_timestamp((us - us % 1800000000) - k * 1800000000) AS window_start,
+        |             event_type
+        |      FROM e CROSS JOIN (VALUES (0::BIGINT), (1::BIGINT)) k(k))
+        |SELECT window_start, event_type, COUNT(*) AS n_events
+        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "stream_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS us FROM events),
+        |o AS (SELECT user_id, us,
+        |        CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |               OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e),
+        |s AS (SELECT user_id, us,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM o)
+        |SELECT make_timestamp(MIN(us)) AS session_start, user_id, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "ext_multimodal_features" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  octet_length(encode(text)) AS byte_len,
+        |  CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+        |  CAST(octet_length(encode(text)) % 480 AS INTEGER) AS height,
+        |  3 AS channels,
+        |  ascii(substr(text, 1, 1)) AS first_byte,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) % 30 ELSE 1 END AS INTEGER) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
