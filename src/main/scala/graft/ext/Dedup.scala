@@ -49,22 +49,42 @@ object Dedup {
       idCol: String,
       threshold: Double
   ): DataFrame = {
-    val banded = minhashBands(df, textCol, idCol)
-    val exploded = banded.select(
-      col(idCol), col("shingles"),
-      explode(array((0 until TextHash.Bands).map(b => col(s"b$b")): _*)).as("bk"))
-      .select(col(idCol), col("shingles"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // Shingles+signature are computed once and persisted: four consumers
+    // (4 band-key projections via self-join sides, plus the two
+    // verification sides) would otherwise each recompute the md5-heavy
+    // signature pipeline from the scan — and project-collapse would
+    // duplicate the sig expression into every band key. (At 100 TB swap
+    // the in-memory persist for a checkpoint/scratch-table write.)
+    val shingled = df
+      .select(col(idCol), TextHash.shingles(col(textCol)).as("shingles"))
+      .withColumn("sig", TextHash.minhashSignature(col("shingles")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = shingled
 
-    val a = exploded.select(col(idCol).as("a_id"), col("shingles").as("a_sh"),
-      col("band"), col("key"))
-    val b = exploded.select(col(idCol).as("b_id"), col("shingles").as("b_sh"),
-      col("band"), col("key"))
+    // Band join carries ONLY (band, key, id) — never the shingle arrays.
+    // At 100 TB the shuffle payload is 3 narrow columns; the arrays are
+    // re-joined afterwards for the (small) candidate set only.
+    val bandCols = (0 until TextHash.Bands).map { b =>
+      val slice = (0 until TextHash.RowsPerBand)
+        .map(r => element_at(col("sig"), b * TextHash.RowsPerBand + r + 1))
+      struct(lit(b).as("band"), concat_ws("-", slice: _*).as("key"))
+    }
+    val exploded = banded.select(col(idCol),
+      explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+
+    val a = exploded.select(col(idCol).as("a_id"), col("band"), col("key"))
+    val b = exploded.select(col(idCol).as("b_id"), col("band"), col("key"))
     val candidates = a.join(b, Seq("band", "key"))
       .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_sh", "b_sh")
+      .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
 
+    val sa = shingled.select(col(idCol).as("a_id"), col("shingles").as("a_sh"))
+    val sb = shingled.select(col(idCol).as("b_id"), col("shingles").as("b_sh"))
     candidates
+      .join(sa, "a_id")
+      .join(sb, "b_id")
       .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
       .where(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")

@@ -44,14 +44,25 @@ object TextHash {
     s"(('0x' || substr(md5($e),1,15))::BIGINT % $P)"
 
   /** Word n-gram shingles of a text column (falls back to the whole text
-    * when fewer than n tokens). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = split(text, " ")
-    val grams = transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
-    when(size(toks) < n, array(text)).otherwise(grams)
-  }
+    * when fewer than n tokens).
+    *
+    * The token array is LET-BOUND via a single-element-array transform:
+    * Catalyst has no let expression, and referencing `split(text)` directly
+    * inside the per-shingle lambda makes project-collapse re-evaluate the
+    * full split for every `element_at` — O(tokens²) work per document that
+    * dominated the whole LSH pipeline. Binding it as a lambda variable
+    * evaluates the split exactly once per row. */
+  def shingles(text: Column, n: Int = 3): Column =
+    element_at(
+      transform(
+        array(split(text, " ")), // bind once
+        toks => {
+          val grams = transform(
+            sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+          when(size(toks) < n, array(array_join(toks, " "))).otherwise(grams)
+        }),
+      1)
 
   /** DuckDB SQL fragment equivalent of [[shingles]]. */
   def shinglesSql(textE: String, n: Int = 3): String = {
@@ -62,12 +73,26 @@ object TextHash {
   }
 
   /** MinHash signature: array of NumHashes min-values over the shingle set.
-    * One pass over the shingle array per row — embarrassingly parallel,
-    * no shuffle. */
-  def minhashSignature(shingleCol: Column): Column =
-    array(hashParams.map { case (a, b) =>
-      array_min(transform(shingleCol, s => (lit(a) * hmod(s) + lit(b)) % P))
-    }: _*)
+    * One pass over the shingle array per row — embarrassingly parallel, no
+    * shuffle — and ONE md5 per shingle. Shape matters here: expressing this
+    * as k independent `array_min(transform(...md5...))` columns makes
+    * Catalyst's project-collapse duplicate the md5 subtree k× (it has no
+    * let-binding), which multiplied the dominant md5 cost by k. Instead a
+    * single expression folds the shingle array once: per shingle compute the
+    * base hash, expand to the k permutation values, and merge element-wise
+    * minima into the accumulator. */
+  def minhashSignature(shingleCol: Column): Column = {
+    val pa = typedLit(hashParams.map(_._1))
+    val pb = typedLit(hashParams.map(_._2))
+    val perShingle = transform(
+      transform(shingleCol, s => hmod(s)), // one md5 per shingle
+      h => transform(sequence(lit(0), lit(NumHashes - 1)),
+        i => (element_at(pa, i.cast("int") + 1) * h + element_at(pb, i.cast("int") + 1)) % P))
+    aggregate(
+      perShingle,
+      array_repeat(lit(P), NumHashes),
+      (acc, v) => zip_with(acc, v, (a, b) => least(a, b)))
+  }
 
   /** DuckDB SQL: minhash signature as a list expression over `shE`. */
   def minhashSignatureSql(shE: String): String =

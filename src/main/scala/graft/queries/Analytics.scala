@@ -21,11 +21,16 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q3 flavor: shipping priority
     "q3_shipping_priority" -> ((s, dir) => {
+      // broadcast sides projected to join+output columns only — the
+      // broadcast payload is what every executor must hold in memory
       val cust = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
       val ord = t(s, dir, "orders")
         .where(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
       val li = t(s, dir, "lineitem")
         .where(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
       li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
@@ -38,12 +43,14 @@ object Analytics {
     "q5_local_supplier" -> ((s, dir) => {
       val nation = t(s, dir, "nation")
       val region = t(s, dir, "region").where(col("r_name") === "ASIA")
-      val supp = t(s, dir, "supplier")
-      val cust = t(s, dir, "customer")
+      val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
       val ord = t(s, dir, "orders")
         .where(col("o_orderdate") >= lit("1994-01-01").cast("timestamp"))
         .where(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
       t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
         .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
@@ -57,9 +64,10 @@ object Analytics {
 
     // TPC-H Q10 flavor: top returned-revenue customers
     "q10_returned_items" -> ((s, dir) => {
-      val cust = t(s, dir, "customer")
-      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_name")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
       t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
         .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy("c_custkey", "c_name")
