@@ -17,9 +17,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Core.queries ++ graft.queries.Ext.queries ++
-      graft.queries.Analytics.queries
+      graft.queries.Analytics.queries ++ graft.queries.Lifecycle.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Core.oracles ++ graft.queries.Ext.oracles ++
-      graft.queries.Analytics.oracles
+      graft.queries.Analytics.oracles ++ graft.queries.Lifecycle.oracles
 }

@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.export.Export
+import graft.ingest.{Reader, SourceFormat}
+import graft.pipeline._
+import graft.schema.{FieldConstraints, FrictionlessField, FrictionlessSchema}
+import graft.table.TableStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Lifecycle queries: the remaining SURVEY §2 operators exercised through
+  * the REAL engine components (TableStore, Pipeline) inside the oracle
+  * gate — not just unit tests. Temp dirs + fixed job timestamps keep every
+  * output deterministic.
+  */
+object Lifecycle {
+  import Tables.t
+
+  private val JobTs = Timestamp.valueOf("2026-02-02 00:00:00")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // V1 as a query: per-field cast-audit error counts (try_cast probes)
+    "v1_cast_audit" -> ((s, dir) => {
+      val dirty = t(s, dir, "customer").select(
+        // c_custkey stringified; every 3rd row corrupted with the name
+        when(pmod(col("c_custkey"), lit(3)) === 0, col("c_name"))
+          .otherwise(col("c_custkey").cast("string")).as("custkey_raw"),
+        // acctbal stringified via exact decimal; every 5th row corrupted
+        when(pmod(col("c_custkey"), lit(5)) === 0, lit("not-a-number"))
+          .otherwise(col("c_acctbal").cast("decimal(12,2)").cast("string"))
+          .as("acctbal_raw"))
+      dirty.agg(
+        count(lit(1)).as("rows"),
+        count(when(expr("try_cast(custkey_raw AS BIGINT)").isNull
+          && col("custkey_raw").isNotNull, 1)).as("custkey_errors"),
+        count(when(expr("try_cast(acctbal_raw AS DECIMAL(38,9))").isNull
+          && col("acctbal_raw").isNotNull, 1)).as("acctbal_errors"))
+    }),
+
+    // S7/W1: TableStore write → scan roundtrip (snapshot-swap storage)
+    "s7_table_store_scan" -> ((s, dir) => {
+      val store = new TableStore(s, Files.createTempDirectory("graft_q_store").toString)
+      store.overwrite("orders_slice",
+        t(s, dir, "orders").where(col("o_orderkey") % 100 === 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice"))
+      store.scan("orders_slice").orderBy("o_orderkey")
+    }),
+
+    // F5: zero-row schema-only guard (WHERE 1=0 clone)
+    "f5_zero_row_guard" -> ((s, dir) => {
+      val store = new TableStore(s, Files.createTempDirectory("graft_q_clone").toString)
+      store.createLike("clone", t(s, dir, "nation"))
+      store.scan("clone").select("n_nationkey", "n_name")
+    }),
+
+    // A3: row/error counters surfaced as data
+    "a3_row_counts" -> ((s, dir) =>
+      t(s, dir, "documents").agg(
+        count(lit(1)).as("rows"),
+        count(when(col("n_chars") > 300, 1)).as("long_docs"),
+        countDistinct(col("lang")).as("n_langs"))),
+
+    // W2/C2/C4: the WHOLE pipeline (ingest csv → overwrite → append with
+    // MAX(_id)+1 continuation → ordered export) as one oracle-checked query
+    "pipeline_e2e" -> ((s, dir) => {
+      val work = Files.createTempDirectory("graft_q_pipe")
+      Export.export(t(s, dir, "nation"), s"$work/nation_csv",
+        Export.ExportOptions(SourceFormat.Csv, orderBy = Some("n_nationkey"), singleFile = true))
+      val schema = FrictionlessSchema(List(
+        FrictionlessField("n_nationkey", "integer"),
+        FrictionlessField("n_name", "string"),
+        FrictionlessField("n_regionkey", "integer")))
+      val store = new TableStore(s, s"$work/tables")
+      val pipe = new Pipeline(s, store)
+      val cfg = PipelineConfig(s"$work/nation_csv", "nation_t",
+        IngestionMethod.Overwrite, format = Some(SourceFormat.Csv),
+        schema = Some(schema), validate = true)
+      pipe.run(cfg, JobTs)
+      pipe.run(cfg.copy(method = IngestionMethod.Append), JobTs)
+      store.scan("nation_t").orderBy("_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "v1_cast_audit" ->
+      """WITH dirty AS (
+        |  SELECT CASE WHEN c_custkey % 3 = 0 THEN c_name
+        |              ELSE CAST(c_custkey AS VARCHAR) END AS custkey_raw,
+        |         CASE WHEN c_custkey % 5 = 0 THEN 'not-a-number'
+        |              ELSE CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) END AS acctbal_raw
+        |  FROM customer)
+        |SELECT COUNT(*) AS rows,
+        |  COUNT(CASE WHEN TRY_CAST(custkey_raw AS BIGINT) IS NULL
+        |             AND custkey_raw IS NOT NULL THEN 1 END) AS custkey_errors,
+        |  COUNT(CASE WHEN TRY_CAST(acctbal_raw AS DECIMAL(38,9)) IS NULL
+        |             AND acctbal_raw IS NOT NULL THEN 1 END) AS acctbal_errors
+        |FROM dirty""".stripMargin,
+
+    "s7_table_store_scan" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    "f5_zero_row_guard" ->
+      "SELECT n_nationkey, n_name FROM nation WHERE 1=0",
+
+    "a3_row_counts" ->
+      """SELECT COUNT(*) AS rows,
+        |  COUNT(CASE WHEN n_chars > 300 THEN 1 END) AS long_docs,
+        |  COUNT(DISTINCT lang) AS n_langs
+        |FROM documents""".stripMargin,
+
+    "pipeline_e2e" ->
+      """WITH once AS (
+        |  SELECT row_number() OVER (ORDER BY n_nationkey) AS rn,
+        |         CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |         CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |  FROM nation),
+        |doubled AS (
+        |  SELECT rn AS _id, n_nationkey, n_name, n_regionkey FROM once
+        |  UNION ALL
+        |  SELECT rn + (SELECT MAX(rn) FROM once), n_nationkey, n_name, n_regionkey FROM once)
+        |SELECT _id, n_nationkey, n_name, n_regionkey,
+        |       TIMESTAMP '2026-02-02 00:00:00' AS _updated_at
+        |FROM doubled ORDER BY _id""".stripMargin
+  )
+}
