@@ -5,21 +5,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.charset.StandardCharsets
 
-/** Named parquet tables with atomic snapshot swap.
+/** Named parquet tables with atomic manifest swap.
   *
   * One CKAN resource = one flat table (SURVEY §1.1). The reference leans on
-  * BigQuery for table atomicity (MERGE is atomic, load jobs are atomic —
-  * warehouse.py:73-135, 200-297); plain Spark overwrites are not atomic, so
-  * we write every new table state to a fresh snapshot directory and then
-  * atomically repoint a small `CURRENT` manifest file:
+  * BigQuery for table atomicity (MERGE and load jobs are atomic —
+  * warehouse.py:73-135, 200-297); plain Spark writes are not atomic, so
+  * every table state is described by a small `CURRENT` manifest file listing
+  * one or more immutable snapshot directories:
   *
-  *   root/<table>/snap-<n>/part-*.parquet
-  *   root/<table>/CURRENT          ← contains "snap-<n>"
+  *   root/<table>/snap-<id>/part-*.parquet      (immutable once written)
+  *   root/<table>/CURRENT                       ("snap-a\nsnap-b\n…")
   *
-  * A crash between snapshot write and pointer flip leaves the previous
-  * snapshot live (recoverable; stale snapshots are GC'd on the next commit).
-  * Works on any Hadoop FileSystem (local, HDFS; on S3 the single-file
-  * manifest PUT is atomic even though dir-rename is not).
+  * - `overwrite`/merge commit ONE new snapshot dir and point the manifest
+  *   at it alone.
+  * - `append` writes ONLY the incoming batch as a new snapshot dir and
+  *   points the manifest at old dirs + the new one — O(batch), never a
+  *   table rewrite (at 100 TB rewriting the table per append is the
+  *   difference between a working pipeline and a dead one). Schema
+  *   evolution happens at read time via unionByName(allowMissingColumns);
+  *   type CHANGES on an existing column remain a hard error, like the
+  *   reference (api_loader.py:133-134).
+  *
+  * A crash between snapshot write and manifest flip leaves the previous
+  * state live (orphan dirs are GC'd on the next commit). Works on any
+  * Hadoop FileSystem; on S3 the single-file manifest PUT is atomic even
+  * though dir-rename is not.
   */
 final class TableStore(spark: SparkSession, root: String) {
 
@@ -40,39 +50,43 @@ final class TableStore(spark: SparkSession, root: String) {
     else f.listStatus(r).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
   }
 
-  private def readCurrent(name: String): Option[String] = {
+  private def readManifest(name: String): Seq[String] = {
     val f = currentFile(name)
     val filesystem = fs(f)
-    if (!filesystem.exists(f)) None
+    if (!filesystem.exists(f)) Nil
     else {
       val in = filesystem.open(f)
-      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8).trim)
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
       finally in.close()
     }
   }
 
-  private def snapshotPath(name: String): Option[Path] =
-    readCurrent(name).map(s => new Path(tableDir(name), s))
-
-  def scan(name: String): DataFrame = snapshotPath(name) match {
-    case Some(p) => spark.read.parquet(p.toString)
-    case None =>
+  /** Scan = union of the manifest's snapshot dirs in commit order, with
+    * read-time schema evolution (later snapshots may add columns). */
+  def scan(name: String): DataFrame = {
+    val snaps = readManifest(name)
+    if (snaps.isEmpty)
       throw new IllegalArgumentException(s"Table not found: $name")
+    snaps
+      .map(sn => spark.read.parquet(new Path(tableDir(name), sn).toString))
+      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
-  /** Write df as the new state of `name` (atomic pointer flip). */
-  def overwrite(name: String, df: DataFrame): Unit = commit(name, df)
+  /** Write df as the whole new state of `name` (atomic manifest flip). */
+  def overwrite(name: String, df: DataFrame): Unit = {
+    val snap = writeSnapshot(name, df)
+    commitManifest(name, Seq(snap))
+  }
 
-  /** Append with schema evolution: new columns are added, missing columns
-    * null-filled (reference: warehouse.py:112-115 ALLOW_FIELD_ADDITION +
-    * :154-172 ensure_table_has_fields). Type CHANGES on an existing column
-    * remain a hard error, like the reference (api_loader.py:133-134). */
+  /** Append ONLY the incoming batch as a new snapshot (no table rewrite);
+    * evolution by field addition, type changes rejected. */
   def append(name: String, df: DataFrame): Unit =
-    if (!exists(name)) commit(name, df)
+    if (!exists(name)) overwrite(name, df)
     else {
-      val existing = scan(name)
-      checkNoTypeChanges(name, existing, df)
-      commit(name, existing.unionByName(df, allowMissingColumns = true))
+      checkNoTypeChanges(name, scan(name), df)
+      val snap = writeSnapshot(name, df)
+      commitManifest(name, readManifest(name) :+ snap)
     }
 
   private def checkNoTypeChanges(name: String, existing: DataFrame, incoming: DataFrame): Unit = {
@@ -84,9 +98,9 @@ final class TableStore(spark: SparkSession, root: String) {
           changed.map(f => s"${f.name}: ${old(f.name)} -> ${f.dataType}").mkString(", "))
   }
 
-  /** Schema-only clone — `CREATE TABLE … WHERE 1=0` (warehouse.py:138-151). */
+  /** Schema-only clone — `CREATE TABLE … WHERE 1=0` (warehouse.py:148-151). */
   def createLike(name: String, df: DataFrame): Unit =
-    if (!exists(name)) commit(name, df.where(lit(false)))
+    if (!exists(name)) overwrite(name, df.where(lit(false)))
 
   def drop(name: String): Unit = {
     val d = tableDir(name)
@@ -95,8 +109,7 @@ final class TableStore(spark: SparkSession, root: String) {
   }
 
   /** `SELECT COALESCE(MAX(col),0)+1` — next row-number start; missing table
-    * or column → 1, like the reference's failure fallback
-    * (warehouse.py:13-31). */
+    * or column → 1, like the reference's fallback (warehouse.py:13-31). */
   def nextRowNumberStart(name: String, col: String = "_id"): Long =
     if (!exists(name)) 1L
     else {
@@ -106,30 +119,33 @@ final class TableStore(spark: SparkSession, root: String) {
         .first().getLong(0) + 1L
     }
 
-  /** Write a new snapshot dir then atomically flip CURRENT; GC older
-    * snapshots afterwards. */
-  private def commit(name: String, df: DataFrame): Unit = {
+  private def writeSnapshot(name: String, df: DataFrame): String = {
+    val dir = tableDir(name)
+    fs(dir).mkdirs(dir)
+    val snap = "snap-" + System.currentTimeMillis() + "-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    df.write.mode("overwrite").parquet(new Path(dir, snap).toString)
+    snap
+  }
+
+  /** Atomically flip CURRENT to `snaps`; GC snapshot dirs no longer
+    * referenced (and tmp leftovers). */
+  private def commitManifest(name: String, snaps: Seq[String]): Unit = {
     val dir = tableDir(name)
     val filesystem = fs(dir)
-    filesystem.mkdirs(dir)
-    val next = "snap-" + System.currentTimeMillis() + "-" +
-      java.util.UUID.randomUUID().toString.take(8)
-    df.write.mode("overwrite").parquet(new Path(dir, next).toString)
-
-    // atomic pointer flip: write tmp, rename over CURRENT
-    val tmp = new Path(dir, s"CURRENT.tmp-$next")
+    val tmp = new Path(dir, s"CURRENT.tmp-${snaps.last}")
     val out = filesystem.create(tmp, true)
-    try out.write(next.getBytes(StandardCharsets.UTF_8))
+    try out.write(snaps.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val cur = currentFile(name)
     if (filesystem.exists(cur)) filesystem.delete(cur, false)
     if (!filesystem.rename(tmp, cur))
-      throw new IllegalStateException(s"Failed to commit snapshot $next of $name")
+      throw new IllegalStateException(s"Failed to commit ${snaps.last} of $name")
 
-    // GC stale snapshots (anything but the new current)
+    val live = snaps.toSet
     filesystem.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
-      if (st.isDirectory && n.startsWith("snap-") && n != next)
+      if (st.isDirectory && n.startsWith("snap-") && !live.contains(n))
         filesystem.delete(st.getPath, true)
     }
   }

@@ -1,0 +1,112 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class ExtSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = spark.createDataFrame(
+    java.util.List.of(rows.map(r => Row(r._1, r._2)): _*),
+    StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+
+  test("exact dedup groups identical texts, keeps lowest id") {
+    val out = Dedup.exact(docs(
+      (1L, "hello world"), (2L, "other text"), (3L, "hello world")),
+      "text", "doc_id")
+      .orderBy("keep_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("shingles: word 3-grams; short texts fall back to whole text") {
+    val out = docs((1L, "a b c d"), (2L, "x y"))
+      .select(TextHash.shingles(col("text")).as("s"))
+      .orderBy(size(col("s")).desc)
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq("x y"))
+  }
+
+  test("minhash signature: identical texts share signatures; length k") {
+    val out = docs((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
+      .select(col("doc_id"),
+        TextHash.minhashSignature(TextHash.shingles(col("text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1).length == TextHash.NumHashes)
+    assert(out(1) == out(2))
+    assert(out(1) != out(3))
+    assert(out(1).forall(v => v >= 0 && v < TextHash.P))
+  }
+
+  test("minhashPairs finds near-dups, not unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val out = Dedup.minhashPairs(docs(
+      (1L, base),
+      (2L, base + " extra"),
+      (3L, "completely different words about spark catalyst expression trees")),
+      "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash: near-dup texts have small hamming distance") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val out = Dedup.simhash(docs(
+      (1L, base), (2L, base + " tiny change"), (3L, "x1 x2 x3 x4 x5")),
+      "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val near = java.lang.Long.bitCount(out(1L) ^ out(2L))
+    val far = java.lang.Long.bitCount(out(1L) ^ out(3L))
+    assert(near < far, s"near=$near far=$far")
+  }
+
+  test("cosine: identical vectors score 1.0, orthogonal 0.0") {
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val df = spark.createDataFrame(java.util.List.of(
+      Row(1L, Seq(1.0f, 0.0f, 0.0f)),
+      Row(2L, Seq(1.0f, 0.0f, 0.0f)),
+      Row(3L, Seq(0.0f, 1.0f, 0.0f))), schema)
+    val out = Similarity.bruteForceTopK(df, df.where(col("vec_id") === 1), "embedding", "vec_id", 2)
+      .orderBy("rank").collect()
+    assert(out(0).getLong(1) == 2L && math.abs(out(0).getDouble(3) - 1.0) < 1e-12)
+    assert(out(1).getLong(1) == 3L && math.abs(out(1).getDouble(3)) < 1e-12)
+  }
+
+  test("lsh bucket is deterministic and identical for identical vectors") {
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val vec = (1 to 64).map(i => (math.sin(i) / 2).toFloat)
+    val df = spark.createDataFrame(java.util.List.of(
+      Row(1L, vec), Row(2L, vec)), schema)
+    val buckets = df.select(Similarity.lshBucket(col("embedding"), 64))
+      .collect().map(_.getLong(0))
+    assert(buckets(0) == buckets(1))
+    assert(buckets(0) >= 0 && buckets(0) < (1L << Similarity.NumPlanes))
+  }
+
+  test("quality + langid + fingerprint columns are present and sane") {
+    val d = docs((1L, "the cat and the dog of the house, in a big town!"))
+    val q = TextStats.qualityScore(d, "text").first()
+    assert(q.getAs[Int]("n_tokens") == 12)
+    assert(q.getAs[Double]("stopword_ratio") > 0.3)
+    val l = TextStats.langId(d, "text").first()
+    assert(l.getAs[String]("lang_pred") == "en")
+    val f = TextStats.fingerprint(d, "text").first()
+    assert(f.getAs[String]("fp_md5").length == 32)
+    assert(f.getAs[Long]("fp_rolling") >= 0)
+  }
+
+  test("multimodal: feature extraction through mapPartitions stub") {
+    val out = Multimodal.extractFeatures(docs((0L, "abcd"), (2L, "xyz")), "doc_id", "text")
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out(0L).kind == "image" && out(0L).byte_len == 4 && out(0L).first_byte == 'a'.toInt)
+    assert(out(2L).kind == "video" && out(2L).n_frames == 3 % 30)
+    // frame sampling only emits for video kind
+    val frames = Multimodal.sampleFrames(
+      Multimodal.attachBinary(docs((2L, "0123456789")), "doc_id", "text"), 4)
+      .collect()
+    assert(frames.nonEmpty && frames.forall(_.getLong(0) == 2L))
+  }
+}

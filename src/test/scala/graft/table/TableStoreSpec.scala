@@ -6,8 +6,11 @@ import java.nio.file.Files
 
 class TableStoreSpec extends SparkSpec {
 
-  private def newStore = new TableStore(spark,
-    Files.createTempDirectory("graft_store").toString)
+  private def newStoreAt: (TableStore, String) = {
+    val dir = Files.createTempDirectory("graft_store").toString
+    (new TableStore(spark, dir), dir)
+  }
+  private def newStore = newStoreAt._1
 
   test("overwrite then scan roundtrip; exists/list/drop") {
     val store = newStore
@@ -59,6 +62,27 @@ class TableStoreSpec extends SparkSpec {
     store.overwrite("t", spark.range(2).toDF("v"))
     store.createLike("t", spark.range(9).toDF("other"))
     assert(store.scan("t").columns.toSeq == Seq("v"))
+  }
+
+  test("append is O(batch): old snapshots are untouched, not rewritten") {
+    val (store, dir) = newStoreAt
+    store.overwrite("t", spark.range(5).toDF("v"))
+    def snaps = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "t"))
+      .iterator()
+      .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    import scala.jdk.CollectionConverters._
+    def snapDirs = snaps.asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("snap-")).toSet
+    val before = snapDirs
+    assert(before.size == 1)
+    store.append("t", spark.range(5, 8).toDF("v"))
+    val after = snapDirs
+    assert(after.size == 2, "append must add a snapshot, not rewrite")
+    assert(after.intersect(before) == before, "old snapshot must survive append")
+    assert(store.scan("t").count() == 8)
+    // overwrite GCs all previous snapshots
+    store.overwrite("t", spark.range(2).toDF("v"))
+    assert(snapDirs.size == 1)
   }
 
   test("nextRowNumberStart: missing table/column → 1; else MAX+1") {
