@@ -39,9 +39,9 @@ object Ext {
     }),
 
     "ext_minhash_signature" -> ((s, dir) =>
+      // the NATIVE codegen'd expression, validated against the SQL oracle
       t(s, dir, "documents")
-        .withColumn("sh", TextHash.shingles(col("text")))
-        .withColumn("sig", TextHash.minhashSignature(col("sh")))
+        .withColumn("sig", Dedup.minhashSig(t(s, dir, "documents"), "text"))
         .select(col("doc_id"),
           element_at(col("sig"), 1).as("m0"),
           element_at(col("sig"), 6).as("m5"),

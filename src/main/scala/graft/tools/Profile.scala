@@ -27,7 +27,10 @@ object Profile {
     val sh = corpus.select(col("doc_id"), TextHash.shingles(col("text")).as("sh"))
     time("shingles only")(sh.agg(sum(size(col("sh")))).first())
     val sig = sh.withColumn("sig", TextHash.minhashSignature(col("sh")))
-    time("signature")(sig.agg(sum(element_at(col("sig"), 1))).first())
+    time("signature (HOF)")(sig.agg(sum(element_at(col("sig"), 1))).first())
+    val nat = corpus.withColumn("sig", call_function("graft_minhash_sig", col("text")))
+    time("signature (native expr)")(nat.agg(sum(element_at(col("sig"), 1))).first())
+    time("signature (native, again)")(nat.agg(sum(element_at(col("sig"), 1))).first())
     time("full minhashPairs")(
       Dedup.minhashPairs(corpus, "text", "doc_id", 0.6).count())
     time("full minhashPairs again")(
