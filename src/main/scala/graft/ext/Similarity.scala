@@ -121,6 +121,59 @@ object Similarity {
       .select("q_id", "c_id", "rank", "cosine")
   }
 
+  /** IVF-style ANN — the other scale path: a fixed codebook of `nCells`
+    * centroid vectors partitions the corpus by nearest centroid; queries
+    * probe the `nProbe` nearest cells and rank exactly within them.
+    *
+    * Training is deterministic here (the codebook is the `nCells`
+    * lowest-id vectors — a seeded k-means would slot in identically); what
+    * matters for scale is the shape: assignment is a narrow pass against a
+    * broadcast codebook, the search joins only (cell, query-probe) pairs,
+    * and recall/cost tunes via nProbe without touching the stored layout. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4
+  ): DataFrame = {
+    val cells = corpus.orderBy(col(idCol).asc).limit(nCells)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("cell_vec"))
+      .withColumn("cell_norm", normDecimal(col("cell_vec")))
+
+    def assign(df: DataFrame, id: String, vec: String, norm: String, keep: Int): DataFrame = {
+      val scored = df.crossJoin(broadcast(cells))
+        .withColumn("cell_cos",
+          dotDecimal(col(vec), col("cell_vec")) / (col(norm) * col("cell_norm")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(id).orderBy(col("cell_cos").desc, col("cell_id").asc)
+      scored.withColumn("cell_rank", row_number().over(w))
+        .where(col("cell_rank") <= keep)
+        .drop("cell_vec", "cell_norm", "cell_cos", "cell_rank")
+    }
+
+    val c = assign(
+      corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+        .withColumn("c_norm", normDecimal(col("c_vec"))),
+      "c_id", "c_vec", "c_norm", keep = 1)
+    val q = assign(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+        .withColumn("q_norm", normDecimal(col("q_vec"))),
+      "q_id", "q_vec", "q_norm", keep = nProbe)
+
+    val scored = c.join(broadcast(q), Seq("cell_id"))
+      .where(col("c_id") =!= col("q_id"))
+      .withColumn("cosine",
+        dotDecimal(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "c_id", "rank", "cosine")
+  }
+
   /** Blocked near-dup pairs: all pairs within a blocking key (e.g. a label
     * or an LSH bucket) with cosine above a threshold. */
   def blockedNearDupPairs(

@@ -86,6 +86,13 @@ object Ext {
         .orderBy("q_id", "rank")
     }),
 
+    "ext_ivf_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 5), "embedding", "vec_id",
+        k = 5, nCells = 16, nProbe = 4)
+        .orderBy("q_id", "rank")
+    }),
+
     "ext_lsh_buckets" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(col("vec_id"), Similarity.lshBucket(col("embedding"), 64).as("bucket"))
@@ -257,6 +264,30 @@ object Ext {
     "ext_lsh_buckets" ->
       s"""WITH $BucketCte
          |SELECT vec_id, bucket FROM bk ORDER BY vec_id""".stripMargin,
+
+    "ext_ivf_ann" ->
+      s"""WITH $NormCte,
+         |cells AS (SELECT vec_id AS cell_id, embedding AS cell_vec, nrm AS cell_norm
+         |          FROM n ORDER BY vec_id LIMIT 16),
+         |c AS (SELECT c_id, c_vec, c_norm, cell_id FROM (
+         |  SELECT a.vec_id AS c_id, a.embedding AS c_vec, a.nrm AS c_norm, cells.cell_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${dotSql("a.embedding", "cells.cell_vec")} / (a.nrm * cells.cell_norm) DESC,
+         |               cells.cell_id ASC) AS r
+         |  FROM n a CROSS JOIN cells) WHERE r = 1),
+         |q AS (SELECT q_id, q_vec, q_norm, cell_id FROM (
+         |  SELECT a.vec_id AS q_id, a.embedding AS q_vec, a.nrm AS q_norm, cells.cell_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${dotSql("a.embedding", "cells.cell_vec")} / (a.nrm * cells.cell_norm) DESC,
+         |               cells.cell_id ASC) AS r
+         |  FROM n a CROSS JOIN cells WHERE a.vec_id < 5) WHERE r <= 4),
+         |scored AS (
+         |  SELECT q.q_id, c.c_id, ${dotSql("q.q_vec", "c.c_vec")} / (q.q_norm * c.c_norm) AS cosine
+         |  FROM c JOIN q ON c.cell_id = q.cell_id WHERE c.c_id <> q.q_id)
+         |SELECT q_id, c_id, rank, cosine FROM (
+         |  SELECT q_id, c_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+         |  FROM scored) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "ext_dedup_embedding" ->
       s"""WITH $NormCte,

@@ -62,6 +62,31 @@ object Lifecycle {
         count(when(col("n_chars") > 300, 1)).as("long_docs"),
         countDistinct(col("lang")).as("n_langs"))),
 
+    // P8 (legacy file_conversion/csv_to_json.py): CSV → NDJSON conversion
+    "p8_csv_to_json" -> ((s, dir) => {
+      val work = Files.createTempDirectory("graft_q_p8")
+      Export.export(t(s, dir, "region"), s"$work/csv",
+        Export.ExportOptions(SourceFormat.Csv, orderBy = Some("r_regionkey"), singleFile = true))
+      val schema = FrictionlessSchema(List(
+        FrictionlessField("r_regionkey", "integer"),
+        FrictionlessField("r_name", "string")))
+      val csvDf = Reader.read(s, s"$work/csv", Reader.ReadOptions(
+        format = Some(SourceFormat.Csv), schema = Some(schema), rowNumberColumn = None))
+      csvDf.write.json(s"$work/json")
+      s.read.schema(csvDf.schema).json(s"$work/json").orderBy("r_regionkey")
+    }),
+
+    // skew mitigation: salted two-phase aggregation over a hot-key column
+    "a4_salted_agg" -> ((s, dir) =>
+      graft.ops.Skew.saltedAgg(
+        Tables.events(s, dir), Seq("event_type"), buckets = 8,
+        saltFrom = Seq(col("event_id")),
+        partial = Seq(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(20,2)")).as("sv")),
+        combine = Seq(sum(col("n")).as("n_events"),
+          sum(col("sv")).cast("double").as("sum_value")))
+        .orderBy("event_type")),
+
     // W2/C2/C4: the WHOLE pipeline (ingest csv → overwrite → append with
     // MAX(_id)+1 continuation → ordered export) as one oracle-checked query
     "pipeline_e2e" -> ((s, dir) => {
@@ -110,6 +135,15 @@ object Lifecycle {
         |  COUNT(CASE WHEN n_chars > 300 THEN 1 END) AS long_docs,
         |  COUNT(DISTINCT lang) AS n_langs
         |FROM documents""".stripMargin,
+
+    "p8_csv_to_json" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+        |FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "a4_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "pipeline_e2e" ->
       """WITH once AS (

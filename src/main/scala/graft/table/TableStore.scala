@@ -98,6 +98,13 @@ final class TableStore(spark: SparkSession, root: String) {
           changed.map(f => s"${f.name}: ${old(f.name)} -> ${f.dataType}").mkString(", "))
   }
 
+  /** Rewrite the manifest's snapshot chain into a single snapshot when it
+    * grows past `maxSnapshots` (long append-heavy histories accumulate
+    * read-time union branches; compaction restores one columnar scan).
+    * Atomic like any commit; no-op below the threshold. */
+  def compact(name: String, maxSnapshots: Int = 16): Unit =
+    if (readManifest(name).size > maxSnapshots) overwrite(name, scan(name))
+
   /** Schema-only clone — `CREATE TABLE … WHERE 1=0` (warehouse.py:148-151). */
   def createLike(name: String, df: DataFrame): Unit =
     if (!exists(name)) overwrite(name, df.where(lit(false)))

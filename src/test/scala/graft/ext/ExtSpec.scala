@@ -98,6 +98,36 @@ class ExtSpec extends SparkSpec {
     assert(f.getAs[Long]("fp_rolling") >= 0)
   }
 
+  test("salted aggregation equals direct aggregation") {
+    val df = spark.range(0, 10000).toDF("id")
+      .withColumn("k", when(col("id") % 100 === 0, "rare").otherwise("hot"))
+      .withColumn("v", (col("id") % 7).cast("double"))
+    val direct = df.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(20,2)")).cast("double").as("s"))
+      .orderBy("k").collect().toSeq
+    val salted = graft.ops.Skew.saltedAgg(df, Seq("k"), 8, Seq(col("id")),
+      partial = Seq(count(lit(1)).as("n0"), sum(col("v").cast("decimal(20,2)")).as("s0")),
+      combine = Seq(sum(col("n0")).as("n"), sum(col("s0")).cast("double").as("s")))
+      .orderBy("k").collect().toSeq
+    assert(salted == direct)
+  }
+
+  test("ivf ann: identical vector found as top neighbor within probed cells") {
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rows = (0L until 40L).map { i =>
+      val base = (1 to 8).map(j => (math.sin(i * 8 + j) / 2).toFloat)
+      Row(i, base)
+    } :+ Row(100L, (1 to 8).map(j => (math.sin(3 * 8 + j) / 2).toFloat)) // dup of id=3
+    val df = spark.createDataFrame(java.util.List.of(rows: _*), schema)
+    val out = Similarity.ivfTopK(df, df.where(col("vec_id") === 100), "embedding",
+      "vec_id", k = 3, nCells = 8, nProbe = 3)
+      .orderBy("rank").collect()
+    assert(out.nonEmpty)
+    assert(out(0).getLong(1) == 3L, "exact duplicate must rank first")
+    assert(math.abs(out(0).getDouble(3) - 1.0) < 1e-9)
+  }
+
   test("multimodal: feature extraction through mapPartitions stub") {
     val out = Multimodal.extractFeatures(docs((0L, "abcd"), (2L, "xyz")), "doc_id", "text")
       .collect().map(f => f.doc_id -> f).toMap

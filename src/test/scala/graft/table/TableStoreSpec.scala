@@ -85,6 +85,23 @@ class TableStoreSpec extends SparkSpec {
     assert(snapDirs.size == 1)
   }
 
+  test("compact collapses a long snapshot chain into one, same contents") {
+    val (store, dir) = newStoreAt
+    store.overwrite("t", spark.range(2).toDF("v"))
+    (1 to 4).foreach(i => store.append("t", spark.range(i * 10, i * 10 + 2).toDF("v")))
+    val before = store.scan("t").collect().map(_.getLong(0)).sorted.toSeq
+    store.compact("t", maxSnapshots = 3)
+    import scala.jdk.CollectionConverters._
+    val snapCount = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "t"))
+      .iterator().asScala.count(_.getFileName.toString.startsWith("snap-"))
+    assert(snapCount == 1)
+    assert(store.scan("t").collect().map(_.getLong(0)).sorted.toSeq == before)
+    // below threshold: no-op
+    store.append("t", spark.range(100, 101).toDF("v"))
+    store.compact("t", maxSnapshots = 3)
+    assert(store.scan("t").count() == before.size + 1)
+  }
+
   test("nextRowNumberStart: missing table/column → 1; else MAX+1") {
     val store = newStore
     assert(store.nextRowNumberStart("nope") == 1L)
