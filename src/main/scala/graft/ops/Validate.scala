@@ -134,6 +134,20 @@ object Validate {
     ValidationReport(errs.isEmpty, rowCount, errs.size.toLong, errs)
   }
 
+  /** Header override (P9): replace declared field names with the actual
+    * file header POSITIONALLY before validating — the reference zips the
+    * descriptor with the observed header so validation reports use real
+    * column names (validation.py:42-52). Extra header columns get fresh
+    * string fields; extra declared fields are kept. */
+  def withHeaderOverride(schema: FrictionlessSchema, actualColumns: Seq[String]): FrictionlessSchema = {
+    val declared = schema.fields
+    val renamed = declared.zip(actualColumns).map { case (f, n) => f.copy(name = n) }
+    val extraHeader = actualColumns.drop(declared.size)
+      .map(n => graft.schema.FrictionlessField(n, "string"))
+    val extraDeclared = declared.drop(actualColumns.size)
+    FrictionlessSchema(renamed ++ extraHeader ++ extraDeclared)
+  }
+
   /** Precondition check: upsert needs ≥1 unique key and keys must exist in
     * the data (V2; reference: pipeline_ckan_to_bigquery.py:366-370,
     * warehouse.py:215-220). */
