@@ -78,12 +78,21 @@ object RowNumbers {
 
   /** Row numbers in a caller-defined total order (used when strict order
     * matters across splittable multi-file reads): range-partitioned sort then
-    * gap-free numbering — still no single-partition window. */
+    * gap-free numbering — still no single-partition window.
+    *
+    * The sorted frame is CACHED before numbering: a range sort's partition
+    * boundaries come from a sample whose seed varies per action (RDD id),
+    * so the two numbering passes over an un-materialized sort can see
+    * DIFFERENT partitionings — silently corrupting ids. Materializing the
+    * sort freezes one partitioning for both passes. (At very large scale
+    * the cache spills to disk — MEMORY_AND_DISK — which is still cheaper
+    * than a wrong answer; a checkpoint to scratch storage is the
+    * cluster-grade equivalent.) */
   def withRowNumbersOrdered(
       df: DataFrame,
       orderBy: Seq[Column],
       colName: String = "_id",
       start: Long = 1L
   ): DataFrame =
-    withRowNumbers(df.sort(orderBy: _*), colName, start)
+    withRowNumbers(df.sort(orderBy: _*), colName, start, cache = true)
 }

@@ -102,6 +102,18 @@ class TableStoreSpec extends SparkSpec {
     assert(store.scan("t").count() == before.size + 1)
   }
 
+  test("crash recovery: orphan snapshot (no manifest entry) is invisible and GC'd") {
+    val (store, dir) = newStoreAt
+    store.overwrite("t", spark.range(3).toDF("v"))
+    // simulate a crash AFTER snapshot write, BEFORE manifest flip
+    val orphan = java.nio.file.Paths.get(dir, "t", "snap-9999999999999-orphan")
+    spark.range(100, 110).toDF("v").write.parquet(orphan.toString)
+    assert(store.scan("t").count() == 3, "orphan must not be visible")
+    store.overwrite("t", spark.range(5).toDF("v")) // next commit GCs
+    assert(!java.nio.file.Files.exists(orphan), "orphan must be GC'd on commit")
+    assert(store.scan("t").count() == 5)
+  }
+
   test("nextRowNumberStart: missing table/column → 1; else MAX+1") {
     val store = newStore
     assert(store.nextRowNumberStart("nope") == 1L)
