@@ -142,8 +142,13 @@ object Merge {
     }: _*)
 
     val targetOnly = target.join(broadcast(deduped.select(keys.map(col): _*)), keys.toSeq, "left_anti")
+    // Insert rows = stage keys with no target match. NEVER anti-join against
+    // a broadcast of the TARGET's keys (that broadcasts the 100 TB side);
+    // the matched keys are bounded by the stage size, so derive them from
+    // the broadcast inner join and anti-join the stage against THAT.
+    val matchedKeys = joined.select(keys.map(col): _*)
     val inserts = deduped
-      .join(broadcast(target.select(keys.map(col): _*)), keys.toSeq, "left_anti")
+      .join(broadcast(matchedKeys), keys.toSeq, "left_anti")
       .select(insertProjection(target.schema, deduped.columns.toSet, ts, spec): _*)
 
     matchedOut.unionByName(targetOnly).unionByName(inserts)

@@ -1,0 +1,95 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.ops.{Merge, RowNumbers, Skew}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Scale stress: the core primitives at 10-50M rows on local[32] —
+  * synthetic data (spark.range, no testdata modification), printing one
+  * timing line per stage. The point is to catch accidental O(n²), single-
+  * partition collapses, or driver materialization long before cluster
+  * deployment. Run: `sbt "runMain graft.tools.ScaleSmoke"`. */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get("local[32]", 64)
+    import spark.implicits._
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $label%-44s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+      r
+    }
+
+    // 1. gap-free row numbers, 50M rows / 256 partitions
+    val big = spark.range(0, 50000000L, 1, 256).toDF("v")
+    time("rownumbers 50M (unordered, 2 passes)") {
+      val ids = RowNumbers.withRowNumbers(big, "_id")
+        .agg(min("_id"), max("_id"), count(lit(1))).first()
+      assert(ids.getLong(0) == 1 && ids.getLong(1) == 50000000L)
+    }
+
+    // 2. ordered row numbers (sort + freeze + 2 passes), 20M
+    val keyed = spark.range(0, 20000000L, 1, 128).toDF("v")
+      .withColumn("k", pmod(hash(col("v")), lit(1000000)))
+    time("rownumbers 20M ordered (range sort)") {
+      val out = RowNumbers.withRowNumbersOrdered(keyed, Seq(col("k"), col("v")))
+      assert(out.agg(max("_id")).first().getLong(0) == 20000000L)
+    }
+
+    // 3. merge upsert: 20M target, 200k stage (broadcast path)
+    val target = spark.range(0, 20000000L, 1, 128).toDF("k")
+      .withColumn("_id", col("k") + 1)
+      .withColumn("val", (col("k") % 997).cast("double"))
+      .withColumn("_updated_at", lit("2026-01-01 00:00:00").cast("timestamp"))
+      .select("_id", "k", "val", "_updated_at")
+    val ts = Timestamp.valueOf("2026-02-02 00:00:00")
+    val stageSmall = spark.range(0, 200000L, 1, 16)
+      .select((col("id") * 100).as("k"))
+      .withColumn("_id", col("k") + 30000000L)
+      .withColumn("val", lit(-1.0))
+      .select("_id", "k", "val")
+    time("merge 20M target x 200k stage (broadcast)") {
+      val merged = Merge.merge(target, stageSmall, ts,
+        Merge.MergeSpec(uniqueKeys = Seq("k"), strategy = Merge.MergeStrategy.BroadcastStage))
+      assert(merged.where(col("val") === -1.0).count() == 200000L)
+    }
+
+    // 4. merge with 5M stage (full-outer path)
+    val stageBig = spark.range(0, 5000000L, 1, 64)
+      .select((col("id") * 5).as("k"))
+      .withColumn("_id", col("k") + 30000000L)
+      .withColumn("val", lit(-2.0))
+      .select("_id", "k", "val")
+    time("merge 20M target x 5M stage (full outer)") {
+      val merged = Merge.merge(target, stageBig, ts,
+        Merge.MergeSpec(uniqueKeys = Seq("k"), strategy = Merge.MergeStrategy.FullOuter))
+      assert(merged.count() == 25000000L - 4000000L)
+    }
+
+    // 5. skewed aggregation, 50M rows, 99% in one key
+    val skewed = spark.range(0, 50000000L, 1, 256)
+      .withColumn("k", when(col("id") % 100 === 0, concat(lit("rare-"), col("id") % 37))
+        .otherwise(lit("hot")))
+      .withColumn("v", (col("id") % 13).cast("double"))
+    time("salted agg 50M (99% one key)") {
+      val out = Skew.saltedAgg(skewed, Seq("k"), 32, Seq(col("id")),
+        partial = Seq(count(lit(1)).as("n0"), sum(col("v").cast("decimal(20,2)")).as("s0")),
+        combine = Seq(sum(col("n0")).as("n"), sum(col("s0")).cast("double").as("s")))
+      assert(out.count() == 38)
+    }
+
+    // 6. native minhash over 500k synthetic docs (~40 tokens each)
+    val docs = spark.range(0, 500000L, 1, 128)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 40).map(i =>
+          concat(lit("w"), pmod(col("id") * (i + 7) + i, lit(5000)))): _*).as("text"))
+    time("native minhash signatures 500k docs") {
+      val n = docs.select(call_function("graft_minhash_sig", col("text")).as("sig"))
+        .agg(sum(element_at(col("sig"), 1))).first()
+      assert(n.getLong(0) > 0)
+    }
+
+    spark.stop()
+  }
+}
