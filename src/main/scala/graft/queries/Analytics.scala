@@ -76,6 +76,29 @@ object Analytics {
         .limit(20)
     }),
 
+    // multi-level rollup aggregation (grand totals + subtotals, one pass)
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping(col("l_returnflag")).as("g_flag"),
+          grouping(col("l_linestatus")).as("g_status"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(20,2)")).cast("double").as("sum_qty"))
+        .select(col("g_flag"), col("g_status"),
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))
+        .orderBy("g_flag", "g_status", "flag", "status")),
+
+    // exact percentiles (sort-based; both engines interpolate identically)
+    "q_percentiles" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"))
+        .orderBy("o_orderpriority")),
+
     // windowed running total (partitioned analytic window — no global sort)
     "w_running_total" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -152,6 +175,20 @@ object Analytics {
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+        |  COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, flag, status""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.9) AS p90
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "w_running_total" ->
       """SELECT o_custkey, o_orderkey,
