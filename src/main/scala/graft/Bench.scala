@@ -16,6 +16,8 @@ object Bench {
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     val spark = GraftSession.get(s"local[$cpus]", cpus.toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // isolate queries: caches built by one query must not distort the next
+      spark.sqlContext.clearCache()
       if (warmup) {
         try fn(spark, sfDir).count()
         catch { case _: Throwable => -1L }
