@@ -99,6 +99,41 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Duplicate clusters from near-dup pairs: connected components by
+    * iterative minimum-label propagation (each vertex adopts the smallest
+    * id reachable; converges in O(component diameter) rounds — near-dup
+    * clusters are shallow, so a handful). Fully distributed join+agg per
+    * round with a driver-side convergence check — the standard Spark shape
+    * for iterative graph algorithms; the edge set (candidate pairs) is
+    * orders of magnitude smaller than the corpus.
+    *
+    * Returns (id, cluster) where cluster = min doc id of the component;
+    * rows keep-decision = `id == cluster`. */
+  def duplicateClusters(pairs: DataFrame, maxIterations: Int = 25): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIterations) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min("label").as("nl"))
+      val updated = labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("next"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = updated.where(col("next") =!= col("label")).count()
+      labels = updated.select(col("id"), col("next").as("label"))
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
   /** Exact Jaccard similarity of two string-array columns (as sets). */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

@@ -53,6 +53,19 @@ object Ext {
       Dedup.minhashPairs(nearDupCorpus(s, dir), "text", "doc_id", threshold = 0.6)
         .orderBy("a_id", "b_id")),
 
+    "ext_dedup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(
+        Dedup.minhashPairs(nearDupCorpus(s, dir), "text", "doc_id", threshold = 0.6))
+        .orderBy("id")),
+
+    "ext_dedup_embedding_lsh" -> ((s, dir) => {
+      // LSH-bucket blocking (the at-scale variant of label blocking)
+      val e = t(s, dir, "embeddings")
+        .withColumn("bucket", Similarity.lshBucket(col("embedding"), 64))
+      Similarity.blockedNearDupPairs(e, "embedding", "vec_id", "bucket", threshold = 0.3)
+        .orderBy("block", "a_id", "b_id")
+    }),
+
     "ext_dedup_simhash" -> ((s, dir) => {
       val sim = Dedup.simhash(nearDupCorpus(s, dir), "text", "doc_id")
       val orig = sim.select(col("doc_id"), col("simhash").as("sim_a"))
@@ -129,6 +142,34 @@ object Ext {
 
   private def shinglesSqlInline = TextHash.shinglesSql("text")
 
+  /** Shared CTE chain: corpus → shingles → signatures → bands → candidate
+    * pairs → jaccard-verified pairs (used by the pairs and clusters
+    * oracles). */
+  private lazy val MinhashPairsCtes: String = {
+    val sigSql = TextHash.minhashSignatureSql("sh")
+    val bandSelects = (0 until TextHash.Bands).map { b =>
+      val parts = (0 until TextHash.RowsPerBand)
+        .map(r => s"sig[${b * TextHash.RowsPerBand + r + 1}]").mkString(", ")
+      s"SELECT doc_id, sh, $b AS band, concat_ws('-', $parts) AS key FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""$NearDupCorpusSql,
+       |shingled AS (SELECT doc_id, $shinglesSqlInline AS sh FROM corpus),
+       |sigs AS (SELECT doc_id, sh, $sigSql AS sig FROM shingled),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT c.a_id, c.b_id,
+       |    CAST(len(list_filter(list_distinct(sa.sh), x -> list_contains(sb.sh, x))) AS DOUBLE)
+       |      / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) AS jaccard
+       |  FROM cand c
+       |  JOIN shingled sa ON sa.doc_id = c.a_id
+       |  JOIN shingled sb ON sb.doc_id = c.b_id)""".stripMargin
+  }
+
   /** embeddings CTE with scaled int64 norms (mirror of Similarity.normDecimal). */
   private val NormCte =
     s"""n AS (
@@ -182,32 +223,22 @@ object Ext {
          |FROM sh ORDER BY doc_id""".stripMargin
     },
 
-    "ext_dedup_minhash" -> {
-      val sigSql = TextHash.minhashSignatureSql("sh")
-      val bandSelects = (0 until TextHash.Bands).map { b =>
-        val parts = (0 until TextHash.RowsPerBand)
-          .map(r => s"sig[${b * TextHash.RowsPerBand + r + 1}]").mkString(", ")
-        s"SELECT doc_id, sh, $b AS band, concat_ws('-', $parts) AS key FROM sigs"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH $NearDupCorpusSql,
-         |shingled AS (SELECT doc_id, $shinglesSqlInline AS sh FROM corpus),
-         |sigs AS (SELECT doc_id, sh, $sigSql AS sig FROM shingled),
-         |bands AS (
-         |  $bandSelects),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
-         |  WHERE a.doc_id < b.doc_id),
-         |verified AS (
-         |  SELECT c.a_id, c.b_id,
-         |    CAST(len(list_filter(list_distinct(sa.sh), x -> list_contains(sb.sh, x))) AS DOUBLE)
-         |      / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) AS jaccard
-         |  FROM cand c
-         |  JOIN shingled sa ON sa.doc_id = c.a_id
-         |  JOIN shingled sb ON sb.doc_id = c.b_id)
+    "ext_dedup_minhash" ->
+      s"""WITH $MinhashPairsCtes
          |SELECT a_id, b_id, jaccard FROM verified
-         |WHERE jaccard >= 0.6 ORDER BY a_id, b_id""".stripMargin
-    },
+         |WHERE jaccard >= 0.6 ORDER BY a_id, b_id""".stripMargin,
+
+    "ext_dedup_clusters" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |p AS (SELECT a_id, b_id FROM verified WHERE jaccard >= 0.6),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM p
+         |          UNION SELECT b_id, a_id FROM p),
+         |verts AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+         |SELECT id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     "ext_dedup_simhash" ->
       s"""WITH $NearDupCorpusSql,
@@ -288,6 +319,20 @@ object Ext {
          |  SELECT q_id, c_id, cosine,
          |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
          |  FROM scored) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "ext_dedup_embedding_lsh" ->
+      s"""WITH $BucketCte,
+         |nb AS (
+         |  SELECT bk.vec_id, bk.embedding, bk.bucket,
+         |    sqrt(CAST(list_reduce(list_prepend(0::BIGINT,
+         |      [CAST(round(CAST(bk.embedding[i] AS DOUBLE)*CAST(bk.embedding[i] AS DOUBLE)*1e15) AS BIGINT)
+         |       FOR i IN range(1,65)]), (a,x) -> a+x) AS DOUBLE) / 1e15) AS nrm
+         |  FROM bk)
+         |SELECT a.bucket AS block, a.vec_id AS a_id, b.vec_id AS b_id,
+         |  ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+         |FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.3
+         |ORDER BY block, a_id, b_id""".stripMargin,
 
     "ext_dedup_embedding" ->
       s"""WITH $NormCte,

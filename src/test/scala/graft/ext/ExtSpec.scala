@@ -98,6 +98,19 @@ class ExtSpec extends SparkSpec {
     assert(f.getAs[Long]("fp_rolling") >= 0)
   }
 
+  test("duplicateClusters: transitive chains collapse to min-id components") {
+    val pairs = spark.createDataFrame(
+      java.util.List.of(
+        Row(10L, 20L), Row(20L, 30L),   // chain 10-20-30
+        Row(40L, 50L),                  // pair
+        Row(30L, 11L)),                 // attaches 11 to the 10-cluster
+      StructType(Seq(StructField("a_id", LongType), StructField("b_id", LongType))))
+    val out = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 11L -> 10L,
+      40L -> 40L, 50L -> 40L))
+  }
+
   test("salted aggregation equals direct aggregation") {
     val df = spark.range(0, 10000).toDF("id")
       .withColumn("k", when(col("id") % 100 === 0, "rare").otherwise("hot"))
