@@ -76,6 +76,31 @@ object Analytics {
         .limit(20)
     }),
 
+    // semi + anti joins: high-value customers with/without urgent orders
+    "q_semi_anti_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").where(col("c_acctbal") > 9000)
+      val urgent = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val semi = cust.join(urgent, cust("c_custkey") === urgent("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit(true).as("has_urgent"))
+      val anti = cust.join(urgent, cust("c_custkey") === urgent("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit(false).as("has_urgent"))
+      semi.unionByName(anti).orderBy("c_custkey")
+    }),
+
+    // correlated aggregate (TPC-H Q17 flavor): small-quantity order revenue
+    "q17_small_quantity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val partAvg = li.groupBy("l_partkey")
+        .agg((sum(col("l_quantity").cast("decimal(20,2)")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_qty"))
+      li.join(broadcast(partAvg), "l_partkey")
+        .where(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg((sum(col("l_extendedprice").cast("decimal(20,2)")).cast("double") / lit(7.0))
+          .as("avg_yearly"))
+    }),
+
     // multi-level rollup aggregation (grand totals + subtotals, one pass)
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -175,6 +200,27 @@ object Analytics {
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "q_semi_anti_join" ->
+      """SELECT c_custkey, TRUE AS has_urgent FROM customer c
+        |WHERE c_acctbal > 9000 AND EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT c_custkey, FALSE FROM customer c
+        |WHERE c_acctbal > 9000 AND NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q17_small_quantity" ->
+      """WITH pa AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem JOIN pa ON lineitem.l_partkey = pa.l_partkey
+        |WHERE l_quantity < 0.5 * avg_qty""".stripMargin,
 
     "q_rollup" ->
       """SELECT grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
