@@ -72,6 +72,12 @@ final class Pipeline(
     status: StatusCallback = LogStatusCallback
 ) {
 
+  private def jsonEsc(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
   def run(cfg: PipelineConfig, jobTs: Timestamp = new Timestamp(System.currentTimeMillis())): DataFrame = {
     status.update("pending", s"starting ${cfg.tableName} (${cfg.method})")
 
@@ -115,25 +121,46 @@ final class Pipeline(
       rowNumberColumn = Some(cfg.rowNumberColumn), rowNumberStart = start))
     status.update("progress", s"ingested ${cfg.resourcePath}")
 
-    // 5. write branch (C2)
-    cfg.method match {
-      case IngestionMethod.Overwrite =>
-        store.overwrite(cfg.tableName, UpdatedAt.stamp(df, jobTs, cfg.updatedAtColumn))
-      case IngestionMethod.Append =>
-        store.append(cfg.tableName, UpdatedAt.stamp(df, jobTs, cfg.updatedAtColumn))
-      case IngestionMethod.Upsert =>
-        val keys = Validate.requireUniqueKeys(schema, df.columns.toIndexedSeq)
-        if (!store.exists(cfg.tableName)) {
-          // clone-from-stage-schema when target absent (warehouse.py:138-151)
-          store.createLike(cfg.tableName,
-            UpdatedAt.stamp(df, jobTs, cfg.updatedAtColumn))
-        }
-        val merged = Merge.merge(store.scan(cfg.tableName), df, jobTs,
-          Merge.MergeSpec(uniqueKeys = keys,
-            preserveColumns = Seq(cfg.rowNumberColumn),
-            updatedAtColumn = Some(cfg.updatedAtColumn),
-            dedupOrderCol = Some(cfg.rowNumberColumn)))
-        store.overwrite(cfg.tableName, merged)
+    // 5. write branch (C2). Runtime failures here (e.g. an ANSI cast on
+    //    malformed data with validation disabled) surface as a structured
+    //    payload, mirroring the reference's load-job error handling
+    //    (warehouse.py:130-133 → AirflowException; C6 failure path).
+    try {
+      cfg.method match {
+        case IngestionMethod.Overwrite =>
+          store.overwrite(cfg.tableName, UpdatedAt.stamp(df, jobTs, cfg.updatedAtColumn))
+        case IngestionMethod.Append =>
+          store.append(cfg.tableName, UpdatedAt.stamp(df, jobTs, cfg.updatedAtColumn))
+        case IngestionMethod.Upsert =>
+          val keys = Validate.requireUniqueKeys(schema, df.columns.toIndexedSeq)
+          if (!store.exists(cfg.tableName)) {
+            // clone-from-stage-schema when target absent (warehouse.py:138-151)
+            store.createLike(cfg.tableName,
+              UpdatedAt.stamp(df, jobTs, cfg.updatedAtColumn))
+          }
+          val merged = Merge.merge(store.scan(cfg.tableName), df, jobTs,
+            Merge.MergeSpec(uniqueKeys = keys,
+              preserveColumns = Seq(cfg.rowNumberColumn),
+              updatedAtColumn = Some(cfg.updatedAtColumn),
+              dedupOrderCol = Some(cfg.rowNumberColumn)))
+          store.overwrite(cfg.tableName, merged)
+      }
+    } catch {
+      case e: PipelineException => throw e
+      case e: Exception with org.apache.spark.SparkThrowable =>
+        // Spark runtime failures (ANSI casts, exec errors) → structured payload.
+        // Note SparkNumberFormatException extends IllegalArgumentException, so
+        // this arm must precede the precondition passthrough.
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        status.update("failed", s"load failed: $msg")
+        throw new PipelineException(
+          s"""{"valid":false,"stage":"load","table":"${cfg.tableName}","error":${jsonEsc(msg)}}""")
+      case e: IllegalArgumentException => throw e // engine preconditions keep their type
+      case e: Exception =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        status.update("failed", s"load failed: $msg")
+        throw new PipelineException(
+          s"""{"valid":false,"stage":"load","table":"${cfg.tableName}","error":${jsonEsc(msg)}}""")
     }
     status.update("progress", s"wrote ${cfg.tableName}")
 

@@ -79,6 +79,23 @@ final class TableStore(spark: SparkSession, root: String) {
     commitManifest(name, Seq(snap))
   }
 
+  /** Overwrite with the data CLUSTERED on `clusterKeys`: range-partitioned
+    * and sorted within files, so parquet row-group min/max statistics make
+    * key-predicate scans prune most of the table (the path-table stand-in
+    * for metastore bucketing — Spark cannot record output partitioning for
+    * path tables, but data skipping needs only the file statistics). The
+    * natural layout for tables merged/exported by `_id` or joined on a
+    * stable key at 100 TB. */
+  def overwriteClustered(name: String, df: DataFrame, clusterKeys: Seq[String],
+      numFiles: Option[Int] = None): Unit = {
+    val keys = clusterKeys.map(org.apache.spark.sql.functions.col)
+    val shaped = numFiles match {
+      case Some(n) => df.repartitionByRange(n, keys: _*)
+      case None    => df.repartitionByRange(keys: _*)
+    }
+    overwrite(name, shaped.sortWithinPartitions(keys: _*))
+  }
+
   /** Append ONLY the incoming batch as a new snapshot (no table rewrite);
     * evolution by field addition, type changes rejected. */
   def append(name: String, df: DataFrame): Unit =
