@@ -134,6 +134,22 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster"))
   }
 
+  /** Materialize the deduplicated corpus: keep one canonical row per
+    * near-dup component (the minimum-id member), pass through rows that
+    * duplicate nothing. One broadcast-able join against the (small) cluster
+    * labeling — the whole-corpus side never shuffles. */
+  def keepCanonical(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val clusters = duplicateClusters(minhashPairs(df, textCol, idCol, threshold))
+    df.join(broadcast(clusters), df(idCol) === clusters("id"), "left")
+      .where(col("cluster").isNull || col("cluster") === df(idCol))
+      .drop("id", "cluster")
+  }
+
   /** Exact Jaccard similarity of two string-array columns (as sets). */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

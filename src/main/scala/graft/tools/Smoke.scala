@@ -37,8 +37,10 @@ object Smoke {
       FrictionlessField("name", "string"),
       FrictionlessField("amount", "number")))
 
-    val store = new TableStore(spark, work.resolve("tables").toString)
-    val pipe = new Pipeline(spark, store)
+    // constructed through the public facade — Smoke drives the same entry
+    // points a migrating user would call
+    val store = graft.Graft.store(spark, work.resolve("tables").toString)
+    val pipe = graft.Graft.pipeline(spark, store)
 
     println("=== overwrite batch1 ===")
     pipe.run(PipelineConfig(csv1.toString, "t", IngestionMethod.Overwrite,

@@ -111,6 +111,16 @@ class ExtSpec extends SparkSpec {
       40L -> 40L, 50L -> 40L))
   }
 
+  test("keepCanonical materializes the deduplicated corpus") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = docs(
+      (1L, base), (2L, base + " x"), (3L, base + " y"), // cluster {1,2,3}
+      (7L, "completely different words about spark catalyst expression trees"))
+    val out = Dedup.keepCanonical(corpus, "text", "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(1L, 7L))
+  }
+
   test("salted aggregation equals direct aggregation") {
     val df = spark.range(0, 10000).toDF("id")
       .withColumn("k", when(col("id") % 100 === 0, "rare").otherwise("hot"))
