@@ -76,6 +76,26 @@ object Analytics {
         .limit(20)
     }),
 
+    // pivot: event types to columns (portable oracle via conditional agg)
+    "q_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")),
+
+    // top-k per group via partitioned window
+    "q_topk_per_group" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("value").desc, col("event_id").asc)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .orderBy("user_id", "rnk")
+    }),
+
     // semi + anti joins: high-value customers with/without urgent orders
     "q_semi_anti_join" -> ((s, dir) => {
       val cust = t(s, dir, "customer").where(col("c_acctbal") > 9000)
@@ -200,6 +220,21 @@ object Analytics {
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey, c_name
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT user_id, event_id, value, rnk FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk
+        |  FROM events) WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin,
 
     "q_semi_anti_join" ->
       """SELECT c_custkey, TRUE AS has_urgent FROM customer c

@@ -114,6 +114,20 @@ object StreamingIngest {
         .agg(aggs.head, aggs.tail: _*),
       "session_window", "session_start")
 
+  /** Streaming deduplication bounded by event-time watermark: drops rows
+    * whose key was already seen within the watermark horizon — the
+    * streaming counterpart of the batch exact-dedup operator, with state
+    * eviction so the key set never grows unboundedly (the property that
+    * makes streaming dedup viable over an infinite training-data feed). */
+  def dedupWithinWatermark(
+      df: DataFrame,
+      tsCol: String,
+      watermark: String,
+      keyCols: Seq[String]
+  ): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Streaming variant with watermark, for unbounded inputs. */
   def tumblingAggStreaming(
       df: DataFrame,

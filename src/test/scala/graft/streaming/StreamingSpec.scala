@@ -36,6 +36,32 @@ class StreamingSpec extends SparkSpec {
     assert(store.scan("t").orderBy("id").collect().toSeq == before)
   }
 
+  test("streaming dedup within watermark drops repeated keys, evicts old state") {
+    val work = Files.createTempDirectory("graft_streamdedup")
+    val src = work.resolve("in"); Files.createDirectories(src)
+    Files.writeString(src.resolve("e.csv"),
+      """ts,k,v
+        |2024-01-01 00:00:00,a,1
+        |2024-01-01 00:01:00,a,2
+        |2024-01-01 00:02:00,b,3
+        |2024-01-01 00:03:00,a,4
+        |""".stripMargin)
+    val st = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.IntegerType)))
+    val stream = spark.readStream.schema(st).option("header", true).csv(src.toString)
+    val deduped = StreamingIngest.dedupWithinWatermark(stream, "ts", "10 minutes", Seq("k"))
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("dedup_out").orderBy("k")
+      .collect().map(r => (r.getString(1), r.getInt(2)))
+    assert(out.toSeq == Seq(("a", 1), ("b", 3)), out.toSeq.toString)
+  }
+
   test("windowed agg works in genuine streaming mode with watermark") {
     val work = Files.createTempDirectory("graft_streamwin")
     val src = work.resolve("in"); Files.createDirectories(src)
