@@ -76,6 +76,16 @@ object Lifecycle {
       s.read.schema(csvDf.schema).json(s"$work/json").orderBy("r_regionkey")
     }),
 
+    // opaque JSON column accessor (§1.3: object/array types live as JSON
+    // text; destructure on demand with get_json_object)
+    "p5_json_accessor" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_value"))
+        .groupBy((col("k_value") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("k_mod")),
+
     // skew mitigation: salted two-phase aggregation over a hot-key column
     "a4_salted_agg" -> ((s, dir) =>
       graft.ops.Skew.saltedAgg(
@@ -139,6 +149,10 @@ object Lifecycle {
     "p8_csv_to_json" ->
       """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
         |FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "p5_json_accessor" ->
+      """SELECT CAST(props->>'k' AS BIGINT) % 10 AS k_mod, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin,
 
     "a4_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n_events,
