@@ -117,6 +117,25 @@ object Ext {
         "embedding", "vec_id", "label", threshold = 0.2)
         .orderBy("block", "a_id", "b_id")),
 
+    "ext_centroids" -> ((s, dir) =>
+      // per-label embedding centroids: posexplode to (label, dim, value),
+      // exact decimal mean per cell — vector aggregation without UDFs
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg((sum(col("v").cast("double").cast("decimal(30,12)")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_v"))
+        .where(col("dim") < 8) // demo slice: first 8 dimensions
+        .orderBy("label", "dim")),
+
+    "ext_length_histogram" -> ((s, dir) =>
+      // corpus profiling: document length histogram in 50-char buckets
+      t(s, dir, "documents")
+        .groupBy((floor(col("n_chars") / 50) * 50).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("bucket")),
+
     "ext_token_stats" -> ((s, dir) =>
       TextStats.tokenCounts(t(s, dir, "documents"), "text")
         .drop("text").orderBy("doc_id")),
@@ -342,6 +361,18 @@ object Ext {
          |FROM base a JOIN base b ON a.block = b.block AND a.vec_id < b.vec_id
          |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.2
          |ORDER BY block, a_id, b_id""".stripMargin,
+
+    "ext_centroids" ->
+      """SELECT label, i - 1 AS dim,
+        |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS mean_v
+        |FROM embeddings CROSS JOIN (SELECT unnest(range(1, 9)) AS i) dims
+        |GROUP BY label, i ORDER BY label, dim""".stripMargin,
+
+    "ext_length_histogram" ->
+      """SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "ext_token_stats" ->
       s"""SELECT doc_id, lang, source, n_chars,
