@@ -36,6 +36,27 @@ class ExportSpec extends SparkSpec {
     assert(all.size == 10000)
   }
 
+  test("tsv export uses tab separator with header") {
+    val d = Files.createTempDirectory("graft_export_tsv")
+    Export.export(spark.range(2).toDF("_id").withColumn("v", lit("x")),
+      d.resolve("out").toString,
+      Export.ExportOptions(graft.ingest.SourceFormat.Tsv, singleFile = true))
+    val f = listFiles(d.resolve("out"), ".csv")
+    val lines = Files.readAllLines(f.head).asScala
+    assert(lines.head == "_id\tv" && lines(1) == "0\tx")
+  }
+
+  test("gzip-compressed export roundtrips through the reader") {
+    val d = Files.createTempDirectory("graft_export_gz")
+    Export.export(spark.range(100).toDF("_id"), d.resolve("out").toString,
+      Export.ExportOptions(graft.ingest.SourceFormat.Csv,
+        singleFile = true, compression = Some("gzip")))
+    val f = listFiles(d.resolve("out"), ".csv.gz")
+    assert(f.size == 1)
+    val back = spark.read.option("header", true).csv(d.resolve("out").toString)
+    assert(back.count() == 100)
+  }
+
   test("ndjson export") {
     val d = Files.createTempDirectory("graft_export3")
     Export.export(spark.range(3).toDF("_id"), d.resolve("out").toString,
