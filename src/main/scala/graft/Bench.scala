@@ -1,9 +1,14 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Benchmark main: runs every declared query against
-  * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line with per-query seconds.
+  * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line with per-query seconds and
+  * (if `SPARK_GRAFT_BENCH_OUT` is set, default `bench_out.json`) writes the
+  * same line to a file — the stdout line can get buried in sbt noise.
+  *
+  * Timing action is a `noop`-format write, not `count()`: count lets
+  * Catalyst delete sorts and projections (an ordered-export query would be
+  * "timed" without its sort), while the noop sink materializes every output
+  * row exactly like a real write with zero I/O cost.
   *
   * Each query gets one untimed warmup run (codegen JIT + broadcast build +
   * file-index caches — one-time costs a long-lived cluster amortizes away)
@@ -14,23 +19,28 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = GraftSession.get(s"local[$cpus]", cpus.toInt)
+    def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // isolate queries: caches built by one query must not distort the next
       spark.sqlContext.clearCache()
-      if (warmup) {
-        try fn(spark, sfDir).count()
-        catch { case _: Throwable => -1L }
-      }
+      if (warmup) run(fn)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
+      run(fn)
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    if (outPath.nonEmpty) {
+      val w = new java.io.PrintWriter(outPath)
+      try w.println(line) finally w.close()
+    }
     spark.stop()
   }
 }

@@ -102,20 +102,32 @@ object Dedup {
   /** Duplicate clusters from near-dup pairs: connected components by
     * iterative minimum-label propagation (each vertex adopts the smallest
     * id reachable; converges in O(component diameter) rounds — near-dup
-    * clusters are shallow, so a handful). Fully distributed join+agg per
-    * round with a driver-side convergence check — the standard Spark shape
-    * for iterative graph algorithms; the edge set (candidate pairs) is
-    * orders of magnitude smaller than the corpus.
+    * clusters are shallow, so a handful).
+    *
+    * Loop hygiene for iterative Spark jobs (this is where naive versions
+    * melt down): the edge set is orders of magnitude smaller than the
+    * corpus, so it is materialized ONCE (cutting the upstream MinHash
+    * lineage) and coalesced to a few partitions — per-round joins then cost
+    * a handful of tasks, not full shuffle width. Each round's labels are
+    * eagerly `localCheckpoint`ed: lineage stays O(1) across rounds instead
+    * of O(rounds), and the superseded round is unpersisted. The convergence
+    * statistic is a `sum` folded into the same checkpointed frame — no
+    * separate filter+count job re-deriving the round. At 100 TB swap
+    * `localCheckpoint` for a reliable `checkpoint` (executor loss safety)
+    * and scale `edgeParts` with the candidate-pair count.
     *
     * Returns (id, cluster) where cluster = min doc id of the component;
     * rows keep-decision = `id == cluster`. */
-  def duplicateClusters(pairs: DataFrame, maxIterations: Int = 25): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIterations: Int = 25,
+      edgeParts: Int = 4): DataFrame = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .coalesce(edgeParts)
+      .localCheckpoint(eager = true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+      .localCheckpoint(eager = true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIterations) {
@@ -124,11 +136,14 @@ object Dedup {
         .groupBy(col("src")).agg(min("label").as("nl"))
       val updated = labels
         .join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("next"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = updated.where(col("next") =!= col("label")).count()
-      labels = updated.select(col("id"), col("next").as("label"))
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          // non-null only when the label strictly improves; SUM skips nulls
+          when(col("nl") < col("label"), lit(1L)).as("chg"))
+        .localCheckpoint(eager = true)
+      changed = updated.agg(coalesce(sum("chg"), lit(0L))).head().getLong(0)
+      labels.unpersist(blocking = false)
+      labels = updated.select("id", "label")
       iter += 1
     }
     labels.select(col("id"), col("label").as("cluster"))

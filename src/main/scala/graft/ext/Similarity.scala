@@ -196,4 +196,28 @@ object Similarity {
       .where(col("cosine") >= threshold)
       .select(col("block"), col("a_id"), col("b_id"), col("cosine"))
   }
+
+  /** Per-key embedding centroids: exact per-dimension means as
+    * (key, dim, mean_v) rows.
+    *
+    * Vector aggregation WITHOUT exploding: one decimal `sum` aggregate per
+    * dimension plus one `count`, then a constant-size `stack` unpivot of the
+    * aggregated row. The previous posexplode formulation shuffled
+    * rows × dims (a 64× row blowup of the whole corpus before the
+    * aggregation); this shape shuffles only the per-key partial-agg state
+    * (dims × ~16 bytes per key per mapper) with full map-side combine —
+    * the 100 TB-safe way to compute centroids. Exact DECIMAL(30,12) sums
+    * keep the result byte-identical across engines (float addition order
+    * never matters). */
+  def centroids(df: DataFrame, vecCol: String, keyCol: String, nDims: Int): DataFrame = {
+    val sums = (0 until nDims).map(i =>
+      sum(element_at(col(vecCol), i + 1).cast("double").cast("decimal(30,12)"))
+        .as(s"_s$i"))
+    val wide = df.groupBy(col(keyCol))
+      .agg(sums.head, (sums.tail :+ count(lit(1)).as("_n")): _*)
+    val stackArgs = (0 until nDims)
+      .map(i => s"$i, CAST(_s$i AS DOUBLE) / CAST(_n AS DOUBLE)").mkString(", ")
+    wide.select(col(keyCol),
+      expr(s"stack($nDims, $stackArgs) AS (dim, mean_v)"))
+  }
 }

@@ -131,12 +131,12 @@ object TextHash {
     s"""tok AS (SELECT $idCol, unnest(string_split($textCol, ' ')) AS t FROM $docsCte),
        |votes AS (
        |  SELECT $idCol, j,
-       |         SUM(CASE WHEN ((('0x' || substr(md5(t),1,15))::BIGINT >> j) & 1) = 1
-       |                  THEN 1 ELSE -1 END) AS v
+       |         CAST(SUM(CASE WHEN ((('0x' || substr(md5(t),1,15))::BIGINT >> j) & 1) = 1
+       |                  THEN 1 ELSE -1 END) AS BIGINT) AS v
        |  FROM tok CROSS JOIN (SELECT unnest(range(0,60)) AS j) bits
        |  GROUP BY $idCol, j),
        |sim AS (
        |  SELECT $idCol,
-       |         SUM(CASE WHEN v >= 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS simhash
+       |         CAST(SUM(CASE WHEN v >= 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS BIGINT) AS simhash
        |  FROM votes GROUP BY $idCol)""".stripMargin
 }

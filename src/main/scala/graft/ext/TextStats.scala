@@ -76,14 +76,23 @@ object TextStats {
 
   /** Document fingerprints: md5 of whitespace-normalized lowercase text,
     * plus a 31-multiplier polynomial rolling hash mod 2^31-1 (byte-exact in
-    * any engine; char-positional, ASCII-safe). */
+    * any engine; char-positional, ASCII-safe).
+    *
+    * The normalized string is LET-BOUND via the single-element-array
+    * transform (same pattern as [[TextHash.shingles]]): Catalyst has no let
+    * expression, so referencing the regexp_replace pipeline inside the
+    * per-character lambda would re-run the O(n) regex for every character —
+    * O(n²) per document, which dominated the whole bench before binding. */
   def fingerprint(df: DataFrame, textCol: String): DataFrame = {
     val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
-    df.withColumn("fp_md5", md5(norm))
-      .withColumn("fp_rolling",
+    val rolling = element_at(
+      transform(array(norm), s => // bind the normalized text once per row
         aggregate(
-          expr(s"transform(sequence(1, length(trim(regexp_replace(lower($textCol), '\\\\s+', ' ')))), i -> ascii(substr(trim(regexp_replace(lower($textCol), '\\\\s+', ' ')), i, 1)))"),
+          transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1)))),
           lit(0L),
-          (acc, x) => (acc * 31 + x) % TextHash.P))
+          (acc, x) => (acc * 31 + x) % TextHash.P)),
+      1)
+    df.withColumn("fp_md5", md5(norm))
+      .withColumn("fp_rolling", rolling)
   }
 }

@@ -50,8 +50,11 @@ object Reader {
     }
   }
 
-  /** Raw format-dispatched read (no sanitize/number). */
-  def readRaw(spark: SparkSession, path: String, fmt: SourceFormat, opts: ReadOptions): DataFrame =
+  /** Raw format-dispatched read (no sanitize/number). Remote `http(s)://`
+    * sources are staged to scratch first ([[Fetch]]) — one download per URL
+    * per process, shared by the infer/validate/load passes. */
+  def readRaw(spark: SparkSession, rawPath: String, fmt: SourceFormat, opts: ReadOptions): DataFrame = {
+    val path = Fetch.stage(rawPath)
     fmt match {
       case SourceFormat.Csv | SourceFormat.Tsv =>
         val sep = if (fmt == SourceFormat.Tsv) "\t" else ","
@@ -81,6 +84,7 @@ object Reader {
         }
       case SourceFormat.Parquet => spark.read.parquet(path)
     }
+  }
 
   /** All-string variant of a declared schema (phase 1 of the cast audit). */
   def allStringSchema(fs: FrictionlessSchema): StructType =

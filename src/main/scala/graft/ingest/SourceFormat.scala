@@ -16,7 +16,8 @@ object SourceFormat {
     * codec — note: gzip is non-splittable, same single-stream behavior as the
     * reference; prefer splittable inputs at 100 TB). */
   def detect(path: String): SourceFormat = {
-    val p = path.toLowerCase.stripSuffix(".gz")
+    // URLs carry query/fragment after the filename — strip before matching
+    val p = path.toLowerCase.takeWhile(c => c != '?' && c != '#').stripSuffix(".gz")
     if (p.endsWith(".tsv") || p.endsWith(".tab")) Tsv
     else if (p.endsWith(".ndjson") || p.endsWith(".jsonl")) Ndjson
     else if (p.endsWith(".json")) JsonArray

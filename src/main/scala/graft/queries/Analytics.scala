@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
 
 /** Analytical, windowed/streaming-semantics, and multimodal queries.
   *
-  * The join queries are the bench workhorses: dimension sides carry explicit
-  * `broadcast` hints (map-side joins, no fact-table shuffle), aggregates use
-  * exact DECIMAL sums cast to DOUBLE at the end, and every output has a
-  * total deterministic order.
+  * The join queries are the bench workhorses. Broadcast hints appear ONLY on
+  * relations whose size does not grow with the data (nation/region, supplier,
+  * tightly filtered key projections); anything fact-scale (orders, customer,
+  * per-partkey aggregates) is left to AQE, which may broadcast at small SF
+  * from runtime stats but must shuffle-join at 100 TB. Aggregates use exact
+  * DECIMAL sums cast to DOUBLE at the end, and every output has a total
+  * deterministic order.
   */
 object Analytics {
   import Tables.t
@@ -31,7 +34,10 @@ object Analytics {
       val li = t(s, dir, "lineitem")
         .where(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
         .select("l_orderkey", "l_extendedprice", "l_discount")
-      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      // orders is fact-scale — no broadcast hint; AQE picks the join
+      // strategy from runtime sizes. cust is a one-column projection of a
+      // 1/5-selectivity dimension filter: broadcast-safe.
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(sum(revenue).cast("double").as("revenue"))
@@ -53,7 +59,9 @@ object Analytics {
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
         .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+        // customer grows with SF (15M rows at sf100) — shuffle join; the
+        // o_custkey side is already shuffled from the orders join
+        .join(cust, col("o_custkey") === col("c_custkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -66,10 +74,13 @@ object Analytics {
     "q10_returned_items" -> ((s, dir) => {
       val cust = t(s, dir, "customer").select("c_custkey", "c_name")
       val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      // orders and customer are both fact/SF-scale — no broadcast hints;
+      // at 100 TB these must be shuffle joins (AQE may still pick broadcast
+      // at small SF from runtime stats, which is exactly the point)
       t(s, dir, "lineitem").where(col("l_returnflag") === "R")
         .select("l_orderkey", "l_extendedprice", "l_discount")
-        .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy("c_custkey", "c_name")
         .agg(sum(revenue).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
@@ -115,7 +126,10 @@ object Analytics {
       val partAvg = li.groupBy("l_partkey")
         .agg((sum(col("l_quantity").cast("decimal(20,2)")).cast("double") /
           count(lit(1)).cast("double")).as("avg_qty"))
-      li.join(broadcast(partAvg), "l_partkey")
+      // partAvg has one row per l_partkey (20M at sf100) — never broadcast;
+      // both sides hash-partition on l_partkey so the join co-locates with
+      // the aggregation's own shuffle
+      li.join(partAvg, "l_partkey")
         .where(col("l_quantity") < lit(0.5) * col("avg_qty"))
         .agg((sum(col("l_extendedprice").cast("decimal(20,2)")).cast("double") / lit(7.0))
           .as("avg_yearly"))

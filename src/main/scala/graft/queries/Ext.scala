@@ -118,14 +118,9 @@ object Ext {
         .orderBy("block", "a_id", "b_id")),
 
     "ext_centroids" -> ((s, dir) =>
-      // per-label embedding centroids: posexplode to (label, dim, value),
-      // exact decimal mean per cell — vector aggregation without UDFs
-      t(s, dir, "embeddings")
-        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy("label", "dim")
-        .agg((sum(col("v").cast("double").cast("decimal(30,12)")).cast("double") /
-          count(lit(1)).cast("double")).as("mean_v"))
-        .where(col("dim") < 8) // demo slice: first 8 dimensions
+      // per-label embedding centroids, first 8 dims: per-dim decimal sums +
+      // stack unpivot — no posexplode row blowup (see Similarity.centroids)
+      Similarity.centroids(t(s, dir, "embeddings"), "embedding", "label", nDims = 8)
         .orderBy("label", "dim")),
 
     "ext_length_histogram" -> ((s, dir) =>
@@ -371,7 +366,7 @@ object Ext {
 
     "ext_length_histogram" ->
       """SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bucket,
-        |  COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "ext_token_stats" ->

@@ -15,11 +15,17 @@ class PlanSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.FormattedMode)
   }
 
-  test("q10: filter is pushed to the lineitem scan and columns are pruned") {
+  private def analyzed(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.analyzed.toString
+
+  test("q10: filter pushed, columns pruned, no broadcast hints on SF-scale tables") {
     val p = plan("q10_returned_items")
     assert(p.contains("EqualTo(l_returnflag,R)"), "filter must reach PushedFilters")
-    assert(p.contains("BroadcastHashJoin"), "dim joins must broadcast")
     assert(!p.contains("l_shipdate"), "unused columns must be pruned from the scan")
+    // orders and customer grow with the data: the plan must not hard-code a
+    // broadcast (executor OOM at 100 TB) — AQE picks the strategy at runtime
+    assert(!analyzed("q10_returned_items").contains("ResolvedHint"),
+      "no static broadcast hints of fact-scale relations")
   }
 
   test("q1: aggregation is partial+final (map-side combine)") {
@@ -29,11 +35,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), "must have map-side partial aggregation")
   }
 
-  test("q5: all five dimension joins broadcast — single fact scan, no fact shuffle join") {
+  test("q5: broadcast hints only on bounded dims; fact-side joins left to AQE") {
+    // supplier/nation/region are the only hinted sides; orders and customer
+    // (both grow with SF) must carry no hint
+    val hints = "ResolvedHint".r.findAllIn(analyzed("q5_local_supplier")).length
+    assert(hints == 3, s"expected exactly 3 dim hints (supplier,nation,region), got $hints")
     val p = plan("q5_local_supplier")
-    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
-    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts")
-    assert(!p.contains("SortMergeJoin"), "no sort-merge join of the fact table")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "date filter must reach the orders scan as a pushed filter")
   }
 
   test("o1: ordered scan reads only projected columns") {

@@ -151,6 +151,30 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(out(0).getDouble(3) - 1.0) < 1e-9)
   }
 
+  test("centroids: per-dim agg equals the explode formulation over all 64 dims, no Generate in plan") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val viaAgg = Similarity.centroids(e, "embedding", "label", nDims = 64)
+      .orderBy("label", "dim").collect().toSeq
+    val viaExplode = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg((sum(col("v").cast("double").cast("decimal(30,12)")).cast("double") /
+        count(lit(1)).cast("double")).as("mean_v"))
+      .orderBy("label", "dim").collect().toSeq
+    assert(viaAgg.size == viaExplode.size)
+    viaAgg.zip(viaExplode).foreach { case (a, b) =>
+      assert(a.get(0) == b.get(0) && a.getInt(1) == b.getInt(1))
+      assert(a.getDouble(2) == b.getDouble(2), s"dim ${a.getInt(1)} mean differs")
+    }
+    // the whole point: no row-blowup posexplode before the aggregation —
+    // the only Generate is the constant-size stack unpivot ABOVE the agg
+    // (5 label rows), and the agg has map-side partial sums
+    val plan = Similarity.centroids(e, "embedding", "label", nDims = 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("posexplode"), "centroids must not posexplode")
+    assert(plan.contains("partial_sum"), "centroid sums must combine map-side")
+  }
+
   test("multimodal: feature extraction through mapPartitions stub") {
     val out = Multimodal.extractFeatures(docs((0L, "abcd"), (2L, "xyz")), "doc_id", "text")
       .collect().map(f => f.doc_id -> f).toMap
