@@ -39,7 +39,11 @@ final case class PipelineConfig(
     updatedAtColumn: String = "_updated_at", // others_config.record_updated_at_column
     exportPath: Option[String] = None,
     exportFormat: SourceFormat = SourceFormat.Csv,
-    exportSingleFile: Boolean = false
+    exportSingleFile: Boolean = false,
+    // append-heavy tables accumulate manifest snapshots (one union branch
+    // per append at read time); past this count the append branch compacts
+    // them back into one columnar snapshot (C7 upkeep, O(table) but rare)
+    compactAfterSnapshots: Int = 16
 )
 
 /** Status callback — replaces the reference's fire-and-forget CKAN status
@@ -131,6 +135,7 @@ final class Pipeline(
           store.overwrite(cfg.tableName, UpdatedAt.stamp(df, jobTs, cfg.updatedAtColumn))
         case IngestionMethod.Append =>
           store.append(cfg.tableName, UpdatedAt.stamp(df, jobTs, cfg.updatedAtColumn))
+          store.compact(cfg.tableName, cfg.compactAfterSnapshots)
         case IngestionMethod.Upsert =>
           val keys = Validate.requireUniqueKeys(schema, df.columns.toIndexedSeq)
           if (!store.exists(cfg.tableName)) {

@@ -97,6 +97,22 @@ object Lifecycle {
           sum(col("sv")).cast("double").as("sum_value")))
         .orderBy("event_type")),
 
+    // W10 stand-in: key-clustered snapshot write + key-predicate scan. The
+    // layout (range-partitioned, sorted within files) is what makes the
+    // predicate prune row groups via parquet min/max stats — the pruning
+    // itself is asserted by metrics in TableStoreSpec; here the gate pins
+    // the clustered write's correctness.
+    "w10_clustered_scan" -> ((s, dir) => {
+      val store = new TableStore(s, Files.createTempDirectory("graft_q_clu").toString)
+      store.overwriteClustered("li",
+        t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+        Seq("l_orderkey"), numFiles = Some(8))
+      store.scan("li").where(col("l_orderkey").between(1000, 2000))
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("decimal(20,2)")).cast("double").as("sum_qty"))
+        .orderBy("l_orderkey")
+    }),
+
     // W2/C2/C4: the WHOLE pipeline (ingest csv → overwrite → append with
     // MAX(_id)+1 continuation → ordered export) as one oracle-checked query
     "pipeline_e2e" -> ((s, dir) => {
@@ -158,6 +174,12 @@ object Lifecycle {
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "w10_clustered_scan" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
     "pipeline_e2e" ->
       """WITH once AS (

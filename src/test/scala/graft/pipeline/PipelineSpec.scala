@@ -41,6 +41,24 @@ class PipelineSpec extends SparkSpec {
     assert(statuses.head == "pending" && statuses.last == "success")
   }
 
+  test("append pipeline compacts the snapshot chain past the configured threshold") {
+    val work = Files.createTempDirectory("graft_pipecompact")
+    Files.writeString(work.resolve("a.csv"), "id,amount\n1,1.0\n")
+    val store = new TableStore(spark, work.resolve("t").toString)
+    val pipe = new Pipeline(spark, store)
+    val cfg = PipelineConfig(work.resolve("a.csv").toString, "t",
+      IngestionMethod.Append, format = Some(SourceFormat.Csv),
+      schema = Some(schema), compactAfterSnapshots = 3)
+    (1 to 6).foreach(_ => pipe.run(cfg, Timestamp.valueOf("2026-02-02 00:00:00")))
+    import scala.jdk.CollectionConverters._
+    val snapCount = Files.list(work.resolve("t").resolve("t"))
+      .iterator().asScala.count(_.getFileName.toString.startsWith("snap-"))
+    assert(snapCount <= 4, s"chain must be compacted, saw $snapCount snapshots")
+    assert(store.scan("t").count() == 6)
+    // row numbers must keep ascending across compactions
+    assert(store.scan("t").agg(max(col("_id"))).first().getLong(0) == 6L)
+  }
+
   test("clustered overwrite: files are key-disjoint (row-group pruning layout)") {
     val store = new TableStore(spark, Files.createTempDirectory("graft_clu").toString)
     store.overwriteClustered("t",

@@ -102,6 +102,37 @@ class TableStoreSpec extends SparkSpec {
     assert(store.scan("t").count() == before.size + 1)
   }
 
+  test("clustered layout prunes row groups on a key predicate (scan metrics)") {
+    // same 200k rows written clustered vs deliberately key-shuffled; a
+    // narrow key-range predicate must read far fewer rows from the
+    // clustered layout (parquet row-group min/max skipping) — this is the
+    // measured pruning win of overwriteClustered, not just file layout
+    val store = newStore
+    val df = spark.range(200000).toDF("k")
+      .withColumn("v", col("k") * 3)
+    store.overwriteClustered("clu", df, Seq("k"), numFiles = Some(8))
+    store.overwrite("rand", df.repartition(8, col("v"))) // keys spread everywhere
+    def scannedRows(t: String): Long = {
+      val q = store.scan(t).where(col("k").between(1000, 2000))
+      q.collect()
+      val finalPlan = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      finalPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum
+    }
+    val clustered = scannedRows("clu")
+    val shuffled = scannedRows("rand")
+    assert(clustered <= 200000 / 4,
+      s"clustered scan must skip most row groups, read $clustered")
+    assert(clustered < shuffled / 4,
+      s"clustered ($clustered) must read far less than shuffled ($shuffled)")
+  }
+
   test("crash recovery: orphan snapshot (no manifest entry) is invisible and GC'd") {
     val (store, dir) = newStoreAt
     store.overwrite("t", spark.range(3).toDF("v"))
