@@ -73,7 +73,8 @@ final class PipelineException(val payload: String)
 final class Pipeline(
     spark: SparkSession,
     store: TableStore,
-    status: StatusCallback = LogStatusCallback
+    status: StatusCallback = LogStatusCallback,
+    alerts: AlertSink = AlertSink.NoAlerts
 ) {
 
   private def jsonEsc(s: String): String =
@@ -81,6 +82,13 @@ final class Pipeline(
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
+
+  /** Failure funnel: alert (never-throwing), then raise the structured
+    * payload (C6 — reference e-mails on DAG failure, email.py:12-117). */
+  private def fail(table: String, payload: String): Nothing = {
+    alerts.alert(table, payload)
+    throw new PipelineException(payload)
+  }
 
   def run(cfg: PipelineConfig, jobTs: Timestamp = new Timestamp(System.currentTimeMillis())): DataFrame = {
     status.update("pending", s"starting ${cfg.tableName} (${cfg.method})")
@@ -107,7 +115,7 @@ final class Pipeline(
         rowIdCol = Some(cfg.rowNumberColumn))
       if (!report.valid) {
         status.update("failed", s"validation failed: ${report.errorCount} errors")
-        throw new PipelineException(report.toJson)
+        fail(cfg.tableName, report.toJson)
       }
       status.update("progress", s"validated ${report.rowCount} rows")
     }
@@ -158,13 +166,13 @@ final class Pipeline(
         // this arm must precede the precondition passthrough.
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
         status.update("failed", s"load failed: $msg")
-        throw new PipelineException(
+        fail(cfg.tableName,
           s"""{"valid":false,"stage":"load","table":"${cfg.tableName}","error":${jsonEsc(msg)}}""")
       case e: IllegalArgumentException => throw e // engine preconditions keep their type
       case e: Exception =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
         status.update("failed", s"load failed: $msg")
-        throw new PipelineException(
+        fail(cfg.tableName,
           s"""{"valid":false,"stage":"load","table":"${cfg.tableName}","error":${jsonEsc(msg)}}""")
     }
     status.update("progress", s"wrote ${cfg.tableName}")
