@@ -170,9 +170,16 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
-  /** Per-document 60-bit SimHash fingerprint. Narrow transform. */
-  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol), TextHash.simhash(split(col(textCol), " ")).as("simhash"))
+  /** Per-document 60-bit SimHash fingerprint. Narrow transform; the
+    * codegen'd kernel when the graft extensions are registered, else the
+    * declarative HOF spec — byte-identical (TextNativeSpec). */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val sim =
+      if (df.sparkSession.catalog.functionExists("graft_simhash"))
+        call_function("graft_simhash", col(textCol))
+      else TextHash.simhash(split(col(textCol), " "))
+    df.select(col(idCol), sim.as("simhash"))
+  }
 
   /** Hamming distance between two simhash columns. */
   def hamming(a: Column, b: Column): Column =

@@ -28,8 +28,22 @@ object Similarity {
   val DotScale = 1e15
 
   /** Exact scaled dot product of two float-array columns: int64 sum of
-    * round(x*y*1e15). Divide by [[DotScale]] for the real value. */
+    * round(x*y*1e15). Divide by [[DotScale]] for the real value.
+    *
+    * Routes through the codegen'd native kernel
+    * ([[graft.plans.DotScaledExpression]]) when the graft session
+    * extensions are registered — the declarative HOF form is interpreted
+    * (per-element lambda dispatch), which dominates candidate-pair joins
+    * that evaluate one dot per pair. Byte-identical outputs (DotNativeSpec). */
   def dotScaled(a: Column, b: Column): Column =
+    if (org.apache.spark.sql.SparkSession.getActiveSession
+          .exists(_.catalog.functionExists("graft_dot_scaled")))
+      call_function("graft_dot_scaled", a, b)
+    else dotScaledDeclarative(a, b)
+
+  /** The readable spec of [[dotScaled]] (also the oracle-generation
+    * template): interpreted HOF pipeline, same values bit-for-bit. */
+  def dotScaledDeclarative(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b,
         (x, y) => round(x.cast("double") * y.cast("double") * lit(DotScale)).cast("long")),
@@ -39,11 +53,10 @@ object Similarity {
   def dotDecimal(a: Column, b: Column): Column =
     dotScaled(a, b).cast("double") / lit(DotScale)
 
-  /** Vector L2 norm via the same exact-integer path. */
+  /** Vector L2 norm via the same exact-integer path (elementwise x·x is
+    * exactly the self dot product, so the native kernel serves here too). */
   def normDecimal(a: Column): Column =
-    sqrt(aggregate(
-      transform(a, x => round(x.cast("double") * x.cast("double") * lit(DotScale)).cast("long")),
-      lit(0L), (acc, x) => acc + x).cast("double") / lit(DotScale))
+    sqrt(dotScaled(a, a).cast("double") / lit(DotScale))
 
   /** Brute-force cosine top-k: for each query vector (small set, broadcast),
     * rank all corpus vectors by cosine, keep k. */

@@ -85,14 +85,23 @@ object TextStats {
     * O(n²) per document, which dominated the whole bench before binding. */
   def fingerprint(df: DataFrame, textCol: String): DataFrame = {
     val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
-    val rolling = element_at(
+    val rolling =
+      if (df.sparkSession.catalog.functionExists("graft_fp_rolling"))
+        // codegen'd kernel (per-character interpreted lambdas dominate
+        // otherwise); byte-identical to the declarative form below
+        call_function("graft_fp_rolling", norm)
+      else rollingDeclarative(norm)
+    df.withColumn("fp_md5", md5(norm))
+      .withColumn("fp_rolling", rolling)
+  }
+
+  /** Declarative spec of the rolling hash (also the oracle template). */
+  def rollingDeclarative(norm: Column): Column =
+    element_at(
       transform(array(norm), s => // bind the normalized text once per row
         aggregate(
           transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1)))),
           lit(0L),
           (acc, x) => (acc * 31 + x) % TextHash.P)),
       1)
-    df.withColumn("fp_md5", md5(norm))
-      .withColumn("fp_rolling", rolling)
-  }
 }

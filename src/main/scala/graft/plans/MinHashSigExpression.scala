@@ -59,5 +59,26 @@ object GraftExtensions {
         require(children.size == 1, "graft_minhash_sig(text) takes one argument")
         MinHashSigExpression(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot_scaled"),
+      new ExpressionInfo(classOf[DotScaledExpression].getName, "graft_dot_scaled"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dot_scaled(a, b) takes two arguments")
+        DotScaledExpression(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashExpression].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_simhash(text) takes one argument")
+        SimHashExpression(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_fp_rolling"),
+      new ExpressionInfo(classOf[RollingFingerprintExpression].getName, "graft_fp_rolling"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_fp_rolling(text) takes one argument")
+        RollingFingerprintExpression(children.head)
+      }))
   }
 }

@@ -1,0 +1,53 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.ext.{TextHash, TextStats}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Native simhash / rolling-fingerprint kernels must match their
+  * declarative HOF specs bit-for-bit, including unicode and empty-string
+  * edges. */
+class TextNativeSpec extends SparkSpec {
+
+  private def textDf(texts: String*) = spark.createDataFrame(
+    java.util.List.of(texts.map(Row(_)): _*),
+    StructType(Seq(StructField("text", StringType))))
+
+  private val edgeTexts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a", "", " ", "a  b", // empty tokens from double space
+    "héllo wörld ünïcode", // multibyte
+    "tabs\tand punct!?")
+
+  test("simhash: native == declarative on real documents + edge cases") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text").unionByName(textDf(edgeTexts: _*))
+    val mism = docs.select(
+      call_function("graft_simhash", col("text")).as("nat"),
+      TextHash.simhash(split(col("text"), " ")).as("dec"))
+      .where(not(col("nat") <=> col("dec")))
+    assert(mism.count() == 0)
+  }
+
+  test("rolling fingerprint: native == declarative on real documents + edge cases") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text").unionByName(textDf(edgeTexts: _*))
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val mism = docs.select(
+      call_function("graft_fp_rolling", norm).as("nat"),
+      TextStats.rollingDeclarative(norm).as("dec"))
+      .where(not(col("nat") <=> col("dec")))
+    assert(mism.count() == 0)
+  }
+
+  test("operators route through the native kernels") {
+    val simPlan = graft.SparkEntry.queries("ext_dedup_simhash")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(simPlan.contains("graft_simhash"))
+    val fpPlan = graft.SparkEntry.queries("ext_fingerprint")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(fpPlan.contains("graft_fp_rolling"))
+  }
+}
