@@ -58,6 +58,30 @@ object Similarity {
   def normDecimal(a: Column): Column =
     sqrt(dotScaled(a, a).cast("double") / lit(DotScale))
 
+  /** Rank scored candidates to (q_id, c_id, rank, cosine), keeping k per
+    * query under the total order (cosine desc, c_id asc).
+    *
+    * Uses the bounded `graft_topk` aggregate when registered: partial
+    * aggregation keeps ≤ k candidates per mapper per query, so the shuffle
+    * carries mappers × k rows instead of EVERY scored candidate — the
+    * window formulation (fallback) shuffles the full scored set to rank it.
+    * Identical output either way (TopKAggregateSpec). */
+  private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    if (org.apache.spark.sql.SparkSession.getActiveSession
+          .exists(_.catalog.functionExists("graft_topk"))) {
+      scored.groupBy("q_id")
+        .agg(call_function("graft_topk", col("cosine"), col("c_id"), lit(k)).as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("q_id"), col("t.id").as("c_id"),
+          (col("pos") + 1).as("rank"), col("t.score").as("cosine"))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select("q_id", "c_id", "rank", "cosine")
+    }
+
   /** Brute-force cosine top-k: for each query vector (small set, broadcast),
     * rank all corpus vectors by cosine, keep k. */
   def bruteForceTopK(
@@ -75,12 +99,7 @@ object Similarity {
       .where(col("c_id") =!= col("q_id"))
       .withColumn("cosine",
         dotDecimal(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("q_id", "c_id", "rank", "cosine")
+    rankTopK(scored, k)
   }
 
   /** Number of signed-random-projection hyperplanes (bucket bits). 6 bits =
@@ -127,11 +146,7 @@ object Similarity {
       .where(col("c_id") =!= col("q_id"))
       .withColumn("cosine",
         dotDecimal(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("q_id", "c_id", "rank", "cosine")
+    rankTopK(scored, k)
   }
 
   /** IVF-style ANN — the other scale path: a fixed codebook of `nCells`
@@ -180,11 +195,7 @@ object Similarity {
       .where(col("c_id") =!= col("q_id"))
       .withColumn("cosine",
         dotDecimal(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("q_id", "c_id", "rank", "cosine")
+    rankTopK(scored, k)
   }
 
   /** Blocked near-dup pairs: all pairs within a blocking key (e.g. a label

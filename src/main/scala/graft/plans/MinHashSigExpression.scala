@@ -80,5 +80,12 @@ object GraftExtensions {
         require(children.size == 1, "graft_fp_rolling(text) takes one argument")
         RollingFingerprintExpression(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKByAggregate].getName, "graft_topk"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "graft_topk(score, id, k) takes three arguments")
+        TopKByAggregate(children.head, children(1), children(2))
+      }))
   }
 }

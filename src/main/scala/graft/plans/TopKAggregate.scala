@@ -1,0 +1,141 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded top-k aggregate `graft_topk(score, id, k)` →
+  * `array<struct<score double, id bigint>>` ordered (score desc, id asc).
+  *
+  * The scale story: ranking "top k per query" with a window
+  * (`row_number() over (partition by q order by score desc)`) shuffles
+  * EVERY scored candidate row to the query's reducer before any get
+  * discarded — at 100 TB the shuffle is the whole corpus × queries. This
+  * aggregate is partial-aggregation-friendly: each mapper's buffer holds at
+  * most k entries per query, so the shuffle carries ≤ mappers × k rows per
+  * query and merge is a k-way bounded merge. Same (score desc, id asc)
+  * total order as the window formulation — byte-identical results
+  * (TopKAggregateSpec, and the similarity gate queries route through it).
+  */
+case class TopKByAggregate(
+    score: Expression,
+    id: Expression,
+    kExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKBuffer] {
+
+  override def children: Seq[Expression] = Seq(score, id, kExpr)
+
+  lazy val k: Int = kExpr.eval(null).asInstanceOf[Number].intValue()
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (score.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_topk score must be double, got ${score.dataType.catalogString}")
+    else if (id.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_topk id must be bigint, got ${id.dataType.catalogString}")
+    else if (!kExpr.foldable || kExpr.eval(null) == null ||
+      kExpr.eval(null).asInstanceOf[Number].intValue() <= 0)
+      TypeCheckResult.TypeCheckFailure("graft_topk k must be a positive literal")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("score", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buffer: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null)
+      buffer.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+    buffer.mergeFrom(other)
+    buffer
+  }
+
+  override def eval(buffer: TopKBuffer): Any =
+    new GenericArrayData(buffer.rows.map { case (s, i) =>
+      new GenericInternalRow(Array[Any](s, i)): Any
+    })
+
+  override def serialize(buffer: TopKBuffer): Array[Byte] = buffer.toBytes
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = TopKBuffer.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKByAggregate =
+    copy(score = newChildren(0), id = newChildren(1), kExpr = newChildren(2))
+
+  override def prettyName: String = "graft_topk"
+}
+
+/** Sorted bounded buffer: at most k (score, id) entries, kept in
+  * (score desc, id asc) order — inserts are O(k) shifts, k is small. */
+final class TopKBuffer(val k: Int) {
+  private var n = 0
+  private val scores = new Array[Double](k)
+  private val ids = new Array[Long](k)
+
+  @inline private def ranksBefore(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && i1 < i2)
+
+  def insert(s: Double, i: Long): Unit = {
+    if (n == k && !ranksBefore(s, i, scores(n - 1), ids(n - 1))) return
+    var p = if (n < k) { n += 1; n - 1 } else n - 1
+    scores(p) = s
+    ids(p) = i
+    while (p > 0 && ranksBefore(scores(p), ids(p), scores(p - 1), ids(p - 1))) {
+      val ts = scores(p); scores(p) = scores(p - 1); scores(p - 1) = ts
+      val ti = ids(p); ids(p) = ids(p - 1); ids(p - 1) = ti
+      p -= 1
+    }
+  }
+
+  def mergeFrom(other: TopKBuffer): Unit = {
+    var i = 0
+    while (i < other.n) { insert(other.scores(i), other.ids(i)); i += 1 }
+  }
+
+  def rows: Array[(Double, Long)] =
+    Array.tabulate(n)(i => (scores(i), ids(i)))
+
+  def toBytes: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + n * 16)
+    bb.putInt(k).putInt(n)
+    var i = 0
+    while (i < n) { bb.putDouble(scores(i)).putLong(ids(i)); i += 1 }
+    bb.array()
+  }
+}
+
+object TopKBuffer {
+  def fromBytes(bytes: Array[Byte]): TopKBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new TopKBuffer(bb.getInt())
+    val n = bb.getInt()
+    var i = 0
+    while (i < n) {
+      val s = bb.getDouble(); val id = bb.getLong()
+      buf.insert(s, id)
+      i += 1
+    }
+    buf
+  }
+}
