@@ -131,6 +131,46 @@ object Core {
         t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
         Seq(col("o_orderkey"))).orderBy("_id")),
 
+    "s5_gzip_scan" -> ((s, dir) => {
+      // S5 (storage.py gzip + pipeline_ckan_to_bigquery.py:257-259): gzip
+      // CSV export → transparent codec detection on read by .gz suffix
+      val tmp = Files.createTempDirectory("graft_s5").toString
+      Export.export(t(s, dir, "nation"), s"$tmp/nation_gz",
+        Export.ExportOptions(SourceFormat.Csv, orderBy = Some("n_nationkey"),
+          singleFile = true, compression = Some("gzip")))
+      val fs = FrictionlessSchema(List(
+        FrictionlessField("n_nationkey", "integer"),
+        FrictionlessField("n_name", "string"),
+        FrictionlessField("n_regionkey", "integer")))
+      Reader.read(s, s"$tmp/nation_gz", Reader.ReadOptions(
+        format = Some(SourceFormat.Csv), schema = Some(fs))).orderBy("_id")
+    }),
+
+    "p4_tsv_roundtrip" -> ((s, dir) => {
+      // P4 (TSV normalize, storage.py:117-125 fmt dispatch): tab-separated
+      // export → TSV-dispatched read; same relational content as the CSV path
+      val tmp = Files.createTempDirectory("graft_p4").toString
+      Export.export(t(s, dir, "region"), s"$tmp/region.tsv",
+        Export.ExportOptions(SourceFormat.Tsv, orderBy = Some("r_regionkey"), singleFile = true))
+      val fs = FrictionlessSchema(List(
+        FrictionlessField("r_regionkey", "integer"),
+        FrictionlessField("r_name", "string")))
+      Reader.read(s, s"$tmp/region.tsv", Reader.ReadOptions(
+        format = Some(SourceFormat.Tsv), schema = Some(fs))).orderBy("_id")
+    }),
+
+    "w5_parquet_export" -> ((s, dir) => {
+      // W5 (parquet shard output, storage.py:516-569): ordered multi-shard
+      // parquet export → scan back; shards carry the total order via _id
+      val tmp = Files.createTempDirectory("graft_w5").toString
+      val numbered = RowNumbers.withRowNumbersOrdered(
+        t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal"),
+        Seq(col("c_custkey")))
+      Export.export(numbered, s"$tmp/cust_pq",
+        Export.ExportOptions(SourceFormat.Parquet, orderBy = Some("_id")))
+      s.read.parquet(s"$tmp/cust_pq").orderBy("_id")
+    }),
+
     // ---- F: predicates ---------------------------------------------------
     "f3_change_detection" -> ((s, dir) => {
       // NULL-safe IS DISTINCT FROM change predicate (F3, warehouse.py:237-245)
@@ -235,6 +275,22 @@ object Core {
       """SELECT row_number() OVER (ORDER BY o_orderkey) AS _id,
         | o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY _id""".stripMargin,
+
+    "s5_gzip_scan" ->
+      """SELECT row_number() OVER (ORDER BY n_nationkey) AS _id,
+        | CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        | CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY _id""".stripMargin,
+
+    "p4_tsv_roundtrip" ->
+      """SELECT row_number() OVER (ORDER BY r_regionkey) AS _id,
+        | CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+        |FROM region ORDER BY _id""".stripMargin,
+
+    "w5_parquet_export" ->
+      """SELECT row_number() OVER (ORDER BY c_custkey) AS _id,
+        | c_custkey, c_name, c_acctbal
+        |FROM customer ORDER BY _id""".stripMargin,
 
     "f3_change_detection" ->
       """SELECT a.c_custkey FROM customer a
