@@ -149,6 +149,39 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Multi-probe ANN: each query also probes every bucket at Hamming
+    * distance 1 from its own (flip one hyperplane sign) — the standard
+    * recall lift for sign-LSH, since a near neighbor most often differs in
+    * exactly one marginal plane. The corpus stays bucketed ONCE; only the
+    * (small, broadcast) query side explodes ×(NumPlanes+1), so cost scales
+    * with probes × queries, never with the corpus. Each corpus vector lives
+    * in exactly one bucket and probe buckets are distinct, so no candidate
+    * dedup is needed. */
+  def annTopKMultiProbe(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      k: Int
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .withColumn("bucket", lshBucket(col("c_vec"), dim))
+      .withColumn("c_norm", normDecimal(col("c_vec")))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("home", lshBucket(col("q_vec"), dim))
+      .withColumn("q_norm", normDecimal(col("q_vec")))
+      .withColumn("bucket", explode(array(
+        col("home") +: (0 until NumPlanes).map(i =>
+          col("home").bitwiseXOR(lit(1L << i))): _*)))
+      .drop("home")
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("c_id") =!= col("q_id"))
+      .withColumn("cosine",
+        dotDecimal(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+    rankTopK(scored, k)
+  }
+
   /** IVF-style ANN — the other scale path: a fixed codebook of `nCells`
     * centroid vectors partitions the corpus by nearest centroid; queries
     * probe the `nProbe` nearest cells and rank exactly within them.

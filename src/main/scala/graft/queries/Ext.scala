@@ -99,6 +99,12 @@ object Ext {
         .orderBy("q_id", "rank")
     }),
 
+    "ext_ann_multiprobe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.annTopKMultiProbe(e, e.where(col("vec_id") < 5), "embedding", "vec_id", 64, 5)
+        .orderBy("q_id", "rank")
+    }),
+
     "ext_ivf_ann" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.where(col("vec_id") < 5), "embedding", "vec_id",
@@ -309,6 +315,28 @@ object Ext {
     "ext_lsh_buckets" ->
       s"""WITH $BucketCte
          |SELECT vec_id, bucket FROM bk ORDER BY vec_id""".stripMargin,
+
+    "ext_ann_multiprobe" -> {
+      val probeList = ("bucket" +: (0 until Similarity.NumPlanes)
+        .map(i => s"xor(bucket, ${1L << i})")).mkString("[", ", ", "]")
+      s"""WITH $BucketCte,
+         |nb AS (
+         |  SELECT bk.vec_id, bk.embedding, bk.bucket,
+         |    sqrt(CAST(list_reduce(list_prepend(0::BIGINT,
+         |      [CAST(round(CAST(bk.embedding[i] AS DOUBLE)*CAST(bk.embedding[i] AS DOUBLE)*1e15) AS BIGINT)
+         |       FOR i IN range(1,65)]), (a,x) -> a+x) AS DOUBLE) / 1e15) AS nrm
+         |  FROM bk),
+         |q AS (SELECT vec_id, embedding, nrm, unnest($probeList) AS bucket
+         |      FROM nb WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+         |  FROM nb c JOIN q ON c.bucket = q.bucket WHERE c.vec_id <> q.vec_id)
+         |SELECT q_id, c_id, rank, cosine FROM (
+         |  SELECT q_id, c_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+         |  FROM scored) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    },
 
     "ext_ivf_ann" ->
       s"""WITH $NormCte,

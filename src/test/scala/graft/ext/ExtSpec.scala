@@ -151,6 +151,20 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(out(0).getDouble(3) - 1.0) < 1e-9)
   }
 
+  test("multi-probe ann: candidates are a superset of single-probe, so top-1 never worse") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+    val single = Similarity.annTopK(e, q, "embedding", "vec_id", 64, 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val multi = Similarity.annTopKMultiProbe(e, q, "embedding", "vec_id", 64, 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(multi.keySet.size >= single.keySet.size,
+      "probing more buckets can only add answerable queries")
+    single.foreach { case (qid, cos) =>
+      assert(multi(qid) >= cos, s"query $qid lost recall under multi-probe")
+    }
+  }
+
   test("centroids: per-dim agg equals the explode formulation over all 64 dims, no Generate in plan") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val viaAgg = Similarity.centroids(e, "embedding", "label", nDims = 64)
