@@ -19,6 +19,12 @@ import java.sql.Timestamp
   * batch and streaming plans (same functions, same semantics; in streaming
   * add `withWatermark` for state eviction).
   */
+/** One document arriving on the feed: source, token count, event time. */
+final case class DocEvent(source: String, tokens: Long, ts: java.sql.Timestamp)
+
+/** Cumulative per-source counters as of the emitting micro-batch. */
+final case class SourceRunning(source: String, docs: Long, tokens: Long)
+
 object StreamingIngest {
 
   /** Incrementally ingest files appearing under `sourceDir` into `table`.
@@ -127,6 +133,54 @@ object StreamingIngest {
   ): DataFrame =
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Custom keyed state (the `KeyValueGroupedDataset.flatMapGroupsWithState`
+    * tier of §2.9): per-source RUNNING corpus counters over an unbounded
+    * document feed. Each micro-batch emits the updated cumulative
+    * (docs, tokens) for every source seen in that batch — the live
+    * ingest-monitoring view a training-data pipeline wants ("how much of
+    * source X have we absorbed so far"). State is two longs per source
+    * (bounded by source cardinality, not stream length); a source idle for
+    * `idleGapMs` beyond the event-time watermark is evicted, so state never
+    * grows unboundedly. Event-time timeout (not processing-time) on
+    * purpose: wall-clock timeouts keep an `AvailableNow` drain alive
+    * waiting for them to fire, while watermark-based timeouts resolve from
+    * the data itself. The checkpoint carries counters across restarts. */
+  def runningSourceStats(
+      ds: org.apache.spark.sql.Dataset[DocEvent],
+      watermark: String = "1 hour",
+      idleGapMs: Long = 2L * 3600 * 1000
+  ): org.apache.spark.sql.Dataset[SourceRunning] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    ds.withWatermark("ts", watermark)
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[(Long, Long), SourceRunning](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (source, events, state) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle source: release its two longs
+            Iterator.empty
+          } else {
+            var docs = 0L
+            var toks = 0L
+            var maxTs = Long.MinValue
+            events.foreach { e =>
+              docs += 1; toks += e.tokens
+              if (e.ts.getTime > maxTs) maxTs = e.ts.getTime
+            }
+            val (prevDocs, prevToks) = state.getOption.getOrElse((0L, 0L))
+            val next = (prevDocs + docs, prevToks + toks)
+            state.update(next)
+            // the watermark only advances AFTER a batch — in the first batch
+            // it is still 0, so anchor the idle timeout on whichever is
+            // later: the engine watermark or this batch's own event times
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), maxTs) + idleGapMs)
+            Iterator(SourceRunning(source, next._1, next._2))
+          }
+      }
+  }
 
   /** Streaming variant with watermark, for unbounded inputs. */
   def tumblingAggStreaming(

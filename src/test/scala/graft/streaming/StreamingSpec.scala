@@ -62,6 +62,59 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", 1), ("b", 3)), out.toSeq.toString)
   }
 
+  test("flatMapGroupsWithState: running per-source counters persist across restarts") {
+    val work = Files.createTempDirectory("graft_streamstate")
+    val src = work.resolve("in"); Files.createDirectories(src)
+    val ckpt = work.resolve("ckpt").toString
+    val st = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("tokens", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    def run(): Unit = {
+      import spark.implicits._
+      val stream = spark.readStream.schema(st).option("header", true)
+        .csv(src.toString).as[DocEvent]
+      val q = StreamingIngest.runningSourceStats(stream)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[SourceRunning], _: Long) =>
+          collected.synchronized {
+            collected ++= batch.collect().map(r => (r.source, r.docs, r.tokens))
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    Files.writeString(src.resolve("a.csv"),
+      """source,tokens,ts
+        |web,4,2024-01-01 00:00:00
+        |web,6,2024-01-01 00:01:00
+        |books,3,2024-01-01 00:02:00
+        |""".stripMargin)
+    run()
+    assert(collected.sortBy(_._1).toSeq == Seq(("books", 1L, 3L), ("web", 2L, 10L)))
+
+    collected.clear()
+    Files.writeString(src.resolve("b.csv"), "source,tokens,ts\nweb,5,2024-01-01 00:30:00\n")
+    run() // state must resume from the checkpoint: counts are CUMULATIVE
+    assert(collected.toSeq == Seq(("web", 3L, 15L)))
+
+    // push the watermark far past books' idle timeout (2h gap), then feed
+    // books again: its counters must have been EVICTED and restart from zero
+    collected.clear()
+    Files.writeString(src.resolve("c.csv"), "source,tokens,ts\nweb,1,2024-01-03 00:00:00\n")
+    run()
+    collected.clear()
+    Files.writeString(src.resolve("d.csv"), "source,tokens,ts\nbooks,7,2024-01-03 00:10:00\n")
+    run()
+    assert(collected.toSeq == Seq(("books", 1L, 7L)),
+      s"books state must restart after watermark-based eviction, got $collected")
+  }
+
   test("windowed agg works in genuine streaming mode with watermark") {
     val work = Files.createTempDirectory("graft_streamwin")
     val src = work.resolve("in"); Files.createDirectories(src)
