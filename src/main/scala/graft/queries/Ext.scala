@@ -137,6 +137,30 @@ object Ext {
           sum(col("n_chars")).as("total_chars"))
         .orderBy("bucket")),
 
+    "ext_top_ngrams" -> ((s, dir) =>
+      // corpus n-gram statistics: most frequent word bigrams (vocabulary /
+      // boilerplate diagnostics). shingles() let-binds the token split, so
+      // the explode feeds from one split per row; partial-agg count keeps
+      // the shuffle at (bigram, partial n) — corpus-scale safe.
+      t(s, dir, "documents")
+        .select(explode(TextHash.shingles(col("text"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(20)),
+
+    "ext_contamination" -> ((s, dir) => {
+      // benchmark contamination: training-corpus docs whose whitespace-
+      // normalized text exactly matches an eval-set document. Fingerprint
+      // both sides (md5 of normalized text), broadcast the (small) eval
+      // fingerprint set, left-semi join — the corpus never shuffles.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val norm = md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp")
+      val corpus = docs.select((col("doc_id") + 2000000L).as("doc_id"), norm)
+      val benchmark = docs.where(col("doc_id") % 7 === 0).select(norm).distinct()
+      corpus.join(broadcast(benchmark), Seq("fp"), "left_semi")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     "ext_token_stats" -> ((s, dir) =>
       TextStats.tokenCounts(t(s, dir, "documents"), "text")
         .drop("text").orderBy("doc_id")),
@@ -396,6 +420,21 @@ object Ext {
       """SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bucket,
         |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "ext_top_ngrams" ->
+      s"""WITH g AS (SELECT unnest(${TextHash.shinglesSql("text", 2)}) AS bigram FROM documents)
+         |SELECT bigram, COUNT(*) AS n FROM g
+         |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    "ext_contamination" ->
+      """WITH c AS (
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |b AS (
+        |  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT doc_id FROM c WHERE fp IN (SELECT fp FROM b) ORDER BY doc_id""".stripMargin,
 
     "ext_token_stats" ->
       s"""SELECT doc_id, lang, source, n_chars,
