@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting / ordering for training-data prep.
+  *
+  * Everything keys off a salted md5 hash of the row id ([[TextHash.hmod]])
+  * rather than `rand()`: the same row lands in the same sample, split, and
+  * shuffle position on every engine, every run, every cluster size — the
+  * property that makes dataset builds reproducible and incremental (a
+  * re-run over grown data never reassigns old rows). All three are narrow
+  * transforms (the shuffle order is a range-partitioned sort at scale).
+  */
+object Sampling {
+
+  /** Salted per-row hash in [0, 100) — the assignment die roll. */
+  def pctHash(idCol: Column, salt: String): Column =
+    TextHash.hmod(concat(idCol.cast("string"), lit(":" + salt))) % 100
+
+  /** SQL fragment mirror of [[pctHash]] for DuckDB oracles. */
+  def pctHashSql(idE: String, salt: String): String =
+    s"(${TextHash.hmodSql(s"($idE :: VARCHAR || ':$salt')")} % 100)"
+
+  /** Stratified downsample: keep each row with its stratum's percentage
+    * (e.g. Map("en" -> 30) with default 60). Pure filter — no shuffle, no
+    * state; rates are exact in expectation and reproducible row-by-row. */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      rates: Map[String, Int],
+      defaultRate: Int,
+      salt: String = "sample"
+  ): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (value, r)) =>
+      when(col(stratumCol) === value, lit(r)).otherwise(acc)
+    }
+    df.where(pctHash(col(idCol), salt) < rate)
+  }
+
+  /** Train/valid/test assignment by hash band: [0,train) → train,
+    * [train, train+valid) → valid, rest → test. */
+  def splitAssign(idCol: Column, trainPct: Int, validPct: Int,
+      salt: String = "split"): Column = {
+    val h = pctHash(idCol, salt)
+    when(h < trainPct, "train")
+      .when(h < trainPct + validPct, "valid")
+      .otherwise("test")
+  }
+
+  /** Deterministic pseudo-random training order: sort by the salted hash
+    * (id tiebreak). Changing the salt re-shuffles (one salt per epoch); at
+    * scale this is a range-partitioned distributed sort whose output
+    * shards ARE the shuffled dataset. */
+  def shuffleOrder(df: DataFrame, idCol: String, salt: String): DataFrame =
+    df.withColumn("shuffle_key",
+        TextHash.hmod(concat(col(idCol).cast("string"), lit(":" + salt))))
+      .orderBy(col("shuffle_key").asc, col(idCol).asc)
+}

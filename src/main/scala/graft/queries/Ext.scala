@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Similarity, TextHash, TextStats}
+import graft.ext.{Dedup, Sampling, Similarity, TextHash, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -136,6 +136,28 @@ object Ext {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("total_chars"))
         .orderBy("bucket")),
+
+    "ext_stratified_sample" -> ((s, dir) =>
+      // reproducible stratified downsample: 30% of en, 60% of other langs,
+      // by salted md5 of doc_id — pure filter, identical on every engine
+      Sampling.stratifiedSample(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "doc_id", "lang", Map("en" -> 30), defaultRate = 60)
+        .orderBy("doc_id")),
+
+    "ext_split_assign" -> ((s, dir) =>
+      // train/valid/test assignment by hash band (80/10/10), counted per
+      // language — rows never migrate between splits as the corpus grows
+      t(s, dir, "documents")
+        .groupBy(col("lang"), Sampling.splitAssign(col("doc_id"), 80, 10).as("split"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split")),
+
+    "ext_shuffle_order" -> ((s, dir) =>
+      // deterministic epoch shuffle: total order by salted hash + id —
+      // a range-partitioned sort at scale; new salt = new permutation
+      Sampling.shuffleOrder(
+        t(s, dir, "documents").select("doc_id"), "doc_id", "epoch0")),
 
     "ext_top_ngrams" -> ((s, dir) =>
       // corpus n-gram statistics: most frequent word bigrams (vocabulary /
@@ -420,6 +442,26 @@ object Ext {
       """SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bucket,
         |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "ext_stratified_sample" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE ${Sampling.pctHashSql("doc_id", "sample")} <
+         |      (CASE WHEN lang = 'en' THEN 30 ELSE 60 END)
+         |ORDER BY doc_id""".stripMargin,
+
+    "ext_split_assign" ->
+      s"""WITH h AS (SELECT lang, ${Sampling.pctHashSql("doc_id", "split")} AS h
+         |           FROM documents),
+         |s AS (SELECT lang, CASE WHEN h < 80 THEN 'train'
+         |                        WHEN h < 90 THEN 'valid'
+         |                        ELSE 'test' END AS split FROM h)
+         |SELECT lang, split, COUNT(*) AS n FROM s
+         |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "ext_shuffle_order" ->
+      s"""SELECT doc_id,
+         |  ${TextHash.hmodSql("(doc_id :: VARCHAR || ':epoch0')")} AS shuffle_key
+         |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
 
     "ext_top_ngrams" ->
       s"""WITH g AS (SELECT unnest(${TextHash.shinglesSql("text", 2)}) AS bigram FROM documents)
