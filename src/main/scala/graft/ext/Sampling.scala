@@ -57,4 +57,49 @@ object Sampling {
     df.withColumn("shuffle_key",
         TextHash.hmod(concat(col(idCol).cast("string"), lit(":" + salt))))
       .orderBy(col("shuffle_key").asc, col(idCol).asc)
+
+  /** Sequence packing: assign each document to a fixed-size token window
+    * (`bin` = which training sequence it packs into) by the EXCLUSIVE
+    * running token total in deterministic id order — greedy first-fit in
+    * one deterministic order, the standard pretraining packer.
+    *
+    * A global running sum is the same distributed problem as gap-free row
+    * numbers ([[graft.ops.RowNumbers]]): `sum().over(Window.orderBy(id))`
+    * collapses to ONE partition. Same cure: range-sort (CACHED — range
+    * partition boundaries are sampled with a per-action seed, so the sort
+    * must be frozen before multi-pass use), per-partition token totals +
+    * driver-side exclusive prefix sum (O(#partitions)), then a
+    * partition-local cumulative window. */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      windowTokens: Long,
+      binCol: String = "bin"
+  ): DataFrame = {
+    val pid = "__graft_pack_pid"
+    val mono = "__graft_pack_mono"
+    val sorted = df.sort(col(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val work = sorted
+      .withColumn(pid, spark_partition_id())
+      .withColumn(mono, monotonically_increasing_id())
+    val stats = work.groupBy(col(pid))
+      .agg(sum(col(tokenCol).cast("long")).as("toks"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    if (stats.isEmpty) return df.withColumn(binCol, lit(null).cast("long"))
+    var acc = 0L
+    val offsets: Map[Int, Long] = stats.map { case (p, t) =>
+      val o = acc; acc += t; p -> o
+    }.toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(pid)).orderBy(col(mono))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    work
+      .withColumn("__graft_pack_cum",
+        sum(col(tokenCol).cast("long")).over(w) +
+          element_at(typedLit(offsets), col(pid)) - col(tokenCol).cast("long"))
+      .withColumn(binCol, floor(col("__graft_pack_cum") / lit(windowTokens)).cast("long"))
+      .drop(pid, mono, "__graft_pack_cum")
+  }
 }

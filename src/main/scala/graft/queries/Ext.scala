@@ -159,6 +159,17 @@ object Ext {
       Sampling.shuffleOrder(
         t(s, dir, "documents").select("doc_id"), "doc_id", "epoch0")),
 
+    "ext_pack_sequences" -> ((s, dir) =>
+      // sequence packing: 4096-token training windows assigned by the
+      // exclusive running token total in doc_id order (two-pass prefix sum;
+      // no single-partition window)
+      Sampling.packSequences(
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(TextStats.wsTokens(col("text"))).cast("long").as("toks")),
+        "doc_id", "toks", windowTokens = 4096)
+        .orderBy("doc_id")),
+
     "ext_top_ngrams" -> ((s, dir) =>
       // corpus n-gram statistics: most frequent word bigrams (vocabulary /
       // boilerplate diagnostics). shingles() let-binds the token split, so
@@ -462,6 +473,18 @@ object Ext {
       s"""SELECT doc_id,
          |  ${TextHash.hmodSql("(doc_id :: VARCHAR || ':epoch0')")} AS shuffle_key
          |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
+
+    "ext_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CAST(len(${tokensSql("text")}) AS BIGINT) AS toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, toks,
+         |    CAST(SUM(toks) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - toks AS cum
+         |  FROM t)
+         |SELECT doc_id, toks, cum // 4096 AS bin FROM c ORDER BY doc_id""".stripMargin,
 
     "ext_top_ngrams" ->
       s"""WITH g AS (SELECT unnest(${TextHash.shinglesSql("text", 2)}) AS bigram FROM documents)
