@@ -151,8 +151,14 @@ object Dedup {
 
   /** Materialize the deduplicated corpus: keep one canonical row per
     * near-dup component (the minimum-id member), pass through rows that
-    * duplicate nothing. One broadcast-able join against the (small) cluster
-    * labeling — the whole-corpus side never shuffles. */
+    * duplicate nothing.
+    *
+    * The cluster labeling is usually ≪ corpus (only docs WITH a near-dup
+    * appear), but a high-dup-rate corpus can make it a large fraction — so
+    * no hard-coded broadcast hint: `duplicateClusters` returns an eagerly
+    * checkpointed frame whose size AQE knows at runtime, and it picks
+    * broadcast when the labeling is small and a shuffle join when it
+    * isn't. The corpus side never shuffles in the broadcast case. */
   def keepCanonical(
       df: DataFrame,
       textCol: String,
@@ -160,7 +166,7 @@ object Dedup {
       threshold: Double
   ): DataFrame = {
     val clusters = duplicateClusters(minhashPairs(df, textCol, idCol, threshold))
-    df.join(broadcast(clusters), df(idCol) === clusters("id"), "left")
+    df.join(clusters, df(idCol) === clusters("id"), "left")
       .where(col("cluster").isNull || col("cluster") === df(idCol))
       .drop("id", "cluster")
   }
