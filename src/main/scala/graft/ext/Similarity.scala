@@ -198,21 +198,34 @@ object Similarity {
       idCol: String,
       k: Int,
       nCells: Int = 16,
-      nProbe: Int = 4
+      nProbe: Int = 4,
+      codebook: Option[DataFrame] = None // (cell_id, cell_vec); e.g. kmeansCodebook
   ): DataFrame = {
-    val cells = corpus.orderBy(col(idCol).asc).limit(nCells)
-      .select(col(idCol).as("cell_id"), col(vecCol).as("cell_vec"))
+    val cells = codebook.getOrElse(
+      corpus.orderBy(col(idCol).asc).limit(nCells)
+        .select(col(idCol).as("cell_id"), col(vecCol).as("cell_vec")))
       .withColumn("cell_norm", normDecimal(col("cell_vec")))
 
+    // nearest-`keep` cells per vector. Bounded-aggregate path: the window
+    // formulation sorts rows×cells within each vector's partition; the
+    // graft_topk aggregate reduces each vector's nCells scored copies to a
+    // ≤keep buffer map-side, so the shuffle carries one row per vector.
     def assign(df: DataFrame, id: String, vec: String, norm: String, keep: Int): DataFrame = {
       val scored = df.crossJoin(broadcast(cells))
         .withColumn("cell_cos",
           dotDecimal(col(vec), col("cell_vec")) / (col(norm) * col("cell_norm")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(id).orderBy(col("cell_cos").desc, col("cell_id").asc)
-      scored.withColumn("cell_rank", row_number().over(w))
-        .where(col("cell_rank") <= keep)
-        .drop("cell_vec", "cell_norm", "cell_cos", "cell_rank")
+      if (org.apache.spark.sql.SparkSession.getActiveSession
+            .exists(_.catalog.functionExists("graft_topk"))) {
+        scored.groupBy(col(id), col(vec), col(norm))
+          .agg(call_function("graft_topk", col("cell_cos"), col("cell_id"), lit(keep)).as("top"))
+          .select(col(id), col(vec), col(norm), explode(col("top.id")).as("cell_id"))
+      } else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(id).orderBy(col("cell_cos").desc, col("cell_id").asc)
+        scored.withColumn("cell_rank", row_number().over(w))
+          .where(col("cell_rank") <= keep)
+          .drop("cell_vec", "cell_norm", "cell_cos", "cell_rank")
+      }
     }
 
     val c = assign(
@@ -229,6 +242,61 @@ object Similarity {
       .withColumn("cosine",
         dotDecimal(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
     rankTopK(scored, k)
+  }
+
+  /** Seeded k-means codebook training for IVF — the production replacement
+    * for the deterministic lowest-id placeholder codebook.
+    *
+    * Fully deterministic Lloyd iterations: init = the nCells lowest-id
+    * vectors, assignment = max cosine (exact int64 dot products, lowest
+    * cell-id tiebreak), update = exact per-dimension decimal means
+    * ([[centroids]] — map-side partial sums, no explode). Per iteration:
+    * one narrow assignment pass against a broadcast codebook + one centroid
+    * aggregation; only the nCells×dim codebook itself is ever collected
+    * (codebooks are small by definition — that's the point of IVF). Empty
+    * cells keep their previous centroid. Same result on every run/engine.
+    *
+    * Returns (cell_id, cell_vec float array) for [[ivfTopK]]'s `codebook`. */
+  def kmeansCodebook(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nCells: Int,
+      dim: Int,
+      iterations: Int = 3
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    val init = corpus.orderBy(col(idCol).asc).limit(nCells)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("cell_vec"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    var book: Array[(Long, Array[Float])] = init
+    def bookDf(b: Array[(Long, Array[Float])]): DataFrame = {
+      import spark.implicits._
+      b.toSeq.map { case (id, v) => (id, v.toSeq) }.toDF("cell_id", "cell_vec")
+        .withColumn("cell_vec", col("cell_vec").cast("array<float>"))
+    }
+    for (_ <- 0 until iterations) {
+      val cells = bookDf(book).withColumn("cell_norm", normDecimal(col("cell_vec")))
+      val assigned = corpus.select(col(idCol).as("v_id"), col(vecCol).as("vec"))
+        .withColumn("norm", normDecimal(col("vec")))
+        .crossJoin(broadcast(cells))
+        .withColumn("cos",
+          dotDecimal(col("vec"), col("cell_vec")) / (col("norm") * col("cell_norm")))
+        // nearest cell, lowest-id tiebreak: max of (cos, -cell_id)
+        .groupBy(col("v_id"), col("vec"))
+        .agg(max(struct(col("cos"), (-col("cell_id")).as("neg"),
+          col("cell_id"))).as("best"))
+        .select(col("vec"), col("best.cell_id").as("cell_id"))
+      val means = centroids(assigned, "vec", "cell_id", dim).collect()
+      val updated = means.groupBy(_.getLong(0)).map { case (cid, rows) =>
+        val arr = new Array[Float](dim)
+        rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2).toFloat)
+        cid -> arr
+      }
+      book = book.map { case (cid, prev) => cid -> updated.getOrElse(cid, prev) }
+    }
+    bookDf(book)
   }
 
   /** Blocked near-dup pairs: all pairs within a blocking key (e.g. a label
