@@ -74,6 +74,32 @@ object TextStats {
     scored.withColumn("lang_pred", pick)
   }
 
+  /** Repetition score: 1 − distinct/total word bigrams — the classic
+    * boilerplate/spam signal (repeated phrases ⇒ ratio → 1). Narrow
+    * transform over the let-bound shingle array; scan speed at 100 TB. */
+  def repetitionScore(df: DataFrame, textCol: String): DataFrame = {
+    val grams = TextHash.shingles(col(textCol), 2)
+    df.withColumn("n_bigrams", size(grams))
+      .withColumn("n_distinct_bigrams", size(array_distinct(grams)))
+      .withColumn("repetition",
+        lit(1.0) - col("n_distinct_bigrams").cast("double") /
+          col("n_bigrams").cast("double"))
+  }
+
+  /** PII redaction patterns (Java-regex and DuckDB-RE2 compatible subset):
+    * email-shaped tokens and long digit runs (ids, phone numbers). */
+  val EmailPattern = "[a-zA-Z0-9_.]+@[a-zA-Z0-9.]+"
+  val DigitRunPattern = "[0-9]{6,}"
+
+  /** Redact PII: emails → `<EMAIL>`, 6+-digit runs → `<NUM>`. Order
+    * matters (emails may contain digits); both passes are codegen'd
+    * regexp_replace — scan-speed, no UDFs. */
+  def redact(df: DataFrame, textCol: String, outCol: String = "redacted"): DataFrame =
+    df.withColumn(outCol,
+      regexp_replace(
+        regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+        DigitRunPattern, "<NUM>"))
+
   /** Document fingerprints: md5 of whitespace-normalized lowercase text,
     * plus a 31-multiplier polynomial rolling hash mod 2^31-1 (byte-exact in
     * any engine; char-positional, ASCII-safe).

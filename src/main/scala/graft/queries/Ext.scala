@@ -208,7 +208,35 @@ object Ext {
 
     "ext_fingerprint" -> ((s, dir) =>
       TextStats.fingerprint(t(s, dir, "documents"), "text")
-        .drop("text").orderBy("doc_id"))
+        .drop("text").orderBy("doc_id")),
+
+    "ext_repetition" -> ((s, dir) =>
+      // repeated-phrase quality signal: inflate every 5th doc with its own
+      // first 8 words repeated, then score — repetition must move toward 1
+      TextStats.repetitionScore(
+        t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" "),
+              array_join(slice(split(col("text"), " "), 1, 8), " "),
+              lit(" "),
+              array_join(slice(split(col("text"), " "), 1, 8), " ")))
+            .otherwise(col("text")).as("text")),
+        "text")
+        .drop("text").orderBy("doc_id")),
+
+    "ext_redact" -> ((s, dir) =>
+      // PII redaction over synthetic injections (the corpus itself has no
+      // emails): plant an email + long digit run in every 3rd doc
+      TextStats.redact(
+        t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("contact user"), col("doc_id").cast("string"),
+              lit("@example.com id 1234567890 "), col("text")))
+            .otherwise(col("text")).as("text")),
+        "text")
+        .select(col("doc_id"), md5(col("redacted")).as("redacted_md5"),
+          (length(col("text")) - length(col("redacted"))).as("delta_len"))
+        .orderBy("doc_id"))
   )
 
   // --------------------------------------------------------------------
@@ -549,6 +577,38 @@ object Ext {
          |       $pick AS lang_pred
          |FROM scored ORDER BY doc_id""".stripMargin
     },
+
+    "ext_repetition" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN
+         |      text || ' ' || array_to_string(string_split(text, ' ')[1:8], ' ')
+         |           || ' ' || array_to_string(string_split(text, ' ')[1:8], ' ')
+         |    ELSE text END AS text
+         |  FROM documents),
+         |g AS (SELECT doc_id, ${TextHash.shinglesSql("text", 2)} AS grams FROM d)
+         |SELECT doc_id, len(grams) AS n_bigrams,
+         |  len(list_distinct(grams)) AS n_distinct_bigrams,
+         |  1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+         |    AS repetition
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "ext_redact" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      'contact user' || CAST(doc_id AS VARCHAR) || '@example.com id 1234567890 ' || text
+        |    ELSE text END AS text
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(
+        |      regexp_replace(text, '[a-zA-Z0-9_.]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
+        |      '[0-9]{6,}', '<NUM>', 'g') AS redacted
+        |  FROM d)
+        |SELECT doc_id, md5(redacted) AS redacted_md5,
+        |       length(text) - length(redacted) AS delta_len
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "ext_fingerprint" ->
       s"""WITH nrm AS (
