@@ -331,17 +331,22 @@ object Similarity {
     * rows × dims (a 64× row blowup of the whole corpus before the
     * aggregation); this shape shuffles only the per-key partial-agg state
     * (dims × ~16 bytes per key per mapper) with full map-side combine —
-    * the 100 TB-safe way to compute centroids. Exact DECIMAL(30,12) sums
-    * keep the result byte-identical across engines (float addition order
-    * never matters). */
+    * the 100 TB-safe way to compute centroids. Values are 1e7-quantized
+    * (round(x·1e7) as int64 — above float precision at embedding
+    * magnitudes, and the SAME quantization the LSH bucketing uses) so the
+    * sums are exact integer math: float addition order never matters, and
+    * no double→decimal conversion is involved anywhere (the 12th-decimal-
+    * digit rounding of a raw float is where engines legitimately disagree —
+    * Java rounds the shortest decimal representation, DuckDB the binary
+    * value). */
   def centroids(df: DataFrame, vecCol: String, keyCol: String, nDims: Int): DataFrame = {
     val sums = (0 until nDims).map(i =>
-      sum(element_at(col(vecCol), i + 1).cast("double").cast("decimal(30,12)"))
+      sum(round(element_at(col(vecCol), i + 1).cast("double") * lit(1e7)).cast("long"))
         .as(s"_s$i"))
     val wide = df.groupBy(col(keyCol))
       .agg(sums.head, (sums.tail :+ count(lit(1)).as("_n")): _*)
     val stackArgs = (0 until nDims)
-      .map(i => s"$i, CAST(_s$i AS DOUBLE) / CAST(_n AS DOUBLE)").mkString(", ")
+      .map(i => s"$i, CAST(_s$i AS DOUBLE) / CAST(_n AS DOUBLE) / 1e7").mkString(", ")
     wide.select(col(keyCol),
       expr(s"stack($nDims, $stackArgs) AS (dim, mean_v)"))
   }

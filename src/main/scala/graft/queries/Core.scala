@@ -33,8 +33,13 @@ object Core {
         .agg(
           sum(col("l_quantity").cast("decimal(20,2)")).cast("double").as("sum_qty"),
           sum(col("l_extendedprice").cast("decimal(20,2)")).cast("double").as("sum_base_price"),
-          sum(disc.cast("decimal(25,6)")).cast("double").as("sum_disc_price"),
-          sum((disc * (lit(1) + col("l_tax"))).cast("decimal(25,8)")).cast("double").as("sum_charge"),
+          // big-sum guard: round the SUM to 4 frac digits before the double
+          // cast — at high SF the scale-6/8 sums exceed 2^53 scaled units,
+          // where DuckDB's decimal→double (int division, two roundings) can
+          // drift 1 ulp from Java's correctly-rounded conversion; the
+          // decimal→decimal rounding is exact integer math both agree on
+          sum(disc.cast("decimal(25,6)")).cast("decimal(38,4)").cast("double").as("sum_disc_price"),
+          sum((disc * (lit(1) + col("l_tax"))).cast("decimal(25,8)")).cast("decimal(38,4)").cast("double").as("sum_charge"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -225,8 +230,8 @@ object Core {
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
-        | CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(25,8))) AS DOUBLE) AS sum_charge,
+        | CAST(CAST(round(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))), 4) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+        | CAST(CAST(round(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(25,8))), 4) AS DECIMAL(38,4)) AS DOUBLE) AS sum_charge,
         | COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,

@@ -472,8 +472,8 @@ object Ext {
 
     "ext_centroids" ->
       """SELECT label, i - 1 AS dim,
-        |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE)
-        |    / CAST(COUNT(*) AS DOUBLE) AS mean_v
+        |  CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1e7) AS BIGINT)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) / 1e7 AS mean_v
         |FROM embeddings CROSS JOIN (SELECT unnest(range(1, 9)) AS i) dims
         |GROUP BY label, i ORDER BY label, dim""".stripMargin,
 

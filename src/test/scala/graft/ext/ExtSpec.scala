@@ -172,8 +172,8 @@ class ExtSpec extends SparkSpec {
     val viaExplode = e
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy("label", "dim")
-      .agg((sum(col("v").cast("double").cast("decimal(30,12)")).cast("double") /
-        count(lit(1)).cast("double")).as("mean_v"))
+      .agg((sum(round(col("v").cast("double") * lit(1e7)).cast("long")).cast("double") /
+        count(lit(1)).cast("double") / lit(1e7)).as("mean_v"))
       .orderBy("label", "dim").collect().toSeq
     assert(viaAgg.size == viaExplode.size)
     viaAgg.zip(viaExplode).foreach { case (a, b) =>
