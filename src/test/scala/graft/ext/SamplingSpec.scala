@@ -1,0 +1,55 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The reproducibility contracts of the sampling/splitting/packing family:
+  * assignments must not depend on partition layout, splits must be total and
+  * disjoint, and packed bins must match the single-partition reference. */
+class SamplingSpec extends SparkSpec {
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select("doc_id", "lang", "text")
+
+  test("stratified sample is identical regardless of partitioning") {
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Sampling.stratifiedSample(df, "doc_id", "lang", Map("en" -> 30), 60)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val base = ids(docs)
+    assert(base.nonEmpty && base.size < docs.count())
+    assert(ids(docs.repartition(7)) == base, "row membership must be layout-independent")
+    assert(ids(docs.coalesce(1)) == base)
+  }
+
+  test("split assignment is total, disjoint, and roughly proportional") {
+    val counts = docs
+      .groupBy(Sampling.splitAssign(col("doc_id"), 80, 10).as("split"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.count()
+    assert(counts.values.sum == total, "every row gets exactly one split")
+    assert(counts.keySet == Set("train", "valid", "test"))
+    assert(counts("train") > total * 6 / 10, "train band must dominate")
+  }
+
+  test("packSequences equals the single-partition window reference, bins are first-fit") {
+    val sized = docs.select(col("doc_id"),
+      size(TextStats.wsTokens(col("text"))).cast("long").as("toks"))
+    val window = 512L
+    val packed = Sampling.packSequences(sized.repartition(5), "doc_id", "toks", window)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // reference: plain global window on one partition (fine at test size)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ref = sized.coalesce(1)
+      .withColumn("bin", floor((sum(col("toks")).over(w) - col("toks")) / lit(window)))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(packed.toSeq == ref.toSeq, "distributed prefix sum must equal the window reference")
+    // bins are contiguous and non-decreasing in id order
+    packed.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 - a._3 <= (a._2 + b._2) / window + 1 && b._3 >= a._3)
+      case _ =>
+    }
+  }
+}
