@@ -111,6 +111,42 @@ object ScaleSmoke {
       assert(n.getLong(0) > 0)
     }
 
+    // 8. sampling family at 50M rows: pure-filter downsample + split counts
+    val samp = spark.range(0, 50000000L, 1, 256).toDF("doc_id")
+      .withColumn("lang", when(col("doc_id") % 3 === 0, "en").otherwise("de"))
+    time("stratified sample 50M (hash filter)") {
+      val kept = graft.ext.Sampling
+        .stratifiedSample(samp, "doc_id", "lang", Map("en" -> 30), 60).count()
+      // expectation: 1/3·30% + 2/3·60% = 50% ± hash noise
+      assert(kept > 24000000L && kept < 26000000L, s"sample rate off: $kept")
+    }
+    time("split assign 50M (hash bands)") {
+      val counts = samp.groupBy(graft.ext.Sampling.splitAssign(col("doc_id"), 80, 10).as("s"))
+        .agg(count(lit(1)).as("n")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts.values.sum == 50000000L && counts("train") > 39000000L)
+    }
+
+    // 9. sequence packing at 10M docs: two-pass prefix sum (no 1-partition window)
+    val toPack = spark.range(0, 10000000L, 1, 128).toDF("doc_id")
+      .withColumn("toks", (col("doc_id") % 900 + 100).cast("long"))
+    time("sequence packing 10M docs (prefix sum)") {
+      val out = graft.ext.Sampling.packSequences(toPack, "doc_id", "toks", 4096)
+      val stats = out.agg(max("bin"), count(lit(1))).first()
+      // total tokens ≈ 10M × 549.5 avg → ≈ 1.34M windows of 4096
+      assert(stats.getLong(1) == 10000000L)
+      assert(stats.getLong(0) > 1300000L && stats.getLong(0) < 1400000L)
+    }
+
+    // 10. contamination at 10M corpus vs 100k benchmark (broadcast semi)
+    val corpusFp = spark.range(0, 10000000L, 1, 128)
+      .select(col("id").as("doc_id"), md5(concat(lit("doc"), col("id"))).as("fp"))
+    val benchFp = spark.range(0, 100000L, 1, 8)
+      .select(md5(concat(lit("doc"), col("id") * 50)).as("fp"))
+    time("contamination 10M corpus x 100k benchmark") {
+      val hits = corpusFp.join(broadcast(benchFp), Seq("fp"), "left_semi").count()
+      assert(hits == 100000L, s"every benchmark doc (ids 0,50,100,…) must hit: $hits")
+    }
+
     spark.stop()
   }
 }
