@@ -210,6 +210,18 @@ object Ext {
       TextStats.fingerprint(t(s, dir, "documents"), "text")
         .drop("text").orderBy("doc_id")),
 
+    "ext_curation" -> ((s, dir) =>
+      // end-to-end corpus curation: every quality signal in ONE narrow scan
+      // (quality composite, repetition, token-count band) — the filter a
+      // training pipeline actually ships; all component signals are
+      // independently oracle-verified above
+      TextStats.repetitionScore(
+        TextStats.qualityScore(t(s, dir, "documents"), "text"), "text")
+        .where(col("quality") >= 0.45 && col("repetition") <= 0.05 &&
+          col("n_tokens") >= 20 && col("n_tokens") <= 1000)
+        .select("doc_id", "quality", "repetition", "n_tokens")
+        .orderBy("doc_id")),
+
     "ext_repetition" -> ((s, dir) =>
       // repeated-phrase quality signal: inflate every 5th doc with its own
       // first 8 words repeated, then score — repetition must move toward 1
@@ -576,6 +588,27 @@ object Ext {
          |SELECT doc_id, lang, source, n_chars, score_en, score_de, score_fr, score_es,
          |       $pick AS lang_pred
          |FROM scored ORDER BY doc_id""".stripMargin
+    },
+
+    "ext_curation" -> {
+      val toks = tokensSql("text")
+      val stopList = TextStats.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    len($toks) AS n_tokens,
+         |    (CAST(len(list_filter($toks, t -> list_contains($stopList, t))) AS DOUBLE) / CAST(len($toks) AS DOUBLE)) * 0.4
+         |      + (1.0 - CAST(len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / CAST(len(text) AS DOUBLE)) * 0.4
+         |      + (CASE WHEN len($toks) >= 20 AND len($toks) <= 1000 THEN 0.2 ELSE 0.0 END) AS quality,
+         |    ${TextHash.shinglesSql("text", 2)} AS grams
+         |  FROM documents)
+         |SELECT doc_id, quality,
+         |  1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE) AS repetition,
+         |  n_tokens
+         |FROM q
+         |WHERE quality >= 0.45
+         |  AND (1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)) <= 0.05
+         |  AND n_tokens >= 20 AND n_tokens <= 1000
+         |ORDER BY doc_id""".stripMargin
     },
 
     "ext_repetition" ->
