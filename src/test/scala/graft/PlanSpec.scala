@@ -51,6 +51,16 @@ class PlanSpec extends AnyFunSuite {
       "scan schema must be pruned to the projection")
   }
 
+  test("contamination: benchmark set broadcasts, corpus side semi-joins without shuffling") {
+    val p = plan("ext_contamination")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "must be a broadcast left-semi join of the small benchmark fingerprints")
+    // the only exchange allowed is the final result sort — never a corpus shuffle
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).toSeq
+    assert(!exchanges.exists(_.contains("hashpartitioning")),
+      s"corpus must not hash-shuffle for the semi join: $exchanges")
+  }
+
   test("merge broadcast strategy produces no full-outer sort-merge join") {
     val p = plan("j1_merge_upsert")
     // auto strategy at this size must pick the broadcast formulation
