@@ -74,6 +74,23 @@ object TextStats {
     scored.withColumn("lang_pred", pick)
   }
 
+  /** Corpus vocabulary statistics with a cardinality sketch: exact token
+    * count, HyperLogLog++ distinct-token estimate, and (for verification
+    * tiers) the exact distinct count. At 100 TB the exact distinct is a
+    * full shuffle of the token universe — the sketch is the production
+    * path (fixed-size register state, map-side mergeable, one narrow
+    * pass); the exact column exists for small-scale validation and is the
+    * first thing to drop at scale. HLL++ is deterministic for a given
+    * input set (register max is order-independent), but its value is
+    * engine-specific — so this operator is spec-verified (relative error
+    * vs exact), not oracle-hashed. */
+  def vocabStats(df: DataFrame, textCol: String, rsd: Double = 0.02): DataFrame =
+    df.select(explode(wsTokens(col(textCol))).as("token"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        approx_count_distinct(col("token"), rsd).as("vocab_approx"),
+        countDistinct(col("token")).as("vocab_exact"))
+
   /** Repetition score: 1 − distinct/total word bigrams — the classic
     * boilerplate/spam signal (repeated phrases ⇒ ratio → 1). Narrow
     * transform over the let-bound shingle array; scan speed at 100 TB. */

@@ -33,6 +33,17 @@ class SamplingSpec extends SparkSpec {
     assert(counts("train") > total * 6 / 10, "train band must dominate")
   }
 
+  test("vocab sketch: HLL estimate within rsd bounds of exact, deterministic") {
+    val out = TextStats.vocabStats(docs, "text").head()
+    val (nTok, approx, exact) = (out.getLong(0), out.getLong(1), out.getLong(2))
+    assert(nTok > 0 && exact > 0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.06,
+      s"HLL estimate $approx too far from exact $exact")
+    // determinism: same input set → same registers → same estimate
+    val again = TextStats.vocabStats(docs.repartition(9), "text").head().getLong(1)
+    assert(again == approx, "sketch must be order/partition independent")
+  }
+
   test("packSequences equals the single-partition window reference, bins are first-fit") {
     val sized = docs.select(col("doc_id"),
       size(TextStats.wsTokens(col("text"))).cast("long").as("toks"))
