@@ -146,6 +146,9 @@ object Dedup {
       labels = updated.select("id", "label")
       iter += 1
     }
+    // The final labels frame is checkpointed (returned to the caller, and
+    // lineage-free so this is safe); the edge blocks are no longer needed.
+    edges.unpersist(blocking = false)
     labels.select(col("id"), col("label").as("cluster"))
   }
 

@@ -65,9 +65,10 @@ object Sampling {
     *
     * A global running sum is the same distributed problem as gap-free row
     * numbers ([[graft.ops.RowNumbers]]): `sum().over(Window.orderBy(id))`
-    * collapses to ONE partition. Same cure: range-sort (CACHED — range
-    * partition boundaries are sampled with a per-action seed, so the sort
-    * must be frozen before multi-pass use), per-partition token totals +
+    * collapses to ONE partition. Same cure: range-sort (eagerly
+    * localCheckpointed — range partition boundaries are sampled with a
+    * per-action seed, so the sort must be frozen before multi-pass use),
+    * per-partition token totals +
     * driver-side exclusive prefix sum (O(#partitions)), then a
     * partition-local cumulative window. */
   def packSequences(
@@ -79,11 +80,16 @@ object Sampling {
   ): DataFrame = {
     val pid = "__graft_pack_pid"
     val mono = "__graft_pack_mono"
-    val sorted = df.sort(col(idCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val work = sorted
+    // One eager localCheckpoint (not persist + lazy reuse): the range sort
+    // with its per-action sampled boundaries and the pid/mono columns are
+    // materialized exactly once, so the stats collect and the output action
+    // read identical partitioning, and there is no separately pinned cache
+    // entry to leak — the checkpoint blocks are reclaimed by Spark's
+    // ContextCleaner once the returned frame is unreferenced.
+    val work = df.sort(col(idCol))
       .withColumn(pid, spark_partition_id())
       .withColumn(mono, monotonically_increasing_id())
+      .localCheckpoint(eager = true)
     val stats = work.groupBy(col(pid))
       .agg(sum(col(tokenCol).cast("long")).as("toks"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)

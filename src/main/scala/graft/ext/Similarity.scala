@@ -65,7 +65,11 @@ object Similarity {
     * aggregation keeps ≤ k candidates per mapper per query, so the shuffle
     * carries mappers × k rows instead of EVERY scored candidate — the
     * window formulation (fallback) shuffles the full scored set to rank it.
-    * Identical output either way (TopKAggregateSpec). */
+    * Identical output either way (TopKAggregateSpec): both paths exclude
+    * null-score/null-id rows (the aggregate skips them in update; the
+    * fallback filters them explicitly below), and NaN scores rank first in
+    * both (Spark sorts NaN above all doubles; the buffer uses
+    * java.lang.Double.compare). */
   private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     if (org.apache.spark.sql.SparkSession.getActiveSession
           .exists(_.catalog.functionExists("graft_topk"))) {
@@ -77,7 +81,8 @@ object Similarity {
     } else {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
-      scored.withColumn("rank", row_number().over(w))
+      scored.where(col("cosine").isNotNull && col("c_id").isNotNull)
+        .withColumn("rank", row_number().over(w))
         .where(col("rank") <= k)
         .select("q_id", "c_id", "rank", "cosine")
     }

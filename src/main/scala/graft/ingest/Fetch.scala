@@ -53,10 +53,18 @@ object Fetch {
   private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Transparent staging: remote URLs are fetched to scratch (once per URL
-    * per process); local/Hadoop paths pass through untouched. */
+    * per process); local/Hadoop paths pass through untouched.
+    *
+    * A cache hit re-validates that the staged file still exists (tmp
+    * cleaners on long-lived drivers can reap scratch files) and re-fetches
+    * if it is gone. The cache keys on URL only: the FIRST fetch's options
+    * (headers/scratchDir/timeouts) win for that URL's lifetime in this
+    * process — call [[clearStaged]] to re-fetch under different options. */
   def stage(path: String, opts: FetchOptions = FetchOptions()): String =
     if (!isRemote(path)) path
-    else staged.computeIfAbsent(path, url => toScratch(url, opts).path)
+    else staged.compute(path, (url, cached) =>
+      if (cached != null && Files.exists(Paths.get(cached))) cached
+      else toScratch(url, opts).path)
 
   /** Drop the per-process staging cache (tests; long-lived drivers that
     * re-ingest a mutated resource). */

@@ -33,7 +33,10 @@ object Reader {
       // pandas dayfirst + keep_default_na=False → only "" is null):
       dateFormat: String = "yyyy-MM-dd",
       timestampFormat: String = "yyyy-MM-dd HH:mm:ss[.SSSSSS]",
-      nullValue: String = ""
+      nullValue: String = "",
+      // HTTP(S) staging knobs for remote sources — on a cluster point
+      // fetch.scratchDir at a shared filesystem so executors see the file.
+      fetch: Fetch.FetchOptions = Fetch.FetchOptions()
   )
 
   def read(spark: SparkSession, path: String, opts: ReadOptions = ReadOptions()): DataFrame = {
@@ -54,7 +57,7 @@ object Reader {
     * sources are staged to scratch first ([[Fetch]]) — one download per URL
     * per process, shared by the infer/validate/load passes. */
   def readRaw(spark: SparkSession, rawPath: String, fmt: SourceFormat, opts: ReadOptions): DataFrame = {
-    val path = Fetch.stage(rawPath)
+    val path = Fetch.stage(rawPath, opts.fetch)
     fmt match {
       case SourceFormat.Csv | SourceFormat.Tsv =>
         val sep = if (fmt == SourceFormat.Tsv) "\t" else ","

@@ -20,6 +20,10 @@ import org.apache.spark.sql.types._
   * query and merge is a k-way bounded merge. Same (score desc, id asc)
   * total order as the window formulation — byte-identical results
   * (TopKAggregateSpec, and the similarity gate queries route through it).
+  *
+  * Contract: rows with a null score or null id are EXCLUDED (the window
+  * fallback in Similarity.rankTopK filters them identically); NaN scores
+  * rank above all doubles and -0.0 == 0.0, matching Spark's sort order.
   */
 case class TopKByAggregate(
     score: Expression,
@@ -40,10 +44,17 @@ case class TopKByAggregate(
     else if (id.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
         s"graft_topk id must be bigint, got ${id.dataType.catalogString}")
-    else if (!kExpr.foldable || kExpr.eval(null) == null ||
-      kExpr.eval(null).asInstanceOf[Number].intValue() <= 0)
-      TypeCheckResult.TypeCheckFailure("graft_topk k must be a positive literal")
-    else TypeCheckResult.TypeCheckSuccess
+    else if (!kExpr.foldable ||
+      !Seq(ByteType, ShortType, IntegerType, LongType).contains(kExpr.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_topk k must be an integral literal, got ${kExpr.dataType.catalogString}")
+    else {
+      val kv = kExpr.eval(null)
+      val kl = if (kv == null) 0L else kv.asInstanceOf[Number].longValue()
+      if (kl <= 0L || kl > Int.MaxValue.toLong)
+        TypeCheckResult.TypeCheckFailure("graft_topk k must be a positive int literal")
+      else TypeCheckResult.TypeCheckSuccess
+    }
 
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
@@ -87,16 +98,25 @@ case class TopKByAggregate(
 }
 
 /** Sorted bounded buffer: at most k (score, id) entries, kept in
-  * (score desc, id asc) order — inserts are O(k) shifts, k is small. */
+  * (score desc, id asc) order — inserts are O(k) shifts, k is small.
+  *
+  * The score order is the TOTAL order `java.lang.Double.compare` (NaN ranks
+  * greatest, matching Spark's `ORDER BY score DESC` which sorts NaN above
+  * all doubles), and -0.0 is normalized to 0.0 on insert (as Spark's
+  * NormalizeFloatingNumbers does before sorting) — so the aggregate and the
+  * window formulation agree even on NaN / signed-zero scores. */
 final class TopKBuffer(val k: Int) {
   private var n = 0
   private val scores = new Array[Double](k)
   private val ids = new Array[Long](k)
 
-  @inline private def ranksBefore(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && i1 < i2)
+  @inline private def ranksBefore(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && i1 < i2)
+  }
 
-  def insert(s: Double, i: Long): Unit = {
+  def insert(s0: Double, i: Long): Unit = {
+    val s = if (s0 == 0.0d) 0.0d else s0 // -0.0 → 0.0, as Spark normalizes
     if (n == k && !ranksBefore(s, i, scores(n - 1), ids(n - 1))) return
     var p = if (n < k) { n += 1; n - 1 } else n - 1
     scores(p) = s

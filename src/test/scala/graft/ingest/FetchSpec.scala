@@ -58,6 +58,25 @@ class FetchSpec extends SparkSpec {
     }
   }
 
+  test("cache hit re-validates the staged file and re-fetches if reaped") {
+    withServer { (server, port) =>
+      val hits = new AtomicInteger(0)
+      server.createContext("/reap.csv", (ex: HttpExchange) => {
+        hits.incrementAndGet()
+        respond(ex, 200, Csv.getBytes(StandardCharsets.UTF_8))
+      })
+      Fetch.clearStaged()
+      val url = s"http://127.0.0.1:$port/reap.csv"
+      val first = Fetch.stage(url)
+      assert(Fetch.stage(url) == first && hits.get() == 1)
+      // a tmp cleaner reaps the scratch file on a long-lived driver
+      java.nio.file.Files.delete(java.nio.file.Paths.get(first))
+      val second = Fetch.stage(url)
+      assert(hits.get() == 2, "dead staged path must trigger a re-fetch")
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(second)))
+    }
+  }
+
   test("gzip suffix survives staging so the codec is auto-detected") {
     withServer { (server, port) =>
       val bytes = {

@@ -51,6 +51,48 @@ class TopKAggregateSpec extends SparkSpec {
     assert(ab.rows.toSeq == all.rows.toSeq)
   }
 
+  test("NaN scores rank first (Spark sort order) and -0.0 ties 0.0 on id") {
+    // NaN sorts above all doubles in Spark's ORDER BY ... DESC; -0.0 is
+    // normalized, so the 0.0/-0.0 pair must tie-break on id, not sign.
+    val rows = Seq(
+      (0L, 1L, Double.NaN), (0L, 2L, 3.0), (0L, 3L, 0.0),
+      (0L, 4L, -0.0), (0L, 5L, Double.NegativeInfinity))
+    val df = spark.createDataFrame(rows).toDF("q_id", "c_id", "cosine")
+    val viaAgg = Similarity.rankTopK(df, 4).orderBy("rank")
+      .select("c_id").collect().map(_.getLong(0)).toSeq
+    assert(viaAgg == Seq(1L, 2L, 3L, 4L), s"got $viaAgg")
+    // buffer-level: merge order can't change the NaN/zero handling
+    val buf = new TopKBuffer(4)
+    rows.foreach { case (_, i, s) => buf.insert(s, i) }
+    assert(buf.rows.map(_._2).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("null scores are excluded on both the aggregate and window paths") {
+    val df = spark.createDataFrame(Seq(
+        (0L, 1L, Some(2.0)), (0L, 2L, None), (0L, 3L, Some(1.0))))
+      .toDF("q_id", "c_id", "cosine")
+    val viaAgg = Similarity.rankTopK(df, 3)
+      .select("c_id").collect().map(_.getLong(0)).toSet
+    assert(viaAgg == Set(1L, 3L))
+  }
+
+  test("non-integral or non-positive k fails analysis cleanly") {
+    val df = spark.range(3).select(col("id").cast("double").as("s"), col("id").as("i"))
+    df.createOrReplaceTempView("topk_check_in")
+    val badK = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_topk(s, i, 'x') FROM topk_check_in").collect()
+    }
+    assert(badK.getMessage.contains("graft_topk"))
+    val fracK = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_topk(s, i, 2.7) FROM topk_check_in").collect()
+    }
+    assert(fracK.getMessage.contains("graft_topk"))
+    val zeroK = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_topk(s, i, 0) FROM topk_check_in").collect()
+    }
+    assert(zeroK.getMessage.contains("graft_topk"))
+  }
+
   test("knn queries use the bounded aggregate, not a window shuffle") {
     val plan = graft.SparkEntry.queries("ext_knn_cosine")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
