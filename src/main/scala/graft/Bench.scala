@@ -25,8 +25,14 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // isolate queries: caches built by one query must not distort the next
+      // isolate queries: caches built by one query must not distort the next.
+      // The explicit GC lets Spark's ContextCleaner reap localCheckpoint
+      // blocks dropped by earlier queries (they are freed only when the RDD
+      // is garbage-collected) — without it, block-memory pressure from the
+      // iterative operators builds across the suite and GC pauses land on
+      // whatever query runs late.
       spark.sqlContext.clearCache()
+      System.gc()
       if (warmup) run(fn)
       val t0 = System.nanoTime()
       run(fn)
