@@ -152,6 +152,36 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster"))
   }
 
+  /** Incremental dedup: which rows of a NEW batch are genuinely new
+    * against an existing corpus — the steady-state operation of a crawl
+    * pipeline, where the corpus is 100 TB and each incoming batch is
+    * comparatively tiny.
+    *
+    * The 100 TB contract: the corpus is scanned ONCE and never shuffled.
+    * The batch's fingerprint set broadcasts into a left-semi probe of the
+    * corpus scan (collisions ≤ |batch| distinct fingerprints come back);
+    * that tiny collision set then anti-joins the batch (AQE broadcasts it).
+    * Compare the naive formulation — `batch ANTI JOIN corpus` — which
+    * hash-partitions the ENTIRE corpus for every batch.
+    *
+    * Returns (fingerprint, keep_id, copies): one row per distinct new
+    * content (within-batch duplicates collapse to the min id). */
+  def incrementalNew(
+      corpus: DataFrame,
+      batch: DataFrame,
+      textCol: String,
+      idCol: String
+  ): DataFrame = {
+    val bh = batch.select(col(idCol), md5(col(textCol)).as("fingerprint"))
+    val probe = bh.select("fingerprint").distinct()
+    val hits = corpus.select(md5(col(textCol)).as("fingerprint"))
+      .join(broadcast(probe), Seq("fingerprint"), "left_semi")
+      .distinct()
+    bh.join(hits, Seq("fingerprint"), "left_anti")
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+  }
+
   /** Materialize the deduplicated corpus: keep one canonical row per
     * near-dup component (the minimum-id member), pass through rows that
     * duplicate nothing.

@@ -58,6 +58,44 @@ object Sampling {
         TextHash.hmod(concat(col(idCol).cast("string"), lit(":" + salt))))
       .orderBy(col("shuffle_key").asc, col(idCol).asc)
 
+  /** Domain-mix quota cap: keep at most `k` rows per group, selected by
+    * salted-hash order (deterministic "random" — change the salt to draw a
+    * different cap set; same salt always reproduces the mix). This is the
+    * corpus-balancing step of a pretraining pipeline: cap overrepresented
+    * domains/languages before mixing.
+    *
+    * Scale shape: routed through the bounded `graft_topk` aggregate when
+    * registered — each mapper retains ≤ k candidates per group, so the
+    * shuffle carries mappers × k rows per group instead of the ENTIRE
+    * overrepresented group (the window formulation's cost, which at 100 TB
+    * is precisely the domain you are trying to cap). Hash values are
+    * < 2^31 (mod-P md5), so negating into a double score is exact.
+    * Returns (groupCol, idCol, rank ∈ 1..k). */
+  def quotaCap(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      k: Int,
+      salt: String
+  ): DataFrame = {
+    val h = TextHash.hmod(concat(col(idCol).cast("string"), lit(":" + salt)))
+    val keyed = df.select(col(groupCol), col(idCol).cast("long").as(idCol))
+      .withColumn("__qh", h)
+    if (df.sparkSession.catalog.functionExists("graft_topk")) {
+      keyed.groupBy(groupCol)
+        .agg(call_function("graft_topk",
+          negate(col("__qh").cast("double")), col(idCol), lit(k)).as("top"))
+        .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col(groupCol), col("t.id").as(idCol), (col("pos") + 1).as("rank"))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCol).orderBy(col("__qh").asc, col(idCol).asc)
+      keyed.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select(col(groupCol), col(idCol), col("rank"))
+    }
+  }
+
   /** Sequence packing: assign each document to a fixed-size token window
     * (`bin` = which training sequence it packs into) by the EXCLUSIVE
     * running token total in deterministic id order — greedy first-fit in

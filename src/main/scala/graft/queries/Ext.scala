@@ -1,6 +1,7 @@
 package graft.queries
 
-import graft.ext.{Dedup, Sampling, Similarity, TextHash, TextStats}
+import graft.ext.{Boilerplate, Dedup, Sampling, Similarity, TextHash, TextStats}
+import graft.ops.{AsOfJoin, Profile}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -248,7 +249,62 @@ object Ext {
         "text")
         .select(col("doc_id"), md5(col("redacted")).as("redacted_md5"),
           (length(col("text")) - length(col("redacted"))).as("delta_len"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    "ext_incremental_dedup" -> ((s, dir) => {
+      // steady-state crawl dedup: corpus = existing docs, batch = a new
+      // crawl containing fresh content (suffixed) AND re-crawls of existing
+      // docs; only the fresh content must survive. The corpus is scanned
+      // once and NEVER shuffled (broadcast-probe semi + tiny anti-join).
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.where(col("doc_id") % 10 =!= 0)
+      val batch = docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" fresh")).as("text"))
+        .unionByName(docs.where(col("doc_id") % 20 === 1)
+          .select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
+      Dedup.incrementalNew(corpus, batch, "text", "doc_id").orderBy("keep_id")
+    }),
+
+    "ext_boilerplate" -> ((s, dir) => {
+      // C4-style boilerplate removal: a 10-word banner planted on every 3rd
+      // doc appears across ≥3 docs → removed everywhere; genuine content
+      // (plus any organically repeated segments) follows the same rule.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val banner = "subscribe to our newsletter for daily updates and special offers"
+      val corpus = docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(lit(banner + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      Boilerplate.stripBoilerplate(corpus, "text", "doc_id", w = 10, minDocs = 3)
+        .orderBy("doc_id")
+    }),
+
+    "ext_profile" -> ((s, dir) =>
+      // per-column batch profiling (ingest acceptance report) — exact tier;
+      // string-rendered min/max restricted to engine-portable types
+      Profile.profile(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("col_name")),
+
+    "ext_asof_join" -> ((s, dir) => {
+      // point-in-time lookup: each purchase gets the latest prior click of
+      // the same user — one union + keyed running window, no per-row probe
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("us"), col("event_type"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "us")
+      val clicks = e.where(col("event_type") === "click").select("user_id", "us")
+      AsOfJoin.asOfTime(purchases, clicks, "user_id", "us", "click_us")
+        .orderBy("event_id")
+    }),
+
+    "ext_quota_cap" -> ((s, dir) =>
+      // domain-mix balancing: ≤50 docs per language by salted-hash draw,
+      // via the bounded graft_topk aggregate (the overrepresented group
+      // never fully shuffles)
+      Sampling.quotaCap(t(s, dir, "documents"), "lang", "doc_id", k = 50, salt = "mix1")
+        .orderBy("lang", "rank"))
   )
 
   // --------------------------------------------------------------------
@@ -652,6 +708,75 @@ object Ext {
          |  list_reduce(list_prepend(0::BIGINT,
          |    [ascii(substr(norm, i, 1))::BIGINT FOR i IN range(1, len(norm)+1)]),
          |    (a,x) -> (a*31 + x) % $P) AS fp_rolling
-         |FROM nrm ORDER BY doc_id""".stripMargin
+         |FROM nrm ORDER BY doc_id""".stripMargin,
+
+    "ext_incremental_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        |batch AS (
+        |  SELECT doc_id + 3000000 AS doc_id, text || ' fresh' AS text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, text FROM documents WHERE doc_id % 20 = 1),
+        |bh AS (SELECT doc_id, md5(text) AS fingerprint FROM batch)
+        |SELECT fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS copies
+        |FROM bh
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM corpus c WHERE md5(c.text) = bh.fingerprint)
+        |GROUP BY fingerprint ORDER BY keep_id""".stripMargin,
+
+    "ext_boilerplate" -> {
+      val segs = Boilerplate.segmentsSql("text", 10)
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'subscribe to our newsletter for daily updates and special offers ' || text
+        |      ELSE text END AS text
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, unnest(s) AS seg, generate_subscripts(s, 1) - 1 AS seg_idx
+        |  FROM (SELECT doc_id, SEGSQL AS s FROM corpus)),
+        |boiler AS (
+        |  SELECT md5(seg) AS h FROM segs
+        |  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3)
+        |SELECT doc_id,
+        |  string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+        |FROM segs WHERE md5(seg) NOT IN (SELECT h FROM boiler)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        .replace("SEGSQL", segs)
+    },
+
+    "ext_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n,
+           |  COUNT(*) - COUNT($c) AS n_null, COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_s, CAST(MAX($c) AS VARCHAR) AS max_s
+           |FROM orders""".stripMargin
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+
+    "ext_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts)//1000 AS us, event_type
+        |  FROM events)
+        |SELECT p.event_id, p.user_id, p.us,
+        |  (SELECT MAX(c.us) FROM e c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |     AND c.us <= p.us) AS click_us
+        |FROM e p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+
+    "ext_quota_cap" ->
+      s"""WITH h AS (
+         |  SELECT lang, doc_id,
+         |    ${TextHash.hmodSql("(doc_id :: VARCHAR || ':mix1')")} AS qh
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang ORDER BY qh ASC, doc_id ASC) AS rank
+         |  FROM h)
+         |SELECT lang, doc_id, rank FROM r WHERE rank <= 50
+         |ORDER BY lang, rank""".stripMargin
   )
 }

@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** As-of join semantics (inclusive match, per-key isolation, no-match null)
+  * and per-column profiling (null/distinct/bounds, exact vs approx tier). */
+class AsOfProfileSpec extends SparkSpec {
+
+  test("asOfTime: latest right <= left time, per key, inclusive ties") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, 100L), // user 10: click at 100 exactly → inclusive match
+      (2L, 10L, 250L), // user 10: latest of {100, 200}
+      (3L, 20L, 50L), // user 20: no click yet → null
+      (4L, 30L, 99L) // user 30 has no clicks at all → null
+    ).toDF("event_id", "user_id", "us")
+    val right = Seq((10L, 100L), (10L, 200L), (20L, 60L))
+      .toDF("user_id", "us")
+    val got = AsOfJoin.asOfTime(left, right, "user_id", "us", "click_us")
+      .orderBy("event_id")
+      .select("event_id", "click_us")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(got.toSeq == Seq(
+      1L -> Some(100L), 2L -> Some(200L), 3L -> None, 4L -> None))
+  }
+
+  test("asOfTime preserves every left column and row count") {
+    import spark.implicits._
+    val left = Seq((1L, 5L, 10L, "x"), (2L, 5L, 20L, "y"))
+      .toDF("event_id", "user_id", "us", "payload")
+    val right = Seq((5L, 15L)).toDF("user_id", "us")
+    val out = AsOfJoin.asOfTime(left, right, "user_id", "us")
+    assert(out.columns.toSeq == Seq("event_id", "user_id", "us", "payload", "asof_time"))
+    assert(out.count() == 2)
+  }
+
+  test("profile: nulls, distincts, and string-rendered bounds per column") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), None), (None, Some("b")), (Some(2L), Some("a")))
+      .toDF("k", "s")
+    val rows = Profile.profile(df, Seq("k", "s")).orderBy("col_name").collect()
+    val k = rows(0)
+    assert(k.getString(0) == "k" && k.getLong(1) == 4 && k.getLong(2) == 1 &&
+      k.getLong(3) == 2 && k.getString(4) == "1" && k.getString(5) == "2")
+    val s = rows(1)
+    assert(s.getString(0) == "s" && s.getLong(2) == 1 && s.getLong(3) == 2 &&
+      s.getString(4) == "a" && s.getString(5) == "b")
+  }
+
+  test("profile approx tier stays within HLL error and avoids Expand blowup") {
+    val df = spark.range(10000).select(
+      (col("id") % 1000).as("m"), col("id").as("u"))
+    val approx = Profile.profile(df, Seq("m", "u"), exact = false).collect()
+    val byName = approx.map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(math.abs(byName("m") - 1000L) < 100, s"m: ${byName("m")}")
+    assert(math.abs(byName("u") - 10000L) < 1000, s"u: ${byName("u")}")
+    val plan = Profile.profile(df, Seq("m", "u"), exact = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "approx tier must be a single pass, no Expand")
+  }
+}
