@@ -87,5 +87,7 @@ object GraftExtensions {
         require(children.size == 3, "graft_topk(score, id, k) takes three arguments")
         TopKByAggregate(children.head, children(1), children(2))
       }))
+    // plan rewrite: window row_number-top-k → bounded graft_topk aggregate
+    ext.injectOptimizerRule(_ => TopKWindowRewrite)
   }
 }
