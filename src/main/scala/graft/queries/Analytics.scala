@@ -149,6 +149,48 @@ object Analytics {
           col("n"), col("sum_qty"))
         .orderBy("g_flag", "g_status", "flag", "status")),
 
+    // CUBE: all grouping-set combinations in one pass (complements rollup)
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping(col("l_returnflag")).as("g_flag"),
+          grouping(col("l_linestatus")).as("g_status"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(20,2)")).cast("double").as("sum_qty"))
+        .select(col("g_flag"), col("g_status"),
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))
+        .orderBy("g_flag", "g_status", "flag", "status")),
+
+    // ntile quartiles within each priority class (partitioned — no global
+    // single-partition sort; unique (price, key) tiebreak for determinism)
+    "q_ntile" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(20,2)")).cast("double").as("sum_price"))
+        .orderBy("o_orderpriority", "quartile")
+    }),
+
+    // lag/lead: per-user inter-event gap and next event type (keyed window,
+    // scales with users × events-per-user, no global sort)
+    "q_lag_lead" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("event_id").asc)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("us"), col("event_type"))
+        .withColumn("prev_gap_us", col("us") - lag(col("us"), 1).over(w))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .select("event_id", "user_id", "prev_gap_us", "next_type")
+        .orderBy("event_id")
+    }),
+
     // exact percentiles (sort-based; both engines interpolate identically)
     "q_percentiles" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -278,6 +320,34 @@ object Analytics {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status, flag, status""".stripMargin,
+
+    "q_cube" ->
+      """SELECT grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+        |  COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, flag, status""".stripMargin,
+
+    "q_ntile" ->
+      """WITH q AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    ntile(4) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile
+        |  FROM orders)
+        |SELECT o_orderpriority, quartile, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_price
+        |FROM q GROUP BY o_orderpriority, quartile
+        |ORDER BY o_orderpriority, quartile""".stripMargin,
+
+    "q_lag_lead" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts)//1000 AS us, event_type
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  us - lag(us, 1) OVER (PARTITION BY user_id ORDER BY event_id ASC) AS prev_gap_us,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id ASC) AS next_type
+        |FROM e ORDER BY event_id""".stripMargin,
 
     "q_percentiles" ->
       """SELECT o_orderpriority, COUNT(*) AS n,

@@ -147,6 +147,56 @@ object ScaleSmoke {
       assert(hits == 100000L, s"every benchmark doc (ids 0,50,100,…) must hit: $hits")
     }
 
+    // 11. incremental dedup: 20M corpus x 200k batch, half re-crawls.
+    // The corpus side must stay scan-only (broadcast probe, no shuffle).
+    val corpusTx = spark.range(0, 20000000L, 1, 128)
+      .select(col("id").as("doc_id"), concat(lit("content-"), col("id")).as("text"))
+    val batchTx = spark.range(0, 200000L, 1, 16)
+      .select((col("id") + 100000000L).as("doc_id"),
+        when(col("id") % 2 === 0, concat(lit("content-"), col("id") * 100)) // re-crawl
+          .otherwise(concat(lit("new-"), col("id"))).as("text"))
+    time("incremental dedup 20M corpus x 200k batch") {
+      val fresh = graft.ext.Dedup.incrementalNew(corpusTx, batchTx, "text", "doc_id").count()
+      assert(fresh == 100000L, s"exactly the new half must survive: $fresh")
+    }
+
+    // 12. boilerplate strip at 2M docs (40 tokens = 4 segments each, one
+    // shared 10-token banner on 30% of docs)
+    val banner10 = (0 until 10).map(i => s"banner$i").mkString(" ")
+    val bpDocs = spark.range(0, 2000000L, 1, 128)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ",
+          when(col("id") % 3 === 0, lit(banner10)).otherwise(concat(lit("u"), col("id"))) +:
+            (0 until 30).map(i => concat(lit("w"), col("id") * 30 + lit(i))): _*).as("text"))
+    time("boilerplate strip 2M docs (4 segs each)") {
+      val out = graft.ext.Boilerplate.stripBoilerplate(bpDocs, "text", "doc_id", 10, 3)
+      val n = out.where(col("clean_text").contains("banner0")).count()
+      assert(n == 0L, s"banner must be stripped everywhere: $n")
+    }
+
+    // 13. as-of join: 20M left x 20M right over 1M keys — one keyed
+    // shuffle + O(n) running window, no per-row probing
+    val leftEv = spark.range(0, 20000000L, 1, 128)
+      .select(col("id").as("event_id"), (col("id") % 1000000L).as("user_id"),
+        (col("id") * 7 % 86400000L).as("us"))
+    val rightEv = spark.range(0, 20000000L, 1, 128)
+      .select((col("id") % 1000000L).as("user_id"),
+        (col("id") * 13 % 86400000L).as("us"))
+    time("as-of join 20M x 20M over 1M keys") {
+      val matched = graft.ops.AsOfJoin.asOfTime(leftEv, rightEv, "user_id", "us")
+        .where(col("asof_time").isNotNull).count()
+      assert(matched > 15000000L, s"most events should find a prior match: $matched")
+    }
+
+    // 14. quota cap at 50M rows, 100 groups → bounded aggregate keeps
+    // ≤ mappers×k per group in the shuffle, not the 500k-row groups
+    val quotaIn = spark.range(0, 50000000L, 1, 256)
+      .select(concat(lit("g"), col("id") % 100).as("grp"), col("id").as("doc_id"))
+    time("quota cap 50M rows, 100 groups, k=1000") {
+      val n = graft.ext.Sampling.quotaCap(quotaIn, "grp", "doc_id", 1000, "epoch0").count()
+      assert(n == 100000L, s"100 groups x 1000: $n")
+    }
+
     spark.stop()
   }
 }
