@@ -25,6 +25,17 @@ final case class DocEvent(source: String, tokens: Long, ts: java.sql.Timestamp)
 /** Cumulative per-source counters as of the emitting micro-batch. */
 final case class SourceRunning(source: String, docs: Long, tokens: Long)
 
+/** One interaction on the attribution stream (`kind` ∈ click|purchase). */
+final case class InteractionEvent(user_id: Long, kind: String, ts: java.sql.Timestamp)
+
+/** A finalized attribution: the latest click at-or-before the purchase
+  * (epoch millis; None = no prior click within the retained horizon). */
+final case class AttributedPurchase(user_id: Long, purchase_ms: Long, click_ms: Option[Long])
+
+/** Per-user attribution state: collapsed max mature click + the
+  * within-watermark click/purchase tails (see streamingAsOf). */
+final case class AsOfState(mature: Option[Long], clicks: Seq[Long], purchases: Seq[Long])
+
 object StreamingIngest {
 
   /** Incrementally ingest files appearing under `sourceDir` into `table`.
@@ -178,6 +189,80 @@ object StreamingIngest {
             state.setTimeoutTimestamp(
               math.max(state.getCurrentWatermarkMs(), maxTs) + idleGapMs)
             Iterator(SourceRunning(source, next._1, next._2))
+          }
+      }
+  }
+
+  /** Streaming as-of attribution — the unbounded counterpart of
+    * [[graft.ops.AsOfJoin]]: for every purchase, the latest click of the
+    * same user at-or-before it, emitted exactly once and only when the
+    * event-time watermark guarantees no earlier click can still arrive.
+    *
+    * State per user is BOUNDED by the watermark, not the stream: a purchase
+    * buffers only until the watermark passes its timestamp; clicks at or
+    * below the watermark collapse to a single max — valid because every
+    * still-finalizable purchase is strictly younger than the watermark, so
+    * only the latest mature click can ever win for it. So state = one long
+    * + the in-flight (within-watermark) click/purchase tails. Event-time
+    * timeout finalizes users that stop receiving events (their pending
+    * purchases resolve against the clicks seen) and then evicts them; a
+    * purchase arriving after its user was idle-evicted loses pre-eviction
+    * clicks — the documented horizon tradeoff, tune `idleGapMs`. */
+  def streamingAsOf(
+      ds: org.apache.spark.sql.Dataset[InteractionEvent],
+      watermark: String = "10 minutes",
+      idleGapMs: Long = 30L * 60 * 1000
+  ): org.apache.spark.sql.Dataset[AttributedPurchase] = {
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def finalizeReady(user: Long, wm: Long, s: AsOfState): (Seq[AttributedPurchase], AsOfState) = {
+      val (done, pending) = s.purchases.partition(_ <= wm)
+      // invariant: every pending purchase ts > every collapsed click, so
+      // `mature` always qualifies as a candidate without a filter
+      val out = done.sorted.map { p =>
+        val cands = s.clicks.filter(_ <= p) ++ s.mature
+        AttributedPurchase(user, p, if (cands.isEmpty) None else Some(cands.max))
+      }
+      val (matureNow, freshClicks) = s.clicks.partition(_ <= wm)
+      val newMature =
+        if (matureNow.isEmpty) s.mature
+        else Some(math.max(s.mature.getOrElse(Long.MinValue), matureNow.max))
+      (out, AsOfState(newMature, freshClicks, pending))
+    }
+
+    ds.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, AttributedPurchase](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, events: Iterator[InteractionEvent], state: GroupState[AsOfState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          if (state.hasTimedOut) {
+            val (out, rest) = finalizeReady(user, wm,
+              state.getOption.getOrElse(AsOfState(None, Nil, Nil)))
+            if (rest.purchases.isEmpty) state.remove() // nothing left to resolve
+            else {
+              state.update(rest)
+              state.setTimeoutTimestamp(wm + idleGapMs)
+            }
+            out.iterator
+          } else {
+            var clicks = Seq.empty[Long]
+            var purchases = Seq.empty[Long]
+            var maxTs = Long.MinValue
+            events.foreach { e =>
+              val t = e.ts.getTime
+              if (t > maxTs) maxTs = t
+              if (e.kind == "click") clicks = clicks :+ t
+              else if (e.kind == "purchase") purchases = purchases :+ t
+            }
+            val prev = state.getOption.getOrElse(AsOfState(None, Nil, Nil))
+            val (out, rest) = finalizeReady(user, wm,
+              AsOfState(prev.mature, prev.clicks ++ clicks, prev.purchases ++ purchases))
+            state.update(rest)
+            // watermark is 0 during the first batch — anchor on event times
+            state.setTimeoutTimestamp(math.max(wm, maxTs) + idleGapMs)
+            out.iterator
           }
       }
   }
