@@ -96,6 +96,37 @@ final class TableStore(spark: SparkSession, root: String) {
     overwrite(name, shaped.sortWithinPartitions(keys: _*))
   }
 
+  /** Overwrite as a BUCKETED catalog table: hash-bucketed (and sorted)
+    * on `keys` into `numBuckets` files per writer task. Two tables bucketed
+    * identically join/merge on those keys with NO exchange on either side —
+    * the co-location lever for 100 TB steady-state merges: bucket the
+    * target once, bucket each staging batch the same way, and the per-batch
+    * full-outer MERGE stops reshuffling the target. Bucketing metadata
+    * needs the session catalog (Spark cannot record output partitioning
+    * for path tables — see [[overwriteClustered]] for the path-table
+    * stand-in, which gives file skipping but not shuffle elimination);
+    * data lands under this store's root, catalog entry `graft_bkt_<name>`.
+    * Scan through [[scanBucketed]]; plain [[scan]] would read the files
+    * but lose the bucketing guarantee. */
+  def overwriteBucketed(name: String, df: DataFrame, keys: Seq[String],
+      numBuckets: Int): Unit = {
+    val dir = new Path(tableDir(name), s"bucketed").toString
+    val catalog = bucketedCatalogName(name)
+    spark.sql(s"DROP TABLE IF EXISTS `$catalog`")
+    df.write.format("parquet").option("path", dir)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .mode("overwrite")
+      .saveAsTable(catalog)
+  }
+
+  /** Scan a bucketed table WITH its bucketing metadata (via the catalog). */
+  def scanBucketed(name: String): DataFrame =
+    spark.table(bucketedCatalogName(name))
+
+  private def bucketedCatalogName(name: String): String =
+    "graft_bkt_" + name.replaceAll("[^a-zA-Z0-9_]", "_")
+
   /** Append ONLY the incoming batch as a new snapshot (no table rewrite);
     * evolution by field addition, type changes rejected. */
   def append(name: String, df: DataFrame): Unit =

@@ -133,6 +133,40 @@ class TableStoreSpec extends SparkSpec {
       s"clustered ($clustered) must read far less than shuffled ($shuffled)")
   }
 
+  test("bucketed tables join on the bucket key with no exchange on either side") {
+    val store = newStore
+    val a = spark.range(0, 10000, 1, 8).toDF("k")
+      .withColumn("va", (col("k") % 97).cast("double"))
+    val b = spark.range(0, 10000, 1, 8).toDF("k")
+      .withColumn("vb", (col("k") % 31).cast("double"))
+    store.overwriteBucketed("ta", a, Seq("k"), numBuckets = 8)
+    store.overwriteBucketed("tb", b, Seq("k"), numBuckets = 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = store.scanBucketed("ta").join(store.scanBucketed("tb"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed-bucketed join must not shuffle either side:\n$plan")
+      assert(joined.count() == 10000)
+      // contrast: the same join over plain path snapshots shuffles both sides
+      store.overwrite("pa", a); store.overwrite("pb", b)
+      val unbucketed = store.scan("pa").join(store.scan("pb"), "k")
+        .queryExecution.executedPlan.toString
+      assert(unbucketed.contains("Exchange hashpartitioning"),
+        "control: path tables should need the shuffle")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("bucketed scan preserves rows and overwrite replaces content") {
+    val store = newStore
+    store.overwriteBucketed("tw", spark.range(100).toDF("k"), Seq("k"), 4)
+    assert(store.scanBucketed("tw").count() == 100)
+    store.overwriteBucketed("tw", spark.range(40).toDF("k"), Seq("k"), 4)
+    assert(store.scanBucketed("tw").count() == 40)
+  }
+
   test("crash recovery: orphan snapshot (no manifest entry) is invisible and GC'd") {
     val (store, dir) = newStoreAt
     store.overwrite("t", spark.range(3).toDF("v"))
