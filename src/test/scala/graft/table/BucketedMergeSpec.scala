@@ -1,0 +1,41 @@
+package graft.table
+
+import graft.SparkSpec
+import graft.ops.Merge
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** The 100 TB steady-state claim, proven in the plan: a full-outer MERGE
+  * between a bucketed target and an identically bucketed staging batch
+  * runs with ZERO hash-partitioning exchanges — neither side reshuffles. */
+class BucketedMergeSpec extends SparkSpec {
+
+  test("full-outer merge over co-bucketed tables has no exchange") {
+    val store = new TableStore(spark, Files.createTempDirectory("graft_bktm").toString)
+    val target = spark.range(0, 5000, 1, 8).toDF("k")
+      .withColumn("_id", col("k") + 1)
+      .withColumn("v", (col("k") % 17).cast("double"))
+      .withColumn("_updated_at", lit("2026-01-01 00:00:00").cast("timestamp"))
+    val stage = spark.range(0, 500, 1, 4)
+      .select((col("id") * 7).as("k"))
+      .withColumn("_id", col("k") + 100000L)
+      .withColumn("v", lit(-1.0))
+    store.overwriteBucketed("tgt", target, Seq("k"), numBuckets = 8)
+    store.overwriteBucketed("stg", stage, Seq("k"), numBuckets = 8)
+    val merged = Merge.merge(
+      store.scanBucketed("tgt"), store.scanBucketed("stg"),
+      Timestamp.valueOf("2026-02-02 00:00:00"),
+      Merge.MergeSpec(uniqueKeys = Seq("k"),
+        preserveColumns = Seq("_id"), updatedAtColumn = Some("_updated_at"),
+        strategy = Merge.MergeStrategy.FullOuter))
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin FullOuter") || plan.contains("FullOuter"),
+      s"expected the full-outer join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"co-bucketed merge must not reshuffle either side:\n$plan")
+    // and the semantics still hold
+    assert(merged.count() == 5000)
+    assert(merged.where(col("v") === -1.0).count() == 500)
+  }
+}
