@@ -18,9 +18,11 @@ import scala.util.control.NonFatal
   *     in-flight, so memory is bounded by maxConcurrency × chunkSize),
   *   - per-part bounded retry (reopen + seek — range reads are idempotent),
   *   - small objects take a single-stream path (multipart overhead),
-  *   - atomicity via a staging object renamed into place on success and
-  *     deleted on failure (the FS-neutral analogue of S3
-  *     complete/abort_multipart_upload),
+  *   - staging-object protocol (the FS-neutral analogue of S3
+  *     complete/abort_multipart_upload): a stage failure deletes only the
+  *     partial staging object; the pre-existing destination is replaced
+  *     only after the staged copy is complete, and a failed commit rename
+  *     leaves the staged copy in place rather than losing both objects,
   *   - optional source delete after a successful copy.
   *
   * The destination WRITE is one ordered stream (generic FileSystems have
@@ -73,6 +75,8 @@ object ObjectCopy {
 
     val out = dstFs.create(tmp, true)
     val nParts = math.max(1L, (total + chunkSize - 1) / chunkSize)
+    // Phase 1 — stage: any failure here aborts and deletes the partial
+    // staging object; an existing destination is never touched.
     try {
       if (total <= chunkSize) {
         // single-stream path (reference: storage.py:292-305)
@@ -82,7 +86,7 @@ object ObjectCopy {
       } else {
         val pool = Executors.newFixedThreadPool(maxConcurrency)
         try {
-          var next = 0L
+          var drained = 0L
           // sliding window of ≤ maxConcurrency in-flight parts, drained in
           // order into the single destination stream
           val inFlight = scala.collection.mutable.Queue
@@ -98,20 +102,31 @@ object ObjectCopy {
             val buf = inFlight.dequeue().get()
             md.update(buf)
             out.write(buf)
-            next += buf.length
+            drained += buf.length
           }
+          if (drained != total)
+            throw new java.io.IOException(
+              s"drained $drained bytes from $srcPath, expected $total")
         } finally pool.shutdownNow()
       }
       out.close()
-      if (dstFs.exists(dstPath)) dstFs.delete(dstPath, false)
-      if (!dstFs.rename(tmp, dstPath))
-        throw new java.io.IOException(s"rename $tmp -> $dstPath failed")
     } catch {
       case NonFatal(e) =>
         try out.close() catch { case NonFatal(_) => () }
         dstFs.delete(tmp, false) // abort: never leave a partial object
         throw e
     }
+    // Phase 2 — commit: the staged object is complete; the old destination
+    // is only removed now (the FS-neutral analogue of S3
+    // complete_multipart_upload, which also swaps only at completion). On
+    // stores without atomic rename there is a small window where dst is
+    // absent; if the rename itself fails the staged object is LEFT IN PLACE
+    // so the data survives for manual recovery — never deleted after the
+    // old destination is gone.
+    if (dstFs.exists(dstPath)) dstFs.delete(dstPath, false)
+    if (!dstFs.rename(tmp, dstPath))
+      throw new java.io.IOException(
+        s"rename $tmp -> $dstPath failed; staged copy preserved at $tmp")
     if (deleteSource) srcFs.delete(srcPath, false)
     CopyResult(total, md.digest().map("%02x".format(_)).mkString, nParts.toInt)
   }

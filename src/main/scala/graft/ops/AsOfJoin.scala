@@ -24,7 +24,13 @@ object AsOfJoin {
 
   /** `left` gains `matchCol`: the greatest right `timeCol` value ≤ the left
     * row's `timeCol` within the same `keyCol` (null when no prior right
-    * row). Both time columns must be the same orderable type. */
+    * row). Both time columns must be the same orderable type.
+    *
+    * SQL join semantics on nulls: a null key or null time on the right
+    * never matches anything (those rows are dropped before the union —
+    * window partitioning would otherwise group null keys together and let
+    * null-key rows match each other); a null-key or null-time left row
+    * survives with a null `matchCol`. */
   def asOfTime(
       left: DataFrame,
       right: DataFrame,
@@ -33,21 +39,30 @@ object AsOfJoin {
       matchCol: String = "asof_time"
   ): DataFrame = {
     val leftCols = left.columns
+    require(!leftCols.contains(matchCol),
+      s"left already has a column named $matchCol")
+    // internal working names must not collide with keyCol (the only other
+    // top-level column in the tagged union) — pad until disjoint
+    var p = "__asof_"
+    while (Seq("t", "tag", "rt", "l", "m").exists(s => p + s == keyCol)) p += "_"
+    val (tC, tagC, rtC, lC, mC) = (p + "t", p + "tag", p + "rt", p + "l", p + "m")
     val leftStruct = org.apache.spark.sql.types.StructType(left.schema.fields)
-    val r = right.select(
-      col(keyCol), col(timeCol).as("__t"), lit(0).as("__tag"),
-      col(timeCol).as("__rt"), lit(null).cast(leftStruct).as("__l"))
+    val r = right
+      .where(col(keyCol).isNotNull && col(timeCol).isNotNull)
+      .select(
+        col(keyCol), col(timeCol).as(tC), lit(0).as(tagC),
+        col(timeCol).as(rtC), lit(null).cast(leftStruct).as(lC))
     val l = left.select(
-      col(keyCol), col(timeCol).as("__t"), lit(1).as("__tag"),
-      lit(null).cast(right.schema(timeCol).dataType).as("__rt"),
-      struct(leftCols.map(col).toIndexedSeq: _*).as("__l"))
+      col(keyCol), col(timeCol).as(tC), lit(1).as(tagC),
+      lit(null).cast(right.schema(timeCol).dataType).as(rtC),
+      struct(leftCols.map(col).toIndexedSeq: _*).as(lC))
     val w = Window.partitionBy(keyCol)
-      .orderBy(col("__t").asc, col("__tag").asc)
+      .orderBy(col(tC).asc, col(tagC).asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     r.unionByName(l)
-      .withColumn("__m", last(col("__rt"), ignoreNulls = true).over(w))
-      .where(col("__tag") === 1)
-      .select(leftCols.map(c => col(s"__l.$c")).toIndexedSeq :+
-        col("__m").as(matchCol): _*)
+      .withColumn(mC, last(col(rtC), ignoreNulls = true).over(w))
+      .where(col(tagC) === 1)
+      .select(leftCols.map(c => col(s"$lC.$c")).toIndexedSeq :+
+        col(mC).as(matchCol): _*)
   }
 }

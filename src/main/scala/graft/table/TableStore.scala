@@ -105,7 +105,9 @@ final class TableStore(spark: SparkSession, root: String) {
     * needs the session catalog (Spark cannot record output partitioning
     * for path tables — see [[overwriteClustered]] for the path-table
     * stand-in, which gives file skipping but not shuffle elimination);
-    * data lands under this store's root, catalog entry `graft_bkt_<name>`.
+    * data lands under this store's root, catalog entry
+    * `graft_bkt_<rootHash>_<name>` (root-hashed so same-named tables in
+    * different stores never collide in the shared session catalog).
     * Scan through [[scanBucketed]]; plain [[scan]] would read the files
     * but lose the bucketing guarantee. */
   def overwriteBucketed(name: String, df: DataFrame, keys: Seq[String],
@@ -124,8 +126,15 @@ final class TableStore(spark: SparkSession, root: String) {
   def scanBucketed(name: String): DataFrame =
     spark.table(bucketedCatalogName(name))
 
-  private def bucketedCatalogName(name: String): String =
-    "graft_bkt_" + name.replaceAll("[^a-zA-Z0-9_]", "_")
+  /** Catalog entries are session-global while stores are root-scoped, so the
+    * name embeds a stable hash of this store's root — two stores with the
+    * same table name in one SparkSession get distinct catalog entries
+    * instead of silently repointing each other's. */
+  private def bucketedCatalogName(name: String): String = {
+    val rootHash = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(new Path(root).toString))
+    s"graft_bkt_${rootHash}_" + name.replaceAll("[^a-zA-Z0-9_]", "_")
+  }
 
   /** Append ONLY the incoming batch as a new snapshot (no table rewrite);
     * evolution by field addition, type changes rejected. */

@@ -36,6 +36,38 @@ class AsOfProfileSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("asOfTime: null keys/times never match (SQL join semantics)") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, None, Some(100L)), // null-key left row: survives, matches nothing
+      (2L, Some(10L), None), // null-time left row: survives, matches nothing
+      (3L, Some(10L), Some(100L)) // sanity: real match still works
+    ).toDF("event_id", "user_id", "us")
+    val right = Seq(
+      (None, Some(50L)), // null-key right row: must not match the null-key left
+      (Some(10L), None), // null-time right row: must never be "earliest"
+      (Some(10L), Some(90L))
+    ).toDF("user_id", "us")
+    val got = AsOfJoin.asOfTime(left, right, "user_id", "us", "click_us")
+      .orderBy("event_id")
+      .select("event_id", "click_us")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(got.toSeq == Seq(1L -> None, 2L -> None, 3L -> Some(90L)))
+  }
+
+  test("asOfTime: internal names survive a keyCol that collides") {
+    import spark.implicits._
+    // keyCol literally named like an internal working column
+    val left = Seq((1L, 7L, 100L, "keep"))
+      .toDF("event_id", "__asof_t", "us", "payload")
+    val right = Seq((7L, 90L)).toDF("__asof_t", "us")
+    val out = AsOfJoin.asOfTime(left, right, "__asof_t", "us", "m")
+    val row = out.collect().head
+    assert(out.columns.toSeq == Seq("event_id", "__asof_t", "us", "payload", "m"))
+    assert(row.getLong(1) == 7L && row.getString(3) == "keep" && row.getLong(4) == 90L)
+  }
+
   test("profile: nulls, distincts, and string-rendered bounds per column") {
     import spark.implicits._
     val df = Seq(

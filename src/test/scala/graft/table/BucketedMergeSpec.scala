@@ -38,4 +38,17 @@ class BucketedMergeSpec extends SparkSpec {
     assert(merged.count() == 5000)
     assert(merged.where(col("v") === -1.0).count() == 500)
   }
+
+  test("same table name in two stores gets distinct catalog entries") {
+    val a = new TableStore(spark, Files.createTempDirectory("graft_bkta").toString)
+    val b = new TableStore(spark, Files.createTempDirectory("graft_bktb").toString)
+    val dfA = spark.range(0, 10).toDF("k").withColumn("src", lit("a"))
+    val dfB = spark.range(0, 20).toDF("k").withColumn("src", lit("b"))
+    a.overwriteBucketed("t", dfA, Seq("k"), numBuckets = 2)
+    b.overwriteBucketed("t", dfB, Seq("k"), numBuckets = 2)
+    // store A's entry must survive store B's overwrite of the same name
+    assert(a.scanBucketed("t").count() == 10)
+    assert(b.scanBucketed("t").count() == 20)
+    assert(a.scanBucketed("t").select("src").distinct().collect().head.getString(0) == "a")
+  }
 }
