@@ -237,7 +237,102 @@ object Analytics {
     "ext_multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
         t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text")
-        .toDF().orderBy("doc_id"))
+        .toDF().orderBy("doc_id")),
+
+    // TPC-H Q6 flavor: scan-only filter+agg — the pushdown benchmark (all
+    // four predicates and the two-column projection must reach the parquet
+    // reader; no join, no shuffle beyond the final partial-agg merge)
+    "q6_forecast_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(25,6)"))
+          .cast("double").as("revenue"))),
+
+    // TPC-H Q14 flavor: promo revenue share. part scales with SF (20M rows
+    // at sf100) — no broadcast hint; the ratio is computed from two exact
+    // decimal sums in one aggregation pass
+    "q14_promo_revenue" -> ((s, dir) => {
+      val part = t(s, dir, "part").select("p_partkey", "p_type")
+      val li = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1995-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-10-01").cast("timestamp"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+      li.join(part, col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", revenue)
+            .otherwise(lit(0).cast("decimal(25,6)"))).cast("double")
+            .as("promo_revenue"),
+          sum(revenue).cast("double").as("total_revenue"))
+        .select(col("promo_revenue"), col("total_revenue"),
+          (lit(100.0) * col("promo_revenue") / col("total_revenue")).as("promo_pct"))
+    }),
+
+    // TPC-H Q19 flavor: disjunction of brand/size/quantity bands. The
+    // cross-side OR can't be pushed as-is, so each side is pre-filtered
+    // with the UNION of its arms (part: brand∈{...} ∧ size≤15; lineitem:
+    // 1≤qty≤30) before the join — the join input shrinks ~10× and the
+    // exact disjunction runs post-join on the survivors
+    "q19_brand_bands" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+        .where(col("p_brand").isin("Brand#12", "Brand#23", "Brand#24") &&
+          col("p_size").between(1, 15))
+        .select("p_partkey", "p_brand", "p_size")
+      val li = t(s, dir, "lineitem")
+        .where(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      li.join(part, col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11) &&
+            col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20) &&
+            col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#24" && col("l_quantity").between(20, 30) &&
+            col("p_size").between(1, 15)))
+        .agg(sum(revenue).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // interval join via binning: clicks inside each purchase's 10-minute
+    // attribution window — big×big inequality join planned as an equi
+    // shuffle join (ops/RangeJoin), never a nested loop
+    "ext_range_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_id"),
+        expr("ts div 1000").as("us"), col("event_type"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("us").as("click_us"))
+      val windows = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("us").as("lo"),
+          (col("us") + lit(600000000L)).as("hi"))
+      graft.ops.RangeJoin
+        .binnedRangeJoin(clicks, windows, "click_us", "lo", "hi", 600000000L)
+        .groupBy("purchase_id")
+        .agg(count(lit(1)).as("n_clicks"))
+        .orderBy("purchase_id")
+    }),
+
+    // ordered funnel: signup → later click → later purchase, per user.
+    // Three keyed min-aggregations chained by join — every stage shuffles
+    // on user_id so AQE co-locates them; no window over the full event log
+    "ext_funnel" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"),
+        expr("ts div 1000").as("us"), col("event_type"))
+      val s1 = e.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("us").as("t1"))
+      val s2 = e.where(col("event_type") === "click").join(s1, "user_id")
+        .where(col("us") > col("t1"))
+        .groupBy("user_id").agg(min("us").as("t2"))
+      val s3 = e.where(col("event_type") === "purchase").join(s2, "user_id")
+        .where(col("us") > col("t2"))
+        .groupBy("user_id").agg(min("us").as("t3"))
+      s1.join(s2.select("user_id", "t2"), Seq("user_id"), "left")
+        .join(s3.select("user_id", "t3"), Seq("user_id"), "left")
+        .agg(count(lit(1)).as("signup_users"),
+          count(col("t2")).as("click_after_signup"),
+          count(col("t3")).as("purchase_after_click"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -391,6 +486,58 @@ object Analytics {
         |      FROM o)
         |SELECT make_timestamp(MIN(us)) AS session_start, user_id, COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """WITH j AS (
+        |  SELECT p_type, CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6)) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'),
+        |a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE) AS promo_revenue,
+        |    CAST(SUM(rev) AS DOUBLE) AS total_revenue
+        |  FROM j)
+        |SELECT promo_revenue, total_revenue,
+        |  100.0 * promo_revenue / total_revenue AS promo_pct
+        |FROM a""".stripMargin,
+
+    "q19_brand_bands" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#24' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin,
+
+    "ext_range_join" ->
+      """WITH e AS (SELECT event_id, epoch_ns(ts)//1000 AS us, event_type FROM events),
+        |c AS (SELECT us AS click_us FROM e WHERE event_type = 'click'),
+        |w AS (SELECT event_id AS purchase_id, us AS lo, us + 600000000 AS hi
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT purchase_id, COUNT(*) AS n_clicks
+        |FROM c JOIN w ON click_us >= lo AND click_us < hi
+        |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin,
+
+    "ext_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS us, event_type FROM events),
+        |s1 AS (SELECT user_id, MIN(us) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
+        |SELECT COUNT(*) AS signup_users, COUNT(t2) AS click_after_signup,
+        |  COUNT(t3) AS purchase_after_click
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
 
     "ext_multimodal_features" ->
       """SELECT doc_id,

@@ -61,6 +61,31 @@ class PlanSpec extends AnyFunSuite {
       s"corpus must not hash-shuffle for the semi join: $exchanges")
   }
 
+  test("q6: every predicate and the 3-column projection reach the parquet scan") {
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("GreaterThanOrEqual(l_discount,0.05)") &&
+      p.contains("LessThan(l_quantity,24.0)"),
+      s"all filters must reach PushedFilters:\n$p")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate"),
+      "scan must read only the four referenced columns")
+  }
+
+  test("q19: each side pre-filtered by its arm-union before the join") {
+    val p = plan("q19_brand_bands")
+    assert(p.contains("In(p_brand"), "brand IN-list must reach the part scan")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      p.contains("LessThanOrEqual(l_quantity,30.0)"),
+      "quantity arm-union must reach the lineitem scan")
+  }
+
+  test("range join plans as an equi join, never a nested loop") {
+    val df = SparkEntry.queries("ext_range_join")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"binned range join must be an equi join:\n$p")
+  }
+
   test("merge broadcast strategy produces no full-outer sort-merge join") {
     val p = plan("j1_merge_upsert")
     // auto strategy at this size must pick the broadcast formulation
