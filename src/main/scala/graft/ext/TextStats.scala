@@ -117,6 +117,19 @@ object TextStats {
         regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
         DigitRunPattern, "<NUM>"))
 
+  /** Text normalization chain — Unicode NFC canonical composition (the
+    * native `graft_nfc` kernel; Spark has no built-in and composed vs
+    * decomposed accents must dedup identically), unicode lowercase,
+    * whitespace collapse, edge trim. The canonical pre-step before
+    * fingerprinting/dedup/tokenization; entirely codegen'd, scan speed at
+    * 100 TB. Requires a GraftExtensions session (call_function resolves
+    * `graft_nfc` at analysis time). */
+  def normalizeText(df: DataFrame, textCol: String,
+      outCol: String = "norm_text"): DataFrame =
+    df.withColumn(outCol,
+      trim(regexp_replace(
+        lower(call_function("graft_nfc", col(textCol))), "\\s+", " ")))
+
   /** Document fingerprints: md5 of whitespace-normalized lowercase text,
     * plus a 31-multiplier polynomial rolling hash mod 2^31-1 (byte-exact in
     * any engine; char-positional, ASCII-safe).

@@ -81,6 +81,13 @@ object GraftExtensions {
         RollingFingerprintExpression(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalizeExpression].getName, "graft_nfc"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_nfc(text) takes one argument")
+        NfcNormalizeExpression(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKByAggregate].getName, "graft_topk"),
       (children: Seq[Expression]) => {

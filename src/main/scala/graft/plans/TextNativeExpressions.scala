@@ -28,6 +28,28 @@ case class SimHashExpression(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_nfc(text)`: Unicode NFC normalization (canonical composition) —
+  * the first step of any text-normalization pipeline (é as e+◌́ and é as
+  * U+00E9 must fingerprint/dedup identically). Spark has no built-in for
+  * it; a codegen'd kernel keeps it inside whole-stage codegen next to the
+  * lower/regexp steps it composes with. ASCII input short-circuits via
+  * `Normalizer.isNormalized` (a quick-check table scan, no allocation) —
+  * the overwhelmingly common case in a web corpus costs one pass. */
+case class NfcNormalizeExpression(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_nfc requires a string argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+  override protected def nullSafeEval(input: Any): Any =
+    TextNative.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextNative.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpression =
+    copy(child = newChild)
+}
+
 case class RollingFingerprintExpression(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -46,6 +68,17 @@ case class RollingFingerprintExpression(child: Expression) extends UnaryExpressi
 object TextNative {
 
   private val P = TextHash.P
+
+  /** Unicode NFC (canonical decomposition + canonical composition), per
+    * UAX #15 — the same normal form DuckDB's `nfc_normalize` (utf8proc)
+    * produces, so oracle outputs agree byte-for-byte. Already-normalized
+    * input (all ASCII, most web text) returns the original buffer. */
+  def nfc(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
 
   /** == `TextHash.simhash(split(text, " "))`: per token (split on single
     * space, empties INCLUDED — Spark split keeps them) take the 60-bit

@@ -251,6 +251,21 @@ object Ext {
           (length(col("text")) - length(col("redacted"))).as("delta_len"))
         .orderBy("doc_id")),
 
+    "ext_normalize" -> ((s, dir) =>
+      // normalization chain incl. the native NFC kernel: every 4th doc is
+      // prefixed with DECOMPOSED accents (e+U+0301, I+U+0308), uppercase,
+      // and doubled spaces — NFC must compose, lower must fold, whitespace
+      // must collapse, identically to DuckDB's utf8proc nfc_normalize
+      TextStats.normalizeText(
+        t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("Cafe\u0301  NAI\u0308VE  "), col("text")))
+            .otherwise(col("text")).as("text")),
+        "text")
+        .select(col("doc_id"), md5(col("norm_text")).as("norm_md5"),
+          length(col("norm_text")).as("n_chars_norm"))
+        .orderBy("doc_id")),
+
     "ext_incremental_dedup" -> ((s, dir) => {
       // steady-state crawl dedup: corpus = existing docs, batch = a new
       // crawl containing fresh content (suffixed) AND re-crawls of existing
@@ -698,6 +713,21 @@ object Ext {
         |SELECT doc_id, md5(redacted) AS redacted_md5,
         |       length(text) - length(redacted) AS delta_len
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "ext_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN 'Cafe' || chr(769) || '  NAI' || chr(776) || 'VE  ' || text
+        |      ELSE text END AS text
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm_text
+        |  FROM d)
+        |SELECT doc_id, md5(norm_text) AS norm_md5,
+        |  length(norm_text) AS n_chars_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "ext_fingerprint" ->
       s"""WITH nrm AS (

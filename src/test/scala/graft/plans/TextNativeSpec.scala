@@ -42,6 +42,28 @@ class TextNativeSpec extends SparkSpec {
     assert(mism.count() == 0)
   }
 
+  test("graft_nfc: composes decomposed accents; identity on NFC input; null-safe") {
+    // source kept pure ASCII: \u escapes resolve at compile time.
+    // decomposed e+U+0301 vs precomposed U+00E9 must converge; ASCII and
+    // already-composed strings pass through; null stays null
+    val decomposed = "Cafe\u0301"
+    val composed = "Caf\u00e9"
+    val rows = spark.sql(
+      s"SELECT graft_nfc('$decomposed') = graft_nfc('$composed') AS eq, " +
+        s"graft_nfc('$decomposed') = '$composed' AS id_composed, " +
+        "graft_nfc('plain ascii') = 'plain ascii' AS id_ascii, " +
+        s"length(graft_nfc('$decomposed')) AS n, " +
+        "graft_nfc(CAST(NULL AS STRING)) IS NULL AS null_ok").collect().head
+    assert(rows.getBoolean(0) && rows.getBoolean(1) && rows.getBoolean(2))
+    assert(rows.getInt(3) == 4) // e-acute composed to ONE code point
+    assert(rows.getBoolean(4))
+    // whole chain: NFC + lower + whitespace collapse + trim
+    val norm = TextStats.normalizeText(
+      textDf("  NAI\u0308VE   " + decomposed + "  "), "text")
+      .collect().head.getString(1)
+    assert(norm == "na\u00efve caf\u00e9")
+  }
+
   test("operators route through the native kernels") {
     val simPlan = graft.SparkEntry.queries("ext_dedup_simhash")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
