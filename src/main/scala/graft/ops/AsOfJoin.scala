@@ -65,4 +65,39 @@ object AsOfJoin {
       .select(leftCols.map(c => col(s"$lC.$c")).toIndexedSeq :+
         col(mC).as(matchCol): _*)
   }
+
+  /** Same contract as [[asOfTime]], executed by the custom physical
+    * operator [[graft.plans.AsOfJoinExec]] (logical node + strategy +
+    * SparkPlan, SURVEY §4.3 path (c)): each side shuffles with its own
+    * columns only, then a per-partition O(n) two-pointer merge with O(1)
+    * state — no union widening, no window buffering. Requires a
+    * GraftExtensions session (the strategy must be injected). */
+  def asOfTimeMerged(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      matchCol: String = "asof_time"
+  ): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    require(!left.columns.contains(matchCol),
+      s"left already has a column named $matchCol")
+    // fresh aliases give the right side its own attribute ids, so
+    // self-joins (left and right derived from one scan) stay unambiguous
+    val rFresh = right.select(
+      right.columns.toIndexedSeq.map(c => col(c).as(c)): _*)
+    val lPlan = GraftBridge.analyzed(left)
+    val rPlan = GraftBridge.analyzed(rFresh)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        side: String, name: String) =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"$side has no column $name"))
+        .asInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference]
+    val (lk, lt) = (attr(lPlan, "left", keyCol), attr(lPlan, "left", timeCol))
+    val (rk, rt) = (attr(rPlan, "right", keyCol), attr(rPlan, "right", timeCol))
+    val mAttr = org.apache.spark.sql.catalyst.expressions
+      .AttributeReference(matchCol, rt.dataType, nullable = true)()
+    GraftBridge.ofRows(left.sparkSession,
+      graft.plans.AsOfJoinNode(lPlan, rPlan, lk, lt, rk, rt, mAttr))
+  }
 }

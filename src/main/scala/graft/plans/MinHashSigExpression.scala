@@ -96,5 +96,7 @@ object GraftExtensions {
       }))
     // plan rewrite: window row_number-top-k → bounded graft_topk aggregate
     ext.injectOptimizerRule(_ => TopKWindowRewrite)
+    // physical operator: AsOfJoinNode → AsOfJoinExec (sorted streaming merge)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

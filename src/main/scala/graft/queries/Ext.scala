@@ -314,6 +314,20 @@ object Ext {
         .orderBy("event_id")
     }),
 
+    "ext_asof_exec" -> ((s, dir) => {
+      // the same point-in-time lookup through the custom physical operator
+      // (AsOfJoinNode → AsOfJoinExec): per-side shuffles + streaming merge,
+      // no union widening, no window buffering; same oracle as ext_asof_join
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("us"), col("event_type"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "us")
+      val clicks = e.where(col("event_type") === "click").select("user_id", "us")
+      AsOfJoin.asOfTimeMerged(purchases, clicks, "user_id", "us", "click_us")
+        .orderBy("event_id")
+    }),
+
     "ext_quota_cap" -> ((s, dir) =>
       // domain-mix balancing: ≤50 docs per language by salted-hash draw,
       // via the bounded graft_topk aggregate (the overrepresented group
@@ -787,6 +801,17 @@ object Ext {
     },
 
     "ext_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts)//1000 AS us, event_type
+        |  FROM events)
+        |SELECT p.event_id, p.user_id, p.us,
+        |  (SELECT MAX(c.us) FROM e c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |     AND c.us <= p.us) AS click_us
+        |FROM e p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+
+    "ext_asof_exec" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_ns(ts)//1000 AS us, event_type
         |  FROM events)
