@@ -113,6 +113,22 @@ object Lifecycle {
         .orderBy("l_orderkey")
     }),
 
+    "w10_zorder_scan" -> ((s, dir) => {
+      // multi-dimensional slice over a Z-ordered layout: both the partkey
+      // and suppkey predicates prune files (TableStoreSpec measures the
+      // skipping; the gate checks the layout never changes content)
+      val store = new TableStore(s, Files.createTempDirectory("graft_q_zor").toString)
+      store.overwriteZOrdered("li",
+        t(s, dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity"),
+        Seq("l_partkey", "l_suppkey"), numFiles = Some(8))
+      store.scan("li")
+        .where(col("l_partkey").between(100, 400) &&
+          col("l_suppkey").between(10, 60))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity").cast("decimal(20,2)")).cast("double").as("sum_qty"))
+        .orderBy("l_partkey", "l_suppkey")
+    }),
+
     // W2/C2/C4: the WHOLE pipeline (ingest csv → overwrite → append with
     // MAX(_id)+1 continuation → ordered export) as one oracle-checked query
     "pipeline_e2e" -> ((s, dir) => {
@@ -180,6 +196,13 @@ object Lifecycle {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "w10_zorder_scan" ->
+      """SELECT l_partkey, l_suppkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 60
+        |GROUP BY l_partkey, l_suppkey ORDER BY l_partkey, l_suppkey""".stripMargin,
 
     "pipeline_e2e" ->
       """WITH once AS (

@@ -267,6 +267,34 @@ object StreamingIngest {
       }
   }
 
+  /** Watermarked stream-stream interval join (SURVEY §2.9): each purchase
+    * pairs with the clicks of the same user inside its look-back window
+    * (`p_ts - window < c_ts <= p_ts`). Both sides carry watermarks and the
+    * join condition carries the time bound — exactly what Spark needs to
+    * keep the join STATE bounded: buffered clicks are evicted once the
+    * watermark passes `c_ts + window` (no purchase can still match them),
+    * buffered purchases once the watermark passes `p_ts`. Without the
+    * range condition a stream-stream join buffers both streams forever —
+    * the unbounded-state trap this operator exists to avoid. Inner join:
+    * pairs emit as soon as both sides have arrived, exactly once (the
+    * batch plan of the same function is the spec's oracle). Late rows
+    * beyond the watermark are dropped, the standard streaming tradeoff. */
+  def streamStreamWindowJoin(
+      purchases: DataFrame, // user_id, ts
+      clicks: DataFrame, // user_id, ts
+      watermark: String = "10 minutes",
+      windowSeconds: Long = 600L
+  ): DataFrame = {
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") > col("p_ts") - expr(s"INTERVAL $windowSeconds SECONDS"))
+  }
+
   /** Streaming variant with watermark, for unbounded inputs. */
   def tumblingAggStreaming(
       df: DataFrame,

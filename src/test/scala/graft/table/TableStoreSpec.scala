@@ -133,6 +133,43 @@ class TableStoreSpec extends SparkSpec {
       s"clustered ($clustered) must read far less than shuffled ($shuffled)")
   }
 
+  test("z-order layout prunes on BOTH clustered columns (scan metrics)") {
+    // two independent uniform columns; the linear layout (clustered on x)
+    // prunes x-slices perfectly but reads EVERYTHING for a y-slice; the
+    // z-ordered layout must prune both dimensions
+    val store = newStore
+    val df = spark.range(200000).select(
+      (col("id") * 48271 % 65536).as("x"),
+      (col("id") * 69621 % 65536).as("y"),
+      col("id").as("payload"))
+    store.overwriteZOrdered("zz", df, Seq("x", "y"), numFiles = Some(16))
+    store.overwriteClustered("lin", df, Seq("x"), numFiles = Some(16))
+    def scannedRows(t: String, p: org.apache.spark.sql.Column): Long = {
+      val q = store.scan(t).where(p)
+      q.collect()
+      val finalPlan = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      finalPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum
+    }
+    val ySlice = col("y").between(1000, 3000)
+    val xSlice = col("x").between(1000, 3000)
+    val zOnY = scannedRows("zz", ySlice)
+    val zOnX = scannedRows("zz", xSlice)
+    val linOnY = scannedRows("lin", ySlice)
+    assert(linOnY > 150000, s"linear layout can't prune y, read $linOnY")
+    assert(zOnY <= 200000 / 3, s"z-order must prune the y slice, read $zOnY")
+    assert(zOnX <= 200000 / 3 * 2, s"z-order must still prune the x slice, read $zOnX")
+    // layout changes must never change content
+    assert(store.scan("zz").agg(sum(col("payload"))).first().getLong(0) ==
+      store.scan("lin").agg(sum(col("payload"))).first().getLong(0))
+  }
+
   test("bucketed tables join on the bucket key with no exchange on either side") {
     val store = newStore
     val a = spark.range(0, 10000, 1, 8).toDF("k")
