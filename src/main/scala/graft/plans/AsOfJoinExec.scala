@@ -101,16 +101,71 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
-    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
     val leftOut = left.output
     val rightOut = right.output
+    val outAttrs = output
+    val inAttrs = leftOut :+ matchOut
+    // keys/times are attributes of the child outputs — resolve ordinals for
+    // the primitive fast path
+    val lkOrd = leftOut.indexWhere(_.exprId == leftKey.exprId)
+    val ltOrd = leftOut.indexWhere(_.exprId == leftTime.exprId)
+    val rkOrd = rightOut.indexWhere(_.exprId == rightKey.exprId)
+    val rtOrd = rightOut.indexWhere(_.exprId == rightTime.exprId)
+    val longFast = leftKey.dataType == org.apache.spark.sql.types.LongType &&
+      leftTime.dataType == org.apache.spark.sql.types.LongType &&
+      lkOrd >= 0 && ltOrd >= 0 && rkOrd >= 0 && rtOrd >= 0
+
+    if (longFast) {
+      // primitive long merge — no boxing, no interpreted compare, the
+      // common (id, epoch-time) shape at scan speed
+      left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+        val project = UnsafeProjection.create(outAttrs, inAttrs)
+        val matchRow = new GenericInternalRow(1)
+        val joined = new JoinedRow
+        val rBuf = rIter.buffered
+        var hasLast = false
+        var lastKey = 0L
+        var lastTime = 0L
+        lIter.map { lRow =>
+          var isMatch = false
+          if (!lRow.isNullAt(lkOrd) && !lRow.isNullAt(ltOrd)) {
+            val lk = lRow.getLong(lkOrd)
+            val lt = lRow.getLong(ltOrd)
+            var advance = true
+            while (advance && rBuf.hasNext) {
+              val rRow = rBuf.head
+              if (rRow.isNullAt(rkOrd) || rRow.isNullAt(rtOrd)) rBuf.next()
+              else {
+                val rk = rRow.getLong(rkOrd)
+                if (rk < lk) rBuf.next()
+                else if (rk == lk && rRow.getLong(rtOrd) <= lt) {
+                  lastKey = rk; lastTime = rRow.getLong(rtOrd); hasLast = true
+                  rBuf.next()
+                } else advance = false
+              }
+            }
+            isMatch = hasLast && lastKey == lk
+          }
+          if (isMatch) matchRow.update(0, lastTime)
+          else matchRow.update(0, null)
+          project(joined(lRow, matchRow))
+        }
+      }
+    } else {
+      genericExecute(leftOut, rightOut, outAttrs, inAttrs)
+    }
+  }
+
+  /** Interpreted-ordering merge for any orderable key/time type. */
+  private def genericExecute(
+      leftOut: Seq[Attribute], rightOut: Seq[Attribute],
+      outAttrs: Seq[Attribute], inAttrs: Seq[Attribute]): RDD[InternalRow] = {
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
     val lKeyB = BindReferences.bindReference(leftKey: Expression, leftOut)
     val lTimeB = BindReferences.bindReference(leftTime: Expression, leftOut)
     val rKeyB = BindReferences.bindReference(rightKey: Expression, rightOut)
     val rTimeB = BindReferences.bindReference(rightTime: Expression, rightOut)
-    val outAttrs = output
-    val inAttrs = leftOut :+ matchOut
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val project = UnsafeProjection.create(outAttrs, inAttrs)

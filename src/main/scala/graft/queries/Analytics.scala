@@ -313,6 +313,38 @@ object Analytics {
         .orderBy("purchase_id")
     }),
 
+    // TPC-H Q18 flavor: HAVING over a keyed aggregate, then join back to
+    // the fact rows. The big-orders key set is derived FROM the aggregate
+    // (bounded by the having-filter), joined back on the already-shuffled
+    // key — no broadcast hints anywhere
+    "q18_big_orders" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val big = li.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("decimal(20,2)")).as("qty"))
+        .where(col("qty") > 150)
+        .select(col("l_orderkey"), col("qty").cast("double").as("total_qty"))
+      val ord = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      big.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
+
+    // set operations (§2.7 beyond UNION): INTERSECT and EXCEPT on customer
+    // key sets — distinct-semantics set ops, one shuffle each
+    "q_set_ops" -> ((s, dir) => {
+      val building = t(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val rich = t(s, dir, "customer")
+        .where(col("c_acctbal") > 8000).select("c_custkey")
+      val both = building.intersect(rich)
+        .select(col("c_custkey"), lit("both").as("which"))
+      val onlyB = building.except(rich)
+        .select(col("c_custkey"), lit("building_only").as("which"))
+      both.unionByName(onlyB).orderBy("which", "c_custkey")
+    }),
+
     // ordered funnel: signup → later click → later purchase, per user.
     // Three keyed min-aggregations chained by join — every stage shuffles
     // on user_id so AQE co-locates them; no window over the full event log
@@ -518,6 +550,26 @@ object Analytics {
         |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
         |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
         |   OR (p_brand = 'Brand#24' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin,
+
+    "q18_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(20,2))) AS qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING qty > 150)
+        |SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+        |  CAST(qty AS DOUBLE) AS total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY total_qty DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH building AS (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 8000)
+        |SELECT c_custkey, 'both' AS which
+        |FROM (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM rich)
+        |UNION ALL
+        |SELECT c_custkey, 'building_only' AS which
+        |FROM (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM rich)
+        |ORDER BY which, c_custkey""".stripMargin,
 
     "ext_range_join" ->
       """WITH e AS (SELECT event_id, epoch_ns(ts)//1000 AS us, event_type FROM events),

@@ -197,6 +197,28 @@ object ScaleSmoke {
       assert(n == 100000L, s"100 groups x 1000: $n")
     }
 
+    // 15. custom physical as-of join at the same 20M x 20M / 1M keys as
+    // the window formulation above — must agree on the match count
+    time("as-of exec (physical merge) 20M x 20M") {
+      val matched = graft.ops.AsOfJoin.asOfTimeMerged(leftEv, rightEv, "user_id", "us")
+        .where(col("asof_time").isNotNull).count()
+      assert(matched > 15000000L, s"most events should find a prior match: $matched")
+    }
+
+    // 16. binned range join: 20M points x 2M intervals (width ~100, bin
+    // 128 → ≤2 bins/interval). An inequality-join nested loop here would
+    // be 4×10^13 comparisons; the binned plan is one equi shuffle.
+    val pts = spark.range(0, 20000000L, 1, 128)
+      .select(col("id").as("pid"), (col("id") * 48271 % 2000000000L).as("p"))
+    val ivs = spark.range(0, 2000000L, 1, 64)
+      .select(col("id").as("iid"), (col("id") * 977).as("lo"),
+        (col("id") * 977 + 100).as("hi"))
+    time("binned range join 20M points x 2M intervals") {
+      val n = graft.ops.RangeJoin.binnedRangeJoin(pts, ivs, "p", "lo", "hi", 128L)
+        .count()
+      assert(n > 0, "some points must land in intervals")
+    }
+
     spark.stop()
   }
 }

@@ -52,6 +52,21 @@ class AsOfExecSpec extends SparkSpec {
       s"expected only the join's two side exchanges, got $exchanges:\n$aggPlan")
   }
 
+  test("generic (non-long) key path agrees with the window form too") {
+    // string keys route around the primitive fast path into the
+    // interpreted-ordering merge — same contract
+    val (p0, c0) = randomish
+    val purchases = p0.select(col("event_id"),
+      concat(lit("u"), col("user_id")).as("user_id"), col("us"))
+    val clicks = c0.select(concat(lit("u"), col("user_id")).as("user_id"), col("us"))
+    val w = AsOfJoin.asOfTime(purchases, clicks, "user_id", "us", "m")
+      .collect().map(_.toSeq).toSet
+    val e = AsOfJoin.asOfTimeMerged(purchases, clicks, "user_id", "us", "m")
+      .collect().map(_.toSeq).toSet
+    assert(e == w, s"diff: ${(e -- w).take(5)} / ${(w -- e).take(5)}")
+    assert(e.nonEmpty)
+  }
+
   test("matches the correlated-subquery semantics on a tiny explicit case") {
     import spark.implicits._
     val left = Seq((1L, 10L, 100L), (2L, 10L, 250L), (3L, 20L, 50L), (4L, 30L, 99L))
