@@ -100,6 +100,12 @@ case class AsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched left rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val leftOut = left.output
     val rightOut = right.output
@@ -116,6 +122,8 @@ case class AsOfJoinExec(
       lkOrd >= 0 && ltOrd >= 0 && rkOrd >= 0 && rtOrd >= 0
 
     if (longFast) {
+      val outRows = longMetric("numOutputRows")
+      val matchedRows = longMetric("numMatched")
       // primitive long merge — no boxing, no interpreted compare, the
       // common (id, epoch-time) shape at scan speed
       left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -146,7 +154,8 @@ case class AsOfJoinExec(
             }
             isMatch = hasLast && lastKey == lk
           }
-          if (isMatch) matchRow.update(0, lastTime)
+          outRows += 1
+          if (isMatch) { matchedRows += 1; matchRow.update(0, lastTime) }
           else matchRow.update(0, null)
           project(joined(lRow, matchRow))
         }
@@ -166,6 +175,8 @@ case class AsOfJoinExec(
     val lTimeB = BindReferences.bindReference(leftTime: Expression, leftOut)
     val rKeyB = BindReferences.bindReference(rightKey: Expression, rightOut)
     val rTimeB = BindReferences.bindReference(rightTime: Expression, rightOut)
+    val outRows = longMetric("numOutputRows")
+    val matchedRows = longMetric("numMatched")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val project = UnsafeProjection.create(outAttrs, inAttrs)
@@ -203,6 +214,8 @@ case class AsOfJoinExec(
           if (lastKey != null && keyOrd.compare(lastKey, lk) == 0)
             matched = lastTime
         }
+        outRows += 1
+        if (matched != null) matchedRows += 1
         matchRow.update(0, matched)
         project(joined(lRow, matchRow))
       }
