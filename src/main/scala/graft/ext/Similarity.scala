@@ -304,6 +304,62 @@ object Similarity {
     bookDf(book)
   }
 
+  /** Nearest-codebook-cell assignment: (idCol, cell_id) for every corpus
+    * vector — the IVF partitioning step exposed as its own operator.
+    *
+    * Scale shape: one narrow pass against the broadcast codebook scores
+    * every (vector, cell) pair map-side; the `max(struct(cos, -cell_id))`
+    * aggregate then reduces each vector's nCells scored copies with full
+    * map-side combine, so the single shuffle carries ONE row per vector —
+    * never rows × cells. Tiebreak on equal cosine is lowest cell_id,
+    * matching [[ivfTopK]]'s rank-1 assignment. */
+  def assignCells(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nCells: Int,
+      codebook: Option[DataFrame] = None // (cell_id, cell_vec); e.g. kmeansCodebook
+  ): DataFrame = {
+    val cells = codebook.getOrElse(
+      corpus.orderBy(col(idCol).asc).limit(nCells)
+        .select(col(idCol).as("cell_id"), col(vecCol).as("cell_vec")))
+      .withColumn("cell_norm", normDecimal(col("cell_vec")))
+    corpus.select(col(idCol), col(vecCol).as("__vec"))
+      .withColumn("__norm", normDecimal(col("__vec")))
+      .crossJoin(broadcast(cells))
+      .withColumn("__cos",
+        dotDecimal(col("__vec"), col("cell_vec")) / (col("__norm") * col("cell_norm")))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__cos"), (-col("cell_id")).as("neg"),
+        col("cell_id"))).as("best"))
+      .select(col(idCol), col("best.cell_id").as("cell_id"))
+  }
+
+  /** Cluster-balanced diversity sample: at most `quota` vectors per
+    * semantic cluster, drawn by deterministic salted-hash order within the
+    * cluster — the corpus-curation step that keeps a capped, spread-out
+    * subset instead of letting dense regions of embedding space dominate
+    * the sample (the embedding-space analogue of [[Sampling.quotaCap]]'s
+    * domain-mix balancing, with clusters in place of metadata domains).
+    *
+    * Composition = [[assignCells]] (one row per vector shuffled) then the
+    * bounded per-cell quota draw ([[Sampling.quotaCap]] — `graft_topk`
+    * keeps ≤ quota candidates per mapper per cell, so a 100 TB dense
+    * cluster never fully shuffles). Returns (cell_id, idCol, rank ∈
+    * 1..quota); same salt always reproduces the same sample. */
+  def diversitySample(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nCells: Int,
+      quota: Int,
+      salt: String = "diversity",
+      codebook: Option[DataFrame] = None
+  ): DataFrame =
+    Sampling.quotaCap(
+      assignCells(corpus, vecCol, idCol, nCells, codebook),
+      "cell_id", idCol, quota, salt)
+
   /** Blocked near-dup pairs: all pairs within a blocking key (e.g. a label
     * or an LSH bucket) with cosine above a threshold. */
   def blockedNearDupPairs(

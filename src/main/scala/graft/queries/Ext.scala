@@ -333,7 +333,16 @@ object Ext {
       // via the bounded graft_topk aggregate (the overrepresented group
       // never fully shuffles)
       Sampling.quotaCap(t(s, dir, "documents"), "lang", "doc_id", k = 50, salt = "mix1")
-        .orderBy("lang", "rank"))
+        .orderBy("lang", "rank")),
+
+    "ext_diversity_sample" -> ((s, dir) =>
+      // cluster-balanced curation: ≤10 vectors per embedding-space cell
+      // (16-cell codebook), drawn by salted hash — dense clusters are
+      // capped instead of dominating the sample; assignment shuffles one
+      // row per vector, the quota draw is bounded per mapper
+      Similarity.diversitySample(t(s, dir, "embeddings"), "embedding", "vec_id",
+        nCells = 16, quota = 10, salt = "div1")
+        .orderBy("cell_id", "rank"))
   )
 
   // --------------------------------------------------------------------
@@ -832,6 +841,24 @@ object Ext {
          |    row_number() OVER (PARTITION BY lang ORDER BY qh ASC, doc_id ASC) AS rank
          |  FROM h)
          |SELECT lang, doc_id, rank FROM r WHERE rank <= 50
-         |ORDER BY lang, rank""".stripMargin
+         |ORDER BY lang, rank""".stripMargin,
+
+    "ext_diversity_sample" ->
+      s"""WITH $NormCte,
+         |cells AS (SELECT vec_id AS cell_id, embedding AS cell_vec, nrm AS cell_norm
+         |          FROM n ORDER BY vec_id LIMIT 16),
+         |a AS (SELECT v_id, cell_id FROM (
+         |  SELECT n.vec_id AS v_id, cells.cell_id,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY ${dotSql("n.embedding", "cells.cell_vec")} / (n.nrm * cells.cell_norm) DESC,
+         |               cells.cell_id ASC) AS r
+         |  FROM n CROSS JOIN cells) WHERE r = 1),
+         |h AS (SELECT cell_id, v_id,
+         |  ${TextHash.hmodSql("(v_id :: VARCHAR || ':div1')")} AS qh FROM a),
+         |r AS (SELECT cell_id, v_id AS vec_id,
+         |  row_number() OVER (PARTITION BY cell_id ORDER BY qh ASC, v_id ASC) AS rank
+         |  FROM h)
+         |SELECT cell_id, vec_id, rank FROM r WHERE rank <= 10
+         |ORDER BY cell_id, rank""".stripMargin
   )
 }

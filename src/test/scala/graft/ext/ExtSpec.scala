@@ -151,6 +151,28 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(out(0).getDouble(3) - 1.0) < 1e-9)
   }
 
+  test("diversitySample: per-cell quota honored, assignment matches nearest cell, reproducible") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def run() = Similarity.diversitySample(e, "embedding", "vec_id",
+      nCells = 8, quota = 5, salt = "t")
+    val out = run().collect()
+    val assigned = Similarity.assignCells(e, "embedding", "vec_id", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every sampled vector sits in its assigned cell, ranks run 1..n≤quota
+    assert(out.forall(r => assigned(r.getLong(1)) == r.getLong(0)))
+    out.groupBy(_.getLong(0)).foreach { case (cell, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to rows.length),
+        s"cell $cell ranks not contiguous")
+    }
+    // sample size per cell = min(cell population, quota) — the cap binds
+    // exactly where the cell is overfull
+    val pop = assigned.values.groupBy(identity).view.mapValues(_.size).toMap
+    val got = out.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    pop.foreach { case (cell, n) => assert(got(cell) == math.min(n, 5)) }
+    // same salt reproduces the identical sample
+    assert(run().collect().map(_.toSeq).toSet == out.map(_.toSeq).toSet)
+  }
+
   test("multi-probe ann: candidates are a superset of single-probe, so top-1 never worse") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.where(col("vec_id") < 5)
