@@ -331,6 +331,112 @@ object Analytics {
         .limit(100)
     }),
 
+    // TPC-H Q13 flavor: customer order-count distribution. The left outer
+    // join and the per-customer count share one shuffle (both keyed on the
+    // customer key); the second aggregate reduces to #distinct-counts rows
+    "q13_customer_distribution" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select("c_custkey")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q7 flavor: cross-nation shipping volume by year, both
+    // directions of one nation pair. nation is fixed-size (25 rows) —
+    // broadcast twice under different aliases; the pair filter applies
+    // post-join on the two broadcast nations, everything fact-scale
+    // shuffles on its join key
+    "q7_volume_shipping" -> ((s, dir) => {
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+      val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate",
+          "l_extendedprice", "l_discount")
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+        .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(revenue).cast("double").as("volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q15 flavor: top supplier(s) by quarterly revenue. The max is
+    // taken over the (one row per supplier) revenue aggregate and joined
+    // back as a 1-row broadcast; revenue stays DECIMAL through the
+    // equality so ties are exact, and only the output casts to double
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sum(revenue).as("r"))
+      val mx = rev.agg(max(col("r")).as("mx"))
+      val supp = t(s, dir, "supplier").select("s_suppkey", "s_name")
+      rev.join(broadcast(mx), col("r") === col("mx"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("r").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q4 flavor: orders (one quarter) with at least one line shipped
+    // more than 60 days after the order date, counted per priority. The
+    // EXISTS is a left-semi join with the inequality folded into the join
+    // condition — each order counts once however many lines are late
+    "q4_order_priority" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      ord.join(li, ord("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q22 flavor: dormant capital — customers above the average
+    // positive balance with no RECENT order (none since 1999), grouped by
+    // nation. The global average is a 1-row broadcast (exact decimal
+    // parts, double at the end); the lapsed test is a left-anti join on
+    // the customer key against the date-filtered order keys
+    "q22_dormant_customers" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+      val avgBal = cust.where(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast("decimal(20,2)")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_bal"))
+      val recent = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+      val nation = t(s, dir, "nation").select("n_nationkey", "n_name")
+      cust.join(broadcast(avgBal))
+        .where(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast("decimal(20,2)")).cast("double").as("totacctbal"))
+        .orderBy("n_name")
+    }),
+
     // set operations (§2.7 beyond UNION): INTERSECT and EXCEPT on customer
     // key sets — distinct-semantics set ops, one shuffle each
     "q_set_ops" -> ((s, dir) => {
@@ -559,6 +665,69 @@ object Analytics {
         |  CAST(qty AS DOUBLE) AS total_qty
         |FROM big JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY total_qty DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q13_customer_distribution" ->
+      """WITH co AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist FROM co
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS volume
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))) AS r
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE r = (SELECT MAX(r) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q22_dormant_customers" ->
+      """WITH ab AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT n_name, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE) AS totacctbal
+        |FROM customer CROSS JOIN ab
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q_set_ops" ->
       """WITH building AS (

@@ -86,6 +86,29 @@ class PlanSpec extends AnyFunSuite {
       s"binned range join must be an equi join:\n$p")
   }
 
+  test("q7: nation broadcasts only; customer/orders unhinted; date filter pushed") {
+    val hints = "ResolvedHint".r.findAllIn(analyzed("q7_volume_shipping")).length
+    assert(hints == 3, s"expected 3 hints (supplier, nation x2), got $hints")
+    val p = plan("q7_volume_shipping")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "shipdate window must reach the lineitem scan")
+  }
+
+  test("q13: per-customer count co-partitions with the outer join (one shuffle of each side)") {
+    val p = plan("q13_customer_distribution")
+    // the groupBy(c_custkey) must reuse the join's hashpartitioning on the
+    // customer key — no extra exchange between join and first aggregate
+    val exchanges = "Exchange hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(!exchanges.contains("c_custkey") || exchanges.count(_ == "c_custkey") <= 1,
+      s"per-customer aggregate must not re-shuffle after the join: $exchanges")
+  }
+
+  test("q4: exists compiles to a semi join, never a distinct-then-inner") {
+    val p = plan("q4_order_priority")
+    assert(p.toLowerCase.contains("leftsemi"), s"must plan a left-semi join:\n$p")
+  }
+
   test("merge broadcast strategy produces no full-outer sort-merge join") {
     val p = plan("j1_merge_upsert")
     // auto strategy at this size must pick the broadcast formulation
