@@ -96,6 +96,37 @@ object Sampling {
     }
   }
 
+  /** Temperature-scaled domain mix (square-root temperature, τ=2): keep
+    * each stratum at a rate proportional to the SQUARE ROOT of its relative
+    * size — the standard rebalancing that upweights small domains/languages
+    * without flattening the mix entirely (multilingual-pretraining
+    * practice). The largest stratum keeps 100%; a stratum 1/4 its size
+    * keeps ~50% of a proportional share… i.e. rates are
+    * `floor(100·sqrt(n/max))` percent, drawn by the same salted per-row
+    * hash as [[stratifiedSample]] so the draw is reproducible row-by-row.
+    *
+    * sqrt (IEEE correctly-rounded in every engine) is used rather than an
+    * arbitrary pow(x, 1/τ) so the rate computation is bit-identical
+    * cross-engine. Scale shape: the per-stratum rate table is one tiny
+    * aggregate broadcast back over the corpus — the corpus itself is only
+    * scanned and filtered, never shuffled. Returns the kept rows with a
+    * `rate_pct` column attached. */
+  def temperatureMix(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      salt: String = "temp"
+  ): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    val maxN = counts.agg(max(col("__n")).as("__mx"))
+    val rates = counts.crossJoin(broadcast(maxN))
+      .select(col(stratumCol),
+        floor(lit(100) * sqrt(col("__n").cast("double") / col("__mx").cast("double")))
+          .cast("int").as("rate_pct"))
+    df.join(broadcast(rates), stratumCol)
+      .where(pctHash(col(idCol), salt) < col("rate_pct"))
+  }
+
   /** Sequence packing: assign each document to a fixed-size token window
     * (`bin` = which training sequence it packs into) by the EXCLUSIVE
     * running token total in deterministic id order — greedy first-fit in

@@ -213,6 +213,25 @@ object Analytics {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // RANGE-frame rolling window: each order's trailing-7-day spend for the
+    // same customer — a time-based frame (peers by value, not row count),
+    // partitioned per customer so there is no global sort; exact decimal
+    // sum, double only at the output
+    "q_rolling_range" -> ((s, dir) => {
+      // frame dimension = day number since epoch (orderdates are midnight
+      // NTZ timestamps, so day granularity is exact and timezone-free)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+      t(s, dir, "orders").where(col("o_custkey") < 300)
+        .withColumn("rolling_7d",
+          sum(col("o_totalprice").cast("decimal(20,2)")).over(w).cast("double"))
+        .select("o_custkey", "o_orderkey", "o_orderdate", "rolling_7d")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // streaming-semantics windows (same functions serve readStream inputs)
     "stream_tumbling_hour" -> ((s, dir) =>
       StreamingIngest.tumblingAgg(
@@ -594,6 +613,14 @@ object Analytics {
         |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM orders WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_rolling_range" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY epoch_ns(o_orderdate)//86400000000000
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_7d
+        |FROM orders WHERE o_custkey < 300
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "stream_tumbling_hour" ->

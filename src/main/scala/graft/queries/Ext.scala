@@ -335,6 +335,16 @@ object Ext {
       Sampling.quotaCap(t(s, dir, "documents"), "lang", "doc_id", k = 50, salt = "mix1")
         .orderBy("lang", "rank")),
 
+    "ext_temperature_mix" -> ((s, dir) =>
+      // sqrt-temperature domain rebalance: small languages keep a larger
+      // share, the largest keeps 100%; corpus is filtered, never shuffled
+      Sampling.temperatureMix(
+        t(s, dir, "documents").select("doc_id", "lang"), "lang", "doc_id",
+        salt = "temp1")
+        .groupBy("lang", "rate_pct")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")),
+
     "ext_diversity_sample" -> ((s, dir) =>
       // cluster-balanced curation: ≤10 vectors per embedding-space cell
       // (16-cell codebook), drawn by salted hash — dense clusters are
@@ -842,6 +852,17 @@ object Ext {
          |  FROM h)
          |SELECT lang, doc_id, rank FROM r WHERE rank <= 50
          |ORDER BY lang, rank""".stripMargin,
+
+    "ext_temperature_mix" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+         |r AS (SELECT lang,
+         |  CAST(floor(100 * sqrt(CAST(n AS DOUBLE) /
+         |    CAST((SELECT MAX(n) FROM c) AS DOUBLE))) AS INTEGER) AS rate_pct
+         |  FROM c)
+         |SELECT d.lang, r.rate_pct, COUNT(*) AS n_kept
+         |FROM documents d JOIN r ON d.lang = r.lang
+         |WHERE ${Sampling.pctHashSql("d.doc_id", "temp1")} < r.rate_pct
+         |GROUP BY d.lang, r.rate_pct ORDER BY d.lang""".stripMargin,
 
     "ext_diversity_sample" ->
       s"""WITH $NormCte,

@@ -33,6 +33,27 @@ class SamplingSpec extends SparkSpec {
     assert(counts("train") > total * 6 / 10, "train band must dominate")
   }
 
+  test("temperature mix: sqrt rates, largest stratum fully kept, reproducible") {
+    val out = Sampling.temperatureMix(docs.select("doc_id", "lang"), "lang", "doc_id")
+    val kept = out.groupBy("lang", "rate_pct").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val pop = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mx = pop.values.max
+    // rate formula holds per stratum, and the largest stratum keeps 100%
+    pop.foreach { case (lang, n) =>
+      val expected = math.floor(100 * math.sqrt(n.toDouble / mx)).toInt
+      assert(kept(lang)._1 == expected, s"$lang rate")
+      if (n == mx) assert(kept(lang)._2 == n, "largest stratum must keep every row")
+      else assert(kept(lang)._2 <= n)
+    }
+    // same salt reproduces the identical kept set
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val again = Sampling.temperatureMix(docs.select("doc_id", "lang"), "lang", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == again)
+  }
+
   test("vocab sketch: HLL estimate within rsd bounds of exact, deterministic") {
     val out = TextStats.vocabStats(docs, "text").head()
     val (nTok, approx, exact) = (out.getLong(0), out.getLong(1), out.getLong(2))
