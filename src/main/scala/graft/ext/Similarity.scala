@@ -360,6 +360,33 @@ object Similarity {
       assignCells(corpus, vecCol, idCol, nCells, codebook),
       "cell_id", idCol, quota, salt)
 
+  /** Symmetric per-vector int8 quantization: `q_i = round(x_i·127/maxabs)`
+    * with the per-vector `scale = maxabs/127` kept alongside — the standard
+    * 4× storage compression for an at-scale embedding store (dequantize as
+    * `q_i·scale`; reconstruction error ≤ scale/2 per element). A narrow,
+    * codegen-friendly transform: two HOF passes per row (max-abs, then the
+    * quantized map), no shuffle, no state.
+    *
+    * Determinism: round() is half-away-from-zero in both Spark (HALF_UP on
+    * the decimal magnitude) and DuckDB, and the inputs to it are doubles
+    * computed by the same IEEE expression — so quantized codes are
+    * byte-identical cross-engine. Zero vectors keep scale 0 and all-zero
+    * codes (guarded division). */
+  def quantizeInt8(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val maxAbs = aggregate(col(vecCol), lit(0.0d),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    df.select(col(idCol), col(vecCol))
+      .withColumn("__mx", maxAbs)
+      .select(
+        col(idCol),
+        (col("__mx") / lit(127.0d)).as("scale"),
+        when(col("__mx") === 0.0d,
+          transform(col(vecCol), _ => lit(0)))
+          .otherwise(transform(col(vecCol),
+            x => round(x.cast("double") * lit(127.0d) / col("__mx")).cast("int")))
+          .as("q"))
+  }
+
   /** Blocked near-dup pairs: all pairs within a blocking key (e.g. a label
     * or an LSH bucket) with cosine above a threshold. */
   def blockedNearDupPairs(

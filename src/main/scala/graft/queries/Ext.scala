@@ -335,6 +335,12 @@ object Ext {
       Sampling.quotaCap(t(s, dir, "documents"), "lang", "doc_id", k = 50, salt = "mix1")
         .orderBy("lang", "rank")),
 
+    "ext_quantize_embed" -> ((s, dir) =>
+      // int8 embedding compression: per-vector symmetric scale + codes —
+      // narrow two-pass transform, 4x smaller storage at 100 TB
+      Similarity.quantizeInt8(t(s, dir, "embeddings"), "embedding", "vec_id")
+        .orderBy("vec_id")),
+
     "ext_temperature_mix" -> ((s, dir) =>
       // sqrt-temperature domain rebalance: small languages keep a larger
       // share, the largest keeps 100%; corpus is filtered, never shuffled
@@ -852,6 +858,18 @@ object Ext {
          |  FROM h)
          |SELECT lang, doc_id, rank FROM r WHERE rank <= 50
          |ORDER BY lang, rank""".stripMargin,
+
+    "ext_quantize_embed" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, e -> abs(CAST(e AS DOUBLE)))) AS mx
+        |  FROM embeddings)
+        |SELECT vec_id, mx / 127.0 AS scale,
+        |  CASE WHEN mx = 0
+        |    THEN list_transform(embedding, e -> 0 :: INTEGER)
+        |    ELSE list_transform(embedding,
+        |      e -> CAST(round(CAST(e AS DOUBLE) * 127.0 / mx) AS INTEGER)) END AS q
+        |FROM m ORDER BY vec_id""".stripMargin,
 
     "ext_temperature_mix" ->
       s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),

@@ -219,6 +219,42 @@ object ScaleSmoke {
       assert(n > 0, "some points must land in intervals")
     }
 
+    // 17. diversity sample at 2M vectors x 8 dims: cell assignment is a
+    // broadcast-codebook pass with one shuffled row per vector; the
+    // per-cell quota draw is the bounded aggregate (a dense cell never
+    // fully shuffles)
+    val vecs = spark.range(0, 2000000L, 1, 128)
+      .select(col("id").as("vec_id"),
+        array((0 until 8).map(i =>
+          ((col("id") * (i + 3) % 1000) / lit(500.0) - 1).cast("float")): _*)
+          .as("embedding"))
+    time("diversity sample 2M x 8d, 16 cells, quota 1k") {
+      val out = graft.ext.Similarity
+        .diversitySample(vecs, "embedding", "vec_id", nCells = 16, quota = 1000, salt = "s")
+      val n = out.count()
+      assert(n > 0 && n <= 16000L, s"caps must bind: $n")
+    }
+
+    // 18. temperature mix at 50M rows: rate table is a 2-row broadcast;
+    // the corpus is filtered in place (no shuffle of the 50M rows).
+    // en is 1/3, de 2/3 → de keeps 100%, en floor(100·sqrt(0.5)) = 70%
+    time("temperature mix 50M, 2 strata") {
+      val kept = graft.ext.Sampling.temperatureMix(samp, "lang", "doc_id").count()
+      val expected = 50000000L * 2 / 3 + (50000000L / 3) * 70 / 100
+      assert(math.abs(kept - expected) < 500000L, s"kept $kept vs ~$expected")
+    }
+
+    // 19. RANGE-frame rolling sum, 20M rows over 1M keys — value-based
+    // frames are O(n) per partition after the keyed sort, no global sort
+    time("range-frame rolling sum 20M over 1M keys") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("day")).rangeBetween(-6, 0)
+      val n = leftEv.withColumn("day", col("us") % 365)
+        .withColumn("roll", sum(col("event_id")).over(w))
+        .where(col("roll").isNotNull).count()
+      assert(n == 20000000L)
+    }
+
     spark.stop()
   }
 }

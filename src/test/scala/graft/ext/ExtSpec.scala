@@ -151,6 +151,34 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(out(0).getDouble(3) - 1.0) < 1e-9)
   }
 
+  test("quantizeInt8: codes in [-127,127], reconstruction within scale/2, zero vector guarded") {
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rows = Seq(
+      Row(1L, Seq(0.5f, -1.0f, 0.25f)),
+      Row(2L, Seq(0.0f, 0.0f, 0.0f)), // zero vector
+      Row(3L, Seq(-0.003f, 0.002f, 0.001f)))
+    val df = spark.createDataFrame(java.util.List.of(rows: _*), schema)
+    val out = Similarity.quantizeInt8(df, "embedding", "vec_id")
+      .orderBy("vec_id").collect()
+    val byId = out.map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Int](2))).toMap
+    // zero vector: scale 0, all-zero codes
+    assert(byId(2L)._1 == 0.0 && byId(2L)._2.forall(_ == 0))
+    // max-magnitude element always quantizes to ±127
+    assert(byId(1L)._2.map(math.abs).max == 127)
+    assert(byId(3L)._2.map(math.abs).max == 127)
+    // dequantized values reconstruct within half a quantization step
+    Seq(1L, 3L).foreach { id =>
+      val (scale, q) = byId(id)
+      val orig = rows.find(_.getLong(0) == id).get.getSeq[Float](1)
+      q.zip(orig).foreach { case (code, x) =>
+        assert(math.abs(code * scale - x) <= scale / 2 + 1e-12,
+          s"vec $id: code $code scale $scale orig $x")
+        assert(code >= -127 && code <= 127)
+      }
+    }
+  }
+
   test("diversitySample: per-cell quota honored, assignment matches nearest cell, reproducible") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def run() = Similarity.diversitySample(e, "embedding", "vec_id",
