@@ -113,6 +113,25 @@ object Lifecycle {
         .orderBy("l_orderkey")
     }),
 
+    "w_time_travel" -> ((s, dir) => {
+      // versioned store: overwrite → append → overwrite, then read every
+      // retained version — snapshot manifests give Delta-style time travel
+      // on top of the same atomic CURRENT flip
+      val store = new TableStore(s,
+        Files.createTempDirectory("graft_q_tt").toString, retainVersions = 4)
+      val c = t(s, dir, "customer").select("c_custkey", "c_acctbal")
+      store.overwrite("cust", c.where(col("c_custkey") <= 500))
+      store.append("cust",
+        c.where(col("c_custkey") > 500 && col("c_custkey") <= 1000))
+      store.overwrite("cust", c.where(col("c_custkey") <= 200))
+      store.versions("cust").map { v =>
+        store.scanAsOf("cust", v).agg(
+          lit(v).as("version"),
+          count(lit(1)).as("n_rows"),
+          sum(col("c_acctbal").cast("decimal(20,2)")).cast("double").as("sum_bal"))
+      }.reduce(_.unionByName(_)).orderBy("version")
+    }),
+
     "w10_zorder_scan" -> ((s, dir) => {
       // multi-dimensional slice over a Z-ordered layout: both the partkey
       // and suppkey predicates prune files (TableStoreSpec measures the
@@ -196,6 +215,20 @@ object Lifecycle {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "w_time_travel" ->
+      """SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE) AS sum_bal
+        |FROM customer WHERE c_custkey <= 500
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), COUNT(*),
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE)
+        |FROM customer WHERE c_custkey <= 1000
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), COUNT(*),
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE)
+        |FROM customer WHERE c_custkey <= 200
+        |ORDER BY version""".stripMargin,
 
     "w10_zorder_scan" ->
       """SELECT l_partkey, l_suppkey,

@@ -31,11 +31,23 @@ import java.nio.charset.StandardCharsets
   * Hadoop FileSystem; on S3 the single-file manifest PUT is atomic even
   * though dir-rename is not.
   */
-final class TableStore(spark: SparkSession, root: String) {
+/** @param retainVersions how many committed table versions stay readable
+  *   via [[scanAsOf]]. The default 1 keeps only the live version (snapshots
+  *   GC as soon as they leave CURRENT — exactly the storage profile of a
+  *   plain table); a history store (e.g. 8) retains the last N versions'
+  *   manifests AND their snapshot dirs, giving Delta-style time travel for
+  *   the cost of the retained deltas. Versions are advisory metadata: the
+  *   atomic CURRENT flip alone defines the live state, so a crash between
+  *   flip and version bookkeeping can lose a history entry but never
+  *   corrupts the table. */
+final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 1) {
+  require(retainVersions >= 1, "retainVersions must be >= 1")
 
   private def conf = spark.sparkContext.hadoopConfiguration
   private def tableDir(name: String) = new Path(root, name)
   private def currentFile(name: String) = new Path(tableDir(name), "CURRENT")
+  private def versionFile(name: String, v: Long) =
+    new Path(tableDir(name), f"v-$v%06d")
   private def fs(p: Path): FileSystem = p.getFileSystem(conf)
 
   def exists(name: String): Boolean = {
@@ -50,8 +62,7 @@ final class TableStore(spark: SparkSession, root: String) {
     else f.listStatus(r).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
   }
 
-  private def readManifest(name: String): Seq[String] = {
-    val f = currentFile(name)
+  private def readManifestFile(f: Path): Seq[String] = {
     val filesystem = fs(f)
     if (!filesystem.exists(f)) Nil
     else {
@@ -62,12 +73,37 @@ final class TableStore(spark: SparkSession, root: String) {
     }
   }
 
+  private def readManifest(name: String): Seq[String] =
+    readManifestFile(currentFile(name))
+
+  /** Committed versions still readable via [[scanAsOf]], ascending. */
+  def versions(name: String): Seq[Long] = {
+    val dir = tableDir(name)
+    val filesystem = fs(dir)
+    if (!filesystem.exists(dir)) Nil
+    else filesystem.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v-") => n.drop(2).toLong }
+      .toSeq.sorted
+  }
+
   /** Scan = union of the manifest's snapshot dirs in commit order, with
     * read-time schema evolution (later snapshots may add columns). */
   def scan(name: String): DataFrame = {
     val snaps = readManifest(name)
     if (snaps.isEmpty)
       throw new IllegalArgumentException(s"Table not found: $name")
+    snaps
+      .map(sn => spark.read.parquet(new Path(tableDir(name), sn).toString))
+      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  /** Time travel: scan the table as of a retained `version` (from
+    * [[versions]]). Same union-read + schema evolution as [[scan]]. */
+  def scanAsOf(name: String, version: Long): DataFrame = {
+    val snaps = readManifestFile(versionFile(name, version))
+    if (snaps.isEmpty)
+      throw new IllegalArgumentException(
+        s"Version $version of $name not found (retained: ${versions(name).mkString(",")})")
     snaps
       .map(sn => spark.read.parquet(new Path(tableDir(name), sn).toString))
       .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
@@ -246,8 +282,12 @@ final class TableStore(spark: SparkSession, root: String) {
     snap
   }
 
-  /** Atomically flip CURRENT to `snaps`; GC snapshot dirs no longer
-    * referenced (and tmp leftovers). */
+  /** Atomically flip CURRENT to `snaps`, record the new version, prune
+    * versions past the retention window, then GC snapshot dirs referenced
+    * by neither CURRENT nor any retained version (and tmp leftovers).
+    * Ordering matters for crash safety: the CURRENT rename alone commits;
+    * version files are written after (a crash there loses history, not
+    * data), and GC runs last against the union of everything retained. */
   private def commitManifest(name: String, snaps: Seq[String]): Unit = {
     val dir = tableDir(name)
     val filesystem = fs(dir)
@@ -260,7 +300,18 @@ final class TableStore(spark: SparkSession, root: String) {
     if (!filesystem.rename(tmp, cur))
       throw new IllegalStateException(s"Failed to commit ${snaps.last} of $name")
 
-    val live = snaps.toSet
+    // version bookkeeping (advisory — after the commit point)
+    val known = versions(name)
+    val next = known.lastOption.getOrElse(0L) + 1L
+    val vOut = filesystem.create(versionFile(name, next), true)
+    try vOut.write(snaps.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally vOut.close()
+    val retained = (known :+ next).takeRight(retainVersions)
+    (known :+ next).filterNot(retained.contains)
+      .foreach(v => filesystem.delete(versionFile(name, v), false))
+
+    val live = snaps.toSet ++
+      retained.flatMap(v => readManifestFile(versionFile(name, v)))
     filesystem.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
       if (st.isDirectory && n.startsWith("snap-") && !live.contains(n))

@@ -204,6 +204,34 @@ class TableStoreSpec extends SparkSpec {
     assert(store.scanBucketed("tw").count() == 40)
   }
 
+  test("time travel: retained versions stay readable; retention prunes; retain=1 keeps none") {
+    val dir = Files.createTempDirectory("graft_store_tt").toString
+    val store = new TableStore(spark, dir, retainVersions = 3)
+    store.overwrite("t", spark.range(5).toDF("v"))                  // v1: 0..4
+    store.append("t", spark.range(100, 103).toDF("v"))              // v2: +3
+    store.overwrite("t", spark.range(7).toDF("v"))                  // v3: 0..6
+    assert(store.versions("t") == Seq(1L, 2L, 3L))
+    assert(store.scanAsOf("t", 1).count() == 5)
+    assert(store.scanAsOf("t", 2).count() == 8)
+    assert(store.scanAsOf("t", 3).count() == 7)
+    // current scan == latest version
+    assert(store.scan("t").collect().map(_.getLong(0)).sorted.toSeq ==
+      store.scanAsOf("t", 3).collect().map(_.getLong(0)).sorted.toSeq)
+    // a 4th commit prunes version 1 (retention 3) and GCs its snapshots
+    store.overwrite("t", spark.range(2).toDF("v"))                  // v4
+    assert(store.versions("t") == Seq(2L, 3L, 4L))
+    intercept[IllegalArgumentException](store.scanAsOf("t", 1))
+    // v2 (append chain) still resolves even though v1's base snapshot is
+    // shared — retention GC must keep shared snapshot dirs alive
+    assert(store.scanAsOf("t", 2).count() == 8)
+    // default store (retain 1): history never accumulates
+    val plain = newStore
+    plain.overwrite("t", spark.range(3).toDF("v"))
+    plain.overwrite("t", spark.range(4).toDF("v"))
+    assert(plain.versions("t") == Seq(2L))
+    intercept[IllegalArgumentException](plain.scanAsOf("t", 1))
+  }
+
   test("crash recovery: orphan snapshot (no manifest entry) is invisible and GC'd") {
     val (store, dir) = newStoreAt
     store.overwrite("t", spark.range(3).toDF("v"))
