@@ -456,6 +456,22 @@ object Analytics {
         .orderBy("n_name")
     }),
 
+    // cohort retention: users cohorted by first-event week, active-user
+    // counts per (cohort, week offset). The first-event aggregate and the
+    // join back both shuffle on user_id (co-partitioned — one exchange of
+    // each side); the output grid is weeks², tiny at any scale
+    "q_cohort_retention" -> ((s, dir) => {
+      val wk = 604800000000L // 7 days in µs
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("us"))
+      val first = e.groupBy("user_id").agg(min("us").as("first_us"))
+      e.join(first, "user_id")
+        .groupBy(expr(s"first_us div $wk").as("cohort_week"),
+          expr(s"us div $wk - first_us div $wk").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // set operations (§2.7 beyond UNION): INTERSECT and EXCEPT on customer
     // key sets — distinct-semantics set ops, one shuffle each
     "q_set_ops" -> ((s, dir) => {
@@ -692,6 +708,15 @@ object Analytics {
         |  CAST(qty AS DOUBLE) AS total_qty
         |FROM big JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY total_qty DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS us FROM events),
+        |f AS (SELECT user_id, MIN(us) AS first_us FROM e GROUP BY user_id)
+        |SELECT f.first_us//604800000000 AS cohort_week,
+        |  e.us//604800000000 - f.first_us//604800000000 AS week_offset,
+        |  COUNT(DISTINCT e.user_id) AS active_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
 
     "q13_customer_distribution" ->
       """WITH co AS (
