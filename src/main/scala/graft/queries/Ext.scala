@@ -337,9 +337,14 @@ object Ext {
 
     "ext_quantize_embed" -> ((s, dir) =>
       // int8 embedding compression: per-vector symmetric scale + codes —
-      // narrow two-pass transform, 4x smaller storage at 100 TB
+      // narrow two-pass transform, 4x smaller storage at 100 TB. The gate
+      // output is unpivoted to one (vec_id, i, q_i) row per code so the
+      // comparator checks every element as a sortable scalar (a raw
+      // array<int> column cannot be canonicalized by the harness).
       Similarity.quantizeInt8(t(s, dir, "embeddings"), "embedding", "vec_id")
-        .orderBy("vec_id")),
+        .select(col("vec_id"), col("scale"),
+          posexplode(col("q")).as(Seq("i", "q_i")))
+        .orderBy("vec_id", "i")),
 
     "ext_temperature_mix" -> ((s, dir) =>
       // sqrt-temperature domain rebalance: small languages keep a larger
@@ -863,13 +868,17 @@ object Ext {
       """WITH m AS (
         |  SELECT vec_id, embedding,
         |    list_max(list_transform(embedding, e -> abs(CAST(e AS DOUBLE)))) AS mx
-        |  FROM embeddings)
-        |SELECT vec_id, mx / 127.0 AS scale,
-        |  CASE WHEN mx = 0
-        |    THEN list_transform(embedding, e -> 0 :: INTEGER)
-        |    ELSE list_transform(embedding,
-        |      e -> CAST(round(CAST(e AS DOUBLE) * 127.0 / mx) AS INTEGER)) END AS q
-        |FROM m ORDER BY vec_id""".stripMargin,
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id, mx / 127.0 AS scale,
+        |    CASE WHEN mx = 0
+        |      THEN list_transform(embedding, e -> 0 :: INTEGER)
+        |      ELSE list_transform(embedding,
+        |        e -> CAST(round(CAST(e AS DOUBLE) * 127.0 / mx) AS INTEGER)) END AS q
+        |  FROM m)
+        |SELECT vec_id, scale,
+        |  generate_subscripts(q, 1) - 1 AS i, unnest(q) AS q_i
+        |FROM qz ORDER BY vec_id, i""".stripMargin,
 
     "ext_temperature_mix" ->
       s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
