@@ -24,7 +24,12 @@ object Bench {
     def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args: bench only these query names (dev shortcut; the driver
+    // invokes with no args → full suite)
+    val only = args.toSet
+    val selected =
+      if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(kv => only(kv._1))
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // isolate queries: caches built by one query must not distort the next.
       // The explicit GC lets Spark's ContextCleaner reap localCheckpoint
       // blocks dropped by earlier queries (they are freed only when the RDD
@@ -42,11 +47,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
     if (outPath.nonEmpty) {
       val w = new java.io.PrintWriter(outPath)
       try w.println(line) finally w.close()
     }
+    // stop Spark BEFORE printing so its shutdown logging cannot land after
+    // the JSON — the compact line must be the program's last stdout for the
+    // driver's tail capture to parse it.
     spark.stop()
+    println(line)
   }
 }

@@ -119,7 +119,13 @@ object Merge {
       else lit(null).cast(f.dataType).as(f.name)
     }
 
-  /** matched ∪ target-anti ∪ inserts, stage broadcast — no target shuffle. */
+  /** (matched ∪ unchanged ∪ target-only in ONE pass) ∪ inserts, stage
+    * broadcast — no target shuffle, and exactly one full-width target scan.
+    *
+    * A broadcast left_outer join classifies every target row in a single
+    * pass: matched-and-changed (take stage values + job ts), matched-but-
+    * unchanged, and target-only (keep target values). The previous shape —
+    * separate inner + left_anti jobs — scanned the 100 TB side twice. */
   private def mergeBroadcast(
       target: DataFrame,
       deduped: DataFrame,
@@ -128,12 +134,14 @@ object Merge {
       ts: Timestamp,
       spec: MergeSpec
   ): DataFrame = {
-    val s = deduped.columns.foldLeft(deduped)((d, c) => d.withColumnRenamed(c, s"__s_$c"))
+    val s0 = deduped.columns.foldLeft(deduped)((d, c) => d.withColumnRenamed(c, s"__s_$c"))
+    val s = s0.withColumn("__s_present", lit(true))
     val joinCond = keys.map(k => col(k) === col(s"__s_$k")).reduce(_ && _)
 
-    val joined = target.join(broadcast(s), joinCond, "inner")
-    val changed = updateCols.map(c => !(col(c) <=> col(s"__s_$c"))).reduce(_ || _)
-    val matchedOut = joined.select(target.schema.fields.toIndexedSeq.map { f =>
+    val joined = target.join(broadcast(s), joinCond, "left_outer")
+    val inS = col("__s_present") <=> lit(true)
+    val changed = inS && updateCols.map(c => !(col(c) <=> col(s"__s_$c"))).reduce(_ || _)
+    val targetOut = joined.select(target.schema.fields.toIndexedSeq.map { f =>
       if (updateCols.contains(f.name))
         when(changed, col(s"__s_${f.name}").cast(f.dataType)).otherwise(col(f.name)).as(f.name)
       else if (spec.updatedAtColumn.contains(f.name))
@@ -141,17 +149,19 @@ object Merge {
       else col(f.name) // keys + preserved columns keep target values
     }: _*)
 
-    val targetOnly = target.join(broadcast(deduped.select(keys.map(col): _*)), keys.toSeq, "left_anti")
     // Insert rows = stage keys with no target match. NEVER anti-join against
-    // a broadcast of the TARGET's keys (that broadcasts the 100 TB side);
-    // the matched keys are bounded by the stage size, so derive them from
-    // the broadcast inner join and anti-join the stage against THAT.
-    val matchedKeys = joined.select(keys.map(col): _*)
+    // a broadcast of the TARGET's full key set (that broadcasts the 100 TB
+    // side); the matched-key set is bounded by the stage size, so derive it
+    // with a key-pruned broadcast semi join — parquet column pruning means
+    // this second pass reads ONLY the key columns — and anti-join the stage
+    // against THAT (a stage-bounded broadcast).
+    val matchedKeys = target.select(keys.map(col): _*)
+      .join(broadcast(deduped.select(keys.map(col): _*)), keys.toSeq, "left_semi")
     val inserts = deduped
       .join(broadcast(matchedKeys), keys.toSeq, "left_anti")
       .select(insertProjection(target.schema, deduped.columns.toSet, ts, spec): _*)
 
-    matchedOut.unionByName(targetOnly).unionByName(inserts)
+    targetOut.unionByName(inserts)
   }
 
   /** Single full-outer join — one shuffle per side; for large stages. */

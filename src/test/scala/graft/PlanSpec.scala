@@ -114,4 +114,30 @@ class PlanSpec extends AnyFunSuite {
     // auto strategy at this size must pick the broadcast formulation
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
   }
+
+  test("broadcast merge scans the full-width target exactly once") {
+    import org.apache.spark.sql.functions._
+    val target = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      .withColumn("_id", col("o_orderkey"))
+      .withColumn("_updated_at", lit("2026-01-01 00:00:00").cast("timestamp"))
+    // in-memory stage → every parquet scan in the plan is a TARGET pass
+    import spark.implicits._
+    val stage = Seq((1L, 9.9, "X", 1000001L), (2L, 8.8, "Y", 1000002L))
+      .toDF("o_orderkey", "o_totalprice", "o_orderstatus", "_id")
+    val merged = graft.ops.Merge.merge(target, stage,
+      java.sql.Timestamp.valueOf("2026-02-02 00:00:00"),
+      graft.ops.Merge.MergeSpec(uniqueKeys = Seq("o_orderkey"),
+        strategy = graft.ops.Merge.MergeStrategy.BroadcastStage))
+    val p = merged.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val scans = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toSeq
+    val fullWidth = scans.count(_.contains("o_totalprice"))
+    assert(fullWidth == 1,
+      s"broadcast merge must make exactly ONE full-width target pass, got $fullWidth:\n${scans.mkString("\n")}")
+    val keyOnly = scans.count(s => s.contains("o_orderkey") && !s.contains("o_totalprice"))
+    assert(keyOnly == 1,
+      s"insert derivation must key-prune its target pass:\n${scans.mkString("\n")}")
+    assert(!p.contains("SortMergeJoin"), "broadcast merge must not shuffle the target")
+  }
 }
