@@ -65,11 +65,28 @@ case class TopKByAggregate(
 
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
 
+  // After binding, score/id are usually direct BoundReferences (the rewrite
+  // and the similarity operators always pass plain columns). Reading the
+  // primitives through the row accessors skips two boxed `eval` allocations
+  // per input row — the interpreted-eval tax is the dominant per-row cost of
+  // a TypedImperativeAggregate (no whole-stage codegen path exists for it).
+  import org.apache.spark.sql.catalyst.expressions.BoundReference
+  private lazy val fastOrdinals: (Int, Int) = (score, id) match {
+    case (s: BoundReference, i: BoundReference) => (s.ordinal, i.ordinal)
+    case _                                      => (-1, -1)
+  }
+
   override def update(buffer: TopKBuffer, input: InternalRow): TopKBuffer = {
-    val s = score.eval(input)
-    val i = id.eval(input)
-    if (s != null && i != null)
-      buffer.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    val (so, io) = fastOrdinals
+    if (so >= 0) {
+      if (!input.isNullAt(so) && !input.isNullAt(io))
+        buffer.insert(input.getDouble(so), input.getLong(io))
+    } else {
+      val s = score.eval(input)
+      val i = id.eval(input)
+      if (s != null && i != null)
+        buffer.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    }
     buffer
   }
 

@@ -64,7 +64,17 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
   private def nullFree(a: Attribute, child: LogicalPlan): Boolean =
     !a.nullable || child.constraints.exists(_.semanticEquals(IsNotNull(a)))
 
-  private def rewrite(f: Filter, cond: Expression, w: Window): Option[LogicalPlan] =
+  private def rewrite(f: Filter, cond: Expression, w: Window): Option[LogicalPlan] = {
+    // Spark's InferWindowGroupLimit may already have slid a WindowGroupLimit
+    // under the Window (it runs in a later batch, but this rule re-enters
+    // the fixed point). The limit node is redundant once the whole
+    // Filter-over-Window collapses into the bounded aggregate — and keeping
+    // it would re-introduce the per-partition sort the rewrite exists to
+    // remove — so aggregate over its child instead.
+    val base = w.child match {
+      case wgl: WindowGroupLimit => wgl.child
+      case c                     => c
+    }
     w.windowExpressions match {
       case Seq(rankAlias @ Alias(WindowExpression(RowNumber(), _), _)) =>
         for {
@@ -74,18 +84,18 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
             case Seq(SortOrder(s: Attribute, Descending, _, _),
                 SortOrder(i: Attribute, Ascending, _, _))
                 if s.dataType == DoubleType && i.dataType == LongType &&
-                  nullFree(s, w.child) && nullFree(i, w.child) =>
+                  nullFree(s, base) && nullFree(i, base) =>
               Some((s, i))
             case _ => None
           }
           pAttrs <- if (w.partitionSpec.forall(_.isInstanceOf[Attribute]))
             Some(w.partitionSpec.map(_.asInstanceOf[Attribute])) else None
-          if w.child.outputSet == AttributeSet(pAttrs :+ scoreId._1 :+ scoreId._2)
+          if base.outputSet == AttributeSet(pAttrs :+ scoreId._1 :+ scoreId._2)
         } yield {
           val (score, id) = scoreId
           val topAlias = Alias(
             TopKByAggregate(score, id, Literal(k)).toAggregateExpression(), "__graft_top")()
-          val agg = Aggregate(pAttrs, pAttrs :+ topAlias, w.child)
+          val agg = Aggregate(pAttrs, pAttrs :+ topAlias, base)
           val posAttr = AttributeReference("pos", IntegerType, nullable = false)()
           val entryAttr = AttributeReference("col",
             StructType(Seq(
@@ -108,4 +118,5 @@ object TopKWindowRewrite extends Rule[LogicalPlan] {
         }
       case _ => None
     }
+  }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.ext.Multimodal
+import graft.ops.RowNumbers
 import graft.streaming.StreamingIngest
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -100,8 +101,15 @@ object Analytics {
     "q_topk_per_group" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy(col("value").desc, col("event_id").asc)
+      // the IS NOT NULL filter on the LEAF attributes is the declared
+      // precondition that lets TopKWindowRewrite prove the window≡aggregate
+      // equivalence from the plan's constraints (parquet columns are
+      // nullable; null scores would rank after non-null ones in the window
+      // but are dropped by the bounded aggregate) — PlanSpec asserts the
+      // rewrite actually fires here
       Tables.events(s, dir)
         .select(col("user_id"), col("event_id"), col("value"))
+        .where(col("value").isNotNull && col("event_id").isNotNull)
         .withColumn("rnk", row_number().over(w))
         .where(col("rnk") <= 3)
         .orderBy("user_id", "rnk")
@@ -163,14 +171,33 @@ object Analytics {
           col("n"), col("sum_qty"))
         .orderBy("g_flag", "g_status", "flag", "status")),
 
-    // ntile quartiles within each priority class (partitioned — no global
-    // single-partition sort; unique (price, key) tiebreak for determinism)
+    // ntile quartiles within each priority class. A window partitioned by
+    // the 5-value priority key would give 5 tasks, each sorting/buffering
+    // 1/5 of orders — "parallel" in name only at 100×. Instead: gap-free
+    // global row numbers over a RANGE sort on (priority, price, key) —
+    // parallel across the whole table — then per-class rank r = _id −
+    // first(_id in class) from a 5-row broadcast agg, and the exact
+    // ntile(4) formula (first n%4 tiles take ⌈n/4⌉ rows) applied as a
+    // narrow projection. No task ever holds more than its range slice.
     "q_ntile" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("o_orderpriority")
-        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-      t(s, dir, "orders")
-        .withColumn("quartile", ntile(4).over(w))
+      val base = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val rn = RowNumbers.withRowNumbersOrdered(base,
+        Seq(col("o_orderpriority").asc, col("o_totalprice").asc,
+          col("o_orderkey").asc))
+      val extents = rn.groupBy("o_orderpriority")
+        .agg(min(col("_id")).as("g_start"), count(lit(1)).as("g_n"))
+      def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        call_function("div", a, b)
+      val qSize = idiv(col("g_n"), lit(4L))
+      val rem = col("g_n") % 4
+      val cut = rem * (qSize + 1) // rows covered by the ⌈n/4⌉-sized tiles
+      val r = col("_id") - col("g_start") + 1
+      rn.join(broadcast(extents), Seq("o_orderpriority"))
+        .withColumn("quartile",
+          when(r <= cut, idiv(r - 1, qSize + 1) + 1)
+            .otherwise(rem + idiv(r - cut - 1, greatest(qSize, lit(1L))) + 1)
+            .cast("int"))
         .groupBy("o_orderpriority", "quartile")
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(20,2)")).cast("double").as("sum_price"))
@@ -191,13 +218,16 @@ object Analytics {
         .orderBy("event_id")
     }),
 
-    // exact percentiles (sort-based; both engines interpolate identically)
+    // exact percentiles (sort-based; both engines interpolate identically).
+    // Gate runs the EXACT tier of ops.Percentiles for the bit-for-bit
+    // oracle; production at 100 TB uses the approx (Greenwald-Khanna
+    // sketch) tier — exact percentile buffers every group value in one
+    // executor map, an OOM with 5 groups at scale (PercentilesSpec asserts
+    // the sketch tier plans without that buffering aggregate).
     "q_percentiles" -> ((s, dir) =>
-      t(s, dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n"),
-          expr("percentile(o_totalprice, 0.5)").as("p50"),
-          expr("percentile(o_totalprice, 0.9)").as("p90"))
+      graft.ops.Percentiles.grouped(
+        t(s, dir, "orders"), Seq("o_orderpriority"), "o_totalprice",
+        Seq("p50" -> 0.5, "p90" -> 0.9), exact = true)
         .orderBy("o_orderpriority")),
 
     // windowed running total (partitioned analytic window — no global sort)
@@ -558,7 +588,8 @@ object Analytics {
       """SELECT user_id, event_id, value, rnk FROM (
         |  SELECT user_id, event_id, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rnk
-        |  FROM events) WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin,
+        |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL)
+        |WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin,
 
     "q_semi_anti_join" ->
       """SELECT c_custkey, TRUE AS has_urgent FROM customer c

@@ -115,6 +115,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
   }
 
+  test("q_topk_per_group: TopKWindowRewrite fires (graft_topk, no Window sort)") {
+    val opt = SparkEntry.queries("q_topk_per_group")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(opt.contains("graft_topk"),
+      s"window top-k idiom must rewrite to the bounded aggregate:\n$opt")
+    assert(!opt.contains("windowspecdefinition"),
+      s"rewritten plan must not retain the Window:\n$opt")
+  }
+
+  test("q_ntile: no Window over a low-cardinality partition key") {
+    val p = plan("q_ntile")
+    assert(!p.contains("Window"),
+      s"q_ntile must use range-sort row numbers, not a 5-partition window:\n$p")
+  }
+
   test("broadcast merge scans the full-width target exactly once") {
     import org.apache.spark.sql.functions._
     val target = spark.read.parquet(s"$dir/orders.parquet")
