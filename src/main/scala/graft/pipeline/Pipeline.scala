@@ -77,6 +77,25 @@ final class Pipeline(
     alerts: AlertSink = AlertSink.NoAlerts
 ) {
 
+  def this(
+      spark: SparkSession,
+      store: TableStore,
+      site: SiteCredentials,
+      statusUrl: String) =
+    // multi-tenant wiring (C8): the site's `{site_id}_api_key` token
+    // authenticates status callbacks, and its `{site_id}_email` connection —
+    // when registered — carries failure alerts (recipients in the conn's
+    // `extra`: `to` comma-separated, `from` defaulting to the login)
+    this(spark, store,
+      site.statusCallback(statusUrl),
+      site.smtp match {
+        case Some(c) if c.extra.contains("to") =>
+          SmtpAlert.sink(c,
+            from = c.extra.getOrElse("from", c.login),
+            to = c.extra("to").split(',').toIndexedSeq.map(_.trim).filter(_.nonEmpty))
+        case _ => AlertSink.NoAlerts
+      })
+
   private def jsonEsc(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
