@@ -107,10 +107,15 @@ object Sampling {
     *
     * sqrt (IEEE correctly-rounded in every engine) is used rather than an
     * arbitrary pow(x, 1/τ) so the rate computation is bit-identical
-    * cross-engine. Scale shape: the per-stratum rate table is one tiny
-    * aggregate broadcast back over the corpus — the corpus itself is only
-    * scanned and filtered, never shuffled. Returns the kept rows with a
-    * `rate_pct` column attached. */
+    * cross-engine. Rates are clamped to ≥1%: a stratum smaller than
+    * max/10000 would otherwise floor to a 0% rate and vanish entirely —
+    * the opposite of the upweight-small-domains intent. Rows with a NULL
+    * stratum are dropped (inner join on the stratum key, SQL equality
+    * semantics); route them to an explicit "unknown" stratum first if
+    * they must survive. Scale shape: the per-stratum rate table is one
+    * tiny aggregate broadcast back over the corpus — the corpus itself is
+    * only scanned and filtered, never shuffled. Returns the kept rows
+    * with a `rate_pct` column attached. */
   def temperatureMix(
       df: DataFrame,
       stratumCol: String,
@@ -121,8 +126,9 @@ object Sampling {
     val maxN = counts.agg(max(col("__n")).as("__mx"))
     val rates = counts.crossJoin(broadcast(maxN))
       .select(col(stratumCol),
-        floor(lit(100) * sqrt(col("__n").cast("double") / col("__mx").cast("double")))
-          .cast("int").as("rate_pct"))
+        greatest(lit(1),
+          floor(lit(100) * sqrt(col("__n").cast("double") / col("__mx").cast("double")))
+            .cast("int")).as("rate_pct"))
     df.join(broadcast(rates), stratumCol)
       .where(pctHash(col(idCol), salt) < col("rate_pct"))
   }

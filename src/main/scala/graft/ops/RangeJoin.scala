@@ -35,16 +35,29 @@ object RangeJoin {
     * `pointCol`/`loCol`/`hiCol` must be integral (cast timestamps to
     * epoch-long first); column sets must be disjoint. Empty or inverted
     * intervals (`hi <= lo`) match nothing; null coordinates never match
-    * (SQL comparison semantics). */
+    * (SQL comparison semantics).
+    *
+    * Replication guard: an interval spanning more than
+    * `maxBinsPerInterval` bins (default 65 536) fails the job fast with a
+    * clear contract error instead of materializing an unbounded
+    * `sequence()` — one outlier row with an open-ended sentinel hi (e.g.
+    * `Long.MaxValue`) would otherwise try to enumerate ~2^63/binWidth
+    * elements and OOM a single task. The check is evaluated inline on the
+    * interval scan (no extra pre-pass over the data); hitting it means
+    * either the data has sentinel/corrupt bounds to filter upstream, or
+    * `binWidth` is far below the real interval lengths and should be
+    * raised (replication ≈ len/binWidth + 1 per interval). */
   def binnedRangeJoin(
       points: DataFrame,
       intervals: DataFrame,
       pointCol: String,
       loCol: String,
       hiCol: String,
-      binWidth: Long
+      binWidth: Long,
+      maxBinsPerInterval: Long = 65536L
   ): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
     require(overlap.isEmpty, s"point/interval column collision: $overlap")
     var bin = "__bin"
@@ -56,11 +69,23 @@ object RangeJoin {
     def binStart(c: org.apache.spark.sql.Column) =
       (c.cast("long") - pmod(c.cast("long"), lit(binWidth)))
     val p = points.withColumn(bin, binStart(col(pointCol)))
+    // replication guard, evaluated inline before the sequence materializes:
+    // double arithmetic so a sentinel span (hi=Long.MaxValue) cannot
+    // overflow the check itself; the +1-bin slack of the double estimate
+    // is irrelevant at guard granularity
+    val spanBins =
+      (col(hiCol).cast("double") - col(loCol).cast("double")) / lit(binWidth.toDouble)
     val i = intervals
       .where(col(hiCol) > col(loCol) && col(loCol).isNotNull)
       .withColumn(bin,
-        explode(sequence(
-          binStart(col(loCol)), binStart(col(hiCol) - 1), lit(binWidth))))
+        explode(when(spanBins <= lit(maxBinsPerInterval.toDouble),
+          sequence(
+            binStart(col(loCol)), binStart(col(hiCol) - 1), lit(binWidth)))
+          .otherwise(raise_error(concat(
+            lit(s"graft.RangeJoin: interval spans more than $maxBinsPerInterval " +
+              s"bins at binWidth=$binWidth — filter sentinel bounds upstream or " +
+              "raise binWidth/maxBinsPerInterval: ["),
+            col(loCol).cast("string"), lit(", "), col(hiCol).cast("string"), lit(")"))))))
     p.join(i, bin)
       .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop(bin)

@@ -883,8 +883,8 @@ object Ext {
     "ext_temperature_mix" ->
       s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
          |r AS (SELECT lang,
-         |  CAST(floor(100 * sqrt(CAST(n AS DOUBLE) /
-         |    CAST((SELECT MAX(n) FROM c) AS DOUBLE))) AS INTEGER) AS rate_pct
+         |  GREATEST(1, CAST(floor(100 * sqrt(CAST(n AS DOUBLE) /
+         |    CAST((SELECT MAX(n) FROM c) AS DOUBLE))) AS INTEGER)) AS rate_pct
          |  FROM c)
          |SELECT d.lang, r.rate_pct, COUNT(*) AS n_kept
          |FROM documents d JOIN r ON d.lang = r.lang

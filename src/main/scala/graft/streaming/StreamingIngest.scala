@@ -280,14 +280,23 @@ object StreamingIngest {
     * batch plan of the same function is the spec's oracle). Late rows
     * beyond the watermark are dropped, the standard streaming tradeoff. */
   def streamStreamWindowJoin(
-      purchases: DataFrame, // user_id, ts
-      clicks: DataFrame, // user_id, ts
+      purchases: DataFrame,
+      clicks: DataFrame,
       watermark: String = "10 minutes",
-      windowSeconds: Long = 600L
+      windowSeconds: Long = 600L,
+      keyCol: String = "user_id",
+      tsCol: String = "ts"
   ): DataFrame = {
-    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    Seq(("purchases", purchases), ("clicks", clicks)).foreach { case (side, df) =>
+      Seq(keyCol, tsCol).foreach { c =>
+        require(df.columns.contains(c),
+          s"streamStreamWindowJoin: $side side is missing column '$c' " +
+            s"(columns: ${df.columns.mkString(", ")})")
+      }
+    }
+    val p = purchases.select(col(keyCol).as("p_user"), col(tsCol).as("p_ts"))
       .withWatermark("p_ts", watermark)
-    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val c = clicks.select(col(keyCol).as("c_user"), col(tsCol).as("c_ts"))
       .withWatermark("c_ts", watermark)
     p.join(c,
       col("p_user") === col("c_user") &&

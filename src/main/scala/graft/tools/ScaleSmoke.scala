@@ -205,6 +205,20 @@ object ScaleSmoke {
       assert(matched > 15000000L, s"most events should find a prior match: $matched")
     }
 
+    // 15b. the SAME physical merge forced down the generic
+    // (interpreted-ordering) path via a decimal(20,6) time column — the
+    // shape a user hits with timestamp/decimal keys. Measures the
+    // constant-factor cost of boxed compares + value copies relative to
+    // the primitive long merge above, and proves the generic loop is
+    // still O(n) (no quadratic blowup, no per-row allocation storm).
+    val leftDec = leftEv.withColumn("us", col("us").cast("decimal(20,6)"))
+    val rightDec = rightEv.withColumn("us", col("us").cast("decimal(20,6)"))
+    time("as-of exec (generic decimal) 20M x 20M") {
+      val matched = graft.ops.AsOfJoin.asOfTimeMerged(leftDec, rightDec, "user_id", "us")
+        .where(col("asof_time").isNotNull).count()
+      assert(matched > 15000000L, s"most events should find a prior match: $matched")
+    }
+
     // 16. binned range join: 20M points x 2M intervals (width ~100, bin
     // 128 → ≤2 bins/interval). An inequality-join nested loop here would
     // be 4×10^13 comparisons; the binned plan is one equi shuffle.

@@ -42,7 +42,7 @@ class SamplingSpec extends SparkSpec {
     val mx = pop.values.max
     // rate formula holds per stratum, and the largest stratum keeps 100%
     pop.foreach { case (lang, n) =>
-      val expected = math.floor(100 * math.sqrt(n.toDouble / mx)).toInt
+      val expected = math.max(1, math.floor(100 * math.sqrt(n.toDouble / mx)).toInt)
       assert(kept(lang)._1 == expected, s"$lang rate")
       if (n == mx) assert(kept(lang)._2 == n, "largest stratum must keep every row")
       else assert(kept(lang)._2 <= n)
@@ -52,6 +52,28 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.temperatureMix(docs.select("doc_id", "lang"), "lang", "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == again)
+  }
+
+  test("temperature mix: a micro-stratum clamps to a 1% rate, never 0%") {
+    // 200k "en" rows vs 3 "rare" rows: the unclamped rate would be
+    // floor(100·sqrt(3/200000)) = 0 — the stratum would silently vanish.
+    // The rare ids are picked (deterministically, same salted hash as the
+    // draw itself) to survive a 1% rate, so the clamp is observable in the
+    // output rather than inferred from an empty result.
+    val survivors = spark.range(900000L, 950000L).select(col("id").as("doc_id"))
+      .where(Sampling.pctHash(col("doc_id"), "temp") < 1)
+      .limit(3).collect().map(_.getLong(0))
+    assert(survivors.length == 3, "need 3 ids that pass a 1% draw")
+    val skewed = spark.range(0, 200000L).select(col("id").as("doc_id"), lit("en").as("lang"))
+      .unionByName(spark.createDataFrame(Seq(survivors(0), survivors(1), survivors(2))
+        .map(Tuple1(_))).toDF("doc_id")
+        .select(col("doc_id"), lit("rare").as("lang")))
+    val out = Sampling.temperatureMix(skewed, "lang", "doc_id")
+      .groupBy("lang").agg(max("rate_pct").as("r"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(out("rare")._1 == 1, s"micro-stratum rate must clamp to 1: $out")
+    assert(out("rare")._2 == 3L, "the surviving rare ids must be kept")
+    assert(out("en")._1 == 100)
   }
 
   test("vocab sketch: HLL estimate within rsd bounds of exact, deterministic") {

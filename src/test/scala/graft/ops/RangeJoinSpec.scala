@@ -68,6 +68,29 @@ class RangeJoinSpec extends SparkSpec {
       naive(points, intervals).count())
   }
 
+  test("sentinel interval fails fast with a contract error, not an OOM") {
+    import spark.implicits._
+    val points = Seq((1L, 5L)).toDF("pid", "p")
+    // an open-ended sentinel hi: without the guard, sequence() would try
+    // to enumerate ~2^63/binWidth bin starts in one task
+    val intervals = Seq(
+      (1L, 0L, 10L),
+      (2L, 0L, Long.MaxValue)
+    ).toDF("iid", "lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoin.binnedRangeJoin(points, intervals, "p", "lo", "hi", 10L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("graft.RangeJoin")),
+      s"expected the replication-guard contract error, got: $e")
+    // a raised ceiling admits wide-but-bounded intervals
+    val wide = Seq((3L, 0L, 1000000L)).toDF("iid", "lo", "hi")
+    val n = RangeJoin.binnedRangeJoin(points, wide, "p", "lo", "hi", 10L,
+      maxBinsPerInterval = 200000L).count()
+    assert(n == 1L)
+  }
+
   test("rejects colliding column names and non-positive widths") {
     import spark.implicits._
     val df = Seq((1L, 2L)).toDF("a", "p")

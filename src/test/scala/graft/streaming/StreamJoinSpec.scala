@@ -74,4 +74,27 @@ class StreamJoinSpec extends SparkSpec {
     assert(batch == expected)
     assert(collected.toSet == expected, s"stream must equal batch: $collected")
   }
+
+  test("key/time columns are parameters; a missing column is a contract error") {
+    import org.apache.spark.sql.functions._
+    // renamed schema joins identically through the keyCol/tsCol parameters
+    val p = spark.read.option("header", true)
+      .schema("account_id LONG, at TIMESTAMP")
+      .csv(spark.createDataset(Seq("account_id,at", "1,2024-01-01 00:10:00"))(
+        org.apache.spark.sql.Encoders.STRING))
+    val c = spark.read.option("header", true)
+      .schema("account_id LONG, at TIMESTAMP")
+      .csv(spark.createDataset(Seq("account_id,at", "1,2024-01-01 00:05:00"))(
+        org.apache.spark.sql.Encoders.STRING))
+    val out = StreamingIngest.streamStreamWindowJoin(p, c,
+      keyCol = "account_id", tsCol = "at").collect()
+    assert(out.length == 1 && out(0).getLong(0) == 1L)
+    // wrong column name fails with the contract require(), naming the side
+    // and the missing column — not an analysis-time unresolved-column error
+    val e = intercept[IllegalArgumentException] {
+      StreamingIngest.streamStreamWindowJoin(p, c)
+    }
+    assert(e.getMessage.contains("purchases") && e.getMessage.contains("user_id"),
+      s"contract error must name side and column: ${e.getMessage}")
+  }
 }
