@@ -182,6 +182,46 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
   }
 
+  /** N-gram-level benchmark decontamination — the finer-grained sibling of
+    * the whole-document fingerprint check: a training document is flagged
+    * when at least `minHits` of its DISTINCT word n-grams also occur in
+    * the evaluation set (the published GPT-3/PaLM-style decontamination
+    * rule; n=8..13 and a small hit threshold are the common settings).
+    * Catches partial contamination — a benchmark question quoted inside an
+    * otherwise-clean page — that document-hash matching misses.
+    *
+    * The 100 TB contract mirrors [[incrementalNew]]: the corpus is scanned
+    * ONCE and never shuffled. The benchmark's distinct n-gram HASH set
+    * (60-bit md5 — false-hit odds |bench|/2^60 per gram, negligible)
+    * broadcasts into an inner hash join against the corpus's exploded
+    * distinct grams; the explode is transient inside one codegen pipeline
+    * (generate → broadcast-probe → partial count), so the only shuffle
+    * carries the per-document hit counts of MATCHED docs — benchmark-sized,
+    * not corpus-sized.
+    *
+    * Returns (idCol, n_grams, n_hits) for flagged documents only. */
+  def contaminatedByNgram(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8,
+      minHits: Int = 2
+  ): DataFrame = {
+    val grams = array_distinct(TextHash.shingles(col(textCol), n))
+    val benchGrams = benchmark
+      .select(explode(grams).as("g"))
+      .select(TextHash.hmod60(col("g")).as("gh"))
+      .distinct()
+    corpus
+      .select(col(idCol), size(grams).as("n_grams"), explode(grams).as("g"))
+      .select(col(idCol), col("n_grams"), TextHash.hmod60(col("g")).as("gh"))
+      .join(broadcast(benchGrams), "gh")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(lit(1)).as("n_hits"))
+      .where(col("n_hits") >= minHits)
+  }
+
   /** Materialize the deduplicated corpus: keep one canonical row per
     * near-dup component (the minimum-id member), pass through rows that
     * duplicate nothing.

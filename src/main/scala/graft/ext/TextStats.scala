@@ -47,6 +47,55 @@ object TextStats {
           + when(col("n_tokens") >= 20 && col("n_tokens") <= 1000, 0.2).otherwise(0.0))
   }
 
+  /** Gopher-style structural quality rules (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", appendix A1.1 — the published filter
+    * set that most open LLM-data pipelines reimplement): word-count
+    * bounds, mean-word-length band, symbol-to-word ratio (hash marks and
+    * ellipses), alphabetic-word ratio, and a minimum stop-word count.
+    * Emits every raw signal, one boolean per rule, and the conjunction
+    * `pass_gopher` — pipelines keep the signals so a later re-filter with
+    * different thresholds is a scan, not a recompute.
+    *
+    * All narrow codegen'd HOF expressions over one let-bound token array —
+    * scan speed at 100 TB, no shuffle, no UDFs. Empty/whitespace-only
+    * documents have zero tokens: ratio signals are null (nullif-guarded
+    * division, identical in ANSI Spark and the DuckDB oracle) and the
+    * word-count rule already fails them. */
+  def gopherRules(
+      df: DataFrame,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaWordRatio: Double = 0.8,
+      minStopwords: Int = 2
+  ): DataFrame = {
+    val toks = wsTokens(col(textCol))
+    val nWords = size(toks)
+    val denom = nullif(nWords, lit(0)).cast("double")
+    val charSum = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val nSymbol = size(filter(toks, t => t.contains("#") || t.contains("...")))
+    val nAlpha = size(filter(toks, t => t.rlike("[a-zA-Z]")))
+    val nStops = size(filter(toks, t => t.isin(Stopwords.map(lit(_)): _*)))
+    df.withColumn("n_words", nWords)
+      .withColumn("mean_word_len", charSum.cast("double") / denom)
+      .withColumn("symbol_ratio", nSymbol.cast("double") / denom)
+      .withColumn("alpha_word_ratio", nAlpha.cast("double") / denom)
+      .withColumn("n_stopwords", nStops)
+      .withColumn("ok_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_mean_word_len",
+        col("mean_word_len") >= minMeanWordLen && col("mean_word_len") <= maxMeanWordLen)
+      .withColumn("ok_symbol_ratio", col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn("ok_alpha_words", col("alpha_word_ratio") >= minAlphaWordRatio)
+      .withColumn("ok_stopwords", col("n_stopwords") >= minStopwords)
+      .withColumn("pass_gopher",
+        col("ok_word_count") && col("ok_mean_word_len") && col("ok_symbol_ratio") &&
+          col("ok_alpha_words") && col("ok_stopwords"))
+  }
+
   /** Stopword lists per language for the n-gram/stopword language-ID
     * heuristic. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
@@ -149,6 +198,66 @@ object TextStats {
       else rollingDeclarative(norm)
     df.withColumn("fp_md5", md5(norm))
       .withColumn("fp_rolling", rolling)
+  }
+
+  /** Per-document top-k TF-IDF terms — the classic keyword extractor
+    * (salient-term indexing, topic tagging, near-dup triage).
+    * `score = tf · ln((N+1)/(df+1))` with add-one smoothing; `tf` is the
+    * in-document term count, `df` the corpus document frequency, `N` the
+    * corpus size.
+    *
+    * Scale shape (the inverted-index build, at the standard price):
+    *   - per-document term counts group on (doc, term) — rows for one
+    *     document explode in place, so map-side partial aggregation
+    *     collapses them before the shuffle carries one row per DISTINCT
+    *     (doc, term) pair;
+    *   - document frequency groups the tf table on term (partial-agg
+    *     again); N is a one-row aggregate crossJoin-broadcast back — no
+    *     driver action, no collect;
+    *   - the per-document top-k runs through the bounded `graft_topk`
+    *     partial aggregate (≤ mappers×k rows per doc in the shuffle),
+    *     never a row_number window that would shuffle every scored term;
+    *   - ties break on the term's 60-bit md5 hash ascending — a total
+    *     order both engines compute identically (string collation is not
+    *     portable, hash order is); the winning terms join back from the
+    *     (term, hash) vocabulary, de-collided by min(term) per hash.
+    *
+    * Output: (idCol, rank, term, tf, df, tfidf), rank 1..k per document.
+    * Requires a GraftSession (`graft_topk` resolves at analysis time). */
+  def tfidfTopK(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int
+  ): DataFrame = {
+    val nDocs = df.agg(count(lit(1)).as("__n_docs"))
+    val tf = df
+      .select(col(idCol), explode(wsTokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("th", TextHash.hmod60(col("term")))
+    val scored = tf
+      .join(dfT, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf").cast("double") *
+          log((col("__n_docs") + 1).cast("double") / (col("df") + 1).cast("double")))
+    // graft_topk ranks (score desc, id asc); the "id" here is the term
+    // hash, giving the engine-portable tie-break
+    val top = scored
+      .groupBy(col(idCol))
+      .agg(call_function("graft_topk",
+        col("tfidf"), col("th"), lit(k)).as("top"))
+      .select(col(idCol), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col(idCol), (col("pos") + 1).as("rank"),
+        col("t.id").as("th"), col("t.score").as("tfidf"))
+    // hash → term join-back (min(term)/min(df) per hash de-collides 60-bit
+    // ties deterministically); docs×k rows against the vocabulary table —
+    // an ordinary equi join AQE broadcasts when the vocab is small
+    val vocab = dfT.groupBy("th").agg(min("term").as("term"), min("df").as("df"))
+    top.join(vocab, "th")
+      .select(col(idCol), col("rank"), col("term"), col("df"), col("tfidf"))
   }
 
   /** Declarative spec of the rolling hash (also the oracle template). */

@@ -223,6 +223,39 @@ object Ext {
         .select("doc_id", "quality", "repetition", "n_tokens")
         .orderBy("doc_id")),
 
+    "ext_quality_gopher" -> ((s, dir) =>
+      // Gopher-style structural rule bundle: every raw signal + per-rule
+      // booleans + the conjunction, all in one narrow codegen'd scan
+      TextStats.gopherRules(t(s, dir, "documents"), "text")
+        .drop("text").orderBy("doc_id")),
+
+    "ext_contamination_ngram" -> ((s, dir) => {
+      // n-gram-level decontamination: flag corpus docs sharing >= 3
+      // distinct 8-grams with the benchmark slice. The benchmark's hashed
+      // gram set broadcasts; the corpus scans once and only matched
+      // per-doc hit counts shuffle.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      Dedup.contaminatedByNgram(
+        docs.select((col("doc_id") + 2000000L).as("doc_id"), col("text")),
+        docs.where(col("doc_id") % 7 === 0),
+        "text", "doc_id", n = 8, minHits = 3)
+        .orderBy("doc_id")
+    }),
+
+    "ext_tfidf_topk" -> ((s, dir) =>
+      // top-5 TF-IDF terms per document through the bounded graft_topk
+      // aggregate (hash tie-break — portable across engines, unlike string
+      // collation). Oracle-determinism: ranks agree because exact score
+      // ties can only arise from df=N (ln(1) = 0.0 exactly in every
+      // engine; any other cross-(tf,df) tie needs (N+1)/(d1+1) to be a
+      // perfect power of (N+1)/(d2+1), impossible for squarefree N+1);
+      // the VALUE is quantized to decimal(18,9) because Spark's
+      // StrictMath.log and DuckDB's libm ln differ in the last ulp on
+      // some inputs — 2e-16 relative, absorbed by the 1e-9 quantum.
+      TextStats.tfidfTopK(t(s, dir, "documents"), "text", "doc_id", k = 5)
+        .withColumn("tfidf", col("tfidf").cast("decimal(18,9)"))
+        .orderBy("doc_id", "rank")),
+
     "ext_repetition" -> ((s, dir) =>
       // repeated-phrase quality signal: inflate every 5th doc with its own
       // first 8 words repeated, then score — repetition must move toward 1
@@ -704,6 +737,72 @@ object Ext {
          |       $pick AS lang_pred
          |FROM scored ORDER BY doc_id""".stripMargin
     },
+
+    "ext_quality_gopher" -> {
+      val stopList = TextStats.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH tk AS (
+         |  SELECT doc_id, lang, source, n_chars, ${tokensSql("text")} AS toks
+         |  FROM documents),
+         |sig AS (
+         |  SELECT doc_id, lang, source, n_chars,
+         |    len(toks) AS n_words,
+         |    CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+         |      / CAST(nullif(len(toks), 0) AS DOUBLE) AS mean_word_len,
+         |    CAST(len(list_filter(toks, t -> contains(t, '#') OR contains(t, '...'))) AS DOUBLE)
+         |      / CAST(nullif(len(toks), 0) AS DOUBLE) AS symbol_ratio,
+         |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+         |      / CAST(nullif(len(toks), 0) AS DOUBLE) AS alpha_word_ratio,
+         |    len(list_filter(toks, t -> list_contains($stopList, t))) AS n_stopwords
+         |  FROM tk)
+         |SELECT *,
+         |  n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+         |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_mean_word_len,
+         |  symbol_ratio <= 0.1 AS ok_symbol_ratio,
+         |  alpha_word_ratio >= 0.8 AS ok_alpha_words,
+         |  n_stopwords >= 2 AS ok_stopwords,
+         |  (n_words >= 50 AND n_words <= 100000) AND
+         |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AND
+         |  symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8 AND
+         |  n_stopwords >= 2 AS pass_gopher
+         |FROM sig ORDER BY doc_id""".stripMargin
+    },
+
+    "ext_contamination_ngram" -> {
+      val grams8 = TextHash.shinglesSql("text", 8)
+      s"""WITH c AS (SELECT doc_id + 2000000 AS doc_id, text FROM documents),
+         |b AS (
+         |  SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+         |  FROM (SELECT unnest(list_distinct($grams8)) AS g
+         |        FROM documents WHERE doc_id % 7 = 0)),
+         |g AS (
+         |  SELECT doc_id, n_grams, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+         |  FROM (SELECT doc_id, len(list_distinct($grams8)) AS n_grams,
+         |               unnest(list_distinct($grams8)) AS g
+         |        FROM c))
+         |SELECT doc_id, n_grams, COUNT(*) AS n_hits
+         |FROM g WHERE gh IN (SELECT gh FROM b)
+         |GROUP BY doc_id, n_grams HAVING COUNT(*) >= 3
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "ext_tfidf_topk" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+         |dft AS (SELECT term, COUNT(*) AS df,
+         |               ('0x' || substr(md5(term), 1, 15))::BIGINT AS th
+         |        FROM tf GROUP BY term),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term, dft.df, dft.th,
+         |    CAST(tf.tf AS DOUBLE)
+         |      * ln(CAST(n_docs + 1 AS DOUBLE) / CAST(dft.df + 1 AS DOUBLE)) AS tfidf
+         |  FROM tf JOIN dft USING (term) CROSS JOIN n),
+         |r AS (SELECT doc_id, term, df, tfidf,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, th ASC) AS rank
+         |  FROM scored)
+         |SELECT doc_id, rank, term, df, CAST(tfidf AS DECIMAL(18,9)) AS tfidf
+         |FROM r WHERE rank <= 5
+         |ORDER BY doc_id, rank""".stripMargin,
 
     "ext_curation" -> {
       val toks = tokensSql("text")

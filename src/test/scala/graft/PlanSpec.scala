@@ -61,6 +61,28 @@ class PlanSpec extends AnyFunSuite {
       s"corpus must not hash-shuffle for the semi join: $exchanges")
   }
 
+  test("ngram contamination: gram set broadcasts; only hit counts shuffle") {
+    val p = plan("ext_contamination_ngram")
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark gram hashes must broadcast into the corpus scan")
+    // exactly two hash exchanges are legitimate: the benchmark-side
+    // distinct and the post-probe per-doc hit count (already partial-
+    // aggregated). A corpus-gram shuffle would add a third.
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 2,
+      s"corpus grams must not hash-shuffle ($hashEx hash exchanges):\n$p")
+    assert(p.toLowerCase.contains("partial_count"),
+      "hit counting must be partial+final")
+  }
+
+  test("tfidf topk: ranks through graft_topk, never a row_number window") {
+    val p = plan("ext_tfidf_topk")
+    assert(p.contains("graft_topk"),
+      "per-doc ranking must use the bounded top-k aggregate")
+    assert(!p.contains("Window"),
+      s"no window operator may appear in the tfidf plan:\n$p")
+  }
+
   test("q6: every predicate and the 3-column projection reach the parquet scan") {
     val p = plan("q6_forecast_revenue")
     assert(p.contains("GreaterThanOrEqual(l_shipdate") &&

@@ -239,6 +239,76 @@ class ExtSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), "centroid sums must combine map-side")
   }
 
+  test("gopherRules: each rule trips on its own adversarial doc") {
+    val good = (1 to 58).map(i => s"word$i").mkString("the a ", " ", "")
+    val short = "the a tiny doc here"
+    val symbols = ((1 to 50).map(i => s"w$i") ++ (1 to 10).map(i => s"#tag$i"))
+      .mkString("the a ", " ", "")
+    val numeric = (1 to 58).map(i => (i * 7).toString).mkString("the a ", " ", "")
+    val noStops = (1 to 60).map(i => s"word$i").mkString(" ")
+    val out = TextStats.gopherRules(docs(
+      (1L, good), (2L, short), (3L, symbols), (4L, numeric), (5L, noStops)),
+      "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def b(id: Long, c: String) = out(id).getBoolean(out(id).fieldIndex(c))
+    assert(b(1L, "pass_gopher"), "the clean doc passes every rule")
+    assert(!b(2L, "ok_word_count") && !b(2L, "pass_gopher"))
+    assert(!b(3L, "ok_symbol_ratio") && b(3L, "ok_word_count"))
+    assert(!b(4L, "ok_alpha_words") && !b(4L, "pass_gopher"))
+    assert(!b(5L, "ok_stopwords") && b(5L, "ok_alpha_words"))
+    // signals are the raw values, not just booleans
+    assert(out(1L).getInt(out(1L).fieldIndex("n_words")) == 60)
+    assert(out(5L).getInt(out(5L).fieldIndex("n_stopwords")) == 0)
+  }
+
+  test("contaminatedByNgram: hit threshold counts distinct shared 8-grams") {
+    val span = (1 to 10).map(i => s"b$i").mkString(" ") // 10 tokens → 3 8-grams
+    val corpus = docs(
+      (1L, s"u1 u2 $span u3"), // full span embedded → 3 hits, at threshold
+      (2L, (1 to 20).map(i => s"c$i").mkString(" ")), // clean
+      (3L, "v1 " + (1 to 9).map(i => s"b$i").mkString(" ") + " v2")) // 2 hits only
+    val benchmark = docs((100L, span))
+    val flagged = Dedup.contaminatedByNgram(corpus, benchmark, "text", "doc_id",
+      n = 8, minHits = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(flagged.toSeq == Seq((1L, 6, 3L)),
+      s"only the full-span doc reaches 3 shared grams: ${flagged.toSeq}")
+    // at minHits=2 the partial overlap is caught too
+    val loose = Dedup.contaminatedByNgram(corpus, benchmark, "text", "doc_id",
+      n = 8, minHits = 2)
+      .collect().map(_.getLong(0)).sorted
+    assert(loose.toSeq == Seq(1L, 3L))
+  }
+
+  test("tfidfTopK equals the window-ranked reference, including tie order") {
+    val corpus = docs(
+      (1L, "apple apple banana common common"),
+      (2L, "banana cherry common common date"),
+      (3L, "common cherry cherry date elder"))
+    val got = TextStats.tfidfTopK(corpus, "text", "doc_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    // reference: the same math through an explicit window rank
+    val tok = corpus.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tok.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = corpus.count()
+    val scored = tok.join(dfT, "term")
+      .withColumn("tfidf", col("tf").cast("double") *
+        log(lit((n + 1).toDouble) / (col("df") + 1).cast("double")))
+      .withColumn("th", TextHash.hmod60(col("term")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("th").asc)
+    val want = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 2)
+      .select(col("doc_id"), col("rank"), col("term"), col("df"), col("tfidf"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got == want, s"got $got\nwant $want")
+    // "common" is in every doc → idf ln(1)=0 → never outranks a rarer term
+    assert(!got.exists { case (_, _, term, _, _) => term == "common" })
+  }
+
   test("multimodal: feature extraction through mapPartitions stub") {
     val out = Multimodal.extractFeatures(docs((0L, "abcd"), (2L, "xyz")), "doc_id", "text")
       .collect().map(f => f.doc_id -> f).toMap
