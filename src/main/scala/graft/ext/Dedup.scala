@@ -182,6 +182,50 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
   }
 
+  /** [[incrementalNew]] with a Bloom-filter pre-probe — for when the batch
+    * is too large to broadcast its exact fingerprint set. The exact
+    * variant broadcasts ~32 bytes per distinct batch fingerprint: a 100M-
+    * row crawl batch is a multi-GB broadcast, past the executor-memory
+    * cliff. A Bloom filter at the same capacity is ~170 MB at 1% fpp
+    * (bits are set by capacity/fpp, not payload width), and its false
+    * positives cost nothing but candidate volume: a false-positive corpus
+    * fingerprint cannot equal any batch fingerprint, so the final
+    * anti-join silently discards it — the result is IDENTICAL to
+    * [[incrementalNew]] (spec-proven), only intermediate sizes change.
+    *
+    * Plan shape at 100 TB: build the filter distributed (treeAggregate,
+    * driver holds one filter of the declared size), broadcast it, probe
+    * the corpus scan with a per-partition filter — the corpus still
+    * never shuffles, and only true collisions + fpp·|corpus| candidate
+    * fingerprints flow into the exact anti-join (shuffle-joined when too
+    * big to broadcast — still ~1% of a corpus that would otherwise
+    * hash-partition whole in the naive batch-anti-corpus plan). The
+    * probe is a typed filter (one deserialization per row) applied AFTER
+    * the fingerprint projection, so the scan itself stays columnar. */
+  def incrementalNewBloom(
+      corpus: DataFrame,
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      expectedBatchItems: Long,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    val bh = batch.select(col(idCol), md5(col(textCol)).as("fingerprint"))
+    val bloom = bh.stat.bloomFilter("fingerprint", expectedBatchItems, fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val corpusFps = corpus.select(md5(col(textCol)).as("fingerprint"))
+    val candidates = corpusFps
+      .filter((r: org.apache.spark.sql.Row) =>
+        bloomBc.value.mightContainString(r.getString(0)))
+      .distinct()
+    // exact re-check: Bloom false positives are eliminated here, so the
+    // result equals the exact-broadcast formulation
+    bh.join(candidates, Seq("fingerprint"), "left_anti")
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+  }
+
   /** N-gram-level benchmark decontamination — the finer-grained sibling of
     * the whole-document fingerprint check: a training document is flagged
     * when at least `minHits` of its DISTINCT word n-grams also occur in
@@ -213,8 +257,17 @@ object Dedup {
       .select(explode(grams).as("g"))
       .select(TextHash.hmod60(col("g")).as("gh"))
       .distinct()
+    // The gram array is materialized as its own attribute BELOW the
+    // explode: putting size(grams) and explode(grams) in one select plans
+    // the size as a Project ABOVE the Generate, recomputing the whole
+    // shingle+distinct pipeline from the text for EVERY exploded gram row
+    // — O(grams²) per document (measured 7× on the gate query). With the
+    // alias, the array is computed once per doc and size() is O(1) on the
+    // carried attribute.
     corpus
-      .select(col(idCol), size(grams).as("n_grams"), explode(grams).as("g"))
+      .select(col(idCol), grams.as("__grams"))
+      .select(col(idCol), size(col("__grams")).as("n_grams"),
+        explode(col("__grams")).as("g"))
       .select(col(idCol), col("n_grams"), TextHash.hmod60(col("g")).as("gh"))
       .join(broadcast(benchGrams), "gh")
       .groupBy(col(idCol), col("n_grams"))

@@ -314,6 +314,21 @@ object Ext {
       Dedup.incrementalNew(corpus, batch, "text", "doc_id").orderBy("keep_id")
     }),
 
+    "ext_incremental_dedup_bloom" -> ((s, dir) => {
+      // same semantics through the Bloom-prefiltered path (the
+      // batch-too-big-to-broadcast variant): identical output by
+      // construction — false positives can't match any batch fingerprint
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.where(col("doc_id") % 10 =!= 0)
+      val batch = docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" fresh")).as("text"))
+        .unionByName(docs.where(col("doc_id") % 20 === 1)
+          .select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
+      Dedup.incrementalNewBloom(corpus, batch, "text", "doc_id",
+        expectedBatchItems = 10000L).orderBy("keep_id")
+    }),
+
     "ext_boilerplate" -> ((s, dir) => {
       // C4-style boilerplate removal: a 10-word banner planted on every 3rd
       // doc appears across ≥3 docs → removed everywhere; genuine content
@@ -884,6 +899,21 @@ object Ext {
          |FROM nrm ORDER BY doc_id""".stripMargin,
 
     "ext_incremental_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        |batch AS (
+        |  SELECT doc_id + 3000000 AS doc_id, text || ' fresh' AS text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, text FROM documents WHERE doc_id % 20 = 1),
+        |bh AS (SELECT doc_id, md5(text) AS fingerprint FROM batch)
+        |SELECT fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS copies
+        |FROM bh
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM corpus c WHERE md5(c.text) = bh.fingerprint)
+        |GROUP BY fingerprint ORDER BY keep_id""".stripMargin,
+
+    "ext_incremental_dedup_bloom" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
         |batch AS (

@@ -239,6 +239,27 @@ class ExtSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), "centroid sums must combine map-side")
   }
 
+  test("incrementalNewBloom equals incrementalNew exactly, even at high fpp") {
+    val corpus = docs((0 until 400).map(i => (i.toLong, s"existing doc $i")): _*)
+    val batch = docs(
+      ((0 until 50).map(i => (1000L + i, s"existing doc ${i * 4}")) ++ // re-crawls
+        (0 until 50).map(i => (2000L + i, s"fresh doc $i")) ++
+        Seq((3000L, "fresh doc 0"))): _*) // within-batch duplicate
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = rows(Dedup.incrementalNew(corpus, batch, "text", "doc_id"))
+    // a deliberately tiny, collision-prone filter: false positives must
+    // still never change the result, only the candidate volume
+    val bloomy = rows(Dedup.incrementalNewBloom(corpus, batch, "text", "doc_id",
+      expectedBatchItems = 20L, fpp = 0.5))
+    assert(bloomy == exact, s"bloom path must be exact:\n$bloomy\nvs\n$exact")
+    assert(exact.exists { case (_, id, copies) => id == 2000L && copies == 2L },
+      "within-batch duplicate (3000L) collapses into min id 2000L with copies=2")
+    assert(exact.exists { case (_, id, copies) => id == 2001L && copies == 1L })
+    assert(!exact.exists { case (_, id, _) => id >= 1000L && id < 2000L },
+      "re-crawled content must not survive")
+  }
+
   test("gopherRules: each rule trips on its own adversarial doc") {
     val good = (1 to 58).map(i => s"word$i").mkString("the a ", " ", "")
     val short = "the a tiny doc here"
