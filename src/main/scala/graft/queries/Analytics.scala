@@ -463,6 +463,71 @@ object Analytics {
 
     // TPC-H Q22 flavor: dormant capital — customers above the average
     // positive balance with no RECENT order (none since 1999), grouped by
+    // TPC-H Q8 flavor: national market share — NATION_1's share of
+    // AMERICA-region revenue for PROMO parts by order year. The two-nation
+    // role-play (customer region filter vs supplier nationality) joins
+    // nation twice; nation/region/supplier are bounded dims (hinted),
+    // part is SF-scale so its filtered key projection joins via AQE.
+    // Share = exact decimal sums, divided as double at the very end.
+    "q8_market_share" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+        .where(col("p_type") === "PROMO").select("p_partkey")
+      val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nkey"), col("n_regionkey"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val region = t(s, dir, "region")
+        .where(col("r_name") === "AMERICA").select("r_regionkey")
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_discount")
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_1", revenue)
+            .otherwise(lit(0).cast("decimal(25,6)"))).as("nat"),
+          sum(revenue).as("tot"))
+        .select(col("o_year"),
+          (col("nat").cast("double") / col("tot").cast("double")).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q9 flavor (this schema carries no partsupp, so profit =
+    // revenue without supply cost): revenue from '%red%' parts by
+    // supplier nation and order year. p_name's substring predicate pushes
+    // to the part scan as StringContains; the part keys then join
+    // unhinted (SF-scale), nation/supplier broadcast.
+    "q9_product_profit" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+        .where(col("p_name").contains("red")).select("p_partkey")
+      val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val nation = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("nation"))
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_discount")
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("s_nkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(revenue).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
     // nation. The global average is a 1-row broadcast (exact decimal
     // parts, double at the end); the lapsed test is a left-anti join on
     // the customer key against the date-filtered order keys
@@ -797,6 +862,39 @@ object Analytics {
         |    WHERE l.l_orderkey = o.o_orderkey
         |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_1'
+        |    THEN CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))
+        |    ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+        |  AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+        |    AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE contains(p_name, 'red')
+        |GROUP BY n_name, o_year
+        |ORDER BY n_name, o_year DESC""".stripMargin,
 
     "q22_dormant_customers" ->
       """WITH ab AS (

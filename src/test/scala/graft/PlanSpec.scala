@@ -83,6 +83,25 @@ class PlanSpec extends AnyFunSuite {
       s"no window operator may appear in the tfidf plan:\n$p")
   }
 
+  test("q8: type filter pushed to part; 4 dim hints; fact joins unhinted") {
+    val p = plan("q8_market_share")
+    assert(p.contains("EqualTo(p_type,PROMO)"),
+      s"part-type filter must reach the part scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "date filter must reach the orders scan")
+    // nation×2, region, supplier are the only hinted sides — part, orders,
+    // customer, lineitem all grow with SF and must be left to AQE
+    val hints = "ResolvedHint".r.findAllIn(analyzed("q8_market_share")).length
+    assert(hints == 4, s"expected 4 dim hints (n1, n2, region, supplier), got $hints")
+  }
+
+  test("q9: substring predicate pushes to the part scan as StringContains") {
+    val p = plan("q9_product_profit")
+    assert(p.contains("StringContains(p_name,red)"),
+      s"contains() must reach PushedFilters on part:\n$p")
+    assert(!p.contains("l_shipdate"), "unused lineitem columns must be pruned")
+  }
+
   test("q6: every predicate and the 3-column projection reach the parquet scan") {
     val p = plan("q6_forecast_revenue")
     assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
