@@ -66,6 +66,80 @@ object AsOfJoin {
         col(mC).as(matchCol): _*)
   }
 
+  /** Match directions for [[asOfDirectional]] (pandas `merge_asof`
+    * surface): `Backward` = latest right time ≤ left time (the plain
+    * [[asOfTime]]), `Forward` = earliest right time ≥ left time,
+    * `Nearest` = whichever of the two is closer (ties → backward, the
+    * pandas rule). */
+  sealed trait Direction
+  case object Backward extends Direction
+  case object Forward extends Direction
+  case object Nearest extends Direction
+
+  /** [[asOfTime]] with direction and an optional tolerance, for NUMERIC
+    * (long) time columns — the pandas `merge_asof` contract on Spark.
+    *
+    * No new machinery: a FORWARD as-of is a BACKWARD as-of on negated
+    * time (order-reversal is an involution), so every direction reuses
+    * the same union+window plan — or the same custom physical operator
+    * via `merged = true` — including its null semantics and its
+    * one-keyed-shuffle cost. `Nearest` runs both passes (two keyed
+    * shuffles) and keeps the closer match; `tolerance` nulls out matches
+    * farther than the bound AFTER the join, which is exactly pandas
+    * semantics (a nearer-but-out-of-tolerance right row does NOT fall
+    * back to a farther in-tolerance one).
+    *
+    * Contract: `timeCol` must be integral (cast timestamps to epoch
+    * first — the reason: negation needs arithmetic, and the (long, long)
+    * fast path of [[graft.plans.AsOfJoinExec]] is the one worth taking);
+    * times must exceed Long.MinValue for the negation to be exact. */
+  def asOfDirectional(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      direction: Direction = Backward,
+      tolerance: Option[Long] = None,
+      matchCol: String = "asof_time",
+      merged: Boolean = false
+  ): DataFrame = {
+    require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
+    def backward(l: DataFrame, r: DataFrame, out: String) =
+      if (merged) asOfTimeMerged(l, r, keyCol, timeCol, out)
+      else asOfTime(l, r, keyCol, timeCol, out)
+    def neg(df: DataFrame) = df.withColumn(timeCol, -col(timeCol))
+    def withinTol(m: Column, dist: Column) = tolerance match {
+      case Some(tol) => when(dist <= tol, m)
+      case None      => m
+    }
+    direction match {
+      case Backward =>
+        backward(left, right, matchCol)
+          .withColumn(matchCol,
+            withinTol(col(matchCol), col(timeCol) - col(matchCol)))
+      case Forward =>
+        // negate, backward-join, negate back: min{rt : rt >= lt} is
+        // max{-rt : -rt <= -lt}
+        neg(backward(neg(left), neg(right), matchCol))
+          .withColumn(matchCol,
+            withinTol(-col(matchCol), -col(matchCol) - col(timeCol)))
+      case Nearest =>
+        val (b, f) = ("__asof_bwd", "__asof_fwd")
+        val both = asOfDirectional(
+          asOfDirectional(left, right, keyCol, timeCol, Backward,
+            tolerance, b, merged),
+          right, keyCol, timeCol, Forward, tolerance, f, merged)
+        both
+          .withColumn(matchCol,
+            when(col(b).isNull, col(f))
+              .when(col(f).isNull, col(b))
+              // ties prefer backward (pandas)
+              .when(col(f) - col(timeCol) < col(timeCol) - col(b), col(f))
+              .otherwise(col(b)))
+          .drop(b, f)
+    }
+  }
+
   /** Same contract as [[asOfTime]], executed by the custom physical
     * operator [[graft.plans.AsOfJoinExec]] (logical node + strategy +
     * SparkPlan, SURVEY §4.3 path (c)): each side shuffles with its own

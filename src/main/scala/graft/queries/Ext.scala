@@ -362,6 +362,23 @@ object Ext {
         .orderBy("event_id")
     }),
 
+    "ext_asof_nearest" -> ((s, dir) => {
+      // pandas merge_asof surface: NEAREST click within ±500ms of each
+      // purchase (ties → backward). Runs the backward pass plus a
+      // forward pass expressed as backward-on-negated-time, so both
+      // directions reuse the one-keyed-shuffle machinery; the tolerance
+      // nulls out-of-band matches after the join (pandas semantics)
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("us"), col("event_type"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "us")
+      val clicks = e.where(col("event_type") === "click").select("user_id", "us")
+      AsOfJoin.asOfDirectional(purchases, clicks, "user_id", "us",
+        AsOfJoin.Nearest, tolerance = Some(500000L), matchCol = "near_us")
+        .orderBy("event_id")
+    }),
+
     "ext_asof_exec" -> ((s, dir) => {
       // the same point-in-time lookup through the custom physical operator
       // (AsOfJoinNode → AsOfJoinExec): per-side shuffles + streaming merge,
@@ -967,6 +984,19 @@ object Ext {
         |  (SELECT MAX(c.us) FROM e c
         |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
         |     AND c.us <= p.us) AS click_us
+        |FROM e p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+
+    "ext_asof_nearest" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts)//1000 AS us, event_type
+        |  FROM events)
+        |SELECT p.event_id, p.user_id, p.us,
+        |  (SELECT c.us FROM e c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |     AND abs(c.us - p.us) <= 500000
+        |   ORDER BY abs(c.us - p.us) ASC, c.us ASC
+        |   LIMIT 1) AS near_us
         |FROM e p WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,
 

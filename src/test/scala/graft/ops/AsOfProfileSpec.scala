@@ -26,6 +26,48 @@ class AsOfProfileSpec extends SparkSpec {
       1L -> Some(100L), 2L -> Some(200L), 3L -> None, 4L -> None))
   }
 
+  test("asOfDirectional: all directions/tolerances equal brute force, both exec paths") {
+    import spark.implicits._
+    // randomized-ish but fixed fixture: keys with interleaved, tied, and
+    // missing times on either side
+    val left = (for (i <- 0 until 40) yield
+      (i.toLong, (i % 5).toLong, (i * 37 % 100).toLong)).toDF("event_id", "user_id", "us")
+    val right = (for (i <- 0 until 60) yield
+      ((i % 6).toLong, (i * 23 % 100).toLong)).toDF("user_id", "us")
+    val l = left.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val r = right.collect().map(r0 => (r0.getLong(0), r0.getLong(1)))
+    def brute(dir: String, tol: Option[Long]): Map[Long, Option[Long]] =
+      l.map { case (id, k, t) =>
+        val cands = r.filter(_._1 == k).map(_._2)
+        val bwd = cands.filter(_ <= t).sorted.lastOption
+          .filter(m => tol.forall(tv => t - m <= tv))
+        val fwd = cands.filter(_ >= t).sorted.headOption
+          .filter(m => tol.forall(tv => m - t <= tv))
+        id -> (dir match {
+          case "backward" => bwd
+          case "forward"  => fwd
+          case "nearest" => (bwd, fwd) match {
+            case (Some(b), Some(f)) => Some(if (f - t < t - b) f else b)
+            case (b, f)             => b.orElse(f)
+          }
+        })
+      }.toMap
+    for {
+      merged <- Seq(false, true)
+      (dir, dirName) <- Seq(AsOfJoin.Backward -> "backward",
+        AsOfJoin.Forward -> "forward", AsOfJoin.Nearest -> "nearest")
+      tol <- Seq(None, Some(7L))
+    } {
+      val got = AsOfJoin.asOfDirectional(left, right, "user_id", "us",
+        dir, tol, "m", merged = merged)
+        .collect().map(x => x.getLong(0) ->
+          (if (x.isNullAt(x.fieldIndex("m"))) None
+           else Some(x.getLong(x.fieldIndex("m"))))).toMap
+      assert(got == brute(dirName, tol),
+        s"direction=$dirName tol=$tol merged=$merged diverged from brute force")
+    }
+  }
+
   test("asOfTime preserves every left column and row count") {
     import spark.implicits._
     val left = Seq((1L, 5L, 10L, "x"), (2L, 5L, 20L, "y"))
