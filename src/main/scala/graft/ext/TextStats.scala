@@ -72,14 +72,38 @@ object TextStats {
       minAlphaWordRatio: Double = 0.8,
       minStopwords: Int = 2
   ): DataFrame = {
-    val toks = wsTokens(col(textCol))
-    val nWords = size(toks)
+    // The five counters come from ONE pass: the codegen'd
+    // graft_gopher_counts kernel when the graft extensions are registered
+    // (whole-stage codegen + subexpression elimination make repeated
+    // references — e.g. a .where(pass_gopher) whose predicate gets pushed
+    // through the projection — evaluate the scan once), else a
+    // materialized struct of the declarative HOF counters (byte-identical;
+    // TextNativeSpec pins the equivalence). Signals below are cheap FIELD
+    // EXTRACTIONS of the struct, so alias substitution duplicates only
+    // GetStructField, never the tokenize pass.
+    val cCol = "__gopher_c"
+    require(!df.columns.contains(cCol), s"column $cCol already exists")
+    val counters =
+      if (df.sparkSession.catalog.functionExists("graft_gopher_counts"))
+        call_function("graft_gopher_counts", col(textCol))
+      else {
+        val toks = wsTokens(col(textCol))
+        struct(
+          size(toks).as("n_words"),
+          aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("char_sum"),
+          size(filter(toks, t => t.contains("#") || t.contains("..."))).as("n_symbol"),
+          size(filter(toks, t => t.rlike("[a-zA-Z]"))).as("n_alpha"),
+          size(filter(toks, t => t.isin(Stopwords.map(lit(_)): _*))).as("n_stops"))
+      }
+    val c = col(cCol)
+    val nWords = c.getField("n_words")
     val denom = nullif(nWords, lit(0)).cast("double")
-    val charSum = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-    val nSymbol = size(filter(toks, t => t.contains("#") || t.contains("...")))
-    val nAlpha = size(filter(toks, t => t.rlike("[a-zA-Z]")))
-    val nStops = size(filter(toks, t => t.isin(Stopwords.map(lit(_)): _*)))
-    df.withColumn("n_words", nWords)
+    val charSum = c.getField("char_sum")
+    val nSymbol = c.getField("n_symbol")
+    val nAlpha = c.getField("n_alpha")
+    val nStops = c.getField("n_stops")
+    df.withColumn(cCol, counters)
+      .withColumn("n_words", nWords)
       .withColumn("mean_word_len", charSum.cast("double") / denom)
       .withColumn("symbol_ratio", nSymbol.cast("double") / denom)
       .withColumn("alpha_word_ratio", nAlpha.cast("double") / denom)
@@ -94,6 +118,7 @@ object TextStats {
       .withColumn("pass_gopher",
         col("ok_word_count") && col("ok_mean_word_len") && col("ok_symbol_ratio") &&
           col("ok_alpha_words") && col("ok_stopwords"))
+      .drop(cCol)
   }
 
   /** Stopword lists per language for the n-gram/stopword language-ID

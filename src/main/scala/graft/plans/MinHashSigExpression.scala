@@ -88,6 +88,13 @@ object GraftExtensions {
         NfcNormalizeExpression(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_gopher_counts"),
+      new ExpressionInfo(classOf[GopherCountsExpression].getName, "graft_gopher_counts"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_gopher_counts(text) takes one argument")
+        GopherCountsExpression(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKByAggregate].getName, "graft_topk"),
       (children: Seq[Expression]) => {

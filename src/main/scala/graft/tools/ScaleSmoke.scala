@@ -269,6 +269,70 @@ object ScaleSmoke {
       assert(n == 20000000L)
     }
 
+    // 20. n-gram decontamination: 2M-doc corpus vs 50k-doc benchmark.
+    // Benchmark gram hashes broadcast; corpus grams stream through the
+    // probe without shuffling (the only shuffle carries matched per-doc
+    // hit counts). Docs share the benchmark's exact text every 40th id.
+    // NB: `/` on Columns is DOUBLE division — group arithmetic must stay
+    // integral or corpus and benchmark render different tokens
+    def grp20(i: Int) = (col("id") / 40).cast("long") * 20 + lit(i)
+    val contCorpus = spark.range(0, 2000000L, 1, 128)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 20).map(i => concat(lit("w"), grp20(i))): _*).as("text"))
+    val contBench = spark.range(0, 2000000L, 40, 16)
+      .select(concat_ws(" ", (0 until 20).map(i =>
+        concat(lit("w"), grp20(i))): _*).as("text"))
+      .limit(50000)
+    time("ngram decontamination 2M docs x 50k bench") {
+      val n = graft.ext.Dedup
+        .contaminatedByNgram(contCorpus, contBench, "text", "doc_id", 8, 3)
+        .count()
+      assert(n == 2000000L, s"every doc shares its group's grams: $n")
+    }
+
+    // 21. bloom-prefiltered incremental dedup: 20M corpus x 2M batch —
+    // the batch whose exact fingerprint set (~64MB+) is past comfortable
+    // broadcast size; the bloom is ~2.4MB at 1% fpp. Corpus never
+    // shuffles; candidates ≈ true hits + 1% fp.
+    val bloomBatch = spark.range(0, 2000000L, 1, 64)
+      .select((col("id") + 100000000L).as("doc_id"),
+        when(col("id") % 2 === 0, concat(lit("content-"), col("id") * 10)) // re-crawl
+          .otherwise(concat(lit("new-"), col("id"))).as("text"))
+    time("bloom incremental dedup 20M corpus x 2M batch") {
+      val fresh = graft.ext.Dedup.incrementalNewBloom(
+        corpusTx, bloomBatch, "text", "doc_id",
+        expectedBatchItems = 2000000L, fpp = 0.01).count()
+      assert(fresh == 1000000L, s"exactly the new half must survive: $fresh")
+    }
+
+    // 22. gopher rule bundle at 10M docs — pure narrow scan, no shuffle
+    val gopherDocs = spark.range(0, 10000000L, 1, 128)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", lit("the"), lit("a"),
+          concat_ws(" ", (0 until 55).map(i =>
+            concat(lit("w"), pmod(col("id") + i, lit(9999)))): _*)).as("text"))
+    time("gopher rules 10M docs (narrow scan)") {
+      val scored = graft.ext.TextStats.gopherRules(gopherDocs, "text")
+      val n = scored.where(col("pass_gopher")).count()
+      // ids near multiples of 9999 emit short w0..w54-style tokens whose
+      // mean length dips under 3 — the mean-word-length rule catching the
+      // planted band (~0.5%); no other rule may fire on this corpus
+      assert(n >= 9900000L && n < 10000000L, s"pass rate off: $n")
+      val otherRule = scored
+        .where(!col("pass_gopher") && col("ok_mean_word_len")).count()
+      assert(otherRule == 0L, s"only the mean-word-len rule may fail: $otherRule")
+    }
+
+    // 23. tf-idf top-5 terms over 1M docs — inverted-index build with
+    // partial-agg groupBys, bounded graft_topk (never a window), vocab
+    // join-back. ~57M (doc,term) pairs, ~10k-term vocabulary.
+    time("tfidf top-5 1M docs") {
+      val out = graft.ext.TextStats.tfidfTopK(gopherDocs
+        .where(col("doc_id") < 1000000L), "text", "doc_id", 5)
+      val n = out.count()
+      assert(n == 5000000L, s"5 ranks per doc: $n")
+    }
+
     spark.stop()
   }
 }

@@ -31,6 +31,31 @@ class TextNativeSpec extends SparkSpec {
     assert(mism.count() == 0)
   }
 
+  test("gopher counts: native kernel == declarative HOF struct everywhere") {
+    import graft.ext.TextStats.Stopwords
+    // extra adversarials for this kernel: symbols, ellipses, supplementary
+    // plane chars (length() counts code points, not UTF-16 units),
+    // stopwords at edges, digit-only tokens
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text").unionByName(textDf(edgeTexts ++ Seq(
+        "the #tag and w... to in of",
+        "😀 emoji 😀😀 token",
+        "123 456 #",
+        "... ... ...",
+        "the the the the") : _*))
+    val toks = TextStats.wsTokens(col("text"))
+    val dec = struct(
+      size(toks).as("n_words"),
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("char_sum"),
+      size(filter(toks, t => t.contains("#") || t.contains("..."))).as("n_symbol"),
+      size(filter(toks, t => t.rlike("[a-zA-Z]"))).as("n_alpha"),
+      size(filter(toks, t => t.isin(Stopwords.map(lit(_)): _*))).as("n_stops"))
+    val mism = docs.select(
+      call_function("graft_gopher_counts", col("text")).as("nat"), dec.as("dec"))
+      .where(not(col("nat") <=> col("dec")))
+    assert(mism.count() == 0, mism.collect().take(3).mkString("; "))
+  }
+
   test("rolling fingerprint: native == declarative on real documents + edge cases") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("text").unionByName(textDf(edgeTexts: _*))
