@@ -51,10 +51,19 @@ object Bench {
       val w = new java.io.PrintWriter(outPath)
       try w.println(line) finally w.close()
     }
-    // stop Spark BEFORE printing so its shutdown logging cannot land after
-    // the JSON — the compact line must be the program's last stdout for the
-    // driver's tail capture to parse it.
+    // The driver keeps only the LAST ~2000 chars of stdout and json-parses
+    // the final line — the full per-query map (~40 chars x 100+ queries)
+    // no longer fits that window. So: full line first (humans + the
+    // bench_out file carry everything), then a compact final line — total
+    // plus the 20 slowest queries rounded to ms — sized to survive the
+    // tail capture. Spark stops BEFORE printing so shutdown logging can't
+    // land after the JSON.
+    val slowest = results.sortBy(-_._2).take(20)
+      .map { case (k, v) => s"\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"n_queries":${results.size},"full":"$outPath","sf":"$sfDir"}"""
     spark.stop()
     println(line)
+    println(compact)
   }
 }
