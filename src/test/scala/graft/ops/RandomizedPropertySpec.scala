@@ -1,0 +1,127 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Randomized property tests (seeded → deterministic): each operator is
+  * pitted against an obviously-correct naive reference over generated
+  * inputs that cover the edges a hand-picked fixture misses — negative
+  * coordinates, ties, empty sides, duplicate keys, single-element groups.
+  * Five trials per property keeps the suite fast; the seed is fixed so a
+  * failure is reproducible, not flaky. */
+class RandomizedPropertySpec extends SparkSpec {
+
+  test("property: binnedRangeJoin == naive inequality join on random inputs") {
+    import spark.implicits._
+    val rnd = new Random(4242)
+    for (trial <- 0 until 5) {
+      val nP = 50 + rnd.nextInt(150)
+      val nI = 20 + rnd.nextInt(60)
+      val span = 500
+      val points = (0 until nP).map(i =>
+        (i.toLong, (rnd.nextInt(2 * span) - span).toLong)).toDF("pid", "p")
+      val intervals = (0 until nI).map { i =>
+        val lo = (rnd.nextInt(2 * span) - span).toLong
+        // mix of empty, inverted, short, and long intervals
+        val hi = lo + (rnd.nextInt(120) - 20).toLong
+        (i.toLong, lo, hi)
+      }.toDF("iid", "lo", "hi")
+      val binWidth = Seq(1L, 7L, 64L)(rnd.nextInt(3))
+      val got = RangeJoin.binnedRangeJoin(points, intervals, "p", "lo", "hi", binWidth)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = points.join(intervals, col("p") >= col("lo") && col("p") < col("hi"))
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"trial $trial (binWidth=$binWidth) diverged")
+    }
+  }
+
+  test("property: asOfDirectional == brute force on random keys/times with ties") {
+    import spark.implicits._
+    val rnd = new Random(777)
+    for (trial <- 0 until 3) {
+      val left = (0 until 80).map(i =>
+        (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(40).toLong)).toDF("event_id", "k", "t")
+      val right = (0 until 120).map(_ =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(40).toLong)).toDF("k", "t")
+      val l = left.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val r = right.collect().map(x => (x.getLong(0), x.getLong(1)))
+      val dir = Seq(AsOfJoin.Backward, AsOfJoin.Forward, AsOfJoin.Nearest)(trial)
+      val tol = if (trial % 2 == 0) Some(5L) else None
+      val got = AsOfJoin.asOfDirectional(left, right, "k", "t", dir, tol, "m",
+        merged = trial % 2 == 1)
+        .collect().map(x => x.getLong(0) ->
+          (if (x.isNullAt(x.fieldIndex("m"))) None
+           else Some(x.getLong(x.fieldIndex("m"))))).toMap
+      val want = l.map { case (id, k, t) =>
+        val cands = r.filter(_._1 == k).map(_._2)
+        val bwd = cands.filter(_ <= t).sorted.lastOption
+          .filter(m => tol.forall(tv => t - m <= tv))
+        val fwd = cands.filter(_ >= t).sorted.headOption
+          .filter(m => tol.forall(tv => m - t <= tv))
+        id -> (dir match {
+          case AsOfJoin.Backward => bwd
+          case AsOfJoin.Forward  => fwd
+          case AsOfJoin.Nearest => (bwd, fwd) match {
+            case (Some(b), Some(f)) => Some(if (f - t < t - b) f else b)
+            case (b, f)             => b.orElse(f)
+          }
+        })
+      }.toMap
+      assert(got == want, s"trial $trial ($dir, tol=$tol) diverged")
+    }
+  }
+
+  test("property: merge strategies agree and are idempotent on random stages") {
+    import spark.implicits._
+    val rnd = new Random(1337)
+    val ts = java.sql.Timestamp.valueOf("2026-03-03 00:00:00")
+    for (trial <- 0 until 3) {
+      val target = (1 to 60).map(i =>
+        (i.toLong, i.toLong, rnd.nextInt(5).toDouble)).toDF("_id", "k", "v")
+        .withColumn("_updated_at", lit("2026-01-01 00:00:00").cast("timestamp"))
+      // stage: random mix of unchanged copies, updates, brand-new keys,
+      // and within-stage duplicate keys
+      val stage = (0 until 50).map { _ =>
+        val k = (1 + rnd.nextInt(90)).toLong
+        val changed = rnd.nextBoolean()
+        (1000L + k, k, if (changed) 99.0 else (k % 5).toDouble)
+      }.toDF("_id", "k", "v")
+      val spec = Merge.MergeSpec(uniqueKeys = Seq("k"))
+      def normalize(df: org.apache.spark.sql.DataFrame) =
+        df.select("k", "v").collect().map(x => (x.getLong(0), x.getDouble(1))).toSet
+      val viaBroadcast = Merge.merge(target, stage, ts,
+        spec.copy(strategy = Merge.MergeStrategy.BroadcastStage))
+      val viaFullOuter = Merge.merge(target, stage, ts,
+        spec.copy(strategy = Merge.MergeStrategy.FullOuter))
+      assert(normalize(viaBroadcast) == normalize(viaFullOuter),
+        s"trial $trial: strategies disagree")
+      // idempotency: merging the same stage again changes nothing
+      val again = Merge.merge(viaBroadcast, stage, ts,
+        spec.copy(strategy = Merge.MergeStrategy.BroadcastStage))
+      assert(normalize(again) == normalize(viaBroadcast),
+        s"trial $trial: merge not idempotent")
+    }
+  }
+
+  test("property: packSequences == single-partition window reference") {
+    import spark.implicits._
+    val rnd = new Random(2025)
+    for (trial <- 0 until 3) {
+      val window = Seq(64L, 257L, 1000L)(trial)
+      val docs = (0 until 300).map(i =>
+        (i.toLong, (1 + rnd.nextInt(120)).toLong)).toDF("doc_id", "toks")
+        .repartition(7)
+      val got = graft.ext.Sampling.packSequences(docs, "doc_id", "toks", window)
+        .select("doc_id", "bin").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val want = docs.coalesce(1)
+        .withColumn("bin", floor((sum(col("toks")).over(w) - col("toks")) / lit(window)))
+        .select("doc_id", "bin").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial (window=$window) diverged")
+    }
+  }
+}
