@@ -387,6 +387,155 @@ object Similarity {
           .as("q"))
   }
 
+  /** Product-quantization codebook, deterministic placeholder flavor: for
+    * each of `m` subspaces, the sub-slices of the `ksub` lowest-id vectors,
+    * coded 0..ksub-1 in id order — the trainable-free analogue of
+    * [[ivfTopK]]'s placeholder codebook, and the oracle-expressible tier.
+    * Production training swaps in [[pqCodebookTrained]] with identical
+    * schema `(subspace, code, code_vec)`. */
+  def pqCodebook(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      m: Int,
+      ksub: Int,
+      dim: Int
+  ): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__src"))
+    corpus.orderBy(col(idCol).asc).limit(ksub)
+      .select(col(idCol).as("__src"), col(vecCol).as("__v"))
+      .withColumn("code", row_number().over(w) - 1) // ksub rows — tiny window
+      .select(col("code"), explode(array((0 until m).map(b =>
+        struct(lit(b).as("subspace"),
+          slice(col("__v"), b * sub + 1, sub).as("code_vec"))): _*)).as("e"))
+      .select(col("e.subspace").as("subspace"), col("code"), col("e.code_vec").as("code_vec"))
+  }
+
+  /** Trained PQ codebook: an independent seeded k-means ([[kmeansCodebook]])
+    * per subspace over the corpus's sub-slices, codes densified 0..ksub-1.
+    * Deterministic like everything else here; at 100 TB train on a sample
+    * (pass a sampled `corpus`) — the codebook is m×ksub×(dim/m) floats
+    * regardless of corpus size, which is the entire point of PQ. */
+  def pqCodebookTrained(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      m: Int,
+      ksub: Int,
+      dim: Int,
+      iterations: Int = 3
+  ): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("cell_id"))
+    (0 until m).map { b =>
+      kmeansCodebook(
+        corpus.select(col(idCol), slice(col(vecCol), b * sub + 1, sub).as("__sub")),
+        "__sub", idCol, ksub, sub, iterations)
+        .withColumn("code", row_number().over(w) - 1)
+        .select(lit(b).as("subspace"), col("code"), col("cell_vec").as("code_vec"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** PQ-encode the corpus: each vector becomes `m` small codes (one byte
+    * each at ksub ≤ 256 — a 64-dim float32 embedding compresses 32×) plus
+    * the reconstruction norm used by asymmetric-distance search.
+    *
+    * Encoding is canonical L2 argmin per subspace, computed in exact
+    * scaled-int arithmetic: argmin |x−c|² = argmax (2·dot(x,c) − |c|²),
+    * both terms int64 multiples of 1e-15 via [[dotScaled]] — so codes are
+    * byte-identical cross-engine (ties → lowest code). Scale shape: the
+    * codebook broadcasts; each vector explodes to its m subvectors IN
+    * PLACE (same partition), the per-(vector,subspace) argmax partial-
+    * aggregates before the only shuffle, which carries one row per
+    * vector. */
+  def pqEncode(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      codebook: DataFrame,
+      m: Int,
+      dim: Int
+  ): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val cb = codebook.withColumn("__c2", dotScaled(col("code_vec"), col("code_vec")))
+    corpus
+      .select(col(idCol), explode(array((0 until m).map(b =>
+        struct(lit(b).as("subspace"),
+          slice(col(vecCol), b * sub + 1, sub).as("xvec"))): _*)).as("s"))
+      .select(col(idCol), col("s.subspace").as("subspace"), col("s.xvec").as("xvec"))
+      .join(broadcast(cb), "subspace")
+      .withColumn("__obj", lit(2L) * dotScaled(col("xvec"), col("code_vec")) - col("__c2"))
+      .groupBy(col(idCol), col("subspace"))
+      .agg(max(struct(col("__obj"), (-col("code")).as("negc"),
+        col("code"), col("__c2"))).as("best"))
+      .groupBy(col(idCol))
+      .agg(
+        array_sort(collect_list(struct(col("subspace"), col("best.code").as("code"))))
+          .as("__sc"),
+        sum(col("best.__c2")).as("__r2"))
+      .select(col(idCol),
+        transform(col("__sc"), s => s.getField("code")).as("codes"),
+        sqrt(col("__r2").cast("double") / lit(DotScale)).as("recon_norm"))
+  }
+
+  /** PQ asymmetric-distance top-k (the "PQ" of IVF-PQ): rank the ENCODED
+    * corpus against full-precision queries without decoding — each query
+    * precomputes its m×ksub partial-dot table, and a candidate's score is
+    * m table lookups summed: cosine_pq = Σ_b dot(q_b, c_{b,code_b})
+    * / (|q|·|x̃|), the exact cosine against the reconstruction x̃.
+    *
+    * Scale shape: the query tables (queries × m × ksub int64 entries)
+    * broadcast; each encoded corpus row explodes its m codes in place,
+    * joins the table hash-side, and partial-aggregates the per-(query,
+    * candidate) sum BEFORE the shuffle — so the exchange carries one row
+    * per (query, candidate) and the final ranking is the bounded
+    * `graft_topk` aggregate. Compose with [[assignCells]] / [[ivfTopK]]'s
+    * cell restriction to probe a fraction of the corpus at 100 TB — this
+    * operator is the within-cell scorer. All arithmetic is exact scaled
+    * int64 (oracle-verified). */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      dim: Int = 64,
+      codebook: Option[DataFrame] = None
+  ): DataFrame = {
+    val sub = dim / m
+    val cb = codebook.getOrElse(pqCodebook(corpus, vecCol, idCol, m, ksub, dim))
+    val enc = pqEncode(
+      corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec")),
+      "c_vec", "c_id", cb, m, dim)
+    val qsub = queries
+      .select(col(idCol).as("q_id"), explode(array((0 until m).map(b =>
+        struct(lit(b).as("subspace"),
+          slice(col(vecCol), b * sub + 1, sub).as("qvec"))): _*)).as("s"))
+      .select(col("q_id"), col("s.subspace").as("subspace"), col("s.qvec").as("qvec"))
+    val table = qsub.join(broadcast(cb), "subspace")
+      .select(col("q_id"), col("subspace"), col("code"),
+        dotScaled(col("qvec"), col("code_vec")).as("pd"))
+    val qn = queries.select(col(idCol).as("q_id"),
+      normDecimal(col(vecCol)).as("q_norm"))
+    val scored = enc
+      .select(col("c_id"), col("recon_norm"),
+        posexplode(col("codes")).as(Seq("subspace", "code")))
+      .join(broadcast(table), Seq("subspace", "code"))
+      .groupBy(col("q_id"), col("c_id"), col("recon_norm"))
+      .agg(sum(col("pd")).as("sd"))
+      .join(broadcast(qn), "q_id")
+      .where(col("c_id") =!= col("q_id"))
+      .withColumn("cosine",
+        col("sd").cast("double") / lit(DotScale) / (col("q_norm") * col("recon_norm")))
+    rankTopK(scored, k)
+  }
+
   /** Blocked near-dup pairs: all pairs within a blocking key (e.g. a label
     * or an LSH bucket) with cosine above a threshold. */
   def blockedNearDupPairs(

@@ -113,6 +113,18 @@ object Ext {
         .orderBy("q_id", "rank")
     }),
 
+    "ext_pq_topk" -> ((s, dir) => {
+      // product-quantization ADC search: corpus encoded to 8 codes
+      // (8 subspaces x 16 centroids), queries rank candidates via
+      // table-lookup sums against the reconstruction — the IVF-PQ scorer.
+      // All arithmetic exact scaled int64, so codes AND scores hash-match
+      // the DuckDB oracle.
+      val e = t(s, dir, "embeddings")
+      Similarity.pqTopK(e, e.where(col("vec_id") < 5), "embedding", "vec_id",
+        k = 5, m = 8, ksub = 16, dim = 64)
+        .orderBy("q_id", "rank")
+    }),
+
     "ext_lsh_buckets" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(col("vec_id"), Similarity.lshBucket(col("embedding"), 64).as("bucket"))
@@ -481,6 +493,13 @@ object Ext {
        |  [CAST(round(CAST($ae[i] AS DOUBLE)*CAST($be[i] AS DOUBLE)*1e15) AS BIGINT)
        |   FOR i IN range(1,65)]), (a,x) -> a+x) AS DOUBLE) / 1e15)""".stripMargin
 
+  /** Raw scaled-int64 dot over the first `n` dims (mirror of
+    * Similarity.dotScaled on a length-n slice — no /1e15 cast). */
+  private def dotScaledSqlN(ae: String, be: String, n: Int): String =
+    s"""list_reduce(list_prepend(0::BIGINT,
+       |  [CAST(round(CAST($ae[i] AS DOUBLE)*CAST($be[i] AS DOUBLE)*1e15) AS BIGINT)
+       |   FOR i IN range(1,${n + 1})]), (a,x) -> a+x)""".stripMargin
+
   /** bucket CTE (mirror of Similarity.lshBucket: 1e7 quantization, 6 planes,
     * coeff(i,j) = ((i*37+j*101)%7)-3, bit set when dot >= 0). */
   private val BucketExpr = {
@@ -634,6 +653,47 @@ object Ext {
          |scored AS (
          |  SELECT q.q_id, c.c_id, ${dotSql("q.q_vec", "c.c_vec")} / (q.q_norm * c.c_norm) AS cosine
          |  FROM c JOIN q ON c.cell_id = q.cell_id WHERE c.c_id <> q.q_id)
+         |SELECT q_id, c_id, rank, cosine FROM (
+         |  SELECT q_id, c_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+         |  FROM scored) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "ext_pq_topk" ->
+      s"""WITH $NormCte,
+         |sub AS (SELECT unnest(range(0,8)) AS subspace),
+         |base AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+         |cb AS (
+         |  SELECT s.subspace,
+         |    row_number() OVER (PARTITION BY s.subspace ORDER BY b.vec_id) - 1 AS code,
+         |    b.embedding[(s.subspace*8+1):(s.subspace*8+8)] AS cvec
+         |  FROM sub s CROSS JOIN base b),
+         |cbn AS (SELECT subspace, code, cvec,
+         |        ${dotScaledSqlN("cvec", "cvec", 8)} AS c2 FROM cb),
+         |sv AS (
+         |  SELECT e.vec_id, s.subspace,
+         |    e.embedding[(s.subspace*8+1):(s.subspace*8+8)] AS xvec
+         |  FROM embeddings e CROSS JOIN sub s),
+         |enc AS (
+         |  SELECT vec_id, subspace, code, c2 FROM (
+         |    SELECT sv.vec_id, sv.subspace, cbn.code, cbn.c2,
+         |      row_number() OVER (PARTITION BY sv.vec_id, sv.subspace
+         |        ORDER BY (2*${dotScaledSqlN("sv.xvec", "cbn.cvec", 8)} - cbn.c2) DESC,
+         |                 cbn.code ASC) AS r
+         |    FROM sv JOIN cbn ON sv.subspace = cbn.subspace) WHERE r = 1),
+         |recon AS (SELECT vec_id, sqrt(CAST(SUM(c2) AS DOUBLE)/1e15) AS rnorm
+         |          FROM enc GROUP BY vec_id),
+         |qn AS (SELECT vec_id AS q_id, nrm AS q_norm FROM n WHERE vec_id < 5),
+         |tq AS (SELECT q.vec_id AS q_id, cbn.subspace, cbn.code,
+         |         ${dotScaledSqlN("q.xvec", "cbn.cvec", 8)} AS pd
+         |       FROM sv q JOIN cbn ON q.subspace = cbn.subspace WHERE q.vec_id < 5),
+         |scored AS (
+         |  SELECT tq.q_id, enc.vec_id AS c_id,
+         |    CAST(SUM(tq.pd) AS DOUBLE)/1e15 / (MAX(qn.q_norm) * MAX(r.rnorm)) AS cosine
+         |  FROM enc JOIN tq ON enc.subspace = tq.subspace AND enc.code = tq.code
+         |  JOIN qn ON qn.q_id = tq.q_id
+         |  JOIN recon r ON r.vec_id = enc.vec_id
+         |  WHERE enc.vec_id <> tq.q_id
+         |  GROUP BY tq.q_id, enc.vec_id)
          |SELECT q_id, c_id, rank, cosine FROM (
          |  SELECT q_id, c_id, cosine,
          |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank

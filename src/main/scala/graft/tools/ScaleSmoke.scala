@@ -323,6 +323,17 @@ object ScaleSmoke {
       assert(otherRule == 0L, s"only the mean-word-len rule may fail: $otherRule")
     }
 
+    // 23b. PQ encode + ADC top-k over the 2M × 8d vectors from entry 17:
+    // the corpus shrinks to 4 one-byte codes + a norm per vector, queries
+    // rank via broadcast table lookups; the only corpus shuffles carry one
+    // row per vector (encode) and one per (query, candidate) pair (ADC).
+    time("pq encode + adc top-10, 2M x 8d") {
+      val out = graft.ext.Similarity.pqTopK(
+        vecs, vecs.where(col("vec_id") < 5), "embedding", "vec_id",
+        k = 10, m = 4, ksub = 16, dim = 8)
+      assert(out.count() == 50L, "5 queries x k=10")
+    }
+
     // 23. tf-idf top-5 terms over 1M docs — inverted-index build with
     // partial-agg groupBys, bounded graft_topk (never a window), vocab
     // join-back. ~57M (doc,term) pairs, ~10k-term vocabulary.
