@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators over integral (epoch) time columns: batch
+  * sessionization by inactivity gap and fixed-step resampling with
+  * forward fill. Both are one-keyed-shuffle plans — hash-partition by the
+  * entity key, sort within partitions, then O(n) running windows — the
+  * same cost shape as any keyed join at 100 TB; no per-key collect, no
+  * global sort, no cross-row UDFs. */
+object TimeSeries {
+
+  /** Batch sessionization: number each key's events with a session
+    * sequence that increments whenever the gap since the previous event
+    * exceeds `gap` (same units as `timeCol`). The pair (key,
+    * `session_seq`) is the session id; downstream aggs group by it.
+    *
+    * Matches the streaming session-window semantics
+    * ([[graft.streaming.StreamingIngest]]) on in-order data: an event at
+    * exactly `gap` after its predecessor stays in the session (strict
+    * `>` starts a new one). Null times sort first (Spark default) and
+    * start their own session run. */
+  def sessionize(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      gap: Long
+  ): DataFrame = {
+    require(gap > 0, "gap must be positive")
+    val w = Window.partitionBy(keyCol).orderBy(col(timeCol).asc)
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val prev = lag(col(timeCol), 1).over(w)
+    df.withColumn("session_seq",
+      sum(when(prev.isNull || col(timeCol) - prev > gap, 1L).otherwise(0L))
+        .over(run))
+  }
+
+  /** Fixed-step resample with forward fill: one row per (key, bucket) on
+    * each key's complete `step`-aligned grid between its first and last
+    * observation; buckets with observations carry the LATEST value in the
+    * bucket (ties on time break by greatest value — deterministic), empty
+    * buckets carry the previous bucket's value (nulls until the first
+    * observation never occur, since the grid starts at it).
+    *
+    * Scale shape: the grid generates per key from a (min, max) aggregate
+    * — never a global calendar join; the per-bucket latest observation is
+    * a partial-agg groupBy; the fill is one O(n) running `last(ignore
+    * nulls)` window per key. An outlier key spanning more than
+    * `maxBucketsPerKey` grid cells fails fast with a contract error
+    * (same guard discipline as [[RangeJoin]]) instead of exploding an
+    * unbounded `sequence()`. */
+  def resampleFill(
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valueCol: String,
+      step: Long,
+      maxBucketsPerKey: Long = 1000000L
+  ): DataFrame = {
+    require(step > 0, "step must be positive")
+    require(maxBucketsPerKey > 0, "maxBucketsPerKey must be positive")
+    def bucketOf(c: Column) = (c - pmod(c, lit(step)))
+    val obs = df
+      .where(col(keyCol).isNotNull && col(timeCol).isNotNull)
+      .groupBy(col(keyCol), bucketOf(col(timeCol)).as("bucket"))
+      .agg(max(struct(col(timeCol).as("t"), col(valueCol).as("v"))).as("last_obs"))
+      .select(col(keyCol), col("bucket"), col("last_obs.v").as("obs_value"))
+    val spanBuckets = (col("__mx").cast("double") - col("__mn").cast("double")) /
+      lit(step.toDouble)
+    val grid = df
+      .where(col(keyCol).isNotNull && col(timeCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(min(col(timeCol)).as("__mn"), max(col(timeCol)).as("__mx"))
+      .select(col(keyCol),
+        explode(when(spanBuckets <= lit(maxBucketsPerKey.toDouble),
+          sequence(bucketOf(col("__mn")), bucketOf(col("__mx")), lit(step)))
+          .otherwise(raise_error(concat(
+            lit(s"graft.TimeSeries: key spans more than $maxBucketsPerKey " +
+              s"buckets at step=$step — raise step/maxBucketsPerKey or filter " +
+              "outlier keys: "),
+            col(keyCol).cast("string"))))).as("bucket"))
+    val fill = Window.partitionBy(keyCol).orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(obs, Seq(keyCol, "bucket"), "left")
+      .withColumn("value", last(col("obs_value"), ignoreNulls = true).over(fill))
+      .drop("obs_value")
+  }
+}

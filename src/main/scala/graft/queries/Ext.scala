@@ -374,6 +374,27 @@ object Ext {
         .orderBy("event_id")
     }),
 
+    "ext_sessionize" -> ((s, dir) => {
+      // batch sessionization: per-user session sequence, new session after
+      // 30 min of inactivity — one keyed shuffle + O(n) running window
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"))
+      graft.ops.TimeSeries.sessionize(e, "user_id", "us", gap = 1800000000L)
+        .orderBy("event_id")
+    }),
+
+    "ext_resample_ffill" -> ((s, dir) => {
+      // fixed-step resample to a daily grid with forward fill: per-key
+      // grids from a (min,max) aggregate (never a global calendar join),
+      // bucket-latest observation via partial agg, one running fill window
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("us"), col("value"))
+        .where(col("user_id") < 30)
+      graft.ops.TimeSeries.resampleFill(e, "user_id", "us", "value",
+        step = 86400000000L)
+        .orderBy("user_id", "bucket")
+    }),
+
     "ext_asof_nearest" -> ((s, dir) => {
       // pandas merge_asof surface: NEAREST click within ±500ms of each
       // purchase (ties → backward). Runs the backward pass plus a
@@ -1046,6 +1067,43 @@ object Ext {
         |     AND c.us <= p.us) AS click_us
         |FROM e p WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,
+
+    "ext_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS us FROM events)
+        |SELECT event_id, user_id, us,
+        |  SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY us
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |FROM (SELECT event_id, user_id, us,
+        |        lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev_us
+        |      FROM e)
+        |ORDER BY event_id""".stripMargin,
+
+    "ext_resample_ffill" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts)//1000 AS us, value FROM events
+        |  WHERE user_id < 30),
+        |obs AS (
+        |  SELECT user_id, bucket, value AS obs_value FROM (
+        |    SELECT user_id, us - (us % 86400000000) AS bucket, value,
+        |      row_number() OVER (PARTITION BY user_id, us - (us % 86400000000)
+        |        ORDER BY us DESC, value DESC) AS r
+        |    FROM e) WHERE r = 1),
+        |bounds AS (SELECT user_id, MIN(us) AS mn, MAX(us) AS mx
+        |           FROM e GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(range(mn - (mn % 86400000000),
+        |                 mx - (mx % 86400000000) + 1, 86400000000)) AS bucket
+        |  FROM bounds)
+        |SELECT g.user_id, g.bucket,
+        |  last_value(o.obs_value IGNORE NULLS)
+        |    OVER (PARTITION BY g.user_id ORDER BY g.bucket
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        |FROM grid g
+        |LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket
+        |ORDER BY g.user_id, g.bucket""".stripMargin,
 
     "ext_asof_nearest" ->
       """WITH e AS (
