@@ -267,6 +267,53 @@ object StreamingIngest {
       }
   }
 
+  /** Streaming crawl ingestion with cross-batch content dedup: each
+    * micro-batch keeps only content whose fingerprint has never been seen
+    * — not in the accumulated corpus table, not earlier in the batch —
+    * and appends the survivors. The steady-state crawl loop
+    * ([[graft.ext.Dedup.incrementalNew]]) lifted onto the streaming
+    * runtime: checkpointed offsets make re-runs resume, and a re-crawled
+    * page arriving in a later micro-batch is dropped because the corpus
+    * table IS the dedup state — no in-memory state store to grow, no
+    * watermark to expire exact-dedup state (`dropDuplicates` cannot keep
+    * unbounded keys; a table scan-probe can).
+    *
+    * Per micro-batch cost: one corpus scan probed by the batch's
+    * broadcast fingerprint set (the corpus never shuffles), then an
+    * O(batch) append. Returns after all available files process
+    * (AvailableNow). */
+  def dedupIngestAvailableNow(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      store: TableStore,
+      table: String,
+      checkpointDir: String,
+      textCol: String,
+      idCol: String
+  ): Unit = {
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .json(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val keep = graft.ext.Dedup.incrementalNew(
+          if (store.exists(table)) store.scan(table)
+          else batch.sparkSession.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema),
+          batch, textCol, idCol)
+          .select(col("keep_id").as(idCol))
+        val fresh = batch.join(keep, idCol)
+        if (store.exists(table)) store.append(table, fresh)
+        else store.overwrite(table, fresh)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Watermarked stream-stream interval join (SURVEY §2.9): each purchase
     * pairs with the clicks of the same user inside its look-back window
     * (`p_ts - window < c_ts <= p_ts`). Both sides carry watermarks and the
