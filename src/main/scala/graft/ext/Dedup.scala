@@ -182,6 +182,65 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
   }
 
+  /** Incremental NEAR-dup detection: which batch documents near-duplicate
+    * content already in the corpus — the MinHash analogue of
+    * [[incrementalNew]], completing the steady-state crawl loop (exact
+    * re-crawls drop via fingerprints; slightly-edited re-crawls drop
+    * here). Returns (batch_id, corpus_id, jaccard) for every
+    * LSH-candidate pair whose exact shingle Jaccard meets `threshold`.
+    *
+    * The 100 TB contract again: the corpus is never shuffled. One corpus
+    * pass computes band keys (the md5 signature work — unavoidable, it IS
+    * the index; a production loop would persist bands as a table and scan
+    * them here); the batch's distinct (band, key) set broadcasts into a
+    * semi-probe of those bands; candidate pairs then verify against
+    * shingles re-derived ONLY for the (collision-bounded) candidate ids —
+    * the second corpus scan applies a broadcast id semi-join before any
+    * md5 work, so it is projection-cheap. Batch-side shingles/bands are
+    * computed once and persisted (batch-sized). */
+  def incrementalNearDupPairs(
+      corpus: DataFrame,
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double
+  ): DataFrame = {
+    def bandsOf(df: DataFrame, sigCol: Column, outId: String) = {
+      val bandCols = (0 until TextHash.Bands).map { b =>
+        val slice = (0 until TextHash.RowsPerBand)
+          .map(r => element_at(col("__sig"), b * TextHash.RowsPerBand + r + 1))
+        struct(lit(b).as("band"), concat_ws("-", slice: _*).as("key"))
+      }
+      df.select(col(idCol).as(outId), sigCol.as("__sig"))
+        .select(col(outId), explode(array(bandCols: _*)).as("bk"))
+        .select(col(outId), col("bk.band").as("band"), col("bk.key").as("key"))
+    }
+    val bShingled = batch
+      .select(col(idCol), TextHash.shingles(col(textCol)).as("b_sh"),
+        minhashSig(batch, textCol).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bBands = bandsOf(bShingled, col("sig"), "batch_id")
+    val probe = bBands.select("band", "key").distinct()
+    val cBands = bandsOf(corpus, minhashSig(corpus, textCol), "corpus_id")
+    val pairs = cBands
+      .join(broadcast(probe), Seq("band", "key"), "left_semi")
+      .join(broadcast(bBands), Seq("band", "key"))
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct()
+    val candIds = pairs.select(col("corpus_id")).distinct()
+    val cCand = corpus
+      .select(col(idCol).as("corpus_id"), col(textCol).as("__text"))
+      .join(broadcast(candIds), Seq("corpus_id"), "left_semi")
+      .select(col("corpus_id"), TextHash.shingles(col("__text")).as("c_sh"))
+    pairs
+      .join(cCand, "corpus_id")
+      .join(broadcast(bShingled.select(col(idCol).as("batch_id"), col("b_sh"))),
+        "batch_id")
+      .withColumn("jaccard", jaccard(col("b_sh"), col("c_sh")))
+      .where(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** [[incrementalNew]] with a Bloom-filter pre-probe — for when the batch
     * is too large to broadcast its exact fingerprint set. The exact
     * variant broadcasts ~32 bytes per distinct batch fingerprint: a 100M-

@@ -326,6 +326,22 @@ object Ext {
       Dedup.incrementalNew(corpus, batch, "text", "doc_id").orderBy("keep_id")
     }),
 
+    "ext_incremental_neardup" -> ((s, dir) => {
+      // crawl-loop near-dup screen: batch docs whose content NEAR-matches
+      // existing corpus docs (slightly-edited re-crawls the exact
+      // fingerprint check misses). Corpus bands are semi-probed by the
+      // batch's broadcast band keys — the corpus never shuffles.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val batch = docs.where(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(col("text"), lit(" zz near marker")).as("text"))
+        .unionByName(docs.where(col("doc_id") % 9 === 1)
+          .select((col("doc_id") + 6000000L).as("doc_id"),
+            concat(lit("fresh "), col("doc_id").cast("string")).as("text")))
+      Dedup.incrementalNearDupPairs(docs, batch, "text", "doc_id", threshold = 0.5)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
     "ext_incremental_dedup_bloom" -> ((s, dir) => {
       // same semantics through the Bloom-prefiltered path (the
       // batch-too-big-to-broadcast variant): identical output by
@@ -498,6 +514,22 @@ object Ext {
        |  FROM cand c
        |  JOIN shingled sa ON sa.doc_id = c.a_id
        |  JOIN shingled sb ON sb.doc_id = c.b_id)""".stripMargin
+  }
+
+  /** shingle → signature → band CTE chain for one side of the incremental
+    * near-dup oracle: emits `<p>sh` (doc_id, sh) and `<p>bands`
+    * (doc_id, band, key) reading from CTE `<src>`. */
+  private def minhashSideCtes(p: String, src: String): String = {
+    val sigSql = TextHash.minhashSignatureSql("sh")
+    val bandSelects = (0 until TextHash.Bands).map { b =>
+      val parts = (0 until TextHash.RowsPerBand)
+        .map(r => s"sig[${b * TextHash.RowsPerBand + r + 1}]").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws('-', $parts) AS key FROM ${p}sig"
+    }.mkString("\n  UNION ALL ")
+    s"""${p}sh AS (SELECT doc_id, $shinglesSqlInline AS sh FROM $src),
+       |${p}sig AS (SELECT doc_id, $sigSql AS sig FROM ${p}sh),
+       |${p}bands AS (
+       |  $bandSelects)""".stripMargin
   }
 
   /** embeddings CTE with scaled int64 norms (mirror of Similarity.normDecimal). */
@@ -1010,6 +1042,29 @@ object Ext {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM corpus c WHERE md5(c.text) = bh.fingerprint)
         |GROUP BY fingerprint ORDER BY keep_id""".stripMargin,
+
+    "ext_incremental_neardup" ->
+      s"""WITH corpusd AS (SELECT doc_id, text FROM documents),
+         |batchd AS (
+         |  SELECT doc_id + 5000000 AS doc_id, text || ' zz near marker' AS text
+         |  FROM documents WHERE doc_id % 9 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 6000000, 'fresh ' || CAST(doc_id AS VARCHAR)
+         |  FROM documents WHERE doc_id % 9 = 1),
+         |${minhashSideCtes("c", "corpusd")},
+         |${minhashSideCtes("b", "batchd")},
+         |cand AS (
+         |  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+         |  FROM cbands c JOIN bbands b ON c.band = b.band AND c.key = b.key)
+         |SELECT batch_id, corpus_id,
+         |  CAST(len(list_filter(list_distinct(bs.sh), x -> list_contains(cs.sh, x))) AS DOUBLE)
+         |    / CAST(len(list_distinct(bs.sh || cs.sh)) AS DOUBLE) AS jaccard
+         |FROM cand
+         |JOIN bsh bs ON bs.doc_id = cand.batch_id
+         |JOIN csh cs ON cs.doc_id = cand.corpus_id
+         |WHERE CAST(len(list_filter(list_distinct(bs.sh), x -> list_contains(cs.sh, x))) AS DOUBLE)
+         |    / CAST(len(list_distinct(bs.sh || cs.sh)) AS DOUBLE) >= 0.5
+         |ORDER BY batch_id, corpus_id""".stripMargin,
 
     "ext_incremental_dedup_bloom" ->
       """WITH corpus AS (

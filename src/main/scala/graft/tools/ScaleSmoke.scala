@@ -305,6 +305,27 @@ object ScaleSmoke {
       assert(fresh == 1000000L, s"exactly the new half must survive: $fresh")
     }
 
+    // 21b. incremental NEAR-dup: 2M corpus x 100k batch, half the batch
+    // lightly-edited re-crawls. Corpus bands semi-probed by the batch's
+    // broadcast band keys; corpus never shuffles.
+    val nearCorpus = spark.range(0, 2000000L, 1, 128)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 40).map(i =>
+          concat(lit("w"), col("id") * 40 + lit(i))): _*).as("text"))
+    val nearBatch = spark.range(0, 100000L, 1, 16)
+      .select((col("id") + 50000000L).as("doc_id"),
+        when(col("id") % 2 === 0,
+          concat(concat_ws(" ", (0 until 40).map(i =>
+            concat(lit("w"), col("id") * 10 * 40 + lit(i))): _*), lit(" zz edited")))
+          .otherwise(concat(lit("fresh "), col("id"))).as("text"))
+    time("incremental near-dup 2M corpus x 100k batch") {
+      val n = graft.ext.Dedup
+        .incrementalNearDupPairs(nearCorpus, nearBatch, "text", "doc_id", 0.6)
+        .count()
+      // LSH recall at jaccard ~0.93: expect ≥99% of the 50k planted pairs
+      assert(n >= 49500L && n <= 50000L, s"planted edited re-crawls: $n")
+    }
+
     // 22. gopher rule bundle at 10M docs — pure narrow scan, no shuffle
     val gopherDocs = spark.range(0, 10000000L, 1, 128)
       .select(col("id").as("doc_id"),

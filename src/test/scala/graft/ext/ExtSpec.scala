@@ -260,6 +260,23 @@ class ExtSpec extends SparkSpec {
       "re-crawled content must not survive")
   }
 
+  test("incrementalNearDupPairs: edited and exact re-crawls flagged, fresh not") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val corpus = docs((1L, base), (2L, other))
+    val batch = docs(
+      (10L, base + " tail edit"), // edited re-crawl of 1 → near-dup
+      (11L, base), // exact re-crawl of 1 → jaccard 1.0
+      (12L, "completely fresh content here")) // no corpus match
+    val got = Dedup.incrementalNearDupPairs(corpus, batch, "text", "doc_id", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byPair = got.map(x => (x._1, x._2) -> x._3).toMap
+    assert(byPair.contains((10L, 1L)), s"edited re-crawl must flag: $got")
+    assert(byPair((11L, 1L)) == 1.0, "exact re-crawl scores jaccard 1.0")
+    assert(!got.exists(_._1 == 12L), "fresh content must not flag")
+    assert(!got.exists(_._2 == 2L), "unrelated corpus doc never matches")
+  }
+
   test("gopherRules: each rule trips on its own adversarial doc") {
     val good = (1 to 58).map(i => s"word$i").mkString("the a ", " ", "")
     val short = "the a tiny doc here"
