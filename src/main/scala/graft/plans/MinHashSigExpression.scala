@@ -101,6 +101,13 @@ object GraftExtensions {
         require(children.size == 3, "graft_topk(score, id, k) takes three arguments")
         TopKByAggregate(children.head, children(1), children(2))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cms"),
+      new ExpressionInfo(classOf[CmsAggregate].getName, "graft_cms"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "graft_cms(item, d, w) takes three arguments")
+        CmsAggregate(children.head, children(1), children(2))
+      }))
     // plan rewrite: window row_number-top-k → bounded graft_topk aggregate
     ext.injectOptimizerRule(_ => TopKWindowRewrite)
     // physical operator: AsOfJoinNode → AsOfJoinExec (sorted streaming merge)

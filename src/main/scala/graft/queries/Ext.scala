@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Boilerplate, Dedup, Sampling, Similarity, TextHash, TextStats}
+import graft.ext.{Boilerplate, Dedup, Sampling, Similarity, Sketches, TextHash, TextStats}
 import graft.ops.{AsOfJoin, Profile}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -193,6 +193,21 @@ object Ext {
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram").asc)
         .limit(20)),
+
+    "ext_cms_counts" -> ((s, dir) => {
+      // two-tier heavy hitters: exact top-20 bigram counts (oracle tier —
+      // shuffles the n-gram universe) scored against the universe-
+      // independent count-min sketch (production tier: one narrow pass
+      // into a fixed 4x4096 buffer, candidates estimated by broadcast
+      // lookups). CMS never undercounts; at this w the top-20 are exact.
+      val grams = t(s, dir, "documents")
+        .select(explode(TextHash.shingles(col("text"), 2)).as("bigram"))
+      val exact = grams.groupBy("bigram").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("bigram").asc).limit(20)
+      val sketch = Sketches.cmsSketch(grams, col("bigram"), d = 4, w = 4096)
+      Sketches.cmsEstimate(exact, col("bigram"), sketch, d = 4, w = 4096)
+        .orderBy(col("exact_n").desc, col("bigram").asc)
+    }),
 
     "ext_contamination" -> ((s, dir) => {
       // benchmark contamination: training-corpus docs whose whitespace-
@@ -823,6 +838,27 @@ object Ext {
       s"""WITH g AS (SELECT unnest(${TextHash.shinglesSql("text", 2)}) AS bigram FROM documents)
          |SELECT bigram, COUNT(*) AS n FROM g
          |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    "ext_cms_counts" -> {
+      val w = 4096
+      val rowCtes = (0 until 4).map(i =>
+        s"""SELECT $i AS i, ${Sketches.cmsBucketSql("bigram", i, w)} AS bucket,
+           |       COUNT(*) AS c FROM g GROUP BY bucket""".stripMargin)
+        .mkString("\n  UNION ALL ")
+      val lookups = (0 until 4).map(i =>
+        s"""(SELECT c FROM buckets b WHERE b.i = $i
+           |  AND b.bucket = ${Sketches.cmsBucketSql("e.bigram", i, w)})""".stripMargin)
+        .mkString("LEAST(", ",\n    ", ")")
+      s"""WITH g AS (SELECT unnest(${TextHash.shinglesSql("text", 2)}) AS bigram
+         |           FROM documents),
+         |exact AS (SELECT bigram, COUNT(*) AS exact_n FROM g GROUP BY bigram
+         |          ORDER BY exact_n DESC, bigram ASC LIMIT 20),
+         |buckets AS (
+         |  $rowCtes)
+         |SELECT e.bigram, e.exact_n, $lookups AS cms_n
+         |FROM exact e
+         |ORDER BY e.exact_n DESC, e.bigram ASC""".stripMargin
+    },
 
     "ext_contamination" ->
       """WITH c AS (

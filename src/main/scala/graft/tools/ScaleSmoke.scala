@@ -365,6 +365,22 @@ object ScaleSmoke {
       assert(n == 5000000L, s"5 ranks per doc: $n")
     }
 
+    // 24. count-min sketch over ~57M tokens (1M docs): one narrow pass
+    // into a fixed 4x65536 buffer — the shuffle carries mappers × sketch
+    // longs, independent of the vocabulary — then 100 candidate estimates
+    // by broadcast lookup. The exact groupBy alternative shuffles every
+    // distinct token.
+    time("cms sketch 57M tokens + 100 estimates") {
+      val toks = gopherDocs.where(col("doc_id") < 1000000L)
+        .select(explode(split(col("text"), " ")).as("item"))
+      val sketch = graft.ext.Sketches.cmsSketch(toks, col("item"), 4, 65536)
+      val cands = spark.range(0, 100)
+        .select(concat(lit("w"), col("id") * 97).as("item"))
+      val est = graft.ext.Sketches.cmsEstimate(cands, col("item"), sketch, 4, 65536)
+      assert(est.where(col("cms_n") > 0).count() == 100L,
+        "every candidate token occurs in the stream")
+    }
+
     spark.stop()
   }
 }
