@@ -171,6 +171,48 @@ object Analytics {
           col("n"), col("sum_qty"))
         .orderBy("g_flag", "g_status", "flag", "status")),
 
+    // explicit GROUPING SETS (the general form cube/rollup compile to):
+    // the two single-dimension marginals plus the grand total, skipping
+    // the 2-D cells a cube would also emit — same Expand-based plan with
+    // one replicated row per REQUESTED set only
+    "q_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(grouping(col("o_orderpriority")).as("g_pri"),
+          grouping(col("o_orderstatus")).as("g_status"),
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(20,2)")).cast("double").as("sum_price"))
+        .select(col("g_pri"), col("g_status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_price"))
+        .orderBy("g_pri", "g_status", "priority", "status")),
+
+    // correlation assembled from exact decimal component sums (n, Σx, Σy,
+    // Σxy, Σx², Σy²) cast to double only for the final closed-form —
+    // Spark's corr() and DuckDB's disagree in the last ulps because their
+    // streaming-update orders differ; component sums are order-free
+    "q_corr" -> ((s, dir) => {
+      val x = col("l_quantity").cast("decimal(20,2)")
+      val y = col("l_extendedprice").cast("decimal(20,2)")
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("double").as("cn"),
+          sum(x).cast("double").as("sx"),
+          sum(y).cast("double").as("sy"),
+          sum((x * y).cast("decimal(30,4)")).cast("double").as("sxy"),
+          sum((x * x).cast("decimal(30,4)")).cast("double").as("sxx"),
+          sum((y * y).cast("decimal(30,4)")).cast("double").as("syy"))
+        .select(col("l_returnflag"),
+          ((col("cn") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("cn") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("cn") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // ntile quartiles within each priority class. A window partitioned by
     // the 5-value priority key would give 5 tasks, each sorting/buffering
     // 1/5 of orders — "parallel" in name only at 100×. Instead: gap-free
@@ -692,6 +734,31 @@ object Analytics {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY g_flag, g_status, flag, status""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT grouping(o_orderpriority) AS g_pri, grouping(o_orderstatus) AS g_status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY g_pri, g_status, priority, status""".stripMargin,
+
+    "q_corr" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS cn,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(20,2)) * CAST(l_extendedprice AS DECIMAL(20,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(20,2)) * CAST(l_quantity AS DECIMAL(20,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(20,2)) * CAST(l_extendedprice AS DECIMAL(20,2)) AS DECIMAL(30,4))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  (cn * sxy - sx * sy) /
+        |    (sqrt(cn * sxx - sx * sx) * sqrt(cn * syy - sy * sy)) AS corr_qty_price
+        |FROM s ORDER BY l_returnflag""".stripMargin,
 
     "q_ntile" ->
       """WITH q AS (
