@@ -42,7 +42,12 @@ object TimeSeries {
     * observation; buckets with observations carry the LATEST value in the
     * bucket (ties on time break by greatest value — deterministic), empty
     * buckets carry the previous bucket's value (nulls until the first
-    * observation never occur, since the grid starts at it).
+    * observation never occur, since the grid starts at it). A NULL-valued
+    * observation counts as missing: at equal times it loses to any
+    * non-null value (struct ordering ranks nulls first), and when it IS
+    * the bucket's latest the forward fill skips it (ignoreNulls) and
+    * carries the prior value — the usual convention for sensor gaps
+    * reported as explicit nulls.
     *
     * Scale shape: the grid generates per key from a (min, max) aggregate
     * — never a global calendar join; the per-bucket latest observation is

@@ -38,6 +38,20 @@ class TimeSeriesSpec extends SparkSpec {
       (10L, 400L) -> 9.0, (20L, 0L) -> 5.0), s"got $got")
   }
 
+  test("resampleFill: null-valued observations are gaps, not values") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, 105L, Some(1.0)),
+      (1L, 210L, None), // null obs is the bucket's latest → fill carries 1.0
+      (1L, 305L, None), (1L, 308L, Some(3.0)), // non-null wins the bucket
+      (1L, 430L, None) // trailing null bucket → still 3.0
+    ).toDF("user_id", "t", "v")
+    val got = TimeSeries.resampleFill(e, "user_id", "t", "v", step = 100L)
+      .collect().map(r => r.getLong(1) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got == Map(100L -> Some(1.0), 200L -> Some(1.0),
+      300L -> Some(3.0), 400L -> Some(3.0)), s"got $got")
+  }
+
   test("resampleFill: an outlier span fails fast with the contract error") {
     import spark.implicits._
     val e = Seq((1L, 0L, 1.0), (1L, Long.MaxValue / 2, 2.0)).toDF("user_id", "t", "v")
