@@ -96,7 +96,39 @@ object Validate {
           else Some(
             when(c.isNull || length(trim(c)) === 0,
               errStruct(rowId, f.name, c, "constraint-error", "required field is empty")))
-        typeProbe.toSeq ++ requiredProbe.toSeq
+        // value constraints fire only on present, non-empty cells
+        // (frictionless semantics — emptiness is `required`'s concern) and,
+        // for minimum/maximum, only on cells that cast (type-error covers
+        // the rest)
+        val cell = c.isNotNull && length(trim(c)) > 0
+        val k = f.constraints
+        val patternProbe = k.pattern.map(p =>
+          when(cell && !c.rlike("^(?:" + p + ")$"),
+            errStruct(rowId, f.name, c, "constraint-error",
+              s"value does not match pattern $p")))
+        val enumProbe = k.enumVals.map(vs =>
+          when(cell && !c.isin(vs.map(lit(_)): _*),
+            errStruct(rowId, f.name, c, "constraint-error",
+              s"value not in enum ${vs.mkString("[", ", ", "]")}")))
+        val minProbe = k.minimum.map(m =>
+          when(cell && tryCast.isNotNull && tryCast < lit(m).cast(target),
+            errStruct(rowId, f.name, c, "constraint-error",
+              s"value below minimum $m")))
+        val maxProbe = k.maximum.map(m =>
+          when(cell && tryCast.isNotNull && tryCast > lit(m).cast(target),
+            errStruct(rowId, f.name, c, "constraint-error",
+              s"value above maximum $m")))
+        val minLenProbe = k.minLength.map(n =>
+          when(cell && length(c) < n,
+            errStruct(rowId, f.name, c, "constraint-error",
+              s"value shorter than minLength $n")))
+        val maxLenProbe = k.maxLength.map(n =>
+          when(cell && length(c) > n,
+            errStruct(rowId, f.name, c, "constraint-error",
+              s"value longer than maxLength $n")))
+        typeProbe.toSeq ++ requiredProbe.toSeq ++ patternProbe.toSeq ++
+          enumProbe.toSeq ++ minProbe.toSeq ++ maxProbe.toSeq ++
+          minLenProbe.toSeq ++ maxLenProbe.toSeq
       }
     }
 

@@ -11,9 +11,22 @@ import org.json4s.jackson.JsonMethods
   * We keep it as a first-class ADT plus a JSON codec, and convert to/from
   * Spark `StructType` in [[TypeMapping]].
   */
+/** The full frictionless constraint vocabulary. The reference itself only
+  * consumes `required`/`unique` (schema.py:89-124); the rest — `pattern`
+  * (full-value regex), `enum`, `minimum`/`maximum` (compared in the
+  * field's declared type), `minLength`/`maxLength` (string length) — are
+  * part of the Table Schema spec and validated distributedly in
+  * [[graft.ops.Validate]]. Constraints never fire on missing/empty cells;
+  * that is `required`'s job (frictionless semantics). */
 final case class FieldConstraints(
     required: Boolean = false,
-    unique: Boolean = false
+    unique: Boolean = false,
+    pattern: Option[String] = None,
+    enumVals: Option[List[String]] = None,
+    minimum: Option[String] = None,
+    maximum: Option[String] = None,
+    minLength: Option[Int] = None,
+    maxLength: Option[Int] = None
 )
 
 final case class FrictionlessField(
@@ -41,10 +54,17 @@ final case class FrictionlessSchema(fields: List[FrictionlessField]) {
       var o: List[(String, JValue)] =
         List("name" -> JString(f.name), "type" -> JString(f.fieldType))
       f.format.foreach(fm => o :+= ("format" -> JString(fm)))
-      if (f.constraints.required || f.constraints.unique) {
+      val k = f.constraints
+      if (k != FieldConstraints()) {
         var c: List[(String, JValue)] = Nil
-        if (f.constraints.required) c :+= ("required" -> JBool(true))
-        if (f.constraints.unique) c :+= ("unique" -> JBool(true))
+        if (k.required) c :+= ("required" -> JBool(true))
+        if (k.unique) c :+= ("unique" -> JBool(true))
+        k.pattern.foreach(p => c :+= ("pattern" -> JString(p)))
+        k.enumVals.foreach(e => c :+= ("enum" -> JArray(e.map(JString(_)))))
+        k.minimum.foreach(m => c :+= ("minimum" -> JString(m)))
+        k.maximum.foreach(m => c :+= ("maximum" -> JString(m)))
+        k.minLength.foreach(n => c :+= ("minLength" -> JInt(n)))
+        k.maxLength.foreach(n => c :+= ("maxLength" -> JInt(n)))
         o :+= ("constraints" -> JObject(c))
       }
       f.description.foreach(d => o :+= ("description" -> JString(d)))
@@ -101,11 +121,38 @@ object FrictionlessSchema {
           name = str("name").getOrElse(""),
           fieldType = str("type").getOrElse("string"),
           format = str("format"),
-          constraints = FieldConstraints(
-            required = bool(fo \ "required") ||
-              bool(fo \ "constraints" \ "required"),
-            unique = bool(fo \ "constraints" \ "unique")
-          ),
+          constraints = {
+            val co = fo \ "constraints"
+            def cstr(k: String): Option[String] = co \ k match {
+              case JString(s)  => Some(s)
+              case JInt(n)     => Some(n.toString)
+              case JDouble(d)  => Some(d.toString)
+              case JDecimal(d) => Some(d.toString)
+              case _           => None
+            }
+            def cint(k: String): Option[Int] = co \ k match {
+              case JInt(n) => Some(n.toInt)
+              case _       => None
+            }
+            FieldConstraints(
+              required = bool(fo \ "required") || bool(co \ "required"),
+              unique = bool(co \ "unique"),
+              pattern = cstr("pattern"),
+              enumVals = co \ "enum" match {
+                case JArray(items) => Some(items.collect {
+                  case JString(s)  => s
+                  case JInt(n)     => n.toString
+                  case JDouble(d)  => d.toString
+                  case JDecimal(d) => d.toString
+                })
+                case _ => None
+              },
+              minimum = cstr("minimum"),
+              maximum = cstr("maximum"),
+              minLength = cint("minLength"),
+              maxLength = cint("maxLength")
+            )
+          },
           description = str("description")
         )
       case _ =>

@@ -47,6 +47,48 @@ class ValidateSpec extends SparkSpec {
     assert(report.toJson.contains("\"valid\":false"))
   }
 
+  test("value constraints: pattern, enum, min/max, length bounds") {
+    val s = FrictionlessSchema(List(
+      FrictionlessField("code", "string", constraints = FieldConstraints(
+        pattern = Some("[A-Z]{2}-[0-9]+"))),
+      FrictionlessField("status", "string", constraints = FieldConstraints(
+        enumVals = Some(List("open", "closed")))),
+      FrictionlessField("qty", "integer", constraints = FieldConstraints(
+        minimum = Some("1"), maximum = Some("100"))),
+      FrictionlessField("tag", "string", constraints = FieldConstraints(
+        minLength = Some(2), maxLength = Some(4)))))
+    def d(rows: Row*) = spark.createDataFrame(
+      java.util.List.of(rows: _*),
+      StructType(Seq("_id", "code", "status", "qty", "tag").map {
+        case "_id" => StructField("_id", LongType)
+        case n     => StructField(n, StringType)
+      }))
+    val report = Validate.validate(d(
+      Row(1L, "AB-12", "open", "50", "ok"), // clean
+      Row(2L, "ab-12", "OPEN", "0", "x"), // pattern, enum, minimum, minLength
+      Row(3L, "AB-12x", "closed", "101", "toolong"), // pattern (full match), maximum, maxLength
+      Row(4L, null, "", "junk", null) // empty cells skip constraints; junk → type-error only
+    ), s, rowIdCol = Some("_id"))
+    val byRowField = report.errors
+      .map(e => (e.rowNumber.get, e.fieldName) -> e.note).toMap
+    assert(byRowField((2L, "code")).contains("pattern"))
+    assert(byRowField((2L, "status")).contains("enum"))
+    assert(byRowField((2L, "qty")).contains("minimum"))
+    assert(byRowField((2L, "tag")).contains("minLength"))
+    assert(byRowField((3L, "code")).contains("pattern"),
+      "pattern must match the FULL value, not a prefix")
+    assert(byRowField((3L, "qty")).contains("maximum"))
+    assert(byRowField((3L, "tag")).contains("maxLength"))
+    assert(byRowField((4L, "qty")) == "value does not conform to type integer",
+      "uncastable cell reports type-error, not min/max")
+    assert(!report.errors.exists(e => e.rowNumber.contains(4L) && e.fieldName != "qty"),
+      "null/empty cells must not trip value constraints")
+    assert(report.errorCount == 8)
+    // codec roundtrip preserves every constraint
+    val rt = FrictionlessSchema.fromJson(s.toJson)
+    assert(rt == s, s"roundtrip drift: ${rt.toJson}")
+  }
+
   test("error cap bounds collection (limit_errors semantics)") {
     val rows = (1 to 50).map(i => Row(i.toLong, "bad", "n", "1", "2024-01-01"))
     val report = Validate.validate(df(rows: _*), schema, limitErrors = 10,
