@@ -12,13 +12,17 @@ package graft
   *
   * Each query gets one untimed warmup run (codegen JIT + broadcast build +
   * file-index caches — one-time costs a long-lived cluster amortizes away)
-  * unless SPARK_GRAFT_WARMUP=0.
+  * unless SPARK_GRAFT_WARMUP=0, then SPARK_GRAFT_REPEAT timed runs
+  * (default 3) of which the MEDIAN is reported — a single timed run makes
+  * the artifact hostage to one GC pause landing on whatever query runs
+  * late in the suite.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt.max(1)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = GraftSession.get(s"local[$cpus]", cpus.toInt)
     def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
@@ -39,14 +43,18 @@ object Bench {
       spark.sqlContext.clearCache()
       System.gc()
       if (warmup) run(fn)
-      val t0 = System.nanoTime()
-      run(fn)
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        run(fn)
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      // median (lower-middle for even repeat counts)
+      name -> times((times.size - 1) / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeat":$repeat,"sf":"$sfDir"}"""
     if (outPath.nonEmpty) {
       val w = new java.io.PrintWriter(outPath)
       try w.println(line) finally w.close()
@@ -58,10 +66,15 @@ object Bench {
     // plus the 20 slowest queries rounded to ms — sized to survive the
     // tail capture. Spark stops BEFORE printing so shutdown logging can't
     // land after the JSON.
+    // BigDecimal rounding, not the f-interpolator: f"" formats with the
+    // JVM default locale, which on comma-decimal locales emits 1,234 and
+    // breaks the driver's JSON tail-parse.
+    def ms(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val slowest = results.sortBy(-_._2).take(20)
-      .map { case (k, v) => s"\"" + k + f"\":$v%.3f" }
+      .map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,"n_queries":${results.size},"full":"$outPath","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"repeat":$repeat,"full":"$outPath","sf":"$sfDir"}"""
     spark.stop()
     println(line)
     println(compact)

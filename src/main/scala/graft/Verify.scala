@@ -15,8 +15,31 @@ object Verify {
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => only(n) }
+    // Gate-output type canonicalization: the driver reads the Spark
+    // parquet with pandas/pyarrow but the oracle through DuckDB's pandas
+    // converter, and hashes what comes out. Integer WIDTH is erased by
+    // both converters' int64-kind hashing (20+ int32-vs-int64 queries
+    // hash-matched in round 5), but DECIMAL is not: pyarrow surfaces
+    // java-side decimals as python Decimal objects while DuckDB's
+    // converter gives float64 — value-identical cells, different bytes
+    // (round 5's ext_tfidf_topk). So no decimal (and no narrow numeric)
+    // ever reaches the gate files: decimals/floats widen to double,
+    // sub-long integrals to bigint. Library operators keep their exact
+    // types — this is a harness-boundary rule, like the driver's own
+    // column-name sort.
+    import org.apache.spark.sql.types._
+    def canon(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(df.schema.fields.map { f =>
+        f.dataType match {
+          case ByteType | ShortType | IntegerType =>
+            org.apache.spark.sql.functions.col(f.name).cast("bigint").as(f.name)
+          case FloatType | _: DecimalType =>
+            org.apache.spark.sql.functions.col(f.name).cast("double").as(f.name)
+          case _ => org.apache.spark.sql.functions.col(f.name)
+        }
+      }.toIndexedSeq: _*)
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try canon(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -197,7 +197,11 @@ object Dedup {
     * shingles re-derived ONLY for the (collision-bounded) candidate ids —
     * the second corpus scan applies a broadcast id semi-join before any
     * md5 work, so it is projection-cheap. Batch-side shingles/bands are
-    * computed once and persisted (batch-sized). */
+    * computed once and persisted (batch-sized); the cache is scoped to
+    * this call — the result (candidate-pair-sized, tiny next to the
+    * inputs) is materialized eagerly via localCheckpoint and the batch
+    * cache unpersisted before returning, so a steady-state crawl loop
+    * does not leak one cached dataset per batch. */
   def incrementalNearDupPairs(
       corpus: DataFrame,
       batch: DataFrame,
@@ -232,13 +236,16 @@ object Dedup {
       .select(col(idCol).as("corpus_id"), col(textCol).as("__text"))
       .join(broadcast(candIds), Seq("corpus_id"), "left_semi")
       .select(col("corpus_id"), TextHash.shingles(col("__text")).as("c_sh"))
-    pairs
+    val out = pairs
       .join(cCand, "corpus_id")
       .join(broadcast(bShingled.select(col(idCol).as("batch_id"), col("b_sh"))),
         "batch_id")
       .withColumn("jaccard", jaccard(col("b_sh"), col("c_sh")))
       .where(col("jaccard") >= threshold)
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+      .localCheckpoint(true)
+    bShingled.unpersist(false)
+    out
   }
 
   /** [[incrementalNew]] with a Bloom-filter pre-probe — for when the batch

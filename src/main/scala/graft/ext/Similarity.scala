@@ -559,6 +559,63 @@ object Similarity {
       .select(col("block"), col("a_id"), col("b_id"), col("cosine"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus in embedding space, then drop
+    * every document whose cosine to a LOWER-ID document in the SAME
+    * cluster meets `threshold` — near-duplicate MEANING, not
+    * near-duplicate bytes, which exact/MinHash dedup cannot see
+    * (translations, paraphrases, templated rewrites).
+    *
+    * keep(i) = ¬∃ j < i in cluster(i) with cos(i,j) ≥ threshold — the
+    * paper's one-shot rule (not iterative-greedy), so every row's flag is
+    * independent and the whole operator is a self-join, not a sequential
+    * scan. Deterministic: exact int64 dot products ([[dotDecimal]]),
+    * lowest-cell-id assignment tie-break, lowest-id survivor.
+    *
+    * Scale shape: [[assignCells]] shuffles ONE row per vector;
+    * within-cluster pairing ([[blockedNearDupPairs]]) is the quadratic
+    * step THE ALGORITHM ITSELF prescribes — nCells is the paper's knob
+    * that bounds expected cluster size (they run 50k clusters on 1.3B
+    * embeddings). A skew guard fails fast when a cluster exceeds
+    * `maxClusterSize` rather than silently planning an n² join on a
+    * degenerate clustering. Pass a [[kmeansCodebook]] for real geometry;
+    * the default placeholder codebook (lowest-id vectors) keeps the
+    * operator fully engine-replayable for the oracle gate.
+    *
+    * Returns (idCol, cell_id, keep) for every input row — filter
+    * `keep` for the survivor set, or join back for audit. */
+  def semDedup(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nCells: Int,
+      threshold: Double,
+      codebook: Option[DataFrame] = None,
+      maxClusterSize: Long = 10000000L
+  ): DataFrame = {
+    require(nCells > 0, "nCells must be positive")
+    val cells = assignCells(corpus, vecCol, idCol, nCells, codebook)
+    // skew guard: per-cell sizes are an nCells-row aggregate — broadcast
+    // back, never a window sort over the full assignment
+    val sizes = cells.groupBy("cell_id").agg(count(lit(1)).as("__csz"))
+    val guarded = cells.join(broadcast(sizes), "cell_id")
+      .withColumn("cell_id",
+        when(col("__csz") <= maxClusterSize, col("cell_id"))
+          .otherwise(raise_error(concat(
+            lit(s"graft.semDedup: cluster exceeds $maxClusterSize vectors " +
+              "— raise nCells (or maxClusterSize) for this corpus: cell "),
+            col("cell_id").cast("string")))))
+      .select(col(idCol), col("cell_id"))
+    val withCell = corpus.join(guarded, idCol)
+    val dropped = blockedNearDupPairs(withCell, vecCol, idCol, "cell_id", threshold)
+      .select(col("b_id").as(idCol)).distinct()
+      .withColumn("__dup", lit(true))
+    withCell.select(col(idCol), col("cell_id"))
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cell_id"),
+        col("__dup").isNull.as("keep"))
+  }
+
   /** Per-key embedding centroids: exact per-dimension means as
     * (key, dim, mean_v) rows.
     *

@@ -242,12 +242,22 @@ object TextStats {
     *   - the per-document top-k runs through the bounded `graft_topk`
     *     partial aggregate (≤ mappers×k rows per doc in the shuffle),
     *     never a row_number window that would shuffle every scored term;
+    *   - scores are quantized to decimal(18,9) BEFORE ranking, so a
+    *     cross-engine last-ulp difference between StrictMath.log and
+    *     libm ln can never reorder ranks at any corpus size (the 2e-16
+    *     relative drift is absorbed by the 1e-9 quantum; the decimal's
+    *     ≤11 significant digits round-trip through double exactly, so
+    *     ranking on its double image is order-isomorphic);
     *   - ties break on the term's 60-bit md5 hash ascending — a total
     *     order both engines compute identically (string collation is not
-    *     portable, hash order is); the winning terms join back from the
-    *     (term, hash) vocabulary, de-collided by min(term) per hash.
+    *     portable, hash order is); winners rehydrate (term, tf, df) by
+    *     joining back to the scored table on (doc, hash) — one extra
+    *     exchange of the distinct-(doc, term) table, the price of
+    *     carrying tf — de-collided by min-struct per (doc, rank) so a
+    *     60-bit hash collision can never mix fields from two terms.
     *
-    * Output: (idCol, rank, term, tf, df, tfidf), rank 1..k per document.
+    * Output: (idCol, rank: bigint, term, tf, df, tfidf: decimal(18,9)),
+    * rank 1..k per document.
     * Requires a GraftSession (`graft_topk` resolves at analysis time). */
   def tfidfTopK(
       df: DataFrame,
@@ -266,23 +276,30 @@ object TextStats {
       .join(dfT, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
-        col("tf").cast("double") *
+        (col("tf").cast("double") *
           log((col("__n_docs") + 1).cast("double") / (col("df") + 1).cast("double")))
+          .cast("decimal(18,9)"))
     // graft_topk ranks (score desc, id asc); the "id" here is the term
-    // hash, giving the engine-portable tie-break
+    // hash, giving the engine-portable tie-break. The score is the
+    // quantized decimal's double image — injective at these magnitudes
+    // (≤11 significant digits), so the decimal order is preserved.
     val top = scored
       .groupBy(col(idCol))
       .agg(call_function("graft_topk",
-        col("tfidf"), col("th"), lit(k)).as("top"))
+        col("tfidf").cast("double"), col("th"), lit(k)).as("top"))
       .select(col(idCol), posexplode(col("top")).as(Seq("pos", "t")))
-      .select(col(idCol), (col("pos") + 1).as("rank"),
-        col("t.id").as("th"), col("t.score").as("tfidf"))
-    // hash → term join-back (min(term)/min(df) per hash de-collides 60-bit
-    // ties deterministically); docs×k rows against the vocabulary table —
-    // an ordinary equi join AQE broadcasts when the vocab is small
-    val vocab = dfT.groupBy("th").agg(min("term").as("term"), min("df").as("df"))
-    top.join(vocab, "th")
-      .select(col(idCol), col("rank"), col("term"), col("df"), col("tfidf"))
+      .select(col(idCol), (col("pos") + 1).cast("bigint").as("rank"),
+        col("t.id").as("th"), col("t.score").cast("decimal(18,9)").as("tfidf"))
+    // (doc, hash) → (term, tf, df) join-back against the scored table —
+    // docs×k rows against distinct-(doc, term) rows, an ordinary equi
+    // join. min-struct per (doc, rank) keeps all three fields from ONE
+    // row should two terms of a document ever share a 60-bit hash.
+    top.join(scored.select(col(idCol), col("th"), col("term"), col("tf"), col("df")),
+        Seq(idCol, "th"))
+      .groupBy(col(idCol), col("rank"), col("tfidf"))
+      .agg(min(struct(col("term"), col("tf"), col("df"))).as("v"))
+      .select(col(idCol), col("rank"), col("v.term").as("term"),
+        col("v.tf").as("tf"), col("v.df").as("df"), col("tfidf"))
   }
 
   /** Declarative spec of the rolling hash (also the oracle template). */

@@ -106,8 +106,25 @@ object Validate {
           when(cell && !c.rlike("^(?:" + p + ")$"),
             errStruct(rowId, f.name, c, "constraint-error",
               s"value does not match pattern $p")))
-        val enumProbe = k.enumVals.map(vs =>
-          when(cell && !c.isin(vs.map(lit(_)): _*),
+        // frictionless applies enum to the CAST value, not the raw cell:
+        // for an integer field, "01" and "1" both satisfy enum ["1"].
+        // Non-casting cells are type-error's concern, mirroring min/max.
+        // Enum literals go through try_cast too (ANSI cast would throw on
+        // a malformed literal); <=> makes an uncastable literal simply
+        // never match instead of nulling the whole disjunction.
+        def enumMiss(vs: List[String]): Column =
+          if (target == org.apache.spark.sql.types.StringType)
+            !c.isin(vs.map(lit(_)): _*)
+          else {
+            def tryLit(v: String): Column = {
+              val esc = v.replace("\\", "\\\\").replace("'", "''")
+              expr(s"try_cast('$esc' AS ${target.sql})")
+            }
+            tryCast.isNotNull &&
+              !vs.map(v => tryCast <=> tryLit(v)).reduce(_ || _)
+          }
+        val enumProbe = k.enumVals.filter(_.nonEmpty).map(vs =>
+          when(cell && enumMiss(vs),
             errStruct(rowId, f.name, c, "constraint-error",
               s"value not in enum ${vs.mkString("[", ", ", "]")}")))
         val minProbe = k.minimum.map(m =>

@@ -136,6 +136,17 @@ object Ext {
         "embedding", "vec_id", "label", threshold = 0.2)
         .orderBy("block", "a_id", "b_id")),
 
+    "ext_semdedup" -> ((s, dir) =>
+      // SemDeDup: cluster in embedding space (8 cells over the 500-vector
+      // slice — deterministic lowest-id codebook so the oracle can replay
+      // the assignment), then within each cluster drop every vector whose
+      // cosine to a lower-id clustermate reaches 0.2. Output = per-vector
+      // keep flag; exact int64 dot products end-to-end.
+      Similarity.semDedup(
+        t(s, dir, "embeddings").where(col("vec_id") < 500),
+        "embedding", "vec_id", nCells = 8, threshold = 0.2)
+        .orderBy("vec_id")),
+
     "ext_centroids" -> ((s, dir) =>
       // per-label embedding centroids, first 8 dims: per-dim decimal sums +
       // stack unpivot — no posexplode row blowup (see Similarity.centroids)
@@ -272,15 +283,13 @@ object Ext {
     "ext_tfidf_topk" -> ((s, dir) =>
       // top-5 TF-IDF terms per document through the bounded graft_topk
       // aggregate (hash tie-break — portable across engines, unlike string
-      // collation). Oracle-determinism: ranks agree because exact score
-      // ties can only arise from df=N (ln(1) = 0.0 exactly in every
-      // engine; any other cross-(tf,df) tie needs (N+1)/(d1+1) to be a
-      // perfect power of (N+1)/(d2+1), impossible for squarefree N+1);
-      // the VALUE is quantized to decimal(18,9) because Spark's
-      // StrictMath.log and DuckDB's libm ln differ in the last ulp on
-      // some inputs — 2e-16 relative, absorbed by the 1e-9 quantum.
+      // collation). Oracle-determinism: BOTH engines quantize the score to
+      // decimal(18,9) BEFORE ranking, so Spark's StrictMath.log vs
+      // DuckDB's libm ln last-ulp drift (2e-16 relative) can neither
+      // reorder ranks nor change the displayed value — it is absorbed by
+      // the 1e-9 quantum; residual quantized ties break on the term's
+      // 60-bit hash, identical in both engines.
       TextStats.tfidfTopK(t(s, dir, "documents"), "text", "doc_id", k = 5)
-        .withColumn("tfidf", col("tfidf").cast("decimal(18,9)"))
         .orderBy("doc_id", "rank")),
 
     "ext_repetition" -> ((s, dir) =>
@@ -790,6 +799,24 @@ object Ext {
          |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.2
          |ORDER BY block, a_id, b_id""".stripMargin,
 
+    "ext_semdedup" ->
+      s"""WITH $NormCte,
+         |base AS (SELECT vec_id, embedding, nrm FROM n WHERE vec_id < 500),
+         |cells AS (SELECT vec_id AS cell_id, embedding AS cell_vec, nrm AS cell_norm
+         |          FROM base ORDER BY vec_id LIMIT 8),
+         |a AS (SELECT vec_id, embedding, nrm, cell_id FROM (
+         |  SELECT b.vec_id, b.embedding, b.nrm, cells.cell_id,
+         |    row_number() OVER (PARTITION BY b.vec_id
+         |      ORDER BY ${dotSql("b.embedding", "cells.cell_vec")} / (b.nrm * cells.cell_norm) DESC,
+         |               cells.cell_id ASC) AS r
+         |  FROM base b CROSS JOIN cells) WHERE r = 1),
+         |d AS (SELECT DISTINCT y.vec_id FROM a x JOIN a y
+         |      ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+         |      WHERE ${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= 0.2)
+         |SELECT a.vec_id, a.cell_id, (d.vec_id IS NULL) AS keep
+         |FROM a LEFT JOIN d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
+
     "ext_centroids" ->
       """SELECT label, i - 1 AS dim,
         |  CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1e7) AS BIGINT)) AS DOUBLE)
@@ -974,14 +1001,15 @@ object Ext {
          |        FROM tf GROUP BY term),
          |n AS (SELECT COUNT(*) AS n_docs FROM documents),
          |scored AS (
-         |  SELECT tf.doc_id, tf.term, dft.df, dft.th,
-         |    CAST(tf.tf AS DOUBLE)
-         |      * ln(CAST(n_docs + 1 AS DOUBLE) / CAST(dft.df + 1 AS DOUBLE)) AS tfidf
+         |  SELECT tf.doc_id, tf.term, tf.tf, dft.df, dft.th,
+         |    CAST(CAST(tf.tf AS DOUBLE)
+         |      * ln(CAST(n_docs + 1 AS DOUBLE) / CAST(dft.df + 1 AS DOUBLE))
+         |      AS DECIMAL(18,9)) AS tfidf
          |  FROM tf JOIN dft USING (term) CROSS JOIN n),
-         |r AS (SELECT doc_id, term, df, tfidf,
+         |r AS (SELECT doc_id, term, tf, df, tfidf,
          |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, th ASC) AS rank
          |  FROM scored)
-         |SELECT doc_id, rank, term, df, CAST(tfidf AS DECIMAL(18,9)) AS tfidf
+         |SELECT doc_id, rank, term, tf, df, tfidf
          |FROM r WHERE rank <= 5
          |ORDER BY doc_id, rank""".stripMargin,
 
@@ -1162,10 +1190,11 @@ object Ext {
     "ext_sessionize" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS us FROM events)
         |SELECT event_id, user_id, us,
-        |  SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |  CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
         |      THEN 1 ELSE 0 END)
         |    OVER (PARTITION BY user_id ORDER BY us
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS session_seq
         |FROM (SELECT event_id, user_id, us,
         |        lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev_us
         |      FROM e)

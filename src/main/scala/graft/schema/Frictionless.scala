@@ -61,8 +61,16 @@ final case class FrictionlessSchema(fields: List[FrictionlessField]) {
         if (k.unique) c :+= ("unique" -> JBool(true))
         k.pattern.foreach(p => c :+= ("pattern" -> JString(p)))
         k.enumVals.foreach(e => c :+= ("enum" -> JArray(e.map(JString(_)))))
-        k.minimum.foreach(m => c :+= ("minimum" -> JString(m)))
-        k.maximum.foreach(m => c :+= ("maximum" -> JString(m)))
+        // Table Schema requires constraint values to match the field
+        // type: numeric minimum/maximum must round-trip as JSON numbers,
+        // not strings (dates/times stay strings).
+        def numOrStr(m: String): JValue =
+          if (m.matches("[+-]?\\d+")) JInt(BigInt(m))
+          else
+            try JDecimal(BigDecimal(m))
+            catch { case _: NumberFormatException => JString(m) }
+        k.minimum.foreach(m => c :+= ("minimum" -> numOrStr(m)))
+        k.maximum.foreach(m => c :+= ("maximum" -> numOrStr(m)))
         k.minLength.foreach(n => c :+= ("minLength" -> JInt(n)))
         k.maxLength.foreach(n => c :+= ("maxLength" -> JInt(n)))
         o :+= ("constraints" -> JObject(c))

@@ -324,27 +324,29 @@ class ExtSpec extends SparkSpec {
       (2L, "banana cherry common common date"),
       (3L, "common cherry cherry date elder"))
     val got = TextStats.tfidfTopK(corpus, "text", "doc_id", k = 2)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
-        r.getLong(3), r.getDouble(4))).toSet
-    // reference: the same math through an explicit window rank
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDecimal(5))).toSet
+    // reference: the same math (quantized to decimal(18,9) before the
+    // rank, matching the operator) through an explicit window rank
     val tok = corpus.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfT = tok.groupBy("term").agg(count(lit(1)).as("df"))
     val n = corpus.count()
     val scored = tok.join(dfT, "term")
-      .withColumn("tfidf", col("tf").cast("double") *
+      .withColumn("tfidf", (col("tf").cast("double") *
         log(lit((n + 1).toDouble) / (col("df") + 1).cast("double")))
+        .cast("decimal(18,9)"))
       .withColumn("th", TextHash.hmod60(col("term")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("tfidf").desc, col("th").asc)
-    val want = scored.withColumn("rank", row_number().over(w))
+    val want = scored.withColumn("rank", row_number().over(w).cast("bigint"))
       .where(col("rank") <= 2)
-      .select(col("doc_id"), col("rank"), col("term"), col("df"), col("tfidf"))
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
-        r.getLong(3), r.getDouble(4))).toSet
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDecimal(5))).toSet
     assert(got == want, s"got $got\nwant $want")
     // "common" is in every doc → idf ln(1)=0 → never outranks a rarer term
-    assert(!got.exists { case (_, _, term, _, _) => term == "common" })
+    assert(!got.exists { case (_, _, term, _, _, _) => term == "common" })
   }
 
   test("multimodal: feature extraction through mapPartitions stub") {

@@ -41,6 +41,45 @@ class KMeansSpec extends SparkSpec {
       f"k-means must tighten quantization: naive=$qNaive%.4f trained=$qTrained%.4f")
   }
 
+  test("semDedup: planted semantic duplicate dropped, lower-id original kept") {
+    val base = emb.where(col("vec_id") < 200)
+    // exact duplicate of vec_id=3 under a higher id — same cluster, cos=1
+    val dup = base.where(col("vec_id") === 3)
+      .select(lit(100000L).as("vec_id"), col("embedding"))
+    val out = Similarity.semDedup(base.unionByName(dup),
+      "embedding", "vec_id", nCells = 8, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.size == 201, "one flag per input row, dropped rows included")
+    assert(out(3L), "the lower-id original survives")
+    assert(!out(100000L), "the higher-id duplicate is dropped")
+    // threshold no pair reaches → everything kept
+    val all = Similarity.semDedup(base, "embedding", "vec_id",
+      nCells = 8, threshold = 1.1).collect()
+    assert(all.forall(_.getBoolean(2)))
+  }
+
+  test("semDedup accepts a trained codebook and stays deterministic") {
+    val trained = Similarity.kmeansCodebook(emb, "embedding", "vec_id", nCells = 8, dim = 64)
+    def run() = Similarity.semDedup(emb, "embedding", "vec_id",
+      nCells = 8, threshold = 0.2, codebook = Some(trained))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val a = run()
+    assert(a == run(), "same codebook, same flags")
+    assert(a.exists(!_._3), "threshold 0.2 must drop something in this corpus")
+  }
+
+  test("semDedup skew guard fails fast on a degenerate clustering") {
+    val e = intercept[Exception] {
+      Similarity.semDedup(emb.where(col("vec_id") < 50), "embedding", "vec_id",
+        nCells = 2, threshold = 0.9, maxClusterSize = 10L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("graft.semDedup")),
+      s"guard message must surface: ${msgs(e)}")
+  }
+
   test("ivfTopK accepts a trained codebook and still finds the planted duplicate") {
     val trained = Similarity.kmeansCodebook(emb, "embedding", "vec_id", nCells = 8, dim = 64)
     // plant an exact duplicate of vec_id=3 under a new id

@@ -89,6 +89,24 @@ class ValidateSpec extends SparkSpec {
     assert(rt == s, s"roundtrip drift: ${rt.toJson}")
   }
 
+  test("enum compares the CAST value for non-string fields") {
+    val s = FrictionlessSchema(List(
+      FrictionlessField("qty", "integer", constraints = FieldConstraints(
+        enumVals = Some(List("1", "2")))),
+      FrictionlessField("amt", "number", constraints = FieldConstraints(
+        enumVals = Some(List("1"))))))
+    val data = spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, "01", "1.0"),  // both cast-equal to an enum value → clean
+        Row(2L, "3", "2.5")),  // both outside the enum
+      StructType(Seq(StructField("_id", LongType),
+        StructField("qty", StringType), StructField("amt", StringType))))
+    val report = Validate.validate(data, s, rowIdCol = Some("_id"))
+    val errs = report.errors.map(e => (e.rowNumber.get, e.fieldName)).toSet
+    assert(errs == Set((2L, "qty"), (2L, "amt")),
+      s""""01" and "1.0" must satisfy enum ["1"] after the cast: ${report.errors}""")
+  }
+
   test("error cap bounds collection (limit_errors semantics)") {
     val rows = (1 to 50).map(i => Row(i.toLong, "bad", "n", "1", "2024-01-01"))
     val report = Validate.validate(df(rows: _*), schema, limitErrors = 10,

@@ -64,6 +64,23 @@ class TypeMappingSpec extends AnyFunSuite {
     assert(back == fs)
   }
 
+  test("numeric minimum/maximum serialize as JSON numbers, dates as strings") {
+    val fs = FrictionlessSchema(List(
+      FrictionlessField("qty", "integer", constraints =
+        FieldConstraints(minimum = Some("1"), maximum = Some("100"))),
+      FrictionlessField("amt", "number", constraints =
+        FieldConstraints(minimum = Some("0.5"))),
+      FrictionlessField("day", "date", constraints =
+        FieldConstraints(minimum = Some("2024-01-01")))))
+    val j = fs.toJson
+    assert(j.contains(""""minimum":1""") && j.contains(""""maximum":100"""),
+      s"integer constraints must be JSON numbers: $j")
+    assert(j.contains(""""minimum":0.5"""), s"number constraints too: $j")
+    assert(j.contains(""""minimum":"2024-01-01""""),
+      s"date constraints stay strings: $j")
+    assert(FrictionlessSchema.fromJson(j) == fs, s"roundtrip drift: $j")
+  }
+
   test("invalid descriptors are hard errors") {
     intercept[IllegalArgumentException](FrictionlessSchema.fromJson("[1,2]"))
     intercept[IllegalArgumentException](FrictionlessSchema.fromJson("not json"))
