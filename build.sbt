@@ -13,9 +13,12 @@ Test / fork := true
 run / fork := true
 // The driver json-parses the LAST stdout line of `sbt runMain graft.Bench`;
 // sbt's "[success] Total time: …" footer must not land after Bench's
-// compact JSON line.
+// compact JSON line, and the line itself must be raw JSON — StdoutOutput
+// routes the forked program's stdout through directly instead of
+// re-logging every line with an "[info] " prefix.
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -537,21 +537,37 @@ object Similarity {
   }
 
   /** Blocked near-dup pairs: all pairs within a blocking key (e.g. a label
-    * or an LSH bucket) with cosine above a threshold. */
+    * or an LSH bucket) with cosine above a threshold.
+    *
+    * The pair join is SALTED (`saltBuckets`): one side replicates into S
+    * salt lanes, the other hashes each row into one lane, so every
+    * block's quadratic pair set spreads over S partitions instead of
+    * one. Without this the plan is a trap at scale: AQE coalesces the
+    * join's shuffle by INPUT size (one row per vector — tiny) and cannot
+    * see the within-block pair explosion on the output side, so a
+    * thousand-fold blowup runs on a handful of cores (observed: a 200k ×
+    * 64-block smoke pinned 4 of 32 cores for half an hour; salted it
+    * uses the machine). Replication costs S copies of the (block, id,
+    * vec, norm) projection of ONE side — rows, not pairs. Output is
+    * identical for any S ≥ 1. */
   def blockedNearDupPairs(
       df: DataFrame,
       vecCol: String,
       idCol: String,
       blockCol: String,
-      threshold: Double
+      threshold: Double,
+      saltBuckets: Int = 16
   ): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
     val base = df.select(col(blockCol).as("block"), col(idCol).as("id"),
       col(vecCol).as("vec")).withColumn("norm", normDecimal(col("vec")))
     val a = base.select(col("block"), col("id").as("a_id"),
       col("vec").as("a_vec"), col("norm").as("a_norm"))
+      .withColumn("salt", explode(lit((0 until saltBuckets).toArray)))
     val b = base.select(col("block"), col("id").as("b_id"),
       col("vec").as("b_vec"), col("norm").as("b_norm"))
-    a.join(b, Seq("block"))
+      .withColumn("salt", pmod(hash(col("b_id")), lit(saltBuckets)))
+    a.join(b, Seq("block", "salt"))
       .where(col("a_id") < col("b_id"))
       .withColumn("cosine",
         dotDecimal(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm")))

@@ -12,12 +12,15 @@ import java.nio.charset.StandardCharsets
   *
   * Dependency-free by design (no jakarta.mail in this library): the client
   * speaks the base RFC 5321 dialogue — EHLO, MAIL FROM, RCPT TO, DATA,
-  * QUIT — with optional AUTH LOGIN, over a plain socket. STARTTLS is
-  * deliberately NOT implemented: it would be untestable here and silently
-  * downgrading is worse than refusing; deployments that require TLS should
-  * inject their own transport via [[AlertSink.poster]] (the seam this
-  * client itself plugs into). Delivery runs on the driver only, bounded by
-  * `timeoutMs` per socket operation.
+  * QUIT — with optional AUTH LOGIN. STARTTLS (RFC 3207) is supported via
+  * the JDK's own TLS: set `extra("starttls") = "required"` on the
+  * connection and the client upgrades after EHLO — refusing outright
+  * (never silently downgrading) when the server does not advertise the
+  * capability or the handshake fails, and sending credentials only on
+  * the encrypted channel. Any other `starttls` value is a config error
+  * (a typo like "requried" must not quietly mean "plaintext is fine").
+  * Delivery runs on the driver only, bounded by `timeoutMs` per socket
+  * operation.
   */
 object SmtpAlert {
 
@@ -38,40 +41,74 @@ object SmtpAlert {
 
   /** One SMTP delivery (visible for tests; throws [[SmtpError]] on any
     * non-2xx/3xx reply — callers wanting never-throw semantics go through
-    * [[sink]]). */
+    * [[sink]]). `sslSocketFactory` overrides the JDK default for the
+    * STARTTLS upgrade (tests inject a loopback-trusting factory). */
   def send(
       conn: ConnectionSpec,
       from: String,
       to: Seq[String],
       subject: String,
       body: String,
-      timeoutMs: Int = 10000
+      timeoutMs: Int = 10000,
+      sslSocketFactory: Option[javax.net.ssl.SSLSocketFactory] = None
   ): Unit = {
     require(to.nonEmpty, "SMTP delivery needs at least one recipient")
-    val socket = new Socket()
+    val wantTls = conn.extra.get("starttls") match {
+      case Some("required")    => true
+      case None | Some("")     => false
+      case Some(other) =>
+        throw SmtpError(s"unknown starttls mode '$other' (use \"required\")")
+    }
+    val plain = new Socket()
+    var socket: Socket = plain
     try {
-      socket.connect(new InetSocketAddress(conn.host, conn.port), timeoutMs)
-      socket.setSoTimeout(timeoutMs)
-      val in = new BufferedReader(
+      plain.connect(new InetSocketAddress(conn.host, conn.port), timeoutMs)
+      plain.setSoTimeout(timeoutMs)
+      var in = new BufferedReader(
         new InputStreamReader(socket.getInputStream, StandardCharsets.UTF_8))
-      val out = new OutputStreamWriter(socket.getOutputStream, StandardCharsets.UTF_8)
+      var out = new OutputStreamWriter(socket.getOutputStream, StandardCharsets.UTF_8)
 
-      def reply(): String = {
+      def reply(): Seq[String] = {
         // multi-line replies: "250-..." continues, "250 ..." ends
+        val all = Seq.newBuilder[String]
         var line = in.readLine()
         val first = line
-        while (line != null && line.length >= 4 && line.charAt(3) == '-')
+        while (line != null && line.length >= 4 && line.charAt(3) == '-') {
+          all += line
           line = in.readLine()
+        }
+        if (line != null) all += line
         if (first == null) throw SmtpError("connection closed")
         if (first.isEmpty || first.charAt(0) > '3') throw SmtpError(first)
-        first
+        all.result()
       }
-      def cmd(s: String): String = {
+      def cmd(s: String): Seq[String] = {
         out.write(s); out.write("\r\n"); out.flush(); reply()
       }
 
       reply() // 220 greeting
-      cmd("EHLO graft.local")
+      val caps = cmd("EHLO graft.local")
+      if (wantTls) {
+        // refuse, never downgrade: no STARTTLS capability → no delivery
+        if (!caps.exists(_.toUpperCase.contains("STARTTLS")))
+          throw SmtpError("server does not advertise STARTTLS " +
+            "— refusing to send in the clear")
+        cmd("STARTTLS") // 220: server is ready for the handshake
+        val factory = sslSocketFactory.getOrElse(
+          javax.net.ssl.SSLContext.getDefault.getSocketFactory)
+        val ssl = factory
+          .createSocket(socket, conn.host, conn.port, true)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        ssl.setUseClientMode(true)
+        ssl.setSoTimeout(timeoutMs)
+        ssl.startHandshake() // throws on any TLS failure — no fallback
+        socket = ssl
+        in = new BufferedReader(
+          new InputStreamReader(ssl.getInputStream, StandardCharsets.UTF_8))
+        out = new OutputStreamWriter(ssl.getOutputStream, StandardCharsets.UTF_8)
+        cmd("EHLO graft.local") // RFC 3207: state resets after the upgrade
+      }
+      // AUTH strictly after any TLS upgrade — credentials never in the clear
       if (conn.login.nonEmpty) {
         val b64 = java.util.Base64.getEncoder
         cmd("AUTH LOGIN")

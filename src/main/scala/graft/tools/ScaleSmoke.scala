@@ -381,6 +381,25 @@ object ScaleSmoke {
         "every candidate token occurs in the stream")
     }
 
+    // 25. SemDeDup 100k vectors x 8 dims over 256 cells: assignment is one
+    // broadcast-codebook pass (one shuffled row per vector); the
+    // within-cluster pairing is the algorithm's own quadratic, bounded by
+    // cluster size (~400 here) and spread across salt lanes — the first
+    // cut of this entry is how the blockedNearDupPairs AQE-coalescing
+    // trap was caught (4 of 32 cores on the unsalted pair join).
+    time("semdedup 100k x 8d, 256 cells") {
+      val corpus = vecs.where(col("vec_id") < 100000L)
+      val flags = graft.ext.Similarity.semDedup(
+        corpus, "embedding", "vec_id", nCells = 256, threshold = 0.999)
+      val (total, kept) = {
+        val r = flags.agg(count(lit(1)), sum(when(col("keep"), 1L).otherwise(0L))).first()
+        (r.getLong(0), r.getLong(1))
+      }
+      assert(total == 100000L, s"one flag per vector: $total")
+      assert(kept > 0 && kept < total,
+        s"synthetic lattice vectors contain exact duplicates: kept=$kept")
+    }
+
     spark.stop()
   }
 }

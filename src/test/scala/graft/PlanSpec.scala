@@ -112,6 +112,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("graft_topk"), "final ranking must be the bounded aggregate")
   }
 
+  test("semdedup: cell-blocked equi joins only, sizes broadcast, no product join") {
+    val p = plan("ext_semdedup")
+    // the codebook-score crossJoin is a broadcast of nCells rows — the
+    // within-cluster pairing itself must plan as an equi join on cell_id
+    assert(!p.contains("CartesianProduct"),
+      s"within-cluster pairing must never plan a cartesian product:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "codebook scoring must broadcast the nCells-row side")
+    assert(!analyzed("ext_semdedup").contains("Window"),
+      "the skew guard is an aggregate + broadcast join-back, not a window")
+  }
+
   test("resample: no global calendar join; one fill window per key") {
     val p = plan("ext_resample_ffill")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
