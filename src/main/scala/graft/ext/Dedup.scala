@@ -341,6 +341,50 @@ object Dedup {
       .where(col("n_hits") >= minHits)
   }
 
+  /** Within-corpus duplicated n-gram spans — the exact-substring dedup
+    * signal (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): every token position whose word n-gram occurs in at
+    * least `minDocs` DISTINCT documents. Downstream policy then cuts the
+    * spans (the paper's choice) or drops/downweights the documents —
+    * catching the boilerplate-and-quote duplication that whole-document
+    * and MinHash dedup both miss.
+    *
+    * Scale shape: grams explode transiently inside one codegen pipeline
+    * (the array-alias discipline of [[contaminatedByNgram]] — the array
+    * materializes once per doc, never recomputed per gram row); per-gram
+    * document frequency is a two-stage partial aggregate on the 60-bit
+    * gram hash (groupBy(gh, doc) collapses within-doc repeats map-side,
+    * then groupBy(gh) counts docs); flagged grams join back to the
+    * positioned gram stream by hash — AQE broadcasts the flagged table
+    * when duplication is rare (the common case at minDocs ≥ 2), else it
+    * is an ordinary equi join. The gram md5 is paid on both branches of
+    * the self-referencing lineage; a steady-state pipeline persists the
+    * positioned gram table as its index instead of re-deriving it.
+    *
+    * Returns (idCol, pos, gh, n_docs) — `pos` is the 0-based token
+    * position where the duplicated span starts. */
+  def duplicatedSpans(
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8,
+      minDocs: Int = 2
+  ): DataFrame = {
+    require(n > 0, "n must be positive")
+    require(minDocs >= 2, "minDocs below 2 flags every position")
+    val positioned = corpus
+      .select(col(idCol), TextHash.shingles(col(textCol), n).as("__grams"))
+      .select(col(idCol), posexplode(col("__grams")).as(Seq("pos", "g")))
+      .select(col(idCol), col("pos").cast("bigint").as("pos"),
+        TextHash.hmod60(col("g")).as("gh"))
+    val flagged = positioned
+      .select(col(idCol), col("gh")).distinct()
+      .groupBy("gh").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+    positioned.join(flagged, "gh")
+      .select(col(idCol), col("pos"), col("gh"), col("n_docs"))
+  }
+
   /** Materialize the deduplicated corpus: keep one canonical row per
     * near-dup component (the minimum-id member), pass through rows that
     * duplicate nothing.

@@ -267,6 +267,20 @@ object Ext {
       TextStats.gopherRules(t(s, dir, "documents"), "text")
         .drop("text").orderBy("doc_id")),
 
+    "ext_dup_spans" -> ((s, dir) => {
+      // within-corpus exact-substring dedup signal (Lee et al. 2022):
+      // every token position whose 8-gram occurs in >= 2 distinct docs.
+      // Corpus = documents plus a re-id'd copy of every 7th doc, so each
+      // copied doc's whole span range must flag in both copies (plus any
+      // naturally shared 8-grams — the oracle replays those identically).
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      Dedup.duplicatedSpans(
+        docs.unionByName(docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))),
+        "text", "doc_id", n = 8, minDocs = 2)
+        .orderBy("doc_id", "pos")
+    }),
+
     "ext_contamination_ngram" -> ((s, dir) => {
       // n-gram-level decontamination: flag corpus docs sharing >= 3
       // distinct 8-grams with the benchmark slice. The benchmark's hashed
@@ -991,6 +1005,21 @@ object Ext {
          |FROM g WHERE gh IN (SELECT gh FROM b)
          |GROUP BY doc_id, n_grams HAVING COUNT(*) >= 3
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "ext_dup_spans" -> {
+      val grams8 = TextHash.shinglesSql("text", 8)
+      s"""WITH c AS (SELECT doc_id, text FROM documents
+         |           UNION ALL
+         |           SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0),
+         |gr AS (SELECT doc_id, $grams8 AS grams FROM c),
+         |g AS (SELECT doc_id, unnest(range(0, len(grams))) AS pos,
+         |             ('0x' || substr(md5(unnest(grams)), 1, 15))::BIGINT AS gh
+         |      FROM gr),
+         |d AS (SELECT gh, COUNT(DISTINCT doc_id) AS n_docs FROM g GROUP BY gh
+         |      HAVING COUNT(DISTINCT doc_id) >= 2)
+         |SELECT g.doc_id, g.pos, g.gh, d.n_docs FROM g JOIN d USING (gh)
+         |ORDER BY doc_id, pos""".stripMargin
     },
 
     "ext_tfidf_topk" ->

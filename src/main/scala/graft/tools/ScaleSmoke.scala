@@ -290,6 +290,18 @@ object ScaleSmoke {
       assert(n == 2000000L, s"every doc shares its group's grams: $n")
     }
 
+    // 20b. within-corpus duplicated spans on the same 2M docs: every doc
+    // shares all 13 of its 8-gram positions with the 39 other docs of its
+    // group — ~26M positioned grams, (gh,doc)-distinct partial agg, then
+    // the flagged-gram join back (broadcast when duplication is rare;
+    // here it is total, the worst case for the join-back side).
+    time("duplicated spans 2M docs (full-dup worst case)") {
+      val n = graft.ext.Dedup
+        .duplicatedSpans(contCorpus, "text", "doc_id", n = 8, minDocs = 2)
+        .count()
+      assert(n == 2000000L * 13, s"every gram position of every doc flags: $n")
+    }
+
     // 21. bloom-prefiltered incremental dedup: 20M corpus x 2M batch —
     // the batch whose exact fingerprint set (~64MB+) is past comfortable
     // broadcast size; the bloom is ~2.4MB at 1% fpp. Corpus never

@@ -277,6 +277,28 @@ class ExtSpec extends SparkSpec {
     assert(!got.exists(_._2 == 2L), "unrelated corpus doc never matches")
   }
 
+  test("duplicatedSpans: cross-doc 3-gram positions flag; within-doc repeats alone do not") {
+    val corpus = docs(
+      (1L, "alpha beta gamma delta"),      // shares "beta gamma delta" with 2
+      (2L, "zz beta gamma delta yy"),
+      (3L, "solo text with no overlap"),
+      (4L, "rep rep rep rep"))             // "rep rep rep" twice, but one doc only
+    val got = Dedup.duplicatedSpans(corpus, "text", "doc_id", n = 3, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val byDoc = got.groupBy(_._1)
+    // doc1: gram at pos 1 = "beta gamma delta"; doc2: same gram at pos 1
+    assert(byDoc(1L).map(x => (x._2, x._3)).toSeq == Seq((1L, 2L)), s"$got")
+    assert(byDoc(2L).map(x => (x._2, x._3)).toSeq == Seq((1L, 2L)), s"$got")
+    assert(!byDoc.contains(3L), "unshared text never flags")
+    assert(!byDoc.contains(4L),
+      "a gram repeated within ONE doc is not a cross-document duplicate")
+    // spans line up: the shared gram carries the same hash in both docs
+    val h1 = got.find(x => x._1 == 1L).get
+    val hashes = Dedup.duplicatedSpans(corpus, "text", "doc_id", 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(hashes(1L) == hashes(2L), s"same span, same 60-bit hash: $h1")
+  }
+
   test("gopherRules: each rule trips on its own adversarial doc") {
     val good = (1 to 58).map(i => s"word$i").mkString("the a ", " ", "")
     val short = "the a tiny doc here"

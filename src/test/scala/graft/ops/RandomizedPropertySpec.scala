@@ -124,4 +124,45 @@ class RandomizedPropertySpec extends SparkSpec {
       assert(got == want, s"trial $trial (window=$window) diverged")
     }
   }
+
+  test("property: semDedup == brute-force cluster-assign + lower-id neighbor rule") {
+    import spark.implicits._
+    val rnd = new Random(909)
+    for (trial <- 0 until 3) {
+      val dim = 4
+      val n = 60 + rnd.nextInt(60)
+      // small int coordinates force plenty of exact cosine ties
+      val vecs = (0 until n).map { i =>
+        (i.toLong, Array.fill(dim)((rnd.nextInt(7) - 3).toFloat / 3f))
+      }.filter(_._2.exists(_ != 0f)) // zero vector has no cosine
+      val df = vecs.toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+        .repartition(5)
+      val nCells = 1 + rnd.nextInt(6)
+      val threshold = Seq(0.5, 0.9, 0.999)(trial)
+      val got = graft.ext.Similarity
+        .semDedup(df, "embedding", "vec_id", nCells, threshold)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      // naive reference replaying the operator's exact-int64 arithmetic
+      def dot(a: Array[Float], b: Array[Float]): Double =
+        a.zip(b).map { case (x, y) =>
+          math.round(x.toDouble * y.toDouble * 1e15)
+        }.sum.toDouble / 1e15
+      def cos(a: Array[Float], b: Array[Float]): Double =
+        dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      val book = vecs.sortBy(_._1).take(nCells)
+      def cell(v: Array[Float]): Long =
+        book.map { case (cid, cv) => (cos(v, cv), -cid, cid) }.max._3
+      val assign = vecs.map { case (id, v) => id -> cell(v) }.toMap
+      val want = vecs.map { case (id, v) =>
+        val dup = vecs.exists { case (jd, jv) =>
+          jd < id && assign(jd) == assign(id) && cos(jv, v) >= threshold
+        }
+        id -> (assign(id), !dup)
+      }.toMap
+      assert(got == want,
+        s"trial $trial (n=${vecs.size}, cells=$nCells, t=$threshold): " +
+          s"diff=${(got.toSet diff want.toSet).take(5)}")
+    }
+  }
 }
