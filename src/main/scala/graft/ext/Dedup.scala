@@ -385,6 +385,52 @@ object Dedup {
       .select(col(idCol), col("pos"), col("gh"), col("n_docs"))
   }
 
+  /** Cut duplicated spans — the actionable policy on top of
+    * [[duplicatedSpans]] (what Lee et al. actually do): rebuild each
+    * document keeping ONE canonical occurrence per duplicated n-gram (the
+    * lowest (doc, pos) corpus-wide) and dropping the n tokens under every
+    * other occurrence. Documents the corpus duplicates entirely collapse
+    * to empty text; untouched documents pass through byte-identical.
+    *
+    * Scale shape adds two bounded steps to [[duplicatedSpans]]: the
+    * canonical pick is a min-struct aggregate per flagged gram hash
+    * (flagged-table-sized, not corpus-sized), and the per-document cut
+    * list is a collect_list bounded by the document's own span count —
+    * state proportional to one document, the same bound any text rewrite
+    * carries. The rebuild itself is one narrow HOF pass: tokens bind once
+    * per row (the [[TextHash.shingles]] let-binding discipline), each
+    * token index probes the sorted cut list with `exists`.
+    *
+    * Returns (idCol, textCol) with the deduplicated text. */
+  def cutDuplicatedSpans(
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8,
+      minDocs: Int = 2
+  ): DataFrame = {
+    val flagged = duplicatedSpans(corpus, textCol, idCol, n, minDocs)
+    val canon = flagged.groupBy("gh")
+      .agg(min(struct(col(idCol).as("d"), col("pos").as("p"))).as("c"))
+    val cuts = flagged.join(canon, "gh")
+      .where(!(col(idCol) === col("c.d") && col("pos") === col("c.p")))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("__cut"))
+    val span = lit(n - 1)
+    val rebuilt = element_at(
+      transform(array(split(col(textCol), " ")), toks =>
+        array_join(
+          transform(
+            filter(sequence(lit(0), size(toks) - 1),
+              i => !exists(col("__cut"), p => i >= p && i <= p + span)),
+            i => element_at(toks, i.cast("int") + 1)),
+          " ")),
+      1)
+    corpus.join(cuts, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__cut").isNull, col(textCol)).otherwise(rebuilt).as(textCol))
+  }
+
   /** Materialize the deduplicated corpus: keep one canonical row per
     * near-dup component (the minimum-id member), pass through rows that
     * duplicate nothing.

@@ -281,6 +281,19 @@ object Ext {
         .orderBy("doc_id", "pos")
     }),
 
+    "ext_cut_spans" -> ((s, dir) => {
+      // the span-cut policy over the same duplicated corpus: every %7
+      // copy collapses to empty text (its whole content is canonical in
+      // the lower-id original); originals keep their text except where a
+      // naturally shared 8-gram's canonical occurrence lives elsewhere.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      Dedup.cutDuplicatedSpans(
+        docs.unionByName(docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))),
+        "text", "doc_id", n = 8, minDocs = 2)
+        .orderBy("doc_id")
+    }),
+
     "ext_contamination_ngram" -> ((s, dir) => {
       // n-gram-level decontamination: flag corpus docs sharing >= 3
       // distinct 8-grams with the benchmark slice. The benchmark's hashed
@@ -1020,6 +1033,40 @@ object Ext {
          |      HAVING COUNT(DISTINCT doc_id) >= 2)
          |SELECT g.doc_id, g.pos, g.gh, d.n_docs FROM g JOIN d USING (gh)
          |ORDER BY doc_id, pos""".stripMargin
+    },
+
+    "ext_cut_spans" -> {
+      val grams8 = TextHash.shinglesSql("text", 8)
+      s"""WITH c AS (SELECT doc_id, text FROM documents
+         |           UNION ALL
+         |           SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0),
+         |gr AS (SELECT doc_id, $grams8 AS grams FROM c),
+         |g AS (SELECT doc_id, unnest(range(0, len(grams))) AS pos,
+         |             ('0x' || substr(md5(unnest(grams)), 1, 15))::BIGINT AS gh
+         |      FROM gr),
+         |d AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+         |f AS (SELECT g.doc_id, g.pos, g.gh FROM g JOIN d USING (gh)),
+         |cn AS (SELECT gh, doc_id AS cd, pos AS cp FROM (
+         |  SELECT gh, doc_id, pos,
+         |    row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS r
+         |  FROM f) WHERE r = 1),
+         |cuts AS (SELECT f.doc_id, list(f.pos ORDER BY f.pos) AS cut_pos
+         |         FROM f JOIN cn USING (gh)
+         |         WHERE NOT (f.doc_id = cn.cd AND f.pos = cn.cp)
+         |         GROUP BY f.doc_id),
+         |tk AS (SELECT c.doc_id, string_split(c.text, ' ') AS toks,
+         |              c.text, cuts.cut_pos
+         |       FROM c LEFT JOIN cuts USING (doc_id))
+         |SELECT doc_id,
+         |  CASE WHEN cut_pos IS NULL THEN text
+         |       -- array_to_string(NULL-typed empty list) is NULL in DuckDB;
+         |       -- a fully-cut document is EMPTY text, not missing text
+         |       ELSE COALESCE(array_to_string(
+         |         [toks[i+1] FOR i IN range(0, len(toks))
+         |          IF len(list_filter(cut_pos, p -> i >= p AND i <= p + 7)) = 0],
+         |         ' '), '')
+         |  END AS text
+         |FROM tk ORDER BY doc_id""".stripMargin
     },
 
     "ext_tfidf_topk" ->

@@ -112,6 +112,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("graft_topk"), "final ranking must be the bounded aggregate")
   }
 
+  test("dup spans: no product join, no window; doc-frequency agg is map-side partial") {
+    val p = plan("ext_dup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"positioned-gram join-back must stay an equi join:\n$p")
+    assert(!analyzed("ext_dup_spans").contains("Window"),
+      "document frequency is an aggregate, never a window over the gram stream")
+    assert(p.contains("partial_count"),
+      s"per-gram doc count must combine map-side before the shuffle:\n$p")
+  }
+
   test("semdedup: cell-blocked equi joins only, sizes broadcast, no product join") {
     val p = plan("ext_semdedup")
     // the codebook-score crossJoin is a broadcast of nCells rows — the

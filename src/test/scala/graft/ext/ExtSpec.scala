@@ -299,6 +299,21 @@ class ExtSpec extends SparkSpec {
     assert(hashes(1L) == hashes(2L), s"same span, same 60-bit hash: $h1")
   }
 
+  test("cutDuplicatedSpans: canonical occurrence survives, copies lose their tokens") {
+    val corpus = docs(
+      (1L, "alpha beta gamma delta"),   // canonical owner of "beta gamma delta"
+      (2L, "zz beta gamma delta yy"),   // loses tokens 1-3
+      (3L, "solo text with no overlap"),
+      (4L, "alpha beta gamma delta"))   // full duplicate of 1 → empty
+    val got = Dedup.cutDuplicatedSpans(corpus, "text", "doc_id", n = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "alpha beta gamma delta", s"canonical doc intact: $got")
+    assert(got(2L) == "zz yy", s"non-canonical span cut, flanks kept: $got")
+    assert(got(3L) == "solo text with no overlap", "untouched doc byte-identical")
+    assert(got(4L) == "", s"fully duplicated doc collapses to empty: $got")
+    assert(got.size == 4, "one output row per input document")
+  }
+
   test("gopherRules: each rule trips on its own adversarial doc") {
     val good = (1 to 58).map(i => s"word$i").mkString("the a ", " ", "")
     val short = "the a tiny doc here"
