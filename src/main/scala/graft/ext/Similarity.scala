@@ -632,6 +632,156 @@ object Similarity {
         col("__dup").isNull.as("keep"))
   }
 
+  /** Exact pairwise covariance of the first `dim` embedding dimensions:
+    * (i, j, cov) for i ≤ j, where cov = E[xy] − E[x]E[y] assembled from
+    * EXACT integer component sums — the same order-free discipline as
+    * [[dotScaled]] and `q_corr` (double addition order differs between
+    * engines and between runs; integer sums do not). Per row the i≤j
+    * product triangle generates through nested HOFs (never dim²/2 literal
+    * expressions — codegen stays bounded at any `dim`), explodes
+    * transiently, and partial-aggregates on (i, j); sums accumulate in
+    * decimal(38,0) so a 1e12-row corpus cannot overflow int64. The final
+    * divide-and-subtract runs in fixed parenthesized double order, so
+    * both engines produce bit-identical covariances. */
+  def covarianceMatrix(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val v = col(vecCol)
+    val prods = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+      transform(sequence(i, lit(dim - 1)), j =>
+        struct(i.as("i"), j.as("j"),
+          round(element_at(v, i.cast("int") + 1).cast("double") *
+            element_at(v, j.cast("int") + 1).cast("double") * lit(DotScale))
+            .cast("decimal(38,0)").as("s")))))
+    val sxy = df.select(explode(prods).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(sum(col("p.s")).as("sxy"))
+    val dims = transform(sequence(lit(0), lit(dim - 1)), i =>
+      struct(i.as("i"),
+        round(element_at(v, i.cast("int") + 1).cast("double") * 1e7)
+          .cast("decimal(38,0)").as("s")))
+    val sx = df.select(explode(dims).as("d"))
+      .groupBy(col("d.i").as("i")).agg(sum(col("d.s")).as("sx"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    sxy
+      .join(sx.select(col("i"), col("sx").as("sx_i")), "i")
+      .join(sx.select(col("i").as("j"), col("sx").as("sx_j")), "j")
+      .crossJoin(broadcast(n))
+      .select(col("i").cast("bigint").as("i"), col("j").cast("bigint").as("j"),
+        (col("sxy").cast("double") / lit(DotScale) / col("__n") -
+          (col("sx_i").cast("double") / 1e7 / col("__n")) *
+            (col("sx_j").cast("double") / 1e7 / col("__n"))).as("cov"))
+  }
+
+  /** Deterministic cyclic Jacobi eigensolver for the small symmetric
+    * matrices this engine ever solves on the driver (covariance of an
+    * embedding space — dim², codebook-class data, like the k-means
+    * codebook collect). Fixed sweep order and a fixed convergence
+    * threshold make the output identical on every run and JVM; columns of
+    * the returned matrix are the eigenvectors of the input. */
+  private[graft] def jacobiEigen(
+      m: Array[Array[Double]],
+      maxSweeps: Int = 50
+  ): (Array[Double], Array[Array[Double]]) = {
+    val n = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < maxSweeps && off > 1e-14) {
+      off = 0.0
+      for (p <- 0 until n; q <- p + 1 until n) {
+        off += a(p)(q) * a(p)(q)
+        if (math.abs(a(p)(q)) > 1e-18) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (k <- 0 until n) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = c * akp - s * akq
+            a(k)(q) = s * akp + c * akq
+          }
+          for (k <- 0 until n) {
+            val apk = a(p)(k); val aqk = a(q)(k)
+            a(p)(k) = c * apk - s * aqk
+            a(q)(k) = s * apk + c * aqk
+          }
+          for (k <- 0 until n) {
+            val vkp = v(k)(p); val vkq = v(k)(q)
+            v(k)(p) = c * vkp - s * vkq
+            v(k)(q) = s * vkp + c * vkq
+          }
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** PCA whitening for embedding preprocessing (the standard step before
+    * PQ/IVF on anisotropic spaces — OPQ's "R" without the iterative
+    * refinement): project each vector onto the top-`k` covariance
+    * eigendirections and scale each by 1/√(λ+eps), so the output
+    * dimensions are decorrelated with ~unit variance.
+    *
+    * Two-tier verification, like `ops.Percentiles`: the covariance build
+    * is the exactly-replayable tier ([[covarianceMatrix]] — its own
+    * oracle-gated query), while the eigensolve is driver-side
+    * deterministic ([[jacobiEigen]], spec-proven) but not portably
+    * replayable in SQL — iterative float math has no cross-engine bit
+    * contract. Scale shape: one covariance pass over the corpus (the
+    * exploded triangle partial-aggregates to dim² rows), a dim×dim
+    * driver solve, then one narrow broadcast-projection pass; nothing
+    * corpus-sized ever collects.
+    *
+    * Returns (idCol, whitened array<double> of length k). */
+  def pcaWhiten(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      k: Int,
+      eps: Double = 1e-9
+  ): DataFrame = {
+    require(k > 0 && k <= dim, "need 0 < k <= dim")
+    val cells = covarianceMatrix(df, vecCol, dim).collect()
+    val cov = Array.ofDim[Double](dim, dim)
+    cells.foreach { r =>
+      val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val mu = {
+      val v = col(vecCol)
+      val dims = transform(sequence(lit(0), lit(dim - 1)), i =>
+        struct(i.as("i"),
+          round(element_at(v, i.cast("int") + 1).cast("double") * 1e7)
+            .cast("decimal(38,0)").as("s")))
+      val rows = df.select(explode(dims).as("d"))
+        .groupBy(col("d.i").as("i"))
+        .agg(sum(col("d.s")).cast("double").as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val out = new Array[Double](dim)
+      rows.foreach(r => out(r.getInt(0)) = r.getDouble(1) / 1e7 / r.getLong(2))
+      out
+    }
+    val (evals, evecs) = jacobiEigen(cov)
+    // top-k eigendirections, deterministic order: eigenvalue desc, index asc
+    val order = evals.zipWithIndex.sortBy { case (ev, idx) => (-ev, idx) }.take(k)
+    val w: Seq[Seq[Double]] = order.toSeq.map { case (ev, idx) =>
+      val scale = 1.0 / math.sqrt(math.max(ev, 0.0) + eps)
+      (0 until dim).map(r => evecs(r)(idx) * scale)
+    }
+    val wLit = typedLit(w)
+    val muLit = typedLit(mu.toSeq)
+    val proj = transform(wLit, wrow =>
+      aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
+        (acc, i) => acc +
+          (element_at(col(vecCol), i.cast("int") + 1).cast("double") -
+            element_at(muLit, i.cast("int") + 1)) *
+            element_at(wrow, i.cast("int") + 1)))
+    df.select(col(idCol), proj.as("whitened"))
+  }
+
   /** Per-key embedding centroids: exact per-dimension means as
     * (key, dim, mean_v) rows.
     *

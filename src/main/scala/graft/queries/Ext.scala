@@ -147,6 +147,13 @@ object Ext {
         "embedding", "vec_id", nCells = 8, threshold = 0.2)
         .orderBy("vec_id")),
 
+    "ext_embed_cov" -> ((s, dir) =>
+      // exact pairwise covariance of the first 8 embedding dims — the
+      // replayable tier of PCA whitening (order-free integer component
+      // sums; the eigensolve tier is driver-side deterministic, PCASpec)
+      Similarity.covarianceMatrix(t(s, dir, "embeddings"), "embedding", dim = 8)
+        .orderBy("i", "j")),
+
     "ext_centroids" -> ((s, dir) =>
       // per-label embedding centroids, first 8 dims: per-dim decimal sums +
       // stack unpivot — no posexplode row blowup (see Similarity.centroids)
@@ -843,6 +850,25 @@ object Ext {
          |SELECT a.vec_id, a.cell_id, (d.vec_id IS NULL) AS keep
          |FROM a LEFT JOIN d ON a.vec_id = d.vec_id
          |ORDER BY a.vec_id""".stripMargin,
+
+    "ext_embed_cov" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+        |p AS (SELECT a.i AS i, b.j AS j
+        |      FROM (SELECT unnest(range(0, 8)) AS i) a,
+        |           (SELECT unnest(range(0, 8)) AS j) b WHERE b.j >= a.i),
+        |sxy AS (SELECT p.i, p.j,
+        |  SUM(CAST(round(CAST(e.embedding[p.i+1] AS DOUBLE)
+        |    * CAST(e.embedding[p.j+1] AS DOUBLE) * 1e15) AS BIGINT)) AS sxy
+        |  FROM embeddings e CROSS JOIN p GROUP BY p.i, p.j),
+        |sx AS (SELECT d.i,
+        |  SUM(CAST(round(CAST(e.embedding[d.i+1] AS DOUBLE) * 1e7) AS BIGINT)) AS sx
+        |  FROM embeddings e CROSS JOIN (SELECT unnest(range(0, 8)) AS i) d
+        |  GROUP BY d.i)
+        |SELECT sxy.i, sxy.j,
+        |  CAST(sxy.sxy AS DOUBLE)/1e15/n
+        |    - (CAST(si.sx AS DOUBLE)/1e7/n) * (CAST(sj.sx AS DOUBLE)/1e7/n) AS cov
+        |FROM sxy JOIN sx si ON si.i = sxy.i JOIN sx sj ON sj.i = sxy.j
+        |CROSS JOIN nn ORDER BY sxy.i, sxy.j""".stripMargin,
 
     "ext_centroids" ->
       """SELECT label, i - 1 AS dim,
