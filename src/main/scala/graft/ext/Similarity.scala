@@ -729,10 +729,11 @@ object Similarity {
     * oracle-gated query), while the eigensolve is driver-side
     * deterministic ([[jacobiEigen]], spec-proven) but not portably
     * replayable in SQL — iterative float math has no cross-engine bit
-    * contract. Scale shape: one covariance pass over the corpus (the
-    * exploded triangle partial-aggregates to dim² rows), a dim×dim
-    * driver solve, then one narrow broadcast-projection pass; nothing
-    * corpus-sized ever collects.
+    * contract. Scale shape: two bounded aggregation passes over the
+    * corpus (the exploded i≤j triangle partial-aggregates to dim² cells;
+    * per-dim means to dim cells), a dim×dim driver solve, then one
+    * narrow broadcast-projection pass; nothing corpus-sized ever
+    * collects.
     *
     * Returns (idCol, whitened array<double> of length k). */
   def pcaWhiten(

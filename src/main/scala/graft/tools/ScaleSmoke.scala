@@ -412,6 +412,17 @@ object ScaleSmoke {
         s"synthetic lattice vectors contain exact duplicates: kept=$kept")
     }
 
+    // 26. PCA whitening at 2M x 8d: one covariance pass (the exploded
+    // i<=j triangle partial-aggregates to 36 cells), an 8x8 driver
+    // eigensolve, one broadcast-projection pass — nothing corpus-sized
+    // collects or shuffles wide.
+    time("pca whiten 2M x 8d -> k=4") {
+      val out = graft.ext.Similarity.pcaWhiten(vecs, "embedding", "vec_id",
+        dim = 8, k = 4)
+      val n = out.count()
+      assert(n == 2000000L, s"one whitened vector per input: $n")
+    }
+
     spark.stop()
   }
 }
