@@ -125,6 +125,47 @@ class RandomizedPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: cutDuplicatedSpans == brute-force mask on tiny-vocab corpora") {
+    import spark.implicits._
+    val rnd = new Random(313)
+    for (trial <- 0 until 3) {
+      val n = 2 + trial % 2 // gram lengths 2 and 3
+      val vocab = Array("a", "b", "c")
+      val corpus = (0 until 12 + rnd.nextInt(8)).map { d =>
+        val len = 3 + rnd.nextInt(8)
+        (d.toLong, (0 until len).map(_ => vocab(rnd.nextInt(3))).mkString(" "))
+      }
+      val got = graft.ext.Dedup
+        .cutDuplicatedSpans(corpus.toDF("doc_id", "text").repartition(5),
+          "text", "doc_id", n, minDocs = 2)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // brute force on gram STRINGS (the operator hashes; 60-bit collisions
+      // are impossible over a 3-token vocabulary)
+      def grams(text: String): Seq[String] = {
+        val toks = text.split(" ").toSeq
+        if (toks.length < n) Seq(toks.mkString(" "))
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      }
+      val occ = corpus.flatMap { case (d, t) =>
+        grams(t).zipWithIndex.map { case (g, p) => (g, d, p.toLong) }
+      }
+      val dup = occ.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+      val canon = occ.filter(o => dup(o._1)).groupBy(_._1)
+        .map { case (g, os) => g -> os.map(o => (o._2, o._3)).min }
+      val want = corpus.map { case (d, t) =>
+        val cuts = grams(t).zipWithIndex.collect {
+          case (g, p) if dup(g) && canon(g) != ((d, p.toLong)) => p.toLong
+        }
+        val toks = t.split(" ").toSeq
+        d -> toks.zipWithIndex
+          .filterNot { case (_, i) => cuts.exists(p => i >= p && i <= p + n - 1) }
+          .map(_._1).mkString(" ")
+      }.toMap
+      assert(got == want, s"trial $trial (n=$n): " +
+        s"diff=${(got.toSet diff want.toSet).take(3)} vs ${(want.toSet diff got.toSet).take(3)}")
+    }
+  }
+
   test("property: semDedup == brute-force cluster-assign + lower-id neighbor rule") {
     import spark.implicits._
     val rnd = new Random(909)
