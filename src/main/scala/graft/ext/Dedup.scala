@@ -198,16 +198,27 @@ object Dedup {
     * the second corpus scan applies a broadcast id semi-join before any
     * md5 work, so it is projection-cheap. Batch-side shingles/bands are
     * computed once and persisted (batch-sized); the cache is scoped to
-    * this call — the result (candidate-pair-sized, tiny next to the
-    * inputs) is materialized eagerly via localCheckpoint and the batch
-    * cache unpersisted before returning, so a steady-state crawl loop
-    * does not leak one cached dataset per batch. */
+    * this call — with `materialize = true` (the default) the result
+    * (candidate-pair-sized, tiny next to the inputs) is eagerly
+    * materialized via localCheckpoint and the batch cache unpersisted
+    * before returning, so a steady-state crawl loop does not leak one
+    * cached dataset per batch.
+    *
+    * Cluster caveat for `materialize`: localCheckpoint truncates lineage
+    * to executor-local blocks — under executor loss or dynamic
+    * allocation the returned frame becomes unrecomputable and later
+    * actions fail. Safe in local mode and on static executors; on a
+    * dynamically-allocated cluster pass `materialize = false` (the batch
+    * cache then stays pinned until the caller consumes the result and
+    * unpersists, or the context cleaner reaps it) or write the result to
+    * a scratch table instead. */
   def incrementalNearDupPairs(
       corpus: DataFrame,
       batch: DataFrame,
       textCol: String,
       idCol: String,
-      threshold: Double
+      threshold: Double,
+      materialize: Boolean = true
   ): DataFrame = {
     def bandsOf(df: DataFrame, sigCol: Column, outId: String) = {
       val bandCols = (0 until TextHash.Bands).map { b =>
@@ -243,9 +254,11 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("b_sh"), col("c_sh")))
       .where(col("jaccard") >= threshold)
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))
-      .localCheckpoint(true)
-    bShingled.unpersist(false)
-    out
+    if (materialize) {
+      val m = out.localCheckpoint(true)
+      bShingled.unpersist(false)
+      m
+    } else out
   }
 
   /** [[incrementalNew]] with a Bloom-filter pre-probe — for when the batch

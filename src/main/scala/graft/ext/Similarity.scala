@@ -592,9 +592,13 @@ object Similarity {
     * within-cluster pairing ([[blockedNearDupPairs]]) is the quadratic
     * step THE ALGORITHM ITSELF prescribes — nCells is the paper's knob
     * that bounds expected cluster size (they run 50k clusters on 1.3B
-    * embeddings). A skew guard fails fast when a cluster exceeds
-    * `maxClusterSize` rather than silently planning an n² join on a
-    * degenerate clustering. Pass a [[kmeansCodebook]] for real geometry;
+    * embeddings; ~26k vectors/cluster). A skew guard fails fast when a
+    * cluster exceeds `maxClusterSize` rather than silently planning an n²
+    * join on a degenerate clustering — the default (1M vectors → ~5e11
+    * pairs in the worst cluster) sits at the edge of what a large cluster
+    * can grind through; a guard defaulted much higher would only fire
+    * after the join it exists to prevent is already hopeless. Pass a
+    * [[kmeansCodebook]] for real geometry;
     * the default placeholder codebook (lowest-id vectors) keeps the
     * operator fully engine-replayable for the oracle gate.
     *
@@ -607,7 +611,7 @@ object Similarity {
       nCells: Int,
       threshold: Double,
       codebook: Option[DataFrame] = None,
-      maxClusterSize: Long = 10000000L
+      maxClusterSize: Long = 1000000L
   ): DataFrame = {
     require(nCells > 0, "nCells must be positive")
     val cells = assignCells(corpus, vecCol, idCol, nCells, codebook)

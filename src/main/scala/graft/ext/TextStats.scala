@@ -245,9 +245,18 @@ object TextStats {
     *   - scores are quantized to decimal(18,9) BEFORE ranking, so a
     *     cross-engine last-ulp difference between StrictMath.log and
     *     libm ln can never reorder ranks at any corpus size (the 2e-16
-    *     relative drift is absorbed by the 1e-9 quantum; the decimal's
-    *     ≤11 significant digits round-trip through double exactly, so
-    *     ranking on its double image is order-isomorphic);
+    *     relative drift is absorbed by the 1e-9 quantum). Ranking on the
+    *     decimal's double image is order-isomorphic ONLY while the score
+    *     stays below 2^53·1e-9 ≈ 9.0e6 (≤ ~16 significant digits round-trip
+    *     double exactly there; beyond it distinct quantized scores can
+    *     collide in the double image, and beyond ~1e9 the decimal(18,9)
+    *     cast itself overflows to null under non-ANSI semantics, silently
+    *     dropping the term) — so the score pipeline FAILS FAST with
+    *     raise_error when |tf·ln((N+1)/(df+1))| reaches 9.0e6. In practice
+    *     that bound means one term repeated ≥ ~300k times in one document
+    *     at web-corpus N/df ratios — degenerate input this engine's
+    *     repetition/quality filters would drop anyway, but an error beats
+    *     a silent mis-rank;
     *   - ties break on the term's 60-bit md5 hash ascending — a total
     *     order both engines compute identically (string collation is not
     *     portable, hash order is); winners rehydrate (term, tf, df) by
@@ -272,13 +281,17 @@ object TextStats {
       .agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("th", TextHash.hmod60(col("term")))
+    val raw = col("tf").cast("double") *
+      log((col("__n_docs") + 1).cast("double") / (col("df") + 1).cast("double"))
     val scored = tf
       .join(dfT, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
-        (col("tf").cast("double") *
-          log((col("__n_docs") + 1).cast("double") / (col("df") + 1).cast("double")))
-          .cast("decimal(18,9)"))
+        when(abs(raw) < 9.0e6, raw.cast("decimal(18,9)"))
+          .otherwise(raise_error(concat(
+            lit("graft.tfidfTopK: |tfidf| >= 9.0e6 breaks the " +
+              "decimal(18,9)->double rank injectivity bound (term hash "),
+            col("th").cast("string"), lit(")")))))
     // graft_topk ranks (score desc, id asc); the "id" here is the term
     // hash, giving the engine-portable tie-break. The score is the
     // quantized decimal's double image — injective at these magnitudes

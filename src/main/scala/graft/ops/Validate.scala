@@ -113,7 +113,12 @@ object Validate {
         // a malformed literal); <=> makes an uncastable literal simply
         // never match instead of nulling the whole disjunction.
         def enumMiss(vs: List[String]): Column =
-          if (target == org.apache.spark.sql.types.StringType)
+          // Table Schema semantics: the value must match a member of the
+          // enum array, so an empty enum admits NO value — every non-empty
+          // cell misses. (Silently treating [] as "no constraint" would be
+          // the one divergence a schema author cannot see.)
+          if (vs.isEmpty) lit(true)
+          else if (target == org.apache.spark.sql.types.StringType)
             !c.isin(vs.map(lit(_)): _*)
           else {
             def tryLit(v: String): Column = {
@@ -123,7 +128,7 @@ object Validate {
             tryCast.isNotNull &&
               !vs.map(v => tryCast <=> tryLit(v)).reduce(_ || _)
           }
-        val enumProbe = k.enumVals.filter(_.nonEmpty).map(vs =>
+        val enumProbe = k.enumVals.map(vs =>
           when(cell && enumMiss(vs),
             errStruct(rowId, f.name, c, "constraint-error",
               s"value not in enum ${vs.mkString("[", ", ", "]")}")))

@@ -101,6 +101,15 @@ object SmtpAlert {
           .asInstanceOf[javax.net.ssl.SSLSocket]
         ssl.setUseClientMode(true)
         ssl.setSoTimeout(timeoutMs)
+        // Endpoint identification (CWE-295): SSLSocket verifies the chain
+        // but NOT that the certificate matches conn.host unless asked — an
+        // active MITM with any CA-signed cert would otherwise pass the
+        // handshake and receive the AUTH LOGIN credentials. "HTTPS" is the
+        // JSSE rule set (RFC 2818 host matching), the standard choice for
+        // SMTP STARTTLS too (same as jakarta.mail's ssl.checkserveridentity).
+        val params = ssl.getSSLParameters
+        params.setEndpointIdentificationAlgorithm("HTTPS")
+        ssl.setSSLParameters(params)
         ssl.startHandshake() // throws on any TLS failure — no fallback
         socket = ssl
         in = new BufferedReader(
