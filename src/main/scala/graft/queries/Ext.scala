@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Boilerplate, Dedup, Sampling, Similarity, Sketches, TextHash, TextStats}
+import graft.ext.{Boilerplate, Dedup, LanguageModel, Sampling, Similarity, Sketches, TextHash, TextStats}
 import graft.ops.{AsOfJoin, Profile}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -527,6 +527,19 @@ object Ext {
         .groupBy("lang", "rate_pct")
         .agg(count(lit(1)).as("n_kept"))
         .orderBy("lang")),
+
+    "ext_lm_perplexity" -> ((s, dir) => {
+      // CCNet-style LM quality scoring: train a stupid-backoff bigram LM
+      // on the trusted slice (every 5th doc), score every document's
+      // average negative log-prob per token. Log-probs quantize to int64
+      // at training time, so both engines sum identical integers and the
+      // one closing double division is order-fixed.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      LanguageModel.scoreLogPpl(
+        docs, docs.where(col("doc_id") % 5 === 0), "text", "doc_id",
+        alpha = 0.1, minCount = 1)
+        .orderBy("doc_id")
+    }),
 
     "ext_diversity_sample" -> ((s, dir) =>
       // cluster-balanced curation: ≤10 vectors per embedding-space cell
@@ -1389,6 +1402,40 @@ object Ext {
          |FROM documents d JOIN r ON d.lang = r.lang
          |WHERE ${Sampling.pctHashSql("d.doc_id", "temp1")} < r.rate_pct
          |GROUP BY d.lang, r.rate_pct ORDER BY d.lang""".stripMargin,
+
+    "ext_lm_perplexity" -> {
+      val toks = tokensSql("text")
+      val bgList = "[toks[i+1] || ' ' || toks[i+2] FOR i IN range(0, len(toks)-1)]"
+      s"""WITH reftk AS (SELECT $toks AS toks FROM documents WHERE doc_id % 5 = 0),
+         |uni AS (SELECT w, COUNT(*) AS c
+         |        FROM (SELECT unnest(toks) AS w FROM reftk) GROUP BY w),
+         |tot AS (SELECT SUM(c) AS ct, COUNT(*) AS vs FROM uni),
+         |unilp AS (
+         |  SELECT w, CAST(round(ln(0.4 * (CAST(c AS DOUBLE) + 0.1) /
+         |    (CAST(ct AS DOUBLE) + 0.1 * CAST(vs AS DOUBLE))) * 1e9) AS BIGINT) AS lpq
+         |  FROM uni CROSS JOIN tot),
+         |unk AS (
+         |  SELECT CAST(round(ln(0.4 * (CAST(0.0 AS DOUBLE) + 0.1) /
+         |    (CAST(ct AS DOUBLE) + 0.1 * CAST(vs AS DOUBLE))) * 1e9) AS BIGINT) AS lpq_unk
+         |  FROM tot),
+         |refbg AS (SELECT unnest($bgList) AS bg FROM reftk),
+         |big AS (SELECT bg, COUNT(*) AS c12 FROM refbg GROUP BY bg),
+         |biglp AS (
+         |  SELECT big.bg,
+         |    CAST(round(ln(CAST(c12 AS DOUBLE) / CAST(u.c AS DOUBLE)) * 1e9) AS BIGINT) AS lpq
+         |  FROM big JOIN uni u ON u.w = string_split(big.bg, ' ')[1]),
+         |ctk AS (SELECT doc_id, $toks AS toks FROM documents),
+         |cp AS (SELECT doc_id, unnest($bgList) AS bg FROM ctk),
+         |sc AS (
+         |  SELECT cp.doc_id, COALESCE(b.lpq, u.lpq, unk.lpq_unk) AS lpq
+         |  FROM cp
+         |  LEFT JOIN biglp b ON b.bg = cp.bg
+         |  LEFT JOIN unilp u ON u.w = string_split(cp.bg, ' ')[2]
+         |  CROSS JOIN unk)
+         |SELECT doc_id, COUNT(*) AS n_scored,
+         |  -(CAST(SUM(lpq) AS DOUBLE) / 1e9 / CAST(COUNT(*) AS DOUBLE)) AS logppl
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "ext_diversity_sample" ->
       s"""WITH $NormCte,

@@ -14,12 +14,15 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("local[32]", 64)
     import spark.implicits._
-    def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[scale] $label%-44s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
-      r
-    }
+    // optional args: run only entries whose label starts with one of them
+    // (dev shortcut for iterating on a single smoke; no args → full run)
+    val only = args.toSet
+    def time[T](label: String)(f: => T): Unit =
+      if (only.isEmpty || only.exists(label.startsWith)) {
+        val t0 = System.nanoTime()
+        f
+        println(f"[scale] $label%-44s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+      }
 
     // 1. gap-free row numbers, 50M rows / 256 partitions
     val big = spark.range(0, 50000000L, 1, 256).toDF("v")
@@ -410,6 +413,33 @@ object ScaleSmoke {
       assert(total == 100000L, s"one flag per vector: $total")
       assert(kept > 0 && kept < total,
         s"synthetic lattice vectors contain exact duplicates: kept=$kept")
+    }
+
+    // 27. CCNet-style LM perplexity at 10M docs: train on a ~1M-doc slice
+    // (two partial-agg groupBys → small broadcast tables; vocab is bounded
+    // by the modular token generator), then score ~90M bigrams through two
+    // broadcast probes and ONE per-doc shuffle. Every 100th doc carries
+    // globally-unique tokens — the unknown-backoff tier — and must score
+    // strictly worse on average than the in-distribution docs.
+    val lmCorpus = spark.range(0, 10000000L, 1, 128)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 100 === 0,
+          concat_ws(" ", (0 until 10).map(i =>
+            concat(lit("u"), col("id") * 10 + lit(i))): _*))
+          .otherwise(concat_ws(" ", (0 until 10).map(i =>
+            concat(lit("w"), pmod(col("id") + i, lit(9999)))): _*))
+          .as("text"))
+    time("lm perplexity 10M docs (~90M bigrams)") {
+      val scored = graft.ext.LanguageModel.scoreLogPpl(
+        lmCorpus,
+        lmCorpus.where(col("doc_id") % 100 =!= 0 && col("doc_id") < 1000000L),
+        "text", "doc_id")
+      val r = scored.agg(count(lit(1)),
+        avg(when(col("doc_id") % 100 === 0, col("logppl"))),
+        avg(when(col("doc_id") % 100 =!= 0, col("logppl")))).first()
+      assert(r.getLong(0) == 10000000L, s"every doc scores: ${r.getLong(0)}")
+      assert(r.getDouble(1) > r.getDouble(2),
+        s"unknown-token docs must score worse: ${r.getDouble(1)} vs ${r.getDouble(2)}")
     }
 
     // 26. PCA whitening at 2M x 8d: one covariance pass (the exploded

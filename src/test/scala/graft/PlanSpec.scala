@@ -134,6 +134,23 @@ class PlanSpec extends AnyFunSuite {
       "the skew guard is an aggregate + broadcast join-back, not a window")
   }
 
+  test("lm perplexity: broadcast LM tables, no window, per-doc agg is partial") {
+    val p = plan("ext_lm_perplexity")
+    assert(!analyzed("ext_lm_perplexity").contains("Window"),
+      "scoring must never rank/accumulate through a window")
+    assert(p.contains("BroadcastHashJoin"),
+      "the bigram/unigram LM tables must probe as broadcast hash joins")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product anywhere in the LM plan:\n$p")
+    // the only nested-loop joins allowed are the one-row totals/unk
+    // broadcasts (crossJoin of a single-row aggregate); formatted explain
+    // names each node twice (tree line + detail header)
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl <= 4, s"only the two one-row cross joins may nest-loop ($bnl):\n$p")
+    assert(p.toLowerCase.contains("partial_sum"),
+      "per-doc log-prob sum must combine map-side before the shuffle")
+  }
+
   test("resample: no global calendar join; one fill window per key") {
     val p = plan("ext_resample_ffill")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
