@@ -536,6 +536,118 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** IVF-PQ composed search — the production-standard ANN layout (the
+    * FAISS `IVFx,PQy` index family): a coarse IVF codebook partitions the
+    * corpus into cells, the corpus is PQ-encoded once (m one-byte codes +
+    * a reconstruction norm per vector — 32× smaller than float32 at
+    * m=8/dim=64), and each query ranks by asymmetric distance ONLY within
+    * its `nProbe` nearest cells. [[ivfTopK]] bounds WHAT is scored,
+    * [[pqTopK]] bounds what scoring COSTS; composed, a 100 TB corpus
+    * answers a query by streaming nProbe/nCells of its encoded (not raw)
+    * bytes.
+    *
+    * Scale shape: cell assignment and PQ encoding each shuffle one row
+    * per corpus vector (one-time index build; a production loop persists
+    * both as the index). Per query batch: the probe set (queries × nProbe
+    * rows) and the ADC tables (queries × m × ksub int64 entries)
+    * broadcast; the candidate set forms by an equi join of the encoded
+    * corpus against the probe set ON cell_id — bounded by probed-cell
+    * occupancy, never the corpus — then explodes its m codes in place,
+    * probes the ADC table hash-side, partial-aggregates per (query,
+    * candidate), and ranks through the bounded `graft_topk` aggregate.
+    *
+    * Determinism: every step reuses the exact scaled-int64 arithmetic of
+    * its component ([[assignCells]]' max-struct tiebreak, [[pqEncode]]'s
+    * argmax codes) — fully oracle-replayable with the deterministic
+    * placeholder codebooks; pass [[kmeansCodebook]]/[[pqCodebookTrained]]
+    * for production geometry (identical plan shape). Whitening
+    * ([[pcaWhiten]]) composes in front as a preprocessing pass when the
+    * space is anisotropic — its eigensolve tier is spec-proven rather
+    * than oracle-replayable, so it stays a separate explicit step.
+    *
+    * Returns (q_id, c_id, rank, cosine_pq) — cosine against the PQ
+    * reconstruction, like [[pqTopK]]. */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16,
+      dim: Int = 64,
+      ivfBook: Option[DataFrame] = None, // (cell_id, cell_vec)
+      pqBook: Option[DataFrame] = None   // (subspace, code, code_vec)
+  ): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    require(nProbe > 0 && nProbe <= nCells, "need 0 < nProbe <= nCells")
+    val sub = dim / m
+    val cellsRaw = ivfBook.getOrElse(
+      corpus.orderBy(col(idCol).asc).limit(nCells)
+        .select(col(idCol).as("cell_id"), col(vecCol).as("cell_vec")))
+    val cells = cellsRaw.withColumn("cell_norm", normDecimal(col("cell_vec")))
+
+    // corpus → one cell each (one shuffled row per vector)
+    val cAssign = assignCells(
+      corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec")),
+      "c_vec", "c_id", nCells, Some(cellsRaw))
+
+    // queries → nProbe cells each, via the bounded aggregate when present
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", normDecimal(col("q_vec")))
+    val qScored = q.crossJoin(broadcast(cells))
+      .withColumn("cell_cos",
+        dotDecimal(col("q_vec"), col("cell_vec")) / (col("q_norm") * col("cell_norm")))
+    val qProbe =
+      if (org.apache.spark.sql.SparkSession.getActiveSession
+            .exists(_.catalog.functionExists("graft_topk")))
+        qScored.groupBy(col("q_id"))
+          .agg(call_function("graft_topk", col("cell_cos"), col("cell_id"), lit(nProbe)).as("top"))
+          .select(col("q_id"), explode(col("top.id")).as("cell_id"))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("cell_cos").desc, col("cell_id").asc)
+        qScored.withColumn("r", row_number().over(w)).where(col("r") <= nProbe)
+          .select("q_id", "cell_id")
+      }
+
+    // PQ index: codes + recon norm per vector, joined with its cell
+    val cbb = pqBook.getOrElse(pqCodebook(corpus, vecCol, idCol, m, ksub, dim))
+    val enc = pqEncode(
+      corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec")),
+      "c_vec", "c_id", cbb, m, dim)
+    val encCell = enc.join(cAssign.select(col("c_id"), col("cell_id")), "c_id")
+
+    // per-query ADC tables (broadcast: queries × m × ksub entries)
+    val qsub = queries
+      .select(col(idCol).as("q_id"), explode(array((0 until m).map(b =>
+        struct(lit(b).as("subspace"),
+          slice(col(vecCol), b * sub + 1, sub).as("qvec"))): _*)).as("s"))
+      .select(col("q_id"), col("s.subspace").as("subspace"), col("s.qvec").as("qvec"))
+    val table = qsub.join(broadcast(cbb.withColumn("__c2",
+        dotScaled(col("code_vec"), col("code_vec")))), "subspace")
+      .select(col("q_id"), col("subspace"), col("code"),
+        dotScaled(col("qvec"), col("code_vec")).as("pd"))
+    val qn = queries.select(col(idCol).as("q_id"),
+      normDecimal(col(vecCol)).as("q_norm"))
+
+    // candidates = encoded rows of probed cells ONLY, then ADC lookups
+    val scored = encCell
+      .join(broadcast(qProbe), "cell_id")
+      .where(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"), col("recon_norm"),
+        posexplode(col("codes")).as(Seq("subspace", "code")))
+      .join(broadcast(table), Seq("q_id", "subspace", "code"))
+      .groupBy(col("q_id"), col("c_id"), col("recon_norm"))
+      .agg(sum(col("pd")).as("sd"))
+      .join(broadcast(qn), "q_id")
+      .withColumn("cosine",
+        col("sd").cast("double") / lit(DotScale) / (col("q_norm") * col("recon_norm")))
+    rankTopK(scored, k)
+  }
+
   /** Blocked near-dup pairs: all pairs within a blocking key (e.g. a label
     * or an LSH bucket) with cosine above a threshold.
     *

@@ -125,6 +125,17 @@ object Ext {
         .orderBy("q_id", "rank")
     }),
 
+    "ext_ivfpq_topk" -> ((s, dir) => {
+      // the composed IVF-PQ index: coarse 16-cell IVF probe (4 cells per
+      // query) bounds WHAT is scored; PQ/ADC (8 subspaces x 16 codes)
+      // bounds what scoring COSTS. Candidates never leave the probed
+      // cells; all arithmetic exact scaled int64, oracle-replayable.
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e, e.where(col("vec_id") < 5), "embedding", "vec_id",
+        k = 5, nCells = 16, nProbe = 4, m = 8, ksub = 16, dim = 64)
+        .orderBy("q_id", "rank")
+    }),
+
     "ext_lsh_buckets" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(col("vec_id"), Similarity.lshBucket(col("embedding"), 64).as("bucket"))
@@ -818,6 +829,66 @@ object Ext {
          |  JOIN recon r ON r.vec_id = enc.vec_id
          |  WHERE enc.vec_id <> tq.q_id
          |  GROUP BY tq.q_id, enc.vec_id)
+         |SELECT q_id, c_id, rank, cosine FROM (
+         |  SELECT q_id, c_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+         |  FROM scored) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "ext_ivfpq_topk" ->
+      s"""WITH $NormCte,
+         |cells AS (SELECT vec_id AS cell_id, embedding AS cell_vec, nrm AS cell_norm
+         |          FROM n ORDER BY vec_id LIMIT 16),
+         |ca AS (SELECT c_id, cell_id FROM (
+         |  SELECT a.vec_id AS c_id, cells.cell_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${dotSql("a.embedding", "cells.cell_vec")} / (a.nrm * cells.cell_norm) DESC,
+         |               cells.cell_id ASC) AS r
+         |  FROM n a CROSS JOIN cells) WHERE r = 1),
+         |qp AS (SELECT q_id, cell_id FROM (
+         |  SELECT a.vec_id AS q_id, cells.cell_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${dotSql("a.embedding", "cells.cell_vec")} / (a.nrm * cells.cell_norm) DESC,
+         |               cells.cell_id ASC) AS r
+         |  FROM n a CROSS JOIN cells WHERE a.vec_id < 5) WHERE r <= 4),
+         |sub AS (SELECT unnest(range(0,8)) AS subspace),
+         |base AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16),
+         |cb AS (
+         |  SELECT s.subspace,
+         |    row_number() OVER (PARTITION BY s.subspace ORDER BY b.vec_id) - 1 AS code,
+         |    b.embedding[(s.subspace*8+1):(s.subspace*8+8)] AS cvec
+         |  FROM sub s CROSS JOIN base b),
+         |cbn AS (SELECT subspace, code, cvec,
+         |        ${dotScaledSqlN("cvec", "cvec", 8)} AS c2 FROM cb),
+         |sv AS (
+         |  SELECT e.vec_id, s.subspace,
+         |    e.embedding[(s.subspace*8+1):(s.subspace*8+8)] AS xvec
+         |  FROM embeddings e CROSS JOIN sub s),
+         |enc AS (
+         |  SELECT vec_id, subspace, code, c2 FROM (
+         |    SELECT sv.vec_id, sv.subspace, cbn.code, cbn.c2,
+         |      row_number() OVER (PARTITION BY sv.vec_id, sv.subspace
+         |        ORDER BY (2*${dotScaledSqlN("sv.xvec", "cbn.cvec", 8)} - cbn.c2) DESC,
+         |                 cbn.code ASC) AS r
+         |    FROM sv JOIN cbn ON sv.subspace = cbn.subspace) WHERE r = 1),
+         |recon AS (SELECT vec_id, sqrt(CAST(SUM(c2) AS DOUBLE)/1e15) AS rnorm
+         |          FROM enc GROUP BY vec_id),
+         |qn AS (SELECT vec_id AS q_id, nrm AS q_norm FROM n WHERE vec_id < 5),
+         |tq AS (SELECT q.vec_id AS q_id, cbn.subspace, cbn.code,
+         |         ${dotScaledSqlN("q.xvec", "cbn.cvec", 8)} AS pd
+         |       FROM sv q JOIN cbn ON q.subspace = cbn.subspace WHERE q.vec_id < 5),
+         |pairs AS (
+         |  SELECT qp.q_id, ca.c_id FROM ca JOIN qp USING (cell_id)
+         |  WHERE ca.c_id <> qp.q_id),
+         |scored AS (
+         |  SELECT p.q_id, p.c_id,
+         |    CAST(SUM(tq.pd) AS DOUBLE)/1e15 / (MAX(qn.q_norm) * MAX(r.rnorm)) AS cosine
+         |  FROM pairs p
+         |  JOIN enc ON enc.vec_id = p.c_id
+         |  JOIN tq ON tq.q_id = p.q_id AND tq.subspace = enc.subspace
+         |         AND tq.code = enc.code
+         |  JOIN qn ON qn.q_id = p.q_id
+         |  JOIN recon r ON r.vec_id = p.c_id
+         |  GROUP BY p.q_id, p.c_id)
          |SELECT q_id, c_id, rank, cosine FROM (
          |  SELECT q_id, c_id, cosine,
          |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank

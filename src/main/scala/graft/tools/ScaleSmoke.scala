@@ -370,6 +370,19 @@ object ScaleSmoke {
       assert(out.count() == 50L, "5 queries x k=10")
     }
 
+    // 23c. composed IVF-PQ over the same 2M × 8d vectors: the index build
+    // shuffles one row per vector twice (cell assign, PQ encode); the
+    // query pass joins the encoded corpus to the broadcast probe set ON
+    // cell_id — candidates are bounded by the ~4/64 probed share of the
+    // corpus, never the corpus itself — then ranks by broadcast ADC
+    // lookups through the bounded aggregate.
+    time("ivf-pq top-10, 2M x 8d, 64 cells probe 4") {
+      val out = graft.ext.Similarity.ivfPqTopK(
+        vecs, vecs.where(col("vec_id") < 5), "embedding", "vec_id",
+        k = 10, nCells = 64, nProbe = 4, m = 4, ksub = 16, dim = 8)
+      assert(out.count() == 50L, "5 queries x k=10")
+    }
+
     // 23. tf-idf top-5 terms over 1M docs — inverted-index build with
     // partial-agg groupBys, bounded graft_topk (never a window), vocab
     // join-back. ~57M (doc,term) pairs, ~10k-term vocabulary.

@@ -112,6 +112,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("graft_topk"), "final ranking must be the bounded aggregate")
   }
 
+  test("ivfpq: candidates bounded by probed cells via broadcast equi join; no product") {
+    val p = plan("ext_ivfpq_topk")
+    assert(!p.contains("CartesianProduct"),
+      s"IVF-PQ must never plan a cartesian product:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "probe set and ADC tables must join broadcast hash-side")
+    assert(p.contains("graft_topk"), "final ranking must be the bounded aggregate")
+    // cell assignment and candidate ranking go through bounded aggregates
+    // — the only Window is the placeholder PQ codebook's code numbering
+    // over its ksub (16) rows, constant-size by construction; the codebook
+    // subtree appears twice in the logical plan (encode side + ADC side)
+    val windows = "\\bWindow\\b".r.findAllIn(analyzed("ext_ivfpq_topk")).length
+    assert(windows <= 2,
+      s"only the ksub-row codebook numbering may be a window ($windows)")
+  }
+
   test("dup spans: no product join, no window; doc-frequency agg is map-side partial") {
     val p = plan("ext_dup_spans")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -68,6 +68,42 @@ class PQSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK with nProbe = nCells equals the unrestricted pqTopK") {
+    // probing every cell removes the IVF restriction entirely — the
+    // composed operator must then reproduce pqTopK's ranking exactly
+    // (same codes, same ADC sums, same tiebreaks)
+    val corpus = vecs(150)
+    val queries = corpus.where(col("vec_id") < 3)
+    val full = Similarity.pqTopK(corpus, queries, "embedding", "vec_id",
+      k = 5, m, ksub, dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val composed = Similarity.ivfPqTopK(corpus, queries, "embedding", "vec_id",
+      k = 5, nCells = 8, nProbe = 8, m = m, ksub = ksub, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(composed == full,
+      s"all-cells probe must equal unrestricted PQ search:\n$composed\nvs\n$full")
+  }
+
+  test("ivfPqTopK candidates never leave the probed cells") {
+    val corpus = vecs(200)
+    val queries = corpus.where(col("vec_id") < 4)
+    val nCells = 8; val nProbe = 2
+    val cells = Similarity.assignCells(corpus, "embedding", "vec_id", nCells)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = Similarity.ivfPqTopK(corpus, queries, "embedding", "vec_id",
+      k = 10, nCells = nCells, nProbe = nProbe, m = m, ksub = ksub, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every returned candidate must live in one of its query's probed
+    // cells — at nProbe=2 of 8 that is a strict subset of the corpus
+    val probed = out.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.map(p => cells(p._2)).toSet
+    }
+    probed.foreach { case (q, cellSet) =>
+      assert(cellSet.size <= nProbe,
+        s"query $q drew candidates from ${cellSet.size} cells (> $nProbe)")
+    }
+  }
+
   test("trained codebook quantizes no worse than the placeholder") {
     val corpus = vecs(300)
     def meanErr(cb: org.apache.spark.sql.DataFrame): Double = {
