@@ -74,14 +74,16 @@ final class Pipeline(
     spark: SparkSession,
     store: TableStore,
     status: StatusCallback = LogStatusCallback,
-    alerts: AlertSink = AlertSink.NoAlerts
+    alerts: AlertSink = AlertSink.NoAlerts,
+    redact: Redactor = Redactor.Empty
 ) {
 
   def this(
       spark: SparkSession,
       store: TableStore,
       site: SiteCredentials,
-      statusUrl: String) =
+      statusUrl: String,
+      redact: Redactor) =
     // multi-tenant wiring (C8): the site's `{site_id}_api_key` token
     // authenticates status callbacks, and its `{site_id}_email` connection —
     // when registered — carries failure alerts (recipients in the conn's
@@ -94,7 +96,20 @@ final class Pipeline(
             from = c.extra.getOrElse("from", c.login),
             to = c.extra("to").split(',').toIndexedSeq.map(_.trim).filter(_.nonEmpty))
         case _ => AlertSink.NoAlerts
-      })
+      },
+      redact)
+
+  def this(
+      spark: SparkSession,
+      store: TableStore,
+      site: SiteCredentials,
+      statusUrl: String) =
+    this(spark, store, site, statusUrl, Redactor.Empty)
+
+  // every outbound channel is scrubbed (C6 hygiene, [[Redactor]]); the
+  // raised PipelineException keeps the full message for in-process callers
+  private val outStatus: StatusCallback = redact.statusCallback(status)
+  private val outAlerts: AlertSink = redact.alertSink(alerts)
 
   private def jsonEsc(s: String): String =
     "\"" + s.flatMap {
@@ -105,12 +120,12 @@ final class Pipeline(
   /** Failure funnel: alert (never-throwing), then raise the structured
     * payload (C6 — reference e-mails on DAG failure, email.py:12-117). */
   private def fail(table: String, payload: String): Nothing = {
-    alerts.alert(table, payload)
+    outAlerts.alert(table, payload)
     throw new PipelineException(payload)
   }
 
   def run(cfg: PipelineConfig, jobTs: Timestamp = new Timestamp(System.currentTimeMillis())): DataFrame = {
-    status.update("pending", s"starting ${cfg.tableName} (${cfg.method})")
+    outStatus.update("pending", s"starting ${cfg.tableName} (${cfg.method})")
 
     // 1. schema: provided → sanitize | infer (py:271-282)
     val schema = cfg.schema
@@ -133,10 +148,10 @@ final class Pipeline(
       val report = Validate.validate(withId, schema, cfg.limitErrors,
         rowIdCol = Some(cfg.rowNumberColumn))
       if (!report.valid) {
-        status.update("failed", s"validation failed: ${report.errorCount} errors")
+        outStatus.update("failed", s"validation failed: ${report.errorCount} errors")
         fail(cfg.tableName, report.toJson)
       }
-      status.update("progress", s"validated ${report.rowCount} rows")
+      outStatus.update("progress", s"validated ${report.rowCount} rows")
     }
 
     // 3. row-number start: MAX(_id)+1 for append/upsert, 1 for overwrite
@@ -150,7 +165,7 @@ final class Pipeline(
     val df = Reader.read(spark, cfg.resourcePath, Reader.ReadOptions(
       format = cfg.format, schema = Some(schema),
       rowNumberColumn = Some(cfg.rowNumberColumn), rowNumberStart = start))
-    status.update("progress", s"ingested ${cfg.resourcePath}")
+    outStatus.update("progress", s"ingested ${cfg.resourcePath}")
 
     // 5. write branch (C2). Runtime failures here (e.g. an ANSI cast on
     //    malformed data with validation disabled) surface as a structured
@@ -184,27 +199,27 @@ final class Pipeline(
         // Note SparkNumberFormatException extends IllegalArgumentException, so
         // this arm must precede the precondition passthrough.
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-        status.update("failed", s"load failed: $msg")
+        outStatus.update("failed", s"load failed: $msg")
         fail(cfg.tableName,
           s"""{"valid":false,"stage":"load","table":"${cfg.tableName}","error":${jsonEsc(msg)}}""")
       case e: IllegalArgumentException => throw e // engine preconditions keep their type
       case e: Exception =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-        status.update("failed", s"load failed: $msg")
+        outStatus.update("failed", s"load failed: $msg")
         fail(cfg.tableName,
           s"""{"valid":false,"stage":"load","table":"${cfg.tableName}","error":${jsonEsc(msg)}}""")
     }
-    status.update("progress", s"wrote ${cfg.tableName}")
+    outStatus.update("progress", s"wrote ${cfg.tableName}")
 
     // 6. optional ordered export (py:483-569)
     cfg.exportPath.foreach { out =>
       Export.export(store.scan(cfg.tableName), out, Export.ExportOptions(
         format = cfg.exportFormat, orderBy = Some(cfg.rowNumberColumn),
         singleFile = cfg.exportSingleFile))
-      status.update("progress", s"exported to $out")
+      outStatus.update("progress", s"exported to $out")
     }
 
-    status.update("success", s"${cfg.tableName} complete")
+    outStatus.update("success", s"${cfg.tableName} complete")
     store.scan(cfg.tableName)
   }
 }
