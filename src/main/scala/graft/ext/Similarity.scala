@@ -661,7 +661,15 @@ object Similarity {
     * 64-block smoke pinned 4 of 32 cores for half an hour; salted it
     * uses the machine). Replication costs S copies of the (block, id,
     * vec, norm) projection of ONE side — rows, not pairs. Output is
-    * identical for any S ≥ 1. */
+    * identical for any S ≥ 1.
+    *
+    * The replicated side is repartitioned on (block, salt) at the FULL
+    * configured shuffle width (explicit N so AQE cannot re-coalesce it):
+    * when the input arrives in few partitions — a cached join output, a
+    * coalesced upstream AQE stage — the join would otherwise inherit
+    * that width and generate every pair on those few cores. The explicit
+    * exchange costs one shuffle of rows (not pairs), the price already
+    * declared above. */
   def blockedNearDupPairs(
       df: DataFrame,
       vecCol: String,
@@ -671,11 +679,13 @@ object Similarity {
       saltBuckets: Int = 16
   ): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
+    val width = df.sparkSession.sessionState.conf.numShufflePartitions
     val base = df.select(col(blockCol).as("block"), col(idCol).as("id"),
       col(vecCol).as("vec")).withColumn("norm", normDecimal(col("vec")))
     val a = base.select(col("block"), col("id").as("a_id"),
       col("vec").as("a_vec"), col("norm").as("a_norm"))
       .withColumn("salt", explode(lit((0 until saltBuckets).toArray)))
+      .repartition(width, col("block"), col("salt"))
     val b = base.select(col("block"), col("id").as("b_id"),
       col("vec").as("b_vec"), col("norm").as("b_norm"))
       .withColumn("salt", pmod(hash(col("b_id")), lit(saltBuckets)))
@@ -715,7 +725,17 @@ object Similarity {
     * operator fully engine-replayable for the oracle gate.
     *
     * Returns (idCol, cell_id, keep) for every input row — filter
-    * `keep` for the survivor set, or join back for audit. */
+    * `keep` for the survivor set, or join back for audit.
+    *
+    * The assigned corpus is computed ONCE and persisted: the final plan
+    * references it three times (both sides of the pair join plus the
+    * output join-back), and each reference would otherwise re-run the
+    * corpus × codebook assignment pass — measured 6× wall-clock on the
+    * 100k-vector scale smoke before the cache. With `materialize = true`
+    * (default) the result is eagerly localCheckpoint'ed and the cache
+    * released before returning (the [[graft.ext.Dedup.incrementalNearDupPairs]]
+    * scoping discipline, same dynamic-allocation caveat); at 100 TB swap
+    * the persist for a scratch-table write of the assignment. */
   def semDedup(
       corpus: DataFrame,
       vecCol: String,
@@ -723,10 +743,16 @@ object Similarity {
       nCells: Int,
       threshold: Double,
       codebook: Option[DataFrame] = None,
-      maxClusterSize: Long = 1000000L
+      maxClusterSize: Long = 1000000L,
+      materialize: Boolean = true
   ): DataFrame = {
     require(nCells > 0, "nCells must be positive")
+    // the assignment pass (corpus × codebook) is the most expensive narrow
+    // step and feeds TWO consumers (the skew-guard sizes and the guarded
+    // assignment itself) — persist the narrow (id, cell_id) result so the
+    // codebook scoring runs once, not once per consumer
     val cells = assignCells(corpus, vecCol, idCol, nCells, codebook)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // skew guard: per-cell sizes are an nCells-row aggregate — broadcast
     // back, never a window sort over the full assignment
     val sizes = cells.groupBy("cell_id").agg(count(lit(1)).as("__csz"))
@@ -739,13 +765,20 @@ object Similarity {
             col("cell_id").cast("string")))))
       .select(col(idCol), col("cell_id"))
     val withCell = corpus.join(guarded, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dropped = blockedNearDupPairs(withCell, vecCol, idCol, "cell_id", threshold)
       .select(col("b_id").as(idCol)).distinct()
       .withColumn("__dup", lit(true))
-    withCell.select(col(idCol), col("cell_id"))
+    val out = withCell.select(col(idCol), col("cell_id"))
       .join(dropped, Seq(idCol), "left")
       .select(col(idCol), col("cell_id"),
         col("__dup").isNull.as("keep"))
+    if (materialize) {
+      val m = out.localCheckpoint(eager = true)
+      withCell.unpersist(blocking = false)
+      cells.unpersist(blocking = false)
+      m
+    } else out
   }
 
   /** Exact pairwise covariance of the first `dim` embedding dimensions:
