@@ -398,6 +398,48 @@ object Dedup {
       .select(col(idCol), col("pos"), col("gh"), col("n_docs"))
   }
 
+  /** Maximal duplicated-span intervals — the artifact Lee et al. 2022
+    * actually report per document: overlapping/adjacent flagged n-gram
+    * spans from [[duplicatedSpans]] merged into maximal token intervals
+    * `[start_pos, end_pos)`. One row per contiguous duplicated region;
+    * `n_grams` counts the flagged positions merged into it. Downstream
+    * policy cuts the interval, drops the doc when coverage is high, or
+    * reports duplication mass per source.
+    *
+    * Gaps-and-islands on the flagged positions: positions p1, p2 merge
+    * when p2 ≤ p1 + n (their n-token spans overlap or touch). One keyed
+    * window per document — the [[graft.ops.TimeSeries.sessionize]] shape:
+    * a single (doc, pos) sort serves both the lag and the running island
+    * sum, so the operator costs ONE shuffle of the flagged positions
+    * (already ≪ corpus at minDocs ≥ 2), never a corpus shuffle.
+    *
+    * Returns (idCol, start_pos, end_pos, n_grams), end exclusive. */
+  def duplicatedSpanIntervals(
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8,
+      minDocs: Int = 2
+  ): DataFrame = {
+    val spans = duplicatedSpans(corpus, textCol, idCol, n, minDocs)
+      .select(col(idCol), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    val run = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    spans
+      .withColumn("__prev", lag(col("pos"), 1).over(w))
+      .withColumn("__isl",
+        sum(when(col("__prev").isNull || col("pos") > col("__prev") + n, 1L)
+          .otherwise(0L)).over(run))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min("pos").as("start_pos"),
+        (max("pos") + n).as("end_pos"),
+        count(lit(1)).as("n_grams"))
+      .drop("__isl")
+  }
+
   /** Cut duplicated spans — the actionable policy on top of
     * [[duplicatedSpans]] (what Lee et al. actually do): rebuild each
     * document keeping ONE canonical occurrence per duplicated n-gram (the

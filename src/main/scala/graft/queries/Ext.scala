@@ -312,6 +312,19 @@ object Ext {
         .orderBy("doc_id")
     }),
 
+    "ext_dup_intervals" -> ((s, dir) => {
+      // maximal merged duplicated regions per doc (the Lee et al. report
+      // artifact): every %7 copy must collapse to one interval covering
+      // its whole span range; organically shared 8-grams merge per the
+      // same gaps-and-islands rule the oracle replays.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      Dedup.duplicatedSpanIntervals(
+        docs.unionByName(docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))),
+        "text", "doc_id", n = 8, minDocs = 2)
+        .orderBy("doc_id", "start_pos")
+    }),
+
     "ext_contamination_ngram" -> ((s, dir) => {
       // n-gram-level decontamination: flag corpus docs sharing >= 3
       // distinct 8-grams with the benchmark slice. The benchmark's hashed
@@ -1143,6 +1156,31 @@ object Ext {
          |      HAVING COUNT(DISTINCT doc_id) >= 2)
          |SELECT g.doc_id, g.pos, g.gh, d.n_docs FROM g JOIN d USING (gh)
          |ORDER BY doc_id, pos""".stripMargin
+    },
+
+    "ext_dup_intervals" -> {
+      val grams8 = TextHash.shinglesSql("text", 8)
+      s"""WITH c AS (SELECT doc_id, text FROM documents
+         |           UNION ALL
+         |           SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0),
+         |gr AS (SELECT doc_id, $grams8 AS grams FROM c),
+         |g AS (SELECT doc_id, unnest(range(0, len(grams))) AS pos,
+         |             ('0x' || substr(md5(unnest(grams)), 1, 15))::BIGINT AS gh
+         |      FROM gr),
+         |d AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+         |f AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gh)),
+         |lg AS (SELECT doc_id, pos,
+         |         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |       FROM f),
+         |isl AS (SELECT doc_id, pos,
+         |  SUM(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM lg)
+         |SELECT doc_id, MIN(pos) AS start_pos, MAX(pos) + 8 AS end_pos,
+         |       COUNT(*) AS n_grams
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, start_pos""".stripMargin
     },
 
     "ext_cut_spans" -> {

@@ -138,15 +138,36 @@ class PlanSpec extends AnyFunSuite {
       s"per-gram doc count must combine map-side before the shuffle:\n$p")
   }
 
+  test("dup intervals: lag, island sum and interval agg share one doc-keyed shuffle") {
+    val p = plan("ext_dup_intervals")
+    // both window passes sort once on (doc, pos) and the interval
+    // aggregate reuses that partitioning — exactly one hash exchange
+    // keys on the document id ALONE (duplicatedSpans' distinct keys on
+    // (doc_id, gh), the final orderBy is a range exchange)
+    val docExchanges = "hashpartitioning\\(doc_id#\\d+L?, \\d+\\)".r.findAllIn(p).length
+    assert(docExchanges == 1,
+      s"flagged positions must shuffle once on the doc key ($docExchanges):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval merge must stay on the equi-join path:\n$p")
+  }
+
   test("semdedup: cell-blocked equi joins only, sizes broadcast, no product join") {
-    val p = plan("ext_semdedup")
+    // the gate query materializes eagerly (its plan is a checkpoint scan),
+    // so the plan contract is asserted on the un-materialized frame with
+    // the gate's exact parameters
+    import org.apache.spark.sql.functions.col
+    val df = graft.ext.Similarity.semDedup(
+      spark.read.parquet(s"$dir/embeddings.parquet").where(col("vec_id") < 500),
+      "embedding", "vec_id", nCells = 8, threshold = 0.2, materialize = false)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
     // the codebook-score crossJoin is a broadcast of nCells rows — the
     // within-cluster pairing itself must plan as an equi join on cell_id
     assert(!p.contains("CartesianProduct"),
       s"within-cluster pairing must never plan a cartesian product:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       "codebook scoring must broadcast the nCells-row side")
-    assert(!analyzed("ext_semdedup").contains("Window"),
+    assert(!df.queryExecution.analyzed.toString.contains("Window"),
       "the skew guard is an aggregate + broadcast join-back, not a window")
   }
 

@@ -166,6 +166,49 @@ class RandomizedPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: duplicatedSpanIntervals == brute-force interval merge") {
+    import spark.implicits._
+    val rnd = new Random(717)
+    for (trial <- 0 until 3) {
+      val n = 2 + trial % 2
+      val vocab = Array("a", "b", "c")
+      val corpus = (0 until 12 + rnd.nextInt(8)).map { d =>
+        val len = 3 + rnd.nextInt(10)
+        (d.toLong, (0 until len).map(_ => vocab(rnd.nextInt(3))).mkString(" "))
+      }
+      val got = graft.ext.Dedup
+        .duplicatedSpanIntervals(corpus.toDF("doc_id", "text").repartition(5),
+          "text", "doc_id", n, minDocs = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      def grams(text: String): Seq[String] = {
+        val toks = text.split(" ").toSeq
+        if (toks.length < n) Seq(toks.mkString(" "))
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      }
+      val occ = corpus.flatMap { case (d, t) =>
+        grams(t).zipWithIndex.map { case (g, p) => (g, d, p.toLong) }
+      }
+      val dup = occ.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+      // brute force: per doc, sorted flagged positions folded into maximal
+      // [start, end) intervals (merge when pos <= prev + n)
+      val want = occ.filter(o => dup(o._1)).groupBy(_._2).toSeq.flatMap {
+        case (d, os) =>
+          val ps = os.map(_._3).distinct.sorted
+          // intervals carry (start, end = last_pos + n, count); ascending
+          // positions merge while pos <= prev_pos + n, i.e. pos <= end
+          ps.foldLeft(List.empty[(Long, Long, Long)]) { (acc, p) =>
+            acc match {
+              case (s, e, c) :: rest if p <= e => (s, p + n, c + 1) :: rest
+              case _                           => (p, p + n, 1L) :: acc
+            }
+          }.map { case (s, e, c) => (d, s, e, c) }
+      }.toSet
+      assert(got == want, s"trial $trial (n=$n): " +
+        s"diff=${(got diff want).take(3)} vs ${(want diff got).take(3)}")
+    }
+  }
+
   test("property: semDedup == brute-force cluster-assign + lower-id neighbor rule") {
     import spark.implicits._
     val rnd = new Random(909)
