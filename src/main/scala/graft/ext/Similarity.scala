@@ -781,6 +781,84 @@ object Similarity {
     } else out
   }
 
+  /** Incremental (steady-state crawl) semantic dedup — SemDeDup composed
+    * with the [[graft.ext.Dedup.incrementalNew]] posture: which BATCH
+    * vectors near-duplicate the MEANING of content already in the corpus,
+    * comparing batch-vs-corpus within shared embedding-space cells only.
+    *
+    * The 100 TB contract, now for embeddings: the corpus is scanned ONCE
+    * and NEVER shuffled — not even one row per vector. Cell assignment
+    * runs as a per-row expression against the DRIVER-COLLECTED codebook
+    * literal (nCells × dim floats — codebook-class data, the same collect
+    * [[kmeansCodebook]] and [[pcaWhiten]] already make): an HOF argmax of
+    * the exact scaled-int64 dot over the literal cells, ties to the
+    * lowest cell id. The batch's distinct cell ids broadcast into a
+    * left-semi probe of that narrow pipeline, the batch itself broadcasts
+    * into the within-cell pair join, and the cosine threshold filters
+    * map-side. Plan: scan → project → two broadcast joins → filter; the
+    * only exchange anywhere belongs to the batch side's tiny distinct.
+    *
+    * Assignment ranks cells by `dotScaled/cell_norm` — the query-vector
+    * norm cancels in the argmax, so it is never computed. Deterministic
+    * and oracle-replayable: the oracle ranks by the same expression.
+    *
+    * A steady-state loop persists the corpus assignment as its index and
+    * scans it here instead of re-deriving; this operator IS that
+    * derivation, kept narrow so either posture works.
+    *
+    * Returns (batch_id, corpus_id, cosine) for every within-cell pair
+    * meeting `threshold`; ids are assumed distinct across the tables. */
+  def semDedupIncremental(
+      corpus: DataFrame,
+      batch: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nCells: Int,
+      threshold: Double,
+      codebook: Option[DataFrame] = None // (cell_id, cell_vec)
+  ): DataFrame = {
+    require(nCells > 0, "nCells must be positive")
+    val cellsDf = codebook.getOrElse(
+      corpus.orderBy(col(idCol).asc).limit(nCells)
+        .select(col(idCol).as("cell_id"), col(vecCol).as("cell_vec")))
+    // codebook-class collect; norms via the exact integer path (positive
+    // products, so math.round == Spark's HALF_UP round)
+    val cellRows: Seq[(Long, Seq[Float], Double)] = cellsDf.collect().toSeq
+      .map { r =>
+        val id = r.getLong(0)
+        val v = r.getSeq[Float](1)
+        val n2 = v.map(x => math.round(x.toDouble * x.toDouble * DotScale)).sum
+        (id, v, math.sqrt(n2.toDouble / DotScale))
+      }
+      .sortBy(_._1)
+    val cellsLit = typedLit(cellRows) // struct<_1: id, _2: vec, _3: norm>
+    // per-row nearest cell: fold over the literal cells, keep the best
+    // dotScaled/cell_norm (strict >, cells in id order → lowest-id ties)
+    def nearestCell(vec: Column): Column =
+      aggregate(
+        cellsLit,
+        struct(lit(Double.NegativeInfinity).as("s"), lit(-1L).as("id")),
+        (acc, cell) => {
+          val score = dotScaled(vec, cell.getField("_2")).cast("double") /
+            cell.getField("_3")
+          when(score > acc.getField("s"),
+            struct(score.as("s"), cell.getField("_1").as("id"))).otherwise(acc)
+        }).getField("id")
+    val b = batch.select(col(idCol).as("batch_id"), col(vecCol).as("b_vec"))
+      .withColumn("cell_id", nearestCell(col("b_vec")))
+      .withColumn("b_norm", normDecimal(col("b_vec")))
+    val probe = b.select("cell_id").distinct()
+    corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("c_vec"))
+      .withColumn("cell_id", nearestCell(col("c_vec")))
+      .join(broadcast(probe), Seq("cell_id"), "left_semi")
+      .withColumn("c_norm", normDecimal(col("c_vec")))
+      .join(broadcast(b), Seq("cell_id"))
+      .withColumn("cosine",
+        dotDecimal(col("b_vec"), col("c_vec")) / (col("b_norm") * col("c_norm")))
+      .where(col("cosine") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("cosine"))
+  }
+
   /** Exact pairwise covariance of the first `dim` embedding dimensions:
     * (i, j, cov) for i ≤ j, where cov = E[xy] − E[x]E[y] assembled from
     * EXACT integer component sums — the same order-free discipline as

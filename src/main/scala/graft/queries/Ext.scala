@@ -158,6 +158,20 @@ object Ext {
         "embedding", "vec_id", nCells = 8, threshold = 0.2)
         .orderBy("vec_id")),
 
+    "ext_semdedup_incremental" -> ((s, dir) => {
+      // steady-state semantic dedup: which batch vectors (ids 400-499)
+      // near-duplicate the meaning of corpus vectors (ids < 400), compared
+      // within shared cells of the corpus's 8-cell codebook only. The
+      // corpus side plans with ZERO exchanges (literal-codebook per-row
+      // assignment + two broadcast joins) — PlanSpec holds the receipt.
+      val e = t(s, dir, "embeddings")
+      Similarity.semDedupIncremental(
+        e.where(col("vec_id") < 400),
+        e.where(col("vec_id") >= 400 && col("vec_id") < 500),
+        "embedding", "vec_id", nCells = 8, threshold = 0.2)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
     "ext_embed_cov" -> ((s, dir) =>
       // exact pairwise covariance of the first 8 embedding dims — the
       // replayable tier of PCA whitening (order-free integer component
@@ -947,6 +961,30 @@ object Ext {
          |SELECT a.vec_id, a.cell_id, (d.vec_id IS NULL) AS keep
          |FROM a LEFT JOIN d ON a.vec_id = d.vec_id
          |ORDER BY a.vec_id""".stripMargin,
+
+    "ext_semdedup_incremental" -> {
+      def assign(src: String, out: String) =
+        s"""$out AS (SELECT vec_id, embedding, nrm, cell_id FROM (
+           |  SELECT b.vec_id, b.embedding, b.nrm, cells.cell_id,
+           |    row_number() OVER (PARTITION BY b.vec_id
+           |      ORDER BY CAST(${dotScaledSqlN("b.embedding", "cells.cell_vec", 64)} AS DOUBLE)
+           |                 / cells.cell_norm DESC,
+           |               cells.cell_id ASC) AS r
+           |  FROM $src b CROSS JOIN cells) WHERE r = 1)""".stripMargin
+      s"""WITH $NormCte,
+         |corpus AS (SELECT vec_id, embedding, nrm FROM n WHERE vec_id < 400),
+         |batch AS (SELECT vec_id, embedding, nrm FROM n
+         |          WHERE vec_id >= 400 AND vec_id < 500),
+         |cells AS (SELECT vec_id AS cell_id, embedding AS cell_vec, nrm AS cell_norm
+         |          FROM corpus ORDER BY vec_id LIMIT 8),
+         |${assign("corpus", "ca")},
+         |${assign("batch", "ba")}
+         |SELECT ba.vec_id AS batch_id, ca.vec_id AS corpus_id,
+         |  ${dotSql("ba.embedding", "ca.embedding")} / (ba.nrm * ca.nrm) AS cosine
+         |FROM ca JOIN ba USING (cell_id)
+         |WHERE ${dotSql("ba.embedding", "ca.embedding")} / (ba.nrm * ca.nrm) >= 0.2
+         |ORDER BY batch_id, corpus_id""".stripMargin
+    },
 
     "ext_embed_cov" ->
       """WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),

@@ -455,6 +455,29 @@ object ScaleSmoke {
         s"unknown-token docs must score worse: ${r.getDouble(1)} vs ${r.getDouble(2)}")
     }
 
+    // 28. incremental semantic dedup: 1M-vector corpus x 5k-vector crawl
+    // batch over 256 cells. The corpus side is exchange-free (literal-
+    // codebook per-row assignment, broadcast semi-probe, broadcast pair
+    // join); half the batch is exact re-crawls of corpus lattice points
+    // and every one of them must be detected at cosine ~1.
+    val semIncBatch = spark.range(10000000L, 10005000L, 1, 8)
+      .select(col("id").as("vec_id"),
+        when(col("id") % 2 === 0,
+          array((0 until 8).map(i =>
+            ((col("id") * (i + 3) % 1000) / lit(500.0) - 1).cast("float")): _*))
+          .otherwise(array((0 until 8).map(i =>
+            ((col("id") * (i + 3) % 997) / lit(500.0) - 1).cast("float")): _*))
+          .as("embedding"))
+    time("incremental semdedup 1M corpus x 5k batch") {
+      val pairs = graft.ext.Similarity.semDedupIncremental(
+        vecs.where(col("vec_id") < 1000000L), semIncBatch,
+        "embedding", "vec_id", nCells = 256, threshold = 0.999999)
+      val planted = pairs.where(col("batch_id") % 2 === 0)
+        .select("batch_id").distinct().count()
+      assert(planted == 2500L,
+        s"every exact re-crawl must find a corpus near-dup: $planted")
+    }
+
     // 26. PCA whitening at 2M x 8d: one covariance pass (the exploded
     // i<=j triangle partial-aggregates to 36 cells), an 8x8 driver
     // eigensolve, one broadcast-projection pass — nothing corpus-sized

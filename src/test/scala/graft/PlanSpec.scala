@@ -188,6 +188,24 @@ class PlanSpec extends AnyFunSuite {
       "per-doc log-prob sum must combine map-side before the shuffle")
   }
 
+  test("incremental semdedup: corpus side plans with zero exchanges") {
+    val p = plan("ext_semdedup_incremental")
+    assert(p.contains("LeftSemi"),
+      "batch cell ids must semi-probe the corpus pipeline")
+    assert(p.contains("BroadcastHashJoin"),
+      "the within-cell pairing must broadcast the batch")
+    // literal-codebook assignment is a per-row expression: the ONLY hash
+    // exchange in the whole plan is the batch side's tiny cell distinct
+    // (the final orderBy is a range exchange)
+    val hashEx = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(hashEx <= 1,
+      s"corpus must never shuffle — only the batch distinct may ($hashEx):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairing must stay a cell-keyed equi join:\n$p")
+    assert(!analyzed("ext_semdedup_incremental").contains("Window"),
+      "assignment is an HOF argmax, never a window")
+  }
+
   test("resample: no global calendar join; one fill window per key") {
     val p = plan("ext_resample_ffill")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -249,4 +249,50 @@ class RandomizedPropertySpec extends SparkSpec {
           s"diff=${(got.toSet diff want.toSet).take(5)}")
     }
   }
+
+  test("property: semDedupIncremental == brute-force cell-restricted pairing") {
+    import spark.implicits._
+    val rnd = new Random(1213)
+    for (trial <- 0 until 3) {
+      val dim = 4
+      val nC = 40 + rnd.nextInt(40)
+      val nB = 15 + rnd.nextInt(15)
+      def mk(n: Int, idBase: Long) = (0 until n).map { i =>
+        (idBase + i, Array.fill(dim)((rnd.nextInt(7) - 3).toFloat / 3f))
+      }.filter(_._2.exists(_ != 0f))
+      val corpus = mk(nC, 0L)
+      val batch = mk(nB, 1000L)
+      def toDf(v: Seq[(Long, Array[Float])]) = v.toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+        .repartition(5)
+      val nCells = 1 + rnd.nextInt(6)
+      val threshold = Seq(0.5, 0.9, 0.999)(trial)
+      val got = graft.ext.Similarity
+        .semDedupIncremental(toDf(corpus), toDf(batch), "embedding", "vec_id",
+          nCells, threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // reference replays the operator's arithmetic: assignment ranks by
+      // dotScaled/cell_norm (query norm cancels), pairs verify by cosine
+      def dotS(a: Array[Float], b: Array[Float]): Long =
+        a.zip(b).map { case (x, y) =>
+          math.round(x.toDouble * y.toDouble * 1e15)
+        }.sum
+      def nrm(a: Array[Float]): Double = math.sqrt(dotS(a, a).toDouble / 1e15)
+      val book = corpus.sortBy(_._1).take(nCells)
+        .map { case (id, v) => (id, v, nrm(v)) }
+      def cell(v: Array[Float]): Long =
+        book.map { case (cid, cv, cn) =>
+          (dotS(v, cv).toDouble / cn, -cid, cid)
+        }.max._3
+      val want = (for {
+        (bid, bv) <- batch
+        (cid, cv) <- corpus
+        if cell(bv) == cell(cv)
+        if dotS(bv, cv).toDouble / 1e15 / (nrm(bv) * nrm(cv)) >= threshold
+      } yield (bid, cid)).toSet
+      assert(got == want,
+        s"trial $trial (cells=$nCells, t=$threshold): " +
+          s"diff=${(got diff want).take(5)} vs ${(want diff got).take(5)}")
+    }
+  }
 }
