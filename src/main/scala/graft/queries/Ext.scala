@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Boilerplate, Dedup, LanguageModel, Sampling, Similarity, Sketches, TextHash, TextStats}
+import graft.ext.{Boilerplate, Bpe, Dedup, LanguageModel, Sampling, Similarity, Sketches, TextHash, TextStats}
 import graft.ops.{AsOfJoin, Profile}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -22,6 +22,14 @@ object Ext {
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(col("text"), lit(" zz dup marker")).as("text")))
   }
+
+  /** Toy-but-well-formed BPE merges for the gate (rank = index): merged
+    * symbols exist before any later pair uses them, so the one-at-a-time
+    * and batch semantics coincide — shared verbatim with the oracle. */
+  private[queries] val BpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"), ("o", "u"),
+    ("e", "n"), ("in", "g"), ("s", "t"), ("the", "n"))
 
   private val NearDupCorpusSql =
     """corpus AS (
@@ -351,6 +359,14 @@ object Ext {
         "text", "doc_id", n = 8, minHits = 3)
         .orderBy("doc_id")
     }),
+
+    "ext_bpe_tokens" -> ((s, dir) =>
+      // exact BPE tokenization (leftmost-lowest-rank merge loop) against
+      // the shared merges table; the oracle replays every merge step via
+      // a recursive CTE and hash-compares the full tokenization
+      Bpe.tokenize(t(s, dir, "documents").select("doc_id", "text"),
+        "text", "doc_id", BpeMerges)
+        .orderBy("doc_id")),
 
     "ext_tfidf_topk" -> ((s, dir) =>
       // top-5 TF-IDF terms per document through the bounded graft_topk
@@ -1253,6 +1269,47 @@ object Ext {
          |         ' '), '')
          |  END AS text
          |FROM tk ORDER BY doc_id""".stripMargin
+    },
+
+    "ext_bpe_tokens" -> {
+      // merge keys as a literal list (rank = 1-based list position); the
+      // recursive CTE advances every word one merge per iteration and a
+      // word exits when no adjacent pair is in the table
+      val mk = BpeMerges
+        .map { case (a, b) => s"'$a' || chr(31) || '$b'" }
+        .mkString("[", ", ", "]")
+      val ranks =
+        s"[list_position(mk.m, toks[i] || chr(31) || toks[i+1]) FOR i IN range(1, len(toks))]"
+      s"""WITH RECURSIVE mk AS (SELECT $mk AS m),
+         |tk AS (SELECT doc_id, ${tokensSql("text")} AS ws FROM documents),
+         |words AS (
+         |  SELECT doc_id, generate_subscripts(ws, 1) AS widx, unnest(ws) AS w
+         |  FROM tk),
+         |bpe AS (
+         |  SELECT doc_id, widx,
+         |    [substr(w, i, 1) FOR i IN range(1, len(w)+1)] AS toks
+         |  FROM words
+         |  UNION ALL
+         |  SELECT doc_id, widx,
+         |    toks[1:bpos-1] || [toks[bpos] || toks[bpos+1]] || toks[bpos+2:len(toks)]
+         |  FROM (
+         |    SELECT doc_id, widx, toks, brank, list_position(ranks, brank) AS bpos
+         |    FROM (
+         |      SELECT doc_id, widx, toks, ranks,
+         |        list_min(list_filter(ranks, r -> r IS NOT NULL AND r > 0)) AS brank
+         |      FROM (SELECT bpe.doc_id, bpe.widx, bpe.toks, $ranks AS ranks
+         |            FROM bpe, mk)))
+         |  WHERE brank IS NOT NULL),
+         |done AS (
+         |  SELECT doc_id, widx, toks FROM (
+         |    SELECT bpe.doc_id, bpe.widx, bpe.toks,
+         |      list_min(list_filter($ranks, r -> r IS NOT NULL AND r > 0)) AS brank
+         |    FROM bpe, mk) WHERE brank IS NULL)
+         |SELECT doc_id,
+         |  CAST(SUM(len(toks)) AS BIGINT) AS n_bpe_tokens,
+         |  md5(COALESCE(string_agg(array_to_string(toks, chr(1)), chr(2) ORDER BY widx), ''))
+         |    AS tok_md5
+         |FROM done GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     "ext_tfidf_topk" ->

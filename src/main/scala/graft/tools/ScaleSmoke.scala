@@ -383,6 +383,19 @@ object ScaleSmoke {
       assert(out.count() == 50L, "5 queries x k=10")
     }
 
+    // 29. exact BPE tokenization at 10M docs (~570M words): one narrow
+    // mapPartitions pass with the broadcast rank table built once per
+    // partition — no shuffle, scan-bound. Letter merges chain up to 3
+    // deep; digit merges exercise the loop on the numeric suffixes.
+    time("bpe tokenize 10M docs (~570M words)") {
+      val merges = Seq(("t", "h"), ("th", "e"), ("e", "n"), ("w", "1"),
+        ("1", "2"), ("2", "3"), ("w1", "23"), ("9", "9"))
+      val out = graft.ext.Bpe.tokenize(gopherDocs, "text", "doc_id", merges)
+      val r = out.agg(count(lit(1)), sum("n_bpe_tokens")).first()
+      assert(r.getLong(0) == 10000000L, s"every doc tokenizes: ${r.getLong(0)}")
+      assert(r.getLong(1) > 0L)
+    }
+
     // 23. tf-idf top-5 terms over 1M docs — inverted-index build with
     // partial-agg groupBys, bounded graft_topk (never a window), vocab
     // join-back. ~57M (doc,term) pairs, ~10k-term vocabulary.
