@@ -123,6 +123,45 @@ object LanguageModel {
     *
     * Returns (idCol, n_scored, logppl) for every document with at least
     * one bigram (≥ 2 tokens); n_scored = token count − 1. */
+  /** CCNet's head/middle/tail split: bucket every document by its
+    * [[scoreLogPpl]] score against the corpus's own perplexity quantiles
+    * (the paper cuts at thirds — head = most fluent under the reference
+    * LM, the slice pretraining pipelines keep or upsample).
+    *
+    * Two-tier quantiles, the [[graft.ops.Percentiles]] contract: the
+    * exact `percentile` (gate tier — the oracle must match bit-for-bit)
+    * buffers every score in one aggregation buffer, so production runs
+    * use the default Greenwald-Khanna sketch tier (`exact = false`),
+    * the only shape that survives 100×. The cuts are a ONE-ROW aggregate
+    * crossJoin-broadcast back — bucketing adds no shuffle beyond the
+    * scoring pass itself.
+    *
+    * Returns (idCol, n_scored, logppl, bucket ∈ head|middle|tail). */
+  def pplBuckets(
+      corpus: DataFrame,
+      ref: DataFrame,
+      textCol: String,
+      idCol: String,
+      alpha: Double = 0.1,
+      minCount: Long = 1,
+      lo: Double = 1.0 / 3,
+      hi: Double = 2.0 / 3,
+      exact: Boolean = false,
+      accuracy: Int = 10000
+  ): DataFrame = {
+    require(lo > 0 && hi < 1 && lo <= hi, "need 0 < lo <= hi < 1")
+    val scored = scoreLogPpl(corpus, ref, textCol, idCol, alpha, minCount)
+    def cut(p: Double): org.apache.spark.sql.Column =
+      if (exact) expr(s"percentile(logppl, $p)")
+      else expr(s"approx_percentile(logppl, $p, $accuracy)").cast("double")
+    val cuts = scored.agg(cut(lo).as("__lo"), cut(hi).as("__hi"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col(idCol), col("n_scored"), col("logppl"),
+        when(col("logppl") <= col("__lo"), "head")
+          .when(col("logppl") <= col("__hi"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   def scoreLogPpl(
       corpus: DataFrame,
       ref: DataFrame,

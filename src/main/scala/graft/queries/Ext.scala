@@ -595,6 +595,17 @@ object Ext {
         .orderBy("doc_id")
     }),
 
+    "ext_lm_buckets" -> ((s, dir) => {
+      // CCNet's head/middle/tail split at perplexity thirds — exact
+      // quantile tier so the oracle matches bit-for-bit (production runs
+      // the Greenwald-Khanna sketch tier, the Percentiles contract)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      LanguageModel.pplBuckets(
+        docs, docs.where(col("doc_id") % 5 === 0), "text", "doc_id",
+        alpha = 0.1, minCount = 1, exact = true)
+        .orderBy("doc_id")
+    }),
+
     "ext_diversity_sample" -> ((s, dir) =>
       // cluster-balanced curation: ≤10 vectors per embedding-space cell
       // (16-cell codebook), drawn by salted hash — dense clusters are
@@ -697,6 +708,40 @@ object Ext {
 
   private def tokensSql(textE: String) =
     s"list_filter(string_split($textE, ' '), t -> t <> '')"
+
+  /** Shared LM CTE chain (train + per-token score stream `sc`) for the
+    * perplexity and bucket oracles — generated from the same constants
+    * as LanguageModel.trainStupidBackoff. */
+  private lazy val LmScoreCtes: String = {
+    val toks = tokensSql("text")
+    val bgList = "[toks[i+1] || ' ' || toks[i+2] FOR i IN range(0, len(toks)-1)]"
+    s"""reftk AS (SELECT $toks AS toks FROM documents WHERE doc_id % 5 = 0),
+       |uni AS (SELECT w, COUNT(*) AS c
+       |        FROM (SELECT unnest(toks) AS w FROM reftk) GROUP BY w),
+       |tot AS (SELECT SUM(c) AS ct, COUNT(*) AS vs FROM uni),
+       |unilp AS (
+       |  SELECT w, CAST(round(ln(0.4 * (CAST(c AS DOUBLE) + 0.1) /
+       |    (CAST(ct AS DOUBLE) + 0.1 * CAST(vs AS DOUBLE))) * 1e9) AS BIGINT) AS lpq
+       |  FROM uni CROSS JOIN tot),
+       |unk AS (
+       |  SELECT CAST(round(ln(0.4 * (CAST(0.0 AS DOUBLE) + 0.1) /
+       |    (CAST(ct AS DOUBLE) + 0.1 * CAST(vs AS DOUBLE))) * 1e9) AS BIGINT) AS lpq_unk
+       |  FROM tot),
+       |refbg AS (SELECT unnest($bgList) AS bg FROM reftk),
+       |big AS (SELECT bg, COUNT(*) AS c12 FROM refbg GROUP BY bg),
+       |biglp AS (
+       |  SELECT big.bg,
+       |    CAST(round(ln(CAST(c12 AS DOUBLE) / CAST(u.c AS DOUBLE)) * 1e9) AS BIGINT) AS lpq
+       |  FROM big JOIN uni u ON u.w = string_split(big.bg, ' ')[1]),
+       |ctk AS (SELECT doc_id, $toks AS toks FROM documents),
+       |cp AS (SELECT doc_id, unnest($bgList) AS bg FROM ctk),
+       |sc AS (
+       |  SELECT cp.doc_id, COALESCE(b.lpq, u.lpq, unk.lpq_unk) AS lpq
+       |  FROM cp
+       |  LEFT JOIN biglp b ON b.bg = cp.bg
+       |  LEFT JOIN unilp u ON u.w = string_split(cp.bg, ' ')[2]
+       |  CROSS JOIN unk)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "ext_dedup_exact" ->
@@ -1607,39 +1652,25 @@ object Ext {
          |WHERE ${Sampling.pctHashSql("d.doc_id", "temp1")} < r.rate_pct
          |GROUP BY d.lang, r.rate_pct ORDER BY d.lang""".stripMargin,
 
-    "ext_lm_perplexity" -> {
-      val toks = tokensSql("text")
-      val bgList = "[toks[i+1] || ' ' || toks[i+2] FOR i IN range(0, len(toks)-1)]"
-      s"""WITH reftk AS (SELECT $toks AS toks FROM documents WHERE doc_id % 5 = 0),
-         |uni AS (SELECT w, COUNT(*) AS c
-         |        FROM (SELECT unnest(toks) AS w FROM reftk) GROUP BY w),
-         |tot AS (SELECT SUM(c) AS ct, COUNT(*) AS vs FROM uni),
-         |unilp AS (
-         |  SELECT w, CAST(round(ln(0.4 * (CAST(c AS DOUBLE) + 0.1) /
-         |    (CAST(ct AS DOUBLE) + 0.1 * CAST(vs AS DOUBLE))) * 1e9) AS BIGINT) AS lpq
-         |  FROM uni CROSS JOIN tot),
-         |unk AS (
-         |  SELECT CAST(round(ln(0.4 * (CAST(0.0 AS DOUBLE) + 0.1) /
-         |    (CAST(ct AS DOUBLE) + 0.1 * CAST(vs AS DOUBLE))) * 1e9) AS BIGINT) AS lpq_unk
-         |  FROM tot),
-         |refbg AS (SELECT unnest($bgList) AS bg FROM reftk),
-         |big AS (SELECT bg, COUNT(*) AS c12 FROM refbg GROUP BY bg),
-         |biglp AS (
-         |  SELECT big.bg,
-         |    CAST(round(ln(CAST(c12 AS DOUBLE) / CAST(u.c AS DOUBLE)) * 1e9) AS BIGINT) AS lpq
-         |  FROM big JOIN uni u ON u.w = string_split(big.bg, ' ')[1]),
-         |ctk AS (SELECT doc_id, $toks AS toks FROM documents),
-         |cp AS (SELECT doc_id, unnest($bgList) AS bg FROM ctk),
-         |sc AS (
-         |  SELECT cp.doc_id, COALESCE(b.lpq, u.lpq, unk.lpq_unk) AS lpq
-         |  FROM cp
-         |  LEFT JOIN biglp b ON b.bg = cp.bg
-         |  LEFT JOIN unilp u ON u.w = string_split(cp.bg, ' ')[2]
-         |  CROSS JOIN unk)
+    "ext_lm_perplexity" ->
+      s"""WITH $LmScoreCtes
          |SELECT doc_id, COUNT(*) AS n_scored,
          |  -(CAST(SUM(lpq) AS DOUBLE) / 1e9 / CAST(COUNT(*) AS DOUBLE)) AS logppl
-         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "ext_lm_buckets" ->
+      s"""WITH $LmScoreCtes,
+         |scores AS (
+         |  SELECT doc_id, COUNT(*) AS n_scored,
+         |    -(CAST(SUM(lpq) AS DOUBLE) / 1e9 / CAST(COUNT(*) AS DOUBLE)) AS logppl
+         |  FROM sc GROUP BY doc_id),
+         |cuts AS (SELECT quantile_cont(logppl, ${1.0 / 3}) AS lo,
+         |                quantile_cont(logppl, ${2.0 / 3}) AS hi FROM scores)
+         |SELECT doc_id, n_scored, logppl,
+         |  CASE WHEN logppl <= lo THEN 'head'
+         |       WHEN logppl <= hi THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM scores CROSS JOIN cuts ORDER BY doc_id""".stripMargin,
 
     "ext_diversity_sample" ->
       s"""WITH $NormCte,

@@ -69,6 +69,27 @@ class LanguageModelSpec extends AnyFunSuite {
       -(q(math.log(0.4 * (0.0 + Alpha) / denom)).toDouble / LanguageModel.LpScale))
   }
 
+  test("pplBuckets: thirds split, head holds the most fluent docs") {
+    import org.apache.spark.sql.functions.col
+    val ref = (0 until 100).map(i =>
+      (i.toLong, "the cat sat on the mat and the dog ran to the cat"))
+      .toDF("doc_id", "text")
+    // 30 fluent, 30 shuffled, 30 unknown-vocab docs → bucket order must
+    // follow fluency; exact-tier cuts at 1/3 and 2/3
+    val corpus = ((0 until 30).map(i => (1000L + i, "the cat sat on the mat")) ++
+      (0 until 30).map(i => (2000L + i, "mat the on sat cat the")) ++
+      (0 until 30).map(i => (3000L + i, "zq xv qq ww ee rr"))).toDF("doc_id", "text")
+    val out = LanguageModel.pplBuckets(corpus, ref, "text", "doc_id", exact = true)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert((0 until 30).forall(i => out(1000L + i) == "head"), s"fluent=head: $out")
+    assert((0 until 30).forall(i => out(2000L + i) == "middle"))
+    assert((0 until 30).forall(i => out(3000L + i) == "tail"))
+    // sketch tier agrees on this well-separated corpus
+    val approx = LanguageModel.pplBuckets(corpus, ref, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(approx == out, "approx tier must agree on well-separated scores")
+  }
+
   test("fluent text under the reference LM scores better than shuffled/unknown text") {
     val ref = (0 until 200).map(i =>
       (i.toLong, "the cat sat on the mat and the dog ran to the cat"))
