@@ -114,8 +114,14 @@ case class TopKByAggregate(
   override def prettyName: String = "graft_topk"
 }
 
-/** Sorted bounded buffer: at most k (score, id) entries, kept in
-  * (score desc, id asc) order — inserts are O(k) shifts, k is small.
+/** Bounded top-k buffer: at most k (score, id) entries held as a binary
+  * min-heap keyed by rank — the ROOT is the worst entry kept, so a full
+  * buffer rejects a non-qualifying row with one comparison and accepts a
+  * qualifying one in O(log k) (replace root, sift down). Inserts must stay
+  * sub-linear in k because callers range from k=10 similarity queries to
+  * k=100,000 corpus selection ([[graft.ext.Dsir.resample]]), where the
+  * single-reducer merge of mappers×k entries would be O(mappers·k²) with a
+  * shift-based sorted buffer. [[rows]] sorts once at eval, O(k log k).
   *
   * The score order is the TOTAL order `java.lang.Double.compare` (NaN ranks
   * greatest, matching Spark's `ORDER BY score DESC` which sorts NaN above
@@ -132,16 +138,40 @@ final class TopKBuffer(val k: Int) {
     c > 0 || (c == 0 && i1 < i2)
   }
 
+  // Heap property: a parent never ranks before its children (worst at root).
+  @inline private def siftUp(p0: Int): Unit = {
+    var p = p0
+    while (p > 0 && ranksBefore(scores((p - 1) >> 1), ids((p - 1) >> 1), scores(p), ids(p))) {
+      val q = (p - 1) >> 1
+      val ts = scores(p); scores(p) = scores(q); scores(q) = ts
+      val ti = ids(p); ids(p) = ids(q); ids(q) = ti
+      p = q
+    }
+  }
+
+  @inline private def siftDown(): Unit = {
+    var p = 0
+    while (true) {
+      val l = 2 * p + 1
+      val r = l + 1
+      var w = p // the worst-ranked of p and its children
+      if (l < n && ranksBefore(scores(w), ids(w), scores(l), ids(l))) w = l
+      if (r < n && ranksBefore(scores(w), ids(w), scores(r), ids(r))) w = r
+      if (w == p) return
+      val ts = scores(p); scores(p) = scores(w); scores(w) = ts
+      val ti = ids(p); ids(p) = ids(w); ids(w) = ti
+      p = w
+    }
+  }
+
   def insert(s0: Double, i: Long): Unit = {
     val s = if (s0 == 0.0d) 0.0d else s0 // -0.0 → 0.0, as Spark normalizes
-    if (n == k && !ranksBefore(s, i, scores(n - 1), ids(n - 1))) return
-    var p = if (n < k) { n += 1; n - 1 } else n - 1
-    scores(p) = s
-    ids(p) = i
-    while (p > 0 && ranksBefore(scores(p), ids(p), scores(p - 1), ids(p - 1))) {
-      val ts = scores(p); scores(p) = scores(p - 1); scores(p - 1) = ts
-      val ti = ids(p); ids(p) = ids(p - 1); ids(p - 1) = ti
-      p -= 1
+    if (n < k) {
+      scores(n) = s; ids(n) = i; n += 1
+      siftUp(n - 1)
+    } else if (ranksBefore(s, i, scores(0), ids(0))) {
+      scores(0) = s; ids(0) = i
+      siftDown()
     }
   }
 
@@ -150,8 +180,18 @@ final class TopKBuffer(val k: Int) {
     while (i < other.n) { insert(other.scores(i), other.ids(i)); i += 1 }
   }
 
-  def rows: Array[(Double, Long)] =
-    Array.tabulate(n)(i => (scores(i), ids(i)))
+  /** Entries in (score desc, id asc) order — sorts a copy, called once at
+    * eval / in specs, never per-row. */
+  def rows: Array[(Double, Long)] = {
+    val out = Array.tabulate(n)(i => (scores(i), ids(i)))
+    java.util.Arrays.sort(out, new java.util.Comparator[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    })
+    out
+  }
 
   def toBytes: Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(8 + n * 16)
@@ -164,15 +204,17 @@ final class TopKBuffer(val k: Int) {
 
 object TopKBuffer {
   def fromBytes(bytes: Array[Byte]): TopKBuffer = {
+    // Bytes come from toBytes of this same class, so the arrays are already
+    // a valid heap — copy them straight in, no re-insertion.
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val buf = new TopKBuffer(bb.getInt())
     val n = bb.getInt()
     var i = 0
     while (i < n) {
-      val s = bb.getDouble(); val id = bb.getLong()
-      buf.insert(s, id)
+      buf.scores(i) = bb.getDouble(); buf.ids(i) = bb.getLong()
       i += 1
     }
+    buf.n = n
     buf
   }
 }

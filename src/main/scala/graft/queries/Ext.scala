@@ -606,6 +606,18 @@ object Ext {
         .orderBy("doc_id")
     }),
 
+    "ext_dsir_select" -> ((s, dir) => {
+      // DSIR importance resampling: pick the 100 docs (of 500) whose
+      // hashed-ngram distribution best matches the doc_id%7 target slice,
+      // via quantized log-likelihood-ratio weights + deterministic Gumbel
+      // top-k (graft_topk bounded selection)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      graft.ext.Dsir.resample(
+        docs, docs.where(col("doc_id") % 7 === 0), "text", "doc_id",
+        k = 100, buckets = 1000, alpha = 0.01)
+        .orderBy("doc_id")
+    }),
+
     "ext_diversity_sample" -> ((s, dir) =>
       // cluster-balanced curation: ≤10 vectors per embedding-space cell
       // (16-cell codebook), drawn by salted hash — dense clusters are
@@ -1671,6 +1683,37 @@ object Ext {
          |       WHEN logppl <= hi THEN 'middle'
          |       ELSE 'tail' END AS bucket
          |FROM scores CROSS JOIN cuts ORDER BY doc_id""".stripMargin,
+
+    "ext_dsir_select" -> {
+      val b = 1000
+      val alpha = 0.01
+      // target ⊆ raw here, so the Spark full-outer count join degenerates
+      // to rc LEFT JOIN tc and no bucket is unseen on the raw side
+      s"""WITH rawf AS (
+         |  SELECT doc_id, unnest(${graft.ext.Dsir.featureBucketsSql("text", b)}) AS b
+         |  FROM documents),
+         |tc AS (SELECT b, COUNT(*) AS ct FROM rawf WHERE doc_id % 7 = 0 GROUP BY b),
+         |rc AS (SELECT b, COUNT(*) AS cr FROM rawf GROUP BY b),
+         |tot AS (SELECT (SELECT SUM(ct) FROM tc) AS tt, (SELECT SUM(cr) FROM rc) AS rt),
+         |lr AS (
+         |  SELECT rc.b, CAST(round((
+         |      ln((CAST(COALESCE(tc.ct, 0) AS DOUBLE) + $alpha) /
+         |         (CAST(tt AS DOUBLE) + ${alpha * b})) -
+         |      ln((CAST(rc.cr AS DOUBLE) + $alpha) /
+         |         (CAST(rt AS DOUBLE) + ${alpha * b}))) * 1e9) AS BIGINT) AS lrq
+         |  FROM rc LEFT JOIN tc ON tc.b = rc.b CROSS JOIN tot),
+         |w AS (
+         |  SELECT doc_id, COUNT(*) AS n_feat, CAST(SUM(lrq) AS BIGINT) AS logw_q
+         |  FROM rawf JOIN lr USING (b) GROUP BY doc_id),
+         |keyed AS (
+         |  SELECT doc_id, n_feat, CAST(logw_q AS DOUBLE) / 1e9 AS logw,
+         |    logw_q + ${graft.ext.Dsir.gumbelQSql("doc_id", "dsir")} AS key_q
+         |  FROM w)
+         |SELECT * FROM (
+         |  SELECT doc_id, n_feat, logw, key_q FROM keyed
+         |  ORDER BY key_q DESC, doc_id LIMIT 100)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "ext_diversity_sample" ->
       s"""WITH $NormCte,

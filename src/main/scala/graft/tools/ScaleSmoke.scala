@@ -491,6 +491,37 @@ object ScaleSmoke {
         s"every exact re-crawl must find a corpus near-dup: $planted")
     }
 
+    // 29. DSIR importance resampling at 10M raw docs: bucket-count both
+    // corpora (fixed 10k-bucket model regardless of corpus size), score
+    // ~190M hashed n-gram occurrences through one broadcast ratio-table
+    // probe and ONE doc-keyed shuffle (the keyed stream's agg exchange is
+    // reused by the top-k side), then select 100k docs via the bounded
+    // graft_topk aggregate — never a global sort. The two vocabularies
+    // (~1k distinct grams each) fit the 10k-bucket space, so buckets stay
+    // gram-owned and each off-vocab feature costs ~10 nats: the 1%
+    // off-vocab docs sit ~190 nats below the in-distribution mass, far
+    // outside deterministic-Gumbel reach (≤ ~45 nats), so none may
+    // survive. (A shared 10k-word vocab would NOT discriminate here:
+    // collision averaging homogenizes bucket composition and the signal
+    // drowns in the noise — that is a property of hashed features, not a
+    // bug; size `buckets` to the gram diversity you care about.)
+    val dsirCorpus = spark.range(0, 10000000L, 1, 128)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 10).map(i =>
+          concat(when(col("id") % 100 === 0, "x").otherwise("w"),
+            pmod(col("id") + i, lit(499)))): _*).as("text"))
+    time("dsir select 100k of 10M docs (10k buckets)") {
+      val sel = graft.ext.Dsir.resample(
+        dsirCorpus,
+        dsirCorpus.where(col("doc_id") % 100 =!= 0 && col("doc_id") < 1000000L),
+        "text", "doc_id", k = 100000)
+      val r = sel.agg(count(lit(1)),
+        sum(when(col("doc_id") % 100 === 0, 1L).otherwise(0L))).first()
+      assert(r.getLong(0) == 100000L, s"exactly k selected: ${r.getLong(0)}")
+      assert(r.getLong(1) == 0L,
+        s"no off-vocabulary doc may be selected: ${r.getLong(1)}")
+    }
+
     // 26. PCA whitening at 2M x 8d: one covariance pass (the exploded
     // i<=j triangle partial-aggregates to 36 cells), an 8x8 driver
     // eigensolve, one broadcast-projection pass — nothing corpus-sized

@@ -188,6 +188,24 @@ class PlanSpec extends AnyFunSuite {
       "per-doc log-prob sum must combine map-side before the shuffle")
   }
 
+  test("dsir: broadcast ratio table, graft_topk selection, no window") {
+    val p = plan("ext_dsir_select")
+    assert(!analyzed("ext_dsir_select").contains("Window"),
+      "selection must rank through graft_topk, never a window")
+    assert(p.contains("graft_topk"),
+      "top-k must be the bounded mappers-times-k aggregate")
+    assert(p.contains("BroadcastHashJoin"),
+      "the ratio table and selected-id probes must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product anywhere in the DSIR plan:\n$p")
+    // the only nested-loop joins allowed are one-row totals/unseen cross
+    // broadcasts — any keyed BNLJ variant means a broadcast hint was lost
+    assert(!"BroadcastNestedLoopJoin (Inner|Left|Right|Full)".r.findFirstIn(p).isDefined,
+      s"only one-row Cross broadcasts may nest-loop:\n$p")
+    assert(p.toLowerCase.contains("partial_sum"),
+      "per-doc weight sum must combine map-side before the doc shuffle")
+  }
+
   test("incremental semdedup: corpus side plans with zero exchanges") {
     val p = plan("ext_semdedup_incremental")
     assert(p.contains("LeftSemi"),
