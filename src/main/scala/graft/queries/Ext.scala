@@ -368,6 +368,21 @@ object Ext {
         "text", "doc_id", BpeMerges)
         .orderBy("doc_id")),
 
+    "ext_bpe_train" -> ((s, dir) => {
+      // BPE TRAINING (Sennrich et al. 2016): learn 8 merges from the
+      // corpus — count-weighted pair frequencies over the word vocabulary,
+      // argmax with the pinned (count desc, pair asc) tie-break, batch
+      // left-to-right application per round. The oracle unrolls the same
+      // count→argmax→replace loop as 8 chained DuckDB CTE iterations.
+      import s.implicits._
+      Bpe.trainMerges(t(s, dir, "documents").select("text"), "text",
+          numMerges = 8)
+        .zipWithIndex
+        .map { case ((l, r), i) => (i.toLong, l, r) }
+        .toDF("merge_rank", "lhs", "rhs")
+        .orderBy("merge_rank")
+    }),
+
     "ext_tfidf_topk" -> ((s, dir) =>
       // top-5 TF-IDF terms per document through the bounded graft_topk
       // aggregate (hash tie-break — portable across engines, unlike string
@@ -1367,6 +1382,43 @@ object Ext {
          |  md5(COALESCE(string_agg(array_to_string(toks, chr(1)), chr(2) ORDER BY widx), ''))
          |    AS tok_md5
          |FROM done GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "ext_bpe_train" -> {
+      // unrolled training loop, one CTE triple per learned merge: p{i} =
+      // count-weighted adjacent pairs over the framed-symbol vocabulary,
+      // b{i} = the argmax with the pinned tie-break, v{i+1} = batch
+      // left-to-right merge application — plain replace() on the framed
+      // encoding, the same non-overlapping-leftmost contract Spark's
+      // replace implements. MATERIALIZED keeps the chained references
+      // linear (b{i} is read by both v{i+1} and the final union).
+      val k = 8
+      val v0 =
+        """v0 AS MATERIALIZED (
+          |  SELECT regexp_replace(w, '(?s)(.)', chr(1)||'\1'||chr(2), 'g') AS enc, cnt
+          |  FROM (SELECT w, COUNT(*) AS cnt FROM (
+          |          SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+          |          FROM documents) GROUP BY w))""".stripMargin
+      val iters = (0 until k).map { i =>
+        s"""p$i AS (
+           |  SELECT p.l AS l, p.r AS r, SUM(cnt) AS c FROM (
+           |    SELECT unnest([{'l': s[j], 'r': s[j+1]} FOR j IN range(1, len(s))]) AS p, cnt
+           |    FROM (SELECT string_split(enc[2:-2], chr(2)||chr(1)) AS s, cnt FROM v$i))
+           |  GROUP BY p.l, p.r),
+           |b$i AS MATERIALIZED (
+           |  SELECT l, r FROM p$i ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+           |v${i + 1} AS MATERIALIZED (
+           |  SELECT replace(enc, chr(1)||l||chr(2)||chr(1)||r||chr(2),
+           |                 chr(1)||l||r||chr(2)) AS enc, cnt
+           |  FROM v$i CROSS JOIN b$i)""".stripMargin
+      }
+      val union = (0 until k)
+        .map(i => s"SELECT $i AS merge_rank, l AS lhs, r AS rhs FROM b$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH $v0,
+         |${iters.mkString(",\n")}
+         |SELECT CAST(merge_rank AS BIGINT) AS merge_rank, lhs, rhs
+         |FROM ($union) ORDER BY merge_rank""".stripMargin
     },
 
     "ext_tfidf_topk" ->

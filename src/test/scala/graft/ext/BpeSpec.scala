@@ -75,4 +75,52 @@ class BpeSpec extends SparkSpec {
     // whitespace pre-tokenization skips empty words
     assert(byId(4L)._2 > 0L)
   }
+
+  test("trainMerges: hand-computed Sennrich corpus") {
+    import spark.implicits._
+    // low*5 lower*2 newest*6 widest*3 — the paper's worked example shape.
+    // Pair counts round 1: (e,s)=9 (newest+widest) ties (s,t)=9; the
+    // pinned tie-break (l asc) picks (e,s). Then (es,t)=9 alone. Round 3:
+    // (l,o)=7 ties (o,w)=7 → (l,o). Round 4: (lo,w)=7 wins.
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .map(Tuple1(_)).toDF("text")
+    val merges = Bpe.trainMerges(corpus, "text", numMerges = 4)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+    // the learned table drives tokenize to the expected segmentation
+    val toks = Bpe.tokenize(Seq((1L, "newest lowest")).toDF("doc_id", "text"),
+      "text", "doc_id", merges).collect()(0)
+    // newest → n,e,w,est (4), lowest → low,est (2)
+    assert(toks.getLong(1) == 6L)
+  }
+
+  test("trainMerges: minCount prunes rare words from the statistics") {
+    import spark.implicits._
+    // "zz" would win round 1 ((z,z)=4 > (a,b)=3) but sits on a word with
+    // count 2 < minCount — pruned, so (a,b) learns first
+    val corpus = (Seq.fill(3)("ab") ++ Seq.fill(2)("zzzz"))
+      .map(Tuple1(_)).toDF("text")
+    assert(Bpe.trainMerges(corpus, "text", 1, minCount = 3L) ==
+      Seq(("a", "b")))
+    assert(Bpe.trainMerges(corpus, "text", 1) == Seq(("z", "z")))
+  }
+
+  test("trainMerges: early stop when no pair remains; empty request") {
+    import spark.implicits._
+    val single = Seq("a b c", "a c").map(Tuple1(_)).toDF("text")
+    // all words are single-char: zero pairs, zero merges no matter the ask
+    assert(Bpe.trainMerges(single, "text", 5) == Seq())
+    val tiny = Seq("ab ab").map(Tuple1(_)).toDF("text")
+    // one merge exhausts the vocabulary ("ab" fully merged)
+    assert(Bpe.trainMerges(tiny, "text", 10) == Seq(("a", "b")))
+    assert(Bpe.trainMerges(tiny, "text", 0) == Seq())
+  }
+
+  test("trainMerges: whole-word merges chain through multi-char symbols") {
+    import spark.implicits._
+    val corpus = Seq.fill(4)("abc").map(Tuple1(_)).toDF("text")
+    // (a,b) ties (b,c) at 4 → (a,b); then (ab,c)
+    assert(Bpe.trainMerges(corpus, "text", 3) ==
+      Seq(("a", "b"), ("ab", "c")))
+  }
 }
