@@ -162,6 +162,188 @@ object LanguageModel {
           .otherwise("tail").as("bucket"))
   }
 
+  // ---------------------------------------------------------------------
+  // INTERPOLATED KNESER-NEY TRIGRAM (Kneser & Ney 1995; the interpolated
+  // form per Chen & Goodman 1998, "An Empirical Study of Smoothing
+  // Techniques for Language Modeling" §2.7) — the algorithm CCNet's KenLM
+  // actually runs (KenLM defaults to MODIFIED KN, three discounts per
+  // level estimated from count-of-count statistics; this is the classic
+  // single-fixed-discount form, D = 0.75 — the difference is a constant
+  // of the table build, not of the pipeline shape). Lower levels use
+  // CONTINUATION counts (in how many distinct contexts was this n-gram
+  // seen), not raw counts — the insight that makes KN the strongest
+  // count-based smoother: "Francisco" is frequent but follows only "San",
+  // so its unigram backoff weight should be tiny.
+  //
+  // Model (D = 0.75 throughout; all counts exact int64):
+  //   P3(w3|w1w2) = (c3(w1w2w3)−D)/c2'(w1w2) + λ2(w1w2)·P2(w3|w2)
+  //       c2'(w1w2) = Σ_w c3(w1w2w) (ADJUSTED denominator — occurrences
+  //       followed by something, so each history's mass sums to exactly 1
+  //       without sentence-end markers), λ2 = D·t3(w1w2)/c2'(w1w2),
+  //       t3 = #distinct continuations of the history.
+  //   P2(w3|w2) = max(n3(w2w3)−D,0)/d2(w2) + λ1(w2)·P1(w3)
+  //       n3(w2w3) = #distinct w1 with c3(w1w2w3)>0 (continuation count),
+  //       d2(w2) = Σ_w n3(w2w), λ1 = D·t2(w2)/d2(w2), t2 = #distinct w
+  //       with n3(w2w)>0.
+  //   P1(w) = max(n2(w)−D,0)/B + D·V1/B · 1/(V+1)
+  //       n2(w) = #distinct predecessors of w (bigram-type count), B =
+  //       #bigram types, V1 = #words with n2>0, V = vocabulary size; the
+  //       reserved mass spreads uniformly over V seen words + 1 unk slot,
+  //       so P1 sums to exactly 1 and unseen words get P1(unk) =
+  //       D·V1/B/(V+1).
+  //   Every level telescopes to Σ_w P(w|·) = 1 — a real probability
+  //   model, unlike stupid backoff's unnormalized scores.
+  //
+  // Determinism: the same quantize-at-training-time contract as
+  // [[trainStupidBackoff]] — every table value is round(ln(·)·1e9) int64
+  // with the double arithmetic inside the ln PINNED to one parenthesized
+  // shape that the DuckDB oracle mirrors literally; scoring sums int64.
+  // Backoff through a missed level ADDS quantized logs (ln λ + ln P) —
+  // composition is exact in the quantized domain, so engines agree.
+  //
+  // Scale shape at 100 TB: training is four partial-agg groupBys over the
+  // reference corpus's trigram stream (tri → hist2 → n3 → mid) plus
+  // vocab-sized joins (AQE broadcasts the small sides); `minCount` prunes
+  // the two big shipped tables (trigrams by raw count, continuation
+  // bigrams by continuation count) — pruned keys take the backoff path,
+  // shrinking tables without re-normalizing, exactly KenLM's pruning
+  // posture. Scoring is ONE narrow corpus pass probing five broadcast
+  // tables hash-side with a per-doc partial agg before the only (one
+  // row per doc) shuffle. No window, no corpus-side wide exchange.
+  // ---------------------------------------------------------------------
+
+  /** Fixed Kneser-Ney discount (Chen & Goodman's D = N1/(N1+2N2) lands
+    * near 0.75 on natural text; pinned constant so any engine replays). */
+  val Discount: Double = 0.75
+
+  /** Per-document trigram stream as (w1, w2, w3) structs; empty for docs
+    * under three tokens. */
+  private[graft] def trigramTriples(text: Column): Column =
+    element_at(
+      transform(array(TextStats.wsTokens(text)), toks => {
+        val grams = transform(
+          sequence(lit(0), size(toks) - 3),
+          i => struct(
+            element_at(toks, i + 1).as("w1"),
+            element_at(toks, i + 2).as("w2"),
+            element_at(toks, i + 3).as("w3")))
+        when(size(toks) < 3,
+          array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+          .otherwise(grams)
+      }),
+      1)
+
+  /** Quantize a probability column: round(ln(p)·1e9) as int64. */
+  private def q(p: Column): Column =
+    round(log(p) * lit(LpScale)).cast("long")
+
+  /** Train the five quantized KN tables plus the unk constant.
+    *
+    * Returns (triLp(w1,w2,w3,lpq), lambda2(w1,w2,lpq), p2Lp(w2,w3,lpq),
+    * lambda1(w2,lpq), p1Lp(w3,lpq), unkLp(lpq_unk)). Table sizes: triLp ≤
+    * distinct trigrams (pruned c3 ≥ minCount), p2Lp ≤ distinct
+    * continuation bigrams (pruned n3 ≥ minCount), the rest vocab- or
+    * history-sized. Statistics come from UNPRUNED counts, so pruning only
+    * shrinks what ships. */
+  def trainKneserNey(
+      ref: DataFrame,
+      textCol: String,
+      minCount: Long = 1
+  ): (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    require(minCount >= 1, "minCount below 1 is meaningless")
+    val D = Discount
+    val tri = ref
+      .select(explode(trigramTriples(col(textCol))).as("t"))
+      .groupBy(col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val hist2 = tri.groupBy("w1", "w2")
+      .agg(sum("c3").as("c2p"), count(lit(1)).as("t3"))
+    val n3 = tri.groupBy("w2", "w3").agg(count(lit(1)).as("n3"))
+    val mid = n3.groupBy("w2").agg(sum("n3").as("d2"), count(lit(1)).as("t2"))
+    // bigram TYPES (for the unigram continuation level)
+    val bigTypes = ref
+      .select(explode(bigramPairs(col(textCol))).as("p"))
+      .select(element_at(split(col("p.bg"), " "), 1).as("w1"),
+        col("p.w2").as("w2"))
+      .distinct()
+    val n2 = bigTypes.groupBy(col("w2").as("w")).agg(count(lit(1)).as("n2"))
+    val uni = ref.select(explode(TextStats.wsTokens(col(textCol))).as("w")).distinct()
+    val tot = bigTypes.agg(count(lit(1)).as("__b"))
+      .crossJoin(n2.agg(count(lit(1)).as("__v1")))
+      .crossJoin(uni.agg(count(lit(1)).as("__v")))
+    def dbl(c: String): Column = col(c).cast("double")
+    // P1 carries the raw double for upper-level interpolation AND the
+    // quantized log for scoring
+    val p1 = uni.join(n2, uni("w") === n2("w"), "left").select(uni("w"), col("n2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w"),
+        (greatest(coalesce(dbl("n2"), lit(0.0)) - lit(D), lit(0.0)) / dbl("__b")
+          + lit(D) * dbl("__v1") / dbl("__b") / (dbl("__v") + lit(1.0))).as("p1d"))
+    val p1Lp = p1.select(col("w").as("w3"), q(col("p1d")).as("lpq"))
+    val unkLp = tot.select(
+      q(lit(D) * dbl("__v1") / dbl("__b") / (dbl("__v") + lit(1.0))).as("lpq_unk"))
+    val lambda1 = mid.select(col("w2"),
+      q(lit(D) * dbl("t2") / dbl("d2")).as("lpq"))
+    val p2Full = n3.join(mid, "w2")
+      .join(p1.select(col("w").as("w3"), col("p1d")), "w3")
+      .select(col("w2"), col("w3"), col("n3"),
+        (greatest(dbl("n3") - lit(D), lit(0.0)) / dbl("d2")
+          + (lit(D) * dbl("t2") / dbl("d2")) * col("p1d")).as("p2d"))
+    val p2Lp = p2Full.where(col("n3") >= minCount)
+      .select(col("w2"), col("w3"), q(col("p2d")).as("lpq"))
+    val lambda2 = hist2.select(col("w1"), col("w2"),
+      q(lit(D) * dbl("t3") / dbl("c2p")).as("lpq"))
+    val triLp = tri.where(col("c3") >= minCount)
+      .join(hist2, Seq("w1", "w2"))
+      .join(p2Full.select(col("w2"), col("w3"), col("p2d")), Seq("w2", "w3"))
+      .select(col("w1"), col("w2"), col("w3"),
+        q((dbl("c3") - lit(D)) / dbl("c2p")
+          + (lit(D) * dbl("t3") / dbl("c2p")) * col("p2d")).as("lpq"))
+    (triLp, lambda2, p2Lp, lambda1, p1Lp, unkLp)
+  }
+
+  /** Score every corpus document's average negative KN log-prob per
+    * trigram (same surface as [[scoreLogPpl]]; lower = more fluent).
+    * Missed levels compose in the quantized log domain: ln λ2 and ln λ1
+    * add on the way down, an unseen history backs off with weight 1.
+    * Returns (idCol, n_scored, logppl) for docs with ≥ 3 tokens. */
+  def scoreKneserNey(
+      corpus: DataFrame,
+      ref: DataFrame,
+      textCol: String,
+      idCol: String,
+      minCount: Long = 1
+  ): DataFrame = {
+    val (triLp, lambda2, p2Lp, lambda1, p1Lp, unkLp) =
+      trainKneserNey(ref, textCol, minCount)
+    corpus
+      .select(col(idCol), explode(trigramTriples(col(textCol))).as("t"))
+      .select(col(idCol), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+      .join(broadcast(triLp.withColumnRenamed("lpq", "lpq_tri")),
+        Seq("w1", "w2", "w3"), "left")
+      .join(broadcast(lambda2.withColumnRenamed("lpq", "lpq_l2")),
+        Seq("w1", "w2"), "left")
+      .join(broadcast(p2Lp.withColumnRenamed("lpq", "lpq_p2")),
+        Seq("w2", "w3"), "left")
+      .join(broadcast(lambda1.withColumnRenamed("lpq", "lpq_l1")),
+        Seq("w2"), "left")
+      .join(broadcast(p1Lp.withColumnRenamed("lpq", "lpq_p1")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(unkLp))
+      .select(col(idCol),
+        coalesce(col("lpq_tri"),
+          coalesce(col("lpq_l2"), lit(0L)) +
+            coalesce(col("lpq_p2"),
+              coalesce(col("lpq_l1"), lit(0L)) +
+                coalesce(col("lpq_p1"), col("lpq_unk")))).as("lpq"))
+      .groupBy(col(idCol))
+      .agg(sum("lpq").as("__s"), count(lit(1)).as("n_scored"))
+      .select(col(idCol), col("n_scored"),
+        (-(col("__s").cast("double") / lit(LpScale) / col("n_scored").cast("double")))
+          .as("logppl"))
+  }
+
   def scoreLogPpl(
       corpus: DataFrame,
       ref: DataFrame,

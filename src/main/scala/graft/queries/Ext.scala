@@ -621,6 +621,18 @@ object Ext {
         .orderBy("doc_id")
     }),
 
+    "ext_lm_kneser_ney" -> ((s, dir) => {
+      // interpolated Kneser-Ney trigram scoring (the KenLM-class smoother
+      // CCNet actually runs): continuation-count lower levels, fixed
+      // D=0.75 discount, five quantized broadcast tables, additive
+      // composition through missed levels in the quantized log domain
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      LanguageModel.scoreKneserNey(
+        docs, docs.where(col("doc_id") % 5 === 0), "text", "doc_id",
+        minCount = 1)
+        .orderBy("doc_id")
+    }),
+
     "ext_dsir_select" -> ((s, dir) => {
       // DSIR importance resampling: pick the 100 docs (of 500) whose
       // hashed-ngram distribution best matches the doc_id%7 target slice,
@@ -767,6 +779,67 @@ object Ext {
        |  FROM cp
        |  LEFT JOIN biglp b ON b.bg = cp.bg
        |  LEFT JOIN unilp u ON u.w = string_split(cp.bg, ' ')[2]
+       |  CROSS JOIN unk)""".stripMargin
+  }
+
+  /** Kneser-Ney trigram CTE chain (train the five quantized tables +
+    * per-trigram score stream `sc`) — formulas mirror
+    * [[graft.ext.LanguageModel.trainKneserNey]] literally, including the
+    * parenthesized double-arithmetic shapes inside each ln (the engines
+    * agree because every division/multiply runs in the same order). */
+  private lazy val KnScoreCtes: String = {
+    val toks = tokensSql("text")
+    val triList =
+      "[{'w1': toks[i+1], 'w2': toks[i+2], 'w3': toks[i+3]} FOR i IN range(0, len(toks)-2)]"
+    val bgList = "[toks[i+1] || ' ' || toks[i+2] FOR i IN range(0, len(toks)-1)]"
+    def q(x: String) = s"CAST(round(ln($x) * 1e9) AS BIGINT)"
+    s"""reftk AS (SELECT $toks AS toks FROM documents WHERE doc_id % 5 = 0),
+       |tri AS (SELECT t.w1 AS w1, t.w2 AS w2, t.w3 AS w3, COUNT(*) AS c3
+       |        FROM (SELECT unnest($triList) AS t FROM reftk) GROUP BY 1, 2, 3),
+       |hist2 AS (SELECT w1, w2, SUM(c3) AS c2p, COUNT(*) AS t3 FROM tri GROUP BY w1, w2),
+       |n3 AS (SELECT w2, w3, COUNT(*) AS n3 FROM tri GROUP BY w2, w3),
+       |mid AS (SELECT w2, SUM(n3) AS d2, COUNT(*) AS t2 FROM n3 GROUP BY w2),
+       |rbg AS (SELECT DISTINCT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+       |        FROM (SELECT unnest($bgList) AS bg FROM reftk)),
+       |n2 AS (SELECT w2 AS w, COUNT(*) AS n2 FROM rbg GROUP BY w2),
+       |uni AS (SELECT DISTINCT unnest(toks) AS w FROM reftk),
+       |tot AS (SELECT (SELECT COUNT(*) FROM rbg) AS b,
+       |               (SELECT COUNT(*) FROM n2) AS v1,
+       |               (SELECT COUNT(*) FROM uni) AS v),
+       |p1 AS (SELECT uni.w AS w,
+       |         GREATEST(COALESCE(CAST(n2.n2 AS DOUBLE), 0.0) - 0.75, 0.0) / CAST(b AS DOUBLE)
+       |           + 0.75 * CAST(v1 AS DOUBLE) / CAST(b AS DOUBLE) / (CAST(v AS DOUBLE) + 1.0) AS p1d
+       |       FROM uni LEFT JOIN n2 ON n2.w = uni.w CROSS JOIN tot),
+       |p1q AS (SELECT w AS w3, ${q("p1d")} AS lpq FROM p1),
+       |unk AS (SELECT ${q("0.75 * CAST(v1 AS DOUBLE) / CAST(b AS DOUBLE) / (CAST(v AS DOUBLE) + 1.0)")} AS lpq_unk FROM tot),
+       |l1 AS (SELECT w2, ${q("0.75 * CAST(t2 AS DOUBLE) / CAST(d2 AS DOUBLE)")} AS lpq FROM mid),
+       |p2f AS (SELECT n3.w2 AS w2, n3.w3 AS w3,
+       |          GREATEST(CAST(n3.n3 AS DOUBLE) - 0.75, 0.0) / CAST(mid.d2 AS DOUBLE)
+       |            + (0.75 * CAST(mid.t2 AS DOUBLE) / CAST(mid.d2 AS DOUBLE)) * p1.p1d AS p2d
+       |        FROM n3 JOIN mid ON mid.w2 = n3.w2 JOIN p1 ON p1.w = n3.w3),
+       |p2q AS (SELECT w2, w3, ${q("p2d")} AS lpq FROM p2f),
+       |l2 AS (SELECT w1, w2, ${q("0.75 * CAST(t3 AS DOUBLE) / CAST(c2p AS DOUBLE)")} AS lpq FROM hist2),
+       |triq AS (SELECT tri.w1 AS w1, tri.w2 AS w2, tri.w3 AS w3,
+       |           ${q("(CAST(c3 AS DOUBLE) - 0.75) / CAST(c2p AS DOUBLE) + (0.75 * CAST(t3 AS DOUBLE) / CAST(c2p AS DOUBLE)) * p2f.p2d")} AS lpq
+       |         FROM tri
+       |         JOIN hist2 ON hist2.w1 = tri.w1 AND hist2.w2 = tri.w2
+       |         JOIN p2f ON p2f.w2 = tri.w2 AND p2f.w3 = tri.w3),
+       |cp AS (SELECT doc_id, t.w1 AS w1, t.w2 AS w2, t.w3 AS w3
+       |       FROM (SELECT doc_id, unnest($triList) AS t
+       |             FROM (SELECT doc_id, $toks AS toks FROM documents))),
+       |sc AS (
+       |  SELECT cp.doc_id,
+       |    COALESCE(triq.lpq,
+       |      COALESCE(l2.lpq, CAST(0 AS BIGINT)) +
+       |        COALESCE(p2q.lpq,
+       |          COALESCE(l1.lpq, CAST(0 AS BIGINT)) +
+       |            COALESCE(p1q.lpq, unk.lpq_unk))) AS lpq
+       |  FROM cp
+       |  LEFT JOIN triq ON triq.w1 = cp.w1 AND triq.w2 = cp.w2 AND triq.w3 = cp.w3
+       |  LEFT JOIN l2 ON l2.w1 = cp.w1 AND l2.w2 = cp.w2
+       |  LEFT JOIN p2q ON p2q.w2 = cp.w2 AND p2q.w3 = cp.w3
+       |  LEFT JOIN l1 ON l1.w2 = cp.w2
+       |  LEFT JOIN p1q ON p1q.w3 = cp.w3
        |  CROSS JOIN unk)""".stripMargin
   }
 
@@ -1735,6 +1808,12 @@ object Ext {
          |       WHEN logppl <= hi THEN 'middle'
          |       ELSE 'tail' END AS bucket
          |FROM scores CROSS JOIN cuts ORDER BY doc_id""".stripMargin,
+
+    "ext_lm_kneser_ney" ->
+      s"""WITH $KnScoreCtes
+         |SELECT doc_id, COUNT(*) AS n_scored,
+         |  -(CAST(SUM(lpq) AS DOUBLE) / 1e9 / CAST(COUNT(*) AS DOUBLE)) AS logppl
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "ext_dsir_select" -> {
       val b = 1000

@@ -468,6 +468,24 @@ object ScaleSmoke {
         s"unknown-token docs must score worse: ${r.getDouble(1)} vs ${r.getDouble(2)}")
     }
 
+    // 27b. Kneser-Ney trigram at the same 10M docs: four trigram-stream
+    // partial aggs train the five tables off the ~1M-doc slice (vocab
+    // bounded by the generator), then ~80M trigrams probe five broadcast
+    // tables in one pass with one per-doc shuffle. The unknown-vocab docs
+    // fall through the full λ2+λ1+unk chain and must still score worse.
+    time("kneser-ney trigram 10M docs (~80M trigrams)") {
+      val scored = graft.ext.LanguageModel.scoreKneserNey(
+        lmCorpus,
+        lmCorpus.where(col("doc_id") % 100 =!= 0 && col("doc_id") < 1000000L),
+        "text", "doc_id")
+      val r = scored.agg(count(lit(1)),
+        avg(when(col("doc_id") % 100 === 0, col("logppl"))),
+        avg(when(col("doc_id") % 100 =!= 0, col("logppl")))).first()
+      assert(r.getLong(0) == 10000000L, s"every doc scores: ${r.getLong(0)}")
+      assert(r.getDouble(1) > r.getDouble(2),
+        s"unknown-token docs must score worse: ${r.getDouble(1)} vs ${r.getDouble(2)}")
+    }
+
     // 28. incremental semantic dedup: 1M-vector corpus x 5k-vector crawl
     // batch over 256 cells. The corpus side is exchange-free (literal-
     // codebook per-row assignment, broadcast semi-probe, broadcast pair

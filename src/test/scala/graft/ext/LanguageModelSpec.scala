@@ -90,6 +90,97 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(approx == out, "approx tier must agree on well-separated scores")
   }
 
+  // ------------------------------------------------------------------
+  // Kneser-Ney trigram
+  // ------------------------------------------------------------------
+
+  // Hand-built model for ref "a b a b c" (D = 0.75):
+  //   tri: aba=1 bab=1 abc=1; hist2: (a,b) c2p=2 t3=2, (b,a) c2p=1 t3=1
+  //   n3: (b,a)=1 (a,b)=1 (b,c)=1; mid: b d2=2 t2=2, a d2=1 t2=1
+  //   bigram types {(a,b),(b,a),(b,c)} → B=3; n2: a=b=c=1 → V1=3; V=3
+  private val D = LanguageModel.Discount
+  private def knP1(n2: Double, b: Double, v1: Double, v: Double): Double =
+    math.max(n2 - D, 0.0) / b + D * v1 / b / (v + 1.0)
+  private val p1 = knP1(1.0, 3.0, 3.0, 3.0)        // 0.27083… every seen word
+  private val pUnk = D * 3.0 / 3.0 / 4.0           // 0.1875
+  private val p2ba = math.max(1.0 - D, 0.0) / 2.0 + (D * 2.0 / 2.0) * p1 // (b,a)/(b,c)
+  private val p2ab = math.max(1.0 - D, 0.0) / 1.0 + (D * 1.0 / 1.0) * p1 // (a,b)
+  private val triAba = (1.0 - D) / 2.0 + (D * 2.0 / 2.0) * p2ba
+
+  test("kneser-ney: hand-computed scores cover all five backoff paths") {
+    val ref = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "a b a"), // seen trigram
+      (11L, "a b b"), // λ2(a,b) · λ1(b) · P1(b)
+      (12L, "c a b"), // unseen history (weight 1) · P2(a,b)
+      (13L, "a c b"), // everything missed down to P1(b)
+      (14L, "z z z"), // unk
+      (15L, "a b"))   // < 3 tokens → no row
+      .toDF("doc_id", "text")
+    val out = LanguageModel.scoreKneserNey(corpus, ref, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(10L, 11L, 12L, 13L, 14L))
+    def lp(r: Int): Double = -out(r).getDouble(2) // n_scored = 1 everywhere
+    assert(out.forall(_.getLong(1) == 1L))
+    assert(lp(0) == q(math.log(triAba)).toDouble / LanguageModel.LpScale)
+    assert(lp(1) == (q(math.log(D * 2.0 / 2.0)) + q(math.log(D * 2.0 / 2.0)) +
+      q(math.log(p1))).toDouble / LanguageModel.LpScale)
+    assert(lp(2) == q(math.log(p2ab)).toDouble / LanguageModel.LpScale)
+    assert(lp(3) == q(math.log(p1)).toDouble / LanguageModel.LpScale)
+    assert(lp(4) == q(math.log(pUnk)).toDouble / LanguageModel.LpScale)
+  }
+
+  test("kneser-ney: seen-history mass telescopes to exactly 1") {
+    // Σ_w3 P3(w3 | a,b) over {a,b,c,unk} must be 1 — the property that
+    // separates KN from stupid backoff's unnormalized scores. Recovered
+    // end-to-end: score one-trigram docs, invert the quantized logs.
+    val ref = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val corpus = Seq((0L, "a b a"), (1L, "a b b"), (2L, "a b c"),
+      (3L, "a b zz")).toDF("doc_id", "text")
+    val mass = LanguageModel.scoreKneserNey(corpus, ref, "text", "doc_id")
+      .collect().map(r => math.exp(-r.getDouble(2))).sum
+    assert(math.abs(mass - 1.0) < 1e-6, s"Σ P3(·|a,b) = $mass")
+  }
+
+  test("kneser-ney: minCount prunes shipped tables, backoff path takes over") {
+    // "a b c" ×3 + "a b d": trigram (a,b,d) has c3=1 < 2 → pruned from the
+    // trigram table, so it scores λ2(a,b)·P2(b,d) instead; (a,b,c) at
+    // c3=3 stays. Statistics (c2p, t3…) stay unpruned.
+    val ref = (Seq.fill(3)("a b c") ++ Seq("a b d")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val corpus = Seq((10L, "a b c"), (11L, "a b d")).toDF("doc_id", "text")
+    val out = LanguageModel
+      .scoreKneserNey(corpus, ref, "text", "doc_id", minCount = 2)
+      .orderBy("doc_id").collect()
+    // model stats: hist2 (a,b): c2p=4 t3=2; n3 (b,c)=1 (b,d)=1; mid b: d2=2
+    // t2=2; bigram types {(a,b),(b,c),(b,d)} B=3; n2 b=c=d=1 V1=3; V=4
+    val p1k = knP1(1.0, 3.0, 3.0, 4.0)
+    val p2bc = math.max(1.0 - D, 0.0) / 2.0 + (D * 2.0 / 2.0) * p1k
+    val triAbc = (3.0 - D) / 4.0 + (D * 2.0 / 4.0) * p2bc
+    assert(-out(0).getDouble(2) ==
+      q(math.log(triAbc)).toDouble / LanguageModel.LpScale)
+    // pruned trigram: λ2 + P2 in the quantized domain (P2(b,d) survives —
+    // its continuation count n3=1 ≥ … is pruned at minCount=2 too → falls
+    // to λ1(b) + P1(d))
+    assert(-out(1).getDouble(2) ==
+      (q(math.log(D * 2.0 / 4.0)) + q(math.log(D * 2.0 / 2.0)) +
+        q(math.log(p1k))).toDouble / LanguageModel.LpScale)
+  }
+
+  test("kneser-ney: fluent beats shuffled beats unknown") {
+    val ref = (0 until 200).map(i =>
+      (i.toLong, "the cat sat on the mat and the dog ran to the cat"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1000L, "the cat sat on the mat"),
+      (1001L, "mat the on sat cat the"),
+      (1002L, "zq xv qq ww ee rr")).toDF("doc_id", "text")
+    val scores = LanguageModel.scoreKneserNey(corpus, ref, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(1000L) < scores(1001L) && scores(1001L) < scores(1002L),
+      s"fluency order violated: $scores")
+  }
+
   test("fluent text under the reference LM scores better than shuffled/unknown text") {
     val ref = (0 until 200).map(i =>
       (i.toLong, "the cat sat on the mat and the dog ran to the cat"))
