@@ -34,6 +34,55 @@ object Sketches {
     s"((($a * ${TextHash.hmodSql(itemE)} + $b) % ${TextHash.P}) % $w)"
   }
 
+  // --------------------------------------------------------------------
+  // KMV / bottom-k theta sketches (distinct counting + cross-slice set
+  // overlap). The distinct-question analogue of the CMS frequency path:
+  // `graft_kmv(item, k)` keeps the k smallest distinct md5 hashes per
+  // slice — a mergeable k-long synopsis — and intersection/union/Jaccard
+  // between ANY two slices become pure expression arithmetic over two
+  // one-row sketches. No distinct-key shuffle of the item universe,
+  // ever. Exact when a slice has fewer than k distinct items (the
+  // sketch IS the hash set); (k−1)/θ-style estimation beyond
+  // (σ ≈ n/√(k−2)). All hashes come from the shared md5 family, so the
+  // DuckDB oracle rebuilds identical sketches via ORDER BY h LIMIT k.
+  // --------------------------------------------------------------------
+
+  /** Build the bottom-k sketch of `itemCol` (one-row DataFrame with the
+    * sorted-ascending `kmv` hash array). Requires a GraftSession. */
+  def kmvSketch(df: DataFrame, itemCol: Column, k: Int): DataFrame =
+    df.agg(call_function("graft_kmv", itemCol, lit(k)).as("kmv"))
+
+  /** Sampling threshold θ of a sketch: the largest retained hash when the
+    * sketch is full, else P (the slice's full hash set is present). */
+  def kmvTheta(s: Column, k: Int): Column =
+    when(size(s) < k, lit(TextHash.P)).otherwise(element_at(s, size(s)))
+
+  /** Distinct-count estimate of one sketch: exact below k, else the
+    * classic KMV estimator (k−1)·P / h₍k₎. */
+  def kmvDistinct(s: Column, k: Int): Column =
+    when(size(s) < k, size(s).cast("double"))
+      .otherwise((lit((k - 1).toDouble) * lit(TextHash.P.toDouble)) /
+        element_at(s, lit(k)).cast("double"))
+
+  /** Cross-slice overlap from two sketches: struct(est_inter, est_union,
+    * jaccard). Composition rule: θ = min(θa, θb); hashes below θ form a
+    * uniform P/θ-rate sample of EACH slice's distinct items, so the
+    * sampled intersection/union scale by P/θ. Jaccard is the sampled
+    * ratio (null when both slices are empty). Exact when both slices
+    * stayed under k. */
+  def kmvOverlap(a: Column, b: Column, k: Int): Column = {
+    val theta = least(kmvTheta(a, k), kmvTheta(b, k))
+    val sa = filter(a, h => h < theta)
+    val sb = filter(b, h => h < theta)
+    val c = size(array_intersect(sa, sb))
+    val u = size(array_union(sa, sb))
+    val scale = lit(TextHash.P.toDouble) / theta.cast("double")
+    struct(
+      (c.cast("double") * scale).as("est_inter"),
+      (u.cast("double") * scale).as("est_union"),
+      (c.cast("double") / u.cast("double")).as("jaccard"))
+  }
+
   /** Estimated count for each row of `candidates`: `min_i cms[i·w +
     * bucket_i(item)]`. The sketch (one row) broadcasts; the candidate
     * side stays narrow — no join on the item universe anywhere. */

@@ -108,6 +108,13 @@ object GraftExtensions {
         require(children.size == 3, "graft_cms(item, d, w) takes three arguments")
         CmsAggregate(children.head, children(1), children(2))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[KmvAggregate].getName, "graft_kmv"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_kmv(item, k) takes two arguments")
+        KmvAggregate(children.head, children(1))
+      }))
     // plan rewrite: window row_number-top-k → bounded graft_topk aggregate
     ext.injectOptimizerRule(_ => TopKWindowRewrite)
     // physical operator: AsOfJoinNode → AsOfJoinExec (sorted streaming merge)

@@ -260,6 +260,32 @@ object Ext {
         .orderBy(col("exact_n").desc, col("bigram").asc)
     }),
 
+    "ext_kmv_overlap" -> ((s, dir) => {
+      // cross-slice distinct overlap ("how many documents do two crawls
+      // share") from two bottom-k theta sketches: each slice folds into
+      // 64 longs (graft_kmv, partial-agg mergeable), then distinct /
+      // intersection / union / Jaccard estimates are pure expression
+      // arithmetic over the two one-row sketches — no distinct-key
+      // shuffle of the document universe on either side
+      val docs = t(s, dir, "documents")
+      val k = 64
+      val a = Sketches.kmvSketch(
+        docs.where(col("doc_id") % 2 === 0), col("text"), k)
+        .select(col("kmv").as("a"))
+      val b = Sketches.kmvSketch(
+        docs.where(col("doc_id") % 3 === 0), col("text"), k)
+        .select(col("kmv").as("b"))
+      a.crossJoin(b)
+        .select(
+          Sketches.kmvDistinct(col("a"), k).as("est_a"),
+          Sketches.kmvDistinct(col("b"), k).as("est_b"),
+          Sketches.kmvOverlap(col("a"), col("b"), k).as("o"))
+        .select(col("est_a"), col("est_b"),
+          col("o.est_inter").as("est_inter"),
+          col("o.est_union").as("est_union"),
+          col("o.jaccard").as("jaccard"))
+    }),
+
     "ext_contamination" -> ((s, dir) => {
       // benchmark contamination: training-corpus docs whose whitespace-
       // normalized text exactly matches an eval-set document. Fingerprint
@@ -1234,6 +1260,41 @@ object Ext {
          |SELECT e.bigram, e.exact_n, $lookups AS cms_n
          |FROM exact e
          |ORDER BY e.exact_n DESC, e.bigram ASC""".stripMargin
+    },
+
+    "ext_kmv_overlap" -> {
+      val k = 64
+      val p = TextHash.P
+      // bottom-k per slice via ORDER BY hash LIMIT k over distinct
+      // hashes — the sketch the aggregate builds, rebuilt relationally;
+      // estimator arithmetic mirrors Sketches.kmvDistinct/kmvOverlap's
+      // pinned double shapes
+      def kcte(name: String, pred: String) =
+        s"""$name AS (SELECT h FROM (
+           |  SELECT DISTINCT ${TextHash.hmodSql("text")} AS h
+           |  FROM documents WHERE $pred) ORDER BY h LIMIT $k)""".stripMargin
+      s"""WITH ${kcte("ka", "doc_id % 2 = 0")},
+         |${kcte("kb", "doc_id % 3 = 0")},
+         |sa AS (SELECT COUNT(*) AS n, MAX(h) AS mx FROM ka),
+         |sb AS (SELECT COUNT(*) AS n, MAX(h) AS mx FROM kb),
+         |th AS (SELECT LEAST(CASE WHEN sa.n < $k THEN $p ELSE sa.mx END,
+         |                    CASE WHEN sb.n < $k THEN $p ELSE sb.mx END) AS th
+         |       FROM sa CROSS JOIN sb),
+         |cu AS (SELECT
+         |    (SELECT COUNT(*) FROM ka JOIN kb USING (h) CROSS JOIN th WHERE h < th) AS c,
+         |    (SELECT COUNT(*) FROM (SELECT h FROM ka UNION SELECT h FROM kb) x
+         |       CROSS JOIN th WHERE h < th) AS u)
+         |SELECT
+         |  CASE WHEN sa.n < $k THEN CAST(sa.n AS DOUBLE)
+         |       ELSE (CAST(${k - 1} AS DOUBLE) * CAST($p AS DOUBLE)) / CAST(sa.mx AS DOUBLE)
+         |  END AS est_a,
+         |  CASE WHEN sb.n < $k THEN CAST(sb.n AS DOUBLE)
+         |       ELSE (CAST(${k - 1} AS DOUBLE) * CAST($p AS DOUBLE)) / CAST(sb.mx AS DOUBLE)
+         |  END AS est_b,
+         |  CAST(cu.c AS DOUBLE) * (CAST($p AS DOUBLE) / CAST(th.th AS DOUBLE)) AS est_inter,
+         |  CAST(cu.u AS DOUBLE) * (CAST($p AS DOUBLE) / CAST(th.th AS DOUBLE)) AS est_union,
+         |  CAST(cu.c AS DOUBLE) / CAST(cu.u AS DOUBLE) AS jaccard
+         |FROM sa CROSS JOIN sb CROSS JOIN th CROSS JOIN cu""".stripMargin
     },
 
     "ext_contamination" ->

@@ -468,6 +468,25 @@ object ScaleSmoke {
         s"unknown-token docs must score worse: ${r.getDouble(1)} vs ${r.getDouble(2)}")
     }
 
+    // 27a. KMV cross-slice overlap at 30M×30M distinct items: each slice
+    // folds into a 4096-long bottom-k sketch (partial-agg, no distinct
+    // shuffle anywhere), then intersect/union/Jaccard are expression
+    // arithmetic over two one-row sketches. Truth: |A∩B|=10M, |A∪B|=50M.
+    time("kmv overlap 30Mx30M items (k=4096)") {
+      val kk = 4096
+      val mk = (lo: Long, hi: Long) => graft.ext.Sketches.kmvSketch(
+        spark.range(lo, hi, 1, 64).select(concat(lit("it"), col("id")).as("t")),
+        col("t"), kk)
+      val r = mk(0L, 30000000L).select(col("kmv").as("a"))
+        .crossJoin(mk(20000000L, 50000000L).select(col("kmv").as("b")))
+        .select(graft.ext.Sketches.kmvOverlap(col("a"), col("b"), kk).as("o"))
+        .select(col("o.est_inter"), col("o.est_union")).first()
+      assert(math.abs(r.getDouble(0) - 1e7) / 1e7 < 0.1,
+        s"inter estimate off: ${r.getDouble(0)}")
+      assert(math.abs(r.getDouble(1) - 5e7) / 5e7 < 0.1,
+        s"union estimate off: ${r.getDouble(1)}")
+    }
+
     // 27b. Kneser-Ney trigram at the same 10M docs: four trigram-stream
     // partial aggs train the five tables off the ~1M-doc slice (vocab
     // bounded by the generator), then ~80M trigrams probe five broadcast

@@ -188,6 +188,19 @@ class PlanSpec extends AnyFunSuite {
       "per-doc log-prob sum must combine map-side before the shuffle")
   }
 
+  test("kmv overlap: partial sketch fold, no distinct shuffle of the corpus") {
+    val p = plan("ext_kmv_overlap")
+    assert(p.toLowerCase.contains("partial_graft_kmv"),
+      "the bottom-k sketch must fold map-side like any partial aggregate")
+    assert(!p.contains("hashpartitioning(text"),
+      s"neither slice may shuffle on the item — the sketch IS the synopsis:\n$p")
+    assert(!analyzed("ext_kmv_overlap").contains("Window"))
+    // the only join is the one-row × one-row sketch cross — never a keyed
+    // join of corpus-sized sides
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"sketch composition must not plan a keyed corpus join:\n$p")
+  }
+
   test("kneser-ney: five broadcast probes, no window, per-doc agg is partial") {
     val p = plan("ext_lm_kneser_ney")
     assert(!analyzed("ext_lm_kneser_ney").contains("Window"),
