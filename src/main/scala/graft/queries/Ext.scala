@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Boilerplate, Bpe, Dedup, LanguageModel, Sampling, Similarity, Sketches, TextHash, TextStats}
+import graft.ext.{Boilerplate, Bpe, Dedup, LanguageModel, NaiveBayes, Sampling, Similarity, Sketches, TextHash, TextStats}
 import graft.ops.{AsOfJoin, Profile}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -258,6 +258,21 @@ object Ext {
       val sketch = Sketches.cmsSketch(grams, col("bigram"), d = 4, w = 4096)
       Sketches.cmsEstimate(exact, col("bigram"), sketch, d = 4, w = 4096)
         .orderBy(col("exact_n").desc, col("bigram").asc)
+    }),
+
+    "ext_nb_confusion" -> ((s, dir) => {
+      // hashed-feature multinomial Naive Bayes (fastText-class domain
+      // classifier): train per-source log-probs on the doc_id%3 labeled
+      // slice (dense smoothed C×B model, quantized at training), classify
+      // every document by integer argmax, cross-tabulate vs true source.
+      // Prediction is exact-replayable: integers all the way after the
+      // table build.
+      NaiveBayes.confusion(
+        t(s, dir, "documents").select("doc_id", "text", "source"),
+        t(s, dir, "documents").where(col("doc_id") % 3 === 0)
+          .select("doc_id", "text", "source"),
+        "text", "source", "doc_id", buckets = 1000, alpha = 1.0)
+        .orderBy("actual", "predicted")
     }),
 
     "ext_kmv_overlap" -> ((s, dir) => {
@@ -1260,6 +1275,40 @@ object Ext {
          |SELECT e.bigram, e.exact_n, $lookups AS cms_n
          |FROM exact e
          |ORDER BY e.exact_n DESC, e.bigram ASC""".stripMargin
+    },
+
+    "ext_nb_confusion" -> {
+      val b = 1000
+      def q(x: String) = s"CAST(round(ln($x) * 1e9) AS BIGINT)"
+      s"""WITH feats AS (
+         |  SELECT doc_id, unnest(${graft.ext.Dsir.featureBucketsSql("text", b)}) AS b
+         |  FROM documents),
+         |lab AS (SELECT doc_id, source FROM documents WHERE doc_id % 3 = 0),
+         |rf AS (SELECT lab.source AS label, f.b AS b
+         |       FROM feats f JOIN lab ON lab.doc_id = f.doc_id),
+         |counts AS (SELECT label, b, COUNT(*) AS n FROM rf GROUP BY label, b),
+         |nc AS (SELECT label, SUM(n) AS nc FROM counts GROUP BY label),
+         |grid AS (SELECT nc.label AS label, nc.nc AS nc, g.b AS b
+         |         FROM nc CROSS JOIN (SELECT unnest(range(0, $b)) AS b) g),
+         |model AS (
+         |  SELECT grid.label, grid.b,
+         |    ${q(s"(COALESCE(CAST(n AS DOUBLE), 0.0) + 1.0) / (CAST(nc AS DOUBLE) + ${1.0 * b})")} AS lpq
+         |  FROM grid LEFT JOIN counts ON counts.label = grid.label AND counts.b = grid.b),
+         |dc AS (SELECT source AS label, COUNT(*) AS docs FROM lab GROUP BY source),
+         |pri AS (SELECT label,
+         |          ${q("CAST(docs AS DOUBLE) / CAST((SELECT SUM(docs) FROM dc) AS DOUBLE)")} AS lpq_prior
+         |        FROM dc),
+         |sc AS (SELECT f.doc_id, m.label, SUM(m.lpq) AS s
+         |       FROM feats f JOIN model m ON m.b = f.b GROUP BY f.doc_id, m.label),
+         |tot AS (SELECT sc.doc_id, sc.label, sc.s + pri.lpq_prior AS score
+         |        FROM sc JOIN pri ON pri.label = sc.label),
+         |pred AS (SELECT doc_id, label FROM (
+         |  SELECT doc_id, label,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label ASC) AS rn
+         |  FROM tot) WHERE rn = 1)
+         |SELECT d.source AS actual, p.label AS predicted, COUNT(*) AS n
+         |FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+         |GROUP BY actual, predicted ORDER BY actual, predicted""".stripMargin
     },
 
     "ext_kmv_overlap" -> {

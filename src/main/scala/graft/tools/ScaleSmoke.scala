@@ -468,6 +468,29 @@ object ScaleSmoke {
         s"unknown-token docs must score worse: ${r.getDouble(1)} vs ${r.getDouble(2)}")
     }
 
+    // 27c. Naive Bayes at 10M docs: train a 4-class model on a 1M labeled
+    // slice (one feature-stream partial agg + C·B densification), then
+    // classify all 10M docs — feature explode × C=4 broadcast fan-out,
+    // two partial-agg shuffles, integer argmax. Class vocabularies are
+    // disjoint by construction, so accuracy must be 100%.
+    time("naive bayes classify 10M docs (4 classes)") {
+      val nb = spark.range(0, 10000000L, 1, 128)
+        .select(col("id").as("doc_id"), (col("id") % 4).cast("string").as("cls"),
+          concat_ws(" ", (0 until 8).map(i =>
+            concat(lit("c"), col("id") % 4, lit("w"),
+              pmod(col("id") + i, lit(997)))): _*).as("text"))
+      val (model, priors) = graft.ext.NaiveBayes.train(
+        nb.where(col("doc_id") < 1000000L), "text", "cls", buckets = 4096)
+      val pred = graft.ext.NaiveBayes.classify(
+        nb, model, priors, "text", "doc_id", buckets = 4096)
+      val r = pred.join(nb.select("doc_id", "cls"), "doc_id")
+        .agg(count(lit(1)), sum(when(col("label") === col("cls"), 1L).otherwise(0L)))
+        .first()
+      assert(r.getLong(0) == 10000000L, s"every doc classified: ${r.getLong(0)}")
+      assert(r.getLong(1) == 10000000L,
+        s"disjoint vocabularies must classify perfectly: ${r.getLong(1)}")
+    }
+
     // 27a. KMV cross-slice overlap at 30M×30M distinct items: each slice
     // folds into a 4096-long bottom-k sketch (partial-agg, no distinct
     // shuffle anywhere), then intersect/union/Jaccard are expression

@@ -188,6 +188,19 @@ class PlanSpec extends AnyFunSuite {
       "per-doc log-prob sum must combine map-side before the shuffle")
   }
 
+  test("naive bayes: broadcast model probe, min-struct argmax, no window") {
+    val p = plan("ext_nb_confusion")
+    assert(!analyzed("ext_nb_confusion").contains("Window"),
+      "the argmax must be a min-of-struct fold, never a window")
+    assert(p.contains("BroadcastHashJoin"),
+      "the dense C×B model and priors must probe as broadcast hash joins")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian product in the NB plan:\n$p")
+    assert(p.toLowerCase.contains("partial_sum") &&
+      p.toLowerCase.contains("partial_min"),
+      "both scoring aggregations must combine map-side")
+  }
+
   test("kmv overlap: partial sketch fold, no distinct shuffle of the corpus") {
     val p = plan("ext_kmv_overlap")
     assert(p.toLowerCase.contains("partial_graft_kmv"),
