@@ -183,4 +183,84 @@ object Sampling {
       .withColumn(binCol, floor(col("__graft_pack_cum") / lit(windowTokens)).cast("long"))
       .drop(pid, mono, "__graft_pack_cum")
   }
+
+  /** Finer-grained die roll for mixture realization: salted per-row hash
+    * in [0, 1e6) — parts-per-million, so a fractional epoch rate is
+    * honored to 1e-6 rather than [[pctHash]]'s percent granularity. */
+  def ppmHash(idCol: Column, salt: String): Column =
+    TextHash.hmod(concat(idCol.cast("string"), lit(":" + salt))) % 1000000L
+
+  /** SQL fragment mirror of [[ppmHash]]. */
+  def ppmHashSql(idE: String, salt: String): String =
+    s"(${TextHash.hmodSql(s"($idE :: VARCHAR || ':$salt')")} % 1000000)"
+
+  /** Mixture PLAN (the Llama-class "domain weights → epochs" table):
+    * given per-source integer weight PARTS (target share = parts/Σparts —
+    * integers, so the plan is exact in any engine; no float weight sums)
+    * and a total token `budget`, compute per source
+    *
+    *   target_tokens = budget·parts / Σparts        (integer division)
+    *   epochs        = target_tokens / avail_tokens (full passes)
+    *   frac_ppm      = remainder·1e6 / avail_tokens (partial-pass rate)
+    *
+    * — all bigint arithmetic, no doubles anywhere. A source with
+    * avail ≥ target repeats 0 times and samples down; a small prized
+    * source (books, wiki) gets epochs ≥ 1 plus a fractional pass — the
+    * published pretraining posture for upsampling curated domains.
+    *
+    * `weights` is (sourceCol, "parts"); sources absent from it get no
+    * budget (dropped). One partial-agg pass over the corpus for
+    * avail_tokens; everything else is arithmetic on the source-count
+    * table. Per-source avail_tokens must stay below ~9e12 (the ppm
+    * numerator is computed in int64). */
+  def mixturePlan(
+      corpus: DataFrame,
+      sourceCol: String,
+      tokenCol: String,
+      weights: DataFrame,
+      budget: Long
+  ): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val avail = corpus.groupBy(col(sourceCol))
+      .agg(sum(col(tokenCol).cast("long")).as("avail_tokens"))
+    val total = weights.agg(sum(col("parts").cast("long")).as("__tp"))
+    // `div` (IntegralDivide), never `/`: Spark's `/` on longs is DOUBLE
+    // division, which can round up across an integer boundary before a
+    // floor/cast — the plan must be exact int64 end to end
+    avail.join(weights, sourceCol)
+      .crossJoin(broadcast(total))
+      .withColumn("target_tokens",
+        expr(s"CAST($budget AS BIGINT) * CAST(parts AS BIGINT) div __tp"))
+      .withColumn("epochs", expr("target_tokens div avail_tokens"))
+      .withColumn("frac_ppm",
+        expr("((target_tokens % avail_tokens) * 1000000) div avail_tokens"))
+      .select(col(sourceCol), col("avail_tokens"), col("parts"),
+        col("target_tokens"), col("epochs"), col("frac_ppm"))
+  }
+
+  /** REALIZE a [[mixturePlan]]: every doc of a source repeats once per
+    * full epoch (`epoch` = 0..epochs−1) plus one more copy in the partial
+    * pass (`epoch` = epochs) iff its salted ppm-hash clears `frac_ppm` —
+    * deterministic row-by-row, so reruns and engines agree exactly.
+    * Expected realized tokens per source = target_tokens (the fractional
+    * draw is per-doc, exact in expectation — the standard posture; exact-
+    * token realization would need a pack-style running sum instead).
+    * Scale shape: the plan broadcasts; the corpus is scanned once and
+    * exploded only by its own epoch count — no shuffle. */
+  def mixtureRealize(
+      corpus: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      plan: DataFrame,
+      salt: String = "mix"
+  ): DataFrame = {
+    val planCols = plan.select(col(sourceCol), col("epochs"), col("frac_ppm"))
+    corpus.join(broadcast(planCols), sourceCol)
+      .select(corpus.columns.map(col) :+
+        explode(concat(
+          when(col("epochs") > 0, sequence(lit(0L), col("epochs") - 1))
+            .otherwise(array().cast("array<bigint>")),
+          when(ppmHash(col(idCol), salt) < col("frac_ppm"), array(col("epochs")))
+            .otherwise(array().cast("array<bigint>")))).as("epoch"): _*)
+  }
 }

@@ -260,6 +260,23 @@ object Ext {
         .orderBy(col("exact_n").desc, col("bigram").asc)
     }),
 
+    "ext_mixture_epochs" -> ((s, dir) => {
+      // Llama-class mixture plan + realization: integer-exact per-source
+      // target/epochs/frac_ppm from weight parts (short source names get
+      // 1 part, long get 3 — a stand-in for curated-domain upweighting),
+      // then each doc repeats per full epoch + a deterministic ppm-hash
+      // fractional pass. Output: realized (source, epoch) row counts.
+      val docs = t(s, dir, "documents").select("doc_id", "source", "n_chars")
+      val weights = docs.select("source").distinct()
+        .select(col("source"),
+          when(length(col("source")) === 4, 1L).otherwise(3L).as("parts"))
+      val plan = Sampling.mixturePlan(docs, "source", "n_chars", weights,
+        budget = 2000000L)
+      Sampling.mixtureRealize(docs, "source", "doc_id", plan)
+        .groupBy("source", "epoch").agg(count(lit(1)).as("n"))
+        .orderBy("source", "epoch")
+    }),
+
     "ext_nb_confusion" -> ((s, dir) => {
       // hashed-feature multinomial Naive Bayes (fastText-class domain
       // classifier): train per-source log-probs on the doc_id%3 labeled
@@ -1276,6 +1293,27 @@ object Ext {
          |FROM exact e
          |ORDER BY e.exact_n DESC, e.bigram ASC""".stripMargin
     },
+
+    "ext_mixture_epochs" ->
+      s"""WITH av AS (SELECT source, SUM(n_chars) AS avail FROM documents GROUP BY source),
+         |w AS (SELECT source, CASE WHEN length(source) = 4 THEN 1 ELSE 3 END AS parts
+         |      FROM (SELECT DISTINCT source FROM documents)),
+         |tp AS (SELECT SUM(parts) AS tp FROM w),
+         |plan AS (SELECT av.source AS source, avail,
+         |           (CAST(2000000 AS BIGINT) * parts) // tp AS target
+         |         FROM av JOIN w ON w.source = av.source CROSS JOIN tp),
+         |p2 AS (SELECT source, avail, target,
+         |         CAST(target // avail AS BIGINT) AS epochs,
+         |         CAST(((target % avail) * 1000000) // avail AS BIGINT) AS frac
+         |       FROM plan),
+         |em AS (SELECT d.source AS source, unnest(range(p.epochs)) AS epoch
+         |       FROM documents d JOIN p2 p ON p.source = d.source
+         |       UNION ALL
+         |       SELECT d.source, p.epochs AS epoch
+         |       FROM documents d JOIN p2 p ON p.source = d.source
+         |       WHERE ${Sampling.ppmHashSql("d.doc_id", "mix")} < p.frac)
+         |SELECT source, CAST(epoch AS BIGINT) AS epoch, COUNT(*) AS n
+         |FROM em GROUP BY source, epoch ORDER BY source, epoch""".stripMargin,
 
     "ext_nb_confusion" -> {
       val b = 1000

