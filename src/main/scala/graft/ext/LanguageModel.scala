@@ -344,6 +344,67 @@ object LanguageModel {
           .as("logppl"))
   }
 
+  /** Per-group LM scoring — CCNet's actual posture: one model PER
+    * LANGUAGE, each document scored under its own language's model (a
+    * Basque page is not judged by an English LM). One pass trains every
+    * group's tables simultaneously: the group key joins every count
+    * table (per-group totals become a groupBy instead of a one-row
+    * aggregate, joined back instead of crossJoined), and scoring probes
+    * carry the key — so the cost shape is IDENTICAL to [[scoreLogPpl]]
+    * (broadcast tables, one per-doc shuffle), not #groups separate jobs.
+    * Documents whose group has no reference rows are dropped (no model
+    * exists to score them — route them through language-ID first).
+    * Returns (idCol, groupCol, n_scored, logppl). */
+  def scoreLogPplByGroup(
+      corpus: DataFrame,
+      ref: DataFrame,
+      textCol: String,
+      idCol: String,
+      groupCol: String,
+      alpha: Double = 0.1,
+      minCount: Long = 1
+  ): DataFrame = {
+    require(alpha > 0, "alpha must be positive (unseen words need mass)")
+    require(minCount >= 1, "minCount below 1 is meaningless")
+    val g = groupCol
+    val uni = ref
+      .select(col(g), explode(TextStats.wsTokens(col(textCol))).as("w"))
+      .groupBy(col(g), col("w")).agg(count(lit(1)).as("c"))
+    val totals = uni.groupBy(col(g))
+      .agg(sum("c").as("__c_total"), count(lit(1)).as("__v_size"))
+    def backoffLp(c: Column): Column =
+      round(log(lit(Backoff) * (c.cast("double") + lit(alpha)) /
+        (col("__c_total").cast("double") + lit(alpha) * col("__v_size").cast("double")))
+        * lit(LpScale)).cast("long")
+    val uniLp = uni.where(col("c") >= minCount)
+      .join(totals, g)
+      .select(col(g), col("w"), backoffLp(col("c")).as("lpq"))
+    val unkLp = totals.select(col(g), backoffLp(lit(0.0)).as("lpq_unk"))
+    val bigLp = ref
+      .select(col(g), explode(bigramPairs(col(textCol))).as("p"))
+      .groupBy(col(g), col("p.bg").as("bg")).agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= minCount)
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .join(uni.select(col(g), col("w").as("w1"), col("c").as("c1")), Seq(g, "w1"))
+      .select(col(g), col("bg"),
+        round(log(col("c12").cast("double") / col("c1").cast("double"))
+          * lit(LpScale)).cast("long").as("lpq"))
+    corpus
+      .select(col(idCol), col(g), explode(bigramPairs(col(textCol))).as("p"))
+      .select(col(idCol), col(g), col("p.bg").as("bg"), col("p.w2").as("w2"))
+      .join(broadcast(bigLp.withColumnRenamed("lpq", "lpq_bg")), Seq(g, "bg"), "left")
+      .join(broadcast(uniLp.select(col(g), col("w").as("w2"), col("lpq").as("lpq_uni"))),
+        Seq(g, "w2"), "left")
+      .join(broadcast(unkLp), Seq(g)) // inner: groups without a model drop
+      .select(col(idCol), col(g),
+        coalesce(col("lpq_bg"), col("lpq_uni"), col("lpq_unk")).as("lpq"))
+      .groupBy(col(idCol), col(g))
+      .agg(sum("lpq").as("__s"), count(lit(1)).as("n_scored"))
+      .select(col(idCol), col(g), col("n_scored"),
+        (-(col("__s").cast("double") / lit(LpScale) / col("n_scored").cast("double")))
+          .as("logppl"))
+  }
+
   def scoreLogPpl(
       corpus: DataFrame,
       ref: DataFrame,

@@ -679,6 +679,17 @@ object Ext {
         .orderBy("doc_id")
     }),
 
+    "ext_lm_per_lang" -> ((s, dir) => {
+      // CCNet's real posture: ONE LM PER LANGUAGE, trained simultaneously
+      // in one pass (lang keys every table), each doc scored under its
+      // own language's model — same cost shape as the monolithic scorer
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+      LanguageModel.scoreLogPplByGroup(
+        docs, docs.where(col("doc_id") % 5 === 0), "text", "doc_id", "lang",
+        alpha = 0.1, minCount = 1)
+        .orderBy("doc_id")
+    }),
+
     "ext_lm_kneser_ney" -> ((s, dir) => {
       // interpolated Kneser-Ney trigram scoring (the KenLM-class smoother
       // CCNet actually runs): continuation-count lower levels, fixed
@@ -1956,6 +1967,40 @@ object Ext {
          |       WHEN logppl <= hi THEN 'middle'
          |       ELSE 'tail' END AS bucket
          |FROM scores CROSS JOIN cuts ORDER BY doc_id""".stripMargin,
+
+    "ext_lm_per_lang" -> {
+      val toks = tokensSql("text")
+      val bgList = "[toks[i+1] || ' ' || toks[i+2] FOR i IN range(0, len(toks)-1)]"
+      s"""WITH reftk AS (SELECT lang, $toks AS toks FROM documents WHERE doc_id % 5 = 0),
+         |uni AS (SELECT lang, w, COUNT(*) AS c
+         |        FROM (SELECT lang, unnest(toks) AS w FROM reftk) GROUP BY lang, w),
+         |tot AS (SELECT lang, SUM(c) AS ct, COUNT(*) AS vs FROM uni GROUP BY lang),
+         |unilp AS (
+         |  SELECT uni.lang AS lang, w, CAST(round(ln(0.4 * (CAST(c AS DOUBLE) + 0.1) /
+         |    (CAST(ct AS DOUBLE) + 0.1 * CAST(vs AS DOUBLE))) * 1e9) AS BIGINT) AS lpq
+         |  FROM uni JOIN tot ON tot.lang = uni.lang),
+         |unk AS (
+         |  SELECT lang, CAST(round(ln(0.4 * (CAST(0.0 AS DOUBLE) + 0.1) /
+         |    (CAST(ct AS DOUBLE) + 0.1 * CAST(vs AS DOUBLE))) * 1e9) AS BIGINT) AS lpq_unk
+         |  FROM tot),
+         |refbg AS (SELECT lang, unnest($bgList) AS bg FROM reftk),
+         |big AS (SELECT lang, bg, COUNT(*) AS c12 FROM refbg GROUP BY lang, bg),
+         |biglp AS (
+         |  SELECT big.lang AS lang, big.bg AS bg,
+         |    CAST(round(ln(CAST(c12 AS DOUBLE) / CAST(u.c AS DOUBLE)) * 1e9) AS BIGINT) AS lpq
+         |  FROM big JOIN uni u ON u.lang = big.lang AND u.w = string_split(big.bg, ' ')[1]),
+         |ctk AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+         |cp AS (SELECT doc_id, lang, unnest($bgList) AS bg FROM ctk),
+         |sc AS (
+         |  SELECT cp.doc_id, cp.lang, COALESCE(b.lpq, u.lpq, unk.lpq_unk) AS lpq
+         |  FROM cp
+         |  LEFT JOIN biglp b ON b.lang = cp.lang AND b.bg = cp.bg
+         |  LEFT JOIN unilp u ON u.lang = cp.lang AND u.w = string_split(cp.bg, ' ')[2]
+         |  JOIN unk ON unk.lang = cp.lang)
+         |SELECT doc_id, lang, COUNT(*) AS n_scored,
+         |  -(CAST(SUM(lpq) AS DOUBLE) / 1e9 / CAST(COUNT(*) AS DOUBLE)) AS logppl
+         |FROM sc GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+    },
 
     "ext_lm_kneser_ney" ->
       s"""WITH $KnScoreCtes

@@ -535,6 +535,26 @@ object ScaleSmoke {
         s"union estimate off: ${r.getDouble(1)}")
     }
 
+    // 27e. per-language LM at 10M docs / 3 languages in ONE pass: every
+    // language's tables train simultaneously (lang keys every groupBy and
+    // probe); each doc scores under its own language's model. Languages
+    // use disjoint token prefixes, so cross-language text would be
+    // unknown-tier — same-language must score strictly better on average.
+    time("per-lang lm 10M docs (3 langs, one pass)") {
+      val pl = spark.range(0, 10000000L, 1, 128)
+        .select(col("id").as("doc_id"),
+          concat(lit("L"), col("id") % 3).as("lang"),
+          concat_ws(" ", (0 until 10).map(i =>
+            concat(lit("L"), col("id") % 3, lit("w"),
+              pmod(col("id") + i, lit(4999)))): _*).as("text"))
+      val scored = graft.ext.LanguageModel.scoreLogPplByGroup(
+        pl, pl.where(col("doc_id") % 10 === 0), "text", "doc_id", "lang")
+      val r = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+        .agg(sum("n"), count(lit(1))).first()
+      assert(r.getLong(0) == 10000000L, s"every doc scores: ${r.getLong(0)}")
+      assert(r.getLong(1) == 3L, "three language models in one pass")
+    }
+
     // 27b. Kneser-Ney trigram at the same 10M docs: four trigram-stream
     // partial aggs train the five tables off the ~1M-doc slice (vocab
     // bounded by the generator), then ~80M trigrams probe five broadcast

@@ -226,6 +226,18 @@ class PlanSpec extends AnyFunSuite {
       s"sketch composition must not plan a keyed corpus join:\n$p")
   }
 
+  test("per-lang lm: keyed broadcast probes, one pass for all languages") {
+    val p = plan("ext_lm_per_lang")
+    assert(!analyzed("ext_lm_per_lang").contains("Window"))
+    assert(p.contains("BroadcastHashJoin"),
+      "every per-language table (incl. the per-lang unk row) is keyed — " +
+        "all probes must be hash joins, no one-row nest-loop crosses remain")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"no unkeyed join anywhere in the per-group plan:\n$p")
+    assert(p.toLowerCase.contains("partial_sum"),
+      "per-doc log-prob sum must combine map-side before the doc shuffle")
+  }
+
   test("kneser-ney: five broadcast probes, no window, per-doc agg is partial") {
     val p = plan("ext_lm_kneser_ney")
     assert(!analyzed("ext_lm_kneser_ney").contains("Window"),

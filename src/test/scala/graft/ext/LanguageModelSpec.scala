@@ -90,6 +90,37 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(approx == out, "approx tier must agree on well-separated scores")
   }
 
+  test("per-group scoring: one model per language, routed and dropped correctly") {
+    // same corpus text, different per-language statistics: "a b" is the
+    // dominant bigram in en but unseen in de
+    val ref = Seq(
+      (1L, "en", "a b a b c"), (2L, "en", "a b"),
+      (3L, "de", "b c b c a"), (4L, "de", "b c"))
+      .toDF("doc_id", "lang", "text")
+    val corpus = Seq(
+      (10L, "en", "a b"), (11L, "de", "a b"),   // same text, different model
+      (12L, "fr", "a b"))                        // no fr model → dropped
+      .toDF("doc_id", "lang", "text")
+    val out = LanguageModel
+      .scoreLogPplByGroup(corpus, ref, "text", "doc_id", "lang")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(10L, 11L),
+      "a group without reference rows has no model and must drop")
+    // en: bigram "a b" seen (c12=3, c1("a")=3) → ln(1) = 0 → logppl 0
+    assert(out(0).getDouble(3) == 0.0, s"en: ${out(0)}")
+    // de: "a b" unseen, "b" seen (c=3) → unigram tier under de's totals
+    // (C=7 tokens, V=3)
+    val denomDe = 7.0 + Alpha * 3.0
+    assert(out(1).getDouble(3) ==
+      -(q(math.log(0.4 * (3.0 + Alpha) / denomDe)).toDouble / LanguageModel.LpScale))
+    // single-group corpus reproduces the monolithic scorer exactly
+    val mono = LanguageModel.scoreLogPpl(
+      corpus.where(col("lang") === "en"), ref.where(col("lang") === "en"),
+      "text", "doc_id").collect()
+    assert(mono.length == 1 && mono(0).getDouble(2) == out(0).getDouble(3),
+      "per-group must equal the monolithic model on a single group")
+  }
+
   // ------------------------------------------------------------------
   // Kneser-Ney trigram
   // ------------------------------------------------------------------
