@@ -295,4 +295,123 @@ class RandomizedPropertySpec extends SparkSpec {
           s"diff=${(got diff want).take(5)} vs ${(want diff got).take(5)}")
     }
   }
+
+  test("property: graft_kmv == k smallest distinct hashes; overlap == formula") {
+    import spark.implicits._
+    import graft.ext.{Sketches, TextHash}
+    val rnd = new Random(9090)
+    def h(s: String): Long = graft.plans.MinHashNative.hash60(s) % TextHash.P
+    for (trial <- 0 until 4) {
+      val k = Seq(4, 16, 64, 256)(trial)
+      val nA = 10 + rnd.nextInt(400)
+      val nB = 10 + rnd.nextInt(400)
+      // overlapping id ranges with duplicates mixed in
+      val aItems = (0 until nA).map(i => s"it-${rnd.nextInt(300)}")
+      val bItems = (0 until nB).map(i => s"it-${100 + rnd.nextInt(300)}")
+      val sa = Sketches.kmvSketch(aItems.map(Tuple1(_)).toDF("x"), col("x"), k)
+        .collect()(0).getSeq[Long](0)
+      // the sketch IS the bottom-k of the distinct hash set
+      assert(sa == aItems.map(h).distinct.sorted.take(k),
+        s"trial $trial: sketch != brute bottom-$k")
+      val sb = Sketches.kmvSketch(bItems.map(Tuple1(_)).toDF("x"), col("x"), k)
+        .collect()(0).getSeq[Long](0)
+      val got = Sketches.kmvSketch(aItems.map(Tuple1(_)).toDF("x"), col("x"), k)
+        .select(col("kmv").as("a"))
+        .crossJoin(Sketches.kmvSketch(bItems.map(Tuple1(_)).toDF("x"), col("x"), k)
+          .select(col("kmv").as("b")))
+        .select(Sketches.kmvOverlap(col("a"), col("b"), k).as("o"))
+        .select(col("o.est_inter"), col("o.est_union")).collect()(0)
+      // brute formula over the same sketches
+      val thetaA = if (sa.length < k) TextHash.P else sa.last
+      val thetaB = if (sb.length < k) TextHash.P else sb.last
+      val th = math.min(thetaA, thetaB)
+      val fa = sa.filter(_ < th).toSet
+      val fb = sb.filter(_ < th).toSet
+      val scale = TextHash.P.toDouble / th.toDouble
+      assert(got.getDouble(0) == (fa & fb).size.toDouble * scale, s"trial $trial inter")
+      assert(got.getDouble(1) == (fa | fb).size.toDouble * scale, s"trial $trial union")
+    }
+  }
+
+  test("property: mixture realize counts == integer plan formula per source") {
+    import spark.implicits._
+    import graft.ext.Sampling
+    val rnd = new Random(3131)
+    for (trial <- 0 until 4) {
+      val nSrc = 2 + rnd.nextInt(5)
+      val corpus = (0 until 300).map { i =>
+        (i.toLong, s"s${rnd.nextInt(nSrc)}", (1 + rnd.nextInt(50)).toLong)
+      }.toDF("doc_id", "source", "toks")
+      val weights = (0 until nSrc).map(s => (s"s$s", (1 + rnd.nextInt(9)).toLong))
+        .toDF("source", "parts")
+      val budget = 1000L + rnd.nextInt(100000)
+      val plan = Sampling.mixturePlan(corpus, "source", "toks", weights, budget)
+      val got = Sampling.mixtureRealize(corpus, "source", "doc_id", plan)
+        .groupBy("source").agg(count(lit(1))).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // brute: integer arithmetic + the same ppm hash per doc
+      val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val wts = weights.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val tp = wts.values.sum
+      val want = rows.groupBy(_._2).flatMap { case (src, ds) =>
+        val avail = ds.map(_._3).sum
+        val target = budget * wts(src) / tp
+        val epochs = target / avail
+        val frac = (target % avail) * 1000000L / avail
+        val fracN = ds.count { case (id, _, _) =>
+          graft.plans.MinHashNative.hash60(s"$id:mix") % graft.ext.TextHash.P % 1000000L < frac
+        }
+        val n = epochs * ds.length + fracN
+        if (n > 0) Some(src -> n) else None
+      }
+      assert(got == want, s"trial $trial: $got vs $want")
+    }
+  }
+
+  test("property: trainMerges == naive Sennrich reference on tiny-vocab corpora") {
+    import spark.implicits._
+    val rnd = new Random(6060)
+    def naive(words: Seq[String], numMerges: Int): Seq[(String, String)] = {
+      var vocab: Map[List[String], Long] = words.groupBy(identity)
+        .map { case (w, ws) => w.map(_.toString).toList -> ws.size.toLong }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var done = false
+      while (out.length < numMerges && !done) {
+        val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, n) =>
+          syms.sliding(2).foreach {
+            case List(a, b) => pairs((a, b)) = pairs.getOrElse((a, b), 0L) + n
+            case _ =>
+          }
+        }
+        if (pairs.isEmpty) done = true
+        else {
+          val best = pairs.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
+          out += best
+          vocab = vocab.groupBy { case (syms, _) =>
+            // left-to-right non-overlapping merge of the best pair
+            val b = scala.collection.mutable.ListBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == best._1 && syms(i + 1) == best._2) {
+                b += best._1 + best._2; i += 2
+              } else { b += syms(i); i += 1 }
+            }
+            b.toList
+          }.map { case (k, vs) => k -> vs.values.sum }
+        }
+      }
+      out.toSeq
+    }
+    for (trial <- 0 until 3) {
+      val alphabet = "abc".take(2 + rnd.nextInt(2))
+      val words = (0 until 40).map { _ =>
+        (0 until (1 + rnd.nextInt(5))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val corpus = words.grouped(8).map(g => Tuple1(g.mkString(" "))).toSeq.toDF("text")
+      val got = graft.ext.Bpe.trainMerges(corpus, "text", numMerges = 6)
+      val want = naive(words, 6)
+      assert(got == want, s"trial $trial: $got vs $want")
+    }
+  }
 }
