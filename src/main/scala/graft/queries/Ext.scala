@@ -260,6 +260,20 @@ object Ext {
         .orderBy(col("exact_n").desc, col("bigram").asc)
     }),
 
+    "ext_pagerank" -> ((s, dir) => {
+      // integer fixed-point PageRank (domain-authority signal) over the
+      // supplier→customer graph: every arithmetic step is int64 `div`,
+      // so three iterations replay bit-for-bit as unrolled SQL. Suppliers
+      // (offset node ids) only emit; customers accumulate in-degree mass
+      // and return it through the dangling redistribution.
+      val e = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") + 10000000000L).as("src"), col("o_custkey").as("dst"))
+      graft.ops.Graph.pageRank(e, "src", "dst", iterations = 3)
+        .orderBy("node")
+    }),
+
     "ext_mixture_epochs" -> ((s, dir) => {
       // Llama-class mixture plan + realization: integer-exact per-source
       // target/epochs/frac_ppm from weight parts (short source names get
@@ -1303,6 +1317,38 @@ object Ext {
          |SELECT e.bigram, e.exact_n, $lookups AS cms_n
          |FROM exact e
          |ORDER BY e.exact_n DESC, e.bigram ASC""".stripMargin
+    },
+
+    "ext_pagerank" -> {
+      // unrolled integer recurrence, one CTE triple per iteration —
+      // every step mirrors Graph.pageRank's `div` shapes exactly
+      val M = graft.ops.Graph.Mass
+      val d = 850000L
+      val iters = (0 until 3).map { i =>
+        s"""dang$i AS (
+           |  SELECT COALESCE(SUM(r), 0) AS dang FROM r$i
+           |  LEFT JOIN od ON od.node = r$i.node WHERE od.outdeg IS NULL),
+           |con$i AS (
+           |  SELECT e.dst AS node, SUM((r$i.r * $d // 1000000) // od.outdeg) AS cin
+           |  FROM r$i JOIN od ON od.node = r$i.node JOIN e ON e.src = r$i.node
+           |  GROUP BY e.dst),
+           |r${i + 1} AS (
+           |  SELECT nodes.node AS node,
+           |    CAST((($M * ${1000000L - d}) // 1000000) // nn.n
+           |      + COALESCE(con$i.cin, 0)
+           |      + ($d * dang$i.dang // 1000000) // nn.n AS BIGINT) AS r
+           |  FROM nodes LEFT JOIN con$i ON con$i.node = nodes.node
+           |  CROSS JOIN nn CROSS JOIN dang$i)""".stripMargin
+      }
+      s"""WITH e AS (
+         |  SELECT l_suppkey + 10000000000 AS src, o_custkey AS dst
+         |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |od AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY src),
+         |r0 AS (SELECT node, CAST($M // n AS BIGINT) AS r FROM nodes CROSS JOIN nn),
+         |${iters.mkString(",\n")}
+         |SELECT node, r AS rank_q FROM r3 ORDER BY node""".stripMargin
     },
 
     "ext_mixture_epochs" ->

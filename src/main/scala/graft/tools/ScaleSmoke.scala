@@ -468,6 +468,26 @@ object ScaleSmoke {
         s"unknown-token docs must score worse: ${r.getDouble(1)} vs ${r.getDouble(2)}")
     }
 
+    // 27f. PageRank at 20M edges / ~2M nodes, 5 rounds: per round one
+    // rank→edge join (AQE-chosen strategy), one partial-agg groupBy(dst),
+    // one node-sized outer join — lineage cut per round so plans stay
+    // O(1). Power-law-ish in-degree: dst = id % (id % 97 + 1) mod 2M
+    // concentrates mass on low ids; node 0 must finish far above median.
+    time("pagerank 20M edges, 5 rounds") {
+      val pe = spark.range(0, 20000000L, 1, 64)
+        .select((col("id") % 2000000L).as("s"),
+          (pmod(col("id") * 31L, col("id") % 97L + 1L)).as("d"))
+      val r = graft.ops.Graph.pageRank(pe, "s", "d", iterations = 5)
+      val agg = r.agg(count(lit(1)), sum("rank_q"),
+        max(when(col("node") === 0L, col("rank_q")))).first()
+      assert(agg.getLong(0) >= 2000000L, s"node count: ${agg.getLong(0)}")
+      assert(agg.getLong(1) <= graft.ops.Graph.Mass &&
+        agg.getLong(1) > graft.ops.Graph.Mass * 99L / 100L,
+        s"mass conserved up to floors: ${agg.getLong(1)}")
+      assert(agg.getLong(2) > graft.ops.Graph.Mass / 2000000L * 100L,
+        "hub node must accumulate authority")
+    }
+
     // 27d. mixture plan + realize at 50M docs / 20 sources: the plan is a
     // 20-row broadcast; realization scans the corpus once and explodes
     // each doc by its source's epoch count. Weights triple every 4th

@@ -188,6 +188,17 @@ class PlanSpec extends AnyFunSuite {
       "per-doc log-prob sum must combine map-side before the shuffle")
   }
 
+  test("pagerank: checkpointed rounds keep the plan flat, aggs partial") {
+    val p = plan("ext_pagerank")
+    // three materialized rounds later, the final plan must still be
+    // iteration-sized — the scan reads the last checkpoint, not a stacked
+    // lineage (the trainMerges plan-string-doubling lesson)
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      s"rounds must truncate lineage via checkpoint:\n${p.take(2000)}")
+    assert(!analyzed("ext_pagerank").contains("Window"))
+    assert(p.length < 100000, s"plan string must stay round-sized: ${p.length}")
+  }
+
   test("mixture realize: broadcast plan join, corpus never shuffles pre-explode") {
     val p = plan("ext_mixture_epochs")
     assert(!analyzed("ext_mixture_epochs").contains("Window"))
