@@ -313,9 +313,17 @@ object LanguageModel {
       textCol: String,
       idCol: String,
       minCount: Long = 1
+  ): DataFrame =
+    scoreKnTables(corpus, idCol, textCol, trainKneserNey(ref, textCol, minCount))
+
+  /** The shared five-probe scoring chain over a trained KN table tuple. */
+  private def scoreKnTables(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      tables: (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame)
   ): DataFrame = {
-    val (triLp, lambda2, p2Lp, lambda1, p1Lp, unkLp) =
-      trainKneserNey(ref, textCol, minCount)
+    val (triLp, lambda2, p2Lp, lambda1, p1Lp, unkLp) = tables
     corpus
       .select(col(idCol), explode(trigramTriples(col(textCol))).as("t"))
       .select(col(idCol), col("t.w1").as("w1"), col("t.w2").as("w2"),
@@ -343,6 +351,141 @@ object LanguageModel {
         (-(col("__s").cast("double") / lit(LpScale) / col("n_scored").cast("double")))
           .as("logppl"))
   }
+
+  // ---------------------------------------------------------------------
+  // MODIFIED Kneser-Ney (Chen & Goodman 1998 §2.8) — KenLM's default:
+  // instead of one fixed discount per level, THREE discounts D1/D2/D3+
+  // per level, estimated from that level's count-of-count statistics
+  //
+  //   Y = n1/(n1 + 2·n2)
+  //   D1 = 1 − 2Y·n2/n1,  D2 = 2 − 3Y·n3/n2,  D3+ = 3 − 4Y·n4/n3
+  //
+  // (nk = #keys of the level with count exactly k; a key with count c is
+  // discounted by D(c) = D1/D2/D3+ for c = 1/2/≥3), and the interpolation
+  // weight reserves exactly the discounted mass:
+  //
+  //   λ(h) = (D1·N1(h) + D2·N2(h) + D3+·N3+(h)) / denom(h)
+  //
+  // with Nk(h) = #continuations of history h holding count k — so every
+  // level still telescopes to Σ P = 1 exactly (spec-pinned end-to-end).
+  // Degenerate statistics (a level with no count-1 keys, etc.) fall back
+  // to the fixed 0.75 for that discount — KenLM aborts there; a corpus
+  // engine must degrade deterministically instead, and the CASE is
+  // mirrored in the oracle. Discounts clamp at 0 (estimates can go
+  // negative on adversarial distributions); D(c) ≤ c holds by
+  // construction so no mass goes negative.
+  // ---------------------------------------------------------------------
+
+  /** D1/D2/D3+ from count-of-count columns cc1..cc4 (pinned shapes). */
+  private def mknDiscounts(cc: Int => Column): (Column, Column, Column) = {
+    def d(k: Int, nk: Column, nk1: Column): Column = {
+      val y = cc(1).cast("double") /
+        (cc(1).cast("double") + lit(2.0) * cc(2).cast("double"))
+      when(nk > 0 && (cc(1) + cc(2)) > 0,
+        greatest(lit(k.toDouble) -
+          lit(k + 1.0) * y * nk1.cast("double") / nk.cast("double"), lit(0.0)))
+        .otherwise(lit(Discount))
+    }
+    (d(1, cc(1), cc(2)), d(2, cc(2), cc(3)), d(3, cc(3), cc(4)))
+  }
+
+  /** Per-key discount selector: D(c) for c ≥ 1 (0 for c = 0/null). */
+  private def mknSelect(c: Column, d1: Column, d2: Column, d3: Column): Column =
+    when(c.isNull || c === 0, lit(0.0))
+      .when(c === 1, d1).when(c === 2, d2).otherwise(d3)
+
+  /** Train the modified-KN table tuple (same shape as
+    * [[trainKneserNey]]; same pruning posture). */
+  def trainKneserNeyModified(
+      ref: DataFrame,
+      textCol: String,
+      minCount: Long = 1
+  ): (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    require(minCount >= 1, "minCount below 1 is meaningless")
+    def dbl(c: String): Column = col(c).cast("double")
+    def ccAgg(c: Column, p: String): Seq[Column] = (1 to 4).map(k =>
+      sum(when(c === k, 1L).otherwise(0L)).as(s"$p$k"))
+    def nAgg(c: Column, p: String): Seq[Column] = Seq(
+      sum(when(c === 1, 1L).otherwise(0L)).as(s"${p}_1"),
+      sum(when(c === 2, 1L).otherwise(0L)).as(s"${p}_2"),
+      sum(when(c >= 3, 1L).otherwise(0L)).as(s"${p}_3p"))
+    val q = (p: Column) => round(log(p) * lit(LpScale)).cast("long")
+    val tri = ref
+      .select(explode(trigramTriples(col(textCol))).as("t"))
+      .groupBy(col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val l3Stats = tri.agg(ccAgg(col("c3"), "cc3_").head, ccAgg(col("c3"), "cc3_").tail: _*)
+    val (da1, da2, da3) = mknDiscounts(k => col(s"cc3_$k"))
+    val hist2 = tri.groupBy("w1", "w2")
+      .agg(sum("c3").as("c2p"),
+        (count(lit(1)).as("t3") +: nAgg(col("c3"), "t3")): _*)
+    val n3 = tri.groupBy("w2", "w3").agg(count(lit(1)).as("n3"))
+    val l2Stats = n3.agg(ccAgg(col("n3"), "cc2_").head, ccAgg(col("n3"), "cc2_").tail: _*)
+    val (db1, db2, db3) = mknDiscounts(k => col(s"cc2_$k"))
+    val mid = n3.groupBy("w2")
+      .agg(sum("n3").as("d2"),
+        (count(lit(1)).as("t2") +: nAgg(col("n3"), "t2")): _*)
+    val bigTypes = ref
+      .select(explode(bigramPairs(col(textCol))).as("p"))
+      .select(element_at(split(col("p.bg"), " "), 1).as("w1"),
+        col("p.w2").as("w2"))
+      .distinct()
+    val n2 = bigTypes.groupBy(col("w2").as("w")).agg(count(lit(1)).as("n2"))
+    val l1Stats = n2.agg(ccAgg(col("n2"), "cc1_").head, ccAgg(col("n2"), "cc1_").tail: _*)
+    val (dc1, dc2, dc3) = mknDiscounts(k => col(s"cc1_$k"))
+    val uni = ref.select(explode(TextStats.wsTokens(col(textCol))).as("w")).distinct()
+    val tot = bigTypes.agg(count(lit(1)).as("__b"))
+      .crossJoin(n2.agg(count(lit(1)).as("__v1")))
+      .crossJoin(uni.agg(count(lit(1)).as("__v")))
+      .crossJoin(broadcast(l1Stats))
+    // unigram reserved mass: Σ_w D(n2(w)) = dc1·cc1_1 + dc2·cc1_2 +
+    // dc3·(V1 − cc1_1 − cc1_2), spread over V seen words + 1 unk slot
+    val resv = (dc1 * dbl("cc1_1") + dc2 * dbl("cc1_2") +
+      dc3 * (dbl("__v1") - dbl("cc1_1") - dbl("cc1_2"))) / dbl("__b")
+    val p1 = uni.join(n2, uni("w") === n2("w"), "left").select(uni("w"), col("n2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w"),
+        (greatest(coalesce(dbl("n2"), lit(0.0)) -
+          mknSelect(col("n2"), dc1, dc2, dc3), lit(0.0)) / dbl("__b")
+          + resv / (dbl("__v") + lit(1.0))).as("p1d"))
+    val p1Lp = p1.select(col("w").as("w3"), q(col("p1d")).as("lpq"))
+    val unkLp = tot.select(q(resv / (dbl("__v") + lit(1.0))).as("lpq_unk"))
+    val lambda1 = mid.crossJoin(broadcast(l2Stats)).select(col("w2"),
+      q((db1 * dbl("t2_1") + db2 * dbl("t2_2") + db3 * dbl("t2_3p")) / dbl("d2"))
+        .as("lpq"))
+    val p2Full = n3.join(mid, "w2")
+      .join(p1.select(col("w").as("w3"), col("p1d")), "w3")
+      .crossJoin(broadcast(l2Stats))
+      .select(col("w2"), col("w3"), col("n3"),
+        (greatest(dbl("n3") - mknSelect(col("n3"), db1, db2, db3), lit(0.0)) / dbl("d2")
+          + ((db1 * dbl("t2_1") + db2 * dbl("t2_2") + db3 * dbl("t2_3p")) / dbl("d2"))
+            * col("p1d")).as("p2d"))
+    val p2Lp = p2Full.where(col("n3") >= minCount)
+      .select(col("w2"), col("w3"), q(col("p2d")).as("lpq"))
+    val lambda2 = hist2.crossJoin(broadcast(l3Stats)).select(col("w1"), col("w2"),
+      q((da1 * dbl("t3_1") + da2 * dbl("t3_2") + da3 * dbl("t3_3p")) / dbl("c2p"))
+        .as("lpq"))
+    val triLp = tri.where(col("c3") >= minCount)
+      .join(hist2, Seq("w1", "w2"))
+      .join(p2Full.select(col("w2"), col("w3"), col("p2d")), Seq("w2", "w3"))
+      .crossJoin(broadcast(l3Stats))
+      .select(col("w1"), col("w2"), col("w3"),
+        q((dbl("c3") - mknSelect(col("c3"), da1, da2, da3)) / dbl("c2p")
+          + ((da1 * dbl("t3_1") + da2 * dbl("t3_2") + da3 * dbl("t3_3p")) / dbl("c2p"))
+            * col("p2d")).as("lpq"))
+    (triLp, lambda2, p2Lp, lambda1, p1Lp, unkLp)
+  }
+
+  /** [[scoreKneserNey]] with modified-KN discounts — KenLM's default. */
+  def scoreKneserNeyModified(
+      corpus: DataFrame,
+      ref: DataFrame,
+      textCol: String,
+      idCol: String,
+      minCount: Long = 1
+  ): DataFrame =
+    scoreKnTables(corpus, idCol, textCol,
+      trainKneserNeyModified(ref, textCol, minCount))
 
   /** Per-group LM scoring — CCNet's actual posture: one model PER
     * LANGUAGE, each document scored under its own language's model (a

@@ -704,6 +704,17 @@ object Ext {
         .orderBy("doc_id")
     }),
 
+    "ext_lm_kn_modified" -> ((s, dir) => {
+      // modified Kneser-Ney (KenLM's default): per-level D1/D2/D3+
+      // discounts estimated from count-of-count statistics, fixed-0.75
+      // fallback on degenerate tiers — same five-table scoring chain
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      LanguageModel.scoreKneserNeyModified(
+        docs, docs.where(col("doc_id") % 5 === 0), "text", "doc_id",
+        minCount = 1)
+        .orderBy("doc_id")
+    }),
+
     "ext_lm_kneser_ney" -> ((s, dir) => {
       // interpolated Kneser-Ney trigram scoring (the KenLM-class smoother
       // CCNet actually runs): continuation-count lower levels, fixed
@@ -907,6 +918,103 @@ object Ext {
        |         FROM tri
        |         JOIN hist2 ON hist2.w1 = tri.w1 AND hist2.w2 = tri.w2
        |         JOIN p2f ON p2f.w2 = tri.w2 AND p2f.w3 = tri.w3),
+       |cp AS (SELECT doc_id, t.w1 AS w1, t.w2 AS w2, t.w3 AS w3
+       |       FROM (SELECT doc_id, unnest($triList) AS t
+       |             FROM (SELECT doc_id, $toks AS toks FROM documents))),
+       |sc AS (
+       |  SELECT cp.doc_id,
+       |    COALESCE(triq.lpq,
+       |      COALESCE(l2.lpq, CAST(0 AS BIGINT)) +
+       |        COALESCE(p2q.lpq,
+       |          COALESCE(l1.lpq, CAST(0 AS BIGINT)) +
+       |            COALESCE(p1q.lpq, unk.lpq_unk))) AS lpq
+       |  FROM cp
+       |  LEFT JOIN triq ON triq.w1 = cp.w1 AND triq.w2 = cp.w2 AND triq.w3 = cp.w3
+       |  LEFT JOIN l2 ON l2.w1 = cp.w1 AND l2.w2 = cp.w2
+       |  LEFT JOIN p2q ON p2q.w2 = cp.w2 AND p2q.w3 = cp.w3
+       |  LEFT JOIN l1 ON l1.w2 = cp.w2
+       |  LEFT JOIN p1q ON p1q.w3 = cp.w3
+       |  CROSS JOIN unk)""".stripMargin
+  }
+
+  /** Modified-KN CTE chain — mirrors
+    * [[graft.ext.LanguageModel.trainKneserNeyModified]]'s pinned shapes:
+    * per-level count-of-count stats (one-row CTEs), CASE-selected
+    * discounts with the 0.75 degenerate fallback, three-term λ
+    * numerators. */
+  private lazy val MknScoreCtes: String = {
+    val toks = tokensSql("text")
+    val triList =
+      "[{'w1': toks[i+1], 'w2': toks[i+2], 'w3': toks[i+3]} FOR i IN range(0, len(toks)-2)]"
+    val bgList = "[toks[i+1] || ' ' || toks[i+2] FOR i IN range(0, len(toks)-1)]"
+    def q(x: String) = s"CAST(round(ln($x) * 1e9) AS BIGINT)"
+    def dbl(x: String) = s"CAST($x AS DOUBLE)"
+    // discounts from a stats row with columns ${p}1..${p}4
+    def dK(p: String, k: Int): String = {
+      val y = s"(${dbl(s"${p}1")} / (${dbl(s"${p}1")} + 2.0 * ${dbl(s"${p}2")}))"
+      s"""CASE WHEN ${p}$k > 0 AND (${p}1 + ${p}2) > 0
+         |  THEN GREATEST($k.0 - ${k + 1}.0 * $y * ${dbl(s"${p}${k + 1}")} / ${dbl(s"${p}$k")}, 0.0)
+         |  ELSE 0.75 END""".stripMargin.replaceAll("\n\\s*", " ")
+    }
+    def sel(c: String, p: String): String =
+      s"""CASE WHEN $c IS NULL OR $c = 0 THEN 0.0 WHEN $c = 1 THEN ${p}d1
+         | WHEN $c = 2 THEN ${p}d2 ELSE ${p}d3 END""".stripMargin.replaceAll("\n\\s*", " ")
+    def ccCte(src: String, cCol: String, name: String, p: String): String =
+      s"""$name AS (SELECT ${(1 to 4).map(k =>
+        s"SUM(CASE WHEN $cCol = $k THEN 1 ELSE 0 END) AS ${p}$k").mkString(", ")}
+         | FROM $src)""".stripMargin.replaceAll("\n\\s*", " ")
+    def dCte(stats: String, name: String, p: String): String =
+      s"""$name AS (SELECT ${dK(p, 1)} AS ${p}d1, ${dK(p, 2)} AS ${p}d2,
+         | ${dK(p, 3)} AS ${p}d3 FROM $stats)""".stripMargin.replaceAll("\n\\s*", " ")
+    def nSums(c: String, p: String): String =
+      s"""SUM(CASE WHEN $c = 1 THEN 1 ELSE 0 END) AS ${p}_1,
+         |SUM(CASE WHEN $c = 2 THEN 1 ELSE 0 END) AS ${p}_2,
+         |SUM(CASE WHEN $c >= 3 THEN 1 ELSE 0 END) AS ${p}_3p""".stripMargin
+        .replaceAll("\n\\s*", " ")
+    val lam2 = s"(ad1 * ${dbl("t3_1")} + ad2 * ${dbl("t3_2")} + ad3 * ${dbl("t3_3p")}) / ${dbl("c2p")}"
+    val lam1 = s"(bd1 * ${dbl("t2_1")} + bd2 * ${dbl("t2_2")} + bd3 * ${dbl("t2_3p")}) / ${dbl("d2")}"
+    val resv = s"(cd1 * ${dbl("cc1_1")} + cd2 * ${dbl("cc1_2")} + cd3 * (${dbl("v1")} - ${dbl("cc1_1")} - ${dbl("cc1_2")})) / ${dbl("b")}"
+    s"""reftk AS (SELECT $toks AS toks FROM documents WHERE doc_id % 5 = 0),
+       |tri AS (SELECT t.w1 AS w1, t.w2 AS w2, t.w3 AS w3, COUNT(*) AS c3
+       |        FROM (SELECT unnest($triList) AS t FROM reftk) GROUP BY 1, 2, 3),
+       |${ccCte("tri", "c3", "st3", "cc3_")},
+       |${dCte("st3", "da", "cc3_").replace("cc3_d", "ad")},
+       |hist2 AS (SELECT w1, w2, SUM(c3) AS c2p, ${nSums("c3", "t3")}
+       |          FROM tri GROUP BY w1, w2),
+       |n3 AS (SELECT w2, w3, COUNT(*) AS n3 FROM tri GROUP BY w2, w3),
+       |${ccCte("n3", "n3", "st2", "cc2_")},
+       |${dCte("st2", "db", "cc2_").replace("cc2_d", "bd")},
+       |mid AS (SELECT w2, SUM(n3) AS d2, ${nSums("n3", "t2")} FROM n3 GROUP BY w2),
+       |rbg AS (SELECT DISTINCT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+       |        FROM (SELECT unnest($bgList) AS bg FROM reftk)),
+       |n2 AS (SELECT w2 AS w, COUNT(*) AS n2 FROM rbg GROUP BY w2),
+       |${ccCte("n2", "n2", "st1", "cc1_")},
+       |${dCte("st1", "dc", "cc1_").replace("cc1_d", "cd")},
+       |uni AS (SELECT DISTINCT unnest(toks) AS w FROM reftk),
+       |tot AS (SELECT (SELECT COUNT(*) FROM rbg) AS b,
+       |               (SELECT COUNT(*) FROM n2) AS v1,
+       |               (SELECT COUNT(*) FROM uni) AS v),
+       |p1 AS (SELECT uni.w AS w,
+       |         GREATEST(COALESCE(${dbl("n2.n2")}, 0.0) - ${sel("n2.n2", "c")}, 0.0) / ${dbl("b")}
+       |           + $resv / (${dbl("v")} + 1.0) AS p1d
+       |       FROM uni LEFT JOIN n2 ON n2.w = uni.w
+       |       CROSS JOIN tot CROSS JOIN st1 CROSS JOIN dc),
+       |p1q AS (SELECT w AS w3, ${q("p1d")} AS lpq FROM p1),
+       |unk AS (SELECT ${q(s"$resv / (${dbl("v")} + 1.0)")} AS lpq_unk
+       |        FROM tot CROSS JOIN st1 CROSS JOIN dc),
+       |l1 AS (SELECT w2, ${q(lam1)} AS lpq FROM mid CROSS JOIN db),
+       |p2f AS (SELECT n3.w2 AS w2, n3.w3 AS w3,
+       |          GREATEST(${dbl("n3.n3")} - ${sel("n3.n3", "b")}, 0.0) / ${dbl("mid.d2")}
+       |            + ((bd1 * ${dbl("mid.t2_1")} + bd2 * ${dbl("mid.t2_2")} + bd3 * ${dbl("mid.t2_3p")}) / ${dbl("mid.d2")}) * p1.p1d AS p2d
+       |        FROM n3 JOIN mid ON mid.w2 = n3.w2 JOIN p1 ON p1.w = n3.w3 CROSS JOIN db),
+       |p2q AS (SELECT w2, w3, ${q("p2d")} AS lpq FROM p2f),
+       |l2 AS (SELECT w1, w2, ${q(lam2)} AS lpq FROM hist2 CROSS JOIN da),
+       |triq AS (SELECT tri.w1 AS w1, tri.w2 AS w2, tri.w3 AS w3,
+       |           ${q(s"(${dbl("c3")} - ${sel("tri.c3", "a")}) / ${dbl("c2p")} + ((ad1 * ${dbl("t3_1")} + ad2 * ${dbl("t3_2")} + ad3 * ${dbl("t3_3p")}) / ${dbl("c2p")}) * p2f.p2d")} AS lpq
+       |         FROM tri
+       |         JOIN hist2 ON hist2.w1 = tri.w1 AND hist2.w2 = tri.w2
+       |         JOIN p2f ON p2f.w2 = tri.w2 AND p2f.w3 = tri.w3
+       |         CROSS JOIN da),
        |cp AS (SELECT doc_id, t.w1 AS w1, t.w2 AS w2, t.w3 AS w3
        |       FROM (SELECT doc_id, unnest($triList) AS t
        |             FROM (SELECT doc_id, $toks AS toks FROM documents))),
@@ -2047,6 +2155,12 @@ object Ext {
          |  -(CAST(SUM(lpq) AS DOUBLE) / 1e9 / CAST(COUNT(*) AS DOUBLE)) AS logppl
          |FROM sc GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
     },
+
+    "ext_lm_kn_modified" ->
+      s"""WITH $MknScoreCtes
+         |SELECT doc_id, COUNT(*) AS n_scored,
+         |  -(CAST(SUM(lpq) AS DOUBLE) / 1e9 / CAST(COUNT(*) AS DOUBLE)) AS logppl
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "ext_lm_kneser_ney" ->
       s"""WITH $KnScoreCtes

@@ -555,6 +555,23 @@ object ScaleSmoke {
         s"union estimate off: ${r.getDouble(1)}")
     }
 
+    // 27g. modified Kneser-Ney at the same 10M docs: identical scoring
+    // chain; training adds three one-row count-of-count aggregates and
+    // per-history conditional sums — the discount estimation is free at
+    // scale relative to the trigram stream itself.
+    time("modified kneser-ney 10M docs") {
+      val scored = graft.ext.LanguageModel.scoreKneserNeyModified(
+        lmCorpus,
+        lmCorpus.where(col("doc_id") % 100 =!= 0 && col("doc_id") < 1000000L),
+        "text", "doc_id")
+      val r = scored.agg(count(lit(1)),
+        avg(when(col("doc_id") % 100 === 0, col("logppl"))),
+        avg(when(col("doc_id") % 100 =!= 0, col("logppl")))).first()
+      assert(r.getLong(0) == 10000000L, s"every doc scores: ${r.getLong(0)}")
+      assert(r.getDouble(1) > r.getDouble(2),
+        s"unknown-token docs must score worse: ${r.getDouble(1)} vs ${r.getDouble(2)}")
+    }
+
     // 27e. per-language LM at 10M docs / 3 languages in ONE pass: every
     // language's tables train simultaneously (lang keys every groupBy and
     // probe); each doc scores under its own language's model. Languages

@@ -250,18 +250,21 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("kneser-ney: five broadcast probes, no window, per-doc agg is partial") {
-    val p = plan("ext_lm_kneser_ney")
-    assert(!analyzed("ext_lm_kneser_ney").contains("Window"),
-      "KN scoring must never rank/accumulate through a window")
-    assert(p.contains("BroadcastHashJoin"),
-      "the tri/λ2/P2/λ1/P1 tables must probe as broadcast hash joins")
-    assert(!p.contains("CartesianProduct"),
-      s"no cartesian product anywhere in the KN plan:\n$p")
-    // only the one-row unk/totals cross broadcasts may nest-loop
-    assert(!"BroadcastNestedLoopJoin (Inner|Left|Right|Full)".r.findFirstIn(p).isDefined,
-      s"only one-row Cross broadcasts may nest-loop:\n$p")
-    assert(p.toLowerCase.contains("partial_sum"),
-      "per-doc log-prob sum must combine map-side before the doc shuffle")
+    for (gate <- Seq("ext_lm_kneser_ney", "ext_lm_kn_modified")) {
+      val p = plan(gate)
+      assert(!analyzed(gate).contains("Window"),
+        s"$gate: KN scoring must never rank/accumulate through a window")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$gate: the tri/λ2/P2/λ1/P1 tables must probe as broadcast hash joins")
+      assert(!p.contains("CartesianProduct"),
+        s"$gate: no cartesian product anywhere in the KN plan:\n$p")
+      // only the one-row unk/totals/count-of-count cross broadcasts may
+      // nest-loop
+      assert(!"BroadcastNestedLoopJoin (Inner|Left|Right|Full)".r.findFirstIn(p).isDefined,
+        s"$gate: only one-row Cross broadcasts may nest-loop:\n$p")
+      assert(p.toLowerCase.contains("partial_sum"),
+        s"$gate: per-doc log-prob sum must combine map-side before the doc shuffle")
+    }
   }
 
   test("dsir: broadcast ratio table, graft_topk selection, no window") {

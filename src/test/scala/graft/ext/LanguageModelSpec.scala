@@ -198,6 +198,37 @@ class LanguageModelSpec extends AnyFunSuite {
         q(math.log(p1k))).toDouble / LanguageModel.LpScale)
   }
 
+  test("modified KN: seen-history mass still telescopes to exactly 1") {
+    // richer corpus so every count-of-count tier is populated and the
+    // estimated D1/D2/D3+ actually differ from the fixed 0.75
+    val ref = (Seq.fill(4)("a b a") ++ Seq.fill(2)("a b b") ++
+      Seq("a b c", "c a b", "b c a", "a c b b a", "c c a b"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val corpus = Seq((0L, "a b a"), (1L, "a b b"), (2L, "a b c"),
+      (3L, "a b zz")).toDF("doc_id", "text")
+    val mass = LanguageModel.scoreKneserNeyModified(corpus, ref, "text", "doc_id")
+      .collect().map(r => math.exp(-r.getDouble(2))).sum
+    assert(math.abs(mass - 1.0) < 1e-6, s"modified-KN Σ P3(·|a,b) = $mass")
+    // and the estimated discounts genuinely diverge from the fixed path
+    val fixed = LanguageModel.scoreKneserNey(corpus, ref, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val mod = LanguageModel.scoreKneserNeyModified(corpus, ref, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(mod != fixed, "estimated discounts must differ from D=0.75 here")
+  }
+
+  test("modified KN: degenerate statistics fall back to the fixed discount") {
+    // every trigram/continuation count is 1 -> no count-2 keys anywhere:
+    // D2/D3 fall back to 0.75, D1 estimates 1-2*(1/1)*0/... wait n2=0 ->
+    // Y=1, D1 = 1 - 2*1*0/n1 = 1; mass must STILL telescope
+    val ref = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val corpus = Seq((0L, "a b c"), (1L, "a b zz")).toDF("doc_id", "text")
+    val out = LanguageModel.scoreKneserNeyModified(corpus, ref, "text", "doc_id")
+      .collect()
+    assert(out.length == 2 && out.forall(r => !r.getDouble(2).isNaN),
+      s"degenerate stats must stay finite: ${out.mkString}")
+  }
+
   test("kneser-ney: fluent beats shuffled beats unknown") {
     val ref = (0 until 200).map(i =>
       (i.toLong, "the cat sat on the mat and the dog ran to the cat"))
