@@ -555,8 +555,20 @@ object LanguageModel {
       idCol: String,
       alpha: Double = 0.1,
       minCount: Long = 1
+  ): DataFrame =
+    scoreWithTables(corpus, textCol, idCol,
+      trainStupidBackoff(ref, textCol, alpha, minCount))
+
+  /** Score against PRE-TRAINED stupid-backoff tables — the streaming
+    * posture: train once on the trusted reference, then every micro-batch
+    * (or any later corpus) pays only the broadcast probes. */
+  def scoreWithTables(
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      tables: (DataFrame, DataFrame, DataFrame)
   ): DataFrame = {
-    val (bigLp, uniLp, unkLp) = trainStupidBackoff(ref, textCol, alpha, minCount)
+    val (bigLp, uniLp, unkLp) = tables
     corpus
       .select(col(idCol), explode(bigramPairs(col(textCol))).as("p"))
       .select(col(idCol), col("p.bg").as("bg"), col("p.w2").as("w2"))

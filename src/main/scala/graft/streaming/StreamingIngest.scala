@@ -314,6 +314,46 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** Streaming LM quality gate: ingest a document stream keeping only
+    * docs whose logppl under PRE-TRAINED LM tables clears `maxLogPpl` —
+    * the CCNet filter as a continuous stage. The tables train ONCE on
+    * the trusted static reference (caller passes the trained tuple, e.g.
+    * [[graft.ext.LanguageModel.trainStupidBackoff]]); every micro-batch
+    * pays only the broadcast probes, so stream state is the checkpoint
+    * offsets alone — no LM state accumulates. Docs under two tokens have
+    * no score and are dropped (no evidence of fluency). */
+  def qualityGateIngestAvailableNow(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      store: TableStore,
+      table: String,
+      checkpointDir: String,
+      textCol: String,
+      idCol: String,
+      lmTables: (DataFrame, DataFrame, DataFrame),
+      maxLogPpl: Double
+  ): Unit = {
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .json(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val keep = graft.ext.LanguageModel
+          .scoreWithTables(batch, textCol, idCol, lmTables)
+          .where(col("logppl") <= maxLogPpl)
+          .select(col(idCol))
+        val fresh = batch.join(keep, idCol)
+        if (store.exists(table)) store.append(table, fresh)
+        else store.overwrite(table, fresh)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Watermarked stream-stream interval join (SURVEY §2.9): each purchase
     * pairs with the clicks of the same user inside its look-back window
     * (`p_ts - window < c_ts <= p_ts`). Both sides carry watermarks and the

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ext.LanguageModel
+import graft.table.TableStore
+import java.nio.file.Files
+
+/** Streaming LM quality gate: fluent docs land, gibberish is dropped,
+  * across micro-batches and restarts — trained once, probed per batch. */
+class StreamingQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType)))
+
+  test("fluent docs pass the gate, gibberish and unscorable docs drop") {
+    val work = Files.createTempDirectory("graft_squal")
+    val src = work.resolve("src"); Files.createDirectories(src)
+    val store = new TableStore(spark, work.resolve("store").toString)
+    val ckpt = work.resolve("ckpt").toString
+
+    val ref = (0 until 50).map(i =>
+      (i.toLong, "the cat sat on the mat and the dog ran to the cat"))
+      .toDF("doc_id", "text")
+    val tables = LanguageModel.trainStupidBackoff(ref, "text")
+    // threshold between in-distribution (~0) and unknown-vocab scores
+    val cut = LanguageModel.scoreLogPpl(
+      Seq((0L, "the cat sat on the mat")).toDF("doc_id", "text"), ref,
+      "text", "doc_id").first().getDouble(2) + 1.0
+
+    def write(name: String, rows: (Long, String)*): Unit = {
+      Files.writeString(src.resolve(name),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("", "\n", "\n"))
+      ()
+    }
+    def ingest(): Unit = StreamingIngest.qualityGateIngestAvailableNow(
+      spark, src.toString, schema, store, "clean", ckpt, "text", "doc_id",
+      tables, cut)
+    def ids: Set[Long] = store.scan("clean").collect().map(_.getLong(0)).toSet
+
+    write("f1.json", 1L -> "the cat sat on the mat",
+      2L -> "zq xv qq ww ee rr", 3L -> "one")
+    ingest()
+    assert(ids == Set(1L), s"only the fluent doc lands: $ids")
+
+    // a later batch through the same checkpoint appends more keepers
+    write("f2.json", 4L -> "the dog ran to the mat", 5L -> "xx yy zz ww")
+    ingest()
+    assert(ids == Set(1L, 4L))
+
+    // no-op rerun: checkpoint skips processed files
+    ingest()
+    assert(ids == Set(1L, 4L))
+  }
+}
