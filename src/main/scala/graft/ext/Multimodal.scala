@@ -90,4 +90,45 @@ object Multimodal {
           s"transform(sequence(0, int(octet_length(payload)/$stride)), i -> i * $stride)"))
           .as(Seq("frame_idx", "byte_offset")))
   }
+
+  /** Content-defined chunks of a binary column (no codec needed): adds a
+    * `chunks` array<struct<offset,len,fp>> via the `graft_cdc_chunks`
+    * native expression — shift-resistant boundaries, so storage-level
+    * dedup survives byte insertions that would shift every fixed-size
+    * chunk. One codegen scan per blob, no shuffle. */
+  def cdcChunks(
+      df: DataFrame,
+      binCol: String,
+      minSize: Int = 256,
+      avgBits: Int = 10,
+      maxSize: Int = 8192
+  ): DataFrame =
+    df.withColumn("chunks", call_function("graft_cdc_chunks",
+      col(binCol), lit(minSize), lit(avgBits), lit(maxSize)))
+
+  /** Chunk-level dedup accounting over a blob corpus — the storage-savings
+    * question ("how many bytes are redundant across payloads") answered
+    * with two partial-agg passes: explode chunks once, count/sum raw, and
+    * aggregate per distinct fingerprint (identical fp ⇒ identical chunk
+    * bytes up to 64-bit FNV collision — accounting-grade, documented).
+    * Returns one row: (n_blobs, n_chunks, total_bytes, uniq_chunks,
+    * uniq_bytes). */
+  def cdcDedupStats(
+      df: DataFrame,
+      binCol: String,
+      minSize: Int = 256,
+      avgBits: Int = 10,
+      maxSize: Int = 8192
+  ): DataFrame = {
+    val ch = cdcChunks(df, binCol, minSize, avgBits, maxSize)
+      .select(explode(col("chunks")).as("c"))
+      .select(col("c.len").as("len"), col("c.fp").as("fp"))
+    val perFp = ch.groupBy("fp").agg(count(lit(1)).as("n"), min("len").as("len"))
+    df.agg(count(lit(1)).as("n_blobs"))
+      .crossJoin(perFp.agg(
+        sum("n").as("n_chunks"),
+        sum(col("n") * col("len")).as("total_bytes"),
+        count(lit(1)).as("uniq_chunks"),
+        sum("len").as("uniq_bytes")))
+  }
 }

@@ -115,6 +115,18 @@ object GraftExtensions {
         require(children.size == 2, "graft_kmv(item, k) takes two arguments")
         KmvAggregate(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunksExpression].getName, "graft_cdc_chunks"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "graft_cdc_chunks(bin, minSize, avgBits, maxSize) takes four arguments")
+        def lit(i: Int): Int = {
+          require(children(i).foldable, "graft_cdc_chunks sizes must be literals")
+          children(i).eval(null).asInstanceOf[Number].intValue()
+        }
+        CdcChunksExpression(children.head, lit(1), lit(2), lit(3))
+      }))
     // plan rewrite: window row_number-top-k → bounded graft_topk aggregate
     ext.injectOptimizerRule(_ => TopKWindowRewrite)
     // physical operator: AsOfJoinNode → AsOfJoinExec (sorted streaming merge)

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Boilerplate, Bpe, Dedup, LanguageModel, NaiveBayes, Sampling, Similarity, Sketches, TextHash, TextStats}
+import graft.ext.{Boilerplate, Bpe, Dedup, LanguageModel, Multimodal, NaiveBayes, Sampling, Similarity, Sketches, TextHash, TextStats}
 import graft.ops.{AsOfJoin, Profile}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -258,6 +258,24 @@ object Ext {
       val sketch = Sketches.cmsSketch(grams, col("bigram"), d = 4, w = 4096)
       Sketches.cmsEstimate(exact, col("bigram"), sketch, d = 4, w = 4096)
         .orderBy(col("exact_n").desc, col("bigram").asc)
+    }),
+
+    "ext_cdc_dedup" -> ((s, dir) => {
+      // content-defined chunking dedup accounting over binary payloads
+      // (text bytes + byte-shifted duplicates — CDC boundaries resync
+      // after the shift, so the copies share almost all chunk bytes; a
+      // fixed-size chunker would share none). NOT SQL-expressible (blob
+      // rolling hash) → rows-only gate by contract; correctness is
+      // spec-pinned in CdcSpec (naive-reference fuzz, tiling invariants,
+      // shift resistance).
+      val blobs = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
+      val shifted = t(s, dir, "documents")
+        .where(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          encode(concat(lit("xy "), col("text")), "UTF-8").as("bin"))
+      Multimodal.cdcDedupStats(blobs.unionByName(shifted), "bin",
+        minSize = 32, avgBits = 6, maxSize = 512)
     }),
 
     "ext_pagerank" -> ((s, dir) => {

@@ -468,6 +468,28 @@ object ScaleSmoke {
         s"unknown-token docs must score worse: ${r.getDouble(1)} vs ${r.getDouble(2)}")
     }
 
+    // deterministic ~2KB payload per id for the CDC smoke
+    def blobText(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      concat_ws(" ", (0 until 300).map(i =>
+        concat(lit("b"), pmod(id * 7 + i, lit(9973)))): _*)
+
+    // 27h. CDC chunking at 2M blobs (~2KB each, ~4 GB): one codegen scan
+    // per blob, no shuffle before the fp aggregation. Every 4th blob is a
+    // byte-shifted copy of blob id−1 — CDC boundaries resynchronize, so
+    // the accounting must find a large shared-chunk mass (fixed-size
+    // chunking would find none).
+    time("cdc chunk 2M blobs (~4GB, 25% shifted dups)") {
+      val blobs = spark.range(0, 2000000L, 1, 64)
+        .select(col("id"),
+          encode(when(col("id") % 4 === 3, concat(lit("zz "), blobText(col("id") - 1)))
+            .otherwise(blobText(col("id"))), "UTF-8").as("bin"))
+      val r = graft.ext.Multimodal.cdcDedupStats(blobs, "bin").first()
+      val (total, uniq) = (r.getLong(2), r.getLong(4))
+      assert(r.getLong(0) == 2000000L)
+      assert(uniq < total * 85L / 100L,
+        s"shifted dups must share chunk mass: uniq=$uniq total=$total")
+    }
+
     // 27f. PageRank at 20M edges / ~2M nodes, 5 rounds: per round one
     // rank→edge join (AQE-chosen strategy), one partial-agg groupBy(dst),
     // one node-sized outer join — lineage cut per round so plans stay
