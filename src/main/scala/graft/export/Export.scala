@@ -44,6 +44,8 @@ object Export {
         w.json(outPath) // NDJSON; a JSON array export is NDJSON + brackets
       case SourceFormat.Parquet =>
         w.parquet(outPath)
+      case SourceFormat.Orc =>
+        w.orc(outPath) // columnar shards, not byte-concatenable (like parquet)
     }
   }
 }

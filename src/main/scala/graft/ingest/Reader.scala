@@ -86,6 +86,10 @@ object Reader {
           case None     => base.json(path)
         }
       case SourceFormat.Parquet => spark.read.parquet(path)
+      // ORC is self-describing like parquet (declared schemas are a cast
+      // concern, not a parse concern) — splittable + predicate-pushdown-able,
+      // a first-class 100 TB columnar source beside parquet
+      case SourceFormat.Orc => spark.read.orc(path)
     }
   }
 

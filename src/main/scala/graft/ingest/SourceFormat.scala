@@ -11,6 +11,7 @@ object SourceFormat {
   case object Ndjson extends SourceFormat { val name = "ndjson" }
   case object JsonArray extends SourceFormat { val name = "json" }
   case object Parquet extends SourceFormat { val name = "parquet" }
+  case object Orc extends SourceFormat { val name = "orc" }
 
   /** Detect from a path/URL; `.gz` is transparent (Spark auto-detects the
     * codec — note: gzip is non-splittable, same single-stream behavior as the
@@ -22,6 +23,7 @@ object SourceFormat {
     else if (p.endsWith(".ndjson") || p.endsWith(".jsonl")) Ndjson
     else if (p.endsWith(".json")) JsonArray
     else if (p.endsWith(".parquet") || p.endsWith(".pq")) Parquet
+    else if (p.endsWith(".orc")) Orc
     else Csv
   }
 
@@ -31,6 +33,7 @@ object SourceFormat {
     case "ndjson" | "jsonl"   => Ndjson
     case "json"               => JsonArray
     case "parquet" | "pq"     => Parquet
+    case "orc"                => Orc
     case other =>
       throw new IllegalArgumentException(s"Unsupported source format: $other")
   }

@@ -164,6 +164,19 @@ object Core {
         format = Some(SourceFormat.Tsv), schema = Some(fs))).orderBy("_id")
     }),
 
+    "s10_orc_roundtrip" -> ((s, dir) => {
+      // ORC roundtrip (columnar sibling of S4/W5): ordered single-shard ORC
+      // export through the engine writer → format-dispatched read back.
+      // ORC is the second splittable columnar source (predicate pushdown +
+      // column pruning apply exactly as with parquet at 100 TB).
+      val tmp = Files.createTempDirectory("graft_s10").toString
+      Export.export(t(s, dir, "documents").select("doc_id", "lang", "source", "n_chars"),
+        s"$tmp/docs_orc", Export.ExportOptions(SourceFormat.Orc,
+          orderBy = Some("doc_id"), singleFile = true))
+      Reader.read(s, s"$tmp/docs_orc", Reader.ReadOptions(
+        format = Some(SourceFormat.Orc))).orderBy("_id")
+    }),
+
     "w5_parquet_export" -> ((s, dir) => {
       // W5 (parquet shard output, storage.py:516-569): ordered multi-shard
       // parquet export → scan back; shards carry the total order via _id
@@ -291,6 +304,11 @@ object Core {
       """SELECT row_number() OVER (ORDER BY r_regionkey) AS _id,
         | CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
         |FROM region ORDER BY _id""".stripMargin,
+
+    "s10_orc_roundtrip" ->
+      """SELECT row_number() OVER (ORDER BY doc_id) AS _id,
+        | doc_id, lang, source, n_chars
+        |FROM documents ORDER BY _id""".stripMargin,
 
     "w5_parquet_export" ->
       """SELECT row_number() OVER (ORDER BY c_custkey) AS _id,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Boilerplate, Bpe, Dedup, LanguageModel, Multimodal, NaiveBayes, Sampling, Similarity, Sketches, TextHash, TextStats}
+import graft.ext.{Boilerplate, Bpe, Dedup, LanguageModel, Multimodal, NaiveBayes, Sampling, Similarity, Sketches, TextHash, TextStats, Url}
 import graft.ops.{AsOfJoin, Profile}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -30,6 +30,50 @@ object Ext {
     ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
     ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"), ("o", "u"),
     ("e", "n"), ("in", "g"), ("s", "t"), ("the", "n"))
+
+  /** Deterministic messy-URL fixture over documents: scheme/www/port/path/
+    * tracking-param/fragment variety keyed off doc_id — the Spark and SQL
+    * renderings build the identical strings, so the canonicalizer gates
+    * compare one spec across two engines (the dup_spans derived-corpus
+    * pattern). */
+  private def urlCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), col("source"),
+      concat(
+        when(col("doc_id") % 3 === 0, lit("HTTP://"))
+          .when(col("doc_id") % 3 === 1, lit("https://WWW."))
+          .otherwise(lit("https://")),
+        lit("site"), (col("doc_id") % 20).cast("string"), lit(".Example.COM"),
+        when(col("doc_id") % 4 === 0, lit(":80"))
+          .when(col("doc_id") % 4 === 1, lit(":443"))
+          .when(col("doc_id") % 4 === 2, lit(":8080"))
+          .otherwise(lit("")),
+        lit("/"), col("source"),
+        when(col("doc_id") % 5 === 0, lit("//Dir")).otherwise(lit("/dir")),
+        lit("/page"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/?b=2&utm_source=feed&a=1&fbclid=XYZ"))
+          .otherwise(lit("?a=1")),
+        when(col("doc_id") % 6 === 0, lit("#frag")).otherwise(lit(""))
+      ).as("url_raw"))
+
+  // NOTE: continuation lines must not START with `||` — stripMargin would
+  // eat the first pipe as a margin marker. Concatenation pipes go at EOL.
+  private val UrlCorpusSql =
+    """u AS (
+      |  SELECT doc_id, source,
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://'
+      |          WHEN doc_id % 3 = 1 THEN 'https://WWW.' ELSE 'https://' END) ||
+      |    'site' || CAST(doc_id % 20 AS VARCHAR) || '.Example.COM' ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN ':80' WHEN doc_id % 4 = 1 THEN ':443'
+      |          WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END) ||
+      |    '/' || source ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN '//Dir' ELSE '/dir' END) ||
+      |    '/page' || CAST(doc_id % 50 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN '/?b=2&utm_source=feed&a=1&fbclid=XYZ'
+      |          ELSE '?a=1' END) ||
+      |    (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url_raw
+      |  FROM documents)""".stripMargin
+
+  private val BlockedHosts = Seq("site3.example.com", "site7.example.com")
 
   private val NearDupCorpusSql =
     """corpus AS (
@@ -658,6 +702,25 @@ object Ext {
       AsOfJoin.asOfTimeMerged(purchases, clicks, "user_id", "us", "click_us")
         .orderBy("event_id")
     }),
+
+    "ext_url_canonical" -> ((s, dir) =>
+      // crawl-URL canonicalization: one codegen'd map over the scan — the
+      // key for exact-URL dedup; path case preserved, tracking params
+      // stripped, query params order-independent
+      urlCorpus(s, dir).select(col("doc_id"), col("url_raw"),
+        Url.canonicalize(col("url_raw")).as("url"),
+        Url.host(col("url_raw")).as("host"))
+        .orderBy("doc_id")),
+
+    "ext_host_cap" -> ((s, dir) =>
+      // per-host corpus quota after a host blocklist: blocklist is a
+      // codegen'd NOT IN (broadcast anti-join for table-sized lists), the
+      // cap is the bounded graft_topk draw — no host ever fully shuffles
+      Sampling.quotaCap(
+        Url.dropBlockedHosts(urlCorpus(s, dir), "url_raw", BlockedHosts)
+          .select(col("doc_id"), Url.host(col("url_raw")).as("host")),
+        "host", "doc_id", k = 15, salt = "crawl1")
+        .orderBy("host", "rank")),
 
     "ext_quota_cap" -> ((s, dir) =>
       // domain-mix balancing: ≤50 docs per language by salted-hash draw,
@@ -2080,6 +2143,30 @@ object Ext {
         |     AND c.us <= p.us) AS click_us
         |FROM e p WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,
+
+    "ext_url_canonical" ->
+      s"""WITH $UrlCorpusSql
+         |SELECT doc_id, url_raw,
+         |  ${Url.canonicalSql("url_raw")} AS url,
+         |  ${Url.hostSql("url_raw")} AS host
+         |FROM u ORDER BY doc_id""".stripMargin,
+
+    "ext_host_cap" ->
+      s"""WITH $UrlCorpusSql,
+         |b AS (
+         |  SELECT doc_id, ${Url.hostSql("url_raw")} AS host FROM u
+         |  WHERE ${Url.hostSql("url_raw")} NOT IN
+         |    ${BlockedHosts.map(h => s"'$h'").mkString("(", ", ", ")")}),
+         |h AS (
+         |  SELECT host, doc_id,
+         |    ${TextHash.hmodSql("(doc_id :: VARCHAR || ':crawl1')")} AS qh
+         |  FROM b),
+         |r AS (
+         |  SELECT host, doc_id,
+         |    row_number() OVER (PARTITION BY host ORDER BY qh ASC, doc_id ASC) AS rank
+         |  FROM h)
+         |SELECT host, doc_id, rank FROM r WHERE rank <= 15
+         |ORDER BY host, rank""".stripMargin,
 
     "ext_quota_cap" ->
       s"""WITH h AS (

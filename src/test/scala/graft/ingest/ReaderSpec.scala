@@ -56,6 +56,21 @@ class ReaderSpec extends SparkSpec {
     assert(SourceFormat.detect(p.toString) == SourceFormat.Csv)
   }
 
+  test("orc roundtrip: dispatch by extension, types survive") {
+    import org.apache.spark.sql.functions.col
+    val d = Files.createTempDirectory("graft_orc").toString
+    val src = spark.range(0, 10).select(
+      col("id"), (col("id") * 2).cast("int").as("v"),
+      col("id").cast("string").as("s"))
+    src.write.mode("overwrite").orc(s"$d/t.orc")
+    assert(SourceFormat.detect(s"$d/t.orc") == SourceFormat.Orc)
+    val back = Reader.read(spark, s"$d/t.orc", Reader.ReadOptions(
+      format = Some(SourceFormat.Orc), rowNumberColumn = None))
+    assert(back.schema("v").dataType.typeName == "integer")
+    assert(back.count() == 10)
+    assert(back.select("s").orderBy("id").collect().map(_.getString(0)).last == "9")
+  }
+
   test("rowNumberStart offsets ids (append continuation)") {
     val p = tmpFile("x.csv", "id\n10\n20\n30\n")
     val df = Reader.read(spark, p, Reader.ReadOptions(
