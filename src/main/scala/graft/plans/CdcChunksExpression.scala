@@ -29,10 +29,11 @@ import org.apache.spark.sql.types._
   * Why a native expression (ladder rung (b)): a stateful byte scan is not
   * expressible with built-in functions short of exploding per-byte rows
   * (a 100 TB blob column would explode to 10^14 rows). One static call
-  * inside whole-stage codegen scans each blob once. Not SQL-replayable in
-  * the DuckDB oracle (no blob rolling-hash there) — the gate is
-  * rows-only by contract; correctness is spec-pinned instead (coverage
-  * invariants, shift resistance, fuzz vs a naive reference). */
+  * inside whole-stage codegen scans each blob once. The DuckDB oracle
+  * replays the scan at gate scale as a recursive CTE over unnested bytes
+  * (HUGEINT mod-2^64 emulating the wrapping int64 arithmetic); CdcSpec
+  * adds coverage invariants, shift resistance, fuzz vs a naive
+  * reference. */
 case class CdcChunksExpression(
     child: Expression,
     minSize: Int,

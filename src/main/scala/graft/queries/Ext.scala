@@ -308,10 +308,11 @@ object Ext {
       // content-defined chunking dedup accounting over binary payloads
       // (text bytes + byte-shifted duplicates — CDC boundaries resync
       // after the shift, so the copies share almost all chunk bytes; a
-      // fixed-size chunker would share none). NOT SQL-expressible (blob
-      // rolling hash) → rows-only gate by contract; correctness is
-      // spec-pinned in CdcSpec (naive-reference fuzz, tiling invariants,
-      // shift resistance).
+      // fixed-size chunker would share none). The oracle replays the
+      // stateful gear-hash byte scan as a recursive CTE (HUGEINT mod-2^64
+      // emulating Java's wrapping int64 shift/multiply) — a REAL value
+      // oracle; CdcSpec adds naive-reference fuzz, tiling invariants,
+      // shift resistance.
       val blobs = t(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
       val shifted = t(s, dir, "documents")
@@ -1507,6 +1508,68 @@ object Ext {
          |FROM exact e
          |ORDER BY e.exact_n DESC, e.bigram ASC""".stripMargin
     },
+
+    // Replays the STATEFUL gear-hash byte scan of graft_cdc_chunks as a
+    // recursive CTE: one state row per (blob, byte), h and fp carried as
+    // HUGEINT reduced mod 2^64 each step — Java's wrapping `(h << 1) +
+    // gear` and FNV-1a `(fp ^ byte) * prime` reproduce exactly because
+    // the boundary mask reads only low bits (h & 63 == h_unsigned % 64)
+    // and the byte XOR touches only the low 8 (spliced via - % 256 +
+    // xor). The corpus is ASCII, so char positions == UTF-8 byte offsets
+    // (unicode(substr(s,p+1,1)) IS the byte). Constants mirror the gate:
+    // minSize=32, avgBits=6 (mask 63), maxSize=512; gear(b) =
+    // hash60('cdc:'||b); FNV offset 2^64-3750763034362895579.
+    "ext_cdc_dedup" ->
+      """WITH RECURSIVE
+        |blobs AS (
+        |  SELECT doc_id, text AS s, length(text) AS len FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, 'xy ' || text, length(text) + 3 FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |gear AS (
+        |  SELECT r.range AS b,
+        |    (('0x' || substr(md5('cdc:' || CAST(r.range AS VARCHAR)), 1, 15))::BIGINT)::HUGEINT AS g
+        |  FROM range(256) r),
+        |bg AS (
+        |  SELECT x.doc_id, x.p, gear.g, x.byv
+        |  FROM (SELECT doc_id, p, unicode(substr(s, p + 1, 1)) AS byv
+        |        FROM (SELECT doc_id, s, unnest(range(len)) AS p FROM blobs)) x
+        |  JOIN gear ON gear.b = x.byv),
+        |st AS (
+        |  SELECT doc_id, 0 AS p, 0 AS cs, 0::HUGEINT AS h,
+        |         14695981039346656037::HUGEINT AS fp,
+        |         FALSE AS cut, 0 AS c_off, 0 AS c_len, 0::HUGEINT AS c_fp
+        |  FROM blobs
+        |  UNION ALL
+        |  SELECT doc_id, p + 1,
+        |         CASE WHEN cut2 THEN p + 1 ELSE cs END,
+        |         CASE WHEN cut2 THEN 0::HUGEINT ELSE h2 END,
+        |         CASE WHEN cut2 THEN 14695981039346656037::HUGEINT ELSE fp2 END,
+        |         cut2, cs, p + 1 - cs, fp2
+        |  FROM (
+        |    SELECT doc_id, p, cs, h2, fp2,
+        |           ((p + 1 - cs >= 32 AND h2 % 64 = 0) OR p + 1 - cs >= 512) AS cut2
+        |    FROM (
+        |      SELECT st.doc_id, st.p, st.cs,
+        |             (st.h * 2 + bg.g) % 18446744073709551616::HUGEINT AS h2,
+        |             ((st.fp - (st.fp % 256)
+        |               + CAST(xor(CAST(st.fp % 256 AS BIGINT), CAST(bg.byv AS BIGINT)) AS HUGEINT))
+        |              * 1099511628211) % 18446744073709551616::HUGEINT AS fp2
+        |      FROM st JOIN bg ON bg.doc_id = st.doc_id AND bg.p = st.p) i) q),
+        |chunks AS (
+        |  SELECT doc_id, c_off AS off, c_len AS len, c_fp AS fp FROM st WHERE cut
+        |  UNION ALL
+        |  SELECT st.doc_id, st.cs, b.len - st.cs, st.fp
+        |  FROM st JOIN blobs b ON b.doc_id = st.doc_id
+        |  WHERE st.p = b.len AND st.cs < b.len),
+        |perfp AS (
+        |  SELECT fp, count(*) AS n, min(len) AS len FROM chunks GROUP BY fp)
+        |SELECT CAST((SELECT count(*) FROM blobs) AS BIGINT) AS n_blobs,
+        |       CAST(sum(n) AS BIGINT) AS n_chunks,
+        |       CAST(sum(n * len) AS BIGINT) AS total_bytes,
+        |       CAST(count(*) AS BIGINT) AS uniq_chunks,
+        |       CAST(sum(len) AS BIGINT) AS uniq_bytes
+        |FROM perfp""".stripMargin,
 
     "ext_pagerank" -> {
       // unrolled integer recurrence, one CTE triple per iteration —
