@@ -18,8 +18,13 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // testdata events.ts is TIMESTAMP(NANOS) — Spark only reads it as long
+      // testdata events.ts has shipped as TIMESTAMP(NANOS) — Spark only reads it as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // testdata timestamps are naive (isAdjustedToUTC=false); read them as
+      // TimestampType rather than TIMESTAMP_NTZ — with the UTC session tz this
+      // is epoch-preserving and matches DuckDB's naive-as-UTC oracle reading,
+      // and keeps literal comparisons (`lit(...).cast("timestamp")`) resolvable
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.ui.enabled", "false")
 
