@@ -1,0 +1,136 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over a document corpus — BM25 (Okapi) scoring for a
+  * fixed query set. The reference pipeline's search-shaped workload (query a
+  * loaded table for matching rows) generalized to ranked text retrieval; in
+  * an LLM-data pipeline this is the standard tool for targeted corpus
+  * inspection ("which documents talk about X"), contamination triage against
+  * benchmark queries, and quality-slice sampling by topic.
+  *
+  * `score(q, d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`
+  * with `idf(t) = ln(1 + (N − df(t) + 0.5)/(df(t) + 0.5))`, `tf` the term's
+  * in-document count, `dl` the document's token length, `avgdl` the corpus
+  * mean token length, and query-term multiplicity collapsed (standard Okapi).
+  *
+  * Scale shape (the whole point — this never builds a corpus-wide index):
+  *   - the query-term set is a driver literal, so the token ARRAY is
+  *     filtered by a codegen'd `array_contains` BEFORE the explode — the
+  *     explode emits only query-term tokens and the only rows that ever
+  *     reach an exchange are matches (query-vocabulary-bounded, not
+  *     corpus-vocabulary-bounded). Linear in |query vocab| per token, the
+  *     right trade up to a few thousand distinct query terms; for larger
+  *     query batches switch the filter to a broadcast semi join;
+  *   - `tf` groups on (doc, dl, term) — `dl` is constant per document, so
+  *     carrying it in the grouping key keeps map-side partial aggregation
+  *     intact and avoids a doc-length join-back; a null-sentinel row per
+  *     document rides the same explode, so corpus stats (N, Σdl) come from
+  *     the SAME single corpus pass (the aggregate is lazily persisted —
+  *     docs-scale, not token-scale — because three branches consume it);
+  *   - `df` re-groups the tiny filtered tf table;
+  *   - per-term contributions are quantized to decimal(18,9) BEFORE summing,
+  *     so the per-(query, doc) score is an EXACT decimal sum — portable
+  *     across engines regardless of double addition order — and Spark's
+  *     StrictMath.log vs libm ln last-ulp drift is absorbed by the 1e-9
+  *     quantum (the [[TextStats.tfidfTopK]] discipline, same 9.0e6
+  *     decimal→double rank-injectivity fail-fast bound);
+  *   - the per-query top-k runs through the bounded `graft_topk` partial
+  *     aggregate (≤ mappers×k rows per query in the shuffle), never a
+  *     row_number window; ties break on the document id ascending — a total
+  *     order both engines share.
+  *
+  * Output: (query_id: bigint, rank: bigint, idCol: bigint,
+  * score: decimal(18,9)), rank 1..k per query, densest-first. Documents with
+  * no query term are absent (their BM25 score is 0). Requires a GraftSession
+  * (`graft_topk` resolves at analysis time).
+  *
+  * Reference semantics: Robertson & Spärck Jones probabilistic relevance
+  * framework (BM25, TREC-3); parameter defaults k1=1.2, b=0.75 are the
+  * literature's standard operating point.
+  */
+object Retrieval {
+
+  /** wsTokens of a query string on the driver — MUST mirror
+    * [[TextStats.wsTokens]] (split on single space, drop empties) so query
+    * tokenization and corpus tokenization agree. */
+  def queryTerms(queryText: String): Seq[String] =
+    queryText.split(" ", -1).filter(_.nonEmpty).distinct.toSeq
+
+  def bm25TopK(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      queries: Seq[(Long, String)],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(queries.nonEmpty, "bm25TopK: empty query set")
+    val qterms = queries
+      .flatMap { case (qid, qtext) => queryTerms(qtext).map(qid -> _) }
+      .toDF("query_id", "term")
+    val qvocab = queries.flatMap(q => queryTerms(q._2)).distinct
+    val qvocabLit = array(qvocab.map(lit): _*)
+
+    val toks = df.select(
+      col(idCol),
+      TextStats.wsTokens(col(textCol)).as("__toks"))
+    // ONE corpus pass: filter the token array to query vocabulary BEFORE
+    // the explode (only query-term tokens are ever emitted, so the tf
+    // shuffle carries matches rather than the corpus) and append a null
+    // sentinel per document — the sentinel rows ARE the doc-length table,
+    // so corpus stats (N, Σdl) branch off the same aggregate instead of
+    // re-scanning and re-tokenizing the corpus a second time. The aggregate
+    // is consumed by three branches (tf, df, stats) and Spark does not
+    // common-subexpression-eliminate across them, so LAZILY persist it:
+    // docs-scale (one row per doc plus one per matched term — NOT
+    // token-scale), lineage intact (safe under executor loss, unlike a
+    // checkpoint), evicted by the block manager's LRU when memory is tight.
+    val tfAll = toks
+      .select(col(idCol), size(col("__toks")).cast("bigint").as("dl"),
+        explode(concat(
+          filter(col("__toks"), t => array_contains(qvocabLit, t)),
+          array(lit(null).cast("string")))).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = tfAll.where(col("term").isNotNull)
+    val stats = tfAll.where(col("term").isNull)
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // df over the filtered tf table only — query-vocabulary-sized result
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+
+    val nD = col("n_docs").cast("double")
+    val dfD = col("df").cast("double")
+    val tfD = col("tf").cast("double")
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log(lit(1.0) + (nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
+    val tfSat = tfD * lit(k1 + 1.0) /
+      (tfD + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    val raw = idf * tfSat
+    val contrib = tf
+      .join(broadcast(qterms), "term")
+      .join(broadcast(dft), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__c",
+        when(abs(raw) < lit(9.0e6), raw.cast("decimal(18,9)"))
+          .otherwise(raise_error(concat(
+            lit("graft.bm25TopK: |contribution| >= 9.0e6 breaks the " +
+              "decimal(18,9)->double rank injectivity bound (term "),
+            col("term"), lit(")")))))
+    val scored = contrib
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("__c")).as("__score")) // exact decimal sum — portable
+    scored
+      .groupBy(col("query_id"))
+      .agg(call_function("graft_topk",
+        col("__score").cast("double"), col(idCol).cast("bigint"), lit(k)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("bigint").as("rank"),
+        col("t.id").as(idCol), col("t.score").cast("decimal(18,9)").as("score"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Boilerplate, Bpe, Dedup, LanguageModel, Multimodal, NaiveBayes, Sampling, Similarity, Sketches, TextHash, TextStats, Url}
+import graft.ext.{Boilerplate, Bpe, Dedup, LanguageModel, Multimodal, NaiveBayes, Retrieval, Sampling, Similarity, Sketches, TextHash, TextStats, Url}
 import graft.ops.{AsOfJoin, Profile}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -82,7 +82,29 @@ object Ext {
       |  SELECT doc_id + 1000000, text || ' zz dup marker' FROM documents
       |  WHERE doc_id % 10 = 0)""".stripMargin
 
+  /** Gate query set for BM25 — multi-term queries over the synthetic
+    * corpus vocabulary; shared verbatim with the oracle's VALUES list. */
+  private[queries] val Bm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "hash join merge",
+    1L -> "fast scan filter",
+    2L -> "stream window agg",
+    3L -> "customer order query big")
+
+  private def bm25QueryValuesSql: String =
+    Bm25Queries.flatMap { case (qid, qt) =>
+      Retrieval.queryTerms(qt).map(term => s"($qid, '$term')")
+    }.mkString(", ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ext_bm25_topk" -> ((s, dir) =>
+      // BM25 ranked retrieval for a fixed query set; per-term contributions
+      // quantized decimal(18,9) before the exact decimal sum (the tfidf
+      // discipline), per-query top-k through the bounded graft_topk
+      // aggregate with doc_id as the engine-portable tie-break
+      Retrieval.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+          Bm25Queries, k = 10)
+        .orderBy("query_id", "rank")),
+
     "ext_dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val corpus = docs.unionByName(
@@ -1117,6 +1139,32 @@ object Ext {
   }
 
   val oracles: Map[String, String] = Map(
+    "ext_bm25_topk" ->
+      s"""WITH q(query_id, term) AS (VALUES $bm25QueryValuesSql),
+         |base AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+         |stats AS (SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS sum_dl FROM base),
+         |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base),
+         |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM tok
+         |       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, dl, term),
+         |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |raw AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |             / (CAST(df AS DOUBLE) + 0.5))
+         |    * (CAST(tf AS DOUBLE) * 2.2
+         |       / (CAST(tf AS DOUBLE)
+         |          + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE)
+         |              / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS r
+         |  FROM tf JOIN q USING (term) JOIN dft USING (term) CROSS JOIN stats),
+         |score AS (SELECT query_id, doc_id, SUM(CAST(r AS DECIMAL(18,9))) AS s
+         |          FROM raw GROUP BY query_id, doc_id),
+         |ranked AS (SELECT query_id, doc_id, s,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+         |  FROM score)
+         |SELECT query_id, rank, doc_id, CAST(s AS DECIMAL(18,9)) AS score
+         |FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
     "ext_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -711,6 +711,28 @@ object ScaleSmoke {
       assert(n == 2000000L, s"one whitened vector per input: $n")
     }
 
+    // 31. BM25 retrieval at 5M docs x ~20 tokens: the broadcast
+    // query-vocabulary filter drops every non-query token BEFORE the tf
+    // shuffle, so the exchange carries only matching (doc, term) rows —
+    // the plan that still works when the corpus is 100 TB and the query
+    // set is a benchmark suite.
+    val bmVocab = array(Seq("hash", "join", "merge", "scan", "filter",
+      "sort", "spill", "batch", "row", "column", "table", "index", "page",
+      "cache", "disk", "cpu", "net", "lock", "txn", "log", "wal", "heap",
+      "tree", "bloom", "stats", "plan", "cost", "rule", "code", "gen")
+      .map(lit): _*)
+    val bmDocs = spark.range(0, 5000000L, 1, 64).toDF("doc_id")
+      .withColumn("text", concat_ws(" ",
+        (0 until 20).map(i =>
+          element_at(bmVocab,
+            pmod(hash(col("doc_id"), lit(i)), lit(30)) + 1)): _*))
+    time("bm25 top-10, 5M docs x 2 queries") {
+      val out = graft.ext.Retrieval.bm25TopK(bmDocs, "text", "doc_id",
+        Seq(0L -> "hash join merge", 1L -> "bloom filter scan"), k = 10)
+      val n = out.count()
+      assert(n == 20L, s"2 queries x top-10 expected: $n")
+    }
+
     spark.stop()
   }
 }

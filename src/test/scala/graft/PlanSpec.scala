@@ -84,6 +84,21 @@ class PlanSpec extends AnyFunSuite {
       s"no window operator may appear in the tfidf plan:\n$p")
   }
 
+  test("bm25: token stream broadcast-filtered to query vocab; graft_topk, no window") {
+    val p = plan("ext_bm25_topk")
+    assert(p.contains("graft_topk"),
+      "per-query ranking must use the bounded top-k aggregate")
+    assert(!p.contains("Window"),
+      s"no window operator may appear in the bm25 plan:\n$p")
+    // the query-vocabulary filter runs on the token ARRAY before the
+    // explode (codegen'd array_contains on a literal) — a shuffled join
+    // here would exchange every token of the corpus instead of matches
+    assert(p.contains("array_contains"),
+      s"query-vocab literal filter must precede the explode:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join may appear in the bm25 plan:\n$p")
+  }
+
   test("q8: type filter pushed to part; 4 dim hints; fact joins unhinted") {
     val p = plan("q8_market_share")
     assert(p.contains("EqualTo(p_type,PROMO)"),

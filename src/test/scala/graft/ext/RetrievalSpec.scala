@@ -1,0 +1,105 @@
+package graft.ext
+
+import graft.SparkSpec
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+import org.apache.spark.sql.Row
+
+/** BM25 against a brute-force reference on a hand-built corpus, plus the
+  * operator's edge semantics (tie-break, query-term multiplicity collapse,
+  * absent terms, k > matches). */
+class RetrievalSpec extends SparkSpec {
+
+  private val docs: Seq[(Long, String)] = Seq(
+    1L -> "spark shuffles the hash join build side",
+    2L -> "hash hash hash join",
+    3L -> "broadcast join skips the shuffle",
+    4L -> "sort merge join spills to disk",
+    5L -> "a filter prunes the scan",
+    6L -> "", // empty doc: counts in N and avgdl, matches nothing
+    7L -> "sort merge join spills to disk") // exact dup of 4 → score tie
+
+  /** Mirrors bm25TopK's expression tree op-for-op (same double order),
+    * quantizing per-term contributions decimal(18,9) HALF_UP then summing
+    * exactly — the reference the distributed plan must reproduce. */
+  private def brute(
+      queries: Seq[(Long, String)], k1: Double, b: Double
+  ): Map[Long, Seq[(Long, JBigDecimal)]] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).filter(_.nonEmpty).toSeq
+    }.toMap
+    val n = docs.size
+    val avgdl = toks.values.map(_.size.toLong).sum.toDouble / n.toDouble
+    val df = toks.values.flatMap(_.distinct).groupBy(identity).map { case (t, g) => t -> g.size }
+    queries.map { case (qid, qtext) =>
+      val terms = Retrieval.queryTerms(qtext)
+      val scores = docs.flatMap { case (id, _) =>
+        val tf = toks(id).groupBy(identity).map { case (t, g) => t -> g.size }
+        val cs = terms.flatMap { t =>
+          tf.get(t).map { f =>
+            val dfd = df(t).toDouble
+            val idf = math.log(1.0 + (n.toDouble - dfd + 0.5) / (dfd + 0.5))
+            val sat = f.toDouble * (k1 + 1.0) /
+              (f.toDouble + k1 * (1.0 - b + b * (toks(id).size.toDouble / avgdl)))
+            JBigDecimal.valueOf(idf * sat).setScale(9, RoundingMode.HALF_UP)
+          }
+        }
+        if (cs.isEmpty) None
+        else Some(id -> cs.reduce(_.add(_)))
+      }
+      qid -> scores.sortBy { case (id, s) => (s.negate, id) }(
+        Ordering.Tuple2(Ordering.ordered[JBigDecimal], Ordering.Long))
+    }.toMap
+  }
+
+  private def run(queries: Seq[(Long, String)], k: Int): Seq[Row] = {
+    import spark.implicits._
+    Retrieval.bm25TopK(docs.toDF("doc_id", "text"), "text", "doc_id",
+        queries, k)
+      .orderBy("query_id", "rank").collect().toSeq
+  }
+
+  test("matches the brute-force reference, scores exact to the quantum") {
+    val queries = Seq(0L -> "hash join", 1L -> "shuffle sort merge")
+    val expected = brute(queries, 1.2, 0.75)
+    val got = run(queries, 10)
+    val byQ = got.groupBy(_.getLong(0))
+    for ((qid, exp) <- expected) {
+      val rows = byQ(qid).sortBy(_.getLong(1))
+      assert(rows.map(_.getLong(2)) == exp.map(_._1),
+        s"q$qid ranking mismatch: got ${rows.map(_.getLong(2))}, want ${exp.map(_._1)}")
+      for ((row, (_, s)) <- rows.zip(exp)) {
+        val gotS = row.getDecimal(3)
+        assert(gotS.subtract(s).abs.doubleValue <= 1e-9,
+          s"q$qid doc ${row.getLong(2)}: score $gotS vs reference $s")
+      }
+      assert(rows.map(_.getLong(1)) == (1L to exp.size.toLong),
+        "ranks must be dense 1..n")
+    }
+  }
+
+  test("identical documents tie-break on doc_id ascending") {
+    val got = run(Seq(0L -> "spills"), 10)
+    assert(got.map(_.getLong(2)) == Seq(4L, 7L), s"got $got")
+    assert(got(0).getDecimal(3) == got(1).getDecimal(3))
+  }
+
+  test("query-term multiplicity collapses (Okapi): 'hash hash join' == 'hash join'") {
+    val a = run(Seq(0L -> "hash hash join"), 10)
+    val b = run(Seq(0L -> "hash join"), 10)
+    assert(a.map(r => (r.getLong(1), r.getLong(2), r.getDecimal(3))) ==
+      b.map(r => (r.getLong(1), r.getLong(2), r.getDecimal(3))))
+  }
+
+  test("terms absent from the corpus contribute nothing; all-absent query returns no rows") {
+    val a = run(Seq(0L -> "join warpdrive"), 10)
+    val b = run(Seq(0L -> "join"), 10)
+    assert(a.map(r => (r.getLong(1), r.getLong(2), r.getDecimal(3))) ==
+      b.map(r => (r.getLong(1), r.getLong(2), r.getDecimal(3))))
+    assert(run(Seq(0L -> "warpdrive phaser"), 10).isEmpty)
+  }
+
+  test("k bounds the result; fewer matches than k returns all of them") {
+    assert(run(Seq(0L -> "join"), 2).size == 2)
+    assert(run(Seq(0L -> "prunes"), 10).map(_.getLong(2)) == Seq(5L))
+  }
+}
