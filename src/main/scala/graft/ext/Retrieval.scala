@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.table.TableStore
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Full-text retrieval over a document corpus — BM25 (Okapi) scoring for a
@@ -103,7 +104,17 @@ object Retrieval {
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     // df over the filtered tf table only — query-vocabulary-sized result
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    scoreAndRank(tf, qterms, dft, stats, idCol, k, k1, b)
+  }
 
+  /** The shared BM25 scoring tail: (doc, dl, term, tf) candidates × query
+    * terms × (term, df) × one-row (N, Σdl) → per-query ranked top-k. All
+    * small sides broadcast; the exact-decimal-sum / quantize-before-rank
+    * portability discipline lives here. */
+  private def scoreAndRank(
+      tf: DataFrame, qterms: DataFrame, dft: DataFrame, stats: DataFrame,
+      idCol: String, k: Int, k1: Double, b: Double
+  ): DataFrame = {
     val nD = col("n_docs").cast("double")
     val dfD = col("df").cast("double")
     val tfD = col("tf").cast("double")
@@ -132,5 +143,75 @@ object Retrieval {
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), (col("pos") + 1).cast("bigint").as("rank"),
         col("t.id").as(idCol), col("t.score").cast("decimal(18,9)").as("score"))
+  }
+
+  /** Materialize a persistent BM25 inverted index into a [[TableStore]] —
+    * the production shape for REPEATED query batches at 100 TB: pay the
+    * corpus tokenize/index once, then serve every later query batch from
+    * bucket-pruned posting lists without touching the corpus again.
+    *
+    * Three tables under `name`:
+    *   - `<name>_postings` (term, doc_id: bigint, dl, tf) — the inverted
+    *     index, hash-bucketed AND sorted on `term` so a query-vocabulary
+    *     `IN` filter prunes to the buckets holding its terms
+    *     (`SelectedBucketsCount` in the scan, asserted in PlanSpec) and
+    *     never reads the rest of the index;
+    *   - `<name>_terms` (term, df) — document frequencies;
+    *   - `<name>_stats` (n_docs, sum_dl) — one row.
+    *
+    * The build is the [[bm25TopK]] single corpus pass WITHOUT the query
+    * filter (the whole vocabulary is indexed; the null sentinel again
+    * doubles as the doc-length/stats carrier). */
+  def buildBm25Index(
+      store: TableStore, name: String,
+      df: DataFrame, textCol: String, idCol: String,
+      numBuckets: Int
+  ): Unit = {
+    val tfAll = df
+      .select(col(idCol).cast("bigint").as("doc_id"),
+        TextStats.wsTokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("bigint").as("dl"),
+        explode(concat(col("__toks"),
+          array(lit(null).cast("string")))).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val postings = tfAll.where(col("term").isNotNull)
+        .select("term", "doc_id", "dl", "tf")
+      store.overwriteBucketed(s"${name}_postings", postings,
+        Seq("term"), numBuckets)
+      store.overwriteBucketed(s"${name}_terms",
+        postings.groupBy("term").agg(count(lit(1)).as("df")),
+        Seq("term"), numBuckets)
+      store.overwrite(s"${name}_stats",
+        tfAll.where(col("term").isNull)
+          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")))
+    } finally tfAll.unpersist()
+  }
+
+  /** BM25 top-k served from a [[buildBm25Index]] index — no corpus access.
+    * The query vocabulary becomes an `IN` filter on the bucketed `term`
+    * column of both index tables, so the scan reads only the buckets (and,
+    * within them, the sorted runs) containing query terms: query cost
+    * scales with posting-list sizes, not index size. */
+  def bm25TopKIndexed(
+      store: TableStore, name: String,
+      queries: Seq[(Long, String)], k: Int,
+      k1: Double = 1.2, b: Double = 0.75
+  ): DataFrame = {
+    require(queries.nonEmpty, "bm25TopKIndexed: empty query set")
+    val stats = store.scan(s"${name}_stats")
+    val spark = stats.sparkSession
+    import spark.implicits._
+    val qterms = queries
+      .flatMap { case (qid, qtext) => queryTerms(qtext).map(qid -> _) }
+      .toDF("query_id", "term")
+    val qvocab = queries.flatMap(q => queryTerms(q._2)).distinct
+    val tf = store.scanBucketed(s"${name}_postings")
+      .where(col("term").isin(qvocab: _*))
+    val dft = store.scanBucketed(s"${name}_terms")
+      .where(col("term").isin(qvocab: _*))
+    scoreAndRank(tf, qterms, dft, stats, "doc_id", k, k1, b)
   }
 }

@@ -105,6 +105,19 @@ object Ext {
           Bm25Queries, k = 10)
         .orderBy("query_id", "rank")),
 
+    "ext_bm25_indexed" -> ((s, dir) => {
+      // same retrieval, served from a persistent bucket-pruned inverted
+      // index (posting lists bucketed+sorted on term) — build once, query
+      // without touching the corpus; must produce byte-identical results
+      // to the scan path, so it shares ext_bm25_topk's oracle
+      val store = new graft.table.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft_q_bm25").toString)
+      Retrieval.buildBm25Index(store, "docs",
+        t(s, dir, "documents"), "text", "doc_id", numBuckets = 8)
+      Retrieval.bm25TopKIndexed(store, "docs", Bm25Queries, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "ext_dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val corpus = docs.unionByName(
@@ -1138,8 +1151,9 @@ object Ext {
        |  CROSS JOIN unk)""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
-    "ext_bm25_topk" ->
+  /** One oracle for both BM25 paths: the index is lossless, so the scan
+    * path and the bucket-pruned index path must agree byte-for-byte. */
+  private def bm25OracleSql: String =
       s"""WITH q(query_id, term) AS (VALUES $bm25QueryValuesSql),
          |base AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
          |stats AS (SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS sum_dl FROM base),
@@ -1163,7 +1177,11 @@ object Ext {
          |  FROM score)
          |SELECT query_id, rank, doc_id, CAST(s AS DECIMAL(18,9)) AS score
          |FROM ranked WHERE rank <= 10
-         |ORDER BY query_id, rank""".stripMargin,
+         |ORDER BY query_id, rank""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ext_bm25_topk" -> bm25OracleSql,
+    "ext_bm25_indexed" -> bm25OracleSql,
 
     "ext_dedup_exact" ->
       """WITH corpus AS (

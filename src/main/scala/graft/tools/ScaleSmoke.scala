@@ -711,26 +711,40 @@ object ScaleSmoke {
       assert(n == 2000000L, s"one whitened vector per input: $n")
     }
 
-    // 31. BM25 retrieval at 5M docs x ~20 tokens: the broadcast
-    // query-vocabulary filter drops every non-query token BEFORE the tf
-    // shuffle, so the exchange carries only matching (doc, term) rows —
-    // the plan that still works when the corpus is 100 TB and the query
-    // set is a benchmark suite.
-    val bmVocab = array(Seq("hash", "join", "merge", "scan", "filter",
-      "sort", "spill", "batch", "row", "column", "table", "index", "page",
-      "cache", "disk", "cpu", "net", "lock", "txn", "log", "wal", "heap",
-      "tree", "bloom", "stats", "plan", "cost", "rule", "code", "gen")
-      .map(lit): _*)
+    // 31. BM25 retrieval at 5M docs x 20 tokens over a 10k-term
+    // vocabulary (power-law-ish realistic sparsity): the query-vocabulary
+    // filter drops every non-query token BEFORE the explode, so the tf
+    // shuffle carries only matching (doc, term) rows — the plan that
+    // still works when the corpus is 100 TB and the query set is a
+    // benchmark suite.
+    val bmQueries = Seq(0L -> "t17 t42 t99", 1L -> "t7 t1234 t555")
     val bmDocs = spark.range(0, 5000000L, 1, 64).toDF("doc_id")
       .withColumn("text", concat_ws(" ",
         (0 until 20).map(i =>
-          element_at(bmVocab,
-            pmod(hash(col("doc_id"), lit(i)), lit(30)) + 1)): _*))
+          concat(lit("t"),
+            pmod(hash(col("doc_id"), lit(i)), lit(10000)))): _*))
     time("bm25 top-10, 5M docs x 2 queries") {
       val out = graft.ext.Retrieval.bm25TopK(bmDocs, "text", "doc_id",
-        Seq(0L -> "hash join merge", 1L -> "bloom filter scan"), k = 10)
+        bmQueries, k = 10)
       val n = out.count()
       assert(n == 20L, s"2 queries x top-10 expected: $n")
+    }
+
+    // 32. BM25 inverted index: pay the full-vocabulary index build once
+    // (the only corpus pass: 100M-row posting table, bucketed+sorted on
+    // term), then serve query batches from bucket-pruned posting lists —
+    // query cost scales with the queried posting lists (~60k rows here),
+    // not corpus size, and must come in far under the scan path above.
+    val bmStore = new graft.table.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_smoke_bm25").toString)
+    time("bm25 index build, 5M docs (10k-term vocab)") {
+      graft.ext.Retrieval.buildBm25Index(bmStore, "docs", bmDocs,
+        "text", "doc_id", numBuckets = 16)
+    }
+    time("bm25 indexed query batch (no corpus scan)") {
+      val out = graft.ext.Retrieval.bm25TopKIndexed(bmStore, "docs",
+        bmQueries, k = 10)
+      assert(out.count() == 20L)
     }
 
     spark.stop()

@@ -99,6 +99,14 @@ class PlanSpec extends AnyFunSuite {
       s"no corpus-sized shuffle join may appear in the bm25 plan:\n$p")
   }
 
+  test("bm25 indexed: posting-list scan bucket-prunes on the query vocabulary") {
+    val p = plan("ext_bm25_indexed")
+    assert(p.contains("SelectedBucketsCount"),
+      s"query must read only the buckets holding its terms:\n$p")
+    assert(p.contains("graft_topk") && !p.contains("Window"),
+      s"same bounded ranking as the scan path:\n$p")
+  }
+
   test("q8: type filter pushed to part; 4 dim hints; fact joins unhinted") {
     val p = plan("q8_market_share")
     assert(p.contains("EqualTo(p_type,PROMO)"),

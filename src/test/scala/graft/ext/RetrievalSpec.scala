@@ -102,4 +102,25 @@ class RetrievalSpec extends SparkSpec {
     assert(run(Seq(0L -> "join"), 2).size == 2)
     assert(run(Seq(0L -> "prunes"), 10).map(_.getLong(2)) == Seq(5L))
   }
+
+  test("indexed path is byte-identical to the scan path; scan prunes buckets") {
+    import spark.implicits._
+    val store = new graft.table.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString)
+    Retrieval.buildBm25Index(store, "c",
+      docs.toDF("doc_id", "text"), "text", "doc_id", numBuckets = 4)
+    val queries = Seq(0L -> "hash join", 1L -> "shuffle sort merge",
+      2L -> "spills", 3L -> "warpdrive")
+    val indexed = Retrieval.bm25TopKIndexed(store, "c", queries, k = 10)
+    val scan = run(queries, 10)
+    assert(indexed.orderBy("query_id", "rank").collect().toSeq.map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDecimal(3))) ==
+      scan.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDecimal(3))),
+      "index must be lossless: same ranking, same scores")
+    // the query-vocab IN filter must prune posting-list buckets
+    val p = indexed.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("SelectedBucketsCount"),
+      s"postings scan must bucket-prune on the term filter:\n$p")
+  }
 }
