@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Boilerplate, Bpe, Dedup, LanguageModel, Multimodal, NaiveBayes, Retrieval, Sampling, Similarity, Sketches, TextHash, TextStats, Url}
+import graft.ext.{Boilerplate, Bpe, Dedup, LanguageModel, Multimodal, NaiveBayes, Retrieval, Sampling, Similarity, Sketches, TextHash, TextStats, Url, Winnow}
 import graft.ops.{AsOfJoin, Profile}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -117,6 +117,14 @@ object Ext {
       Retrieval.bm25TopKIndexed(store, "docs", Bm25Queries, k = 10)
         .orderBy("query_id", "rank")
     }),
+
+    "ext_winnow" -> ((s, dir) =>
+      // winnowing fingerprints (Schleimer et al. 2003): per-row HOF
+      // pipeline, zero shuffles; rightmost-min tie rule shared with the
+      // oracle's max(pos)-at-min formulation
+      Winnow.fingerprints(t(s, dir, "documents"), "text", "doc_id",
+          k = 8, w = 8)
+        .orderBy("doc_id", "pos", "fp")),
 
     "ext_dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
@@ -1182,6 +1190,29 @@ object Ext {
   val oracles: Map[String, String] = Map(
     "ext_bm25_topk" -> bm25OracleSql,
     "ext_bm25_indexed" -> bm25OracleSql,
+
+    "ext_winnow" ->
+      """WITH g AS (
+        |  SELECT doc_id, text,
+        |         unnest(range(1, greatest(len(text) - 8 + 2, 1))) AS pos
+        |  FROM documents),
+        |h AS (SELECT doc_id, pos,
+        |        ('0x' || substr(md5(substr(text, pos, 8)), 1, 15))::BIGINT AS h
+        |      FROM g),
+        |wmin AS (
+        |  SELECT doc_id, pos AS j, min(h) OVER win AS mh, count(*) OVER win AS cnt
+        |  FROM h
+        |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)),
+        |wfull AS (SELECT * FROM wmin WHERE cnt = 8),
+        |picks AS (
+        |  SELECT f.doc_id, f.j, max(h.pos) AS pos, f.mh AS fp
+        |  FROM wfull f
+        |  JOIN h ON h.doc_id = f.doc_id
+        |        AND h.pos BETWEEN f.j AND f.j + 7 AND h.h = f.mh
+        |  GROUP BY f.doc_id, f.j, f.mh)
+        |SELECT DISTINCT doc_id, pos, fp FROM picks
+        |ORDER BY doc_id, pos, fp""".stripMargin,
 
     "ext_dedup_exact" ->
       """WITH corpus AS (

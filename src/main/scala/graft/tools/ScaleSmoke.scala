@@ -747,6 +747,30 @@ object ScaleSmoke {
       assert(out.count() == 20L)
     }
 
+    // 33. winnowing fingerprints at 1M docs x ~84 chars: one md5 per
+    // char 8-gram is the whole cost (per-row HOFs, zero shuffle); every
+    // 100th doc is a near-copy (one appended word) of its neighbor, and
+    // the shared-fingerprint pair join must surface exactly those pairs
+    // through the df-capped postings.
+    val winDocs = spark.range(0, 1000000L, 1, 64).toDF("doc_id")
+      .withColumn("text", concat_ws(" ",
+        (0 until 12).map(i =>
+          concat(lit("w"),
+            pmod(hash(when(col("doc_id") % 100 === 1, col("doc_id") - 1)
+              .otherwise(col("doc_id")), lit(i)), lit(100000)))): _*))
+      .withColumn("text",
+        when(col("doc_id") % 100 === 1, concat(col("text"), lit(" extra")))
+          .otherwise(col("text")))
+    time("winnow fingerprints 1M docs (8-gram, w=8)") {
+      val fps = graft.ext.Winnow.fingerprints(winDocs, "text", "doc_id")
+      val pairs = graft.ext.Winnow.sharedFingerprintPairs(
+        fps, "doc_id", minShared = 3, maxPostings = 50)
+      val planted = pairs
+        .where(col("id_b") === col("id_a") + 1 && col("id_a") % 100 === 0)
+        .count()
+      assert(planted >= 9000L, s"planted near-copies found: $planted of 10000")
+    }
+
     spark.stop()
   }
 }
