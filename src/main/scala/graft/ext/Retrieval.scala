@@ -166,6 +166,31 @@ object Retrieval {
       store: TableStore, name: String,
       df: DataFrame, textCol: String, idCol: String,
       numBuckets: Int
+  ): Unit =
+    writeBm25Index(store, name, df, textCol, idCol, numBuckets,
+      append = false)
+
+  /** Grow a [[buildBm25Index]] index with a batch of NEW documents (ids
+    * must be disjoint from what is already indexed — re-ingesting a doc
+    * would double-count its postings; dedup the crawl first, which is what
+    * the incremental-dedup operators are for). The batch's postings and
+    * per-term df increments append as extra files in the SAME buckets
+    * (pruning and co-location intact) and a stats row appends to the stats
+    * table — an append never rewrites existing index data, so index
+    * maintenance costs the BATCH's size, not the index's. df and corpus
+    * stats are summed at query time (integer sums — engine-exact). */
+  def appendBm25Index(
+      store: TableStore, name: String,
+      df: DataFrame, textCol: String, idCol: String,
+      numBuckets: Int
+  ): Unit =
+    writeBm25Index(store, name, df, textCol, idCol, numBuckets,
+      append = true)
+
+  private def writeBm25Index(
+      store: TableStore, name: String,
+      df: DataFrame, textCol: String, idCol: String,
+      numBuckets: Int, append: Boolean
   ): Unit = {
     val tfAll = df
       .select(col(idCol).cast("bigint").as("doc_id"),
@@ -179,14 +204,20 @@ object Retrieval {
     try {
       val postings = tfAll.where(col("term").isNotNull)
         .select("term", "doc_id", "dl", "tf")
-      store.overwriteBucketed(s"${name}_postings", postings,
-        Seq("term"), numBuckets)
-      store.overwriteBucketed(s"${name}_terms",
-        postings.groupBy("term").agg(count(lit(1)).as("df")),
-        Seq("term"), numBuckets)
-      store.overwrite(s"${name}_stats",
-        tfAll.where(col("term").isNull)
-          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")))
+      val terms = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      val stats = tfAll.where(col("term").isNull)
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      if (append) {
+        store.appendBucketed(s"${name}_postings", postings,
+          Seq("term"), numBuckets)
+        store.appendBucketed(s"${name}_terms", terms, Seq("term"), numBuckets)
+        store.append(s"${name}_stats", stats)
+      } else {
+        store.overwriteBucketed(s"${name}_postings", postings,
+          Seq("term"), numBuckets)
+        store.overwriteBucketed(s"${name}_terms", terms, Seq("term"), numBuckets)
+        store.overwrite(s"${name}_stats", stats)
+      }
     } finally tfAll.unpersist()
   }
 
@@ -210,8 +241,13 @@ object Retrieval {
     val qvocab = queries.flatMap(q => queryTerms(q._2)).distinct
     val tf = store.scanBucketed(s"${name}_postings")
       .where(col("term").isin(qvocab: _*))
+    // df increments and per-batch stats rows sum at query time (integer
+    // sums — engine-exact), so incremental appends never rewrite the index
     val dft = store.scanBucketed(s"${name}_terms")
       .where(col("term").isin(qvocab: _*))
-    scoreAndRank(tf, qterms, dft, stats, "doc_id", k, k1, b)
+      .groupBy("term").agg(sum(col("df")).as("df"))
+    val statsSum = stats
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    scoreAndRank(tf, qterms, dft, statsSum, "doc_id", k, k1, b)
   }
 }

@@ -91,4 +91,23 @@ object Graph {
     }
     ranks.select(col("node"), col("r").as("rank_q"))
   }
+
+  /** Connected components over an undirected edge list — host-graph
+    * clustering, duplicate-cluster realization, crawl-frontier grouping.
+    * Returns (node, component) with component = min node id of the
+    * component; nodes with no edges don't appear (union an
+    * isolated-node frame with `component = node` if needed).
+    *
+    * Delegates to [[graft.ext.Dedup.duplicateClusters]]'s min-label
+    * propagation — edge set materialized once, per-round
+    * localCheckpoint, O(diameter) rounds with early convergence — which
+    * was always a general CC; this is the graph-flavored surface. */
+  def connectedComponents(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIterations: Int = 25, edgeParts: Int = 4
+  ): DataFrame =
+    graft.ext.Dedup.duplicateClusters(
+        edges.select(col(srcCol).as("a_id"), col(dstCol).as("b_id")),
+        maxIterations, edgeParts)
+      .select(col("id").as("node"), col("cluster").as("component"))
 }

@@ -118,6 +118,22 @@ object Ext {
         .orderBy("query_id", "rank")
     }),
 
+    "ext_bm25_incremental" -> ((s, dir) => {
+      // crawl-shaped index growth: index half the corpus, append the rest
+      // as a batch (bucketed file appends + df/stats increments, no index
+      // rewrite) — must be indistinguishable from indexing everything at
+      // once, so it shares the scan path's oracle
+      val store = new graft.table.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft_q_bm25i").toString)
+      val docs = t(s, dir, "documents")
+      Retrieval.buildBm25Index(store, "docs",
+        docs.where(col("doc_id") % 2 === 0), "text", "doc_id", numBuckets = 8)
+      Retrieval.appendBm25Index(store, "docs",
+        docs.where(col("doc_id") % 2 === 1), "text", "doc_id", numBuckets = 8)
+      Retrieval.bm25TopKIndexed(store, "docs", Bm25Queries, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "ext_winnow" -> ((s, dir) =>
       // winnowing fingerprints (Schleimer et al. 2003): per-row HOF
       // pipeline, zero shuffles; rightmost-min tie rule shared with the
@@ -377,6 +393,21 @@ object Ext {
           col("l_orderkey") === col("o_orderkey"))
         .select((col("l_suppkey") + 10000000000L).as("src"), col("o_custkey").as("dst"))
       graft.ops.Graph.pageRank(e, "src", "dst", iterations = 3)
+        .orderBy("node")
+    }),
+
+    "ext_components" -> ((s, dir) => {
+      // connected components over the supplier→customer graph, restricted
+      // to congruent id classes (mod 10) so the graph genuinely splits into
+      // multiple components; the oracle replays min-label reachability as
+      // a recursive CTE
+      val e = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_suppkey") % 10 === col("o_custkey") % 10)
+        .select((col("l_suppkey") + 10000000000L).as("src"),
+          col("o_custkey").as("dst"))
+      graft.ops.Graph.connectedComponents(e, "src", "dst")
         .orderBy("node")
     }),
 
@@ -1190,6 +1221,20 @@ object Ext {
   val oracles: Map[String, String] = Map(
     "ext_bm25_topk" -> bm25OracleSql,
     "ext_bm25_indexed" -> bm25OracleSql,
+    "ext_bm25_incremental" -> bm25OracleSql,
+
+    "ext_components" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT l_suppkey + 10000000000 AS src, o_custkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_suppkey % 10 = o_custkey % 10),
+        |e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+        |reach(node, r) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON reach.node = e.dst)
+        |SELECT node, min(r) AS component FROM reach
+        |GROUP BY node ORDER BY node""".stripMargin,
 
     "ext_winnow" ->
       """WITH g AS (

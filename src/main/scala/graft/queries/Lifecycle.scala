@@ -132,6 +132,26 @@ object Lifecycle {
       }.reduce(_.unionByName(_)).orderBy("version")
     }),
 
+    "w_version_diff" -> ((s, dir) => {
+      // snapshot CDC: overwrite twice, then emit the row-level change feed
+      // between the two retained versions — deletes below the new floor,
+      // inserts above the old ceiling, updates where the balance moved,
+      // and NOTHING for untouched rows
+      val store = new TableStore(s,
+        Files.createTempDirectory("graft_q_vd").toString, retainVersions = 4)
+      val c = t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+      store.overwrite("cust", c.where(col("c_custkey") <= 1000))
+      store.overwrite("cust",
+        c.where(col("c_custkey").between(501, 1500))
+          .withColumn("c_acctbal",
+            when(col("c_custkey") % 3 === 0, col("c_acctbal") + lit(100.0))
+              .otherwise(col("c_acctbal"))))
+      val vs = store.versions("cust")
+      store.diffVersions("cust", vs.min, vs.max, Seq("c_custkey"))
+        .withColumn("changed_cols", array_join(col("changed_cols"), ","))
+        .orderBy("c_custkey")
+    }),
+
     "w10_zorder_scan" -> ((s, dir) => {
       // multi-dimensional slice over a Z-ordered layout: both the partkey
       // and suppkey predicates prune files (TableStoreSpec measures the
@@ -229,6 +249,27 @@ object Lifecycle {
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE)
         |FROM customer WHERE c_custkey <= 200
         |ORDER BY version""".stripMargin,
+
+    "w_version_diff" ->
+      """WITH v1 AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer
+        |  WHERE c_custkey <= 1000),
+        |v2 AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0
+        |         ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey BETWEEN 501 AND 1500)
+        |SELECT COALESCE(v2.c_custkey, v1.c_custkey) AS c_custkey,
+        |  CASE WHEN v1.c_custkey IS NULL THEN 'insert'
+        |       WHEN v2.c_custkey IS NULL THEN 'delete'
+        |       ELSE 'update' END AS op,
+        |  CASE WHEN v1.c_custkey IS NOT NULL AND v2.c_custkey IS NOT NULL
+        |       THEN 'c_acctbal' END AS changed_cols
+        |FROM v1 FULL OUTER JOIN v2 ON v1.c_custkey = v2.c_custkey
+        |WHERE v1.c_custkey IS NULL OR v2.c_custkey IS NULL
+        |   OR v1.c_acctbal IS DISTINCT FROM v2.c_acctbal
+        |   OR v1.c_name IS DISTINCT FROM v2.c_name
+        |ORDER BY c_custkey""".stripMargin,
 
     "w10_zorder_scan" ->
       """SELECT l_partkey, l_suppkey,

@@ -109,6 +109,51 @@ final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 
       .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
+  /** Snapshot CDC: row-level difference between two retained versions —
+    * the change feed a downstream consumer replays to follow the table
+    * without re-reading it (the reference's change-detection predicate
+    * lifted from merge-time to whole-version granularity).
+    *
+    * Output: key columns + `op` (`insert` | `delete` | `update`) +
+    * `changed_cols` (sorted names of non-key columns whose value differs,
+    * null-safe comparison; null for insert/delete). Unchanged rows are NOT
+    * emitted, so the result is change-sized, not table-sized.
+    *
+    * Scale shape: one full-outer join co-keyed on `keys` — both sides
+    * shuffle once on the key (bucket both versions on the key to make
+    * even that exchange-free); the change classification is a per-row
+    * projection. Keys must be unique per version (the MERGE precondition
+    * this store already enforces on upsert paths). */
+  def diffVersions(name: String, fromV: Long, toV: Long,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "diffVersions: at least one key column")
+    val a = scanAsOf(name, fromV)
+    val b = scanAsOf(name, toV)
+    val nonKey = b.columns.filter(c => !keys.contains(c) && a.columns.contains(c))
+    val keyCond = keys.map(k => a(k) <=> b(k)).reduce(_ && _)
+    val joined = a.as("a").join(b.as("b"), keyCond, "full_outer")
+    val changed = array_sort(filter(
+      array(nonKey.sorted.map(c =>
+        when(col(s"a.$c") <=> col(s"b.$c"), lit(null).cast("string"))
+          .otherwise(lit(c))).toIndexedSeq: _*),
+      c => c.isNotNull))
+    joined
+      .withColumn("__a_present",
+        keys.map(k => col(s"a.$k").isNotNull).reduce(_ || _))
+      .withColumn("__b_present",
+        keys.map(k => col(s"b.$k").isNotNull).reduce(_ || _))
+      .withColumn("op",
+        when(!col("__a_present"), lit("insert"))
+          .when(!col("__b_present"), lit("delete"))
+          .otherwise(lit("update")))
+      .withColumn("changed_cols",
+        when(col("op") === "update", changed).otherwise(lit(null)))
+      .where(col("op") =!= "update" || size(col("changed_cols")) > 0)
+      .select(keys.map(k =>
+        coalesce(col(s"b.$k"), col(s"a.$k")).as(k)) ++
+        Seq(col("op"), col("changed_cols")): _*)
+  }
+
   /** Write df as the whole new state of `name` (atomic manifest flip). */
   def overwrite(name: String, df: DataFrame): Unit = {
     val snap = writeSnapshot(name, df)
@@ -210,6 +255,25 @@ final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 
       .sortBy(keys.head, keys.tail: _*)
       .mode("overwrite")
       .saveAsTable(catalog)
+  }
+
+  /** Append to a BUCKETED catalog table created by [[overwriteBucketed]]
+    * with the SAME keys and bucket count (Spark validates the spec and
+    * refuses a mismatch). Each append adds one file per (writer task,
+    * bucket); bucket pruning and exchange-free joins keep working — the
+    * per-bucket data is just split across more files. Sort order is
+    * per-file, so merge-sorted reads across appends are NOT guaranteed;
+    * callers needing one sorted run per bucket should compact by
+    * re-calling [[overwriteBucketed]] with the scan. */
+  def appendBucketed(name: String, df: DataFrame, keys: Seq[String],
+      numBuckets: Int): Unit = {
+    require(spark.catalog.tableExists(bucketedCatalogName(name)),
+      s"appendBucketed: no bucketed table '$name' — overwriteBucketed first")
+    df.write.format("parquet")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .mode("append")
+      .saveAsTable(bucketedCatalogName(name))
   }
 
   /** Scan a bucketed table WITH its bucketing metadata (via the catalog). */

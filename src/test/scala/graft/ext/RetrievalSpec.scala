@@ -123,4 +123,25 @@ class RetrievalSpec extends SparkSpec {
     assert(p.contains("SelectedBucketsCount"),
       s"postings scan must bucket-prune on the term filter:\n$p")
   }
+
+  test("incremental append is indistinguishable from a full build") {
+    import spark.implicits._
+    def results(store: graft.table.TableStore) =
+      Retrieval.bm25TopKIndexed(store, "c",
+          Seq(0L -> "hash join", 1L -> "shuffle sort merge"), k = 10)
+        .orderBy("query_id", "rank").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDecimal(3)))
+    val full = new graft.table.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_bm25_full").toString)
+    Retrieval.buildBm25Index(full, "c",
+      docs.toDF("doc_id", "text"), "text", "doc_id", numBuckets = 4)
+    val inc = new graft.table.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_bm25_inc").toString)
+    Retrieval.buildBm25Index(inc, "c",
+      docs.take(3).toDF("doc_id", "text"), "text", "doc_id", numBuckets = 4)
+    Retrieval.appendBm25Index(inc, "c",
+      docs.drop(3).toDF("doc_id", "text"), "text", "doc_id", numBuckets = 4)
+    assert(results(inc) == results(full),
+      "append must reproduce the full build byte-for-byte")
+  }
 }

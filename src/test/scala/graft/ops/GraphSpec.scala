@@ -66,4 +66,41 @@ class GraphSpec extends SparkSpec {
       .collect().map(_.getLong(1)).distinct
     assert(tele.toSeq == Seq(Graph.Mass / 4), s"pure teleport is uniform: $tele")
   }
+
+  /** Union-find reference for connected components. */
+  private def naiveCC(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(n => n -> find(n)).toMap
+  }
+
+  test("connectedComponents == union-find on random graphs") {
+    val rnd = new Random(11)
+    for (trial <- 0 until 5) {
+      val n = 30 + rnd.nextInt(40)
+      val edges = (0 until n).map(_ =>
+        (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      val got = Graph.connectedComponents(
+          edges.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == naiveCC(edges), s"trial $trial: $got vs ${naiveCC(edges)}")
+    }
+  }
+
+  test("connectedComponents: chain, disjoint pair, self-loop") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), // chain → component 1
+      (10L, 11L),                                 // pair → component 10
+      (20L, 20L))                                 // self-loop → singleton 20
+    val got = Graph.connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
 }

@@ -232,6 +232,34 @@ class TableStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](plain.scanAsOf("t", 1))
   }
 
+  test("diffVersions: insert/delete/update classified; unchanged rows absent; multi-col changes listed sorted") {
+    import spark.implicits._
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft_store_diff").toString,
+      retainVersions = 4)
+    store.overwrite("t", Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "name", "bal"))
+    store.overwrite("t", Seq(
+      (2L, "b", 20.0),       // unchanged → absent
+      (3L, "c2", 31.0),      // both non-key cols change
+      (4L, "d", 41.0),       // one col changes
+      (5L, "e", 50.0))       // new → insert
+      .toDF("k", "name", "bal"))
+    val vs = store.versions("t")
+    val got = store.diffVersions("t", vs.min, vs.max, Seq("k"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getSeq[String](2)).map(_.toList).orNull))
+    assert(got.toSeq == Seq(
+      (1L, "delete", null),
+      (3L, "update", List("bal", "name")),
+      (4L, "update", List("bal")),
+      (5L, "insert", null)), s"got ${got.toSeq}")
+    // a diff of a version against itself is empty
+    assert(store.diffVersions("t", vs.max, vs.max, Seq("k")).count() == 0)
+  }
+
   test("crash recovery: orphan snapshot (no manifest entry) is invisible and GC'd") {
     val (store, dir) = newStoreAt
     store.overwrite("t", spark.range(3).toDF("v"))
