@@ -250,4 +250,48 @@ object Retrieval {
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     scoreAndRank(tf, qterms, dft, statsSum, "doc_id", k, k1, b)
   }
+
+  /** Positional inverted index: `<name>_pos` (term, doc_id, pos) — one row
+    * per token occurrence, 1-indexed positions, hash-bucketed + sorted on
+    * `term` like the BM25 postings. The extra table unlocks exact-phrase
+    * and proximity queries the unigram index cannot answer; it costs one
+    * more row per TOKEN (vs per distinct (doc, term)), which is the
+    * standard positional-index price. */
+  def buildPositionalIndex(
+      store: TableStore, name: String,
+      df: DataFrame, textCol: String, idCol: String,
+      numBuckets: Int
+  ): Unit =
+    store.overwriteBucketed(s"${name}_pos",
+      df.select(col(idCol).cast("bigint").as("doc_id"),
+          posexplode(TextStats.wsTokens(col(textCol))).as(Seq("pos0", "term")))
+        .select(col("term"), col("doc_id"),
+          (col("pos0") + 1).cast("bigint").as("pos")),
+      Seq("term"), numBuckets)
+
+  /** Exact-phrase occurrences served from a [[buildPositionalIndex]] index:
+    * (doc_id, start_pos) for every place the phrase's tokens appear
+    * consecutively. The scan is bucket-pruned to the phrase's terms, then
+    * each subsequent term joins on (doc_id, pos = start + offset) — every
+    * join is posting-list-sized, co-keyed on (doc_id, pos), and the corpus
+    * is never touched. Repeated terms in the phrase are handled naturally
+    * (each offset constrains its own occurrence row). */
+  def phraseOccurrences(
+      store: TableStore, name: String, phrase: String
+  ): DataFrame = {
+    val terms = phrase.split(" ", -1).filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "phraseOccurrences: empty phrase")
+    val pos = store.scanBucketed(s"${name}_pos")
+      .where(col("term").isin(terms.distinct: _*))
+    val base = pos.where(col("term") === terms.head)
+      .select(col("doc_id"), col("pos").as("start_pos"))
+    terms.zipWithIndex.tail.foldLeft(base) { case (acc, (t, i)) =>
+      acc.join(
+        pos.where(col("term") === t)
+          .select(col("doc_id").as(s"__d$i"), col("pos").as(s"__p$i")),
+        col("doc_id") === col(s"__d$i") &&
+          col(s"__p$i") === col("start_pos") + i)
+        .select(col("doc_id"), col("start_pos"))
+    }
+  }
 }

@@ -95,6 +95,13 @@ object GraftExtensions {
         GopherCountsExpression(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowExpression].getName, "graft_winnow"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "graft_winnow(text, k, w) takes three arguments")
+        WinnowExpression(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKByAggregate].getName, "graft_topk"),
       (children: Seq[Expression]) => {

@@ -203,4 +203,85 @@ object TextNative {
     }
     acc
   }
+
+  val WinnowStruct: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("h", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+
+  /** == [[graft.ext.Winnow]]'s declarative pick pipeline: per-gram
+    * 31-multiplier polynomial hash over code points mod 2^31-1, then the
+    * rightmost minimum of each window of w hashes, picks deduped by
+    * position in window order. One fused loop: O(n·k) hashing + O(n·w)
+    * window scan, no string allocation at all. */
+  def winnow(text: UTF8String, k: Int, w: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val m = cps.length - k + 1
+    if (m < 1 || m < w)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = (h * 31 + cps(i + j)) % P; j += 1 }
+      hs(i) = h
+      i += 1
+    }
+    val order = new java.util.ArrayList[Integer]()
+    val seen = new java.util.HashSet[Integer]()
+    var j0 = 0
+    while (j0 <= m - w) {
+      var bh = Long.MaxValue
+      var bp = 0
+      var x = j0
+      while (x < j0 + w) {
+        if (hs(x) <= bh) { bh = hs(x); bp = x }
+        x += 1
+      }
+      if (seen.add(bp)) order.add(bp)
+      j0 += 1
+    }
+    val out = new Array[Any](order.size())
+    var r = 0
+    while (r < order.size()) {
+      val p = order.get(r).intValue()
+      out(r) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](hs(p), p + 1))
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `graft_winnow(text, k, w)` → array<struct<h bigint, p int>>: the whole
+  * winnowing selection as one codegen'd kernel — the interpreted HOF
+  * pipeline (per-char ascii + per-window aggregate) was the bench's
+  * slowest query by 4× before fusing. The declarative form in
+  * [[graft.ext.Winnow]] remains the readable spec and oracle template;
+  * WinnowSpec pins element-identical outputs. */
+case class WinnowExpression(first: Expression, second: Expression,
+    third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (first.dataType == StringType &&
+        second.dataType == org.apache.spark.sql.types.IntegerType &&
+        third.dataType == org.apache.spark.sql.types.IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_winnow(text, k, w) takes (string, int, int)")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(TextNative.WinnowStruct,
+      containsNull = false)
+  override def prettyName: String = "graft_winnow"
+  override protected def nullSafeEval(t: Any, k: Any, w: Any): Any =
+    TextNative.winnow(t.asInstanceOf[UTF8String],
+      k.asInstanceOf[Int], w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k, w) => s"graft.plans.TextNative.winnow($t, $k, $w)")
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): WinnowExpression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

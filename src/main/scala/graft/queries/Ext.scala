@@ -134,6 +134,22 @@ object Ext {
         .orderBy("query_id", "rank")
     }),
 
+    "ext_phrase_index" -> ((s, dir) => {
+      // exact-phrase search from the positional inverted index: bucket-
+      // pruned posting scan, consecutive-position self-joins, corpus never
+      // touched; a 2-term and a 3-term phrase exercise the join fold
+      val store = new graft.table.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft_q_ph").toString)
+      Retrieval.buildPositionalIndex(store, "docs",
+        t(s, dir, "documents"), "text", "doc_id", numBuckets = 8)
+      Seq("data query", "data query table").map { ph =>
+        Retrieval.phraseOccurrences(store, "docs", ph)
+          .withColumn("phrase", lit(ph))
+      }.reduce(_.unionByName(_))
+        .select("phrase", "doc_id", "start_pos")
+        .orderBy("phrase", "doc_id", "start_pos")
+    }),
+
     "ext_winnow" -> ((s, dir) =>
       // winnowing fingerprints (Schleimer et al. 2003): per-row HOF
       // pipeline, zero shuffles; rightmost-min tie rule shared with the
@@ -1223,6 +1239,24 @@ object Ext {
     "ext_bm25_indexed" -> bm25OracleSql,
     "ext_bm25_incremental" -> bm25OracleSql,
 
+    "ext_phrase_index" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos FROM base),
+        |tok AS (SELECT doc_id, pos, toks[pos] AS term FROM g)
+        |SELECT 'data query' AS phrase, t0.doc_id, t0.pos AS start_pos
+        |FROM tok t0
+        |JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+        |WHERE t0.term = 'data' AND t1.term = 'query'
+        |UNION ALL
+        |SELECT 'data query table', t0.doc_id, t0.pos
+        |FROM tok t0
+        |JOIN tok t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+        |JOIN tok t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2
+        |WHERE t0.term = 'data' AND t1.term = 'query' AND t2.term = 'table'
+        |ORDER BY phrase, doc_id, start_pos""".stripMargin,
+
     "ext_components" ->
       """WITH RECURSIVE base AS (
         |  SELECT l_suppkey + 10000000000 AS src, o_custkey AS dst
@@ -1242,7 +1276,10 @@ object Ext {
         |         unnest(range(1, greatest(len(text) - 8 + 2, 1))) AS pos
         |  FROM documents),
         |h AS (SELECT doc_id, pos,
-        |        ('0x' || substr(md5(substr(text, pos, 8)), 1, 15))::BIGINT AS h
+        |        list_reduce(
+        |          list_transform(range(0, 8),
+        |                         j -> CAST(ascii(substr(text, pos + j, 1)) AS BIGINT)),
+        |          (a, b) -> (a * 31 + b) % 2147483647) AS h
         |      FROM g),
         |wmin AS (
         |  SELECT doc_id, pos AS j, min(h) OVER win AS mh, count(*) OVER win AS cnt

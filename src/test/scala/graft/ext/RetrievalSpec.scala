@@ -124,6 +124,30 @@ class RetrievalSpec extends SparkSpec {
       s"postings scan must bucket-prune on the term filter:\n$p")
   }
 
+  test("phrase search from the positional index: exact, overlapping, repeated-term, absent") {
+    import spark.implicits._
+    val store = new graft.table.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_pos_idx").toString)
+    val corpus = Seq(
+      1L -> "the hash join beats the hash join here",
+      2L -> "hash join",
+      3L -> "join hash",             // reversed — must NOT match
+      4L -> "go go go")              // overlapping repeated-term phrase
+    Retrieval.buildPositionalIndex(store, "c",
+      corpus.toDF("doc_id", "text"), "text", "doc_id", numBuckets = 2)
+    def occ(phrase: String): Seq[(Long, Long)] =
+      Retrieval.phraseOccurrences(store, "c", phrase)
+        .orderBy("doc_id", "start_pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(occ("hash join") == Seq((1L, 2L), (1L, 6L), (2L, 1L)))
+    assert(occ("the hash join") == Seq((1L, 1L), (1L, 5L)))
+    assert(occ("go go") == Seq((4L, 1L), (4L, 2L)), "overlaps must both match")
+    assert(occ("join beats") == Seq((1L, 3L)))
+    assert(occ("hash table").isEmpty)
+    assert(occ("join") == Seq((1L, 3L), (1L, 7L), (2L, 2L), (3L, 1L)),
+      "single-term phrase degenerates to the posting list")
+  }
+
   test("incremental append is indistinguishable from a full build") {
     import spark.implicits._
     def results(store: graft.table.TableStore) =

@@ -7,18 +7,14 @@ import graft.SparkSpec
   * zero-shuffle plan property. */
 class WinnowSpec extends SparkSpec {
 
-  private def hash60(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString.take(15)
-    java.lang.Long.parseLong(hex, 16)
-  }
+  private def hashGram(s: String): Long =
+    s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % TextHash.P)
 
   /** Literal transcription of the paper's algorithm with the rightmost-min
     * tie rule; positions 1-indexed like the operator. */
   private def brute(text: String, k: Int, w: Int): Set[(Long, Long)] = {
     if (text.length < k) return Set.empty
-    val hs = (0 to text.length - k).map(i => hash60(text.substring(i, i + k)))
+    val hs = (0 to text.length - k).map(i => hashGram(text.substring(i, i + k)))
     if (hs.size < w) return Set.empty
     (0 to hs.size - w).map { j =>
       var best = (Long.MaxValue, 0)
@@ -75,6 +71,23 @@ class WinnowSpec extends SparkSpec {
     // exactly k+w-1 chars = one complete window = exactly one fingerprint
     val one = run(Seq(4L -> "abcdefghijklmno"), 8, 8)
     assert(one(4L).size == 1)
+  }
+
+  test("codegen'd graft_winnow kernel == declarative pick pipeline, element for element") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    val rnd = new scala.util.Random(3)
+    val texts = ((0L until 40L).map { i =>
+      val len = rnd.nextInt(150)
+      i -> (0 until len).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString
+    } :+ (99L -> "")).toDF("doc_id", "text")
+    for ((k, w) <- Seq((8, 8), (3, 5), (4, 1))) {
+      val both = texts.select(col("doc_id"),
+        call_function("graft_winnow", col("text"), lit(k), lit(w)).as("native"),
+        Winnow.picksDeclarative(col("text"), k, w).as("decl"))
+      val bad = both.where(!(col("native") <=> col("decl"))).count()
+      assert(bad == 0L, s"k=$k w=$w: $bad docs differ between kernel and spec")
+    }
   }
 
   test("fingerprinting is shuffle-free; only pair-finding exchanges") {
