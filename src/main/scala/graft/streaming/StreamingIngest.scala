@@ -354,6 +354,66 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** Streaming curate-and-index: the steady-state crawl pipeline as ONE
+    * continuous stage. Each micro-batch exact-dedups against the corpus
+    * table ([[graft.ext.Dedup.incrementalNew]] — the corpus side never
+    * shuffles), appends only the genuinely new documents to the corpus
+    * AND into the BM25 inverted index
+    * ([[graft.ext.Retrieval.appendBm25Index]] — bucketed file appends
+    * plus df/stats increments, never an index rewrite). The index is
+    * queryable between micro-batches and after every batch equals a
+    * from-scratch build over the corpus table (spec-pinned); stream
+    * state is the checkpoint offsets alone. */
+  def indexIngestAvailableNow(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      store: TableStore,
+      table: String,
+      indexName: String,
+      checkpointDir: String,
+      textCol: String,
+      idCol: String,
+      numBuckets: Int
+  ): Unit = {
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .json(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val keep = graft.ext.Dedup.incrementalNew(
+          if (store.exists(table)) store.scan(table)
+          else batch.sparkSession.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema),
+          batch, textCol, idCol)
+          .select(col("keep_id").as(idCol))
+        // fresh feeds TWO writes; eagerly checkpoint it so the second
+        // cannot recompute the dedup probe AFTER the corpus append — a
+        // lazy frame would see its own rows as duplicates and silently
+        // append an empty batch to the index (batch-sized, so the
+        // materialization is micro-batch-cheap)
+        val fresh = batch.join(keep, idCol).localCheckpoint(eager = true)
+        try {
+          if (!fresh.isEmpty) {
+            if (store.exists(table)) {
+              store.append(table, fresh)
+              graft.ext.Retrieval.appendBm25Index(store, indexName,
+                fresh, textCol, idCol, numBuckets)
+            } else {
+              store.overwrite(table, fresh)
+              graft.ext.Retrieval.buildBm25Index(store, indexName,
+                fresh, textCol, idCol, numBuckets)
+            }
+          }
+        } finally fresh.unpersist(blocking = false)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Watermarked stream-stream interval join (SURVEY §2.9): each purchase
     * pairs with the clicks of the same user inside its look-back window
     * (`p_ts - window < c_ts <= p_ts`). Both sides carry watermarks and the

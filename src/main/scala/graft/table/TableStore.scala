@@ -274,6 +274,12 @@ final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 
       .sortBy(keys.head, keys.tail: _*)
       .mode("append")
       .saveAsTable(bucketedCatalogName(name))
+    // `df` may belong to another session (e.g. Structured Streaming's
+    // cloned micro-batch session); its write only invalidates THAT
+    // session's relation cache, and a reader on this store's session would
+    // keep serving the pre-append file listing. Refresh here so appends
+    // are immediately visible wherever the store reads from.
+    spark.catalog.refreshTable(bucketedCatalogName(name))
   }
 
   /** Scan a bucketed table WITH its bucketing metadata (via the catalog). */

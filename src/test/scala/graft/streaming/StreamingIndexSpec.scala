@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ext.Retrieval
+import graft.table.TableStore
+import java.nio.file.Files
+
+/** Streaming curate-and-index: re-crawled content is dropped, new content
+  * lands in the corpus table AND the BM25 index in the same micro-batch,
+  * and after every run the index answers exactly like a from-scratch build
+  * over the corpus — the losslessness invariant under streaming growth. */
+class StreamingIndexSpec extends SparkSpec {
+
+  private val schema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType)))
+
+  test("stream-grown index == scan path on the corpus table, across batches and dups") {
+    val work = Files.createTempDirectory("graft_sidx")
+    val src = work.resolve("src"); Files.createDirectories(src)
+    val store = new TableStore(spark, work.resolve("store").toString)
+    val ckpt = work.resolve("ckpt").toString
+    val queries = Seq(0L -> "hash join", 1L -> "merge sort spill")
+
+    def write(name: String, rows: (Long, String)*): Unit = {
+      Files.writeString(src.resolve(name),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("", "\n", "\n"))
+      ()
+    }
+    def ingest(): Unit = StreamingIngest.indexIngestAvailableNow(
+      spark, src.toString, schema, store, "docs", "idx", ckpt,
+      "text", "doc_id", numBuckets = 2)
+    def indexed: Seq[(Long, Long, Long, java.math.BigDecimal)] =
+      Retrieval.bm25TopKIndexed(store, "idx", queries, k = 10)
+        .orderBy("query_id", "rank").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDecimal(3)))
+    def scanPath: Seq[(Long, Long, Long, java.math.BigDecimal)] =
+      Retrieval.bm25TopK(store.scan("docs"), "text", "doc_id", queries, k = 10)
+        .orderBy("query_id", "rank").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDecimal(3)))
+
+    write("f1.json", 1L -> "the hash join build side",
+      2L -> "merge sort beats hash join here")
+    ingest()
+    assert(indexed == scanPath, "after batch 1")
+    assert(indexed.nonEmpty)
+
+    // batch 2: a re-crawl (dropped — must NOT double-count postings), a
+    // new doc, and a doc matching the second query
+    write("f2.json", 3L -> "the hash join build side",
+      4L -> "spill to disk then merge sort", 5L -> "hash hash hash")
+    ingest()
+    assert(indexed == scanPath, "after batch 2 (re-crawl dropped)")
+    assert(store.scan("docs").count() == 4)
+
+    // no-op run: checkpoint skips processed files, index unchanged
+    val before = indexed
+    ingest()
+    assert(indexed == before, "no-op run must not touch the index")
+  }
+}
