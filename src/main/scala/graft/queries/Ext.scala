@@ -150,6 +150,19 @@ object Ext {
         .orderBy("phrase", "doc_id", "start_pos")
     }),
 
+    "ext_winnow_pairs" -> ((s, dir) =>
+      // end-to-end winnow near-dup candidates over the shared near-dup
+      // fixture. The 30-word synthetic vocabulary is ADVERSARIAL for
+      // char-gram locality (every doc resembles every doc), so the
+      // df-cap + minShared thresholds matter here; realistic-recall
+      // behavior is covered by WinnowSpec and the 1M-doc smoke — this
+      // gate checks value agreement of the whole chain
+      Winnow.sharedFingerprintPairs(
+          Winnow.fingerprints(nearDupCorpus(s, dir), "text", "doc_id",
+            k = 8, w = 8),
+          "doc_id", minShared = 12, maxPostings = 50)
+        .orderBy("id_a", "id_b")),
+
     "ext_winnow" -> ((s, dir) =>
       // winnowing fingerprints (Schleimer et al. 2003): per-row HOF
       // pipeline, zero shuffles; rightmost-min tie rule shared with the
@@ -1269,6 +1282,38 @@ object Ext {
         |  SELECT e.src, reach.r FROM e JOIN reach ON reach.node = e.dst)
         |SELECT node, min(r) AS component FROM reach
         |GROUP BY node ORDER BY node""".stripMargin,
+
+    "ext_winnow_pairs" ->
+      s"""WITH $NearDupCorpusSql,
+         |g AS (
+         |  SELECT doc_id, text,
+         |         unnest(range(1, greatest(len(text) - 8 + 2, 1))) AS pos
+         |  FROM corpus),
+         |h AS (SELECT doc_id, pos,
+         |        list_reduce(
+         |          list_transform(range(0, 8),
+         |                         j -> CAST(ascii(substr(text, pos + j, 1)) AS BIGINT)),
+         |          (a, b) -> (a * 31 + b) % 2147483647) AS h
+         |      FROM g),
+         |wmin AS (
+         |  SELECT doc_id, pos AS j, min(h) OVER win AS mh, count(*) OVER win AS cnt
+         |  FROM h
+         |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)),
+         |wfull AS (SELECT * FROM wmin WHERE cnt = 8),
+         |picks AS (
+         |  SELECT f.doc_id, f.j, max(h.pos) AS pos, f.mh AS fp
+         |  FROM wfull f
+         |  JOIN h ON h.doc_id = f.doc_id
+         |        AND h.pos BETWEEN f.j AND f.j + 7 AND h.h = f.mh
+         |  GROUP BY f.doc_id, f.j, f.mh),
+         |posting AS (SELECT DISTINCT doc_id, fp FROM picks),
+         |rare AS (SELECT fp FROM posting GROUP BY fp HAVING COUNT(*) <= 50),
+         |p AS (SELECT posting.doc_id, posting.fp FROM posting JOIN rare USING (fp))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+         |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 12
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "ext_winnow" ->
       """WITH g AS (
