@@ -808,6 +808,22 @@ object Similarity {
     *
     * Returns (batch_id, corpus_id, cosine) for every within-cell pair
     * meeting `threshold`; ids are assumed distinct across the tables. */
+  /** The interpreted nearest-cell fold — the readable spec the codegen'd
+    * `graft_argmax_cell` kernel must reproduce selection-for-selection
+    * (DotNativeSpec): fold over the literal codebook, keep the best
+    * dotScaled/cell_norm on STRICT improvement (id-ordered cells →
+    * lowest-id ties; NaN scores never selected). */
+  private[graft] def nearestCellFoldForSpec(vec: Column, cellsLit: Column): Column =
+    aggregate(
+      cellsLit,
+      struct(lit(Double.NegativeInfinity).as("s"), lit(-1L).as("id")),
+      (acc, cell) => {
+        val score = dotScaled(vec, cell.getField("_2")).cast("double") /
+          cell.getField("_3")
+        when(score > acc.getField("s"),
+          struct(score.as("s"), cell.getField("_1").as("id"))).otherwise(acc)
+      }).getField("id")
+
   def semDedupIncremental(
       corpus: DataFrame,
       batch: DataFrame,
@@ -832,18 +848,17 @@ object Similarity {
       }
       .sortBy(_._1)
     val cellsLit = typedLit(cellRows) // struct<_1: id, _2: vec, _3: norm>
-    // per-row nearest cell: fold over the literal cells, keep the best
-    // dotScaled/cell_norm (strict >, cells in id order → lowest-id ties)
+    // per-row nearest cell: best dotScaled/cell_norm (strict >, cells in
+    // id order → lowest-id ties). The codegen'd kernel runs the whole
+    // codebook scan in one static call — the interpreted fold dispatches
+    // a lambda per CELL per row, which at corpus scale × 256 cells
+    // dominated the entire incremental pass (DotNativeSpec pins the
+    // kernel's selection bit-identical to this fold)
     def nearestCell(vec: Column): Column =
-      aggregate(
-        cellsLit,
-        struct(lit(Double.NegativeInfinity).as("s"), lit(-1L).as("id")),
-        (acc, cell) => {
-          val score = dotScaled(vec, cell.getField("_2")).cast("double") /
-            cell.getField("_3")
-          when(score > acc.getField("s"),
-            struct(score.as("s"), cell.getField("_1").as("id"))).otherwise(acc)
-        }).getField("id")
+      if (org.apache.spark.sql.SparkSession.getActiveSession
+            .exists(_.catalog.functionExists("graft_argmax_cell")))
+        call_function("graft_argmax_cell", vec, cellsLit)
+      else nearestCellFoldForSpec(vec, cellsLit)
     val b = batch.select(col(idCol).as("batch_id"), col(vecCol).as("b_vec"))
       .withColumn("cell_id", nearestCell(col("b_vec")))
       .withColumn("b_norm", normDecimal(col("b_vec")))

@@ -94,4 +94,72 @@ object DotNative {
     }
     java.lang.Long.valueOf(acc)
   }
+
+  /** == the interpreted nearest-cell fold in
+    * [[graft.ext.Similarity.semDedupIncremental]]: iterate cells in array
+    * order, score = dotScaled(vec, cellVec).toDouble / cellNorm, keep on
+    * STRICT improvement (ties and NaN/null-dot cells keep the incumbent;
+    * id-ordered cells → lowest-id tie). Empty cells or no scorable cell
+    * → −1, like the fold's init struct. */
+  def argmaxCell(vec: ArrayData, cells: ArrayData): Long = {
+    var bestS = Double.NegativeInfinity
+    var bestId = -1L
+    var c = 0
+    val n = cells.numElements()
+    while (c < n) {
+      val row = cells.getStruct(c, 3)
+      val d = dotScaledBoxed(vec, row.getArray(1))
+      if (d != null) {
+        val s = d.longValue().toDouble / row.getDouble(2)
+        if (s > bestS) { bestS = s; bestId = row.getLong(0) }
+      }
+      c += 1
+    }
+    bestId
+  }
+}
+
+/** `graft_argmax_cell(vec, cells)` — nearest-codebook-cell assignment as
+  * one codegen'd loop. `cells` is the driver-literal codebook
+  * array<struct<_1: id, _2: vec, _3: norm>> ([[graft.ext.Similarity]]'s
+  * `typedLit` shape). The interpreted HOF fold dispatches a lambda per
+  * CELL per row — at 1M vectors × 256 cells that was ~350 s of the scale
+  * smoke; the kernel is the same arithmetic in a single static call
+  * inside whole-stage codegen. Bit-identical selection (DotNativeSpec). */
+case class ArgmaxCellExpression(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def vecOk(t: DataType) = t match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  private def cellsOk(t: DataType) = t match {
+    case ArrayType(org.apache.spark.sql.types.StructType(fields), _) =>
+      fields.length == 3 && fields(0).dataType == LongType &&
+        vecOk(fields(1).dataType) &&
+        fields(2).dataType == org.apache.spark.sql.types.DoubleType
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (vecOk(left.dataType) && cellsOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_argmax_cell requires (array<float>, array<struct<bigint, " +
+        s"array<float>, double>>), got ${left.dataType.catalogString}, " +
+        right.dataType.catalogString)
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_argmax_cell"
+
+  override protected def nullSafeEval(vec: Any, cells: Any): Any =
+    DotNative.argmaxCell(vec.asInstanceOf[ArrayData],
+      cells.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, c) => s"graft.plans.DotNative.argmaxCell($v, $c)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArgmaxCellExpression =
+    copy(left = newLeft, right = newRight)
 }

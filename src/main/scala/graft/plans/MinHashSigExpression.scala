@@ -95,6 +95,13 @@ object GraftExtensions {
         GopherCountsExpression(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_argmax_cell"),
+      new ExpressionInfo(classOf[ArgmaxCellExpression].getName, "graft_argmax_cell"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_argmax_cell(vec, cells) takes two arguments")
+        ArgmaxCellExpression(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowExpression].getName, "graft_winnow"),
       (children: Seq[Expression]) => {

@@ -58,4 +58,41 @@ class DotNativeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("graft_dot_scaled"), "pair verification must use the codegen'd kernel")
   }
+
+  test("argmax-cell kernel == the interpreted nearest-cell fold, incl. tie and degenerate cells") {
+    import org.apache.spark.sql.functions.typedLit
+    // cells incl. a duplicate vector (tie → first/lowest id wins via
+    // strict >) and ids out of dense order. (A zero-norm cell is NOT in
+    // the comparison set: the ANSI fold throws DIVIDE_BY_ZERO on it while
+    // the kernel skips it — the kernel is strictly more robust, asserted
+    // separately below; real codebooks are corpus vectors and never
+    // degenerate.)
+    val cells: Seq[(Long, Seq[Float], Double)] = Seq(
+      (3L, Seq(1f, 0f), 1.0), (5L, Seq(1f, 0f), 1.0),
+      (7L, Seq(0f, 1f), 1.0))
+    val cellsLit = typedLit(cells)
+    val rnd = new scala.util.Random(13)
+    import spark.implicits._
+    val vecs = (0L until 200L).map(i =>
+      (i, Seq(rnd.nextFloat() * 2 - 1, rnd.nextFloat() * 2 - 1))).toList
+    val df = vecs.toDF("id", "v")
+    val fold = Similarity.nearestCellFoldForSpec(col("v"), cellsLit)
+    val mism = df.select(
+        call_function("graft_argmax_cell", col("v"), cellsLit).as("nat"),
+        fold.as("dec"))
+      .where(not(col("nat") <=> col("dec"))).count()
+    assert(mism == 0, "kernel must reproduce the fold's selection exactly")
+    // empty codebook → -1 (the fold's init), and a zero-norm cell's NaN
+    // score is skipped rather than erroring or winning
+    val empty = typedLit(Seq.empty[(Long, Seq[Float], Double)])
+    val e = df.limit(1).select(
+      call_function("graft_argmax_cell", col("v"), empty).as("nat")).head()
+    assert(e.getLong(0) == -1L)
+    val degen = typedLit(Seq[(Long, Seq[Float], Double)](
+      (9L, Seq(0f, 0f), 0.0), (3L, Seq(1f, 0f), 1.0)))
+    val d = df.limit(5).select(
+      call_function("graft_argmax_cell", col("v"), degen).as("nat"))
+      .collect().map(_.getLong(0)).toSet
+    assert(d == Set(3L), s"zero-norm cell must never be selected: $d")
+  }
 }
