@@ -1,7 +1,7 @@
 package graft.queries
 
-import graft.ext.{Boilerplate, Bpe, Dedup, LanguageModel, Multimodal, NaiveBayes, Retrieval, Sampling, Similarity, Sketches, TextHash, TextStats, Url, Winnow}
-import graft.ops.{AsOfJoin, Profile}
+import graft.ext.{Boilerplate, Bpe, Dedup, Html, LanguageModel, Multimodal, NaiveBayes, Retrieval, Sampling, Similarity, Sketches, TextHash, TextStats, Url, Winnow}
+import graft.ops.{AsOfJoin, FuzzyJoin, Profile}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -170,6 +170,57 @@ object Ext {
       Winnow.fingerprints(t(s, dir, "documents"), "text", "doc_id",
           k = 8, w = 8)
         .orderBy("doc_id", "pos", "fp")),
+
+    "ext_fuzzy_match" -> ((s, dir) => {
+      // blocked fuzzy record linkage: dirty part names (one char deleted at
+      // a key-derived position — the deterministic shared-spec fixture
+      // pattern) matched back against the clean part table, blocking on the
+      // first name token, edit distance ≤ 2, best match = (min dist, min
+      // id). The deletion position sometimes mutates the blocking token
+      // itself — those records legitimately miss, which is blocking
+      // semantics, and both engines agree on it.
+      val part = t(s, dir, "part")
+      val clean = part
+        .select(col("p_partkey").as("rid"), col("p_name").as("name"))
+        .withColumn("blk", split_part(col("name"), lit(" "), lit(1)))
+      val dirty = part.where(col("p_partkey") % 4 === 0)
+        .withColumn("d", lit(1) + col("p_partkey") % length(col("p_name")))
+        .select((col("p_partkey") + 10000000L).as("rid"),
+          expr("concat(substring(p_name, 1, d - 1), " +
+            "substring(p_name, d + 1, length(p_name)))").as("name"))
+        .withColumn("blk", split_part(col("name"), lit(" "), lit(1)))
+      FuzzyJoin.bestMatch(dirty, clean, "rid", "name", "blk", maxDist = 2)
+        .orderBy("l_id")
+    }),
+
+    "ext_html_extract" -> ((s, dir) => {
+      // HTML → text over a deterministic page fixture wrapped around each
+      // document (title/style/script/headings/links/entities — every rule
+      // of the extractor exercised); the Spark and SQL renderings build
+      // the identical raw page, so the gate compares one extraction spec
+      // across two engines. Output includes link count and a joined link
+      // list (every page has ≥ 1 link by construction — the
+      // empty-array-to-string engine drift cannot arise).
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title>\n<style type=\"text/css\">p{color:red}</style>\n" +
+            "<script>var x = 1 < 2 && \"s\";</script></head>\n<body><h1>Sec "),
+          (col("doc_id") % 7).cast("string"),
+          lit("</h1>\n<p>"), col("text"),
+          lit("</p>\n<a href=\"https://site"),
+          (col("doc_id") % 20).cast("string"),
+          lit(".example.com/p"), (col("doc_id") % 50).cast("string"),
+          lit("\">link</a>"),
+          when(col("doc_id") % 3 === 0,
+            lit("\n<a href=\"/rel/p2\">rel</a>")).otherwise(lit("")),
+          lit("\n<p>Tom &amp; Jerry &lt;3 &quot;q&quot; &#39;s&nbsp;end" +
+            "</p></body></html>")).as("html"))
+      Html.extract(pages, "html")
+        .select(col("doc_id"), col("text_clean"),
+          concat_ws("|", col("links")).as("links_s"), col("n_links"))
+        .orderBy("doc_id")
+    }),
 
     "ext_dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
@@ -1340,6 +1391,57 @@ object Ext {
         |  GROUP BY f.doc_id, f.j, f.mh)
         |SELECT DISTINCT doc_id, pos, fp FROM picks
         |ORDER BY doc_id, pos, fp""".stripMargin,
+
+    "ext_fuzzy_match" ->
+      """WITH dirty AS (
+        |  SELECT p_partkey + 10000000 AS l_id,
+        |    substr(p_name, 1, d - 1) ||
+        |      substr(p_name, d + 1, length(p_name)) AS name
+        |  FROM (SELECT p_partkey, p_name,
+        |          1 + (p_partkey % length(p_name)) AS d
+        |        FROM part WHERE p_partkey % 4 = 0)),
+        |pairs AS (
+        |  SELECT d.l_id, p.p_partkey AS r_id,
+        |    levenshtein(d.name, p.p_name) AS dist
+        |  FROM dirty d JOIN part p
+        |    ON split_part(d.name, ' ', 1) = split_part(p.p_name, ' ', 1)
+        |  WHERE levenshtein(d.name, p.p_name) <= 2)
+        |SELECT l_id, r_id, dist FROM (
+        |  SELECT l_id, r_id, dist,
+        |    row_number() OVER (PARTITION BY l_id ORDER BY dist, r_id) AS rn
+        |  FROM pairs) WHERE rn = 1 ORDER BY l_id""".stripMargin,
+
+    "ext_html_extract" ->
+      """WITH pages AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title>' || chr(10) ||
+        |    '<style type="text/css">p{color:red}</style>' || chr(10) ||
+        |    '<script>var x = 1 < 2 && "s";</script></head>' || chr(10) ||
+        |    '<body><h1>Sec ' || CAST(doc_id % 7 AS VARCHAR) || '</h1>' ||
+        |    chr(10) || '<p>' || text || '</p>' || chr(10) ||
+        |    '<a href="https://site' || CAST(doc_id % 20 AS VARCHAR) ||
+        |    '.example.com/p' || CAST(doc_id % 50 AS VARCHAR) ||
+        |    '">link</a>' ||
+        |    (CASE WHEN doc_id % 3 = 0
+        |          THEN chr(10) || '<a href="/rel/p2">rel</a>' ELSE '' END) ||
+        |    chr(10) || '<p>Tom &amp; Jerry &lt;3 &quot;q&quot; &#39;s' ||
+        |    '&nbsp;end</p></body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(html,
+        |        '<script[^>]*>.*?</script>', ' ', 'gs'),
+        |        '<style[^>]*>.*?</style>', ' ', 'gs'),
+        |        '<[^>]+>', ' ', 'gs'),
+        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |      '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS text_clean,
+        |  COALESCE(array_to_string(
+        |    regexp_extract_all(html, 'href="([^"]*)"', 1), '|'), '') AS links_s,
+        |  len(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS n_links
+        |FROM pages ORDER BY doc_id""".stripMargin,
 
     "ext_dedup_exact" ->
       """WITH corpus AS (
