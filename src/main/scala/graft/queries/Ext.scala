@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Boilerplate, Bpe, Dedup, Html, LanguageModel, Multimodal, NaiveBayes, Retrieval, Sampling, Similarity, Sketches, TextHash, TextStats, Url, Winnow}
+import graft.ext.{Boilerplate, Bpe, Dedup, Html, LanguageModel, Multimodal, NaiveBayes, Retrieval, Sampling, Similarity, Sketches, TextHash, TextStats, Url, VectorIndex, Winnow}
 import graft.ops.{AsOfJoin, FuzzyJoin, Profile}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -301,6 +301,42 @@ object Ext {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.where(col("vec_id") < 5), "embedding", "vec_id",
         k = 5, nCells = 16, nProbe = 4)
+        .orderBy("q_id", "rank")
+    }),
+
+    "ext_ivf_indexed" -> ((s, dir) => {
+      // same search served from the persistent cell-partitioned index —
+      // build once, probe without touching the corpus; lossless, so it
+      // shares ext_ivf_ann's oracle
+      val e = t(s, dir, "embeddings")
+      val store = new graft.table.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft_q_ivf").toString)
+      VectorIndex.buildIvfIndex(store, "emb", e, "embedding", "vec_id",
+        nCells = 16, numBuckets = 8)
+      VectorIndex.ivfTopKIndexed(store, "emb", e.where(col("vec_id") < 5),
+        "embedding", "vec_id", k = 5, nProbe = 4)
+        .orderBy("q_id", "rank")
+    }),
+
+    "ext_ivf_incremental" -> ((s, dir) => {
+      // crawl-shaped index growth: index the even half, append the odd
+      // half against the SAME frozen codebook (the full corpus's 16
+      // lowest ids, as a production build would freeze a trained
+      // codebook) — per-vector assignment is independent, so the grown
+      // index must be indistinguishable from indexing everything at once
+      val e = t(s, dir, "embeddings")
+      val store = new graft.table.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft_q_ivfi").toString)
+      val codebook = e.orderBy(col("vec_id").asc).limit(16)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("cell_vec"))
+      VectorIndex.buildIvfIndex(store, "emb",
+        e.where(col("vec_id") % 2 === 0), "embedding", "vec_id",
+        nCells = 16, numBuckets = 8, codebook = Some(codebook))
+      VectorIndex.appendIvfIndex(store, "emb",
+        e.where(col("vec_id") % 2 === 1), "embedding", "vec_id",
+        numBuckets = 8)
+      VectorIndex.ivfTopKIndexed(store, "emb", e.where(col("vec_id") < 5),
+        "embedding", "vec_id", k = 5, nProbe = 4)
         .orderBy("q_id", "rank")
     }),
 
@@ -1270,6 +1306,33 @@ object Ext {
        |  CROSS JOIN unk)""".stripMargin
   }
 
+  /** One oracle for all three IVF paths (scan, persistent index,
+    * incremental index): the index is lossless — same codebook, same
+    * nearest-cell rule — so every path must agree byte-for-byte. */
+  private def ivfOracleSql: String =
+    s"""WITH $NormCte,
+       |cells AS (SELECT vec_id AS cell_id, embedding AS cell_vec, nrm AS cell_norm
+       |          FROM n ORDER BY vec_id LIMIT 16),
+       |c AS (SELECT c_id, c_vec, c_norm, cell_id FROM (
+       |  SELECT a.vec_id AS c_id, a.embedding AS c_vec, a.nrm AS c_norm, cells.cell_id,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${dotSql("a.embedding", "cells.cell_vec")} / (a.nrm * cells.cell_norm) DESC,
+       |               cells.cell_id ASC) AS r
+       |  FROM n a CROSS JOIN cells) WHERE r = 1),
+       |q AS (SELECT q_id, q_vec, q_norm, cell_id FROM (
+       |  SELECT a.vec_id AS q_id, a.embedding AS q_vec, a.nrm AS q_norm, cells.cell_id,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${dotSql("a.embedding", "cells.cell_vec")} / (a.nrm * cells.cell_norm) DESC,
+       |               cells.cell_id ASC) AS r
+       |  FROM n a CROSS JOIN cells WHERE a.vec_id < 5) WHERE r <= 4),
+       |scored AS (
+       |  SELECT q.q_id, c.c_id, ${dotSql("q.q_vec", "c.c_vec")} / (q.q_norm * c.c_norm) AS cosine
+       |  FROM c JOIN q ON c.cell_id = q.cell_id WHERE c.c_id <> q.q_id)
+       |SELECT q_id, c_id, rank, cosine FROM (
+       |  SELECT q_id, c_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+       |  FROM scored) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   /** One oracle for both BM25 paths: the index is lossless, so the scan
     * path and the bucket-pruned index path must agree byte-for-byte. */
   private def bm25OracleSql: String =
@@ -1556,29 +1619,9 @@ object Ext {
          |  FROM scored) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
     },
 
-    "ext_ivf_ann" ->
-      s"""WITH $NormCte,
-         |cells AS (SELECT vec_id AS cell_id, embedding AS cell_vec, nrm AS cell_norm
-         |          FROM n ORDER BY vec_id LIMIT 16),
-         |c AS (SELECT c_id, c_vec, c_norm, cell_id FROM (
-         |  SELECT a.vec_id AS c_id, a.embedding AS c_vec, a.nrm AS c_norm, cells.cell_id,
-         |    row_number() OVER (PARTITION BY a.vec_id
-         |      ORDER BY ${dotSql("a.embedding", "cells.cell_vec")} / (a.nrm * cells.cell_norm) DESC,
-         |               cells.cell_id ASC) AS r
-         |  FROM n a CROSS JOIN cells) WHERE r = 1),
-         |q AS (SELECT q_id, q_vec, q_norm, cell_id FROM (
-         |  SELECT a.vec_id AS q_id, a.embedding AS q_vec, a.nrm AS q_norm, cells.cell_id,
-         |    row_number() OVER (PARTITION BY a.vec_id
-         |      ORDER BY ${dotSql("a.embedding", "cells.cell_vec")} / (a.nrm * cells.cell_norm) DESC,
-         |               cells.cell_id ASC) AS r
-         |  FROM n a CROSS JOIN cells WHERE a.vec_id < 5) WHERE r <= 4),
-         |scored AS (
-         |  SELECT q.q_id, c.c_id, ${dotSql("q.q_vec", "c.c_vec")} / (q.q_norm * c.c_norm) AS cosine
-         |  FROM c JOIN q ON c.cell_id = q.cell_id WHERE c.c_id <> q.q_id)
-         |SELECT q_id, c_id, rank, cosine FROM (
-         |  SELECT q_id, c_id, cosine,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
-         |  FROM scored) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "ext_ivf_ann" -> ivfOracleSql,
+    "ext_ivf_indexed" -> ivfOracleSql,
+    "ext_ivf_incremental" -> ivfOracleSql,
 
     "ext_pq_topk" ->
       s"""WITH $NormCte,
