@@ -113,6 +113,26 @@ object Lifecycle {
         .orderBy("l_orderkey")
     }),
 
+    "w_zonemap_scan" -> ((s, dir) => {
+      // manifest-level file skipping: cluster on the key so per-file
+      // ranges are tight, analyze the zone map, then read a key range
+      // through scanPruned — files outside [500, 1500] never enter the
+      // plan (ZoneMapSpec asserts the skip; this gate pins the VALUES:
+      // pruning must never change the answer)
+      val store = new TableStore(s,
+        Files.createTempDirectory("graft_q_zm").toString)
+      store.overwriteClustered("li",
+        t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+        Seq("l_orderkey"), numFiles = Some(16))
+      store.analyzeZoneMaps("li", Seq("l_orderkey"))
+      store.scanPruned("li", "l_orderkey", 500L, 1500L)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(20,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("l_orderkey")
+    }),
+
     "w_time_travel" -> ((s, dir) => {
       // versioned store: overwrite → append → overwrite, then read every
       // retained version — snapshot manifests give Delta-style time travel
@@ -234,6 +254,12 @@ object Lifecycle {
       """SELECT l_orderkey,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "w_zonemap_scan" ->
+      """SELECT l_orderkey, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey BETWEEN 500 AND 1500
         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
     "w_time_travel" ->

@@ -109,6 +109,86 @@ final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 
       .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
+  /** Name of the zone-map sidecar table for `name` (a regular store table,
+    * so it commits/GCs/time-travels like any other — the `_postings`
+    * suffix convention). */
+  def zoneMapTable(name: String): String = s"${name}_zonemap"
+
+  /** Per-snapshot frames with the physical file path attached. The
+    * `_metadata.file_path` column must be selected BEFORE the snapshot
+    * union — hidden metadata columns don't survive `unionByName`. */
+  private def scanWithFile(name: String): DataFrame = {
+    val snaps = readManifest(name)
+    if (snaps.isEmpty)
+      throw new IllegalArgumentException(s"Table not found: $name")
+    snaps.map { sn =>
+      val df = spark.read.parquet(new Path(tableDir(name), sn).toString)
+      df.select(col("_metadata.file_path").as("__file") +:
+        df.columns.map(col).toIndexedSeq: _*)
+    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  /** Build/refresh the manifest-level zone map of `name`: one row per
+    * physical file with row count and per-column min/max for `cols`.
+    *
+    * Parquet row-group statistics already prune WITHIN a file the scan has
+    * opened; the zone map prunes the FILE LIST itself, before Spark plans
+    * a single split — at 100 TB (millions of files) that is the difference
+    * between a driver-side listing-and-footer storm and reading a
+    * file-count-of-matches plan (the role of min/max file stats in
+    * Delta/Iceberg manifests, rebuilt here on plain parquet + the atomic
+    * manifest this store already has). Cost: one narrow scan of the table
+    * (only `cols` + the metadata path), full map-side partial aggregation,
+    * zone map output is file-count-sized. Pairs naturally with
+    * [[overwriteClustered]]/[[overwriteZOrdered]], which make the
+    * per-file ranges tight. */
+  def analyzeZoneMaps(name: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "analyzeZoneMaps: at least one column")
+    val df = scanWithFile(name)
+    cols.foreach(c => require(df.columns.contains(c),
+      s"analyzeZoneMaps: no such column $c in $name"))
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max")))
+    val zm = df.groupBy(col("__file").as("file"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    overwrite(zoneMapTable(name), zm)
+  }
+
+  /** `scan(name).where(colName BETWEEN lo AND hi)` with zone-map file
+    * skipping: files whose [min, max] cannot intersect [lo, hi] (or that
+    * hold no non-null value of the column) are dropped from the read plan
+    * entirely; the residual predicate still applies to whatever is read,
+    * so the result is ALWAYS exactly the filtered table.
+    *
+    * Staleness is safe by construction: files appended after the last
+    * [[analyzeZoneMaps]] aren't in the map and are read unpruned
+    * (correctness first, re-analyze to regain skipping); map entries for
+    * files GC'd since are ignored. No zone map at all → plain filtered
+    * scan. Skipping NEVER decides row membership — only the residual
+    * predicate does. */
+  def scanPruned(name: String, colName: String, lo: Any, hi: Any): DataFrame = {
+    def resid(df: DataFrame) =
+      df.where(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+    val base = scan(name)
+    if (!exists(zoneMapTable(name))) return resid(base)
+    val zm = scan(zoneMapTable(name))
+    require(zm.columns.contains(s"${colName}__min"),
+      s"scanPruned: zone map of $name was not analyzed for $colName — " +
+        s"re-run analyzeZoneMaps(${name}, Seq(..., $colName, ...))")
+    // NaN bounds make both comparisons false → file kept (conservative)
+    val skip = zm.where(col(s"${colName}__min").isNull ||
+        col(s"${colName}__max") < lit(lo) || col(s"${colName}__min") > lit(hi))
+      .select("file").collect().map(r => pathOf(r.getString(0))).toSet
+    val keep = base.inputFiles.filterNot(f => skip.contains(pathOf(f)))
+    if (keep.isEmpty) base.where(lit(false))
+    else resid(spark.read.schema(base.schema).parquet(keep.toIndexedSeq: _*))
+  }
+
+  /** Scheme-independent path component ("file:/x", "file:///x", "/x" all
+    * compare equal) — `inputFiles` and `_metadata.file_path` may render
+    * the same file with different URI spellings. */
+  private def pathOf(uri: String): String = new java.net.URI(uri).getPath
+
   /** Snapshot CDC: row-level difference between two retained versions —
     * the change feed a downstream consumer replays to follow the table
     * without re-reading it (the reference's change-detection predicate
