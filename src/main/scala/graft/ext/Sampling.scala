@@ -184,6 +184,67 @@ object Sampling {
       .drop(pid, mono, "__graft_pack_cum")
   }
 
+  /** Strided token-window chunking: split each document's token array into
+    * training sequences of at most `maxLen` tokens, window starts every
+    * `stride` tokens (stride < maxLen ⇒ overlapping BERT-style contexts,
+    * stride = maxLen ⇒ disjoint blocks). The per-doc counterpart of
+    * [[packSequences]] (which concatenates ACROSS docs): long documents
+    * become several sequences, short ones stay whole.
+    *
+    * `keepTail = true` (default) emits the final short window of a long
+    * doc and keeps sub-`maxLen` docs as their own single window;
+    * `keepTail = false` emits only windows with exactly `maxLen` tokens
+    * (sub-`maxLen` docs produce nothing).
+    *
+    * Window count is pure integer arithmetic (`div`, never double
+    * division — a float `ceil` can round across an integer boundary and
+    * disagree between engines): with n tokens,
+    * `keepTail` ⇒ `1 + max(0, min((n − maxLen + stride − 1) div stride,
+    * (n − 1) div stride))` (the second bound keeps every start inside the
+    * doc when stride > maxLen), else
+    * `n ≥ maxLen ? 1 + (n − maxLen) div stride : 0`.
+    *
+    * Narrow transform: one posexplode of the per-doc start list, `slice`
+    * per window — no shuffle, fan-out bounded by each doc's own length.
+    * 100 TB posture: output rows ≈ corpus tokens / stride, produced
+    * streaming per input partition. */
+  def chunkWindows(
+      df: DataFrame,
+      tokensCol: String,
+      maxLen: Int,
+      stride: Int,
+      keepTail: Boolean = true
+  ): DataFrame = {
+    require(maxLen > 0 && stride > 0, "chunkWindows: maxLen, stride > 0")
+    val n = size(col(tokensCol))
+    // keepTail start rule: advance while the previous window was truncated
+    // at maxLen AND the next start still lands inside the doc (the second
+    // bound matters when stride > maxLen — sampled windows with gaps).
+    // Both bounds are integer `div`; the negative-operand div divergence
+    // between engines (truncate vs floor) is neutralized by the
+    // least/greatest clamp, which both sides of the oracle mirror.
+    val extra = least(
+      expr(s"(size($tokensCol) - $maxLen + $stride - 1) div $stride"),
+      expr(s"(size($tokensCol) - 1) div $stride"))
+    val nWin =
+      if (keepTail) lit(1) + greatest(lit(0L), extra)
+      else when(n >= maxLen,
+        lit(1) + expr(s"(size($tokensCol) - $maxLen) div $stride"))
+        .otherwise(lit(0L))
+    // sequence(0, -1) would generate a DESCENDING [0, -1] — guard the
+    // zero-window case (keepTail = false, short doc) to an empty list,
+    // which posexplode then drops entirely
+    df.withColumn("__graft_win_starts",
+        when(nWin > 0, transform(sequence(lit(0L), nWin - 1), w => w * stride))
+          .otherwise(array().cast("array<bigint>")))
+      .select(col("*"),
+        posexplode(col("__graft_win_starts")).as(Seq("win_idx", "win_start")))
+      .withColumn("win_tokens",
+        slice(col(tokensCol), col("win_start").cast("int") + 1, lit(maxLen)))
+      .withColumn("win_len", size(col("win_tokens")).cast("bigint"))
+      .drop("__graft_win_starts")
+  }
+
   /** Finer-grained die roll for mixture realization: salted per-row hash
     * in [0, 1e6) — parts-per-million, so a fractional epoch rate is
     * honored to 1e-6 rather than [[pctHash]]'s percent granularity. */

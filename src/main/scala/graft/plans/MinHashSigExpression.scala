@@ -141,6 +141,20 @@ object GraftExtensions {
         }
         CdcChunksExpression(children.head, lit(1), lit(2), lit(3))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_ac_counts"),
+      new ExpressionInfo(classOf[AcCountsExpression].getName, "graft_ac_counts"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_ac_counts(text, patterns, boundary) takes three arguments")
+        require(children(1).foldable && children(2).foldable,
+          "graft_ac_counts patterns and boundary must be literals")
+        val arr = children(1).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val ps = (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+        AcCountsExpression(children.head, ps,
+          children(2).eval(null).asInstanceOf[Boolean])
+      }))
     // plan rewrite: window row_number-top-k → bounded graft_topk aggregate
     ext.injectOptimizerRule(_ => TopKWindowRewrite)
     // physical operator: AsOfJoinNode → AsOfJoinExec (sorted streaming merge)

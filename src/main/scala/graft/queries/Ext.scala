@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Boilerplate, Bpe, Dedup, Html, LanguageModel, Multimodal, NaiveBayes, Retrieval, Sampling, Similarity, Sketches, TextHash, TextStats, Url, VectorIndex, Winnow}
+import graft.ext.{Blocklist, Boilerplate, Bpe, Dedup, Html, LanguageModel, Multimodal, NaiveBayes, Retrieval, Sampling, Similarity, Sketches, TextHash, TextStats, Url, VectorIndex, Winnow}
 import graft.ops.{AsOfJoin, FuzzyJoin, Profile}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -74,6 +74,16 @@ object Ext {
       |  FROM documents)""".stripMargin
 
   private val BlockedHosts = Seq("site3.example.com", "site7.example.com")
+
+  /** Blocklist gate phrase list — nested (can⊂scan, low⊂slow, able⊂table)
+    * and multi-word entries; shared verbatim with the oracle VALUES. */
+  private[queries] val BlocklistPats: Seq[String] = Seq(
+    "able", "agg", "can", "fast table", "low", "row", "scan", "table",
+    "the", "value part")
+
+  private def blocklistPatsValuesSql: String =
+    BlocklistPats.zipWithIndex
+      .map { case (p, i) => s"($i, '$p')" }.mkString(", ")
 
   private val NearDupCorpusSql =
     """corpus AS (
@@ -220,6 +230,50 @@ object Ext {
         .select(col("doc_id"), col("text_clean"),
           concat_ws("|", col("links")).as("links_s"), col("n_links"))
         .orderBy("doc_id")
+    }),
+
+    "ext_blocklist" -> ((s, dir) => {
+      // Aho–Corasick blocklist kernel over the corpus in BOTH matching
+      // modes: raw substring (overlapping counted — "able" fires inside
+      // "table") and word-bounded (C4 badwords semantics). The pattern
+      // list is deliberately nested/overlapping (can⊂scan, low⊂slow,
+      // able⊂table) plus multi-word phrases, so the gate exercises the
+      // failure-chain emits, not just leaf matches.
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"),
+          Blocklist.matchCounts(docs, "text", BlocklistPats, boundary = false).as("cs"),
+          Blocklist.matchCounts(docs, "text", BlocklistPats, boundary = true).as("cw"))
+        .select(col("doc_id"),
+          concat_ws(",", transform(col("cs"), _.cast("string"))).as("counts_sub_s"),
+          concat_ws(",", transform(col("cw"), _.cast("string"))).as("counts_word_s"),
+          Blocklist.totalHits(col("cs")).cast("bigint").as("total_sub"),
+          Blocklist.totalHits(col("cw")).cast("bigint").as("total_word"),
+          Blocklist.patternsHit(col("cw")).cast("bigint").as("n_pat_word"))
+        .orderBy("doc_id")
+    }),
+
+    "ext_blocklist_profile" -> ((s, dir) =>
+      // corpus-level triage view: which phrases fire, in how many docs,
+      // how often — one posexplode of the patterns-sized counts array,
+      // partial-agg groupBy on the index (shuffle ≤ mappers × patterns)
+      Blocklist.profile(t(s, dir, "documents"), "text", BlocklistPats,
+          boundary = true)
+        .select(col("pat_idx").cast("bigint").as("pat_idx"), col("pattern"),
+          col("docs_hit"), col("total_hits"))
+        .orderBy("pat_idx")),
+
+    "ext_chunk_windows" -> ((s, dir) => {
+      // strided token-window chunking (long doc → overlapping training
+      // sequences): maxLen=12, stride=8 over whitespace tokens — window
+      // COUNT is integer `div` arithmetic shared with the oracle (never
+      // float ceil), tail windows kept
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      Sampling.chunkWindows(toks, "toks", maxLen = 12, stride = 8)
+        .select(col("doc_id"), col("win_idx").cast("bigint").as("win_idx"),
+          col("win_start"), concat_ws(" ", col("win_tokens")).as("win_s"),
+          col("win_len"))
+        .orderBy("doc_id", "win_idx")
     }),
 
     "ext_dedup_exact" -> ((s, dir) => {
@@ -1505,6 +1559,76 @@ object Ext {
         |    regexp_extract_all(html, 'href="([^"]*)"', 1), '|'), '') AS links_s,
         |  len(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS n_links
         |FROM pages ORDER BY doc_id""".stripMargin,
+
+    "ext_blocklist" ->
+      s"""WITH pats(idx, p) AS (VALUES $blocklistPatsValuesSql),
+        |occ AS (
+        |  SELECT d.doc_id, pats.idx, g.i
+        |  FROM documents d CROSS JOIN pats
+        |  CROSS JOIN LATERAL (SELECT unnest(generate_series(
+        |    1, greatest(length(d.text) - length(pats.p) + 1, 0))) AS i) g
+        |  WHERE substr(d.text, g.i, length(pats.p)) = pats.p),
+        |cnt AS (
+        |  SELECT d.doc_id, pats.idx,
+        |    count(o.i) AS c_sub,
+        |    count(o.i) FILTER (
+        |      (o.i = 1 OR NOT regexp_full_match(
+        |         substr(d.text, o.i - 1, 1), '[A-Za-z0-9]'))
+        |      AND (o.i + length(pats.p) > length(d.text)
+        |           OR NOT regexp_full_match(
+        |                substr(d.text, o.i + length(pats.p), 1),
+        |                '[A-Za-z0-9]'))) AS c_word
+        |  FROM documents d CROSS JOIN pats
+        |  LEFT JOIN occ o ON o.doc_id = d.doc_id AND o.idx = pats.idx
+        |  GROUP BY d.doc_id, pats.idx, d.text, pats.p)
+        |SELECT doc_id,
+        |  string_agg(CAST(c_sub AS VARCHAR), ',' ORDER BY idx) AS counts_sub_s,
+        |  string_agg(CAST(c_word AS VARCHAR), ',' ORDER BY idx) AS counts_word_s,
+        |  CAST(SUM(c_sub) AS BIGINT) AS total_sub,
+        |  CAST(SUM(c_word) AS BIGINT) AS total_word,
+        |  CAST(SUM(CASE WHEN c_word > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pat_word
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "ext_blocklist_profile" ->
+      s"""WITH pats(idx, p) AS (VALUES $blocklistPatsValuesSql),
+        |occ AS (
+        |  SELECT d.doc_id, pats.idx, g.i
+        |  FROM documents d CROSS JOIN pats
+        |  CROSS JOIN LATERAL (SELECT unnest(generate_series(
+        |    1, greatest(length(d.text) - length(pats.p) + 1, 0))) AS i) g
+        |  WHERE substr(d.text, g.i, length(pats.p)) = pats.p),
+        |cnt AS (
+        |  SELECT d.doc_id, pats.idx,
+        |    count(o.i) FILTER (
+        |      (o.i = 1 OR NOT regexp_full_match(
+        |         substr(d.text, o.i - 1, 1), '[A-Za-z0-9]'))
+        |      AND (o.i + length(pats.p) > length(d.text)
+        |           OR NOT regexp_full_match(
+        |                substr(d.text, o.i + length(pats.p), 1),
+        |                '[A-Za-z0-9]'))) AS c_word
+        |  FROM documents d CROSS JOIN pats
+        |  LEFT JOIN occ o ON o.doc_id = d.doc_id AND o.idx = pats.idx
+        |  GROUP BY d.doc_id, pats.idx, d.text, pats.p)
+        |SELECT c.idx AS pat_idx, p.p AS pattern,
+        |  CAST(SUM(CASE WHEN c.c_word > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_hit,
+        |  CAST(SUM(c.c_word) AS BIGINT) AS total_hits
+        |FROM cnt c JOIN pats p ON p.idx = c.idx
+        |GROUP BY c.idx, p.p ORDER BY pat_idx""".stripMargin,
+
+    "ext_chunk_windows" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |w AS (
+        |  SELECT doc_id, t, g.wi
+        |  FROM toks CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+        |    greatest(0, least((len(t) - 12 + 8 - 1) // 8,
+        |                      (len(t) - 1) // 8)))) AS wi) g)
+        |SELECT doc_id, wi AS win_idx, wi * 8 AS win_start,
+        |  array_to_string(t[wi * 8 + 1 : wi * 8 + 12], ' ') AS win_s,
+        |  CAST(least(12, len(t) - wi * 8) AS BIGINT) AS win_len
+        |FROM w ORDER BY doc_id, win_idx""".stripMargin,
 
     "ext_dedup_exact" ->
       """WITH corpus AS (

@@ -771,6 +771,24 @@ object ScaleSmoke {
       assert(planted >= 9000L, s"planted near-copies found: $planted of 10000")
     }
 
+    // 34. Aho-Corasick blocklist: 1000-phrase list over 10M docs (~2.7 GB
+    // of text) in ONE pass — the whole point vs per-pattern contains
+    // chains. Patterns are dense prefixes of the corpus vocabulary
+    // ("w13" ⊂ "w134"), so boundary mode exercises the emit-heavy path.
+    // Hit counts are fully deterministic from the gopherDocs construction:
+    // "the" leads every doc once; each "wK" token appears in exactly the
+    // ids with id mod 9999 ∈ [K-54, K].
+    time("blocklist 1000 phrases x 10M docs (one pass)") {
+      val pats = "the" +: (0 until 999).map(i => s"w${i * 10 + 3}")
+      // one corpus pass: the 1000-row profile collects once
+      val prof = graft.ext.Blocklist.profile(
+          gopherDocs, "text", pats, boundary = true)
+        .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+      assert(prof("the")._1 == 10000000L, s"'the' in every doc: ${prof("the")._1}")
+      assert(prof("w13")._2 >= 54000L && prof("w13")._2 <= 56200L,
+        s"planted token frequency: ${prof("w13")._2}")
+    }
+
     spark.stop()
   }
 }

@@ -331,6 +331,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!bp.contains("Window"), "no window in the training loop")
   }
 
+  test("blocklist: one codegen'd corpus pass, no exchange before the sort") {
+    val p = plan("ext_blocklist")
+    assert(p.contains("graft_ac_counts"),
+      s"scoring must run through the Aho-Corasick kernel:\n$p")
+    // per-row signals only — the single exchange is the gate's
+    // determinism orderBy (range partitioning), never a hash shuffle
+    assert(!p.contains("hashpartitioning"),
+      s"blocklist signals must not shuffle the corpus:\n$p")
+    val exchanges = "rangepartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"one range exchange for the orderBy and nothing else ($exchanges):\n$p")
+  }
+
+  test("blocklist profile: partial agg on the pattern index, bounded shuffle") {
+    val p = plan("ext_blocklist_profile")
+    assert(p.contains("partial_sum"),
+      s"per-pattern totals must combine map-side before the shuffle:\n$p")
+    assert(!analyzed("ext_blocklist_profile").contains("Window"),
+      "the profile is an aggregate, never a window")
+  }
+
   test("incremental semdedup: corpus side plans with zero exchanges") {
     val p = plan("ext_semdedup_incremental")
     assert(p.contains("LeftSemi"),

@@ -152,4 +152,43 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.mixtureRealize(corpus, "source", "doc_id", planB)
       .where(col("source") === "a").count() == 0)
   }
+
+  test("chunkWindows == brute-force reference across lengths, strides, tail modes") {
+    import spark.implicits._
+    def ref(n: Int, maxLen: Int, stride: Int, keepTail: Boolean): Seq[(Int, Int)] = {
+      // (start, len) of each expected window over tokens 0..n-1
+      val starts = Iterator.iterate(0)(_ + stride)
+        .takeWhile(s => if (keepTail) s == 0 || s < n else s + maxLen <= n)
+        .toSeq
+      val kept = if (keepTail) {
+        // starts advance while the previous window was truncated at maxLen:
+        // 1 + ceil((n - maxLen) / stride) windows for n > maxLen, else 1
+        val nw = if (n > maxLen) 1 + ((n - maxLen + stride - 1) / stride) else 1
+        starts.take(nw)
+      } else starts
+      kept.map(s => (s, math.min(maxLen, n - s) max 0))
+    }
+    for {
+      maxLen <- Seq(4, 7)
+      stride <- Seq(2, 4, 7, 9) // overlap, disjoint, gap
+      keepTail <- Seq(true, false)
+      n <- 0 to 20
+    } {
+      val df = Seq((1L, (0 until n).map(_.toString))).toDF("doc_id", "toks")
+      val got = Sampling.chunkWindows(df, "toks", maxLen, stride, keepTail)
+        .orderBy("win_idx")
+        .select("win_start", "win_len", "win_tokens")
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getLong(1).toInt,
+          r.getSeq[String](2)))
+      val want = ref(n, maxLen, stride, keepTail)
+      assert(got.map(g => (g._1, g._2)).toSeq == want,
+        s"n=$n maxLen=$maxLen stride=$stride keepTail=$keepTail: " +
+          s"got ${got.toSeq}, want $want")
+      // window CONTENT is the exact token slice
+      got.foreach { case (s, l, toks) =>
+        assert(toks == (s until s + l).map(_.toString))
+      }
+    }
+  }
 }
