@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Blocklist, Boilerplate, Bpe, Dedup, Html, LanguageModel, Multimodal, NaiveBayes, Retrieval, Sampling, Similarity, Sketches, TextHash, TextStats, Url, VectorIndex, Winnow}
+import graft.ext.{Blocklist, Boilerplate, Bpe, Dedup, Html, LanguageModel, Multimodal, NaiveBayes, NearDupIndex, Retrieval, Sampling, Similarity, Sketches, TextHash, TextStats, Url, VectorIndex, Winnow}
 import graft.ops.{AsOfJoin, FuzzyJoin, Profile}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -74,6 +74,17 @@ object Ext {
       |  FROM documents)""".stripMargin
 
   private val BlockedHosts = Seq("site3.example.com", "site7.example.com")
+
+  /** The crawl-batch fixture of the near-dup screen gates: edited
+    * re-crawls (near-matches) + genuinely fresh docs; shared verbatim
+    * with [[incNearDupOracleSql]]'s batchd CTE. */
+  private def nearDupBatch(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        concat(col("text"), lit(" zz near marker")).as("text"))
+      .unionByName(docs.where(col("doc_id") % 9 === 1)
+        .select((col("doc_id") + 6000000L).as("doc_id"),
+          concat(lit("fresh "), col("doc_id").cast("string")).as("text")))
 
   /** Blocklist gate phrase list — nested (can⊂scan, low⊂slow, able⊂table)
     * and multi-word entries; shared verbatim with the oracle VALUES. */
@@ -838,13 +849,41 @@ object Ext {
       // fingerprint check misses). Corpus bands are semi-probed by the
       // batch's broadcast band keys — the corpus never shuffles.
       val docs = t(s, dir, "documents").select("doc_id", "text")
-      val batch = docs.where(col("doc_id") % 9 === 0)
-        .select((col("doc_id") + 5000000L).as("doc_id"),
-          concat(col("text"), lit(" zz near marker")).as("text"))
-        .unionByName(docs.where(col("doc_id") % 9 === 1)
-          .select((col("doc_id") + 6000000L).as("doc_id"),
-            concat(lit("fresh "), col("doc_id").cast("string")).as("text")))
-      Dedup.incrementalNearDupPairs(docs, batch, "text", "doc_id", threshold = 0.5)
+      Dedup.incrementalNearDupPairs(docs, nearDupBatch(docs), "text",
+          "doc_id", threshold = 0.5)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
+    "ext_neardup_indexed" -> ((s, dir) => {
+      // the same screen served from the persistent LSH index: corpus
+      // bands + shingles stored once (bucketed on band key), the batch
+      // probe bucket-prunes to its own keys — the corpus text is never
+      // re-hashed. Lossless, so it shares the scan path's oracle.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val store = new graft.table.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft_q_ndi").toString)
+      NearDupIndex.buildNearDupIndex(store, "nd", docs, "text", "doc_id",
+        numBuckets = 8)
+      NearDupIndex.nearDupAgainstIndex(store, "nd", nearDupBatch(docs),
+          "text", "doc_id", threshold = 0.5)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
+    "ext_neardup_index_incremental" -> ((s, dir) => {
+      // crawl-shaped index growth: index the even half, append the odd
+      // half — per-doc signatures are independent, so the grown index
+      // must screen identically to indexing everything at once
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val store = new graft.table.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft_q_ndii").toString)
+      NearDupIndex.buildNearDupIndex(store, "nd",
+        docs.where(col("doc_id") % 2 === 0), "text", "doc_id",
+        numBuckets = 8)
+      NearDupIndex.appendNearDupIndex(store, "nd",
+        docs.where(col("doc_id") % 2 === 1), "text", "doc_id",
+        numBuckets = 8)
+      NearDupIndex.nearDupAgainstIndex(store, "nd", nearDupBatch(docs),
+          "text", "doc_id", threshold = 0.5)
         .orderBy("batch_id", "corpus_id")
     }),
 
@@ -1414,6 +1453,32 @@ object Ext {
          |SELECT query_id, rank, doc_id, CAST(s AS DECIMAL(18,9)) AS score
          |FROM ranked WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin
+
+  /** Shared end-to-end oracle for the batch-vs-corpus near-dup screen —
+    * the scan path and both persistent-index gates produce identical
+    * output by construction (lossless index), so all three replay it. */
+  private lazy val incNearDupOracleSql: String =
+    s"""WITH corpusd AS (SELECT doc_id, text FROM documents),
+       |batchd AS (
+       |  SELECT doc_id + 5000000 AS doc_id, text || ' zz near marker' AS text
+       |  FROM documents WHERE doc_id % 9 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 6000000, 'fresh ' || CAST(doc_id AS VARCHAR)
+       |  FROM documents WHERE doc_id % 9 = 1),
+       |${minhashSideCtes("c", "corpusd")},
+       |${minhashSideCtes("b", "batchd")},
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+       |  FROM cbands c JOIN bbands b ON c.band = b.band AND c.key = b.key)
+       |SELECT batch_id, corpus_id,
+       |  CAST(len(list_filter(list_distinct(bs.sh), x -> list_contains(cs.sh, x))) AS DOUBLE)
+       |    / CAST(len(list_distinct(bs.sh || cs.sh)) AS DOUBLE) AS jaccard
+       |FROM cand
+       |JOIN bsh bs ON bs.doc_id = cand.batch_id
+       |JOIN csh cs ON cs.doc_id = cand.corpus_id
+       |WHERE CAST(len(list_filter(list_distinct(bs.sh), x -> list_contains(cs.sh, x))) AS DOUBLE)
+       |    / CAST(len(list_distinct(bs.sh || cs.sh)) AS DOUBLE) >= 0.5
+       |ORDER BY batch_id, corpus_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ext_bm25_topk" -> bm25OracleSql,
@@ -2558,28 +2623,13 @@ object Ext {
         |  SELECT 1 FROM corpus c WHERE md5(c.text) = bh.fingerprint)
         |GROUP BY fingerprint ORDER BY keep_id""".stripMargin,
 
-    "ext_incremental_neardup" ->
-      s"""WITH corpusd AS (SELECT doc_id, text FROM documents),
-         |batchd AS (
-         |  SELECT doc_id + 5000000 AS doc_id, text || ' zz near marker' AS text
-         |  FROM documents WHERE doc_id % 9 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 6000000, 'fresh ' || CAST(doc_id AS VARCHAR)
-         |  FROM documents WHERE doc_id % 9 = 1),
-         |${minhashSideCtes("c", "corpusd")},
-         |${minhashSideCtes("b", "batchd")},
-         |cand AS (
-         |  SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
-         |  FROM cbands c JOIN bbands b ON c.band = b.band AND c.key = b.key)
-         |SELECT batch_id, corpus_id,
-         |  CAST(len(list_filter(list_distinct(bs.sh), x -> list_contains(cs.sh, x))) AS DOUBLE)
-         |    / CAST(len(list_distinct(bs.sh || cs.sh)) AS DOUBLE) AS jaccard
-         |FROM cand
-         |JOIN bsh bs ON bs.doc_id = cand.batch_id
-         |JOIN csh cs ON cs.doc_id = cand.corpus_id
-         |WHERE CAST(len(list_filter(list_distinct(bs.sh), x -> list_contains(cs.sh, x))) AS DOUBLE)
-         |    / CAST(len(list_distinct(bs.sh || cs.sh)) AS DOUBLE) >= 0.5
-         |ORDER BY batch_id, corpus_id""".stripMargin,
+    "ext_incremental_neardup" -> incNearDupOracleSql,
+
+    // the persistent LSH index is LOSSLESS vs the scan path (same
+    // TextHash bands + shingles), so both index gates replay the same
+    // end-to-end oracle as the scan-path screen
+    "ext_neardup_indexed" -> incNearDupOracleSql,
+    "ext_neardup_index_incremental" -> incNearDupOracleSql,
 
     "ext_incremental_dedup_bloom" ->
       """WITH corpus AS (

@@ -789,6 +789,35 @@ object ScaleSmoke {
         s"planted token frequency: ${prof("w13")._2}")
     }
 
+    // 35. persistent LSH near-dup index: pay the 1M-doc MinHash pass once
+    // at build, then screen a 10k crawl batch (1k edited re-crawls planted)
+    // without re-hashing the corpus — the probe should cost batch-scale,
+    // not corpus-scale.
+    val ndCorpus = spark.range(0, 1000000L, 1, 64).toDF("doc_id")
+      .withColumn("text", concat_ws(" ",
+        (0 until 14).map(i =>
+          concat(lit("w"), pmod(hash(col("doc_id"), lit(i)), lit(100000)))): _*))
+    val ndStore = new graft.table.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_smoke_nd").toString)
+    time("neardup index build 1M docs") {
+      graft.ext.NearDupIndex.buildNearDupIndex(ndStore, "nd", ndCorpus,
+        "text", "doc_id", numBuckets = 32)
+    }
+    time("neardup index probe 10k batch (1k planted)") {
+      val batch = ndCorpus.where(col("doc_id") % 1000 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(col("text"), lit(" edited")).as("text"))
+        .unionByName(ndCorpus.where(col("doc_id") % 1000 === 1).limit(9000)
+          .select((col("doc_id") + 20000000L).as("doc_id"),
+            concat(lit("fresh stuff entirely "),
+              col("doc_id").cast("string")).as("text")))
+      val pairs = graft.ext.NearDupIndex.nearDupAgainstIndex(ndStore, "nd",
+        batch, "text", "doc_id", threshold = 0.5)
+      val planted = pairs
+        .where(col("batch_id") === col("corpus_id") + 10000000L).count()
+      assert(planted >= 950L, s"planted re-crawls found: $planted of 1000")
+    }
+
     spark.stop()
   }
 }
