@@ -593,6 +593,173 @@ object Analytics {
         .orderBy("n_name")
     }),
 
+    // TPC-H Q2 flavor (no partsupp table in this schema — the offer book
+    // is the distinct (part, supplier) relation of lineitem, offer price =
+    // that supplier's cheapest extended price): per size-15 part, the
+    // cheapest EUROPE supplier. The classic correlated min-subquery runs
+    // as a per-part min aggregate joined back on (part, offer), lowest
+    // s_suppkey on ties — never a window
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val eu = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").where(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+      val offers = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice").cast("decimal(20,2)")).as("offer"))
+        .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+      val best = offers.groupBy(col("l_partkey"))
+        .agg(min(col("offer")).as("best_offer"))
+      offers
+        .join(best, Seq("l_partkey"))
+        .where(col("offer") === col("best_offer"))
+        .groupBy(col("l_partkey"), col("best_offer"))
+        .agg(min(col("s_suppkey")).as("s_suppkey"))
+        .join(broadcast(t(s, dir, "part").where(col("p_size") === 15)
+          .select("p_partkey", "p_name")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(eu), "s_suppkey")
+        .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+          col("s_name"), col("n_name"),
+          col("best_offer").cast("double").as("offer"))
+        .orderBy("p_partkey")
+    }),
+
+    // TPC-H Q11 flavor: per-part shipped value from ASIA suppliers,
+    // HAVING value > 0.1% of the ASIA total — the global scalar lands as
+    // a broadcast one-row cross join, the threshold compare stays in
+    // exact decimals (value × 1000 vs total: integer-scaled, no
+    // decimal/double division)
+    "q11_important_parts" -> ((s, dir) => {
+      val asia = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey")
+      val shipped = t(s, dir, "lineitem")
+        .join(broadcast(asia), col("l_suppkey") === col("s_suppkey"))
+      val byPart = shipped.groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(25,2)")).as("val_dec"))
+      val total = shipped
+        .agg(sum(col("l_extendedprice").cast("decimal(25,2)")).as("total_dec"))
+      byPart.join(broadcast(total))
+        .where(col("val_dec") * 1000 > col("total_dec"))
+        .select(col("l_partkey").as("p_partkey"),
+          col("val_dec").cast("double").as("value"))
+        .orderBy(col("value").desc, col("p_partkey"))
+    }),
+
+    // TPC-H Q12 flavor (no l_shipmode/l_commitdate in this schema):
+    // lineitems classed by ship latency (days from order date), counting
+    // critical- vs normal-priority ORDERS per class — one fact join, one
+    // conditional aggregate
+    "q12_ship_latency" -> ((s, dir) =>
+      t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+        .join(t(s, dir, "orders")
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("latency_class",
+          when(datediff(to_date(col("l_shipdate")),
+            to_date(col("o_orderdate"))) < 30, "1_fast")
+            .when(datediff(to_date(col("l_shipdate")),
+              to_date(col("o_orderdate"))) < 90, "2_medium")
+            .otherwise("3_slow"))
+        .groupBy("latency_class")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("latency_class")),
+
+    // TPC-H Q16 flavor: how many suppliers offer each (brand, type, size)
+    // combination, excluding one brand, a size set, and "complaint"
+    // suppliers (negative balance — the NOT IN subquery runs as a
+    // broadcast anti join, never a distinct-then-NOT-contains)
+    "q16_supplier_cnt" -> ((s, dir) => {
+      val complaints = t(s, dir, "supplier")
+        .where(col("s_acctbal") < 0).select("s_suppkey")
+      t(s, dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+        .join(broadcast(t(s, dir, "part")
+          .where(col("p_brand") =!= "Brand#1" &&
+            col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+          .select("p_partkey", "p_brand", "p_type", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(complaints),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // TPC-H Q20 flavor: AMERICA suppliers who DOMINATE the supply of a
+    // red part — shipped more than 2× their fair share of the part's
+    // total quantity (the availqty>half-demand correlation, rebuilt on
+    // the shipment relation; fair-share-relative so the predicate stays
+    // selective-but-nonempty at every SF). The ratio compares as
+    // supp·n_supp > 2·total in exact decimal×int products — no division;
+    // the supplier screen is a semi join
+    "q20_dominant_suppliers" -> ((s, dir) => {
+      val redParts = t(s, dir, "part")
+        .where(col("p_name").startsWith("red"))
+        .select("p_partkey")
+      val redShip = t(s, dir, "lineitem")
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      val perSupp = redShip.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("decimal(20,2)")).as("supp_qty"))
+      val perPart = redShip.groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("decimal(20,2)")).as("part_qty"),
+          countDistinct(col("l_suppkey")).as("n_supp"))
+      val dominant = perSupp.join(perPart, "l_partkey")
+        .where(col("supp_qty") * col("n_supp") > col("part_qty") * 2)
+        .select("l_suppkey").distinct()
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+          .where(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q21 flavor (late = shipped >60 days after the order date):
+    // suppliers who were the ONLY late shipper on a finished
+    // multi-supplier order — the exists(other supplier) is a semi join,
+    // the not-exists(other LATE supplier) an anti join, both on the
+    // order key; no window, no distinct-collect
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").where(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      val pairs = li.select("l_orderkey", "l_suppkey").distinct()
+      val latePairs = li.where(col("late"))
+        .select("l_orderkey", "l_suppkey").distinct()
+      val others = pairs
+        .select(col("l_orderkey").as("o_key"), col("l_suppkey").as("o_supp"))
+      val lateOthers = latePairs
+        .select(col("l_orderkey").as("o_key"), col("l_suppkey").as("o_supp"))
+      latePairs
+        .join(others, col("l_orderkey") === col("o_key") &&
+          col("l_suppkey") =!= col("o_supp"), "left_semi")
+        .join(lateOthers, col("l_orderkey") === col("o_key") &&
+          col("l_suppkey") =!= col("o_supp"), "left_anti")
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+    }),
+
     // cohort retention: users cohorted by first-event week, active-user
     // counts per (cohort, week offset). The first-event aggregate and the
     // join back both shuffle on user_id (co-partitioned — one exchange of
@@ -976,6 +1143,116 @@ object Analytics {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH eu AS (
+        |  SELECT s_suppkey, s_name, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        |offers AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(CAST(l_extendedprice AS DECIMAL(20,2))) AS offer
+        |  FROM lineitem JOIN eu ON l_suppkey = s_suppkey
+        |  GROUP BY l_partkey, l_suppkey),
+        |best AS (
+        |  SELECT l_partkey, MIN(offer) AS best_offer
+        |  FROM offers GROUP BY l_partkey),
+        |win AS (
+        |  SELECT o.l_partkey, b.best_offer, MIN(o.l_suppkey) AS s_suppkey
+        |  FROM offers o JOIN best b
+        |    ON o.l_partkey = b.l_partkey AND o.offer = b.best_offer
+        |  GROUP BY o.l_partkey, b.best_offer)
+        |SELECT p_partkey, p_name, w.s_suppkey, eu.s_name, eu.n_name,
+        |  CAST(w.best_offer AS DOUBLE) AS offer
+        |FROM win w
+        |JOIN part ON w.l_partkey = p_partkey AND p_size = 15
+        |JOIN eu ON w.s_suppkey = eu.s_suppkey
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH asia AS (
+        |  SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'),
+        |shipped AS (
+        |  SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(25,2)) AS p
+        |  FROM lineitem JOIN asia ON l_suppkey = s_suppkey),
+        |by_part AS (
+        |  SELECT l_partkey, SUM(p) AS val_dec FROM shipped GROUP BY l_partkey),
+        |total AS (SELECT SUM(p) AS total_dec FROM shipped)
+        |SELECT l_partkey AS p_partkey, CAST(val_dec AS DOUBLE) AS value
+        |FROM by_part CROSS JOIN total
+        |WHERE val_dec * 1000 > total_dec
+        |ORDER BY value DESC, p_partkey""".stripMargin,
+
+    "q12_ship_latency" ->
+      """SELECT
+        |  CASE
+        |    WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |                   CAST(l_shipdate AS DATE)) < 30 THEN '1_fast'
+        |    WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |                   CAST(l_shipdate AS DATE)) < 90 THEN '2_medium'
+        |    ELSE '3_slow' END AS latency_class,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY latency_class ORDER BY latency_class""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q20_dominant_suppliers" ->
+      """WITH red_ship AS (
+        |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS DECIMAL(20,2)) AS q
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red%'),
+        |per_supp AS (
+        |  SELECT l_partkey, l_suppkey, SUM(q) AS supp_qty
+        |  FROM red_ship GROUP BY l_partkey, l_suppkey),
+        |per_part AS (
+        |  SELECT l_partkey, SUM(q) AS part_qty,
+        |    COUNT(DISTINCT l_suppkey) AS n_supp
+        |  FROM red_ship GROUP BY l_partkey),
+        |dominant AS (
+        |  SELECT DISTINCT s.l_suppkey
+        |  FROM per_supp s JOIN per_part p ON s.l_partkey = p.l_partkey
+        |  WHERE s.supp_qty * p.n_supp > p.part_qty * 2)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM li),
+        |late_pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late)
+        |SELECT s_suppkey, s_name, COUNT(*) AS numwait
+        |FROM late_pairs lp
+        |JOIN supplier ON lp.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM pairs p
+        |    WHERE p.l_orderkey = lp.l_orderkey AND p.l_suppkey <> lp.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late_pairs lo
+        |    WHERE lo.l_orderkey = lp.l_orderkey AND lo.l_suppkey <> lp.l_suppkey)
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey""".stripMargin,
 
     "q_set_ops" ->
       """WITH building AS (

@@ -436,6 +436,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("leftsemi"), s"must plan a left-semi join:\n$p")
   }
 
+  test("q2: correlated min runs as agg + join-back — no window, no cartesian") {
+    val p = plan("q2_min_cost_supplier")
+    assert(!analyzed("q2_min_cost_supplier").contains("Window"),
+      "per-part best offer must be an aggregate, never a window rank")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.toLowerCase.contains("partial_min"),
+      s"the per-part min must combine map-side:\n$p")
+  }
+
+  test("q11: the global total joins as a broadcast one-row side, sums partial") {
+    val p = plan("q11_important_parts")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the scalar total must broadcast, never shuffle the fact side:\n$p")
+    assert(p.toLowerCase.contains("partial_sum"), s"map-side combine:\n$p")
+    assert(!analyzed("q11_important_parts").contains("Window"))
+  }
+
+  test("q16: the NOT IN complaint screen compiles to a broadcast anti join") {
+    val p = plan("q16_supplier_cnt")
+    assert(p.contains("LeftAnti"), s"complaint screen must be an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the anti join must stay hash-keyed (no null-aware BNLJ):\n$p")
+  }
+
+  test("q21: exists/not-exists pair plans as one semi and one anti join") {
+    val p = plan("q21_waiting_suppliers")
+    assert(p.contains("LeftSemi"), s"exists(other supplier) → semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"not exists(other late) → anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("merge broadcast strategy produces no full-outer sort-merge join") {
     val p = plan("j1_merge_upsert")
     // auto strategy at this size must pick the broadcast formulation
