@@ -177,6 +177,24 @@ object TextStats {
           col("n_bigrams").cast("double"))
   }
 
+  /** Greedy-LZ77 compressibility stats (`graft_lz_stats` kernel; see
+    * [[graft.plans.LzStatsExpression]]): the compression-ratio quality
+    * signal — templated/repetitive pages parse into few long matches,
+    * prose into literals. Adds `lz` (the struct) and `lz_ratio` =
+    * (n_literals + 3·n_matches) / length — a deflate-like cost model
+    * (a match costs ~3 bytes, a literal 1); lower = more compressible.
+    * Requires the graft session extensions (native kernel only — the
+    * stateful parse has no HOF form). */
+  def lzStats(
+      df: DataFrame, textCol: String,
+      window: Int = 16, minMatch: Int = 4, maxMatch: Int = 12): DataFrame =
+    df.withColumn("lz",
+        call_function("graft_lz_stats", col(textCol),
+          lit(window), lit(minMatch), lit(maxMatch)))
+      .withColumn("lz_ratio",
+        (col("lz.n_literals") + col("lz.n_matches") * 3).cast("double") /
+          greatest(length(col(textCol)).cast("double"), lit(1.0)))
+
   /** PII redaction patterns (Java-regex and DuckDB-RE2 compatible subset):
     * email-shaped tokens and long digit runs (ids, phone numbers). */
   val EmailPattern = "[a-zA-Z0-9_.]+@[a-zA-Z0-9.]+"

@@ -142,6 +142,18 @@ object GraftExtensions {
         CdcChunksExpression(children.head, lit(1), lit(2), lit(3))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_lz_stats"),
+      new ExpressionInfo(classOf[LzStatsExpression].getName, "graft_lz_stats"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "graft_lz_stats(text, window, minMatch, maxMatch) takes four arguments")
+        def lit(i: Int): Int = {
+          require(children(i).foldable, "graft_lz_stats params must be literals")
+          children(i).eval(null).asInstanceOf[Number].intValue()
+        }
+        LzStatsExpression(children.head, lit(1), lit(2), lit(3))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_ac_counts"),
       new ExpressionInfo(classOf[AcCountsExpression].getName, "graft_ac_counts"),
       (children: Seq[Expression]) => {

@@ -192,6 +192,19 @@ object Ext {
           k = 8, w = 8)
         .orderBy("doc_id", "pos", "fp")),
 
+    "ext_winnow_clusters" -> ((s, dir) =>
+      // near-dup GROUPS from the winnow pair screen: the shared-
+      // fingerprint edges feed min-label propagation — composition of
+      // two gated operators, re-gated end-to-end (the oracle nests the
+      // pair SELECT inside a recursive reachability CTE)
+      graft.ops.Graph.connectedComponents(
+          Winnow.sharedFingerprintPairs(
+            Winnow.fingerprints(nearDupCorpus(s, dir), "text", "doc_id",
+              k = 8, w = 8),
+            "doc_id", minShared = 12, maxPostings = 50),
+          "id_a", "id_b")
+        .orderBy("node")),
+
     "ext_fuzzy_match" -> ((s, dir) => {
       // blocked fuzzy record linkage: dirty part names (one char deleted at
       // a key-derived position — the deterministic shared-spec fixture
@@ -272,6 +285,20 @@ object Ext {
         .select(col("pat_idx").cast("bigint").as("pat_idx"), col("pattern"),
           col("docs_hit"), col("total_hits"))
         .orderBy("pat_idx")),
+
+    "ext_lz_ratio" -> ((s, dir) =>
+      // greedy-LZ77 compressibility stats (the compression-ratio quality
+      // signal): INTEGER parse summaries hash-compared; the oracle
+      // replays bestlen-per-position + a recursive greedy walk with the
+      // same (window=16, min=4, max=12) constants. Fixture subset keeps
+      // the oracle's quadratic positional probe gate-cheap.
+      TextStats.lzStats(
+          t(s, dir, "documents").where(col("doc_id") % 7 === 0), "text")
+        .select(col("doc_id"),
+          col("lz.n_literals").cast("bigint").as("n_literals"),
+          col("lz.n_matches").cast("bigint").as("n_matches"),
+          col("lz.match_chars").cast("bigint").as("match_chars"))
+        .orderBy("doc_id")),
 
     "ext_chunk_windows" -> ((s, dir) => {
       // strided token-window chunking (long doc → overlapping training
@@ -1480,6 +1507,40 @@ object Ext {
        |    / CAST(len(list_distinct(bs.sh || cs.sh)) AS DOUBLE) >= 0.5
        |ORDER BY batch_id, corpus_id""".stripMargin
 
+  /** The winnow shared-fingerprint pair screen as a standalone SELECT —
+    * consumed by the pairs gate (ordered) and nested as the edge CTE of
+    * the clusters gate. */
+  private lazy val winnowPairsSelectSql: String =
+    s"""WITH $NearDupCorpusSql,
+       |g AS (
+       |  SELECT doc_id, text,
+       |         unnest(range(1, greatest(len(text) - 8 + 2, 1))) AS pos
+       |  FROM corpus),
+       |h AS (SELECT doc_id, pos,
+       |        list_reduce(
+       |          list_transform(range(0, 8),
+       |                         j -> CAST(ascii(substr(text, pos + j, 1)) AS BIGINT)),
+       |          (a, b) -> (a * 31 + b) % 2147483647) AS h
+       |      FROM g),
+       |wmin AS (
+       |  SELECT doc_id, pos AS j, min(h) OVER win AS mh, count(*) OVER win AS cnt
+       |  FROM h
+       |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+       |                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)),
+       |wfull AS (SELECT * FROM wmin WHERE cnt = 8),
+       |picks AS (
+       |  SELECT f.doc_id, f.j, max(h.pos) AS pos, f.mh AS fp
+       |  FROM wfull f
+       |  JOIN h ON h.doc_id = f.doc_id
+       |        AND h.pos BETWEEN f.j AND f.j + 7 AND h.h = f.mh
+       |  GROUP BY f.doc_id, f.j, f.mh),
+       |posting AS (SELECT DISTINCT doc_id, fp FROM picks),
+       |rare AS (SELECT fp FROM posting GROUP BY fp HAVING COUNT(*) <= 50),
+       |p AS (SELECT posting.doc_id, posting.fp FROM posting JOIN rare USING (fp))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+       |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 12""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ext_bm25_topk" -> bm25OracleSql,
     "ext_bm25_indexed" -> bm25OracleSql,
@@ -1517,36 +1578,18 @@ object Ext {
         |GROUP BY node ORDER BY node""".stripMargin,
 
     "ext_winnow_pairs" ->
-      s"""WITH $NearDupCorpusSql,
-         |g AS (
-         |  SELECT doc_id, text,
-         |         unnest(range(1, greatest(len(text) - 8 + 2, 1))) AS pos
-         |  FROM corpus),
-         |h AS (SELECT doc_id, pos,
-         |        list_reduce(
-         |          list_transform(range(0, 8),
-         |                         j -> CAST(ascii(substr(text, pos + j, 1)) AS BIGINT)),
-         |          (a, b) -> (a * 31 + b) % 2147483647) AS h
-         |      FROM g),
-         |wmin AS (
-         |  SELECT doc_id, pos AS j, min(h) OVER win AS mh, count(*) OVER win AS cnt
-         |  FROM h
-         |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos
-         |                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)),
-         |wfull AS (SELECT * FROM wmin WHERE cnt = 8),
-         |picks AS (
-         |  SELECT f.doc_id, f.j, max(h.pos) AS pos, f.mh AS fp
-         |  FROM wfull f
-         |  JOIN h ON h.doc_id = f.doc_id
-         |        AND h.pos BETWEEN f.j AND f.j + 7 AND h.h = f.mh
-         |  GROUP BY f.doc_id, f.j, f.mh),
-         |posting AS (SELECT DISTINCT doc_id, fp FROM picks),
-         |rare AS (SELECT fp FROM posting GROUP BY fp HAVING COUNT(*) <= 50),
-         |p AS (SELECT posting.doc_id, posting.fp FROM posting JOIN rare USING (fp))
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-         |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2 HAVING COUNT(*) >= 12
-         |ORDER BY id_a, id_b""".stripMargin,
+      s"$winnowPairsSelectSql\nORDER BY id_a, id_b",
+
+    "ext_winnow_clusters" ->
+      s"""WITH RECURSIVE wpairs AS ($winnowPairsSelectSql),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM wpairs
+         |      UNION SELECT id_b, id_a FROM wpairs),
+         |reach(node, r) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON reach.node = e.dst)
+         |SELECT node, min(r) AS component FROM reach
+         |GROUP BY node ORDER BY node""".stripMargin,
 
     "ext_winnow" ->
       """WITH g AS (
@@ -1681,6 +1724,39 @@ object Ext {
         |  CAST(SUM(c.c_word) AS BIGINT) AS total_hits
         |FROM cnt c JOIN pats p ON p.idx = c.idx
         |GROUP BY c.idx, p.p ORDER BY pat_idx""".stripMargin,
+
+    "ext_lz_ratio" ->
+      """WITH RECURSIVE docs AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+        |pos AS (
+        |  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+        |  FROM docs),
+        |best AS MATERIALIZED (
+        |  SELECT p.doc_id, p.i, max(l.L) AS bestlen
+        |  FROM pos p
+        |  CROSS JOIN LATERAL (SELECT unnest(generate_series(
+        |    greatest(1, p.i - 16), p.i - 1)) AS j) cj
+        |  CROSS JOIN LATERAL (SELECT unnest(generate_series(
+        |    4, least(12, length(p.text) - p.i + 1))) AS L) l
+        |  WHERE substr(p.text, cj.j, l.L) = substr(p.text, p.i, l.L)
+        |  GROUP BY p.doc_id, p.i),
+        |walk(doc_id, pos, nlit, nmat, mchars) AS (
+        |  SELECT doc_id, 1, 0, 0, 0 FROM docs
+        |  UNION ALL
+        |  SELECT w.doc_id, w.pos + COALESCE(b.bestlen, 1),
+        |    w.nlit + CASE WHEN b.bestlen IS NULL THEN 1 ELSE 0 END,
+        |    w.nmat + CASE WHEN b.bestlen IS NULL THEN 0 ELSE 1 END,
+        |    w.mchars + COALESCE(b.bestlen, 0)
+        |  FROM walk w
+        |  JOIN docs d ON d.doc_id = w.doc_id
+        |  LEFT JOIN best b ON b.doc_id = w.doc_id AND b.i = w.pos
+        |  WHERE w.pos <= length(d.text))
+        |SELECT w.doc_id AS doc_id, CAST(w.nlit AS BIGINT) AS n_literals,
+        |  CAST(w.nmat AS BIGINT) AS n_matches,
+        |  CAST(w.mchars AS BIGINT) AS match_chars
+        |FROM walk w JOIN docs d ON d.doc_id = w.doc_id
+        |WHERE w.pos > length(d.text)
+        |ORDER BY w.doc_id""".stripMargin,
 
     "ext_chunk_windows" ->
       """WITH toks AS (

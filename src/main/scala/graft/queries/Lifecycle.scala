@@ -63,6 +63,40 @@ object Lifecycle {
         countDistinct(col("lang")).as("n_langs"))),
 
     // P8 (legacy file_conversion/csv_to_json.py): CSV → NDJSON conversion
+    // nested NDJSON → flat warehouse columns: each document re-serialized
+    // as a depth-3 nested JSON record, parsed back with an explicit
+    // schema, then struct-flattened to parent_child scalars (no explode —
+    // row counts never change). Field access stays native (null-safe,
+    // codegen'd); both engines build the identical nested record so the
+    // gate compares one flattening spec
+    "p10_flatten_nested" -> ((s, dir) => {
+      val nestedSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("meta",
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("src",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("stats",
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("len",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("lang",
+                  org.apache.spark.sql.types.StringType)))))))))
+      val nested = t(s, dir, "documents").select(
+        from_json(
+          concat(lit("{\"id\":"), col("doc_id"),
+            lit(",\"meta\":{\"src\":\""), col("source"),
+            lit("\",\"stats\":{\"len\":"), length(col("text")),
+            when(col("doc_id") % 7 === 0, lit("}}}")) // lang absent → null
+              .otherwise(concat(lit(",\"lang\":\""), col("lang"),
+                lit("\"}}}")))),
+          nestedSchema).as("rec"))
+        .select(col("rec.*"))
+      graft.schema.Flatten.flattenStructs(nested)
+        .orderBy("id")
+    }),
+
     "p8_csv_to_json" -> ((s, dir) => {
       val work = Files.createTempDirectory("graft_q_p8")
       Export.export(t(s, dir, "region"), s"$work/csv",
@@ -236,6 +270,13 @@ object Lifecycle {
         |  COUNT(CASE WHEN n_chars > 300 THEN 1 END) AS long_docs,
         |  COUNT(DISTINCT lang) AS n_langs
         |FROM documents""".stripMargin,
+
+    "p10_flatten_nested" ->
+      """SELECT doc_id AS id, source AS meta_src,
+        |  length(text) AS meta_stats_len,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END
+        |    AS meta_stats_lang
+        |FROM documents ORDER BY id""".stripMargin,
 
     "p8_csv_to_json" ->
       """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name

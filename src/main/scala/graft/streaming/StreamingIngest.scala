@@ -354,6 +354,42 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** Streaming blocklist screen: the C4-style badwords drop as a
+    * continuous ingest stage — each micro-batch runs the one-pass
+    * Aho–Corasick kernel ([[graft.ext.Blocklist]]) and keeps documents
+    * with at most `maxHits` word-bounded blocklist occurrences. The
+    * automaton is a plan constant (built once per executor), stream state
+    * is the checkpoint offsets alone; the filter is a pure per-row
+    * predicate, so the batch never shuffles before the append. */
+  def blocklistGateIngestAvailableNow(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      store: TableStore,
+      table: String,
+      checkpointDir: String,
+      textCol: String,
+      patterns: Seq[String],
+      maxHits: Long = 0L,
+      boundary: Boolean = true
+  ): Unit = {
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .json(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fresh = graft.ext.Blocklist.dropBlocked(
+          batch, textCol, patterns, maxHits, boundary)
+        if (store.exists(table)) store.append(table, fresh)
+        else store.overwrite(table, fresh)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming curate-and-index: the steady-state crawl pipeline as ONE
     * continuous stage. Each micro-batch exact-dedups against the corpus
     * table ([[graft.ext.Dedup.incrementalNew]] — the corpus side never

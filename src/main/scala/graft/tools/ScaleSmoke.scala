@@ -818,6 +818,26 @@ object ScaleSmoke {
       assert(planted >= 950L, s"planted re-crawls found: $planted of 1000")
     }
 
+    // 36. greedy-LZ compressibility stats over 1M docs: one codegen'd
+    // parse pass (O(n·window) per doc). Every 4th doc is templated
+    // (period-9 repetition) — its match mass must dominate, the
+    // hash-vocabulary docs must parse almost entirely into literals.
+    time("lz stats 1M docs (window 16)") {
+      val docs = winDocs.withColumn("text",
+        when(col("doc_id") % 4 === 0,
+          concat_ws(" ", (0 until 12).map(_ => lit("boilerpl")): _*))
+          .otherwise(col("text")))
+      val s = graft.ext.TextStats.lzStats(docs, "text")
+        .groupBy((col("doc_id") % 4 === 0).as("templated"))
+        .agg(sum(col("lz.match_chars").cast("bigint")).as("mc"),
+          sum(col("lz.n_literals").cast("bigint")).as("nl"))
+        .collect().map(r => r.getBoolean(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(s(true)._1 > 3 * s(true)._2,
+        s"templated docs must be match-dominated: ${s(true)}")
+      assert(s(false)._2 > 3 * s(false)._1,
+        s"hash-vocab docs must be literal-dominated: ${s(false)}")
+    }
+
     spark.stop()
   }
 }

@@ -56,4 +56,35 @@ class StreamingQualitySpec extends SparkSpec {
     ingest()
     assert(ids == Set(1L, 4L))
   }
+
+  test("streaming blocklist screen drops flagged docs across batches and restarts") {
+    val work = Files.createTempDirectory("graft_sbl")
+    val src = work.resolve("src"); Files.createDirectories(src)
+    val store = new TableStore(spark, work.resolve("store").toString)
+    val ckpt = work.resolve("ckpt").toString
+
+    def write(name: String, rows: (Long, String)*): Unit = {
+      Files.writeString(src.resolve(name),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("", "\n", "\n"))
+      ()
+    }
+    def ingest(): Unit = StreamingIngest.blocklistGateIngestAvailableNow(
+      spark, src.toString, schema, store, "clean", ckpt, "text",
+      patterns = Seq("bad", "worse phrase"), maxHits = 0L)
+    def ids: Set[Long] = store.scan("clean").collect().map(_.getLong(0)).toSet
+
+    write("f1.json", 1L -> "clean text here", 2L -> "some bad content",
+      3L -> "a worse phrase lurks", 4L -> "badge is fine") // word-bounded
+    ingest()
+    assert(ids == Set(1L, 4L), s"flagged docs must drop: $ids")
+
+    write("f2.json", 5L -> "still clean", 6L -> "bad again")
+    ingest()
+    assert(ids == Set(1L, 4L, 5L))
+
+    // no-op rerun: checkpoint skips processed files
+    ingest()
+    assert(ids == Set(1L, 4L, 5L))
+  }
 }
