@@ -81,6 +81,124 @@ object Url {
     df.join(broadcast(blocklist.select(col("host").as("__blocked_host")).distinct()),
         host(col(urlCol)) === col("__blocked_host"), "left_anti")
 
+  /** Raw path of a URL column (no canonicalization — RFC 9309 matches the
+    * path as crawled). Empty path degenerates to "/" (the RFC's implicit
+    * root). */
+  def path(url: Column): Column = {
+    val p = regexp_extract(url, PathRe, 1)
+    when(p === "", lit("/")).otherwise(p)
+  }
+
+  /** Parse raw robots.txt content into rule rows — RFC 9309 grouping:
+    * consecutive `User-agent:` lines open ONE group; `Allow:`/`Disallow:`
+    * lines attach to every agent of the most recent group; comments and
+    * unknown keys are ignored; an empty `Disallow:` value is allow-all
+    * (no rule). A single declarative fold per robots file (`aggregate`
+    * HOF carrying (agents, in_ua, rules) struct state) — per-file
+    * sequential semantics without a UDF or a shuffle.
+    *
+    * Output: input row + exploded (agent, allow, rule_path). Files with
+    * no rules emit nothing. */
+  def parseRobots(df: DataFrame, txtCol: String): DataFrame = {
+    // pre-lex each line to (key, v) structs, then one stateful fold
+    val folded = expr(
+      s"""aggregate(
+         |  transform(split($txtCol, '\n'), raw ->
+         |    struct(
+         |      lower(trim(substring_index(split_part(raw, '#', 1), ':', 1)))
+         |        AS key,
+         |      CASE WHEN instr(split_part(raw, '#', 1), ':') = 0 THEN ''
+         |           ELSE trim(substr(split_part(raw, '#', 1),
+         |                  instr(split_part(raw, '#', 1), ':') + 1)) END
+         |        AS v)),
+         |  struct(
+         |    cast(array() as array<string>) as agents,
+         |    false as in_ua,
+         |    cast(array() as array<struct<agent string, allow boolean,
+         |                                 rule_path string>>) as rules),
+         |  (acc, kv) -> CASE
+         |    WHEN kv.key = 'user-agent' AND kv.v != '' THEN
+         |      struct(
+         |        CASE WHEN acc.in_ua THEN array_append(acc.agents, kv.v)
+         |             ELSE array(kv.v) END AS agents,
+         |        true AS in_ua, acc.rules AS rules)
+         |    WHEN kv.key IN ('allow', 'disallow') THEN
+         |      struct(acc.agents AS agents, false AS in_ua,
+         |        CASE WHEN kv.v = '' OR size(acc.agents) = 0 THEN acc.rules
+         |        ELSE concat(acc.rules, transform(acc.agents, a ->
+         |          struct(a AS agent, kv.key = 'allow' AS allow,
+         |                 kv.v AS rule_path))) END AS rules)
+         |    ELSE acc
+         |    END,
+         |  acc -> acc.rules)""".stripMargin)
+    df.withColumn("__robots_rules", folded)
+      .select(col("*"), explode(col("__robots_rules")).as("r"))
+      .drop("__robots_rules")
+      .withColumn("agent", lower(col("r.agent")))
+      .withColumn("allow", col("r.allow"))
+      .withColumn("rule_path", col("r.rule_path"))
+      .drop("r")
+  }
+
+  /** Regex translation of a robots rule path (both engines build the
+    * identical pattern string): regex specials escaped, `*` → `.*`, a
+    * trailing `$` anchors the end, everything prefix-matched from `^`. */
+  /** Chars escaped when a rule path becomes a regex — shared with the SQL
+    * mirror. (Backslash/caret are not in the URL-path charset; `*` and a
+    * trailing `$` are the RFC's own wildcards, translated, not escaped.) */
+  val RulePatternEscapes: Seq[String] =
+    Seq(".", "+", "?", "(", ")", "[", "]", "{", "}", "|")
+
+  private def rulePattern(rulePath: Column): Column = {
+    val endAnchored = rulePath.endsWith("$")
+    val body = when(endAnchored,
+      rulePath.substr(lit(1), length(rulePath) - 1)).otherwise(rulePath)
+    val escaped = RulePatternEscapes
+      .foldLeft(body)((c, ch) => regexp_replace(c, "\\" + ch, "\\\\" + ch))
+    concat(lit("^"), regexp_replace(escaped, "\\*", ".*"),
+      when(endAnchored, lit("$")).otherwise(lit("")))
+  }
+
+  /** RFC 9309 crawl-permission decisions for an agent over a URL corpus.
+    *
+    * `rules`: (host, agent, allow, rule_path) — from [[parseRobots]] or a
+    * curated table. Per host, the group is the agent's own rules when any
+    * exist, else the `*` group (RFC group selection); among matching
+    * rules the LONGEST rule path wins, ties break least-restrictive
+    * (allow) — one max-struct aggregate, no window. URLs with no matching
+    * rule (or no rules for their host at all) are allowed.
+    *
+    * Scale shape: rules tables are dimension-sized (one site's robots is
+    * KBs) — both the group resolution and the candidate join broadcast;
+    * the corpus never shuffles. The rule regex is built once per rule row
+    * and matched per (url, candidate-rule) pair, candidate fan-out
+    * bounded by the host's own rule count. */
+  def robotsDecisions(
+      urls: DataFrame, urlCol: String, rules: DataFrame, agent: String
+  ): DataFrame = {
+    val a = lit(agent.toLowerCase(java.util.Locale.ROOT))
+    val exactHosts = rules.where(lower(col("agent")) === a)
+      .select(col("host").as("__xh")).distinct()
+    val grouped = rules.where(lower(col("agent")) === a)
+      .unionByName(rules.where(col("agent") === "*")
+        .join(broadcast(exactHosts), col("host") === col("__xh"), "left_anti"))
+      .select(col("host").as("__rh"), col("allow"),
+        col("rule_path"), rulePattern(col("rule_path")).as("__pat"))
+    urls
+      .withColumn("__host", host(col(urlCol)))
+      .withColumn("__path", path(col(urlCol)))
+      .join(broadcast(grouped),
+        col("__host") === col("__rh") && expr("__path RLIKE __pat"),
+        "left")
+      .groupBy(urls.columns.map(col) :+ col("__host") :+ col("__path"): _*)
+      .agg(max(when(col("allow").isNotNull,
+        struct(length(col("rule_path")).as("plen"),
+          col("allow").as("allow")))).as("__win"))
+      .withColumn("allowed", coalesce(col("__win.allow"), lit(true)))
+      .drop("__win", "__path")
+      .withColumnRenamed("__host", "url_host")
+  }
+
   // ---- DuckDB SQL mirrors (oracle generation — same constants) ----------
 
   private def trackingInList: String =
@@ -89,6 +207,21 @@ object Url {
   /** SQL fragment: lowercased no-port no-www host of the URL expression. */
   def hostSql(u: String): String =
     s"regexp_replace(regexp_replace(lower(regexp_extract($u, '$AuthRe', 1)), ':[0-9]+$$', ''), '^www\\.', '')"
+
+  /** SQL fragment mirroring [[path]]: raw path, "" → "/". */
+  def pathSql(u: String): String =
+    s"""CASE WHEN regexp_extract($u, '$PathRe', 1) = '' THEN '/'
+       |     ELSE regexp_extract($u, '$PathRe', 1) END""".stripMargin
+
+  /** SQL fragment mirroring [[rulePattern]] for a `rule_path` column. */
+  def rulePatternSql: String = {
+    val body = "CASE WHEN rule_path LIKE '%$' " +
+      "THEN substr(rule_path, 1, length(rule_path) - 1) ELSE rule_path END"
+    val escaped = RulePatternEscapes
+      .foldLeft(body)((e, ch) => s"replace($e, '$ch', '\\$ch')")
+    s"'^' || replace($escaped, '*', '.*') || " +
+      "CASE WHEN rule_path LIKE '%$' THEN '$' ELSE '' END"
+  }
 
   /** SQL fragment mirroring [[canonicalize]] for a URL expression `u`.
     * `coalesce(array_to_string(...), '')` guards DuckDB's empty-list → NULL

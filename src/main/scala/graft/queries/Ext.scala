@@ -86,6 +86,23 @@ object Ext {
         .select((col("doc_id") + 6000000L).as("doc_id"),
           concat(lit("fresh "), col("doc_id").cast("string")).as("text")))
 
+  /** Robots-rules fixture over the urlCorpus hosts — group selection
+    * (exact agent beats `*`), wildcard and `$`-anchored paths, longer-
+    * match overrides; shared verbatim with the oracle VALUES. */
+  private[queries] val RobotsRules: Seq[(String, String, Boolean, String)] = Seq(
+    ("site1.example.com", "*", false, "/"),
+    ("site2.example.com", "*", false, "/*/dir/*"),
+    ("site2.example.com", "*", true, "/*/dir/page1*"),
+    ("site3.example.com", "graftbot", false, "/"),
+    ("site3.example.com", "*", true, "/"),
+    ("site4.example.com", "otherbot", false, "/"),
+    ("site5.example.com", "*", false, "/*/dir/page7$"),
+    ("site6.example.com", "*", false, "/*//Dir/*"))
+
+  private def robotsRulesValuesSql: String =
+    RobotsRules.map { case (h, a, al, p) => s"('$h', '$a', $al, '$p')" }
+      .mkString(", ")
+
   /** Blocklist gate phrase list — nested (can⊂scan, low⊂slow, able⊂table)
     * and multi-word entries; shared verbatim with the oracle VALUES. */
   private[queries] val BlocklistPats: Seq[String] = Seq(
@@ -1022,6 +1039,20 @@ object Ext {
         Url.canonicalize(col("url_raw")).as("url"),
         Url.host(col("url_raw")).as("host"))
         .orderBy("doc_id")),
+
+    "ext_robots_decisions" -> ((s, dir) => {
+      // RFC 9309 crawl permissions over the messy-URL corpus: exact-agent
+      // group beats `*`, longest rule path wins, ties allow, no-rule
+      // hosts allow. Rules broadcast; the corpus never shuffles.
+      import s.implicits._
+      val rules = RobotsRules
+        .toDF("host", "agent", "allow", "rule_path")
+      Url.robotsDecisions(
+          urlCorpus(s, dir).select("doc_id", "url_raw"), "url_raw",
+          rules, "graftbot")
+        .select(col("doc_id"), col("url_host"), col("allowed"))
+        .orderBy("doc_id")
+    }),
 
     "ext_host_cap" -> ((s, dir) =>
       // per-host corpus quota after a host blocklist: blocklist is a
@@ -2832,6 +2863,38 @@ object Ext {
          |  ${Url.canonicalSql("url_raw")} AS url,
          |  ${Url.hostSql("url_raw")} AS host
          |FROM u ORDER BY doc_id""".stripMargin,
+
+    "ext_robots_decisions" ->
+      s"""WITH $UrlCorpusSql,
+         |up AS (
+         |  SELECT doc_id, ${Url.hostSql("url_raw")} AS h,
+         |    ${Url.pathSql("url_raw")} AS p
+         |  FROM u),
+         |rules(host, agent, allow, rule_path) AS (
+         |  VALUES $robotsRulesValuesSql),
+         |xh AS (SELECT DISTINCT host FROM rules WHERE lower(agent) = 'graftbot'),
+         |grp AS (
+         |  SELECT host, allow, rule_path FROM rules
+         |  WHERE lower(agent) = 'graftbot'
+         |  UNION ALL
+         |  SELECT host, allow, rule_path FROM rules
+         |  WHERE agent = '*' AND host NOT IN (SELECT host FROM xh)),
+         |pat AS (
+         |  SELECT host, allow, rule_path, ${Url.rulePatternSql} AS rx
+         |  FROM grp),
+         |m AS (
+         |  SELECT up.doc_id, length(pat.rule_path) AS plen, pat.allow
+         |  FROM up JOIN pat ON up.h = pat.host AND regexp_matches(up.p, pat.rx)),
+         |mb AS (SELECT doc_id, max(plen) AS mp FROM m GROUP BY doc_id),
+         |v AS (
+         |  SELECT m.doc_id, max(CASE WHEN m.allow THEN 1 ELSE 0 END) = 1
+         |    AS allowed
+         |  FROM m JOIN mb ON m.doc_id = mb.doc_id AND m.plen = mb.mp
+         |  GROUP BY m.doc_id)
+         |SELECT up.doc_id, up.h AS url_host,
+         |  COALESCE(v.allowed, true) AS allowed
+         |FROM up LEFT JOIN v ON up.doc_id = v.doc_id
+         |ORDER BY up.doc_id""".stripMargin,
 
     "ext_host_cap" ->
       s"""WITH $UrlCorpusSql,

@@ -70,4 +70,64 @@ class UrlSpec extends SparkSpec {
     assert(keys.length === 1)
     assert(keys.head.getString(0) === "http://news.site.com/today/story?id=9")
   }
+
+  test("parseRobots: RFC 9309 grouping, comments, empty disallow, unknown keys") {
+    import spark.implicits._
+    val txt = Seq(
+      "# crawl policy",
+      "User-agent: GraftBot",
+      "User-Agent: otherbot   # two agents, one group",
+      "Disallow: /private",
+      "Allow: /private/ok",
+      "",
+      "user-agent: *",
+      "Disallow:",          // empty value = allow-all, NO rule
+      "Crawl-delay: 10",    // unknown key ignored
+      "Disallow: /tmp/*",
+      "Allow: /a$").mkString("\n")
+    val rules = Url.parseRobots(Seq(("h1", txt)).toDF("host", "txt"), "txt")
+      .select("agent", "allow", "rule_path").collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getString(2))).toSet
+    assert(rules == Set(
+      ("graftbot", false, "/private"), ("otherbot", false, "/private"),
+      ("graftbot", true, "/private/ok"), ("otherbot", true, "/private/ok"),
+      ("*", false, "/tmp/*"), ("*", true, "/a$")))
+  }
+
+  test("robotsDecisions: longest match, allow tie-break, group selection, wildcards") {
+    import spark.implicits._
+    val rules = Seq(
+      // exact-agent group on h1
+      ("h1.com", "graftbot", false, "/private"),
+      ("h1.com", "graftbot", true, "/private/pub"),
+      ("h1.com", "*", false, "/"), // must be IGNORED for graftbot on h1
+      // star group on h2, with wildcard + anchor
+      ("h2.com", "*", false, "/tmp/*"),
+      ("h2.com", "*", true, "/tmp/keep"),
+      ("h2.com", "*", false, "/exact$"),
+      // equal-length allow/disallow tie on h3 + a literal-dot rule
+      ("h3.com", "*", false, "/abc"),
+      ("h3.com", "*", true, "/ab*"),
+      ("h3.com", "*", false, "/x.y"))
+      .toDF("host", "agent", "allow", "rule_path")
+    val urls = Seq(
+      1L -> "http://h1.com/private/x",      // disallow (/private)
+      2L -> "http://h1.com/private/pub/x",  // allow (longer match)
+      3L -> "http://h1.com/other",          // no match in graftbot group -> allow
+      4L -> "http://h2.com/tmp/junk",       // /tmp/* disallow
+      5L -> "http://h2.com/tmp/keep/f",     // /tmp/keep longer -> allow
+      6L -> "http://h2.com/exact",          // $-anchored disallow
+      7L -> "http://h2.com/exactly",        // anchor must NOT match
+      8L -> "http://h3.com/abc",            // 4 vs 4 tie -> allow wins
+      9L -> "http://nowhere.com/x",         // host without rules -> allow
+      10L -> "http://h3.com/xzy",           // literal dot must NOT match
+      11L -> "http://h3.com/x.y")           // literal dot matches itself
+      .toDF("id", "url")
+    val got = Url.robotsDecisions(urls, "url", rules, "GraftBot")
+      .select("id", "allowed").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false,
+      5L -> true, 6L -> false, 7L -> true, 8L -> true, 9L -> true,
+      10L -> true, 11L -> false), got)
+  }
 }
