@@ -86,12 +86,27 @@ object NearDupIndex {
     b.unpersist(false)
   }
 
+  /** DELETE corpus docs from the index (takedowns): a tombstone table the
+    * probe anti-joins before verification — tombstoned docs stop
+    * producing matches immediately; their band/shingle rows stay until a
+    * compaction rebuild. Re-adding a tombstoned id requires that rebuild
+    * first. */
+  def deleteFromNearDupIndex(
+      store: TableStore, name: String, docIds: DataFrame
+  ): Unit = {
+    val rows = docIds.select(col(docIds.columns.head).cast("bigint")
+      .as("doc_id"))
+    if (store.exists(s"${name}_tombstones"))
+      store.append(s"${name}_tombstones", rows)
+    else store.overwrite(s"${name}_tombstones", rows)
+  }
+
   /** Screen a crawl batch against the indexed corpus: candidate pairs from
     * shared band keys (bucket-pruned), exact-Jaccard verified against the
     * stored shingles. Output (batch_id, corpus_id, jaccard) — identical to
-    * [[Dedup.incrementalNearDupPairs]] over the same corpus. Result is
-    * candidate-pair-sized and eagerly materialized (the
-    * `incrementalNearDupPairs` cache-scope posture). */
+    * [[Dedup.incrementalNearDupPairs]] over the same corpus (minus any
+    * tombstoned docs). Result is candidate-pair-sized and eagerly
+    * materialized (the `incrementalNearDupPairs` cache-scope posture). */
   def nearDupAgainstIndex(
       store: TableStore, name: String,
       batch: DataFrame, textCol: String, idCol: String,
@@ -119,7 +134,14 @@ object NearDupIndex {
       .join(broadcast(bBands), Seq("band", "key"))
       .select(col("batch_id"), col("doc_id").as("corpus_id"))
       .distinct()
-    val pairs = if (materialize) pairs0.localCheckpoint(true) else pairs0
+    val pairs1 =
+      if (store.exists(s"${name}_tombstones"))
+        pairs0.join(
+          broadcast(store.scan(s"${name}_tombstones")
+            .select(col("doc_id").as("__ts")).distinct()),
+          col("corpus_id") === col("__ts"), "left_anti")
+      else pairs0
+    val pairs = if (materialize) pairs1.localCheckpoint(true) else pairs1
     val candIds = pairs.select(col("corpus_id")).distinct()
     val cShingles = store.scan(s"${name}_docs")
       .select(col("doc_id").as("corpus_id"), col("shingles").as("c_sh"))

@@ -187,10 +187,28 @@ object Retrieval {
     writeBm25Index(store, name, df, textCol, idCol, numBuckets,
       append = true)
 
+  /** DELETE documents from the index — the takedown path. Pure
+    * log-structured negation: the docs' postings/df/stats re-derive from
+    * their text and append with NEGATED counts into the same buckets, so
+    * the query-time integer sums cancel the original contributions
+    * exactly — `sum(tf) = 0` rows drop, df and corpus stats shrink — and
+    * nothing is rewritten. Deleting costs the deleted docs' size, like an
+    * append. Contract: pass exactly the (id, text) rows that were
+    * indexed (the corpus table holds them; a re-tokenization mismatch
+    * would leave a partial residue). Re-adding the same id later is fine:
+    * sums cancel then re-accumulate. */
+  def deleteFromBm25Index(
+      store: TableStore, name: String,
+      docs: DataFrame, textCol: String, idCol: String,
+      numBuckets: Int
+  ): Unit =
+    writeBm25Index(store, name, docs, textCol, idCol, numBuckets,
+      append = true, sign = -1)
+
   private def writeBm25Index(
       store: TableStore, name: String,
       df: DataFrame, textCol: String, idCol: String,
-      numBuckets: Int, append: Boolean
+      numBuckets: Int, append: Boolean, sign: Int = 1
   ): Unit = {
     val tfAll = df
       .select(col(idCol).cast("bigint").as("doc_id"),
@@ -199,14 +217,16 @@ object Retrieval {
         explode(concat(col("__toks"),
           array(lit(null).cast("string")))).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg((count(lit(1)) * sign).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val postings = tfAll.where(col("term").isNotNull)
         .select("term", "doc_id", "dl", "tf")
-      val terms = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      val terms = postings.groupBy("term")
+        .agg((count(lit(1)) * sign).as("df"))
       val stats = tfAll.where(col("term").isNull)
-        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .agg((count(lit(1)) * sign).as("n_docs"),
+          (sum(col("dl")) * sign).as("sum_dl"))
       if (append) {
         store.appendBucketed(s"${name}_postings", postings,
           Seq("term"), numBuckets)
@@ -239,10 +259,18 @@ object Retrieval {
       .flatMap { case (qid, qtext) => queryTerms(qtext).map(qid -> _) }
       .toDF("query_id", "term")
     val qvocab = queries.flatMap(q => queryTerms(q._2)).distinct
+    // postings sum per (term, doc): append-only indexes carry one row per
+    // key so this is the identity, but DELETED docs carry a negating row —
+    // sum(tf)=0 drops them. The bucketed term partitioning already
+    // clusters (term, doc_id), so the aggregate plans without an exchange.
     val tf = store.scanBucketed(s"${name}_postings")
       .where(col("term").isin(qvocab: _*))
+      .groupBy("term", "doc_id")
+      .agg(sum(col("tf")).as("tf"), max(col("dl")).as("dl"))
+      .where(col("tf") > 0)
     // df increments and per-batch stats rows sum at query time (integer
-    // sums — engine-exact), so incremental appends never rewrite the index
+    // sums — engine-exact), so incremental appends and deletes never
+    // rewrite the index
     val dft = store.scanBucketed(s"${name}_terms")
       .where(col("term").isin(qvocab: _*))
       .groupBy("term").agg(sum(col("df")).as("df"))
@@ -285,7 +313,7 @@ object Retrieval {
       .where(col("term").isin(terms.distinct: _*))
     val base = pos.where(col("term") === terms.head)
       .select(col("doc_id"), col("pos").as("start_pos"))
-    terms.zipWithIndex.tail.foldLeft(base) { case (acc, (t, i)) =>
+    val matched = terms.zipWithIndex.tail.foldLeft(base) { case (acc, (t, i)) =>
       acc.join(
         pos.where(col("term") === t)
           .select(col("doc_id").as(s"__d$i"), col("pos").as(s"__p$i")),
@@ -293,5 +321,29 @@ object Retrieval {
           col(s"__p$i") === col("start_pos") + i)
         .select(col("doc_id"), col("start_pos"))
     }
+    // tombstoned docs drop at query time (broadcast anti on the
+    // dimension-sized takedown list); their postings stay until the next
+    // compaction rebuild
+    if (store.exists(s"${name}_pos_tombstones"))
+      matched.join(
+        broadcast(store.scan(s"${name}_pos_tombstones")
+          .select(col("doc_id").as("__ts")).distinct()),
+        col("doc_id") === col("__ts"), "left_anti")
+    else matched
+  }
+
+  /** DELETE documents from a positional index: positions carry no counts
+    * to negate, so takedowns are a tombstone table the query path
+    * anti-joins (Delta/Iceberg deletion-vector role on plain parquet).
+    * Re-adding a tombstoned id requires a compaction rebuild first —
+    * tombstones win over postings unconditionally. */
+  def deleteFromPositionalIndex(
+      store: TableStore, name: String, docIds: DataFrame
+  ): Unit = {
+    val rows = docIds.select(col(docIds.columns.head).cast("bigint")
+      .as("doc_id"))
+    if (store.exists(s"${name}_pos_tombstones"))
+      store.append(s"${name}_pos_tombstones", rows)
+    else store.overwrite(s"${name}_pos_tombstones", rows)
   }
 }

@@ -93,6 +93,20 @@ object VectorIndex {
         numBuckets)
   }
 
+  /** DELETE vectors from the index: a tombstone table the query path
+    * anti-joins (vectors carry no counts to negate — the positional-index
+    * posture, not BM25's). Re-adding a tombstoned id requires a
+    * compaction rebuild first. */
+  def deleteFromIvfIndex(
+      store: TableStore, name: String, vecIds: DataFrame
+  ): Unit = {
+    val rows = vecIds.select(col(vecIds.columns.head).cast("bigint")
+      .as("vec_id"))
+    if (store.exists(s"${name}_tombstones"))
+      store.append(s"${name}_tombstones", rows)
+    else store.overwrite(s"${name}_tombstones", rows)
+  }
+
   /** IVF top-k served from the index — no corpus access: probe the stored
     * codebook for each query's `nProbe` nearest cells, bucket-prune the
     * vectors table to probed cells, rank within them. Output
@@ -131,8 +145,17 @@ object VectorIndex {
     // bucketed scan prunes on an IN filter, like the BM25 term filter
     val probed = qAssign.select("cell_id").distinct()
       .collect().map(_.getLong(0)).toIndexedSeq
-    val cand = store.scanBucketed(s"${name}_vecs")
-      .where(col("cell_id").isin(probed: _*))
+    val vecs = store.scanBucketed(s"${name}_vecs")
+    // tombstoned vectors drop at query time (broadcast anti on the
+    // dimension-sized takedown list) — the deleteFromIvfIndex path
+    val live =
+      if (store.exists(s"${name}_tombstones"))
+        vecs.join(
+          broadcast(store.scan(s"${name}_tombstones")
+            .select(col("vec_id").as("__ts")).distinct()),
+          col("vec_id") === col("__ts"), "left_anti")
+      else vecs
+    val cand = live.where(col("cell_id").isin(probed: _*))
     val scored = cand.join(broadcast(qAssign), Seq("cell_id"))
       .where(col("vec_id") =!= col("q_id"))
       .withColumn("cosine",

@@ -172,6 +172,23 @@ object Ext {
         .orderBy("query_id", "rank")
     }),
 
+    "ext_bm25_delete" -> ((s, dir) => {
+      // the takedown path: index everything, DELETE a fifth of the corpus
+      // by appending negated postings/df/stats (nothing rewritten), query
+      // — must equal the scan path over the surviving docs, so the oracle
+      // is the shared BM25 spec over `documents` minus the deleted rows
+      val store = new graft.table.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft_q_bm25d").toString)
+      val docs = t(s, dir, "documents")
+      Retrieval.buildBm25Index(store, "docs", docs, "text", "doc_id",
+        numBuckets = 8)
+      Retrieval.deleteFromBm25Index(store, "docs",
+        docs.where(col("doc_id") % 5 === 3), "text", "doc_id",
+        numBuckets = 8)
+      Retrieval.bm25TopKIndexed(store, "docs", Bm25Queries, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "ext_phrase_index" -> ((s, dir) => {
       // exact-phrase search from the positional inverted index: bucket-
       // pruned posting scan, consecutive-position self-joins, corpus never
@@ -1486,9 +1503,14 @@ object Ext {
 
   /** One oracle for both BM25 paths: the index is lossless, so the scan
     * path and the bucket-pruned index path must agree byte-for-byte. */
-  private def bm25OracleSql: String =
+  private def bm25OracleSql: String = bm25OracleSqlOver("documents")
+
+  /** The BM25 scan-path oracle over an arbitrary corpus expression — the
+    * delete gate replays it over `documents` minus the taken-down rows,
+    * which a correct negative-increment index must match exactly. */
+  private def bm25OracleSqlOver(src: String): String =
       s"""WITH q(query_id, term) AS (VALUES $bm25QueryValuesSql),
-         |base AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+         |base AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM $src),
          |stats AS (SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS sum_dl FROM base),
          |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base),
          |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM tok
@@ -1576,6 +1598,8 @@ object Ext {
     "ext_bm25_topk" -> bm25OracleSql,
     "ext_bm25_indexed" -> bm25OracleSql,
     "ext_bm25_incremental" -> bm25OracleSql,
+    "ext_bm25_delete" -> bm25OracleSqlOver(
+      "(SELECT * FROM documents WHERE doc_id % 5 <> 3)"),
 
     "ext_phrase_index" ->
       """WITH base AS (

@@ -77,6 +77,23 @@ class NearDupIndexSpec extends SparkSpec {
       full.scanBucketed("nd_bands").inputFiles.length)
   }
 
+  test("tombstoned corpus docs stop matching immediately") {
+    import spark.implicits._
+    val c = corpus(80)
+    val b = batchOf(c)
+    val store = tmpStore()
+    NearDupIndex.buildNearDupIndex(store, "nd", c, "text", "doc_id",
+      numBuckets = 4)
+    val before = rows(NearDupIndex.nearDupAgainstIndex(store, "nd", b,
+      "text", "doc_id", threshold = 0.5))
+    assert(before.exists(_._2 == 0L))
+    NearDupIndex.deleteFromNearDupIndex(store, "nd", Seq(0L, 10L).toDF("doc_id"))
+    val after = rows(NearDupIndex.nearDupAgainstIndex(store, "nd", b,
+      "text", "doc_id", threshold = 0.5))
+    assert(after == before.filterNot(p => p._2 == 0L || p._2 == 10L),
+      "only the tombstoned corpus docs' pairs may disappear")
+  }
+
   test("probe bucket-prunes the bands table; fallback mode is identical") {
     val c = corpus(80)
     val b = batchOf(c).where(col("doc_id") === 1000L)

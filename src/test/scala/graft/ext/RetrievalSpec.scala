@@ -168,4 +168,61 @@ class RetrievalSpec extends SparkSpec {
     assert(results(inc) == results(full),
       "append must reproduce the full build byte-for-byte")
   }
+
+  test("delete cancels exactly: equals a rebuild without the docs; re-add works") {
+    import spark.implicits._
+    def results(store: graft.table.TableStore) =
+      Retrieval.bm25TopKIndexed(store, "c",
+          Seq(0L -> "hash join", 1L -> "shuffle sort merge"), k = 10)
+        .orderBy("query_id", "rank").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDecimal(3)))
+    val full = new graft.table.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_bm25_da").toString)
+    Retrieval.buildBm25Index(full, "c",
+      docs.toDF("doc_id", "text"), "text", "doc_id", numBuckets = 4)
+    val deletedIds = Set(2L, 4L)
+    Retrieval.deleteFromBm25Index(full, "c",
+      docs.filter(d => deletedIds(d._1)).toDF("doc_id", "text"),
+      "text", "doc_id", numBuckets = 4)
+    val rebuilt = new graft.table.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_bm25_db").toString)
+    Retrieval.buildBm25Index(rebuilt, "c",
+      docs.filterNot(d => deletedIds(d._1)).toDF("doc_id", "text"),
+      "text", "doc_id", numBuckets = 4)
+    assert(results(full) == results(rebuilt),
+      "delete must cancel the docs' contributions exactly")
+    // deleted docs never surface
+    val surfaced = results(full).map(_._3).toSet
+    assert(deletedIds.forall(id => !surfaced.contains(id)))
+    // re-adding a deleted doc restores the original full build exactly
+    Retrieval.appendBm25Index(full, "c",
+      docs.filter(d => deletedIds(d._1)).toDF("doc_id", "text"),
+      "text", "doc_id", numBuckets = 4)
+    val orig = new graft.table.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_bm25_dc").toString)
+    Retrieval.buildBm25Index(orig, "c",
+      docs.toDF("doc_id", "text"), "text", "doc_id", numBuckets = 4)
+    assert(results(full) == results(orig),
+      "delete + re-add must equal the untouched index")
+  }
+
+  test("positional tombstones drop docs from phrase search at query time") {
+    import spark.implicits._
+    val store = new graft.table.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_pos_ts").toString)
+    val corpus = Seq(
+      1L -> "the hash join beats the hash join here",
+      2L -> "hash join",
+      3L -> "join hash")
+    Retrieval.buildPositionalIndex(store, "c",
+      corpus.toDF("doc_id", "text"), "text", "doc_id", numBuckets = 2)
+    def occ = Retrieval.phraseOccurrences(store, "c", "hash join")
+      .orderBy("doc_id", "start_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(occ == Seq((1L, 2L), (1L, 6L), (2L, 1L)))
+    Retrieval.deleteFromPositionalIndex(store, "c", Seq(1L).toDF("doc_id"))
+    assert(occ == Seq((2L, 1L)), "tombstoned doc must drop")
+    Retrieval.deleteFromPositionalIndex(store, "c", Seq(2L).toDF("doc_id"))
+    assert(occ.isEmpty, "tombstone appends accumulate")
+  }
 }

@@ -73,6 +73,27 @@ class VectorIndexSpec extends SparkSpec {
       full.scanBucketed("e_vecs").inputFiles.length)
   }
 
+  test("tombstoned vectors drop from probes; equals a rebuild without them") {
+    val c = corpus(120)
+    val q = c.where(col("vec_id") < 4)
+    val store = tmpStore()
+    VectorIndex.buildIvfIndex(store, "e", c, "embedding", "vec_id",
+      nCells = 8, numBuckets = 4)
+    import spark.implicits._
+    val dead = Seq(10L, 20L, 30L)
+    VectorIndex.deleteFromIvfIndex(store, "e", dead.toDF("vec_id"))
+    val after = VectorIndex.ivfTopKIndexed(store, "e", q,
+      "embedding", "vec_id", k = 6, nProbe = 3)
+    val rebuilt = tmpStore()
+    VectorIndex.buildIvfIndex(rebuilt, "e",
+      c.where(!col("vec_id").isin(dead: _*)), "embedding", "vec_id",
+      nCells = 8, numBuckets = 4)
+    val want = VectorIndex.ivfTopKIndexed(rebuilt, "e", q,
+      "embedding", "vec_id", k = 6, nProbe = 3)
+    assert(rows(after) == rows(want))
+    assert(rows(after).forall(r => !dead.contains(r._2)))
+  }
+
   test("probe bucket-prunes the vectors table on the probed cell ids") {
     val c = corpus(200)
     val store = tmpStore()
