@@ -101,6 +101,28 @@ object NearDupIndex {
     else store.overwrite(s"${name}_tombstones", rows)
   }
 
+  /** Compact the index: drop tombstoned docs' band and shingle rows and
+    * clear the tombstone table (after which a tombstoned id may re-enter
+    * via [[appendNearDupIndex]]). */
+  def compactNearDupIndex(
+      store: TableStore, name: String, numBuckets: Int
+  ): Unit = {
+    if (!store.exists(s"${name}_tombstones")) return
+    val ts = broadcast(store.scan(s"${name}_tombstones")
+      .select(col("doc_id").as("__ts")).distinct())
+    val bands = store.scanBucketed(s"${name}_bands")
+      .join(ts, col("doc_id") === col("__ts"), "left_anti")
+      .select("band", "key", "doc_id")
+      .localCheckpoint(true)
+    val docsT = store.scan(s"${name}_docs")
+      .join(ts, col("doc_id") === col("__ts"), "left_anti")
+      .select("doc_id", "shingles")
+      .localCheckpoint(true)
+    store.overwriteBucketed(s"${name}_bands", bands, Seq("key"), numBuckets)
+    store.overwrite(s"${name}_docs", docsT)
+    store.drop(s"${name}_tombstones")
+  }
+
   /** Screen a crawl batch against the indexed corpus: candidate pairs from
     * shared band keys (bucket-pruned), exact-Jaccard verified against the
     * stored shingles. Output (batch_id, corpus_id, jaccard) — identical to

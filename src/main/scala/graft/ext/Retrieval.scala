@@ -241,6 +241,53 @@ object Retrieval {
     } finally tfAll.unpersist()
   }
 
+  /** Compact a BM25 index: fold the append/delete log into one clean
+    * bucketed run — postings aggregated per (term, doc) with cancelled
+    * (sum ≤ 0) rows dropped, df summed per term, stats collapsed to one
+    * row. Query results are unchanged by construction (the query path
+    * computes the same sums); what changes is cost: file counts reset and
+    * the per-query aggregation goes back to identity work. Run it on the
+    * maintenance cadence any LSM-shaped store needs. */
+  def compactBm25Index(
+      store: TableStore, name: String, numBuckets: Int
+  ): Unit = {
+    val postings = store.scanBucketed(s"${name}_postings")
+      .groupBy("term", "doc_id")
+      .agg(sum(col("tf")).as("tf"), max(col("dl")).as("dl"))
+      .where(col("tf") > 0)
+      .select("term", "doc_id", "dl", "tf")
+      .localCheckpoint(true) // read fully before the overwrite clobbers it
+    val terms = store.scanBucketed(s"${name}_terms")
+      .groupBy("term").agg(sum(col("df")).as("df"))
+      .where(col("df") > 0)
+      .localCheckpoint(true)
+    val stats = store.scan(s"${name}_stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .localCheckpoint(true)
+    store.overwriteBucketed(s"${name}_postings", postings,
+      Seq("term"), numBuckets)
+    store.overwriteBucketed(s"${name}_terms", terms, Seq("term"), numBuckets)
+    store.overwrite(s"${name}_stats", stats)
+  }
+
+  /** Compact a positional index: physically remove tombstoned docs'
+    * postings and clear the tombstone table — after this, a tombstoned id
+    * may be re-added. */
+  def compactPositionalIndex(
+      store: TableStore, name: String, numBuckets: Int
+  ): Unit = {
+    if (!store.exists(s"${name}_pos_tombstones")) return
+    val live = store.scanBucketed(s"${name}_pos")
+      .join(
+        broadcast(store.scan(s"${name}_pos_tombstones")
+          .select(col("doc_id").as("__ts")).distinct()),
+        col("doc_id") === col("__ts"), "left_anti")
+      .select("term", "doc_id", "pos")
+      .localCheckpoint(true)
+    store.overwriteBucketed(s"${name}_pos", live, Seq("term"), numBuckets)
+    store.drop(s"${name}_pos_tombstones")
+  }
+
   /** BM25 top-k served from a [[buildBm25Index]] index — no corpus access.
     * The query vocabulary becomes an `IN` filter on the bucketed `term`
     * column of both index tables, so the scan reads only the buckets (and,

@@ -107,6 +107,25 @@ object VectorIndex {
     else store.overwrite(s"${name}_tombstones", rows)
   }
 
+  /** Compact the index: physically drop tombstoned vectors and clear the
+    * tombstone table (after which a tombstoned id may re-enter via
+    * [[appendIvfIndex]]). One bucketed rewrite of the live rows; the
+    * codebook is untouched. */
+  def compactIvfIndex(
+      store: TableStore, name: String, numBuckets: Int
+  ): Unit = {
+    if (!store.exists(s"${name}_tombstones")) return
+    val live = store.scanBucketed(s"${name}_vecs")
+      .join(
+        broadcast(store.scan(s"${name}_tombstones")
+          .select(col("vec_id").as("__ts")).distinct()),
+        col("vec_id") === col("__ts"), "left_anti")
+      .select("cell_id", "vec_id", "vec")
+      .localCheckpoint(true)
+    store.overwriteBucketed(s"${name}_vecs", live, Seq("cell_id"), numBuckets)
+    store.drop(s"${name}_tombstones")
+  }
+
   /** IVF top-k served from the index — no corpus access: probe the stored
     * codebook for each query's `nProbe` nearest cells, bucket-prune the
     * vectors table to probed cells, rank within them. Output

@@ -94,6 +94,24 @@ class NearDupIndexSpec extends SparkSpec {
       "only the tombstoned corpus docs' pairs may disappear")
   }
 
+  test("compaction removes tombstoned docs physically, screen unchanged") {
+    import spark.implicits._
+    val c = corpus(80)
+    val b = batchOf(c)
+    val store = tmpStore()
+    NearDupIndex.buildNearDupIndex(store, "nd", c, "text", "doc_id",
+      numBuckets = 4)
+    NearDupIndex.deleteFromNearDupIndex(store, "nd", Seq(0L).toDF("doc_id"))
+    val before = rows(NearDupIndex.nearDupAgainstIndex(store, "nd", b,
+      "text", "doc_id", threshold = 0.5))
+    NearDupIndex.compactNearDupIndex(store, "nd", numBuckets = 4)
+    assert(!store.exists("nd_tombstones"))
+    assert(store.scanBucketed("nd_bands").where(col("doc_id") === 0L).count() == 0)
+    assert(store.scan("nd_docs").where(col("doc_id") === 0L).count() == 0)
+    assert(rows(NearDupIndex.nearDupAgainstIndex(store, "nd", b,
+      "text", "doc_id", threshold = 0.5)) == before)
+  }
+
   test("probe bucket-prunes the bands table; fallback mode is identical") {
     val c = corpus(80)
     val b = batchOf(c).where(col("doc_id") === 1000L)

@@ -3,6 +3,7 @@ package graft.ext
 import graft.SparkSpec
 import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, posexplode, split}
 
 /** BM25 against a brute-force reference on a hand-built corpus, plus the
   * operator's edge semantics (tie-break, query-term multiplicity collapse,
@@ -204,6 +205,61 @@ class RetrievalSpec extends SparkSpec {
       docs.toDF("doc_id", "text"), "text", "doc_id", numBuckets = 4)
     assert(results(full) == results(orig),
       "delete + re-add must equal the untouched index")
+  }
+
+  test("compaction folds the append/delete log: same results, fewer files") {
+    import spark.implicits._
+    def results(store: graft.table.TableStore) =
+      Retrieval.bm25TopKIndexed(store, "c",
+          Seq(0L -> "hash join", 1L -> "shuffle sort merge"), k = 10)
+        .orderBy("query_id", "rank").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDecimal(3)))
+    val store = new graft.table.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_bm25_cp").toString)
+    // build + two appends + one delete = four file generations
+    Retrieval.buildBm25Index(store, "c",
+      docs.take(3).toDF("doc_id", "text"), "text", "doc_id", numBuckets = 4)
+    Retrieval.appendBm25Index(store, "c",
+      docs.slice(3, 5).toDF("doc_id", "text"), "text", "doc_id", numBuckets = 4)
+    Retrieval.appendBm25Index(store, "c",
+      docs.drop(5).toDF("doc_id", "text"), "text", "doc_id", numBuckets = 4)
+    Retrieval.deleteFromBm25Index(store, "c",
+      docs.filter(_._1 == 2L).toDF("doc_id", "text"), "text", "doc_id",
+      numBuckets = 4)
+    val before = results(store)
+    val filesBefore = store.scanBucketed("c_postings").inputFiles.length
+    Retrieval.compactBm25Index(store, "c", numBuckets = 4)
+    assert(results(store) == before, "compaction must not change results")
+    assert(store.scanBucketed("c_postings").inputFiles.length < filesBefore)
+    // negative rows are physically gone
+    assert(store.scanBucketed("c_postings")
+      .where(col("tf") <= 0).count() == 0)
+    assert(store.scanBucketed("c_postings")
+      .where(col("doc_id") === 2L).count() == 0)
+  }
+
+  test("positional compaction clears tombstones and re-enables re-adds") {
+    import spark.implicits._
+    val store = new graft.table.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_pos_cp").toString)
+    val corpus = Seq(1L -> "hash join wins", 2L -> "hash join")
+    Retrieval.buildPositionalIndex(store, "c",
+      corpus.toDF("doc_id", "text"), "text", "doc_id", numBuckets = 2)
+    Retrieval.deleteFromPositionalIndex(store, "c", Seq(1L).toDF("doc_id"))
+    Retrieval.compactPositionalIndex(store, "c", numBuckets = 2)
+    assert(!store.exists("c_pos_tombstones"))
+    assert(store.scanBucketed("c_pos").where(col("doc_id") === 1L).count() == 0)
+    // re-add the taken-down doc id with fresh content after compaction
+    store.appendBucketed("c_pos",
+      Seq((1L, "hash join returns")).toDF("doc_id", "text")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos0", "term")))
+        .select(col("term"), col("doc_id"),
+          (col("pos0") + 1).cast("bigint").as("pos")),
+      Seq("term"), 2)
+    val occ = Retrieval.phraseOccurrences(store, "c", "hash join")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(occ == Seq(1L, 2L))
   }
 
   test("positional tombstones drop docs from phrase search at query time") {

@@ -94,6 +94,24 @@ class VectorIndexSpec extends SparkSpec {
     assert(rows(after).forall(r => !dead.contains(r._2)))
   }
 
+  test("compaction drops tombstoned vectors physically and clears the list") {
+    val c = corpus(120)
+    val q = c.where(col("vec_id") < 4)
+    val store = tmpStore()
+    VectorIndex.buildIvfIndex(store, "e", c, "embedding", "vec_id",
+      nCells = 8, numBuckets = 4)
+    import spark.implicits._
+    VectorIndex.deleteFromIvfIndex(store, "e", Seq(10L, 20L).toDF("vec_id"))
+    val before = rows(VectorIndex.ivfTopKIndexed(store, "e", q,
+      "embedding", "vec_id", k = 6, nProbe = 3))
+    VectorIndex.compactIvfIndex(store, "e", numBuckets = 4)
+    assert(!store.exists("e_tombstones"))
+    assert(store.scanBucketed("e_vecs")
+      .where(col("vec_id").isin(10L, 20L)).count() == 0)
+    assert(rows(VectorIndex.ivfTopKIndexed(store, "e", q,
+      "embedding", "vec_id", k = 6, nProbe = 3)) == before)
+  }
+
   test("probe bucket-prunes the vectors table on the probed cell ids") {
     val c = corpus(200)
     val store = tmpStore()
