@@ -64,4 +64,32 @@ class ExportSpec extends SparkSpec {
     val f = listFiles(d.resolve("out"), ".json")
     assert(Files.readAllLines(f.head).asScala.head == """{"_id":0}""")
   }
+
+  test("manifest export: every shard listed with verifying size and md5") {
+    val d = Files.createTempDirectory("graft_export_mf")
+    val out = d.resolve("out")
+    val entries = Export.exportWithManifest(
+      spark.range(0, 5000, 1, 6).toDF("_id"), out.toString,
+      Export.ExportOptions(SourceFormat.Csv, header = false))
+    val parts = listFiles(out, ".csv")
+    assert(entries.map(_._1).toSet == parts.map(_.getFileName.toString).toSet,
+      "manifest must list exactly the data shards")
+    // sizes and checksums verify against an independent read
+    entries.foreach { case (name, bytes, md5) =>
+      val p = out.resolve(name)
+      assert(Files.size(p) == bytes)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val want = md.digest(Files.readAllBytes(p))
+        .map("%02x".format(_)).mkString
+      assert(md5 == want, s"checksum mismatch for $name")
+    }
+    // the manifest file itself exists, parses as the entries, and is
+    // excluded from its own shard list
+    val mf = new String(Files.readAllBytes(out.resolve("MANIFEST.json")))
+    assert(mf.contains(s""""n_shards": ${entries.size}"""))
+    entries.foreach { case (n, b, h) =>
+      assert(mf.contains(s""""name": "$n", "bytes": $b, "md5": "$h""""))
+    }
+    assert(!entries.exists(_._1 == "MANIFEST.json"))
+  }
 }
