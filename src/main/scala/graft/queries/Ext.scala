@@ -1057,6 +1057,33 @@ object Ext {
         Url.host(col("url_raw")).as("host"))
         .orderBy("doc_id")),
 
+    "ext_crawl_frontier" -> ((s, dir) => {
+      // the steady-state crawl loop's prioritization as ONE composition:
+      // robots screen (RFC 9309 engine) → canonical URL → deterministic
+      // per-host quota (salted-hash pick through the bounded graft_topk)
+      // → host-authority ordering (doc-mass proxy). Every stage is an
+      // already-gated operator; this gate re-verifies the composition
+      // end-to-end. Per-host work is bounded: the quota shuffle carries
+      // ≤ mappers × k rows, authority is a host-sized aggregate.
+      import s.implicits._
+      val rules = RobotsRules.toDF("host", "agent", "allow", "rule_path")
+      val urls = urlCorpus(s, dir).select("doc_id", "url_raw")
+      val allowed = Url.robotsDecisions(urls, "url_raw", rules, "graftbot")
+        .where(col("allowed"))
+        .withColumn("url", Url.canonicalize(col("url_raw")))
+      val capped = Sampling.quotaCap(allowed, "url_host", "doc_id",
+        k = 8, salt = "fr1")
+      val auth = allowed.groupBy(col("url_host"))
+        .agg(count(lit(1)).as("host_docs"))
+      capped
+        .join(allowed.select("url_host", "doc_id", "url"),
+          Seq("url_host", "doc_id"))
+        .join(auth, "url_host")
+        .select(col("doc_id"), col("url_host"), col("url"),
+          col("rank").cast("bigint").as("rank"), col("host_docs"))
+        .orderBy(col("host_docs").desc, col("url_host"), col("rank"))
+    }),
+
     "ext_robots_decisions" -> ((s, dir) => {
       // RFC 9309 crawl permissions over the messy-URL corpus: exact-agent
       // group beats `*`, longest rule path wins, ties allow, no-rule
@@ -1593,6 +1620,41 @@ object Ext {
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
        |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING COUNT(*) >= 12""".stripMargin
+
+  /** The RFC 9309 decision engine as oracle CTEs (ends with `dec` =
+    * (doc_id, url_host, allowed)) — shared by the robots gate and the
+    * crawl-frontier composition gate. Expects the urlCorpus CTE `u` in
+    * scope. */
+  private lazy val robotsDecisionCtes: String =
+    s"""up AS (
+       |  SELECT doc_id, ${Url.hostSql("url_raw")} AS h,
+       |    ${Url.pathSql("url_raw")} AS p
+       |  FROM u),
+       |rules(host, agent, allow, rule_path) AS (
+       |  VALUES $robotsRulesValuesSql),
+       |xh AS (SELECT DISTINCT host FROM rules WHERE lower(agent) = 'graftbot'),
+       |grp AS (
+       |  SELECT host, allow, rule_path FROM rules
+       |  WHERE lower(agent) = 'graftbot'
+       |  UNION ALL
+       |  SELECT host, allow, rule_path FROM rules
+       |  WHERE agent = '*' AND host NOT IN (SELECT host FROM xh)),
+       |pat AS (
+       |  SELECT host, allow, rule_path, ${Url.rulePatternSql} AS rx
+       |  FROM grp),
+       |m AS (
+       |  SELECT up.doc_id, length(pat.rule_path) AS plen, pat.allow
+       |  FROM up JOIN pat ON up.h = pat.host AND regexp_matches(up.p, pat.rx)),
+       |mb AS (SELECT doc_id, max(plen) AS mp FROM m GROUP BY doc_id),
+       |v AS (
+       |  SELECT m.doc_id, max(CASE WHEN m.allow THEN 1 ELSE 0 END) = 1
+       |    AS allowed
+       |  FROM m JOIN mb ON m.doc_id = mb.doc_id AND m.plen = mb.mp
+       |  GROUP BY m.doc_id),
+       |dec AS (
+       |  SELECT up.doc_id, up.h AS url_host,
+       |    COALESCE(v.allowed, true) AS allowed
+       |  FROM up LEFT JOIN v ON up.doc_id = v.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ext_bm25_topk" -> bm25OracleSql,
@@ -2890,35 +2952,33 @@ object Ext {
 
     "ext_robots_decisions" ->
       s"""WITH $UrlCorpusSql,
-         |up AS (
-         |  SELECT doc_id, ${Url.hostSql("url_raw")} AS h,
-         |    ${Url.pathSql("url_raw")} AS p
-         |  FROM u),
-         |rules(host, agent, allow, rule_path) AS (
-         |  VALUES $robotsRulesValuesSql),
-         |xh AS (SELECT DISTINCT host FROM rules WHERE lower(agent) = 'graftbot'),
-         |grp AS (
-         |  SELECT host, allow, rule_path FROM rules
-         |  WHERE lower(agent) = 'graftbot'
-         |  UNION ALL
-         |  SELECT host, allow, rule_path FROM rules
-         |  WHERE agent = '*' AND host NOT IN (SELECT host FROM xh)),
-         |pat AS (
-         |  SELECT host, allow, rule_path, ${Url.rulePatternSql} AS rx
-         |  FROM grp),
-         |m AS (
-         |  SELECT up.doc_id, length(pat.rule_path) AS plen, pat.allow
-         |  FROM up JOIN pat ON up.h = pat.host AND regexp_matches(up.p, pat.rx)),
-         |mb AS (SELECT doc_id, max(plen) AS mp FROM m GROUP BY doc_id),
-         |v AS (
-         |  SELECT m.doc_id, max(CASE WHEN m.allow THEN 1 ELSE 0 END) = 1
-         |    AS allowed
-         |  FROM m JOIN mb ON m.doc_id = mb.doc_id AND m.plen = mb.mp
-         |  GROUP BY m.doc_id)
-         |SELECT up.doc_id, up.h AS url_host,
-         |  COALESCE(v.allowed, true) AS allowed
-         |FROM up LEFT JOIN v ON up.doc_id = v.doc_id
-         |ORDER BY up.doc_id""".stripMargin,
+         |$robotsDecisionCtes
+         |SELECT doc_id, url_host, allowed FROM dec
+         |ORDER BY doc_id""".stripMargin,
+
+    "ext_crawl_frontier" ->
+      s"""WITH $UrlCorpusSql,
+         |$robotsDecisionCtes,
+         |okd AS (
+         |  SELECT d.doc_id, d.url_host,
+         |    ${Url.canonicalSql("u2.url_raw")} AS url
+         |  FROM dec d JOIN u u2 ON d.doc_id = u2.doc_id
+         |  WHERE d.allowed),
+         |qh AS (
+         |  SELECT doc_id, url_host, url,
+         |    ${TextHash.hmodSql("(doc_id :: VARCHAR || ':fr1')")} AS qh
+         |  FROM okd),
+         |r AS (
+         |  SELECT doc_id, url_host, url,
+         |    row_number() OVER (PARTITION BY url_host
+         |                       ORDER BY qh ASC, doc_id ASC) AS rank
+         |  FROM qh),
+         |auth AS (
+         |  SELECT url_host, COUNT(*) AS host_docs FROM okd GROUP BY url_host)
+         |SELECT r.doc_id, r.url_host, r.url, r.rank, auth.host_docs
+         |FROM r JOIN auth ON r.url_host = auth.url_host
+         |WHERE r.rank <= 8
+         |ORDER BY auth.host_docs DESC, r.url_host, r.rank""".stripMargin,
 
     "ext_host_cap" ->
       s"""WITH $UrlCorpusSql,
