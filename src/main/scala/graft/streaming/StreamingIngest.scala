@@ -400,6 +400,64 @@ object StreamingIngest {
     * queryable between micro-batches and after every batch equals a
     * from-scratch build over the corpus table (spec-pinned); stream
     * state is the checkpoint offsets alone. */
+  /** Streaming NEAR-dup curate-and-index: each micro-batch screens
+    * against the persistent LSH band index ([[graft.ext.NearDupIndex]] —
+    * the corpus text is never re-hashed), drops edited re-crawls whose
+    * Jaccard clears `threshold`, and appends the genuinely fresh docs to
+    * the corpus table AND into the index's own buckets — the index that
+    * screens batch N+1 grew from batch N. Stream state is the checkpoint
+    * offsets; the index tables ARE the dedup state. */
+  def nearDupIndexIngestAvailableNow(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      store: TableStore,
+      table: String,
+      indexName: String,
+      checkpointDir: String,
+      textCol: String,
+      idCol: String,
+      numBuckets: Int,
+      threshold: Double
+  ): Unit = {
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .json(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fresh =
+          if (!store.exists(table)) batch.localCheckpoint(eager = true)
+          else {
+            val dupIds = graft.ext.NearDupIndex.nearDupAgainstIndex(
+              store, indexName, batch, textCol, idCol, threshold)
+              .select(col("batch_id").as(idCol)).distinct()
+            // result is already eagerly materialized by the screen; the
+            // anti-join output still must pin BEFORE the appends below
+            // (the indexIngest lazy-recompute lesson)
+            batch.join(dupIds, Seq(idCol), "left_anti")
+              .localCheckpoint(eager = true)
+          }
+        try {
+          if (!fresh.isEmpty) {
+            if (store.exists(table)) {
+              store.append(table, fresh)
+              graft.ext.NearDupIndex.appendNearDupIndex(store, indexName,
+                fresh, textCol, idCol, numBuckets)
+            } else {
+              store.overwrite(table, fresh)
+              graft.ext.NearDupIndex.buildNearDupIndex(store, indexName,
+                fresh, textCol, idCol, numBuckets)
+            }
+          }
+        } finally fresh.unpersist(blocking = false)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   def indexIngestAvailableNow(
       spark: SparkSession,
       sourceDir: String,

@@ -61,4 +61,61 @@ class StreamingIndexSpec extends SparkSpec {
     ingest()
     assert(indexed == before, "no-op run must not touch the index")
   }
+
+  test("streaming NEAR-dup ingest: edited re-crawls drop, index grows batch by batch") {
+    import graft.ext.NearDupIndex
+    val work = Files.createTempDirectory("graft_sndx")
+    val src = work.resolve("src"); Files.createDirectories(src)
+    val store = new TableStore(spark, work.resolve("store").toString)
+    val ckpt = work.resolve("ckpt").toString
+
+    def write(name: String, rows: (Long, String)*): Unit = {
+      Files.writeString(src.resolve(name),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("", "\n", "\n"))
+      ()
+    }
+    def ingest(): Unit = StreamingIngest.nearDupIndexIngestAvailableNow(
+      spark, src.toString, schema, store, "docs", "nd", ckpt,
+      "text", "doc_id", numBuckets = 2, threshold = 0.5)
+    def corpusIds: Set[Long] =
+      store.scan("docs").select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val base = "the quick brown fox jumps over the lazy dog near the barn door"
+    write("f1.json", 1L -> base,
+      2L -> "completely different content about spark shuffles and joins here")
+    ingest()
+    assert(corpusIds == Set(1L, 2L))
+
+    // batch 2: an EDITED re-crawl of doc 1 (near-dup, exact hash differs)
+    // must drop; a fresh doc lands and joins the index
+    write("f2.json", 3L -> (base + " again"),
+      4L -> "fresh material on bucketed tables and zone maps for pruning io")
+    ingest()
+    assert(corpusIds == Set(1L, 2L, 4L), s"edited re-crawl must drop: $corpusIds")
+
+    // batch 3: a near-dup of doc 4 — which entered via STREAMING append —
+    // proves the index that screens batch N+1 grew from batch N
+    write("f3.json", 5L ->
+      "fresh material on bucketed tables and zone maps for pruning disk io")
+    ingest()
+    assert(corpusIds == Set(1L, 2L, 4L),
+      s"near-dup of a stream-appended doc must drop: $corpusIds")
+
+    // restart-safety: a no-op rerun changes nothing; the grown index
+    // equals a from-scratch build over the corpus table
+    ingest()
+    assert(corpusIds == Set(1L, 2L, 4L))
+    val rebuilt = new TableStore(spark, work.resolve("store2").toString)
+    NearDupIndex.buildNearDupIndex(rebuilt, "nd", store.scan("docs"),
+      "text", "doc_id", numBuckets = 2)
+    import spark.implicits._
+    val b = Seq(10L -> (base + " and more")).toDF("doc_id", "text")
+    def screen(st: TableStore): Seq[(Long, Long)] =
+      NearDupIndex.nearDupAgainstIndex(st, "nd", b, "text", "doc_id", 0.5)
+        .select("batch_id", "corpus_id").orderBy("corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(screen(store) == screen(rebuilt) && screen(store).nonEmpty,
+      "stream-grown index must screen like a from-scratch rebuild")
+  }
 }
