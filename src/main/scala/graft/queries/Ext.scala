@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Blocklist, Boilerplate, Bpe, Dedup, Html, LanguageModel, Multimodal, NaiveBayes, NearDupIndex, Retrieval, Sampling, Similarity, Sketches, TextHash, TextStats, Url, VectorIndex, Winnow}
+import graft.ext.{Blocklist, Boilerplate, Bpe, Dedup, Html, LanguageModel, Markdown, Multimodal, NaiveBayes, NearDupIndex, Retrieval, Sampling, Similarity, Sketches, TextHash, TextStats, Url, VectorIndex, Winnow}
 import graft.ops.{AsOfJoin, FuzzyJoin, Profile}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -285,6 +285,32 @@ object Ext {
           lit("\n<p>Tom &amp; Jerry &lt;3 &quot;q&quot; &#39;s&nbsp;end" +
             "</p></body></html>")).as("html"))
       Html.extract(pages, "html")
+        .select(col("doc_id"), col("text_clean"),
+          concat_ws("|", col("links")).as("links_s"), col("n_links"))
+        .orderBy("doc_id")
+    }),
+
+    "ext_markdown_extract" -> ((s, dir) => {
+      // markdown → text over a deterministic page fixture wrapped around
+      // each document (header/quote/emphasis/inline code/list/link/image/
+      // fence/rule — every rule exercised); both engines build the
+      // identical raw page, so the gate compares one extraction spec.
+      // Every page has ≥ 2 link targets by construction (the
+      // empty-array-to-string drift cannot arise).
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("# Doc "), col("doc_id").cast("string"),
+          lit("\n> intro quote\n**Head"), (col("doc_id") % 7).cast("string"),
+          lit("** with *emph* `code span` and _under_\n- [link"),
+          (col("doc_id") % 3).cast("string"),
+          lit("](https://site"), (col("doc_id") % 20).cast("string"),
+          lit(".example.com/p"), (col("doc_id") % 50).cast("string"),
+          lit(")\n1. ![alt"), (col("doc_id") % 7).cast("string"),
+          lit("](https://img.example.com/i"),
+          (col("doc_id") % 9).cast("string"),
+          lit(".png)\n```scala\nval hidden = [no](/link) **x**\n```\n"),
+          col("text"), lit("\n---\n")).as("md"))
+      Markdown.extract(pages, "md")
         .select(col("doc_id"), col("text_clean"),
           concat_ws("|", col("links")).as("links_s"), col("n_links"))
         .orderBy("doc_id")
@@ -1784,6 +1810,53 @@ object Ext {
         |    regexp_extract_all(html, 'href="([^"]*)"', 1), '|'), '') AS links_s,
         |  len(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS n_links
         |FROM pages ORDER BY doc_id""".stripMargin,
+
+    "ext_markdown_extract" ->
+      """WITH pages AS (
+        |  SELECT doc_id,
+        |    '# Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |    '> intro quote' || chr(10) ||
+        |    '**Head' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '** with *emph* `code span` and _under_' || chr(10) ||
+        |    '- [link' || CAST(doc_id % 3 AS VARCHAR) ||
+        |    '](https://site' || CAST(doc_id % 20 AS VARCHAR) ||
+        |    '.example.com/p' || CAST(doc_id % 50 AS VARCHAR) || ')' ||
+        |    chr(10) || '1. ![alt' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '](https://img.example.com/i' || CAST(doc_id % 9 AS VARCHAR) ||
+        |    '.png)' || chr(10) || '```scala' || chr(10) ||
+        |    'val hidden = [no](/link) **x**' || chr(10) || '```' ||
+        |    chr(10) || text || chr(10) || '---' || chr(10) AS md
+        |  FROM documents),
+        |nofence AS (
+        |  SELECT doc_id, regexp_replace(md, '(?s)```.*?```', ' ', 'g') AS t,
+        |    regexp_extract_all(regexp_replace(md, '(?s)```.*?```', ' ', 'g'),
+        |                       '\]\(([^)]*)\)', 1) AS links
+        |  FROM pages),
+        |clean AS (
+        |  SELECT doc_id, links,
+        |    trim(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |        t,
+        |        '`([^`]*)`', '\1', 'g'),
+        |        '!\[([^\]]*)\]\(([^)]*)\)', '\1', 'g'),
+        |        '\[([^\]]*)\]\(([^)]*)\)', '\1', 'g'),
+        |        '(?m)^#{1,6} +', '', 'g'),
+        |        '(?m)^ {0,3}> ?', '', 'g'),
+        |        '(?m)^ *[-*+] +', '', 'g'),
+        |        '(?m)^ *[0-9]+\. +', '', 'g'),
+        |        '(?m)^ *([-*_] *){3,}$', ' ', 'g'),
+        |        '\*\*([^*]+)\*\*', '\1', 'g'),
+        |        '__([^_]+)__', '\1', 'g'),
+        |        '\*([^*]+)\*', '\1', 'g'),
+        |        '\b_([^_]+)_\b', '\1', 'g'),
+        |      '\s+', ' ', 'g')) AS text_clean
+        |  FROM nofence)
+        |SELECT doc_id, text_clean,
+        |  COALESCE(array_to_string(links, '|'), '') AS links_s,
+        |  CAST(len(links) AS BIGINT) AS n_links
+        |FROM clean ORDER BY doc_id""".stripMargin,
 
     "ext_blocklist" ->
       s"""WITH pats(idx, p) AS (VALUES $blocklistPatsValuesSql),

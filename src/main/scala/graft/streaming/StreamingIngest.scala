@@ -400,6 +400,68 @@ object StreamingIngest {
     * queryable between micro-batches and after every batch equals a
     * from-scratch build over the corpus table (spec-pinned); stream
     * state is the checkpoint offsets alone. */
+  /** Streaming VECTOR curate-and-index: embedding batches screen against
+    * the persistent IVF index ([[graft.ext.VectorIndex]]) — a batch
+    * vector whose nearest indexed neighbor (within probed cells) clears
+    * the cosine threshold is a semantic re-crawl and drops; survivors
+    * append to the corpus table AND into the index's cell buckets. The
+    * codebook freezes on the FIRST batch (lowest ids — production would
+    * pass a trained codebook and rebuild offline on drift); the screen is
+    * IVF-approximate by design, the [[graft.ext.Similarity.semDedup]]
+    * posture. Stream state is the checkpoint offsets alone. */
+  def vectorIndexIngestAvailableNow(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      store: TableStore,
+      table: String,
+      indexName: String,
+      checkpointDir: String,
+      vecCol: String,
+      idCol: String,
+      nCells: Int,
+      numBuckets: Int,
+      nProbe: Int,
+      threshold: Double
+  ): Unit = {
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .json(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val batch = batch0.withColumn(vecCol,
+          col(vecCol).cast("array<float>"))
+        val fresh =
+          if (!store.exists(table)) batch.localCheckpoint(eager = true)
+          else {
+            val dupIds = graft.ext.VectorIndex.ivfTopKIndexed(
+              store, indexName, batch, vecCol, idCol, k = 1, nProbe)
+              .where(col("cosine") >= threshold)
+              .select(col("q_id").as(idCol)).distinct()
+            batch.join(dupIds, Seq(idCol), "left_anti")
+              .localCheckpoint(eager = true)
+          }
+        try {
+          if (!fresh.isEmpty) {
+            if (store.exists(table)) {
+              store.append(table, fresh)
+              graft.ext.VectorIndex.appendIvfIndex(store, indexName,
+                fresh, vecCol, idCol, numBuckets)
+            } else {
+              store.overwrite(table, fresh)
+              graft.ext.VectorIndex.buildIvfIndex(store, indexName,
+                fresh, vecCol, idCol, nCells, numBuckets)
+            }
+          }
+        } finally fresh.unpersist(blocking = false)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming NEAR-dup curate-and-index: each micro-batch screens
     * against the persistent LSH band index ([[graft.ext.NearDupIndex]] —
     * the corpus text is never re-hashed), drops edited re-crawls whose

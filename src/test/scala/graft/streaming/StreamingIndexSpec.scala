@@ -118,4 +118,62 @@ class StreamingIndexSpec extends SparkSpec {
     assert(screen(store) == screen(rebuilt) && screen(store).nonEmpty,
       "stream-grown index must screen like a from-scratch rebuild")
   }
+
+  test("streaming vector ingest: semantic re-crawls drop, IVF index grows") {
+    import graft.ext.VectorIndex
+    val work = Files.createTempDirectory("graft_svec")
+    val src = work.resolve("src"); Files.createDirectories(src)
+    val store = new TableStore(spark, work.resolve("store").toString)
+    val ckpt = work.resolve("ckpt").toString
+    val vecSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+
+    def write(name: String, rows: (Long, Seq[Double])*): Unit = {
+      Files.writeString(src.resolve(name),
+        rows.map { case (id, v) =>
+          s"""{"vec_id":$id,"embedding":[${v.mkString(",")}]}"""
+        }.mkString("", "\n", "\n"))
+      ()
+    }
+    def ingest(): Unit = StreamingIngest.vectorIndexIngestAvailableNow(
+      spark, src.toString, vecSchema, store, "vecs", "ivf", ckpt,
+      "embedding", "vec_id", nCells = 2, numBuckets = 2, nProbe = 2,
+      threshold = 0.95)
+    def corpusIds: Set[Long] =
+      store.scan("vecs").select("vec_id").collect().map(_.getLong(0)).toSet
+
+    val a = Seq(1.0, 0.0, 0.0, 0.0)
+    val c = Seq(0.0, 1.0, 0.0, 0.0)
+    write("f1.json", 1L -> a, 2L -> c)
+    ingest()
+    assert(corpusIds == Set(1L, 2L))
+
+    // batch 2: a SCALED copy of vector 1 (cosine 1.0 -> semantic dup)
+    // and a genuinely new direction
+    write("f2.json", 3L -> a.map(_ * 7.5), 4L -> Seq(0.0, 0.0, 1.0, 0.0))
+    ingest()
+    assert(corpusIds == Set(1L, 2L, 4L), s"scaled re-crawl must drop: $corpusIds")
+
+    // batch 3: a slight perturbation of the STREAM-APPENDED vector 4
+    // (cosine ~0.995) — proves the index screening batch N+1 grew in N
+    write("f3.json", 5L -> Seq(0.1, 0.0, 1.0, 0.0))
+    ingest()
+    assert(corpusIds == Set(1L, 2L, 4L),
+      s"near-copy of a stream-appended vector must drop: $corpusIds")
+
+    // no-op restart; grown index answers like a rebuild with its codebook
+    ingest()
+    assert(corpusIds == Set(1L, 2L, 4L))
+    import spark.implicits._
+    val probe = Seq((9L, Seq(0.0f, 0.0f, 0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val grown = VectorIndex.ivfTopKIndexed(store, "ivf", probe,
+      "embedding", "vec_id", k = 1, nProbe = 2)
+      .select("c_id").collect().map(_.getLong(0)).toSeq
+    assert(grown == Seq(4L), s"nearest must be the stream-appended vector: $grown")
+  }
 }
