@@ -163,39 +163,46 @@ object Url {
     *
     * `rules`: (host, agent, allow, rule_path) — from [[parseRobots]] or a
     * curated table. Per host, the group is the agent's own rules when any
-    * exist, else the `*` group (RFC group selection); among matching
-    * rules the LONGEST rule path wins, ties break least-restrictive
-    * (allow) — one max-struct aggregate, no window. URLs with no matching
-    * rule (or no rules for their host at all) are allowed.
+    * exist, else the `*` group (RFC group selection, resolved once on the
+    * driver); among matching rules the LONGEST rule path wins, ties break
+    * least-restrictive (allow). URLs with no matching rule (or no rules
+    * for their host at all) are allowed.
     *
     * Scale shape: rules tables are dimension-sized (one site's robots is
-    * KBs) — both the group resolution and the candidate join broadcast;
-    * the corpus never shuffles. The rule regex is built once per rule row
-    * and matched per (url, candidate-rule) pair, candidate fan-out
-    * bounded by the host's own rule count. */
+    * KBs), so the resolved group ships as a PLAN LITERAL and the verdict
+    * is a pure per-row expression — filter the rules array to this URL's
+    * host, regexp-match candidates, max-struct the winner. The corpus is
+    * never shuffled, never joined, never aggregated: robots screening at
+    * 100 TB is a free map over the scan, like canonicalization. (An
+    * earlier join+groupBy formulation re-shuffled the full-width corpus
+    * to collapse rule fan-out — this is the class of plan this project
+    * exists to catch.) */
   def robotsDecisions(
       urls: DataFrame, urlCol: String, rules: DataFrame, agent: String
   ): DataFrame = {
-    val a = lit(agent.toLowerCase(java.util.Locale.ROOT))
-    val exactHosts = rules.where(lower(col("agent")) === a)
-      .select(col("host").as("__xh")).distinct()
-    val grouped = rules.where(lower(col("agent")) === a)
-      .unionByName(rules.where(col("agent") === "*")
-        .join(broadcast(exactHosts), col("host") === col("__xh"), "left_anti"))
-      .select(col("host").as("__rh"), col("allow"),
-        col("rule_path"), rulePattern(col("rule_path")).as("__pat"))
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    val ruleRows = rules
+      .select(lower(col("agent")).as("agent"), col("host"), col("allow"),
+        col("rule_path"), rulePattern(col("rule_path")).as("rx"))
+      .collect()
+    val exactHosts = ruleRows.filter(_.getString(0) == a)
+      .map(_.getString(1)).toSet
+    val grp = ruleRows.filter(r => r.getString(0) == a ||
+      (r.getString(0) == "*" && !exactHosts(r.getString(1))))
+    // (host, rx, plen, allow) literal — RFC "longest rule" counts the
+    // ORIGINAL rule path's length, wildcards included
+    val rulesLit = typedLit(grp.toIndexedSeq.map(r =>
+      (r.getString(1), r.getString(4), r.getString(3).length, r.getBoolean(2))))
+    val matches = filter(rulesLit, r =>
+      r.getField("_1") === col("__host") &&
+        regexp_like(col("__path"), r.getField("_2")))
+    val win = array_max(transform(matches, r =>
+      struct(r.getField("_3").as("plen"), r.getField("_4").as("allow"))))
     urls
       .withColumn("__host", host(col(urlCol)))
       .withColumn("__path", path(col(urlCol)))
-      .join(broadcast(grouped),
-        col("__host") === col("__rh") && expr("__path RLIKE __pat"),
-        "left")
-      .groupBy(urls.columns.map(col) :+ col("__host") :+ col("__path"): _*)
-      .agg(max(when(col("allow").isNotNull,
-        struct(length(col("rule_path")).as("plen"),
-          col("allow").as("allow")))).as("__win"))
-      .withColumn("allowed", coalesce(col("__win.allow"), lit(true)))
-      .drop("__win", "__path")
+      .withColumn("allowed", coalesce(win.getField("allow"), lit(true)))
+      .drop("__path")
       .withColumnRenamed("__host", "url_host")
   }
 

@@ -344,6 +344,17 @@ class PlanSpec extends AnyFunSuite {
       s"one range exchange for the orderBy and nothing else ($exchanges):\n$p")
   }
 
+  test("robots decisions: a pure per-row map — no join, no shuffle, no agg") {
+    val p = plan("ext_robots_decisions")
+    assert(!p.contains("hashpartitioning"),
+      s"the verdict must never shuffle the URL corpus:\n$p")
+    assert(!p.contains("Join"),
+      s"the rules ship as a plan literal, never a join side:\n$p")
+    val exchanges = "rangepartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"one range exchange for the gate's orderBy and nothing else:\n$p")
+  }
+
   test("blocklist profile: partial agg on the pattern index, bounded shuffle") {
     val p = plan("ext_blocklist_profile")
     assert(p.contains("partial_sum"),
