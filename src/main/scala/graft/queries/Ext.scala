@@ -1101,10 +1101,11 @@ object Ext {
         k = 8, salt = "fr1")
       val auth = allowed.groupBy(col("url_host"))
         .agg(count(lit(1)).as("host_docs"))
-      capped
-        .join(allowed.select("url_host", "doc_id", "url"),
-          Seq("url_host", "doc_id"))
-        .join(auth, "url_host")
+      // capped (hosts × k) and auth (hosts) are bounded — broadcast both
+      // so the corpus-sized allowed side never shuffles for the joins
+      allowed.select("url_host", "doc_id", "url")
+        .join(broadcast(capped), Seq("url_host", "doc_id"))
+        .join(broadcast(auth), "url_host")
         .select(col("doc_id"), col("url_host"), col("url"),
           col("rank").cast("bigint").as("rank"), col("host_docs"))
         .orderBy(col("host_docs").desc, col("url_host"), col("rank"))
