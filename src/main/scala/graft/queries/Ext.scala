@@ -1083,6 +1083,28 @@ object Ext {
         Url.host(col("url_raw")).as("host"))
         .orderBy("doc_id")),
 
+    "ext_warc_roundtrip" -> ((s, dir) => {
+      // WARC round trip (ISO 28500, the Common Crawl container): serialize
+      // the URL corpus into per-record-gzip WARC shards, re-read with the
+      // streaming record parser, and verify URIs, Content-Lengths, and
+      // payload bytes all survive. Write is zero-shuffle (one shard per
+      // partition); read parallelism is file-level — the published shape
+      // of crawl archives.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+        .join(urlCorpus(s, dir).select("doc_id", "url_raw"), "doc_id")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_warc").toString
+      graft.ingest.Warc.write(docs.repartition(4), tmp, "url_raw", "text",
+        idCol = Some("doc_id"))
+      graft.ingest.Warc.read(s, tmp)
+        .where(col("warc_type") === "resource")
+        .select(
+          element_at(col("headers"), "WARC-Graft-Id").cast("bigint")
+            .as("doc_id"),
+          col("target_uri"), col("content_length"),
+          decode(col("payload"), "UTF-8").as("text"))
+        .orderBy("doc_id")
+    }),
+
     "ext_crawl_frontier" -> ((s, dir) => {
       // the steady-state crawl loop's prioritization as ONE composition:
       // robots screen (RFC 9309 engine) → canonical URL → deterministic
@@ -3029,6 +3051,13 @@ object Ext {
          |$robotsDecisionCtes
          |SELECT doc_id, url_host, allowed FROM dec
          |ORDER BY doc_id""".stripMargin,
+
+    "ext_warc_roundtrip" ->
+      s"""WITH $UrlCorpusSql
+         |SELECT d.doc_id, u.url_raw AS target_uri,
+         |  octet_length(encode(d.text)) AS content_length, d.text
+         |FROM documents d JOIN u ON d.doc_id = u.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "ext_crawl_frontier" ->
       s"""WITH $UrlCorpusSql,

@@ -838,6 +838,28 @@ object ScaleSmoke {
         s"hash-vocab docs must be literal-dominated: ${s(false)}")
     }
 
+    // 37. WARC container round trip at 1M records: write is one
+    // zero-shuffle pass (32 shards, per-record gzip members — the Common
+    // Crawl layout), read streams each shard through the constant-memory
+    // record iterator (file-level parallelism, never whole-file buffers).
+    time("warc write+read 1M records (gzip members)") {
+      val dir = java.nio.file.Files.createTempDirectory("graft_warc_smoke")
+      val docs = spark.range(0, 1000000L, 1, 32)
+        .select(col("id"),
+          concat(lit("https://example.com/p"), col("id")).as("url"),
+          concat(lit("payload body for record "), col("id"), lit(" "),
+            sha2(col("id").cast("string"), 256)).as("text"))
+      graft.ingest.Warc.write(docs, dir.toString, "url", "text",
+        idCol = Some("id"))
+      val back = graft.ingest.Warc.read(spark, dir.toString)
+      val stats = back.where(col("warc_type") === "resource")
+        .agg(count(lit(1)).as("n"), sum("content_length").as("bytes"),
+          count_distinct(col("record_id")).as("ids")).first()
+      assert(stats.getLong(0) == 1000000L, s"records: ${stats.getLong(0)}")
+      assert(stats.getLong(2) == 1000000L, "record ids unique")
+      assert(stats.getLong(1) > 85000000L, s"payload bytes: ${stats.getLong(1)}")
+    }
+
     spark.stop()
   }
 }
