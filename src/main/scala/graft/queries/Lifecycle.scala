@@ -186,6 +186,33 @@ object Lifecycle {
       }.reduce(_.unionByName(_)).orderBy("version")
     }),
 
+    "w_matview_incremental" -> ((s, dir) => {
+      // incrementally-maintained aggregate view: define over a third of
+      // lineitem, append the other two thirds in two batches, refresh
+      // after each — every refresh folds ONLY the appended snapshots
+      // (O(delta + |view|), never a base re-scan; MatViewSpec pins the
+      // full-recompute fallback on overwrite). Final contents must equal
+      // the from-scratch aggregate over the whole table.
+      val store = new graft.table.TableStore(s,
+        Files.createTempDirectory("graft_q_mv").toString)
+      val mv = new graft.table.MatView(store)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_orderkey"),
+          col("l_quantity").cast("decimal(20,2)").as("l_quantity"),
+          col("l_extendedprice").cast("decimal(20,2)").as("l_extendedprice"))
+      store.overwrite("li", li.where(col("l_orderkey") % 3 === 0))
+      mv.define("li_agg", "li", Seq("l_returnflag", "l_linestatus"), Seq(
+        graft.table.MatView.Count("n_rows"),
+        graft.table.MatView.Sum("l_quantity", "sum_qty"),
+        graft.table.MatView.Min("l_extendedprice", "min_price"),
+        graft.table.MatView.Max("l_extendedprice", "max_price")))
+      store.append("li", li.where(col("l_orderkey") % 3 === 1))
+      mv.refresh("li_agg")
+      store.append("li", li.where(col("l_orderkey") % 3 === 2))
+      mv.refresh("li_agg")
+      mv.read("li_agg").orderBy("l_returnflag", "l_linestatus")
+    }),
+
     "w_version_diff" -> ((s, dir) => {
       // snapshot CDC: overwrite twice, then emit the row-level change feed
       // between the two retained versions — deletes below the new floor,
@@ -316,6 +343,14 @@ object Lifecycle {
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE)
         |FROM customer WHERE c_custkey <= 200
         |ORDER BY version""".stripMargin,
+
+    "w_matview_incremental" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  SUM(CAST(l_quantity AS DECIMAL(20,2))) AS sum_qty,
+        |  MIN(CAST(l_extendedprice AS DECIMAL(20,2))) AS min_price,
+        |  MAX(CAST(l_extendedprice AS DECIMAL(20,2))) AS max_price
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "w_version_diff" ->
       """WITH v1 AS (

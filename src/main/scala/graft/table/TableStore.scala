@@ -43,12 +43,13 @@ import java.nio.charset.StandardCharsets
 final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 1) {
   require(retainVersions >= 1, "retainVersions must be >= 1")
 
+  private[table] def session: SparkSession = spark
   private def conf = spark.sparkContext.hadoopConfiguration
-  private def tableDir(name: String) = new Path(root, name)
+  private[table] def tableDir(name: String) = new Path(root, name)
   private def currentFile(name: String) = new Path(tableDir(name), "CURRENT")
   private def versionFile(name: String, v: Long) =
     new Path(tableDir(name), f"v-$v%06d")
-  private def fs(p: Path): FileSystem = p.getFileSystem(conf)
+  private[table] def fs(p: Path): FileSystem = p.getFileSystem(conf)
 
   def exists(name: String): Boolean = {
     val f = currentFile(name)
@@ -73,7 +74,7 @@ final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 
     }
   }
 
-  private def readManifest(name: String): Seq[String] =
+  private[table] def readManifest(name: String): Seq[String] =
     readManifestFile(currentFile(name))
 
   /** Committed versions still readable via [[scanAsOf]], ascending. */
@@ -423,7 +424,7 @@ final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 
         .first().getLong(0) + 1L
     }
 
-  private def writeSnapshot(name: String, df: DataFrame): String = {
+  private[table] def writeSnapshot(name: String, df: DataFrame): String = {
     val dir = tableDir(name)
     fs(dir).mkdirs(dir)
     val snap = "snap-" + System.currentTimeMillis() + "-" +
@@ -438,7 +439,7 @@ final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 
     * Ordering matters for crash safety: the CURRENT rename alone commits;
     * version files are written after (a crash there loses history, not
     * data), and GC runs last against the union of everything retained. */
-  private def commitManifest(name: String, snaps: Seq[String]): Unit = {
+  private[table] def commitManifest(name: String, snaps: Seq[String]): Unit = {
     val dir = tableDir(name)
     val filesystem = fs(dir)
     val tmp = new Path(dir, s"CURRENT.tmp-${snaps.last}")

