@@ -186,6 +186,25 @@ object Lifecycle {
       }.reduce(_.unionByName(_)).orderBy("version")
     }),
 
+    "w_bloom_scan" -> ((s, dir) => {
+      // manifest-level Bloom skipping: the layout clusters on l_orderkey,
+      // so file min/max on l_partkey spans nearly everything — an equality
+      // probe on partkey is exactly what zone maps CANNOT prune and the
+      // Bloom sidecar can (BloomScanSpec measures the skipping; the gate
+      // pins that pruning never changes the answer)
+      val store = new TableStore(s,
+        Files.createTempDirectory("graft_q_bloom").toString)
+      store.overwriteClustered("li",
+        t(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity"),
+        Seq("l_orderkey"), numFiles = Some(16))
+      store.analyzeBloomFilters("li", Seq("l_partkey"))
+      store.scanBloomPruned("li", "l_partkey", 100L)
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(20,2)")).as("sum_qty"))
+        .orderBy("l_partkey")
+    }),
+
     "w_matview_incremental" -> ((s, dir) => {
       // incrementally-maintained aggregate view: define over a third of
       // lineitem, append the other two thirds in two batches, refresh
@@ -343,6 +362,12 @@ object Lifecycle {
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE)
         |FROM customer WHERE c_custkey <= 200
         |ORDER BY version""".stripMargin,
+
+    "w_bloom_scan" ->
+      """SELECT l_partkey, COUNT(*) AS n_rows,
+        |  SUM(CAST(l_quantity AS DECIMAL(20,2))) AS sum_qty
+        |FROM lineitem WHERE l_partkey = 100
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
 
     "w_matview_incremental" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,

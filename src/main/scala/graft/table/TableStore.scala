@@ -190,6 +190,86 @@ final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 
     * the same file with different URI spellings. */
   private def pathOf(uri: String): String = new java.net.URI(uri).getPath
 
+  def bloomTable(name: String): String = s"${name}_bloom"
+
+  /** Build/refresh manifest-level Bloom filters of `name`: one sidecar row
+    * per (physical file, column) holding the file's set of Bloom bit
+    * positions for that column's values.
+    *
+    * Zone maps ([[analyzeZoneMaps]]) prune RANGE predicates, but min/max
+    * is blind to EQUALITY on high-cardinality unordered columns (a host
+    * name or doc hash is "within range" of almost every file). This is
+    * the file-level Bloom index Delta/Iceberg keep in manifests, rebuilt
+    * on plain parquet: `hashes` positions per value over a `bits`-slot
+    * space (defaults ≈ 128k slots / 5 hashes — <1% false-file rate at
+    * ~18k distinct values per file, position sets capped at `bits`
+    * entries ~1 MB per file-column worst case). Cost: one narrow scan,
+    * explode factor `hashes` per value, partial-agg `collect_set` whose
+    * merged size is bounded by `bits` — never by row count. The params
+    * ride in the sidecar rows so the probe side can never hash
+    * differently than the build side. */
+  def analyzeBloomFilters(name: String, cols: Seq[String],
+      bits: Int = 1 << 17, hashes: Int = 5): Unit = {
+    require(cols.nonEmpty, "analyzeBloomFilters: at least one column")
+    require(bits > 0 && hashes > 0, "analyzeBloomFilters: bits, hashes > 0")
+    val df = scanWithFile(name)
+    cols.foreach(c => require(df.columns.contains(c),
+      s"analyzeBloomFilters: no such column $c in $name"))
+    val perCol = cols.map { c =>
+      df.where(col(c).isNotNull)
+        .select(col("__file").as("file"), lit(c).as("column"),
+          explode(bloomPositions(col(c), bits, hashes)).as("pos"))
+    }
+    val bloom = perCol.reduce(_ unionByName _)
+      .groupBy("file", "column")
+      .agg(collect_set(col("pos")).as("positions"))
+      .withColumn("bits", lit(bits))
+      .withColumn("hashes", lit(hashes))
+    overwrite(bloomTable(name), bloom)
+  }
+
+  /** The `hashes` Bloom positions of a value: `xxhash64(v, i) mod bits`
+    * for i < hashes — evaluated identically at build and probe time. */
+  private def bloomPositions(c: org.apache.spark.sql.Column, bits: Int,
+      hashes: Int): org.apache.spark.sql.Column =
+    array((0 until hashes).map(i =>
+      pmod(xxhash64(c, lit(i)), lit(bits.toLong))): _*)
+
+  /** `scan(name).where(colName = value)` with Bloom file skipping: files
+    * whose position set provably lacks one of the value's positions are
+    * dropped from the read plan before Spark sees them. Same safety
+    * contract as [[scanPruned]]: the residual equality predicate decides
+    * every row, skipping only shrinks the file list; files appended after
+    * the last [[analyzeBloomFilters]] have no sidecar row and are read
+    * unpruned; no sidecar at all → plain filtered scan. */
+  def scanBloomPruned(name: String, colName: String, value: Any): DataFrame = {
+    require(value != null, "scanBloomPruned: equality to NULL never matches")
+    def resid(df: DataFrame) = df.where(col(colName) === lit(value))
+    val base = scan(name)
+    if (!exists(bloomTable(name))) return resid(base)
+    val bt = scan(bloomTable(name)).where(col("column") === colName)
+    val params = bt.select("bits", "hashes").distinct().collect()
+    if (params.isEmpty)
+      throw new IllegalArgumentException(
+        s"scanBloomPruned: Bloom sidecar of $name was not analyzed for " +
+          s"$colName — re-run analyzeBloomFilters($name, Seq(..., $colName, ...))")
+    require(params.length == 1,
+      s"scanBloomPruned: mixed bits/hashes in Bloom sidecar of $name")
+    val (bits, hashes) = (params.head.getInt(0), params.head.getInt(1))
+    // the probe value's positions, via the same engine expression as the
+    // build (one local 1-row job — never a reimplementation of the hash)
+    val probe = spark.range(1).select(bloomPositions(
+      lit(value).cast(base.schema(colName).dataType), bits, hashes).as("p"))
+      .first().getSeq[Long](0)
+    val skip = bt
+      .where(!probe.map(p => array_contains(col("positions"), p))
+        .reduce(_ && _))
+      .select("file").collect().map(r => pathOf(r.getString(0))).toSet
+    val keep = base.inputFiles.filterNot(f => skip.contains(pathOf(f)))
+    if (keep.isEmpty) base.where(lit(false))
+    else resid(spark.read.schema(base.schema).parquet(keep.toIndexedSeq: _*))
+  }
+
   /** Snapshot CDC: row-level difference between two retained versions —
     * the change feed a downstream consumer replays to follow the table
     * without re-reading it (the reference's change-detection predicate

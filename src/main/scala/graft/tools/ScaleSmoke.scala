@@ -890,6 +890,28 @@ object ScaleSmoke {
       println(f"[scale]   (matview refresh alone: $refreshSec%.2fs)")
     }
 
+    // 39. manifest-level Bloom skipping at 20M rows / 64 files: build is
+    // one narrow scan + partial-agg collect_set bounded by the bit space;
+    // an equality probe on the layout-unordered host column must prune
+    // most files (min/max can't — every file spans the hash range).
+    time("bloom analyze 20M + equality probe") {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_bloom_smoke").toString
+      val store = new graft.table.TableStore(spark, root)
+      store.overwriteClustered("b",
+        spark.range(0, 20000000L, 1, 64).select(col("id"),
+          concat(lit("host-"), pmod(xxhash64(col("id")), lit(100000L)))
+            .as("host")),
+        Seq("id"), numFiles = Some(64))
+      store.analyzeBloomFilters("b", Seq("host"))
+      val probe = store.scanBloomPruned("b", "host", "host-77")
+      val total = store.scan("b").inputFiles.length
+      assert(probe.count() == store.scan("b")
+        .where(col("host") === "host-77").count())
+      assert(probe.inputFiles.length < total,
+        s"probe must skip files: ${probe.inputFiles.length}/$total")
+    }
+
     spark.stop()
   }
 }
