@@ -508,6 +508,55 @@ object Dedup {
       .drop("id", "cluster")
   }
 
+  /** Paragraph-level exact dedup (the Dolma/RefinedWeb paragraph pass):
+    * split every document on `sep`, keep only the globally FIRST
+    * occurrence of each exact paragraph — first = lowest (idCol,
+    * position) — and rebuild each document from its surviving paragraphs
+    * in order. Catches the between-doc boilerplate (shared headers,
+    * footers, navigation blocks) that document-level exact dedup cannot
+    * see and n-gram span cutting overshoots.
+    *
+    * Duplicate detection keys on md5(paragraph) — 128 bits, collision-free
+    * in practice and computed identically by any engine; occurrences
+    * carry (id, pos) so "first" is a total order with no tie.
+    *
+    * Scale shape: paragraphs explode transiently (never joined to
+    * themselves); the canonical pick is one partial-agg min-struct per
+    * hash; occurrences re-join the pick hash-keyed; the rebuild is one
+    * doc-keyed aggregate with an ordered list — three paragraph-sized
+    * exchanges, no window, no product join. Documents whose every
+    * paragraph is dropped survive with empty text (row count never
+    * changes).
+    *
+    * Output: (idCol, textCol = deduped text, n_paras, n_kept). */
+  def paragraphDedup(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      sep: String = "\n\n"
+  ): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(sep)
+    val paras = df
+      .select(col(idCol), posexplode(split(col(textCol), quoted))
+        .as(Seq("pos", "para")))
+      .withColumn("h", md5(col("para")))
+    val firsts = paras.groupBy("h")
+      .agg(min(struct(col(idCol), col("pos"))).as("first"))
+    val kept = paras.join(firsts, "h")
+      .where(col(s"first.$idCol") === col(idCol) &&
+        col("first.pos") === col("pos"))
+    val rebuilt = kept.groupBy(idCol)
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          e => e("para")), sep).as("__text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol),
+        (size(split(col(textCol), quoted))).cast("bigint").as("n_paras"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__text"), lit("")).as(textCol),
+        col("n_paras"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Exact Jaccard similarity of two string-array columns (as sets). */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

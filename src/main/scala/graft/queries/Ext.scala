@@ -382,6 +382,22 @@ object Ext {
       Dedup.exact(corpus, "text", "doc_id").orderBy("keep_id")
     }),
 
+    "ext_paragraph_dedup" -> ((s, dir) => {
+      // Dolma-style paragraph pass: every doc carries a shared header and
+      // footer paragraph around two body slices — only the globally first
+      // occurrence of each paragraph survives (doc 0 keeps the
+      // boilerplate, everyone else sheds it; duplicated body slices drop
+      // too). Three paragraph-sized exchanges, no window.
+      val sep = "\n\n"
+      val fixture = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("common header paragraph"), lit(sep),
+          substring(col("text"), 1, 40), lit(sep),
+          lit("common footer paragraph"), lit(sep),
+          substring(col("text"), 41, 60)).as("text"))
+      Dedup.paragraphDedup(fixture, "text", "doc_id", sep)
+        .orderBy("doc_id")
+    }),
+
     "ext_minhash_signature" -> ((s, dir) =>
       // the NATIVE codegen'd expression, validated against the SQL oracle
       t(s, dir, "documents")
@@ -1991,6 +2007,35 @@ object Ext {
         |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0)
         |SELECT md5(text) AS fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS copies
         |FROM corpus GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "ext_paragraph_dedup" ->
+      """WITH pd AS (
+        |  SELECT doc_id,
+        |    'common header paragraph' || chr(10) || chr(10) ||
+        |    substr(text, 1, 40) || chr(10) || chr(10) ||
+        |    'common footer paragraph' || chr(10) || chr(10) ||
+        |    substr(text, 41, 60) AS tp
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, i AS pos,
+        |    string_split(tp, chr(10) || chr(10))[i + 1] AS para
+        |  FROM pd CROSS JOIN generate_series(0, 3) AS g(i)),
+        |h AS (SELECT doc_id, pos, para, md5(para) AS hh FROM p),
+        |f AS (SELECT hh, MIN(doc_id * 4 + pos) AS fk FROM h GROUP BY hh),
+        |k AS (
+        |  SELECT h.doc_id, h.pos, h.para FROM h
+        |  JOIN f ON h.hh = f.hh AND h.doc_id * 4 + h.pos = f.fk),
+        |r AS (
+        |  SELECT doc_id,
+        |    array_to_string(list(para ORDER BY pos), chr(10) || chr(10))
+        |      AS text,
+        |    COUNT(*) AS n_kept
+        |  FROM k GROUP BY doc_id)
+        |SELECT pd.doc_id, COALESCE(r.text, '') AS text,
+        |  CAST(4 AS BIGINT) AS n_paras,
+        |  COALESCE(r.n_kept, 0) AS n_kept
+        |FROM pd LEFT JOIN r ON pd.doc_id = r.doc_id
+        |ORDER BY pd.doc_id""".stripMargin,
 
     "ext_minhash_signature" -> {
       def m(i: Int): String = {

@@ -386,6 +386,22 @@ class ExtSpec extends SparkSpec {
     assert(!got.exists { case (_, _, term, _, _, _) => term == "common" })
   }
 
+  test("paragraphDedup: first occurrence survives, within-doc repeats drop, empty doc stays") {
+    val corpus = docs(
+      (1L, "header\n\nbody one\n\nfooter"),
+      (2L, "header\n\nbody two\n\nfooter"),   // keeps only its own body
+      (3L, "same\n\nsame\n\nunique"),          // within-doc repeat drops
+      (4L, "header\n\nfooter"))                // everything seen → empty
+    val got = Dedup.paragraphDedup(corpus, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) == ("header\n\nbody one\n\nfooter", 3L, 3L))
+    assert(got(2L) == ("body two", 3L, 1L))
+    assert(got(3L) == ("same\n\nunique", 3L, 2L))
+    assert(got(4L) == ("", 2L, 0L), "row survives with empty text")
+    assert(got.size == 4)
+  }
+
   test("multimodal: feature extraction through mapPartitions stub") {
     val out = Multimodal.extractFeatures(docs((0L, "abcd"), (2L, "xyz")), "doc_id", "text")
       .collect().map(f => f.doc_id -> f).toMap
