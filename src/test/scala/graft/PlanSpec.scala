@@ -524,4 +524,14 @@ class PlanSpec extends AnyFunSuite {
       s"insert derivation must key-prune its target pass:\n${scans.mkString("\n")}")
     assert(!p.contains("SortMergeJoin"), "broadcast merge must not shuffle the target")
   }
+
+  test("paragraph dedup: no window, no product join, canonical pick is partial") {
+    val p = plan("ext_paragraph_dedup")
+    assert(!analyzed("ext_paragraph_dedup").contains("Window"),
+      "first-occurrence pick is a min-struct aggregate, never a window")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"occurrence join-back must stay an equi join:\n$p")
+    assert(p.contains("partial_min"),
+      s"per-hash first-occurrence pick must combine map-side:\n$p")
+  }
 }
