@@ -1,0 +1,122 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus drift monitoring: is the distribution of what a crawl is
+  * bringing in moving away from the corpus it feeds?
+  *
+  * The steady-state pipelines this engine targets ingest batches forever;
+  * a quality regression usually shows up as DISTRIBUTION shift (language
+  * mix, boilerplate share, spam templates) long before any per-document
+  * filter fires. The standard scalar for that is Jensen–Shannon
+  * divergence between token distributions — symmetric, bounded
+  * ([0, ln 2]), defined even where one side has zero mass.
+  *
+  * Scale shape: each side collapses to a `buckets`-sized hashed-token
+  * histogram in ONE pass (explode → partial-agg count); everything after
+  * is arithmetic on two histogram tables — corpus size never matters
+  * again. Hashing tokens into a fixed bucket space (the hashing trick)
+  * bounds state and makes the comparison streamable; bucket collisions
+  * only ever UNDER-state divergence, shrinking as buckets grow.
+  *
+  * Determinism (the oracle contract, same discipline as
+  * [[LanguageModel]]): each bucket's log-ratio is quantized —
+  * `round(ln·1e9)` as int64 — and the JS sums run over exact integer
+  * products (`count × quantized-log`), so any engine reproduces the
+  * result bit-for-bit; the only doubles are one fixed-shape final
+  * expression. */
+object Drift {
+
+  /** Hashed-token histogram: (bucket, n) with exactly `buckets` possible
+    * rows. One corpus pass, map-side partial counts. */
+  def tokenHistogram(df: DataFrame, textCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, "Drift: buckets must be positive")
+    df.select(explode(TextStats.wsTokens(col(textCol))).as("tok"))
+      .select((TextHash.hmod(col("tok")) % buckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /** Jensen–Shannon divergence between the hashed-token distributions of
+    * `ref` and `batch`:
+    *
+    *   JS(P,Q) = ½·Σᵢ pᵢ·ln(pᵢ/mᵢ) + ½·Σᵢ qᵢ·ln(qᵢ/mᵢ),  m = (P+Q)/2
+    *
+    * with pᵢ/mᵢ expanded over raw counts as 2·npᵢ·Nq / (npᵢ·Nq + nqᵢ·Np)
+    * so no per-bucket normalization ever happens in floating point.
+    *
+    * Returns one row: (n_ref, n_batch, js). Identical distributions give
+    * js = 0 exactly (the log ratio quantizes to 0); total disjointness
+    * approaches ln 2 ≈ 0.6931. Either side empty is an error — there is
+    * no distribution to compare. */
+  def jsDivergence(ref: DataFrame, batch: DataFrame, textCol: String,
+      buckets: Int = 4096): DataFrame = {
+    val hp = tokenHistogram(ref, textCol, buckets)
+      .withColumnRenamed("n", "np")
+    val hq = tokenHistogram(batch, textCol, buckets)
+      .withColumnRenamed("n", "nq")
+    val j = hp.join(hq, Seq("bucket"), "full_outer")
+      .select(coalesce(col("np"), lit(0L)).as("np"),
+        coalesce(col("nq"), lit(0L)).as("nq"))
+    // totals are a buckets-sized aggregate; the one-row result broadcasts
+    val tot = j.agg(sum("np").as("tnp"), sum("nq").as("tnq"))
+    val joined = j.crossJoin(broadcast(tot))
+    def d(c: String): Column = col(c).cast("double")
+    val denom = d("np") * d("tnq") + d("nq") * d("tnp")
+    def term(n: String, t: String): Column =
+      round(log(lit(2.0) * d(n) * d(t) / denom) * lit(1e9)).cast("bigint")
+    joined.agg(
+        max(col("tnp")).as("n_ref"),
+        max(col("tnq")).as("n_batch"),
+        sum(when(col("np") > 0,
+          col("np").cast("decimal(38,0)") * term("np", "tnq"))).as("__sp"),
+        sum(when(col("nq") > 0,
+          col("nq").cast("decimal(38,0)") * term("nq", "tnp"))).as("__sq"))
+      .select(col("n_ref"), col("n_batch"),
+        (col("__sp").cast("double") / (lit(2e9) * col("n_ref").cast("double")) +
+          col("__sq").cast("double") / (lit(2e9) * col("n_batch").cast("double")))
+          .as("js"))
+  }
+
+  /** Per-slice drift: JS divergence of every `keyCol` group in `batch`
+    * against the whole reference — which source/language/host is driving
+    * the shift. One histogram pass per side; the reference histogram is
+    * computed once and re-joined per slice. Output: (keyCol, n_ref,
+    * n_batch, js) per slice. */
+  def jsDivergenceBySlice(ref: DataFrame, batch: DataFrame, textCol: String,
+      keyCol: String, buckets: Int = 4096): DataFrame = {
+    val hp = tokenHistogram(ref, textCol, buckets)
+      .withColumnRenamed("n", "np")
+    val hq = batch
+      .select(col(keyCol), explode(TextStats.wsTokens(col(textCol))).as("tok"))
+      .select(col(keyCol), (TextHash.hmod(col("tok")) % buckets).as("bucket"))
+      .groupBy(keyCol, "bucket").agg(count(lit(1)).as("nq"))
+    // every slice must see EVERY ref bucket (a bucket a slice lacks still
+    // contributes its P-mass to that slice's sum) — materialize the
+    // keys × buckets grid explicitly; both dimensions are bounded (the
+    // slice key is a dimension, the histogram is `buckets`-sized), so the
+    // grid broadcasts and the corpus-sized sides never re-shuffle for it
+    val grid = hq.select(keyCol).distinct().crossJoin(broadcast(hp))
+    val j = grid.join(hq, Seq(keyCol, "bucket"), "full_outer")
+      .select(col(keyCol),
+        coalesce(col("np"), lit(0L)).as("np"),
+        coalesce(col("nq"), lit(0L)).as("nq"))
+      .crossJoin(broadcast(hp.agg(sum("np").as("tnp"))))
+    val totQ = j.groupBy(keyCol).agg(sum("nq").as("tnq"))
+    val full = j.join(broadcast(totQ), keyCol)
+    def d(c: String): Column = col(c).cast("double")
+    val denom = d("np") * d("tnq") + d("nq") * d("tnp")
+    def term(n: String, t: String): Column =
+      round(log(lit(2.0) * d(n) * d(t) / denom) * lit(1e9)).cast("bigint")
+    full.groupBy(keyCol)
+      .agg(max(col("tnp")).as("n_ref"), max(col("tnq")).as("n_batch"),
+        sum(when(col("np") > 0,
+          col("np").cast("decimal(38,0)") * term("np", "tnq"))).as("__sp"),
+        sum(when(col("nq") > 0,
+          col("nq").cast("decimal(38,0)") * term("nq", "tnp"))).as("__sq"))
+      .select(col(keyCol), col("n_ref"), col("n_batch"),
+        (col("__sp").cast("double") / (lit(2e9) * col("n_ref").cast("double")) +
+          col("__sq").cast("double") / (lit(2e9) * col("n_batch").cast("double")))
+          .as("js"))
+  }
+}

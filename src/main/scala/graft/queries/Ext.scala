@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Blocklist, Boilerplate, Bpe, Dedup, Html, LanguageModel, Markdown, Multimodal, NaiveBayes, NearDupIndex, Retrieval, Sampling, Similarity, Sketches, TextHash, TextStats, Url, VectorIndex, Winnow}
+import graft.ext.{Blocklist, Boilerplate, Bpe, Dedup, Drift, Html, LanguageModel, Markdown, Multimodal, NaiveBayes, NearDupIndex, Retrieval, Sampling, Similarity, Sketches, TextHash, TextStats, Url, VectorIndex, Winnow}
 import graft.ops.{AsOfJoin, FuzzyJoin, Profile}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -396,6 +396,35 @@ object Ext {
           substring(col("text"), 41, 60)).as("text"))
       Dedup.paragraphDedup(fixture, "text", "doc_id", sep)
         .orderBy("doc_id")
+    }),
+
+    "ext_drift_js" -> ((s, dir) => {
+      // corpus drift monitor: even-id docs are the reference corpus, odd-id
+      // docs the incoming batch with every third doc drifted by an
+      // appended template — JS divergence over 1024-bucket hashed-token
+      // histograms, exact integer sums of quantized log-ratios (one row)
+      val docs = t(s, dir, "documents")
+      val ref = docs.where(col("doc_id") % 2 === 0).select("text")
+      val batch = docs.where(col("doc_id") % 2 === 1)
+        .select(when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" drifted marker tokens")))
+          .otherwise(col("text")).as("text"))
+      Drift.jsDivergence(ref, batch, "text", buckets = 1024)
+    }),
+
+    "ext_drift_slices" -> ((s, dir) => {
+      // which slice drives the drift: per-source JS of the batch against
+      // the whole reference — the drifted sources must surface with higher
+      // divergence. Slice grid is keys × buckets (bounded), broadcast.
+      val docs = t(s, dir, "documents")
+      val ref = docs.where(col("doc_id") % 2 === 0).select("text")
+      val batch = docs.where(col("doc_id") % 2 === 1)
+        .select(col("source"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" drifted marker tokens")))
+            .otherwise(col("text")).as("text"))
+      Drift.jsDivergenceBySlice(ref, batch, "text", "source", buckets = 1024)
+        .orderBy("source")
     }),
 
     "ext_minhash_signature" -> ((s, dir) =>
@@ -2036,6 +2065,95 @@ object Ext {
         |  COALESCE(r.n_kept, 0) AS n_kept
         |FROM pd LEFT JOIN r ON pd.doc_id = r.doc_id
         |ORDER BY pd.doc_id""".stripMargin,
+
+    "ext_drift_js" ->
+      s"""WITH refd AS (
+         |  SELECT text FROM documents WHERE doc_id % 2 = 0),
+         |bat AS (
+         |  SELECT CASE WHEN doc_id % 3 = 0
+         |         THEN text || ' drifted marker tokens' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 2 = 1),
+         |hp AS (
+         |  SELECT ${TextHash.hmodSql("tok")} % 1024 AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS np
+         |  FROM (SELECT unnest(${tokensSql("text")}) AS tok FROM refd)
+         |  GROUP BY 1),
+         |hq AS (
+         |  SELECT ${TextHash.hmodSql("tok")} % 1024 AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS nq
+         |  FROM (SELECT unnest(${tokensSql("text")}) AS tok FROM bat)
+         |  GROUP BY 1),
+         |j AS (
+         |  SELECT COALESCE(hp.np, 0) AS np, COALESCE(hq.nq, 0) AS nq
+         |  FROM hp FULL JOIN hq ON hp.bucket = hq.bucket),
+         |t AS (
+         |  SELECT CAST(SUM(np) AS BIGINT) AS tnp,
+         |    CAST(SUM(nq) AS BIGINT) AS tnq FROM j),
+         |s AS (
+         |  SELECT t.tnp, t.tnq,
+         |    SUM(CASE WHEN np > 0 THEN CAST(np AS HUGEINT) *
+         |      CAST(round(ln(((2.0 * CAST(np AS DOUBLE)) * CAST(t.tnq AS DOUBLE)) /
+         |        ((CAST(np AS DOUBLE) * CAST(t.tnq AS DOUBLE)) +
+         |         (CAST(nq AS DOUBLE) * CAST(t.tnp AS DOUBLE)))) * 1e9)
+         |        AS BIGINT) END) AS sp,
+         |    SUM(CASE WHEN nq > 0 THEN CAST(nq AS HUGEINT) *
+         |      CAST(round(ln(((2.0 * CAST(nq AS DOUBLE)) * CAST(t.tnp AS DOUBLE)) /
+         |        ((CAST(np AS DOUBLE) * CAST(t.tnq AS DOUBLE)) +
+         |         (CAST(nq AS DOUBLE) * CAST(t.tnp AS DOUBLE)))) * 1e9)
+         |        AS BIGINT) END) AS sq
+         |  FROM j CROSS JOIN t GROUP BY t.tnp, t.tnq)
+         |SELECT tnp AS n_ref, tnq AS n_batch,
+         |  CAST(sp AS DOUBLE) / (2e9 * CAST(tnp AS DOUBLE)) +
+         |  CAST(sq AS DOUBLE) / (2e9 * CAST(tnq AS DOUBLE)) AS js
+         |FROM s""".stripMargin,
+
+    "ext_drift_slices" ->
+      s"""WITH refd AS (
+         |  SELECT text FROM documents WHERE doc_id % 2 = 0),
+         |bat AS (
+         |  SELECT source, CASE WHEN doc_id % 3 = 0
+         |         THEN text || ' drifted marker tokens' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 2 = 1),
+         |hp AS (
+         |  SELECT ${TextHash.hmodSql("tok")} % 1024 AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS np
+         |  FROM (SELECT unnest(${tokensSql("text")}) AS tok FROM refd)
+         |  GROUP BY 1),
+         |hq AS (
+         |  SELECT source, ${TextHash.hmodSql("tok")} % 1024 AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS nq
+         |  FROM (SELECT source, unnest(${tokensSql("text")}) AS tok FROM bat)
+         |  GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT k.source, hp.bucket, hp.np
+         |  FROM (SELECT DISTINCT source FROM bat) k CROSS JOIN hp),
+         |j AS (
+         |  SELECT COALESCE(g.source, hq.source) AS source,
+         |    COALESCE(g.np, 0) AS np, COALESCE(hq.nq, 0) AS nq
+         |  FROM grid g FULL JOIN hq
+         |    ON g.source = hq.source AND g.bucket = hq.bucket),
+         |tp AS (SELECT CAST(SUM(np) AS BIGINT) AS tnp FROM hp),
+         |tq AS (
+         |  SELECT source, CAST(SUM(nq) AS BIGINT) AS tnq
+         |  FROM j GROUP BY source),
+         |s AS (
+         |  SELECT j.source, tp.tnp, tq.tnq,
+         |    SUM(CASE WHEN np > 0 THEN CAST(np AS HUGEINT) *
+         |      CAST(round(ln(((2.0 * CAST(np AS DOUBLE)) * CAST(tq.tnq AS DOUBLE)) /
+         |        ((CAST(np AS DOUBLE) * CAST(tq.tnq AS DOUBLE)) +
+         |         (CAST(nq AS DOUBLE) * CAST(tp.tnp AS DOUBLE)))) * 1e9)
+         |        AS BIGINT) END) AS sp,
+         |    SUM(CASE WHEN nq > 0 THEN CAST(nq AS HUGEINT) *
+         |      CAST(round(ln(((2.0 * CAST(nq AS DOUBLE)) * CAST(tp.tnp AS DOUBLE)) /
+         |        ((CAST(np AS DOUBLE) * CAST(tq.tnq AS DOUBLE)) +
+         |         (CAST(nq AS DOUBLE) * CAST(tp.tnp AS DOUBLE)))) * 1e9)
+         |        AS BIGINT) END) AS sq
+         |  FROM j CROSS JOIN tp JOIN tq ON j.source = tq.source
+         |  GROUP BY j.source, tp.tnp, tq.tnq)
+         |SELECT source, tnp AS n_ref, tnq AS n_batch,
+         |  CAST(sp AS DOUBLE) / (2e9 * CAST(tnp AS DOUBLE)) +
+         |  CAST(sq AS DOUBLE) / (2e9 * CAST(tnq AS DOUBLE)) AS js
+         |FROM s ORDER BY source""".stripMargin,
 
     "ext_minhash_signature" -> {
       def m(i: Int): String = {

@@ -912,6 +912,26 @@ object ScaleSmoke {
         s"probe must skip files: ${probe.inputFiles.length}/$total")
     }
 
+    // 40. corpus drift at 10M docs per side: each side collapses to a
+    // 4096-bucket histogram in one explode+partial-agg pass; the JS
+    // arithmetic after that is histogram-sized. The planted 10% template
+    // drift must register strictly between 0 and ln 2.
+    time("drift js 10M vs 10M docs (4096 buckets)") {
+      def side(tag: String, drift: Boolean) =
+        spark.range(0, 10000000L, 1, 64).select(concat_ws(" ",
+          lit("shared common vocabulary stream"),
+          concat(lit("w"), pmod(xxhash64(col("id"), lit(tag)), lit(5000L))),
+          when(lit(drift) && col("id") % 10 === 0,
+            lit("drifted spam template tokens")).otherwise(lit(""))
+        ).as("text"))
+      val row = graft.ext.Drift.jsDivergence(
+        side("a", drift = false), side("b", drift = true), "text", 4096)
+        .first()
+      val d = row.getDouble(2)
+      assert(row.getLong(0) > 40000000L && row.getLong(1) > 40000000L)
+      assert(d > 0.001 && d < 0.2, s"planted 10% drift registers: $d")
+    }
+
     spark.stop()
   }
 }

@@ -1,0 +1,77 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class DriftSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def js(a: DataFrame, b: DataFrame, buckets: Int = 512): Double =
+    Drift.jsDivergence(a, b, "text", buckets).first().getDouble(2)
+
+  test("identical distributions give exactly zero") {
+    val a = docs((1L, "alpha beta gamma"), (2L, "delta beta"))
+    // same token multiset, different doc layout
+    val b = docs((9L, "beta delta alpha"), (8L, "gamma beta"))
+    assert(js(a, b) == 0.0)
+  }
+
+  test("disjoint vocabularies approach ln 2; divergence is symmetric") {
+    val a = docs((1L, "aa bb cc dd ee ff"), (2L, "gg hh ii"))
+    val b = docs((3L, "qq ww rr tt yy uu"), (4L, "oo pp zz"))
+    val d = js(a, b)
+    assert(d > 0.69 && d <= 0.6932, s"disjoint => ~ln2, got $d")
+    assert(js(a, b) == js(b, a), "JS is symmetric")
+  }
+
+  test("mild drift lands strictly between zero and ln 2 and grows with drift") {
+    val ref = docs((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the dog sleeps all day"))
+    val mild = docs((3L, "the quick brown fox jumps over the lazy dog spam"),
+      (4L, "the dog sleeps all day"))
+    val heavy = docs((5L, "spam spam spam viagra casino spam"),
+      (6L, "casino spam bonus spam"))
+    val dm = js(ref, mild); val dh = js(ref, heavy)
+    assert(dm > 0.0 && dh < 0.6932)
+    assert(dm < dh, s"more drift, more divergence: $dm < $dh")
+  }
+
+  test("counts come back and an n-fold corpus blowup changes nothing") {
+    val a = docs((1L, "x y z"))
+    val b = docs((2L, "x y q"))
+    val row = Drift.jsDivergence(a, b, "text", 512).first()
+    assert(row.getLong(0) == 3L && row.getLong(1) == 3L)
+    // distribution-identical 10× replica of each side: same js
+    val a10 = (0 until 10).map(i => docs((i.toLong, "x y z")))
+      .reduce(_ unionAll _)
+    val b10 = (0 until 10).map(i => docs((100L + i, "x y q")))
+      .reduce(_ unionAll _)
+    assert(js(a10, b10) == js(a, b))
+  }
+
+  test("per-slice drift isolates the slice that moved") {
+    import spark.implicits._
+    val ref = docs((1L, "common stream of perfectly normal tokens here"),
+      (2L, "more perfectly normal tokens in the stream"))
+    val batch = Seq(
+      (10L, "clean", "common stream of perfectly normal tokens here"),
+      (11L, "clean", "more perfectly normal tokens in the stream"),
+      (12L, "dirty", "casino bonus viagra spam pharma casino"),
+      (13L, "dirty", "spam pharma bonus casino"))
+      .toDF("doc_id", "slice", "text")
+    val got = Drift.jsDivergenceBySlice(ref, batch, "text", "slice", 512)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got("clean") < 0.01, s"undrifted slice near zero: ${got("clean")}")
+    assert(got("dirty") > 0.6, s"drifted slice near ln2: ${got("dirty")}")
+    // each slice's number equals the global js of that slice alone
+    val dirtyAlone = js(ref,
+      batch.where(col("slice") === "dirty").select("doc_id", "text"))
+    assert(got("dirty") == dirtyAlone,
+      "slice computation must equal the one-slice global computation")
+  }
+}
