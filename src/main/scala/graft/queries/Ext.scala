@@ -756,6 +756,31 @@ object Ext {
         .orderBy("actual", "predicted")
     }),
 
+    "ext_lr_train" -> ((s, dir) => {
+      // FineWeb-Edu-class LR quality filter: hard-sigmoid fixed-point
+      // full-batch GD (3 iterations) on the doc_id%2 labeled slice
+      // (y = lang='en'), hashed unigram+bigram counts + bias. Every
+      // weight is an exact integer recurrence; the oracle replays all
+      // three iterations as unrolled hugeint CTEs.
+      graft.ext.LogReg.train(
+        t(s, dir, "documents").where(col("doc_id") % 2 === 0),
+        "text", "doc_id", (col("lang") === "en").cast("long"),
+        buckets = 1000, iterations = 3)
+        .orderBy("b")
+    }),
+
+    "ext_lr_quality" -> ((s, dir) => {
+      // train on the labeled slice, then ONE corpus pass scores every
+      // document: integer margin zq, hard-sigmoid p4, decision pred
+      val docs = t(s, dir, "documents")
+      val w = graft.ext.LogReg.train(
+        docs.where(col("doc_id") % 2 === 0),
+        "text", "doc_id", (col("lang") === "en").cast("long"),
+        buckets = 1000, iterations = 3)
+      graft.ext.LogReg.score(docs, w, "text", "doc_id", buckets = 1000)
+        .orderBy("doc_id")
+    }),
+
     "ext_kmv_overlap" -> ((s, dir) => {
       // cross-slice distinct overlap ("how many documents do two crawls
       // share") from two bottom-k theta sketches: each slice folds into
@@ -1750,7 +1775,64 @@ object Ext {
        |    COALESCE(v.allowed, true) AS allowed
        |  FROM up LEFT JOIN v ON up.doc_id = v.doc_id)""".stripMargin
 
+  /** Unrolled-CTE replay of [[graft.ext.LogReg.train]] (the ext_pagerank
+    * discipline: one CTE triple per iteration, every step the same
+    * truncating integer ops as the engine): lab → feats (+bias rows) →
+    * w0 = 0 → (z, e4, g, w+1) × iterations. Leaves w$iterations bound. */
+  private def lrCtes(iterations: Int, buckets: Int): String = {
+    val h4 = "CAST(4000000000 AS HUGEINT)"
+    val iters = (0 until iterations).map { i =>
+      s"""z$i AS (SELECT doc, MAX(y) AS y, SUM(CAST(x AS HUGEINT) * wq) AS z
+         |        FROM feats JOIN w$i USING (b) GROUP BY doc),
+         |e$i AS (SELECT doc,
+         |          CAST(GREATEST(CAST(0 AS HUGEINT),
+         |                 LEAST($h4, z + 2000000000)) - $h4 * y AS BIGINT) AS e4
+         |        FROM z$i),
+         |g$i AS (SELECT b, SUM(CAST(e4 AS HUGEINT) * x) AS g
+         |        FROM feats JOIN e$i USING (doc) GROUP BY b),
+         |w${i + 1} AS (SELECT w$i.b AS b,
+         |              CAST(wq - g // (CAST(4 AS HUGEINT) * n.n) AS BIGINT) AS wq
+         |            FROM w$i JOIN g$i USING (b) CROSS JOIN n)""".stripMargin
+    }
+    s"""WITH lab AS (SELECT doc_id AS doc, text,
+       |              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |            FROM documents WHERE doc_id % 2 = 0),
+       |feats AS (
+       |  SELECT doc, y, b, COUNT(*) AS x
+       |  FROM (SELECT doc, y,
+       |          unnest(${graft.ext.Dsir.featureBucketsSql("text", buckets)}) AS b
+       |        FROM lab)
+       |  GROUP BY doc, y, b
+       |  UNION ALL
+       |  SELECT doc, y, -1, 1 FROM lab),
+       |n AS (SELECT COUNT(*) AS n FROM lab),
+       |w0 AS (SELECT DISTINCT b, CAST(0 AS BIGINT) AS wq FROM feats),
+       |${iters.mkString(",\n")}""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "ext_lr_train" ->
+      s"""${lrCtes(3, 1000)}
+         |SELECT b, wq FROM w3 ORDER BY b""".stripMargin,
+
+    "ext_lr_quality" ->
+      s"""${lrCtes(3, 1000)},
+         |sf AS (
+         |  SELECT doc, b, COUNT(*) AS x
+         |  FROM (SELECT doc_id AS doc,
+         |          unnest(${graft.ext.Dsir.featureBucketsSql("text", 1000)}) AS b
+         |        FROM documents)
+         |  GROUP BY doc, b
+         |  UNION ALL
+         |  SELECT doc_id, -1, 1 FROM documents),
+         |sc AS (SELECT doc, SUM(CAST(x AS HUGEINT) * wq) AS z
+         |       FROM sf JOIN w3 USING (b) GROUP BY doc)
+         |SELECT doc AS doc_id, CAST(z AS BIGINT) AS zq,
+         |  CAST(GREATEST(CAST(0 AS HUGEINT),
+         |         LEAST(CAST(4000000000 AS HUGEINT), z + 2000000000)) AS BIGINT) AS p4,
+         |  CAST(CASE WHEN z >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
     "ext_bm25_topk" -> bm25OracleSql,
     "ext_bm25_indexed" -> bm25OracleSql,
     "ext_bm25_incremental" -> bm25OracleSql,

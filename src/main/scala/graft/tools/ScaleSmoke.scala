@@ -932,6 +932,30 @@ object ScaleSmoke {
       assert(d > 0.001 && d < 0.2, s"planted 10% drift registers: $d")
     }
 
+    // 41. LR quality filter: train 3 full-batch iterations on a 2M-doc
+    // labeled slice (each iteration = broadcast-weights pass + co-
+    // partitioned gradient pass over the cached feature stream), then
+    // score 10M docs in one corpus pass. Class vocabularies overlap on
+    // shared tokens but differ on a planted marker — the trained model
+    // must recover the labels on the slice.
+    time("lr train 2M labeled (3 iters) + score 10M") {
+      def docs(n: Long) = spark.range(0, n, 1, 64).select(
+        col("id").as("doc_id"),
+        (col("id") % 2).as("y"),
+        concat_ws(" ", lit("shared stream tokens"),
+          when(col("id") % 2 === 0, lit("quality signal marker"))
+            .otherwise(lit("boilerplate junk filler")),
+          concat(lit("w"), pmod(xxhash64(col("id")), lit(2000L)))).as("text"))
+      val labeled = docs(2000000L)
+      val w = graft.ext.LogReg.train(labeled, "text", "doc_id", col("y"),
+        buckets = 10000, iterations = 3)
+      val scored = graft.ext.LogReg.score(docs(10000000L), w, "text",
+        "doc_id", buckets = 10000)
+      val agree = scored.join(docs(10000000L).select("doc_id", "y"), Seq("doc_id"))
+        .where(col("pred") === col("y")).count()
+      assert(agree > 9500000L, s"trained model must separate: $agree/10M")
+    }
+
     spark.stop()
   }
 }

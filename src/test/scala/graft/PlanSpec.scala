@@ -525,6 +525,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "broadcast merge must not shuffle the target")
   }
 
+  test("lr scoring: broadcast model, map-side partial doc rollup, no window") {
+    val p = plan("ext_lr_quality")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ≤B+1-row weight table must broadcast into the corpus pass:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "scoring must never shuffle the corpus against the model")
+    assert(!analyzed("ext_lr_quality").contains("Window"),
+      "scoring is join + aggregate, never a window")
+    assert(p.contains("partial_sum"),
+      "the per-doc margin must combine map-side before the doc shuffle")
+  }
+
   test("paragraph dedup: no window, no product join, canonical pick is partial") {
     val p = plan("ext_paragraph_dedup")
     assert(!analyzed("ext_paragraph_dedup").contains("Window"),
