@@ -206,6 +206,109 @@ object Url {
       .withColumnRenamed("__host", "url_host")
   }
 
+  /** Crawl-delay directives per agent group from raw robots.txt text —
+    * the politeness half of [[parseRobots]] (RFC 9309 leaves crawl-delay
+    * as the de-facto extension every major engine honors). Same line
+    * lexer and group-accumulation fold: consecutive `user-agent` lines
+    * share the following directives; any other directive closes the
+    * group. Emits one (agent, delay_ms) row per group member; values are
+    * decimal seconds (fractions allowed), invalid or negative values are
+    * dropped. The fold is one declarative `aggregate` per file — no UDF,
+    * no shuffle. */
+  def parseCrawlDelays(df: DataFrame, txtCol: String): DataFrame = {
+    val folded = expr(
+      s"""aggregate(
+         |  transform(split($txtCol, '\n'), raw ->
+         |    struct(
+         |      lower(trim(substring_index(split_part(raw, '#', 1), ':', 1)))
+         |        AS key,
+         |      CASE WHEN instr(split_part(raw, '#', 1), ':') = 0 THEN ''
+         |           ELSE trim(substr(split_part(raw, '#', 1),
+         |                  instr(split_part(raw, '#', 1), ':') + 1)) END
+         |        AS v)),
+         |  struct(
+         |    cast(array() as array<string>) as agents,
+         |    false as in_ua,
+         |    cast(array() as array<struct<agent string, delay_ms bigint>>)
+         |      as delays),
+         |  (acc, kv) -> CASE
+         |    WHEN kv.key = 'user-agent' AND kv.v != '' THEN
+         |      struct(
+         |        CASE WHEN acc.in_ua THEN array_append(acc.agents, kv.v)
+         |             ELSE array(kv.v) END AS agents,
+         |        true AS in_ua, acc.delays AS delays)
+         |    WHEN kv.key = 'crawl-delay' THEN
+         |      struct(acc.agents AS agents, false AS in_ua,
+         |        CASE WHEN size(acc.agents) = 0
+         |               OR try_cast(kv.v AS decimal(9,3)) IS NULL
+         |               OR try_cast(kv.v AS decimal(9,3)) < 0 THEN acc.delays
+         |        ELSE concat(acc.delays, transform(acc.agents, a ->
+         |          struct(a AS agent,
+         |            cast(try_cast(kv.v AS decimal(9,3)) * 1000 AS bigint)
+         |              AS delay_ms))) END AS delays)
+         |    WHEN kv.key IN ('allow', 'disallow') THEN
+         |      struct(acc.agents AS agents, false AS in_ua,
+         |        acc.delays AS delays)
+         |    ELSE acc
+         |    END,
+         |  acc -> acc.delays)""".stripMargin)
+    df.withColumn("__cd", folded)
+      .select(col("*"), explode(col("__cd")).as("d"))
+      .drop("__cd")
+      .withColumn("agent", lower(col("d.agent")))
+      .withColumn("delay_ms", col("d.delay_ms"))
+      .drop("d")
+  }
+
+  /** One delay per host for `agent`: the exact-agent group beats `*`
+    * (the [[robotsDecisions]] group-selection rule), duplicate directives
+    * inside a group resolve to the smallest delay deterministically —
+    * a min-struct fold over a host-sized table, never a window. */
+  def resolveCrawlDelays(delays: DataFrame, agent: String): DataFrame = {
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    delays
+      .where(lower(col("agent")).isin(a, "*"))
+      .select(col("host"),
+        struct(when(lower(col("agent")) === a, 0).otherwise(1).as("pref"),
+          col("delay_ms")).as("__k"))
+      .groupBy("host").agg(min("__k").as("__best"))
+      .select(col("host"), col("__best.delay_ms").as("delay_ms"))
+  }
+
+  /** Per-host rate-limited fetch schedule for a frontier batch: URLs of
+    * one host are sequenced by `order` (pass unique keys — determinism
+    * is the caller's contract) and assigned
+    * `fetch_at_ms = t0Ms + (seq−1)·delay_ms`, so no host is hit faster
+    * than its resolved crawl-delay (hosts absent from `hostDelays` get
+    * `defaultDelayMs`). Output = frontier columns + (delay_ms, seq,
+    * fetch_at_ms).
+    *
+    * Scale shape: the per-host window is the ONE frontier shuffle, and
+    * the delay join co-locates on the same host key (host-sized side —
+    * AQE broadcasts it when it fits). Per-host partitions are bounded
+    * because a frontier batch is quota-capped upstream
+    * ([[graft.ext.Sampling.quotaCap]]) — an uncapped host would make a
+    * fat window partition, which is the quota's job to prevent, not the
+    * scheduler's. */
+  def politeSchedule(
+      frontier: DataFrame,
+      hostCol: String,
+      order: Seq[Column],
+      hostDelays: DataFrame,
+      defaultDelayMs: Long,
+      t0Ms: Long = 0L
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq = row_number().over(
+      Window.partitionBy(col(hostCol)).orderBy(order: _*))
+    frontier
+      .join(hostDelays.withColumnRenamed("host", hostCol), Seq(hostCol), "left")
+      .withColumn("delay_ms", coalesce(col("delay_ms"), lit(defaultDelayMs)))
+      .withColumn("seq", seq.cast("bigint"))
+      .withColumn("fetch_at_ms",
+        lit(t0Ms) + (col("seq") - 1L) * col("delay_ms"))
+  }
+
   // ---- DuckDB SQL mirrors (oracle generation — same constants) ----------
 
   private def trackingInList: String =

@@ -103,6 +103,19 @@ object Ext {
     RobotsRules.map { case (h, a, al, p) => s"('$h', '$a', $al, '$p')" }
       .mkString(", ")
 
+  /** Crawl-delay fixture over the urlCorpus hosts — exact-agent override,
+    * foreign-agent-only host (falls to default), shared with the oracle
+    * VALUES. */
+  private[queries] val CrawlDelays: Seq[(String, String, Long)] = Seq(
+    ("site1.example.com", "*", 2000L),
+    ("site1.example.com", "graftbot", 500L),
+    ("site3.example.com", "*", 1500L),
+    ("site5.example.com", "otherbot", 9000L),
+    ("site7.example.com", "*", 250L))
+
+  private def crawlDelaysValuesSql: String =
+    CrawlDelays.map { case (h, a, d) => s"('$h', '$a', $d)" }.mkString(", ")
+
   /** Blocklist gate phrase list — nested (can⊂scan, low⊂slow, able⊂table)
     * and multi-word entries; shared verbatim with the oracle VALUES. */
   private[queries] val BlocklistPats: Seq[String] = Seq(
@@ -1201,6 +1214,23 @@ object Ext {
         .select(col("doc_id"), col("url_host"), col("url"),
           col("rank").cast("bigint").as("rank"), col("host_docs"))
         .orderBy(col("host_docs").desc, col("url_host"), col("rank"))
+    }),
+
+    "ext_crawl_schedule" -> ((s, dir) => {
+      // per-host politeness scheduling: crawl-delays resolved per host
+      // (exact agent beats `*`, min delay on group ties), then the
+      // frontier batch gets rate-limited fetch times — newest doc first
+      // within each host. The host window is the one frontier shuffle;
+      // the delay side co-locates on the same key.
+      import s.implicits._
+      val delays = CrawlDelays.toDF("host", "agent", "delay_ms")
+      val urls = urlCorpus(s, dir).select(col("doc_id"),
+        Url.host(col("url_raw")).as("host"))
+      Url.politeSchedule(urls, "host", Seq(col("doc_id").desc),
+          Url.resolveCrawlDelays(delays, "graftbot"),
+          defaultDelayMs = 1000L, t0Ms = 0L)
+        .select("doc_id", "host", "delay_ms", "seq", "fetch_at_ms")
+        .orderBy("host", "seq")
     }),
 
     "ext_robots_decisions" -> ((s, dir) => {
@@ -3296,6 +3326,25 @@ object Ext {
          |$robotsDecisionCtes
          |SELECT doc_id, url_host, allowed FROM dec
          |ORDER BY doc_id""".stripMargin,
+
+    "ext_crawl_schedule" ->
+      s"""WITH $UrlCorpusSql,
+         |hosts AS (SELECT doc_id, ${Url.hostSql("url_raw")} AS host FROM u),
+         |d(host, agent, delay_ms) AS (VALUES $crawlDelaysValuesSql),
+         |res AS (SELECT host, delay_ms FROM (
+         |  SELECT host, delay_ms,
+         |    row_number() OVER (PARTITION BY host
+         |      ORDER BY CASE WHEN lower(agent) = 'graftbot' THEN 0 ELSE 1 END,
+         |               delay_ms) AS rn
+         |  FROM d WHERE lower(agent) IN ('graftbot', '*')) WHERE rn = 1),
+         |j AS (SELECT h.doc_id, h.host,
+         |        CAST(COALESCE(res.delay_ms, 1000) AS BIGINT) AS delay_ms,
+         |        CAST(row_number() OVER (PARTITION BY h.host
+         |          ORDER BY h.doc_id DESC) AS BIGINT) AS seq
+         |      FROM hosts h LEFT JOIN res ON res.host = h.host)
+         |SELECT doc_id, host, delay_ms, seq,
+         |  (seq - 1) * delay_ms AS fetch_at_ms
+         |FROM j ORDER BY host, seq""".stripMargin,
 
     "ext_warc_roundtrip" ->
       s"""WITH $UrlCorpusSql

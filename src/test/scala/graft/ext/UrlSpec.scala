@@ -130,4 +130,50 @@ class UrlSpec extends SparkSpec {
       5L -> true, 6L -> false, 7L -> true, 8L -> true, 9L -> true,
       10L -> true, 11L -> false), got)
   }
+
+  test("parseCrawlDelays: group sharing, fractions, invalid/negative dropped") {
+    import spark.implicits._
+    val txt = Seq(
+      "User-agent: GraftBot",
+      "User-agent: otherbot",
+      "Crawl-delay: 1.5",      // both agents, fractional seconds
+      "User-agent: *",
+      "Disallow: /tmp",        // directive closes the agent list
+      "User-agent: late",      // new group after rules
+      "Crawl-delay: 2",
+      "Crawl-delay: nope",     // unparsable -> dropped
+      "Crawl-delay: -3").mkString("\n")  // negative -> dropped
+    val got = Url.parseCrawlDelays(Seq(("h1", txt)).toDF("host", "txt"), "txt")
+      .select("agent", "delay_ms").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("graftbot", 1500L), ("otherbot", 1500L),
+      ("late", 2000L)), got)
+  }
+
+  test("resolveCrawlDelays: exact agent beats *, min delay on duplicates") {
+    import spark.implicits._
+    val delays = Seq(
+      ("h1", "*", 2000L), ("h1", "GraftBot", 500L),
+      ("h2", "*", 800L), ("h2", "*", 300L),       // dup directives -> min
+      ("h3", "otherbot", 9000L))                  // foreign agent only
+      .toDF("host", "agent", "delay_ms")
+    val got = Url.resolveCrawlDelays(delays, "graftbot")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("h1" -> 500L, "h2" -> 300L), got)
+  }
+
+  test("politeSchedule: per-host spacing at the resolved delay, default fill") {
+    import spark.implicits._
+    val frontier = Seq(
+      (1L, "h1"), (2L, "h1"), (3L, "h1"), (4L, "h2"), (5L, "h2"))
+      .toDF("id", "host")
+    val delays = Seq(("h1", 500L)).toDF("host", "delay_ms")
+    val got = Url.politeSchedule(frontier, "host", Seq(col("id")),
+        delays, defaultDelayMs = 1000L, t0Ms = 100L)
+      .select("id", "seq", "fetch_at_ms").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> (1L, 100L), 2L -> (2L, 600L), 3L -> (3L, 1100L),
+      4L -> (1L, 100L), 5L -> (2L, 1100L)), got)
+  }
 }
