@@ -983,6 +983,31 @@ object Ext {
           (length(col("text")) - length(col("redacted"))).as("delta_len"))
         .orderBy("doc_id")),
 
+    "ext_pii" -> ((s, dir) => {
+      // structured PII governance over synthetic injections (the corpus
+      // has none; all planted values are reserved test/fiction ranges):
+      // Luhn-valid + checksum-failing cards, in-range + out-of-range
+      // IPs, an intl phone, a case-variant email. Valid matches become
+      // deterministic salted tokens, invalid shapes must survive
+      // verbatim; output = pseudonymized md5 + the signals report.
+      val injected = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 3 === 0,
+            concat(lit("contact User"), col("doc_id").cast("string"),
+              lit("@Example.com pay 4111 1111 1111 1111 not "),
+              lit("4111-1111-1111-1112 "))).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            lit("from 203.0.113.7 bad 999.1.2.3 ")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit("call +14155550123 ")).otherwise(lit("")),
+          col("text")).as("text"))
+      graft.ext.Pii.signals(
+          graft.ext.Pii.pseudonymize(injected, "text", salt = "g7"), "text")
+        .select(col("doc_id"), md5(col("pii_text")).as("pii_md5"),
+          col("n_email"), col("n_phone"), col("n_ip"), col("n_card"))
+        .orderBy("doc_id")
+    }),
+
     "ext_normalize" -> ((s, dir) =>
       // normalization chain incl. the native NFC kernel: every 4th doc is
       // prefixed with DECOMPOSED accents (e+U+0301, I+U+0308), uppercase,
@@ -3128,6 +3153,39 @@ object Ext {
          |  1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
          |    AS repetition
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    "ext_pii" -> {
+      import graft.ext.Pii
+      val passes = Pii.passSqls("g7").zipWithIndex.map {
+        case ((name, mk), i) =>
+          val src = if (i == 0) "inj" else s"p${i - 1}"
+          s"p$i AS (SELECT doc_id, text, ${mk("t")} AS t\n" +
+            s"       FROM (SELECT doc_id, text, ${if (i == 0) "text" else "t"} AS t FROM $src) __$name)"
+      }
+      def pq(p: String) = "'" + p.replace("'", "''") + "'"
+      s"""WITH inj AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN doc_id % 3 = 0 THEN
+         |       'contact User' || CAST(doc_id AS VARCHAR) ||
+         |       '@Example.com pay 4111 1111 1111 1111 not 4111-1111-1111-1112 '
+         |     ELSE '' END) ||
+         |    (CASE WHEN doc_id % 4 = 0 THEN 'from 203.0.113.7 bad 999.1.2.3 '
+         |     ELSE '' END) ||
+         |    (CASE WHEN doc_id % 5 = 0 THEN 'call +14155550123 ' ELSE '' END) ||
+         |    text AS text
+         |  FROM documents),
+         |${passes.mkString(",\n")}
+         |SELECT doc_id, md5(t) AS pii_md5,
+         |  CAST(len(regexp_extract_all(text, ${pq(Pii.EmailPat)})) AS BIGINT)
+         |    AS n_email,
+         |  CAST(len(regexp_extract_all(text, ${pq(Pii.PhonePat)})) AS BIGINT)
+         |    AS n_phone,
+         |  CAST(len(list_filter(regexp_extract_all(text, ${pq(Pii.Ipv4Pat)}),
+         |    m -> ${Pii.ipOkSql("m")})) AS BIGINT) AS n_ip,
+         |  CAST(len(list_filter(regexp_extract_all(text, ${pq(Pii.CardPat)}),
+         |    m -> ${Pii.luhnOkSql("m")})) AS BIGINT) AS n_card
+         |FROM p3 ORDER BY doc_id""".stripMargin
+    },
 
     "ext_redact" ->
       """WITH d AS (
