@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative dataset-level quality constraints — the "data unit test"
+  * layer (Deequ-class) complementing the per-row frictionless engine
+  * ([[Validate]]): where Validate flags individual cells, Checks gates a
+  * whole batch on aggregate invariants before it is accepted into the
+  * warehouse (completeness ratios, key uniqueness, value bounds, domain
+  * membership, row-count windows).
+  *
+  * ALL checks evaluate in ONE aggregation pass over the input: every
+  * check contributes its aggregates to a single `agg` (map-side partial,
+  * one row out), and verdicts are then pure arithmetic unpivoted from
+  * that row — the input is read once no matter how many checks run.
+  * Ratios are exact integer ppm (`observed·1e6 div total`, truncating),
+  * so verdicts replay bit-for-bit in any engine.
+  *
+  * Scale note: [[Unique]] uses COUNT(DISTINCT …), which Catalyst plans
+  * as one Expand × (distinct aggregates) over the input — exact but the
+  * scan multiplies per distinct check (the [[Profile]] trade-off). At
+  * 100 TB run `exact = false`: HyperLogLog++ `approx_count_distinct`
+  * keeps the single pass mergeable. The gate tier is exact because the
+  * oracle must match bit-for-bit. */
+object Checks {
+
+  sealed trait Check
+
+  /** Non-null ratio of `col` ≥ `minPpm` (1e6 = fully complete). */
+  final case class Complete(col: String, minPpm: Long = 1000000L) extends Check
+
+  /** `cols` form a unique key: no duplicate combinations. */
+  final case class Unique(cols: Seq[String]) extends Check
+
+  /** min/max of `col` inside [lo, hi] (inclusive; pass null to skip a
+    * side). Values compare as longs — scale decimals upstream. */
+  final case class Bounds(col: String, lo: Option[Long], hi: Option[Long])
+      extends Check
+
+  /** Ratio of rows whose `col` is in `values` ≥ `minPpm` (nulls count
+    * as misses). */
+  final case class InSet(col: String, values: Seq[String],
+      minPpm: Long = 1000000L) extends Check
+
+  /** Total row count inside [lo, hi] — the anomaly backstop for a batch
+    * that collapsed or exploded upstream. */
+  final case class RowCount(lo: Long, hi: Long) extends Check
+
+  private val Ppm = 1000000L
+
+  /** Evaluate all checks in one pass. Output: one row per check
+    * (check_id, check_type, col_name, observed, threshold_lo,
+    * threshold_hi, passed), ordered by check_id. `observed` is the
+    * check's integer metric: ppm for ratio checks, duplicate count for
+    * Unique, violating-bound distance 0 for Bounds (observed = how many
+    * of min/max fall outside), row count for RowCount. */
+  def run(df: DataFrame, checks: Seq[Check], exact: Boolean = true): DataFrame = {
+    require(checks.nonEmpty, "no checks given")
+    val n = count(lit(1)).as("__n")
+    val aggs = checks.zipWithIndex.flatMap { case (c, i) =>
+      c match {
+        case Complete(cl, _) => Seq(count(col(cl)).as(s"__c$i"))
+        case Unique(cols) =>
+          val d = if (exact) countDistinct(col(cols.head), cols.tail.map(col): _*)
+            else approx_count_distinct(struct(cols.map(col): _*))
+          Seq(d.as(s"__c$i"),
+            count(when(cols.map(col(_).isNotNull).reduce(_ && _), 1))
+              .as(s"__t$i"))
+        case Bounds(cl, _, _) =>
+          Seq(min(col(cl)).cast("long").as(s"__mn$i"),
+            max(col(cl)).cast("long").as(s"__mx$i"))
+        case InSet(cl, vs, _) =>
+          Seq(count(when(col(cl).isin(vs: _*), 1)).as(s"__c$i"))
+        case RowCount(_, _) => Seq.empty
+      }
+    }
+    val wide = df.agg(n, aggs: _*)
+    val rows = checks.zipWithIndex.map { case (c, i) =>
+      def ppm(cname: String) = // exact truncating integer ppm
+        when(col("__n") === 0, lit(Ppm))
+          .otherwise(expr(s"($cname * ${Ppm}L) div __n"))
+      val (typ, cl, obs, lo, hi, ok) = c match {
+        case Complete(colName, minPpm) =>
+          val o = ppm(s"__c$i")
+          ("complete", colName, o, lit(minPpm), lit(null).cast("long"),
+            o >= minPpm)
+        case Unique(cols) =>
+          val dups = col(s"__t$i") - col(s"__c$i")
+          ("unique", cols.mkString(","), dups, lit(null).cast("long"),
+            lit(0L), dups <= 0)
+        case Bounds(colName, l, h) =>
+          val viol =
+            l.map(v => when(col(s"__mn$i") < v, 1L).otherwise(0L))
+              .getOrElse(lit(0L)) +
+            h.map(v => when(col(s"__mx$i") > v, 1L).otherwise(0L))
+              .getOrElse(lit(0L))
+          ("bounds", colName, viol,
+            l.map(lit(_)).getOrElse(lit(null)).cast("long"),
+            h.map(lit(_)).getOrElse(lit(null)).cast("long"), viol === 0)
+        case InSet(colName, _, minPpm) =>
+          val o = ppm(s"__c$i")
+          ("in_set", colName, o, lit(minPpm), lit(null).cast("long"),
+            o >= minPpm)
+        case RowCount(l, h) =>
+          ("row_count", "*", col("__n"), lit(l), lit(h),
+            col("__n") >= l && col("__n") <= h)
+      }
+      struct(lit(i.toLong).as("check_id"), lit(typ).as("check_type"),
+        lit(cl).as("col_name"), obs.cast("long").as("observed"),
+        lo.as("threshold_lo"), hi.as("threshold_hi"), ok.as("passed"))
+    }
+    wide.select(explode(array(rows: _*)).as("c")).select("c.*")
+      .orderBy("check_id")
+  }
+
+  /** True iff every check passed — the batch-acceptance verdict. */
+  def accept(df: DataFrame, checks: Seq[Check], exact: Boolean = true): Boolean =
+    run(df, checks, exact).where(!col("passed")).isEmpty
+}

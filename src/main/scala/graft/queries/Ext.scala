@@ -983,6 +983,23 @@ object Ext {
           (length(col("text")) - length(col("redacted"))).as("delta_len"))
         .orderBy("doc_id")),
 
+    "ext_quality_checks" -> ((s, dir) => {
+      // dataset-level constraint suite (Deequ-class data unit tests) in
+      // ONE aggregation pass over orders: completeness, two key checks
+      // (o_orderkey unique passes, o_custkey unique FAILS), bounds,
+      // domain membership at two thresholds (one failing), row-count
+      // window. Verdicts are exact integer ppm arithmetic.
+      import graft.ops.Checks
+      Checks.run(t(s, dir, "orders"), Seq(
+        Checks.Complete("o_custkey"),
+        Checks.Unique(Seq("o_orderkey")),
+        Checks.Unique(Seq("o_custkey")),
+        Checks.Bounds("o_orderkey", Some(1L), None),
+        Checks.InSet("o_orderstatus", Seq("O", "F"), minPpm = 900000L),
+        Checks.InSet("o_orderstatus", Seq("O", "F", "P")),
+        Checks.RowCount(1L, 10000000L)))
+    }),
+
     "ext_pii" -> ((s, dir) => {
       // structured PII governance over synthetic injections (the corpus
       // has none; all planted values are reserved test/fiction ranges):
@@ -3153,6 +3170,43 @@ object Ext {
          |  1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
          |    AS repetition
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    "ext_quality_checks" ->
+      """WITH a AS (SELECT count(*) AS n,
+        |  count(o_custkey) AS c0,
+        |  count(DISTINCT o_orderkey) AS c1,
+        |  count(CASE WHEN o_orderkey IS NOT NULL THEN 1 END) AS t1,
+        |  count(DISTINCT o_custkey) AS c2,
+        |  count(CASE WHEN o_custkey IS NOT NULL THEN 1 END) AS t2,
+        |  min(o_orderkey) AS mn3, max(o_orderkey) AS mx3,
+        |  count(CASE WHEN o_orderstatus IN ('O','F') THEN 1 END) AS c4,
+        |  count(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 END) AS c5
+        |  FROM orders)
+        |SELECT CAST(check_id AS BIGINT) AS check_id, check_type, col_name,
+        |  CAST(observed AS BIGINT) AS observed,
+        |  CAST(threshold_lo AS BIGINT) AS threshold_lo,
+        |  CAST(threshold_hi AS BIGINT) AS threshold_hi, passed
+        |FROM (
+        |  SELECT 0 AS check_id, 'complete' AS check_type,
+        |    'o_custkey' AS col_name, (c0 * 1000000) // n AS observed,
+        |    1000000 AS threshold_lo, NULL AS threshold_hi,
+        |    (c0 * 1000000) // n >= 1000000 AS passed FROM a
+        |  UNION ALL SELECT 1, 'unique', 'o_orderkey', t1 - c1, NULL, 0,
+        |    t1 - c1 <= 0 FROM a
+        |  UNION ALL SELECT 2, 'unique', 'o_custkey', t2 - c2, NULL, 0,
+        |    t2 - c2 <= 0 FROM a
+        |  UNION ALL SELECT 3, 'bounds', 'o_orderkey',
+        |    (CASE WHEN mn3 < 1 THEN 1 ELSE 0 END), 1, NULL,
+        |    mn3 >= 1 FROM a
+        |  UNION ALL SELECT 4, 'in_set', 'o_orderstatus',
+        |    (c4 * 1000000) // n, 900000, NULL,
+        |    (c4 * 1000000) // n >= 900000 FROM a
+        |  UNION ALL SELECT 5, 'in_set', 'o_orderstatus',
+        |    (c5 * 1000000) // n, 1000000, NULL,
+        |    (c5 * 1000000) // n >= 1000000 FROM a
+        |  UNION ALL SELECT 6, 'row_count', '*', n, 1, 10000000,
+        |    n BETWEEN 1 AND 10000000 FROM a)
+        |ORDER BY check_id""".stripMargin,
 
     "ext_pii" -> {
       import graft.ext.Pii

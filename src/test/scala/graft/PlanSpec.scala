@@ -525,6 +525,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "broadcast merge must not shuffle the target")
   }
 
+  test("quality checks: one input scan feeds every constraint, no join") {
+    val p = plan("ext_quality_checks")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"all checks must share ONE scan, got $scans:\n$p")
+    assert(!p.contains("Join"), "checks are one aggregate, never a join")
+    assert(!analyzed("ext_quality_checks").contains("Window"),
+      "verdict unpivot is an explode, never a window")
+  }
+
   test("lr scoring: broadcast model, map-side partial doc rollup, no window") {
     val p = plan("ext_lr_quality")
     assert(p.contains("BroadcastHashJoin"),
