@@ -23,6 +23,24 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
 
+  /** Cross-source priority dedup — the multi-source merge rule of
+    * Dolma/RedPajama-class corpus assembly: when the same content
+    * appears in several sources, keep the copy from the most-trusted
+    * one. Per content hash the winner is min(priority, id) — a single
+    * partial-aggregating min-struct shuffle on the 128-bit hash, ties
+    * pinned by id so the pick is total. Output: (fingerprint, keep_id,
+    * keep_priority, copies, n_sources). */
+  def exactPriority(
+      df: DataFrame, textCol: String, idCol: String,
+      priorityCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("fingerprint"))
+      .agg(
+        min(struct(col(priorityCol).as("p"), col(idCol).as("id"))).as("__w"),
+        count(lit(1)).as("copies"),
+        countDistinct(col(priorityCol)).as("n_sources"))
+      .select(col("fingerprint"), col("__w.id").as("keep_id"),
+        col("__w.p").as("keep_priority"), col("copies"), col("n_sources"))
+
   /** MinHash signature column: the codegen'd native expression when the
     * graft session extensions are registered (≈7× the interpreted HOF
     * pipeline), else the declarative form — byte-identical outputs. */

@@ -49,6 +49,31 @@ object Sampling {
       .otherwise("test")
   }
 
+  /** Leakage-safe train/valid/test split: near-duplicate documents must
+    * never straddle splits (a test doc whose near-copy sits in train is
+    * leaked evaluation), so the split hash keys on the doc's DUP-CLUSTER
+    * representative instead of the doc itself — [[splitAssign]] over
+    * `coalesce(cluster, id)`, the group-closed split (GroupShuffleSplit
+    * semantics) with MinHash clusters as the groups.
+    *
+    * Scale shape: clustering is the already-bounded banded-LSH pair join
+    * + label propagation ([[Dedup.duplicateClusters]]); the assignment
+    * itself adds one left join against the cluster table (pair-bounded,
+    * far smaller than the corpus — AQE broadcasts it when it fits) and a
+    * per-row hash. Singleton docs skip the cluster table entirely. */
+  def leakageSafeSplit(
+      df: DataFrame, textCol: String, idCol: String, threshold: Double,
+      trainPct: Int, validPct: Int, salt: String = "split"): DataFrame = {
+    val clusters = Dedup.duplicateClusters(
+      Dedup.minhashPairs(df, textCol, idCol, threshold))
+    df.join(clusters, df(idCol) === clusters("id"), "left")
+      .withColumn("split",
+        splitAssign(coalesce(col("cluster"), df(idCol)), trainPct, validPct,
+          salt))
+      .withColumn("split_group", coalesce(col("cluster"), df(idCol)))
+      .drop("id", "cluster")
+  }
+
   /** Deterministic pseudo-random training order: sort by the salted hash
     * (id tiebreak). Changing the salt re-shuffles (one salt per epoch); at
     * scale this is a range-partitioned distributed sort whose output

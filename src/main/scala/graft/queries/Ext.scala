@@ -460,6 +460,30 @@ object Ext {
         Dedup.minhashPairs(nearDupCorpus(s, dir), "text", "doc_id", threshold = 0.6))
         .orderBy("id")),
 
+    "ext_priority_dedup" -> ((s, dir) => {
+      // multi-source merge: the same text planted in three "sources"
+      // (priority 1 = curated beats 2 = base beats 3 = crawl); per
+      // content hash the curated copy must win, ties pinned by id
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val multi = docs.select(col("doc_id"), col("text"), lit(2L).as("prio"))
+        .unionByName(docs.where(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+            lit(1L).as("prio")))
+        .unionByName(docs.where(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
+            lit(3L).as("prio")))
+      Dedup.exactPriority(multi, "text", "doc_id", "prio")
+        .orderBy("fingerprint")
+    }),
+
+    "ext_leakage_split" -> ((s, dir) =>
+      // group-closed train/valid/test split: near-dup cluster members
+      // hash as ONE group so no eval doc has a training near-copy
+      Sampling.leakageSafeSplit(nearDupCorpus(s, dir), "text", "doc_id",
+          threshold = 0.6, trainPct = 80, validPct = 10, salt = "lk1")
+        .select("doc_id", "split_group", "split")
+        .orderBy("doc_id")),
+
     "ext_dedup_embedding_lsh" -> ((s, dir) => {
       // LSH-bucket blocking (the at-scale variant of label blocking)
       val e = t(s, dir, "embeddings")
@@ -2335,6 +2359,49 @@ object Ext {
          |  UNION
          |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
          |SELECT id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "ext_priority_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |multi AS (
+        |  SELECT doc_id, text, 2 AS prio FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text, 1 FROM base WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text, 3 FROM base WHERE doc_id % 9 = 0),
+        |ranked AS (
+        |  SELECT md5(text) AS fingerprint, doc_id, prio,
+        |    row_number() OVER (PARTITION BY md5(text)
+        |      ORDER BY prio, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY md5(text)) AS copies,
+        |    COUNT(DISTINCT prio) OVER (PARTITION BY md5(text)) AS n_sources
+        |  FROM multi)
+        |SELECT fingerprint, doc_id AS keep_id, CAST(prio AS BIGINT)
+        |    AS keep_priority,
+        |  CAST(copies AS BIGINT) AS copies, CAST(n_sources AS BIGINT)
+        |    AS n_sources
+        |FROM ranked WHERE rn = 1 ORDER BY fingerprint""".stripMargin,
+
+    "ext_leakage_split" ->
+      s"""WITH RECURSIVE $MinhashPairsCtes,
+         |p AS (SELECT a_id, b_id FROM verified WHERE jaccard >= 0.6),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM p
+         |          UNION SELECT b_id, a_id FROM p),
+         |verts AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |cl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+         |grp AS (SELECT c.doc_id,
+         |          COALESCE(cl.cluster, c.doc_id) AS split_group
+         |        FROM corpus c LEFT JOIN cl ON cl.id = c.doc_id)
+         |SELECT doc_id, split_group,
+         |  CASE WHEN ${Sampling.pctHashSql("split_group", "lk1")} < 80
+         |         THEN 'train'
+         |       WHEN ${Sampling.pctHashSql("split_group", "lk1")} < 90
+         |         THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM grp ORDER BY doc_id""".stripMargin,
 
     "ext_dedup_simhash" ->
       s"""WITH $NearDupCorpusSql,

@@ -19,6 +19,42 @@ class ExtSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 2L), (2L, 1L)))
   }
 
+  test("priority dedup: most-trusted source wins, id pins priority ties") {
+    val multi = spark.createDataFrame(java.util.List.of(
+      Row(1L, "shared", 3L), Row(2L, "shared", 1L), Row(3L, "shared", 2L),
+      Row(4L, "tied", 2L), Row(5L, "tied", 2L),
+      Row(6L, "solo", 1L)),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("prio", LongType))))
+    val out = Dedup.exactPriority(multi, "text", "doc_id", "prio")
+      .orderBy("keep_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (2L, 1L, 3L, 3L),   // "shared": prio 1 beats 2 and 3
+      (4L, 2L, 2L, 1L),   // "tied": equal prio -> lowest id
+      (6L, 1L, 1L, 1L)), out.toSeq)
+  }
+
+  test("leakage-safe split: near-dup cluster members share one split") {
+    // three near-identical docs + one distinct: the trio must land in
+    // the SAME split under any salt because they hash as one group
+    val corpus = docs(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again now"),
+      (3L, "the quick brown fox jumps over the lazy dog again soon"),
+      (4L, "completely different content with no overlap whatsoever here"))
+    for (salt <- Seq("a", "b", "c")) {
+      val out = Sampling.leakageSafeSplit(corpus, "text", "doc_id",
+        threshold = 0.3, trainPct = 60, validPct = 20, salt = salt)
+        .select("doc_id", "split_group", "split").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      assert(out.size == 4)
+      val trio = Set(out(1L), out(2L), out(3L))
+      assert(trio.size == 1, s"cluster split apart under salt $salt: $out")
+      assert(out(4L)._1 == 4L, "singleton groups by its own id")
+    }
+  }
+
   test("shingles: word 3-grams; short texts fall back to whole text") {
     val out = docs((1L, "a b c d"), (2L, "x y"))
       .select(TextHash.shingles(col("text")).as("s"))
