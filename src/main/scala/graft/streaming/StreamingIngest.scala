@@ -354,6 +354,47 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** Streaming classifier screen: the FineWeb-Edu-style supervised
+    * quality gate as a continuous ingest stage — each micro-batch scores
+    * against a PRE-TRAINED hard-sigmoid LR model
+    * ([[graft.ext.LogReg.score]]: broadcast weight table, one batch
+    * pass) and keeps documents the classifier accepts (pred = 1,
+    * optionally a stricter integer-margin floor). Training stays an
+    * offline batch job — the stream only consumes the frozen weights,
+    * so stream state is the checkpoint offsets alone. */
+  def classifierGateIngestAvailableNow(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      store: TableStore,
+      table: String,
+      checkpointDir: String,
+      textCol: String,
+      idCol: String,
+      weights: DataFrame,
+      buckets: Int,
+      minMargin: Long = 0L
+  ): Unit = {
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .json(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val keep = graft.ext.LogReg
+          .score(batch, weights, textCol, idCol, buckets)
+          .where(col("zq") >= minMargin)
+          .select(col(idCol))
+        val fresh = batch.join(keep, idCol)
+        if (store.exists(table)) store.append(table, fresh)
+        else store.overwrite(table, fresh)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming blocklist screen: the C4-style badwords drop as a
     * continuous ingest stage — each micro-batch runs the one-pass
     * Aho–Corasick kernel ([[graft.ext.Blocklist]]) and keeps documents

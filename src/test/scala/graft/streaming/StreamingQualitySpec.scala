@@ -57,6 +57,44 @@ class StreamingQualitySpec extends SparkSpec {
     assert(ids == Set(1L, 4L))
   }
 
+  test("streaming classifier gate keeps positives across batches and restarts") {
+    val work = Files.createTempDirectory("graft_sclf")
+    val src = work.resolve("src"); Files.createDirectories(src)
+    val store = new TableStore(spark, work.resolve("store").toString)
+    val ckpt = work.resolve("ckpt").toString
+    val B = 256
+
+    // offline training: separable vocabularies, frozen weights
+    val labeled = (Seq.fill(6)("good fine great signal").map((_, 1L)) ++
+      Seq.fill(6)("bad junk awful filler").map((_, 0L))).zipWithIndex
+      .map { case ((t, y), i) => (i.toLong, t, y) }.toDF("doc_id", "text", "y")
+    val w = graft.ext.LogReg.train(labeled, "text", "doc_id",
+      org.apache.spark.sql.functions.col("y"), B, iterations = 4)
+
+    def write(name: String, rows: (Long, String)*): Unit = {
+      Files.writeString(src.resolve(name),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("", "\n", "\n"))
+      ()
+    }
+    def ingest(): Unit = StreamingIngest.classifierGateIngestAvailableNow(
+      spark, src.toString, schema, store, "clean", ckpt, "text", "doc_id",
+      w, B)
+    def ids: Set[Long] = store.scan("clean").collect().map(_.getLong(0)).toSet
+
+    write("f1.json", 1L -> "good fine content", 2L -> "junk awful bad")
+    ingest()
+    assert(ids == Set(1L), s"classifier keeps the positive doc: $ids")
+
+    write("f2.json", 3L -> "great signal here", 4L -> "filler junk")
+    ingest()
+    assert(ids == Set(1L, 3L))
+
+    // no-op rerun: checkpoint skips processed files
+    ingest()
+    assert(ids == Set(1L, 3L))
+  }
+
   test("streaming blocklist screen drops flagged docs across batches and restarts") {
     val work = Files.createTempDirectory("graft_sbl")
     val src = work.resolve("src"); Files.createDirectories(src)
