@@ -92,4 +92,55 @@ object TimeSeries {
       .withColumn("value", last(col("obs_value"), ignoreNulls = true).over(fill))
       .drop("obs_value")
   }
+
+  /** Ordered funnel analysis: per key, how far through the `steps`
+    * sequence did the events progress? Stage k+1 counts only when an
+    * event of that type occurs STRICTLY after the event that completed
+    * stage k (simultaneous timestamps do not advance — the semantics of
+    * the classic min-chain SQL funnel, to which this fold is provably
+    * equivalent: over time-sorted events, the first next-step event with
+    * ts > t_k IS min(ts | type = step_{k+1}, ts > t_k)).
+    *
+    * One keyed shuffle: irrelevant event types are filtered BEFORE the
+    * aggregate, each key folds its own time-sorted event list (per-key
+    * memory = that key's relevant-event count — cap upstream for
+    * pathological keys, same caveat as [[sessionize]]), and the fold is
+    * a single linear pass. No window, no self-join, no per-stage pass —
+    * a k-stage funnel over 100 TB of events costs one partial-agg
+    * shuffle of the filtered stream, not k of them.
+    *
+    * Output: (keyCol, stage, t_last) — stages completed (0..k) and the
+    * completion time of the last completed stage (null at stage 0).
+    * Keys with no relevant events yield no row. */
+  def funnel(
+      events: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      typeCol: String,
+      steps: Seq[String]
+  ): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val stepArr = typedLit(steps)
+    val n = steps.size
+    val folded = aggregate(
+      sort_array(col("evs")),
+      struct(lit(0L).as("stage"), lit(Long.MinValue).as("t")),
+      (acc, e) => {
+        val stage = acc.getField("stage")
+        val adv = stage < n &&
+          e.getField("e") === element_at(stepArr, (stage + 1).cast("int")) &&
+          e.getField("t") > acc.getField("t")
+        struct(when(adv, stage + 1).otherwise(stage).as("stage"),
+          when(adv, e.getField("t")).otherwise(acc.getField("t")).as("t"))
+      })
+    events
+      .where(col(typeCol).isin(steps: _*))
+      .groupBy(col(keyCol))
+      .agg(collect_list(struct(col(timeCol).as("t"), col(typeCol).as("e")))
+        .as("evs"))
+      .select(col(keyCol), folded.getField("stage").as("stage"),
+        when(folded.getField("stage") > 0, folded.getField("t"))
+          .as("t_last"))
+  }
 }

@@ -764,6 +764,19 @@ object Analytics {
     // counts per (cohort, week offset). The first-event aggregate and the
     // join back both shuffle on user_id (co-partitioned — one exchange of
     // each side); the output grid is weeks², tiny at any scale
+    "q_funnel" -> ((s, dir) => {
+      // ordered view→click→purchase funnel per user: the filtered event
+      // stream shuffles ONCE on user, each user folds its time-sorted
+      // events — provably equal to the min-chain SQL funnel the oracle
+      // runs (stage k+1 = first next-step event strictly after t_k)
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("us"),
+          col("event_type"))
+      graft.ops.TimeSeries.funnel(e, "user_id", "us", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy("user_id")
+    }),
+
     "q_cohort_retention" -> ((s, dir) => {
       val wk = 604800000000L // 7 days in µs
       val e = Tables.events(s, dir)
@@ -1038,6 +1051,28 @@ object Analytics {
         |  CAST(qty AS DOUBLE) AS total_qty
         |FROM big JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY total_qty DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS us, event_type
+        |           FROM events),
+        |t1 AS (SELECT user_id, MIN(us) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, MIN(us) AS t FROM e
+        |       JOIN t1 ON t1.user_id = e.user_id
+        |       WHERE event_type = 'click' AND us > t1.t GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, MIN(us) AS t FROM e
+        |       JOIN t2 ON t2.user_id = e.user_id
+        |       WHERE event_type = 'purchase' AND us > t2.t GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM e
+        |      WHERE event_type IN ('view', 'click', 'purchase'))
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN t3.t IS NOT NULL THEN 3
+        |            WHEN t2.t IS NOT NULL THEN 2
+        |            WHEN t1.t IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+        |  COALESCE(t3.t, t2.t, t1.t) AS t_last
+        |FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+        |  LEFT JOIN t3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     "q_cohort_retention" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS us FROM events),

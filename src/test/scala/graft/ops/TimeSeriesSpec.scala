@@ -52,6 +52,60 @@ class TimeSeriesSpec extends SparkSpec {
       300L -> Some(3.0), 400L -> Some(3.0)), s"got $got")
   }
 
+  test("funnel: ordered stages, strict-time advance, stage-0 rows") {
+    import spark.implicits._
+    val e = Seq(
+      // user 1: full funnel in order
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "buy"),
+      // user 2: click before view doesn't count; no click after -> stage 1
+      (2L, 5L, "click"), (2L, 10L, "view"),
+      // user 3: simultaneous view+click -> click must NOT advance
+      (3L, 10L, "view"), (3L, 10L, "click"), (3L, 40L, "buy"),
+      // user 4: relevant events but never step 1 -> stage 0, null t_last
+      (4L, 10L, "click"), (4L, 20L, "buy"),
+      // user 5: only irrelevant events -> no row
+      (5L, 10L, "other"))
+      .toDF("u", "t", "e")
+    val got = TimeSeries.funnel(e, "u", "t", "e", Seq("view", "click", "buy"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> ((3L, 30L)), 2L -> ((1L, 10L)), 3L -> ((1L, 10L)),
+      4L -> ((0L, -1L))), got)
+  }
+
+  test("funnel fold == independent min-chain reference on random streams") {
+    import spark.implicits._
+    val steps = Seq("a", "b", "c")
+    def ref(evs: Seq[(Long, String)]): (Long, Option[Long]) = {
+      var stage = 0
+      var t = Long.MinValue
+      var done = false
+      while (!done && stage < steps.size) {
+        val nxt = evs.filter(x => x._2 == steps(stage) && x._1 > t)
+        if (nxt.isEmpty) done = true
+        else { t = nxt.map(_._1).min; stage += 1 }
+      }
+      (stage.toLong, if (stage > 0) Some(t) else None)
+    }
+    val rnd = new scala.util.Random(23)
+    val types = Vector("a", "b", "c", "x")
+    val rows = for {
+      u <- 0 until 60
+      _ <- 0 until (1 + rnd.nextInt(10))
+    } yield (u.toLong, rnd.nextInt(8).toLong, types(rnd.nextInt(types.size)))
+    val got = TimeSeries.funnel(rows.toDF("u", "t", "e"), "u", "t", "e", steps)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+      .toMap
+    rows.groupBy(_._1).foreach { case (u, evs) =>
+      val rel = evs.filter(x => steps.contains(x._3)).map(x => (x._2, x._3))
+      if (rel.nonEmpty)
+        assert(got(u) == ref(rel), s"user $u: events $rel")
+      else assert(!got.contains(u), s"user $u must emit no row")
+    }
+  }
+
   test("resampleFill: an outlier span fails fast with the contract error") {
     import spark.implicits._
     val e = Seq((1L, 0L, 1.0), (1L, Long.MaxValue / 2, 2.0)).toDF("user_id", "t", "v")
