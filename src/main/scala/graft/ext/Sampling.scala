@@ -121,6 +121,55 @@ object Sampling {
     }
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES): item i gets u_i ∈ (0,1] from its salted hash and
+    * survives if its key ln(u_i)/w_i is among the k largest — the
+    * classic one-pass reservoir scheme, made reproducible by replacing
+    * randomness with the salted md5 (same salt → same sample; new salt →
+    * fresh draw). Inclusion probability rises with weight exactly as
+    * u^(1/w) reservoir sampling prescribes.
+    *
+    * Keys are quantized round(ln(u)/w · 1e9) — the engine-wide log-space
+    * quantum that absorbs last-ulp ln/÷ drift between engines, and
+    * exact as a double (|key| ≤ ~2.2e10 < 2^53) so the oracle replays
+    * the selection bit-for-bit. Rows with weight ≤ 0 or null id are
+    * excluded (zero-weight items have inclusion probability 0).
+    *
+    * Scale shape: one narrow pass + the bounded `graft_topk` aggregate —
+    * every mapper keeps its own k candidates, the single-group shuffle
+    * carries ≤ mappers × k rows, never the corpus. Output: (idCol,
+    * key_q, rank ∈ 1..k) ordered by rank. */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val h = TextHash.hmod(concat(col(idCol).cast("string"), lit(":" + salt)))
+    val keyq = round(
+      log((h + 1).cast("double") / lit(TextHash.P.toDouble)) /
+        col(weightCol).cast("double") * lit(Dsir.LrScale)).cast("long")
+    val keyed = df.where(col(weightCol) > 0)
+      .select(col(idCol).cast("long").as("__id"), keyq.as("__k"))
+    if (df.sparkSession.catalog.functionExists("graft_topk")) {
+      keyed
+        .agg(call_function("graft_topk",
+          col("__k").cast("double"), col("__id"), lit(k)).as("top"))
+        .select(posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("t.id").as(idCol), col("t.score").cast("long").as("key_q"),
+          (col("pos") + 1).cast("long").as("rank"))
+    } else {
+      // fallback: global sort prefix (k rows), then rank the prefix
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("__k").desc, col("__id").asc)
+      keyed.orderBy(col("__k").desc, col("__id").asc).limit(k)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("__id").as(idCol), col("__k").as("key_q"), col("rank"))
+    }
+  }
+
   /** Temperature-scaled domain mix (square-root temperature, τ=2): keep
     * each stratum at a rate proportional to the SQUARE ROOT of its relative
     * size — the standard rebalancing that upweights small domains/languages

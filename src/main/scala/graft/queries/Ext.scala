@@ -1323,6 +1323,14 @@ object Ext {
         "host", "doc_id", k = 15, salt = "crawl1")
         .orderBy("host", "rank")),
 
+    "ext_weighted_sample" -> ((s, dir) =>
+      // deterministic Efraimidis–Spirakis weighted draw: 100 docs, char
+      // mass as weight, selection replayed bit-for-bit from quantized
+      // ln(u)/w keys through the bounded graft_topk shuffle
+      Sampling.weightedSample(t(s, dir, "documents"), "doc_id", "n_chars",
+          k = 100, salt = "ws1")
+        .orderBy("rank")),
+
     "ext_quota_cap" -> ((s, dir) =>
       // domain-mix balancing: ≤50 docs per language by salted-hash draw,
       // via the bounded graft_topk aggregate (the overrepresented group
@@ -3572,6 +3580,19 @@ object Ext {
          |  FROM h)
          |SELECT host, doc_id, rank FROM r WHERE rank <= 15
          |ORDER BY host, rank""".stripMargin,
+
+    "ext_weighted_sample" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    CAST(round(
+         |      ln(CAST(${TextHash.hmodSql("(doc_id :: VARCHAR || ':ws1')")} + 1
+         |            AS DOUBLE) / ${TextHash.P})
+         |      / n_chars * 1e9) AS BIGINT) AS key_q
+         |  FROM documents WHERE n_chars > 0)
+         |SELECT doc_id, key_q,
+         |  CAST(row_number() OVER (ORDER BY key_q DESC, doc_id ASC) AS BIGINT)
+         |    AS rank
+         |FROM s ORDER BY key_q DESC, doc_id ASC LIMIT 100""".stripMargin,
 
     "ext_quota_cap" ->
       s"""WITH h AS (

@@ -33,6 +33,48 @@ class SamplingSpec extends SparkSpec {
     assert(counts("train") > total * 6 / 10, "train band must dominate")
   }
 
+  test("weightedSample == independent A-ES reference; layout-independent") {
+    import spark.implicits._
+    def md5mod(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(0, 15), 16) % TextHash.P
+    }
+    val rnd = new scala.util.Random(31)
+    val items = (0 until 300).map(i => (i.toLong, 1L + rnd.nextInt(5000)))
+    val df = items.toDF("id", "w")
+    val want = items.map { case (id, w) =>
+      val u = (md5mod(s"$id:t1") + 1).toDouble / TextHash.P
+      (id, Math.round(Math.log(u) / w * 1e9))
+    }.sortBy { case (id, k) => (-k, id) }.take(25)
+      .zipWithIndex.map { case ((id, k), i) => (id, k, i + 1L) }
+    val got = Sampling.weightedSample(df, "id", "w", k = 25, salt = "t1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"got $got\nwant $want")
+    val got2 = Sampling.weightedSample(df.repartition(7), "id", "w", 25, "t1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got2 == got, "selection must not depend on partition layout")
+  }
+
+  test("weightedSample: weight drives inclusion; nonpositive weights excluded") {
+    import spark.implicits._
+    // 50 heavy (w=1000) + 50 light (w=10) items: across salts the heavy
+    // half must dominate the k=20 draw
+    val df = ((0 until 50).map(i => (i.toLong, 1000L)) ++
+      (50 until 100).map(i => (i.toLong, 10L))).toDF("id", "w")
+    val heavyShare = Seq("s1", "s2", "s3").map { salt =>
+      Sampling.weightedSample(df, "id", "w", k = 20, salt)
+        .where(col("id") < 50).count()
+    }
+    assert(heavyShare.forall(_ >= 15), s"heavy items must dominate: $heavyShare")
+    val withBad = df.union(Seq((200L, 0L), (201L, -5L)).toDF("id", "w"))
+    val ids = Sampling.weightedSample(withBad, "id", "w", 200, "s1")
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids(200L) && !ids(201L) && ids.size == 100,
+      "nonpositive weights never sampled")
+  }
+
   test("temperature mix: sqrt rates, largest stratum fully kept, reproducible") {
     val out = Sampling.temperatureMix(docs.select("doc_id", "lang"), "lang", "doc_id")
     val kept = out.groupBy("lang", "rate_pct").agg(count(lit(1)).as("n"))
