@@ -36,6 +36,15 @@ final case class AttributedPurchase(user_id: Long, purchase_ms: Long, click_ms: 
   * within-watermark click/purchase tails (see streamingAsOf). */
 final case class AsOfState(mature: Option[Long], clicks: Seq[Long], purchases: Seq[Long])
 
+/** Streaming funnel input: integral event time (caller's unit). */
+final case class FunnelEvent(user_id: Long, ts: Long, event_type: String)
+
+/** Streaming funnel state/output: stages completed and the completion
+  * time of the last completed stage (MinValue sentinel in state, None in
+  * output at stage 0). */
+final case class FunnelState(stage: Int, t: Long)
+final case class FunnelProgress(user_id: Long, stage: Long, t_last: Option[Long])
+
 object StreamingIngest {
 
   /** Incrementally ingest files appearing under `sourceDir` into `table`.
@@ -264,6 +273,48 @@ object StreamingIngest {
             state.setTimeoutTimestamp(math.max(wm, maxTs) + idleGapMs)
             out.iterator
           }
+      }
+  }
+
+  /** Live funnel tracking — [[graft.ops.TimeSeries.funnel]] lifted onto
+    * the streaming runtime with `mapGroupsWithState`: per user the state
+    * is just (stage, t_last) — two scalars, NOT the event history — and
+    * each micro-batch folds its time-sorted events from that state with
+    * the batch operator's exact advance rule (next step type, strictly
+    * later than t_last). Emits the user's current progress after every
+    * batch that touched it (Update mode).
+    *
+    * Equivalence contract: with per-user event-time order preserved
+    * ACROSS batches (per-key ordered delivery, the Kafka-partition-per-
+    * key posture), the final state equals the batch funnel over the
+    * concatenated stream — spec-pinned. Under cross-batch disorder a
+    * late earlier-step event cannot retroactively advance a stage
+    * (state keeps no history by design); the batch operator over the
+    * full log is the reconciliation path.
+    *
+    * Scale shape: state store carries two scalars per user; each batch
+    * shuffles only its own (filtered) events by user. */
+  def streamingFunnel(
+      ds: org.apache.spark.sql.Dataset[FunnelEvent],
+      steps: Seq[String]
+  ): org.apache.spark.sql.Dataset[FunnelProgress] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import ds.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    ds.filter(e => steps.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelProgress](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          events.toSeq.sortBy(e => (e.ts, e.event_type)).foreach { e =>
+            if (s.stage < steps.size && e.event_type == steps(s.stage) &&
+                e.ts > s.t)
+              s = FunnelState(s.stage + 1, e.ts)
+          }
+          state.update(s)
+          FunnelProgress(user, s.stage.toLong,
+            if (s.stage > 0) Some(s.t) else None)
       }
   }
 
