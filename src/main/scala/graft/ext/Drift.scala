@@ -50,11 +50,14 @@ object Drift {
     * approaches ln 2 ≈ 0.6931. Either side empty is an error — there is
     * no distribution to compare. */
   def jsDivergence(ref: DataFrame, batch: DataFrame, textCol: String,
-      buckets: Int = 4096): DataFrame = {
-    val hp = tokenHistogram(ref, textCol, buckets)
-      .withColumnRenamed("n", "np")
-    val hq = tokenHistogram(batch, textCol, buckets)
-      .withColumnRenamed("n", "nq")
+      buckets: Int = 4096): DataFrame =
+    jsOfHistograms(
+      tokenHistogram(ref, textCol, buckets).withColumnRenamed("n", "np"),
+      tokenHistogram(batch, textCol, buckets).withColumnRenamed("n", "nq"))
+
+  /** The JS core over two (bucket, count) histograms — the identical
+    * quantized arithmetic for token and numeric variants. */
+  private def jsOfHistograms(hp: DataFrame, hq: DataFrame): DataFrame = {
     val j = hp.join(hq, Seq("bucket"), "full_outer")
       .select(coalesce(col("np"), lit(0L)).as("np"),
         coalesce(col("nq"), lit(0L)).as("nq"))
@@ -77,6 +80,38 @@ object Drift {
           col("__sq").cast("double") / (lit(2e9) * col("n_batch").cast("double")))
           .as("js"))
   }
+
+  /** Fixed-width numeric histogram over [lo, hi): bin −1 collects
+    * underflow, bin `bins` overflow, interior bins are
+    * floor((v − lo)·bins/(hi − lo)) — a fixed-shape double expression
+    * any engine reproduces. Nulls are dropped (no value, no mass). */
+  def numericHistogram(df: DataFrame, valueCol: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0, "Drift: bins must be positive")
+    require(lo < hi, "Drift: lo must be < hi")
+    val v = col(valueCol).cast("double")
+    val bin = when(v < lo, lit(-1L))
+      .when(v >= hi, lit(bins.toLong))
+      .otherwise(floor((v - lit(lo)) * lit(bins.toDouble) / lit(hi - lo))
+        .cast("long"))
+    df.where(v.isNotNull)
+      .select(bin.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /** JS divergence between two NUMERIC distributions — the feature/
+    * metric drift monitor (price mix, doc-length mix, score
+    * distributions) beside the token-level corpus monitor. Same
+    * one-pass histogram collapse (bins + 2 rows per side) and the same
+    * quantized JS arithmetic; out-of-range mass lands in the under/
+    * overflow bins rather than silently vanishing. */
+  def jsDivergenceNumeric(ref: DataFrame, batch: DataFrame,
+      valueCol: String, lo: Double, hi: Double, bins: Int = 256): DataFrame =
+    jsOfHistograms(
+      numericHistogram(ref, valueCol, lo, hi, bins)
+        .withColumnRenamed("n", "np"),
+      numericHistogram(batch, valueCol, lo, hi, bins)
+        .withColumnRenamed("n", "nq"))
 
   /** Per-slice drift: JS divergence of every `keyCol` group in `batch`
     * against the whole reference — which source/language/host is driving

@@ -1024,6 +1024,22 @@ object Ext {
         Checks.RowCount(1L, 10000000L)))
     }),
 
+    "ext_drift_numeric" -> ((s, dir) => {
+      // numeric feature-drift monitor: order-price mix of one customer
+      // half vs the other, with a +50k shift planted on a quarter of the
+      // batch side — the drift registers through fixed-width bins (incl.
+      // overflow mass), same quantized JS arithmetic as the token monitor
+      val o = t(s, dir, "orders")
+      val ref = o.where(col("o_custkey") % 2 === 0)
+        .select(col("o_totalprice").as("v"))
+      val bat = o.where(col("o_custkey") % 2 === 1)
+        .select(when(col("o_orderkey") % 4 === 0,
+          col("o_totalprice") + lit(50000.0))
+          .otherwise(col("o_totalprice")).as("v"))
+      Drift.jsDivergenceNumeric(ref, bat, "v", lo = 0.0, hi = 600000.0,
+        bins = 64)
+    }),
+
     "ext_pii" -> ((s, dir) => {
       // structured PII governance over synthetic injections (the corpus
       // has none; all planted values are reserved test/fiction ranges):
@@ -2269,6 +2285,51 @@ object Ext {
          |    CAST(COUNT(*) AS BIGINT) AS nq
          |  FROM (SELECT unnest(${tokensSql("text")}) AS tok FROM bat)
          |  GROUP BY 1),
+         |j AS (
+         |  SELECT COALESCE(hp.np, 0) AS np, COALESCE(hq.nq, 0) AS nq
+         |  FROM hp FULL JOIN hq ON hp.bucket = hq.bucket),
+         |t AS (
+         |  SELECT CAST(SUM(np) AS BIGINT) AS tnp,
+         |    CAST(SUM(nq) AS BIGINT) AS tnq FROM j),
+         |s AS (
+         |  SELECT t.tnp, t.tnq,
+         |    SUM(CASE WHEN np > 0 THEN CAST(np AS HUGEINT) *
+         |      CAST(round(ln(((2.0 * CAST(np AS DOUBLE)) * CAST(t.tnq AS DOUBLE)) /
+         |        ((CAST(np AS DOUBLE) * CAST(t.tnq AS DOUBLE)) +
+         |         (CAST(nq AS DOUBLE) * CAST(t.tnp AS DOUBLE)))) * 1e9)
+         |        AS BIGINT) END) AS sp,
+         |    SUM(CASE WHEN nq > 0 THEN CAST(nq AS HUGEINT) *
+         |      CAST(round(ln(((2.0 * CAST(nq AS DOUBLE)) * CAST(t.tnp AS DOUBLE)) /
+         |        ((CAST(np AS DOUBLE) * CAST(t.tnq AS DOUBLE)) +
+         |         (CAST(nq AS DOUBLE) * CAST(t.tnp AS DOUBLE)))) * 1e9)
+         |        AS BIGINT) END) AS sq
+         |  FROM j CROSS JOIN t GROUP BY t.tnp, t.tnq)
+         |SELECT tnp AS n_ref, tnq AS n_batch,
+         |  CAST(sp AS DOUBLE) / (2e9 * CAST(tnp AS DOUBLE)) +
+         |  CAST(sq AS DOUBLE) / (2e9 * CAST(tnq AS DOUBLE)) AS js
+         |FROM s""".stripMargin,
+
+    "ext_drift_numeric" ->
+      s"""WITH refd AS (
+         |  SELECT o_totalprice AS v FROM orders WHERE o_custkey % 2 = 0),
+         |bat AS (
+         |  SELECT CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 50000.0
+         |         ELSE o_totalprice END AS v
+         |  FROM orders WHERE o_custkey % 2 = 1),
+         |hp AS (
+         |  SELECT CASE WHEN v < 0.0 THEN -1
+         |         WHEN v >= 600000.0 THEN 64
+         |         ELSE CAST(floor(((v - 0.0) * 64.0) / 600000.0) AS BIGINT)
+         |         END AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS np
+         |  FROM refd WHERE v IS NOT NULL GROUP BY 1),
+         |hq AS (
+         |  SELECT CASE WHEN v < 0.0 THEN -1
+         |         WHEN v >= 600000.0 THEN 64
+         |         ELSE CAST(floor(((v - 0.0) * 64.0) / 600000.0) AS BIGINT)
+         |         END AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS nq
+         |  FROM bat WHERE v IS NOT NULL GROUP BY 1),
          |j AS (
          |  SELECT COALESCE(hp.np, 0) AS np, COALESCE(hq.nq, 0) AS nq
          |  FROM hp FULL JOIN hq ON hp.bucket = hq.bucket),

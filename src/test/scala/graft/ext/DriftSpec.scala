@@ -74,4 +74,32 @@ class DriftSpec extends SparkSpec {
     assert(got("dirty") == dirtyAlone,
       "slice computation must equal the one-slice global computation")
   }
+
+  test("numeric histogram: interior bins, underflow/overflow, null drop") {
+    import spark.implicits._
+    val df = Seq(Some(-5.0), Some(0.0), Some(9.99), Some(10.0), Some(55.0),
+      Some(100.0), Some(250.0), None).toDF("v")
+    val got = Drift.numericHistogram(df, "v", lo = 0.0, hi = 100.0, bins = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // -5 -> underflow; 0, 9.99 -> bin 0; 10 -> bin 1; 55 -> bin 5;
+    // 100, 250 -> overflow; null dropped
+    assert(got == Map(-1L -> 1L, 0L -> 2L, 1L -> 1L, 5L -> 1L, 10L -> 2L),
+      got)
+  }
+
+  test("numeric drift: zero on identical data, grows with a planted shift") {
+    import spark.implicits._
+    val base = (0 until 500).map(i => (i % 100).toDouble).toDF("v")
+    val same = Drift.jsDivergenceNumeric(base, base, "v", 0.0, 100.0, 20)
+      .first()
+    assert(same.getDouble(2) == 0.0, "identical numeric data drifts zero")
+    def shifted(by: Double) =
+      base.select((col("v") + lit(by)).as("v"))
+    val small = Drift.jsDivergenceNumeric(base, shifted(10.0), "v",
+      0.0, 100.0, 20).first().getDouble(2)
+    val big = Drift.jsDivergenceNumeric(base, shifted(60.0), "v",
+      0.0, 100.0, 20).first().getDouble(2)
+    assert(small > 0.0 && big > small && big < math.log(2.0) + 1e-9,
+      s"small=$small big=$big")
+  }
 }
