@@ -40,6 +40,11 @@ final case class PipelineConfig(
     exportPath: Option[String] = None,
     exportFormat: SourceFormat = SourceFormat.Csv,
     exportSingleFile: Boolean = false,
+    // dataset-level acceptance constraints (ops.Checks): evaluated over
+    // the ingested batch in ONE aggregation pass AFTER per-row validation
+    // and BEFORE any write — a failing verdict aborts with the verdicts
+    // as the structured payload (nothing lands in the warehouse)
+    batchChecks: Seq[graft.ops.Checks.Check] = Nil,
     // append-heavy tables accumulate manifest snapshots (one union branch
     // per append at read time); past this count the append branch compacts
     // them back into one columnar snapshot (C7 upkeep, O(table) but rare)
@@ -166,6 +171,30 @@ final class Pipeline(
       format = cfg.format, schema = Some(schema),
       rowNumberColumn = Some(cfg.rowNumberColumn), rowNumberStart = start))
     outStatus.update("progress", s"ingested ${cfg.resourcePath}")
+
+    // 4b. dataset-level acceptance gate (ops.Checks): batch invariants a
+    //     per-row pass cannot see (key uniqueness, completeness ratios,
+    //     row-count windows). One aggregation pass; failing verdicts
+    //     become the structured abort payload.
+    if (cfg.batchChecks.nonEmpty) {
+      val verdicts = graft.ops.Checks.run(df, cfg.batchChecks).collect()
+      val failed = verdicts.filter(!_.getBoolean(6))
+      if (failed.nonEmpty) {
+        def j(r: org.apache.spark.sql.Row): String = {
+          def opt(i: Int) = if (r.isNullAt(i)) "null" else r.getLong(i).toString
+          s"""{"check_id": ${r.getLong(0)}, "check_type": ${jsonEsc(r.getString(1))},""" +
+            s""" "col_name": ${jsonEsc(r.getString(2))}, "observed": ${r.getLong(3)},""" +
+            s""" "threshold_lo": ${opt(4)}, "threshold_hi": ${opt(5)}}"""
+        }
+        val payload = s"""{"error": "batch checks failed", "table": ${jsonEsc(cfg.tableName)},""" +
+          s""" "failed": ${failed.map(j).mkString("[", ", ", "]")}}"""
+        outStatus.update("failed",
+          s"batch checks failed: ${failed.length} of ${verdicts.length}")
+        fail(cfg.tableName, payload)
+      }
+      outStatus.update("progress",
+        s"batch checks passed (${verdicts.length} constraints)")
+    }
 
     // 5. write branch (C2). Runtime failures here (e.g. an ANSI cast on
     //    malformed data with validation disabled) surface as a structured

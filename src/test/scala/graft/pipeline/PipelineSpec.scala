@@ -41,6 +41,32 @@ class PipelineSpec extends SparkSpec {
     assert(statuses.head == "pending" && statuses.last == "success")
   }
 
+  test("failing batch check aborts before any write; passing checks land") {
+    import graft.ops.Checks
+    val work = Files.createTempDirectory("graft_pipechecks")
+    // duplicate id 2 — per-row validation is OFF, only the batch
+    // uniqueness constraint can catch it
+    Files.writeString(work.resolve("in.csv"),
+      "id,amount\n1,2.5\n2,3.0\n2,4.0\n")
+    val store = new TableStore(spark, work.resolve("t").toString)
+    val statuses = scala.collection.mutable.ArrayBuffer.empty[String]
+    val pipe = new Pipeline(spark, store, (state, msg) => statuses += s"$state:$msg")
+    def cfg(checks: Seq[Checks.Check]) = PipelineConfig(
+      work.resolve("in.csv").toString, "t", IngestionMethod.Overwrite,
+      format = Some(SourceFormat.Csv), schema = Some(schema),
+      batchChecks = checks)
+    val e = intercept[PipelineException] {
+      pipe.run(cfg(Seq(Checks.Unique(Seq("id")), Checks.RowCount(1L, 100L))))
+    }
+    assert(e.payload.contains("batch checks failed")
+      && e.payload.contains("\"check_type\": \"unique\""), e.payload)
+    assert(!store.exists("t"), "nothing may land after a failed acceptance")
+    assert(statuses.exists(_.startsWith("failed:batch checks")), statuses)
+
+    pipe.run(cfg(Seq(Checks.RowCount(1L, 100L), Checks.Complete("amount"))))
+    assert(store.scan("t").count() == 3L, "passing checks load normally")
+  }
+
   test("append pipeline compacts the snapshot chain past the configured threshold") {
     val work = Files.createTempDirectory("graft_pipecompact")
     Files.writeString(work.resolve("a.csv"), "id,amount\n1,1.0\n")
