@@ -75,28 +75,45 @@ object Pii {
     concat(lit(s"<$cat:"),
       substring(md5(concat(norm, lit(salt))), 1, 8), lit(">"))
 
+  /** Catalyst has no let expression: binding a value as a one-element
+    * transform's lambda variable evaluates it exactly once however many
+    * times the body references it (the [[TextHash.shingles]] lesson —
+    * without this, chained passes re-evaluate their whole prefix once
+    * per reference: a 2^passes regex blowup that cost ext_pii 77 s at
+    * sf0.1 before binding, ~1 s after). */
+  private def bound(v: Column)(body: Column => Column): Column =
+    element_at(transform(array(v), body), 1)
+
   /** One category pass: rebuild `text` with every VALID match replaced
     * by its token, invalid matches untouched. split yields the segments
-    * between matches (one more than matches), zip_with interleaves. */
+    * between matches (one more than matches), zip_with interleaves;
+    * text, segments, and matches are each let-bound to one evaluation. */
   private def replaceValid(
       text: Column, pat: String,
-      tok: Column => Column, valid: Column => Column): Column = {
-    val parts = split(text, pat, -1)
-    val ms = regexp_extract_all(text, lit(pat), lit(0))
-    concat(element_at(parts, 1),
-      array_join(zip_with(ms, slice(parts, lit(2), size(ms)),
-        (m, p) => concat(when(valid(m), tok(m)).otherwise(m), p)), ""))
-  }
+      tok: Column => Column, valid: Column => Column): Column =
+    bound(text) { t =>
+      bound(split(t, pat, -1)) { parts =>
+        bound(regexp_extract_all(t, lit(pat), lit(0))) { ms =>
+          concat(element_at(parts, 1),
+            array_join(zip_with(ms, slice(parts, lit(2), size(ms)),
+              (m, p) => concat(when(valid(m), tok(m)).otherwise(m), p)), ""))
+        }
+      }
+    }
 
   /** All four passes in precedence order → `outCol`. */
   def pseudonymize(
       df: DataFrame, textCol: String,
       salt: String = "", outCol: String = "pii_text"): DataFrame = {
-    val t0 = col(textCol)
-    val t1 = replaceValid(t0, EmailPat, m => token("EMAIL", lower(m), salt), alwaysOk)
-    val t2 = replaceValid(t1, PhonePat, m => token("PHONE", digitsOf(m), salt), alwaysOk)
-    val t3 = replaceValid(t2, Ipv4Pat, m => token("IP", m, salt), ipOk)
-    val t4 = replaceValid(t3, CardPat, m => token("CARD", digitsOf(m), salt), luhnOk)
+    val t4 =
+      replaceValid(
+        replaceValid(
+          replaceValid(
+            replaceValid(col(textCol), EmailPat,
+              m => token("EMAIL", lower(m), salt), alwaysOk),
+            PhonePat, m => token("PHONE", digitsOf(m), salt), alwaysOk),
+          Ipv4Pat, m => token("IP", m, salt), ipOk),
+        CardPat, m => token("CARD", digitsOf(m), salt), luhnOk)
     df.withColumn(outCol, t4)
   }
 
