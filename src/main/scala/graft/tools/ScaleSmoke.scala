@@ -956,6 +956,83 @@ object ScaleSmoke {
       assert(agree > 9500000L, s"trained model must separate: $agree/10M")
     }
 
+    // 42. PII pseudonymization at 1M docs: four let-bound passes, pure
+    // per-row map — throughput, not plan, is the risk here (the 77s
+    // project-collapse regression was caught by exactly this entry's
+    // per-query bench ancestor). Planted PII must tokenize; the
+    // Luhn-failing run must survive.
+    time("pii pseudonymize 1M docs (4 passes)") {
+      val docs = spark.range(0, 1000000L, 1, 64).select(
+        col("id").as("doc_id"),
+        concat(lit("text from user"), col("id").cast("string"),
+          lit("@example.com pay 4111 1111 1111 1111 keep 4111-1111-1111-1112 "),
+          lit("shared corpus tokens stream")).as("text"))
+      val out = graft.ext.Pii.pseudonymize(docs, "text", salt = "sm")
+      val row = out.agg(
+        count(when(col("pii_text").contains("<EMAIL:"), 1)),
+        count(when(col("pii_text").contains("<CARD:"), 1)),
+        count(when(col("pii_text").contains("4111-1111-1111-1112"), 1))).first()
+      assert(row.getLong(0) == 1000000L && row.getLong(1) == 1000000L &&
+        row.getLong(2) == 1000000L)
+    }
+
+    // 43. batch acceptance checks at 20M rows: every constraint shares
+    // ONE scan; verdicts are a one-row unpivot
+    time("quality checks 20M rows (5 constraints, 1 pass)") {
+      val df = spark.range(0, 20000000L, 1, 128).select(
+        col("id").as("k"),
+        (col("id") % 1000).as("cat"),
+        when(col("id") % 100 === 0, lit(null).cast("long"))
+          .otherwise(col("id")).as("v"))
+      val out = graft.ops.Checks.run(df, Seq(
+        graft.ops.Checks.Complete("v", 980000L),
+        graft.ops.Checks.Unique(Seq("k")),
+        graft.ops.Checks.Bounds("k", Some(0L), Some(20000000L)),
+        graft.ops.Checks.InSet("cat", (0 until 1000).map(_.toString), 0L),
+        graft.ops.Checks.RowCount(20000000L, 20000000L))).collect()
+      assert(out.count(_.getBoolean(6)) == 5, out.mkString(";"))
+    }
+
+    // 44. funnel over 40M events / 1M users: one filtered shuffle,
+    // per-user sorted fold
+    time("funnel 40M events x 1M users (3 steps)") {
+      val e = spark.range(0, 40000000L, 1, 128).select(
+        (col("id") % 1000000).as("u"),
+        expr("id div 1000000").as("t"),
+        element_at(typedLit(Seq("view", "click", "buy", "other")),
+          (pmod(xxhash64(col("id")), lit(4)) + 1).cast("int")).as("e"))
+      val out = graft.ops.TimeSeries.funnel(e, "u", "t", "e",
+        Seq("view", "click", "buy"))
+      val stages = out.groupBy("stage").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(stages.values.sum == 1000000L, stages)
+      assert(stages.getOrElse(3L, 0L) > 900000L,
+        s"40 events/user nearly always complete a 3-step funnel: $stages")
+    }
+
+    // 45. weighted sample: 20M items, k=1000 through the bounded top-k
+    time("weighted sample 20M items k=1000") {
+      val items = spark.range(0, 20000000L, 1, 128).select(
+        col("id"), (pmod(col("id"), lit(1000)) + 1).as("w"))
+      val n = graft.ext.Sampling.weightedSample(items, "id", "w", 1000, "sm")
+        .count()
+      assert(n == 1000L)
+    }
+
+    // 46. politeness schedule: 10M-URL frontier over 100k hosts
+    time("polite schedule 10M urls x 100k hosts") {
+      val frontier = spark.range(0, 10000000L, 1, 128).select(
+        col("id"),
+        concat(lit("h"), (col("id") % 100000).cast("string")).as("host"))
+      val delays = spark.range(0, 50000L, 1, 16).select(
+        concat(lit("h"), col("id").cast("string")).as("host"),
+        (col("id") % 5000 + 100).as("delay_ms"))
+      val out = graft.ext.Url.politeSchedule(frontier, "host",
+        Seq(col("id")), delays, defaultDelayMs = 1000L)
+      val mx = out.agg(max("seq"), count(lit(1))).first()
+      assert(mx.getLong(0) == 100L && mx.getLong(1) == 10000000L)
+    }
+
     spark.stop()
   }
 }

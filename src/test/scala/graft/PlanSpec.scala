@@ -525,6 +525,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "broadcast merge must not shuffle the target")
   }
 
+  test("funnel: no window, partial-agg doc rollup, type filter pushed") {
+    val p = plan("q_funnel")
+    assert(!analyzed("q_funnel").contains("Window"),
+      "the per-key fold is an aggregate, never a window")
+    assert(p.toLowerCase.contains("partial_"),
+      "the event rollup must combine map-side before the key shuffle")
+    assert(p.contains("In(event_type"),
+      s"the step-type filter must reach the scan as a pushed filter:\n$p")
+  }
+
+  test("weighted sample: bounded graft_topk draw, never a corpus sort") {
+    val p = plan("ext_weighted_sample")
+    assert(p.contains("graft_topk"),
+      s"selection must route through the bounded top-k aggregate:\n$p")
+    // the only sort allowed is the k-row output ordering after the agg
+    val sorts = "\\(\\d+\\) Sort".r.findAllIn(p).length
+    assert(sorts <= 1,
+      s"no corpus-wide sort may precede the bounded aggregate ($sorts sorts):\n$p")
+  }
+
   test("quality checks: one input scan feeds every constraint, no join") {
     val p = plan("ext_quality_checks")
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
