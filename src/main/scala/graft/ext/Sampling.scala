@@ -170,6 +170,47 @@ object Sampling {
     }
   }
 
+  /** Per-group weighted draw: [[weightedSample]] within every `groupCol`
+    * stratum — k items per group, weight-proportional inclusion inside
+    * each (the domain-balanced quality-weighted selection: cap every
+    * domain at k picks, prefer high-weight docs within the domain).
+    * Same bounded shuffle as [[quotaCap]]: mappers keep k candidates per
+    * group, the group never fully shuffles. Output: (groupCol, idCol,
+    * key_q, rank ∈ 1..k). */
+  def weightedSamplePerGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val h = TextHash.hmod(concat(col(idCol).cast("string"), lit(":" + salt)))
+    val keyq = round(
+      log((h + 1).cast("double") / lit(TextHash.P.toDouble)) /
+        col(weightCol).cast("double") * lit(Dsir.LrScale)).cast("long")
+    val keyed = df.where(col(weightCol) > 0)
+      .select(col(groupCol), col(idCol).cast("long").as("__id"),
+        keyq.as("__k"))
+    if (df.sparkSession.catalog.functionExists("graft_topk")) {
+      keyed.groupBy(groupCol)
+        .agg(call_function("graft_topk",
+          col("__k").cast("double"), col("__id"), lit(k)).as("top"))
+        .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col(groupCol), col("t.id").as(idCol),
+          col("t.score").cast("long").as("key_q"),
+          (col("pos") + 1).cast("long").as("rank"))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCol).orderBy(col("__k").desc, col("__id").asc)
+      keyed.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= k)
+        .select(col(groupCol), col("__id").as(idCol), col("__k").as("key_q"),
+          col("rank"))
+    }
+  }
+
   /** Temperature-scaled domain mix (square-root temperature, τ=2): keep
     * each stratum at a rate proportional to the SQUARE ROOT of its relative
     * size — the standard rebalancing that upweights small domains/languages

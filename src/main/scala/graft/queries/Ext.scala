@@ -818,6 +818,29 @@ object Ext {
         .orderBy("doc_id")
     }),
 
+    "ext_curation_e2e" -> ((s, dir) => {
+      // the batch curation pipeline as ONE composition gate: train the
+      // LR quality classifier on the labeled slice → keep classifier-
+      // accepted docs → exact-dedup survivors (lowest id canonical) →
+      // per-language quota. Every stage is an already-gated operator;
+      // this re-verifies the composition end-to-end against a single
+      // oracle replaying the whole chain.
+      val docs = t(s, dir, "documents")
+      val w = graft.ext.LogReg.train(
+        docs.where(col("doc_id") % 2 === 0),
+        "text", "doc_id", (col("lang") === "en").cast("long"),
+        buckets = 1000, iterations = 3)
+      val kept = graft.ext.LogReg
+        .score(docs, w, "text", "doc_id", buckets = 1000)
+        .where(col("pred") === 1).select("doc_id")
+      val keptDocs = docs.join(kept, "doc_id")
+      val canonical = keptDocs.join(
+        Dedup.exact(keptDocs, "text", "doc_id")
+          .select(col("keep_id").as("doc_id")), "doc_id")
+      Sampling.quotaCap(canonical, "lang", "doc_id", k = 30, salt = "cur1")
+        .orderBy("lang", "rank")
+    }),
+
     "ext_kmv_overlap" -> ((s, dir) => {
       // cross-slice distinct overlap ("how many documents do two crawls
       // share") from two bottom-k theta sketches: each slice folds into
@@ -1346,6 +1369,13 @@ object Ext {
       Sampling.weightedSample(t(s, dir, "documents"), "doc_id", "n_chars",
           k = 100, salt = "ws1")
         .orderBy("rank")),
+
+    "ext_weighted_sample_grouped" -> ((s, dir) =>
+      // domain-balanced weighted draw: 20 docs per language, char mass
+      // as weight — the quotaCap shape with weight-proportional picks
+      Sampling.weightedSamplePerGroup(t(s, dir, "documents"), "lang",
+          "doc_id", "n_chars", k = 20, salt = "ws2")
+        .orderBy("lang", "rank")),
 
     "ext_quota_cap" -> ((s, dir) =>
       // domain-mix balancing: ≤50 docs per language by salted-hash draw,
@@ -1952,6 +1982,32 @@ object Ext {
          |         LEAST(CAST(4000000000 AS HUGEINT), z + 2000000000)) AS BIGINT) AS p4,
          |  CAST(CASE WHEN z >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "ext_curation_e2e" ->
+      s"""${lrCtes(3, 1000)},
+         |sf AS (
+         |  SELECT doc, b, COUNT(*) AS x
+         |  FROM (SELECT doc_id AS doc,
+         |          unnest(${graft.ext.Dsir.featureBucketsSql("text", 1000)}) AS b
+         |        FROM documents)
+         |  GROUP BY doc, b
+         |  UNION ALL
+         |  SELECT doc_id, -1, 1 FROM documents),
+         |sc AS (SELECT doc, SUM(CAST(x AS HUGEINT) * wq) AS z
+         |       FROM sf JOIN w3 USING (b) GROUP BY doc),
+         |kept AS (SELECT d.doc_id, d.lang, d.text
+         |         FROM documents d JOIN sc ON sc.doc = d.doc_id
+         |         WHERE sc.z >= 0),
+         |canon AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+         |cd AS (SELECT k.lang, k.doc_id,
+         |         ${TextHash.hmodSql("(k.doc_id :: VARCHAR || ':cur1')")} AS qh
+         |       FROM kept k JOIN canon USING (doc_id)),
+         |r AS (SELECT lang, doc_id,
+         |        CAST(row_number() OVER (PARTITION BY lang
+         |          ORDER BY qh ASC, doc_id ASC) AS BIGINT) AS rank
+         |      FROM cd)
+         |SELECT lang, doc_id, rank FROM r WHERE rank <= 30
+         |ORDER BY lang, rank""".stripMargin,
 
     "ext_bm25_topk" -> bm25OracleSql,
     "ext_bm25_indexed" -> bm25OracleSql,
@@ -3654,6 +3710,22 @@ object Ext {
          |  CAST(row_number() OVER (ORDER BY key_q DESC, doc_id ASC) AS BIGINT)
          |    AS rank
          |FROM s ORDER BY key_q DESC, doc_id ASC LIMIT 100""".stripMargin,
+
+    "ext_weighted_sample_grouped" ->
+      s"""WITH s AS (
+         |  SELECT lang, doc_id,
+         |    CAST(round(
+         |      ln(CAST(${TextHash.hmodSql("(doc_id :: VARCHAR || ':ws2')")} + 1
+         |            AS DOUBLE) / ${TextHash.P})
+         |      / n_chars * 1e9) AS BIGINT) AS key_q
+         |  FROM documents WHERE n_chars > 0),
+         |r AS (
+         |  SELECT lang, doc_id, key_q,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY key_q DESC, doc_id ASC) AS BIGINT) AS rank
+         |  FROM s)
+         |SELECT lang, doc_id, key_q, rank FROM r WHERE rank <= 20
+         |ORDER BY lang, rank""".stripMargin,
 
     "ext_quota_cap" ->
       s"""WITH h AS (

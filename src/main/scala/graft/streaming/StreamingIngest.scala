@@ -446,6 +446,42 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** Streaming batch-acceptance gate: the dataset-level constraint
+    * suite ([[graft.ops.Checks]], the Pipeline's pre-write gate) per
+    * micro-batch — a batch whose verdicts all pass appends; a failing
+    * batch is REJECTED WHOLE (quarantine semantics: `onReject` receives
+    * the failing verdict rows; the checkpoint still advances, so the
+    * corrected data must be re-fed as new files — re-processing a
+    * rejected offset range would break exactly-once). One aggregation
+    * pass per batch; stream state is the checkpoint offsets alone. */
+  def checksGateIngestAvailableNow(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      store: TableStore,
+      table: String,
+      checkpointDir: String,
+      checks: Seq[graft.ops.Checks.Check],
+      onReject: (Long, Seq[org.apache.spark.sql.Row]) => Unit = (_, _) => ()
+  ): Unit = {
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .json(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val verdicts = graft.ops.Checks.run(batch, checks).collect()
+        val failed = verdicts.filter(!_.getBoolean(6)).toSeq
+        if (failed.nonEmpty) onReject(batchId, failed)
+        else if (store.exists(table)) store.append(table, batch)
+        else store.overwrite(table, batch)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming blocklist screen: the C4-style badwords drop as a
     * continuous ingest stage — each micro-batch runs the one-pass
     * Aho–Corasick kernel ([[graft.ext.Blocklist]]) and keeps documents

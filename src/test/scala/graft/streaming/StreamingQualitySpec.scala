@@ -95,6 +95,43 @@ class StreamingQualitySpec extends SparkSpec {
     assert(ids == Set(1L, 3L))
   }
 
+  test("streaming acceptance gate quarantines failing batches whole") {
+    import graft.ops.Checks
+    val work = Files.createTempDirectory("graft_schecks")
+    val src = work.resolve("src"); Files.createDirectories(src)
+    val store = new TableStore(spark, work.resolve("store").toString)
+    val ckpt = work.resolve("ckpt").toString
+    val rejected = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    def write(name: String, rows: (Long, String)*): Unit = {
+      Files.writeString(src.resolve(name),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("", "\n", "\n"))
+      ()
+    }
+    def ingest(): Unit = StreamingIngest.checksGateIngestAvailableNow(
+      spark, src.toString, schema, store, "accepted", ckpt,
+      Seq(Checks.Unique(Seq("doc_id")), Checks.Complete("text")),
+      onReject = (_, failed) =>
+        rejected.synchronized { rejected ++= failed.map(_.getString(1)) })
+    def ids: Set[Long] =
+      if (store.exists("accepted"))
+        store.scan("accepted").collect().map(_.getLong(0)).toSet
+      else Set.empty
+
+    // batch with a duplicate key: rejected whole, nothing lands
+    write("f1.json", 1L -> "a", 2L -> "b", 2L -> "dup")
+    ingest()
+    assert(ids == Set.empty && rejected.toSeq == Seq("unique"), rejected)
+
+    // clean batch lands; rerun is a checkpointed no-op
+    write("f2.json", 3L -> "c", 4L -> "d")
+    ingest()
+    assert(ids == Set(3L, 4L))
+    ingest()
+    assert(ids == Set(3L, 4L) && rejected.size == 1)
+  }
+
   test("streaming blocklist screen drops flagged docs across batches and restarts") {
     val work = Files.createTempDirectory("graft_sbl")
     val src = work.resolve("src"); Files.createDirectories(src)
