@@ -80,7 +80,8 @@ object LogReg {
       buckets: Int = 1000,
       iterations: Int = 3,
       lrNum: Long = 1L,
-      lrDen: Long = 1L
+      lrDen: Long = 1L,
+      initWeights: Option[DataFrame] = None
   ): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     require(iterations >= 0, "iterations must be non-negative")
@@ -94,9 +95,16 @@ object LogReg {
       require(n > 0, "labeled slice is empty")
       // weight state: model-sized (≤ buckets+1), driver-held between
       // iterations like a codebook; BigInt so the update itself cannot
-      // overflow before the fits-in-long check
-      var w: Map[Long, BigInt] =
-        feats.select("b").distinct().as[Long].collect().map(_ -> BigInt(0)).toMap
+      // overflow before the fits-in-long check. Warm start (the
+      // periodic-refresh posture: yesterday's model, today's labels)
+      // seeds from `initWeights` — continuing on the SAME data is
+      // exactly equivalent to more cold iterations, spec-pinned.
+      val init: Map[Long, BigInt] = initWeights
+        .map(_.collect().map(r => r.getLong(0) -> BigInt(r.getLong(1))).toMap)
+        .getOrElse(Map.empty)
+      var w: Map[Long, BigInt] = init ++
+        feats.select("b").distinct().as[Long].collect()
+          .map(b => b -> init.getOrElse(b, BigInt(0))).toMap
       val den = BigInt(4) * n * lrDen
       for (_ <- 1 to iterations) {
         val wDf = w.toSeq.map { case (b, v) => (b, v.toLong) }.toDF("b", "wq")

@@ -108,6 +108,30 @@ class LogRegSpec extends SparkSpec {
     assert(s.length == 1 && s(0).getLong(1) == 375000000L && s(0).getLong(3) == 1L)
   }
 
+  test("warm start: 2 cold + 1 warm iterations == 3 cold; weights carry over") {
+    val docs = Seq((1L, "good fine text", 1L), (2L, "bad junk words", 0L),
+      (3L, "good stuff here", 1L), (4L, "junk filler bad", 0L))
+      .toDF("doc_id", "text", "y")
+    def weights(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cold3 = weights(LogReg.train(docs, "text", "doc_id", col("y"), B, 3))
+    val w2 = LogReg.train(docs, "text", "doc_id", col("y"), B, 2)
+    val warm = weights(LogReg.train(docs, "text", "doc_id", col("y"), B, 1,
+      initWeights = Some(w2)))
+    assert(warm == cold3, "continuing on the same data must equal cold training")
+    // a refresh on a DISJOINT vocabulary keeps the old buckets' weights
+    val fresh = Seq((9L, "novel unseen tokens", 1L), (10L, "other new words", 0L))
+      .toDF("doc_id", "text", "y")
+    val refreshed = weights(LogReg.train(fresh, "text", "doc_id", col("y"), B, 1,
+      initWeights = Some(w2)))
+    val freshSupport = Seq("novel unseen tokens", "other new words")
+      .flatMap(t => refFeatures(t, B).keys).toSet
+    weights(w2).foreach { case (b, v) =>
+      if (!freshSupport(b)) // untouched by the refresh slice (bias always is)
+        assert(refreshed(b) == v, s"carried-over bucket $b must keep its weight")
+    }
+  }
+
   test("scoring ignores buckets absent from the weight table") {
     // weights trained on one vocabulary, scored on a disjoint one:
     // every token bucket is unseen → only the bias contributes
