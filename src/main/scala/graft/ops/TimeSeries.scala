@@ -93,6 +93,52 @@ object TimeSeries {
       .drop("obs_value")
   }
 
+  /** Rolling z-score anomaly flags over an INTEGRAL value column — the
+    * metric-monitoring primitive (error-rate spikes, volume collapses)
+    * with a twist that makes it oracle-exact: the flag is decided by an
+    * integer discriminant, never a floating z. Each value compares to
+    * the `window` PRECEDING observations (current row EXCLUDED — an
+    * inclusive window bounds z² by n−1, so a 10-window spike could
+    * never exceed 3σ by construction). With S = Σv, Q = Σv² over that
+    * trailing window, (v−μ)²/σ² = (n·v−S)²/(n·Q−S²) algebraically, so
+    *
+    *   |z| > t  ⇔  (n·v − S)²·tDen² > tNum²·(n·Q − S²)
+    *
+    * — pure decimal(38,0) arithmetic on both engines, no mean, no
+    * sqrt, no float accumulation order. A zero-variance window flags
+    * any departing value (conceptually infinite z) and never flags a
+    * matching one; rows with fewer than 2 predecessors never flag.
+    * Scale doubles to integers upstream (e.g. cents via round(v·100)).
+    *
+    * One keyed window (hash-partition by key, sort within — the
+    * [[sessionize]] cost shape). `order` must totalize ties or rolling
+    * sums differ between engines. Output: input + (n, flag), n = the
+    * preceding-window size actually seen. */
+  def rollingAnomalies(
+      df: DataFrame,
+      keyCol: String,
+      order: Seq[Column],
+      valueCol: String,
+      window: Int,
+      tNum: Long,
+      tDen: Long = 1L
+  ): DataFrame = {
+    require(window > 1, "window must hold at least two predecessors")
+    require(tNum > 0 && tDen > 0, "threshold must be positive")
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+      .rowsBetween(-window, -1)
+    val v = col(valueCol).cast("decimal(38,0)")
+    val dS = sum(v).over(w)
+    val dQ = sum(v * v).over(w)
+    val n = count(lit(1)).over(w)
+    val dn = n.cast("decimal(38,0)")
+    val dev = dn * v - dS
+    df
+      .withColumn("n", n)
+      .withColumn("flag", n >= 2 &&
+        dev * dev * lit(tDen * tDen) > lit(tNum * tNum) * (dn * dQ - dS * dS))
+  }
+
   /** Ordered funnel analysis: per key, how far through the `steps`
     * sequence did the events progress? Stage k+1 counts only when an
     * event of that type occurs STRICTLY after the event that completed

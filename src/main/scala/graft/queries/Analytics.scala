@@ -764,6 +764,20 @@ object Analytics {
     // counts per (cohort, week offset). The first-event aggregate and the
     // join back both shuffle on user_id (co-partitioned — one exchange of
     // each side); the output grid is weeks², tiny at any scale
+    "q_rolling_anomaly" -> ((s, dir) => {
+      // exact rolling z-score anomaly flags per event type (3σ over the
+      // trailing 50 observations): the flag is an integer discriminant
+      // comparison — no mean, no sqrt, no float accumulation — so the
+      // oracle replays it bit-for-bit
+      val e = Tables.events(s, dir).select(col("event_id"),
+        col("event_type"), expr("ts div 1000").as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      graft.ops.TimeSeries.rollingAnomalies(e, "event_type",
+          Seq(col("us"), col("event_id")), "cents", window = 50, tNum = 3)
+        .select("event_type", "event_id", "us", "cents", "n", "flag")
+        .orderBy("event_type", "us", "event_id")
+    }),
+
     "q_funnel" -> ((s, dir) => {
       // ordered view→click→purchase funnel per user: the filtered event
       // stream shuffles ONCE on user, each user folds its time-sorted
@@ -1051,6 +1065,21 @@ object Analytics {
         |  CAST(qty AS DOUBLE) AS total_qty
         |FROM big JOIN orders ON l_orderkey = o_orderkey
         |ORDER BY total_qty DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q_rolling_anomaly" ->
+      """WITH e AS (SELECT event_id, event_type, epoch_ns(ts)//1000 AS us,
+        |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |w AS (SELECT event_type, event_id, us, cents,
+        |        SUM(CAST(cents AS HUGEINT)) OVER fr AS s,
+        |        SUM(CAST(cents AS HUGEINT) * cents) OVER fr AS q,
+        |        CAST(COUNT(*) OVER fr AS HUGEINT) AS n
+        |      FROM e
+        |      WINDOW fr AS (PARTITION BY event_type ORDER BY us, event_id
+        |                    ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, event_id, us, cents, CAST(n AS BIGINT) AS n,
+        |  (n >= 2 AND
+        |   (n * cents - s) * (n * cents - s) * 1 > 9 * (n * q - s * s)) AS flag
+        |FROM w ORDER BY event_type, us, event_id""".stripMargin,
 
     "q_funnel" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS us, event_type

@@ -106,6 +106,47 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("rollingAnomalies: spike flags at 3σ, flat series never flags") {
+    import spark.implicits._
+    // 20 steady observations then a spike; window 10, t = 3
+    val vals = Seq.fill(20)(100L) :+ 500L
+    val e = vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+      .toDF("k", "t", "v")
+    val got = TimeSeries.rollingAnomalies(e, "k", Seq(col("t")), "v",
+        window = 10, tNum = 3)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(4)).toMap
+    assert(got(20L), "the spike must flag")
+    assert((0L until 20L).forall(!got(_)), "a flat series never flags")
+  }
+
+  test("rollingAnomalies == double-precision reference on random series") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = for (k <- 0 until 5; i <- 0 until 80)
+      yield (k.toString, i.toLong, rnd.nextInt(1000).toLong)
+    val W = 12
+    val got = TimeSeries.rollingAnomalies(rows.toDF("k", "t", "v"), "k",
+        Seq(col("t")), "v", window = W, tNum = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getBoolean(4)))).toMap
+    rows.groupBy(_._1).foreach { case (k, es) =>
+      val sorted = es.sortBy(_._2)
+      sorted.indices.foreach { i =>
+        val win = sorted.slice(math.max(0, i - W), i).map(_._3)
+        val n = win.size
+        val v = sorted(i)._3
+        val s = win.sum
+        val q = win.map(x => x * x).sum
+        // exact integer discriminant, same algebra as the operator
+        val dev = BigInt(n) * v - s
+        val want = n >= 2 &&
+          dev * dev > BigInt(9) * (BigInt(n) * q - BigInt(s) * s)
+        val (gn, gf) = got((k, sorted(i)._2))
+        assert(gn == n && gf == want, s"key $k row $i")
+      }
+    }
+  }
+
   test("resampleFill: an outlier span fails fast with the contract error") {
     import spark.implicits._
     val e = Seq((1L, 0L, 1.0), (1L, Long.MaxValue / 2, 2.0)).toDF("user_id", "t", "v")
