@@ -525,6 +525,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "broadcast merge must not shuffle the target")
   }
 
+  test("priority dedup: one partial-agg min-struct shuffle, no window") {
+    val p = plan("ext_priority_dedup")
+    assert(!analyzed("ext_priority_dedup").contains("Window"),
+      "the winner pick is a min-struct aggregate, never a window")
+    assert(p.contains("partial_min"),
+      s"the per-hash winner must combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "priority dedup joins nothing")
+  }
+
+  test("curation composition: broadcast model scoring, no product join") {
+    val p = plan("ext_curation_e2e")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the trained weight table must broadcast into the corpus pass:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"every stage joins on keys:\n$p")
+    assert(p.contains("graft_topk"),
+      "the per-language quota must route through the bounded aggregate")
+  }
+
   test("funnel: no window, partial-agg doc rollup, type filter pushed") {
     val p = plan("q_funnel")
     assert(!analyzed("q_funnel").contains("Window"),
