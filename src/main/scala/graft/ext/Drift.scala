@@ -81,6 +81,17 @@ object Drift {
           .as("js"))
   }
 
+  /** JS divergence of a batch against a PRECOMPUTED reference histogram
+    * (`(bucket, n)` from [[tokenHistogram]]) — the steady-state monitor
+    * shape: the reference corpus collapses to its histogram ONCE, every
+    * arriving batch then costs one batch-sized pass plus histogram
+    * arithmetic. Same quantized JS core. */
+  def jsDivergenceAgainstHistogram(refHist: DataFrame, batch: DataFrame,
+      textCol: String, buckets: Int): DataFrame =
+    jsOfHistograms(
+      refHist.select(col("bucket"), col("n").as("np")),
+      tokenHistogram(batch, textCol, buckets).withColumnRenamed("n", "nq"))
+
   /** Fixed-width numeric histogram over [lo, hi): bin −1 collects
     * underflow, bin `bins` overflow, interior bins are
     * floor((v − lo)·bins/(hi − lo)) — a fixed-shape double expression

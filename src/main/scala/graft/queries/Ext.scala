@@ -841,6 +841,25 @@ object Ext {
         .orderBy("lang", "rank")
     }),
 
+    "ext_lr_calibration" -> ((s, dir) => {
+      // classifier calibration report: positive rate per clamped integer
+      // margin bucket — the evaluation artifact that picks a filter
+      // threshold. Bucket = zq div 2e9 (trunc toward zero, identical in
+      // both engines), clamped to [-5, 5].
+      val docs = t(s, dir, "documents")
+      val w = graft.ext.LogReg.train(
+        docs.where(col("doc_id") % 2 === 0),
+        "text", "doc_id", (col("lang") === "en").cast("long"),
+        buckets = 1000, iterations = 3)
+      graft.ext.LogReg.score(docs, w, "text", "doc_id", buckets = 1000)
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").cast("long").as("y")), "doc_id")
+        .select(greatest(lit(-5L),
+          least(lit(5L), expr("zq div 2000000000"))).as("bin"), col("y"))
+        .groupBy("bin").agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+        .orderBy("bin")
+    }),
+
     "ext_kmv_overlap" -> ((s, dir) => {
       // cross-slice distinct overlap ("how many documents do two crawls
       // share") from two bottom-k theta sketches: each slice folds into
@@ -1982,6 +2001,27 @@ object Ext {
          |         LEAST(CAST(4000000000 AS HUGEINT), z + 2000000000)) AS BIGINT) AS p4,
          |  CAST(CASE WHEN z >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "ext_lr_calibration" ->
+      s"""${lrCtes(3, 1000)},
+         |sf AS (
+         |  SELECT doc, b, COUNT(*) AS x
+         |  FROM (SELECT doc_id AS doc,
+         |          unnest(${graft.ext.Dsir.featureBucketsSql("text", 1000)}) AS b
+         |        FROM documents)
+         |  GROUP BY doc, b
+         |  UNION ALL
+         |  SELECT doc_id, -1, 1 FROM documents),
+         |sc AS (SELECT doc, SUM(CAST(x AS HUGEINT) * wq) AS z
+         |       FROM sf JOIN w3 USING (b) GROUP BY doc),
+         |binned AS (
+         |  SELECT GREATEST(-5, LEAST(5, CAST(z AS BIGINT) // 2000000000))
+         |           AS bin,
+         |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM sc JOIN documents d ON d.doc_id = sc.doc)
+         |SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(y) AS BIGINT) AS n_pos
+         |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
 
     "ext_curation_e2e" ->
       s"""${lrCtes(3, 1000)},

@@ -446,6 +446,49 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** Streaming drift monitor: every micro-batch's token distribution is
+    * compared against a PRECOMPUTED reference histogram
+    * ([[graft.ext.Drift.tokenHistogram]] of the trusted corpus,
+    * collapsed once — the reference never rescans) and `onDrift`
+    * receives (batchId, n_batch, js). Batches above `maxJs` are
+    * quarantined (not appended — same whole-batch semantics as the
+    * acceptance gate); the monitor itself adds one batch-sized pass
+    * plus histogram-sized arithmetic per trigger. */
+  def driftMonitorIngestAvailableNow(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      store: TableStore,
+      table: String,
+      checkpointDir: String,
+      textCol: String,
+      refHist: DataFrame,
+      buckets: Int,
+      maxJs: Double,
+      onDrift: (Long, Long, Double) => Unit = (_, _, _) => ()
+  ): Unit = {
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .json(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val row = graft.ext.Drift
+          .jsDivergenceAgainstHistogram(refHist, batch, textCol, buckets)
+          .first()
+        val js = row.getDouble(2)
+        onDrift(batchId, row.getLong(1), js)
+        if (js <= maxJs) {
+          if (store.exists(table)) store.append(table, batch)
+          else store.overwrite(table, batch)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming batch-acceptance gate: the dataset-level constraint
     * suite ([[graft.ops.Checks]], the Pipeline's pre-write gate) per
     * micro-batch — a batch whose verdicts all pass appends; a failing

@@ -132,6 +132,47 @@ class StreamingQualitySpec extends SparkSpec {
     assert(ids == Set(3L, 4L) && rejected.size == 1)
   }
 
+  test("streaming drift monitor quarantines a drifted batch, passes clean ones") {
+    val work = Files.createTempDirectory("graft_sdrift")
+    val src = work.resolve("src"); Files.createDirectories(src)
+    val store = new TableStore(spark, work.resolve("store").toString)
+    val ckpt = work.resolve("ckpt").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Double]
+
+    // reference corpus collapses to its histogram ONCE
+    val ref = (0 until 100).map(i =>
+      (i.toLong, "the data table holds common corpus tokens"))
+      .toDF("doc_id", "text")
+    val refHist = graft.ext.Drift.tokenHistogram(ref, "text", 256)
+
+    def write(name: String, rows: (Long, String)*): Unit = {
+      Files.writeString(src.resolve(name),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("", "\n", "\n"))
+      ()
+    }
+    def ingest(): Unit = StreamingIngest.driftMonitorIngestAvailableNow(
+      spark, src.toString, schema, store, "clean", ckpt, "text",
+      refHist, buckets = 256, maxJs = 0.3,
+      onDrift = (_, _, js) => seen.synchronized { seen += js })
+    def ids: Set[Long] =
+      if (store.exists("clean"))
+        store.scan("clean").collect().map(_.getLong(0)).toSet
+      else Set.empty
+
+    write("f1.json",
+      1L -> "the data table holds common corpus tokens",
+      2L -> "the data table holds common tokens")
+    ingest()
+    assert(ids == Set(1L, 2L), s"in-distribution batch lands: $ids")
+    assert(seen.size == 1 && seen(0) < 0.3, seen)
+
+    write("f2.json", 3L -> "zzz qqq www eee completely alien vocabulary")
+    ingest()
+    assert(ids == Set(1L, 2L), "drifted batch must quarantine")
+    assert(seen.size == 2 && seen(1) > 0.3, seen)
+  }
+
   test("streaming blocklist screen drops flagged docs across batches and restarts") {
     val work = Files.createTempDirectory("graft_sbl")
     val src = work.resolve("src"); Files.createDirectories(src)
