@@ -994,6 +994,25 @@ object Ext {
         "text", "doc_id", BpeMerges)
         .orderBy("doc_id")),
 
+    "ext_token_mixture" -> ((s, dir) => {
+      // token-budgeted mixture: epochs per source planned on EXACT BPE
+      // token mass (not proxy chars) — tokenize, plan with integer
+      // arithmetic, realize deterministically; three gated operators
+      // re-verified as one composition against a single oracle
+      val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+      val withTok = docs.join(
+        Bpe.tokenize(docs, "text", "doc_id", BpeMerges)
+          .select("doc_id", "n_bpe_tokens"), "doc_id")
+      val weights = docs.select("source").distinct()
+        .select(col("source"),
+          when(length(col("source")) === 4, 1L).otherwise(3L).as("parts"))
+      val plan = Sampling.mixturePlan(withTok, "source", "n_bpe_tokens",
+        weights, budget = 500000L)
+      Sampling.mixtureRealize(withTok, "source", "doc_id", plan)
+        .groupBy("source", "epoch").agg(count(lit(1)).as("n"))
+        .orderBy("source", "epoch")
+    }),
+
     "ext_bpe_train" -> ((s, dir) => {
       // BPE TRAINING (Sennrich et al. 2016): learn 8 merges from the
       // corpus — count-weighted pair frequencies over the word vocabulary,
@@ -1515,6 +1534,45 @@ object Ext {
   /** Shared CTE chain: corpus → shingles → signatures → bands → candidate
     * pairs → jaccard-verified pairs (used by the pairs and clusters
     * oracles). */
+  /** Recursive merge-replay of [[graft.ext.Bpe.tokenize]] against
+    * [[BpeMerges]]: merge keys as a literal list (rank = 1-based list
+    * position); the recursive CTE advances every word one merge per
+    * iteration and a word exits when no adjacent pair is in the table.
+    * Leaves `done(doc_id, widx, toks)` bound. Callers prefix WITH
+    * RECURSIVE. */
+  private lazy val BpeDoneCtes: String = {
+    val mk = BpeMerges
+      .map { case (a, b) => s"'$a' || chr(31) || '$b'" }
+      .mkString("[", ", ", "]")
+    val ranks =
+      s"[list_position(mk.m, toks[i] || chr(31) || toks[i+1]) FOR i IN range(1, len(toks))]"
+    s"""mk AS (SELECT $mk AS m),
+       |tk AS (SELECT doc_id, ${tokensSql("text")} AS ws FROM documents),
+       |words AS (
+       |  SELECT doc_id, generate_subscripts(ws, 1) AS widx, unnest(ws) AS w
+       |  FROM tk),
+       |bpe AS (
+       |  SELECT doc_id, widx,
+       |    [substr(w, i, 1) FOR i IN range(1, len(w)+1)] AS toks
+       |  FROM words
+       |  UNION ALL
+       |  SELECT doc_id, widx,
+       |    toks[1:bpos-1] || [toks[bpos] || toks[bpos+1]] || toks[bpos+2:len(toks)]
+       |  FROM (
+       |    SELECT doc_id, widx, toks, brank, list_position(ranks, brank) AS bpos
+       |    FROM (
+       |      SELECT doc_id, widx, toks, ranks,
+       |        list_min(list_filter(ranks, r -> r IS NOT NULL AND r > 0)) AS brank
+       |      FROM (SELECT bpe.doc_id, bpe.widx, bpe.toks, $ranks AS ranks
+       |            FROM bpe, mk)))
+       |  WHERE brank IS NOT NULL),
+       |done AS (
+       |  SELECT doc_id, widx, toks FROM (
+       |    SELECT bpe.doc_id, bpe.widx, bpe.toks,
+       |      list_min(list_filter($ranks, r -> r IS NOT NULL AND r > 0)) AS brank
+       |    FROM bpe, mk) WHERE brank IS NULL)""".stripMargin
+  }
+
   private lazy val MinhashPairsCtes: String = {
     val sigSql = TextHash.minhashSignatureSql("sh")
     val bandSelects = (0 until TextHash.Bands).map { b =>
@@ -3269,46 +3327,40 @@ object Ext {
          |FROM tk ORDER BY doc_id""".stripMargin
     },
 
-    "ext_bpe_tokens" -> {
-      // merge keys as a literal list (rank = 1-based list position); the
-      // recursive CTE advances every word one merge per iteration and a
-      // word exits when no adjacent pair is in the table
-      val mk = BpeMerges
-        .map { case (a, b) => s"'$a' || chr(31) || '$b'" }
-        .mkString("[", ", ", "]")
-      val ranks =
-        s"[list_position(mk.m, toks[i] || chr(31) || toks[i+1]) FOR i IN range(1, len(toks))]"
-      s"""WITH RECURSIVE mk AS (SELECT $mk AS m),
-         |tk AS (SELECT doc_id, ${tokensSql("text")} AS ws FROM documents),
-         |words AS (
-         |  SELECT doc_id, generate_subscripts(ws, 1) AS widx, unnest(ws) AS w
-         |  FROM tk),
-         |bpe AS (
-         |  SELECT doc_id, widx,
-         |    [substr(w, i, 1) FOR i IN range(1, len(w)+1)] AS toks
-         |  FROM words
-         |  UNION ALL
-         |  SELECT doc_id, widx,
-         |    toks[1:bpos-1] || [toks[bpos] || toks[bpos+1]] || toks[bpos+2:len(toks)]
-         |  FROM (
-         |    SELECT doc_id, widx, toks, brank, list_position(ranks, brank) AS bpos
-         |    FROM (
-         |      SELECT doc_id, widx, toks, ranks,
-         |        list_min(list_filter(ranks, r -> r IS NOT NULL AND r > 0)) AS brank
-         |      FROM (SELECT bpe.doc_id, bpe.widx, bpe.toks, $ranks AS ranks
-         |            FROM bpe, mk)))
-         |  WHERE brank IS NOT NULL),
-         |done AS (
-         |  SELECT doc_id, widx, toks FROM (
-         |    SELECT bpe.doc_id, bpe.widx, bpe.toks,
-         |      list_min(list_filter($ranks, r -> r IS NOT NULL AND r > 0)) AS brank
-         |    FROM bpe, mk) WHERE brank IS NULL)
+    "ext_bpe_tokens" ->
+      s"""WITH RECURSIVE $BpeDoneCtes
          |SELECT doc_id,
          |  CAST(SUM(len(toks)) AS BIGINT) AS n_bpe_tokens,
          |  md5(COALESCE(string_agg(array_to_string(toks, chr(1)), chr(2) ORDER BY widx), ''))
          |    AS tok_md5
-         |FROM done GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
+         |FROM done GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "ext_token_mixture" ->
+      s"""WITH RECURSIVE $BpeDoneCtes,
+         |tc AS (SELECT doc_id, CAST(SUM(len(toks)) AS BIGINT) AS tok_n
+         |       FROM done GROUP BY doc_id),
+         |d2 AS (SELECT d.doc_id, d.source, COALESCE(tc.tok_n, 0) AS tok_n
+         |       FROM documents d LEFT JOIN tc ON tc.doc_id = d.doc_id),
+         |av AS (SELECT source, SUM(tok_n) AS avail FROM d2 GROUP BY source),
+         |w AS (SELECT source,
+         |        CASE WHEN length(source) = 4 THEN 1 ELSE 3 END AS parts
+         |      FROM (SELECT DISTINCT source FROM documents)),
+         |tp AS (SELECT SUM(parts) AS tp FROM w),
+         |plan AS (SELECT av.source AS source, avail,
+         |           (CAST(500000 AS BIGINT) * parts) // tp AS target
+         |         FROM av JOIN w ON w.source = av.source CROSS JOIN tp),
+         |p2 AS (SELECT source, avail, target,
+         |         CAST(target // avail AS BIGINT) AS epochs,
+         |         CAST(((target % avail) * 1000000) // avail AS BIGINT) AS frac
+         |       FROM plan),
+         |em AS (SELECT d.source AS source, unnest(range(p.epochs)) AS epoch
+         |       FROM documents d JOIN p2 p ON p.source = d.source
+         |       UNION ALL
+         |       SELECT d.source, p.epochs AS epoch
+         |       FROM documents d JOIN p2 p ON p.source = d.source
+         |       WHERE ${Sampling.ppmHashSql("d.doc_id", "mix")} < p.frac)
+         |SELECT source, CAST(epoch AS BIGINT) AS epoch, COUNT(*) AS n
+         |FROM em GROUP BY source, epoch ORDER BY source, epoch""".stripMargin,
 
     "ext_bpe_train" -> {
       // unrolled training loop, one CTE triple per learned merge: p{i} =
