@@ -841,6 +841,22 @@ object Ext {
         .orderBy("lang", "rank")
     }),
 
+    "ext_lr_auc" -> ((s, dir) => {
+      // exact tie-aware ROC-AUC of the trained classifier over the whole
+      // corpus (integer Mann-Whitney on the distinct-margin table) —
+      // the one-number quality-filter evaluation
+      val docs = t(s, dir, "documents")
+      val w = graft.ext.LogReg.train(
+        docs.where(col("doc_id") % 2 === 0),
+        "text", "doc_id", (col("lang") === "en").cast("long"),
+        buckets = 1000, iterations = 3)
+      val scored = graft.ext.LogReg
+        .score(docs, w, "text", "doc_id", buckets = 1000)
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").cast("long").as("y")), "doc_id")
+      graft.ext.Eval.rocAuc(scored, "zq", col("y"))
+    }),
+
     "ext_lr_calibration" -> ((s, dir) => {
       // classifier calibration report: positive rate per clamped integer
       // margin bucket — the evaluation artifact that picks a filter
@@ -2059,6 +2075,37 @@ object Ext {
          |         LEAST(CAST(4000000000 AS HUGEINT), z + 2000000000)) AS BIGINT) AS p4,
          |  CAST(CASE WHEN z >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "ext_lr_auc" ->
+      s"""${lrCtes(3, 1000)},
+         |sf AS (
+         |  SELECT doc, b, COUNT(*) AS x
+         |  FROM (SELECT doc_id AS doc,
+         |          unnest(${graft.ext.Dsir.featureBucketsSql("text", 1000)}) AS b
+         |        FROM documents)
+         |  GROUP BY doc, b
+         |  UNION ALL
+         |  SELECT doc_id, -1, 1 FROM documents),
+         |sc AS (SELECT doc, CAST(SUM(CAST(x AS HUGEINT) * wq) AS BIGINT) AS z
+         |       FROM sf JOIN w3 USING (b) GROUP BY doc),
+         |lb AS (SELECT sc.doc, sc.z,
+         |         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+         |       FROM sc JOIN documents d ON d.doc_id = sc.doc),
+         |g AS (SELECT z AS s, CAST(SUM(y) AS BIGINT) AS p,
+         |        CAST(SUM(1 - y) AS BIGINT) AS n
+         |      FROM lb GROUP BY z),
+         |c AS (SELECT s, p, n,
+         |        COALESCE(SUM(n) OVER (ORDER BY s
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn
+         |      FROM g)
+         |SELECT CAST(SUM(CAST(p AS HUGEINT) * cn * 2 + CAST(p AS HUGEINT) * n)
+         |         AS BIGINT) AS u2,
+         |  CAST(SUM(p) AS BIGINT) AS n_pos, CAST(SUM(n) AS BIGINT) AS n_neg,
+         |  CAST(CASE WHEN SUM(p) > 0 AND SUM(n) > 0 THEN
+         |    (SUM(CAST(p AS HUGEINT) * cn * 2 + CAST(p AS HUGEINT) * n) * 1000000)
+         |      // (2 * SUM(p) * SUM(n))
+         |  END AS BIGINT) AS auc_ppm
+         |FROM c""".stripMargin,
 
     "ext_lr_calibration" ->
       s"""${lrCtes(3, 1000)},

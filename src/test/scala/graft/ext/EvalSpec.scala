@@ -1,0 +1,41 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Exact ROC-AUC: hand-checked boundary cases and a brute-force
+  * pair-counting reference on random scored sets. */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def auc(rows: Seq[(Long, Long)]): (Long, Long, Long, Option[Long]) = {
+    val r = Eval.rocAuc(rows.toDF("s", "y"), "s", col("y")).first()
+    (r.getLong(0), r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)))
+  }
+
+  test("perfect separation 1e6, reversal 0, all-ties 0.5, degenerate null") {
+    assert(auc(Seq((10L, 1L), (20L, 1L), (1L, 0L), (2L, 0L)))._4
+      == Some(1000000L))
+    assert(auc(Seq((1L, 1L), (2L, 1L), (10L, 0L), (20L, 0L)))._4 == Some(0L))
+    assert(auc(Seq((5L, 1L), (5L, 0L), (5L, 1L), (5L, 0L)))._4 == Some(500000L))
+    assert(auc(Seq((1L, 1L), (2L, 1L)))._4 == None, "no negatives -> null")
+  }
+
+  test("matches brute-force tie-aware pair counting on random sets") {
+    val rnd = new Random(17)
+    for (round <- 1 to 5) {
+      val rows = (0 until 200).map(_ =>
+        (rnd.nextInt(20).toLong, rnd.nextInt(2).toLong))
+      val pos = rows.filter(_._2 == 1L).map(_._1)
+      val neg = rows.filter(_._2 == 0L).map(_._1)
+      val u2ref = (for (p <- pos; n <- neg) yield
+        if (p > n) 2L else if (p == n) 1L else 0L).sum
+      val (u2, np, nn, ppm) = auc(rows)
+      assert(u2 == u2ref && np == pos.size && nn == neg.size, s"round $round")
+      assert(ppm == Some(u2ref * 1000000L / (2L * pos.size * neg.size)),
+        s"round $round")
+    }
+  }
+}
