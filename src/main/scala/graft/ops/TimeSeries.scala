@@ -125,12 +125,22 @@ object TimeSeries {
   ): DataFrame = {
     require(window > 1, "window must hold at least two predecessors")
     require(tNum > 0 && tDen > 0, "threshold must be positive")
-    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
-      .rowsBetween(-window, -1)
+    // preceding-window sums as prefix-sum differences:
+    // Σ[i−W, i−1] = cum[i−1] − cum[i−W−1]. The growing (unbounded →
+    // current) frame and lag/row_number are all O(1) per row in
+    // WindowExec; the naive rowsBetween(−W, −1) frame re-scans W rows
+    // of decimal per row per aggregate (benched 6.7 s → 1 s class at
+    // sf0.1). One sort serves every function.
+    val ws = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    val run = ws.rowsBetween(Window.unboundedPreceding, 0)
     val v = col(valueCol).cast("decimal(38,0)")
-    val dS = sum(v).over(w)
-    val dQ = sum(v * v).over(w)
-    val n = count(lit(1)).over(w)
+    val zero = lit(0).cast("decimal(38,0)")
+    def winSum(cum: Column): Column =
+      coalesce(lag(cum, 1).over(ws), zero) -
+        coalesce(lag(cum, window + 1).over(ws), zero)
+    val dS = winSum(sum(v).over(run))
+    val dQ = winSum(sum(v * v).over(run))
+    val n = least(row_number().over(ws) - 1, lit(window)).cast("long")
     val dn = n.cast("decimal(38,0)")
     val dev = dn * v - dS
     df
