@@ -45,4 +45,31 @@ object Eval {
         when(col("n_pos") > 0 && col("n_neg") > 0,
           expr("(u2 * 1000000) div (2 * n_pos * n_neg)")).as("auc_ppm"))
   }
+
+  /** [[rocAuc]] per `groupCol` slice — where is the classifier weak?
+    * (per-source/per-language filter quality, the slice-evaluation
+    * twin of [[Drift.jsDivergenceBySlice]]). Same integer arithmetic;
+    * the running-negatives window is KEYED by the group, so the
+    * distinct-(group, score) table shuffles once on the group and no
+    * global window exists. Output: (groupCol, u2, n_pos, n_neg,
+    * auc_ppm) per group, degenerate groups null. */
+  def rocAucByGroup(
+      df: DataFrame, groupCol: String, scoreCol: String,
+      label: Column): DataFrame = {
+    val y = label.cast("long")
+    val g = df.groupBy(col(groupCol), col(scoreCol).as("s"))
+      .agg(sum(y).as("p"), sum(lit(1L) - y).as("n"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cn", coalesce(sum(col("n")).over(w), lit(0L)))
+      .groupBy(groupCol)
+      .agg(
+        sum((col("p") * col("cn") * 2 + col("p") * col("n"))
+          .cast("decimal(38,0)")).as("u2"),
+        sum("p").as("n_pos"), sum("n").as("n_neg"))
+      .select(col(groupCol), col("u2").cast("long").as("u2"),
+        col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("(u2 * 1000000) div (2 * n_pos * n_neg)")).as("auc_ppm"))
+  }
 }

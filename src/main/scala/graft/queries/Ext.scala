@@ -857,6 +857,22 @@ object Ext {
       graft.ext.Eval.rocAuc(scored, "zq", col("y"))
     }),
 
+    "ext_lr_auc_sliced" -> ((s, dir) => {
+      // per-source classifier quality: where is the filter weak? Same
+      // integer Mann-Whitney, keyed window — no global window exists
+      val docs = t(s, dir, "documents")
+      val w = graft.ext.LogReg.train(
+        docs.where(col("doc_id") % 2 === 0),
+        "text", "doc_id", (col("lang") === "en").cast("long"),
+        buckets = 1000, iterations = 3)
+      val scored = graft.ext.LogReg
+        .score(docs, w, "text", "doc_id", buckets = 1000)
+        .join(docs.select(col("doc_id"), col("source"),
+          (col("lang") === "en").cast("long").as("y")), "doc_id")
+      graft.ext.Eval.rocAucByGroup(scored, "source", "zq", col("y"))
+        .orderBy("source")
+    }),
+
     "ext_lr_calibration" -> ((s, dir) => {
       // classifier calibration report: positive rate per clamped integer
       // margin bucket — the evaluation artifact that picks a filter
@@ -2106,6 +2122,38 @@ object Ext {
          |      // (2 * SUM(p) * SUM(n))
          |  END AS BIGINT) AS auc_ppm
          |FROM c""".stripMargin,
+
+    "ext_lr_auc_sliced" ->
+      s"""${lrCtes(3, 1000)},
+         |sf AS (
+         |  SELECT doc, b, COUNT(*) AS x
+         |  FROM (SELECT doc_id AS doc,
+         |          unnest(${graft.ext.Dsir.featureBucketsSql("text", 1000)}) AS b
+         |        FROM documents)
+         |  GROUP BY doc, b
+         |  UNION ALL
+         |  SELECT doc_id, -1, 1 FROM documents),
+         |sc AS (SELECT doc, CAST(SUM(CAST(x AS HUGEINT) * wq) AS BIGINT) AS z
+         |       FROM sf JOIN w3 USING (b) GROUP BY doc),
+         |lb AS (SELECT d.source, sc.z,
+         |         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+         |       FROM sc JOIN documents d ON d.doc_id = sc.doc),
+         |g AS (SELECT source, z AS s, CAST(SUM(y) AS BIGINT) AS p,
+         |        CAST(SUM(1 - y) AS BIGINT) AS n
+         |      FROM lb GROUP BY source, z),
+         |c AS (SELECT source, s, p, n,
+         |        COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY s
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn
+         |      FROM g)
+         |SELECT source,
+         |  CAST(SUM(CAST(p AS HUGEINT) * cn * 2 + CAST(p AS HUGEINT) * n)
+         |         AS BIGINT) AS u2,
+         |  CAST(SUM(p) AS BIGINT) AS n_pos, CAST(SUM(n) AS BIGINT) AS n_neg,
+         |  CAST(CASE WHEN SUM(p) > 0 AND SUM(n) > 0 THEN
+         |    (SUM(CAST(p AS HUGEINT) * cn * 2 + CAST(p AS HUGEINT) * n) * 1000000)
+         |      // (2 * SUM(p) * SUM(n))
+         |  END AS BIGINT) AS auc_ppm
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
     "ext_lr_calibration" ->
       s"""${lrCtes(3, 1000)},

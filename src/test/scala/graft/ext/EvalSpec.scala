@@ -23,6 +23,22 @@ class EvalSpec extends SparkSpec {
     assert(auc(Seq((1L, 1L), (2L, 1L)))._4 == None, "no negatives -> null")
   }
 
+  test("by-group AUC equals per-slice global computation") {
+    val rnd = new Random(29)
+    val rows = (0 until 300).map(_ => (s"g${rnd.nextInt(4)}",
+      rnd.nextInt(15).toLong, rnd.nextInt(2).toLong))
+    val grouped = Eval.rocAucByGroup(rows.toDF("g", "s", "y"), "g", "s",
+        col("y")).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    rows.groupBy(_._1).foreach { case (g, es) =>
+      val alone = Eval.rocAuc(
+        es.map(e => (e._2, e._3)).toDF("s", "y"), "s", col("y")).first()
+      val want = if (alone.isNullAt(3)) None else Some(alone.getLong(3))
+      assert(grouped(g) == want, s"group $g")
+    }
+  }
+
   test("matches brute-force tie-aware pair counting on random sets") {
     val rnd = new Random(17)
     for (round <- 1 to 5) {
