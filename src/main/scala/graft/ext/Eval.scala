@@ -46,6 +46,30 @@ object Eval {
           expr("(u2 * 1000000) div (2 * n_pos * n_neg)")).as("auc_ppm"))
   }
 
+  /** Exact precision/recall curve: one row per DISTINCT score s — the
+    * operating point "predict positive iff score ≥ s" — with integer
+    * tp/fp/fn and truncating-ppm precision/recall. Same collapsed-table
+    * shape as [[rocAuc]]: the corpus partial-aggregates to distinct
+    * scores, cumulative counts run over that table (descending score,
+    * inclusive), and the one-row totals broadcast. Every cell is
+    * integer arithmetic — the curve replays bit-for-bit. */
+  def prCurve(df: DataFrame, scoreCol: String, label: Column): DataFrame = {
+    val y = label.cast("long")
+    val g = df.groupBy(col(scoreCol).as("s"))
+      .agg(sum(y).as("p"), sum(lit(1L) - y).as("n"))
+    val w = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    g
+      .withColumn("tp", sum(col("p")).over(w))
+      .withColumn("fp", sum(col("n")).over(w))
+      .crossJoin(broadcast(g.groupBy().agg(sum(col("p")).as("__np"))))
+      .select(col("s"), col("tp"), col("fp"),
+        (col("__np") - col("tp")).as("fn"),
+        expr("(tp * 1000000) div (tp + fp)").as("precision_ppm"),
+        when(col("__np") > 0, expr("(tp * 1000000) div __np"))
+          .as("recall_ppm"))
+  }
+
   /** [[rocAuc]] per `groupCol` slice — where is the classifier weak?
     * (per-source/per-language filter quality, the slice-evaluation
     * twin of [[Drift.jsDivergenceBySlice]]). Same integer arithmetic;

@@ -873,6 +873,23 @@ object Ext {
         .orderBy("source")
     }),
 
+    "ext_lr_pr_curve" -> ((s, dir) => {
+      // exact PR curve of the trained classifier: one operating point
+      // per distinct margin, integer tp/fp/fn and truncating-ppm
+      // precision/recall — the full threshold-sweep artifact
+      val docs = t(s, dir, "documents")
+      val w = graft.ext.LogReg.train(
+        docs.where(col("doc_id") % 2 === 0),
+        "text", "doc_id", (col("lang") === "en").cast("long"),
+        buckets = 1000, iterations = 3)
+      val scored = graft.ext.LogReg
+        .score(docs, w, "text", "doc_id", buckets = 1000)
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").cast("long").as("y")), "doc_id")
+      graft.ext.Eval.prCurve(scored, "zq", col("y"))
+        .orderBy(col("s").desc)
+    }),
+
     "ext_lr_calibration" -> ((s, dir) => {
       // classifier calibration report: positive rate per clamped integer
       // margin bucket — the evaluation artifact that picks a filter
@@ -2154,6 +2171,37 @@ object Ext {
          |      // (2 * SUM(p) * SUM(n))
          |  END AS BIGINT) AS auc_ppm
          |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "ext_lr_pr_curve" ->
+      s"""${lrCtes(3, 1000)},
+         |sf AS (
+         |  SELECT doc, b, COUNT(*) AS x
+         |  FROM (SELECT doc_id AS doc,
+         |          unnest(${graft.ext.Dsir.featureBucketsSql("text", 1000)}) AS b
+         |        FROM documents)
+         |  GROUP BY doc, b
+         |  UNION ALL
+         |  SELECT doc_id, -1, 1 FROM documents),
+         |sc AS (SELECT doc, CAST(SUM(CAST(x AS HUGEINT) * wq) AS BIGINT) AS z
+         |       FROM sf JOIN w3 USING (b) GROUP BY doc),
+         |lb AS (SELECT sc.z, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+         |       FROM sc JOIN documents d ON d.doc_id = sc.doc),
+         |g AS (SELECT z AS s, CAST(SUM(y) AS BIGINT) AS p,
+         |        CAST(SUM(1 - y) AS BIGINT) AS n
+         |      FROM lb GROUP BY z),
+         |c AS (SELECT s, p, n,
+         |        SUM(p) OVER (ORDER BY s DESC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         |        SUM(n) OVER (ORDER BY s DESC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+         |      FROM g),
+         |tot AS (SELECT SUM(p) AS np FROM g)
+         |SELECT s, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |  CAST(tot.np - tp AS BIGINT) AS fn,
+         |  CAST((tp * 1000000) // (tp + fp) AS BIGINT) AS precision_ppm,
+         |  CAST(CASE WHEN tot.np > 0 THEN (tp * 1000000) // tot.np END
+         |    AS BIGINT) AS recall_ppm
+         |FROM c CROSS JOIN tot ORDER BY s DESC""".stripMargin,
 
     "ext_lr_calibration" ->
       s"""${lrCtes(3, 1000)},

@@ -39,6 +39,33 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("pr curve: hand-checked operating points, brute-force on random sets") {
+    // scores desc: 10(pos), 5(neg), 5(pos), 1(neg) -> thresholds 10,5,1
+    val rows = Seq((10L, 1L), (5L, 0L), (5L, 1L), (1L, 0L))
+    val got = Eval.prCurve(rows.toDF("s", "y"), "s", col("y"))
+      .orderBy(col("s").desc).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (10L, 1L, 0L, 1L, 1000000L, 500000L),
+      (5L, 2L, 1L, 0L, 666666L, 1000000L),
+      (1L, 2L, 2L, 0L, 500000L, 1000000L)), got.toSeq)
+    // brute-force on random data
+    val rnd = new Random(37)
+    val rand = (0 until 150).map(_ =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(2).toLong))
+    val np = rand.count(_._2 == 1L).toLong
+    val curve = Eval.prCurve(rand.toDF("s", "y"), "s", col("y")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rand.map(_._1).distinct.foreach { s =>
+      val tp = rand.count(r => r._1 >= s && r._2 == 1L).toLong
+      val fp = rand.count(r => r._1 >= s && r._2 == 0L).toLong
+      assert(curve(s) == ((tp, fp)), s"threshold $s")
+    }
+    assert(curve.size == rand.map(_._1).distinct.size)
+    assert(np > 0)
+  }
+
   test("matches brute-force tie-aware pair counting on random sets") {
     val rnd = new Random(17)
     for (round <- 1 to 5) {
