@@ -40,6 +40,10 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Gates whose result is empty BY CONTRACT (everything else that compares
+# empty-vs-empty is flagged as a vacuous pass).
+EMPTY_OK = {"f5_zero_row_guard"}
+
 DTYPE_CLASS = {"i": "int", "u": "int", "f": "float", "b": "bool",
                "M": "datetime", "m": "timedelta"}
 
@@ -131,6 +135,13 @@ def main(sf_dir, out_dir):
         if err:
             failed.append(name)
             print(f"FAIL {name}: {err}")
+        elif not spark[0] and name not in EMPTY_OK:
+            # 0 == 0 is a VACUOUS pass: the gate compared nothing, so the
+            # operators it claims to verify never ran on data (round 7's
+            # ext_curation_e2e shipped green this way). Gates that are
+            # empty BY CONTRACT must be allowlisted in EMPTY_OK.
+            failed.append(name)
+            print(f"FAIL {name}: vacuous (0 rows on both sides)")
         else:
             print(f"PASS {name} ({len(spark[0])} rows)")
     print(f"\n{len(declared) - len(failed)}/{len(declared)} passed")

@@ -65,9 +65,14 @@ object Drift {
     val tot = j.agg(sum("np").as("tnp"), sum("nq").as("tnq"))
     val joined = j.crossJoin(broadcast(tot))
     def d(c: String): Column = col(c).cast("double")
+    // denom is 0 only when a SIDE is entirely empty (tnp or tnq = 0):
+    // null-safe division then nulls the term and the final js — an empty
+    // side yields js = NULL rather than an ANSI divide-by-zero (the
+    // streaming drift monitor quarantines such batches on the null)
     val denom = d("np") * d("tnq") + d("nq") * d("tnp")
+    val safeDenom = when(denom === 0.0, lit(null)).otherwise(denom)
     def term(n: String, t: String): Column =
-      round(log(lit(2.0) * d(n) * d(t) / denom) * lit(1e9)).cast("bigint")
+      round(log(lit(2.0) * d(n) * d(t) / safeDenom) * lit(1e9)).cast("bigint")
     joined.agg(
         max(col("tnp")).as("n_ref"),
         max(col("tnq")).as("n_batch"),
@@ -151,9 +156,14 @@ object Drift {
     val totQ = j.groupBy(keyCol).agg(sum("nq").as("tnq"))
     val full = j.join(broadcast(totQ), keyCol)
     def d(c: String): Column = col(c).cast("double")
+    // denom is 0 only when a SIDE is entirely empty (tnp or tnq = 0):
+    // null-safe division then nulls the term and the final js — an empty
+    // side yields js = NULL rather than an ANSI divide-by-zero (the
+    // streaming drift monitor quarantines such batches on the null)
     val denom = d("np") * d("tnq") + d("nq") * d("tnp")
+    val safeDenom = when(denom === 0.0, lit(null)).otherwise(denom)
     def term(n: String, t: String): Column =
-      round(log(lit(2.0) * d(n) * d(t) / denom) * lit(1e9)).cast("bigint")
+      round(log(lit(2.0) * d(n) * d(t) / safeDenom) * lit(1e9)).cast("bigint")
     full.groupBy(keyCol)
       .agg(max(col("tnp")).as("n_ref"), max(col("tnq")).as("n_batch"),
         sum(when(col("np") > 0,

@@ -17,25 +17,25 @@ object Eval {
     * (P_s/N_s = positives/negatives at score s, cumN_{<s} = negatives
     * strictly below; the P_s·N_s term is the ½-credit for ties). Output
     * one row: (u2, n_pos, n_neg, auc_ppm) with u2 = 2U exactly and
-    * auc_ppm = (u2·1e6) div (2·nPos·nNeg) — truncating integer division,
-    * bit-identical in any engine.
+    * auc_ppm = (u2·1e6) div (2·nPos·nNeg) — truncating integer division
+    * computed in decimal(38,0) (u2 can pass 2^43 long before the ×1e6
+    * product fits int64), bit-identical in any engine.
     *
     * Scale shape: one partial-agg groupBy collapses the corpus to the
-    * distinct-score table; the running-negatives window then runs over
-    * THAT table, whose cardinality is the number of distinct scores —
-    * for quantized margins (int64 at a fixed quantum) this is far below
-    * corpus size, and a caller with a pathological score space coarsens
-    * the quantum first. The window is unpartitioned by nature (a global
-    * CDF): acceptable because its input is the collapsed table, never
-    * the corpus. Label must evaluate to 0/1; degenerate inputs (no
-    * positives or no negatives) yield auc_ppm null. */
+    * distinct-score table; the running-negatives CDF over that table
+    * then runs through [[graft.ops.PrefixSum]]'s two-pass partition-
+    * offset scheme — a RANGE-PARTITIONED parallel sort, never an
+    * unpartitioned Window. LR margins are per-doc int64 sums, so the
+    * "collapsed" table can approach corpus cardinality; the CDF must
+    * not assume it fits one task (the round-7 watch item this replaces).
+    * Label must evaluate to 0/1; degenerate inputs (no positives or no
+    * negatives) yield auc_ppm null. */
   def rocAuc(df: DataFrame, scoreCol: String, label: Column): DataFrame = {
     val y = label.cast("long")
     val g = df.groupBy(col(scoreCol).as("s"))
       .agg(sum(y).as("p"), sum(lit(1L) - y).as("n"))
-    val w = Window.orderBy(col("s"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    g.withColumn("cn", coalesce(sum(col("n")).over(w), lit(0L)))
+    graft.ops.PrefixSum.running(g, Seq(col("s")), Seq("n" -> "__cn_incl"))
+      .withColumn("cn", col("__cn_incl") - col("n"))
       .agg(
         sum((col("p") * col("cn") * 2 + col("p") * col("n"))
           .cast("decimal(38,0)")).as("u2"),
@@ -43,30 +43,35 @@ object Eval {
       .select(col("u2").cast("long").as("u2"),
         col("n_pos"), col("n_neg"),
         when(col("n_pos") > 0 && col("n_neg") > 0,
-          expr("(u2 * 1000000) div (2 * n_pos * n_neg)")).as("auc_ppm"))
+          expr("(cast(u2 as decimal(38,0)) * 1000000) div (2 * n_pos * n_neg)"))
+          .as("auc_ppm"))
   }
 
   /** Exact precision/recall curve: one row per DISTINCT score s — the
     * operating point "predict positive iff score ≥ s" — with integer
     * tp/fp/fn and truncating-ppm precision/recall. Same collapsed-table
-    * shape as [[rocAuc]]: the corpus partial-aggregates to distinct
-    * scores, cumulative counts run over that table (descending score,
-    * inclusive), and the one-row totals broadcast. Every cell is
-    * integer arithmetic — the curve replays bit-for-bit. */
+    * shape as [[rocAuc]], and the same two-pass CDF: both cumulative
+    * counts (descending score, inclusive) ride ONE
+    * [[graft.ops.PrefixSum]] range-sort — never an unpartitioned
+    * Window — and the one-row totals broadcast (computed from the
+    * checkpointed cumulative table, not a second corpus pass). Every
+    * cell is integer arithmetic — the curve replays bit-for-bit. */
   def prCurve(df: DataFrame, scoreCol: String, label: Column): DataFrame = {
     val y = label.cast("long")
     val g = df.groupBy(col(scoreCol).as("s"))
       .agg(sum(y).as("p"), sum(lit(1L) - y).as("n"))
-    val w = Window.orderBy(col("s").desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    g
-      .withColumn("tp", sum(col("p")).over(w))
-      .withColumn("fp", sum(col("n")).over(w))
-      .crossJoin(broadcast(g.groupBy().agg(sum(col("p")).as("__np"))))
+    val cum = graft.ops.PrefixSum.running(
+      g, Seq(col("s").desc), Seq("p" -> "tp", "n" -> "fp"))
+    cum
+      .crossJoin(broadcast(cum.groupBy().agg(sum(col("p")).as("__np"))))
       .select(col("s"), col("tp"), col("fp"),
         (col("__np") - col("tp")).as("fn"),
-        expr("(tp * 1000000) div (tp + fp)").as("precision_ppm"),
-        when(col("__np") > 0, expr("(tp * 1000000) div __np"))
+        // ppm numerators in decimal(38,0): tp×1e6 would pass int64 once
+        // tp nears 1e13 positives (the oracle's hugeint does the same)
+        expr("(cast(tp as decimal(38,0)) * 1000000) div (tp + fp)")
+          .as("precision_ppm"),
+        when(col("__np") > 0,
+          expr("(cast(tp as decimal(38,0)) * 1000000) div __np"))
           .as("recall_ppm"))
   }
 

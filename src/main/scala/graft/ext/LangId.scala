@@ -1,0 +1,86 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** TRAINED language identification: hashed character-n-gram Naive Bayes —
+  * the published pipeline standard (CCNet / fastText-langid class: char
+  * n-gram features, linear model, argmax over languages), replacing the
+  * stop-word-marker heuristic ([[TextStats.langId]]) as the default
+  * language router. The heuristic needs a curated marker list per
+  * language and collapses on short or marker-free text; char n-grams
+  * learn the orthography itself from a labeled slice (and trivially
+  * cover non-marker scripts — the fixture's zh has no markers at all, so
+  * the heuristic can never predict it; the trained router can).
+  *
+  * Features: every (lowercased) character trigram OCCURRENCE, hashed
+  * into `buckets` slots with the engine-wide md5 60-bit hash — the
+  * [[Dsir.featureBuckets]] discipline at character granularity, so the
+  * model stays a fixed C×B table no matter the corpus. Classification is
+  * [[NaiveBayes]] with these features: add-α dense log-probs quantized
+  * int64 at training, integer score sums, min-struct argmax — the
+  * prediction replays bit-for-bit in any engine.
+  *
+  * Scale shape: identical to NaiveBayes (training = one partial-agg
+  * pass over the labeled slice; classification = one corpus pass
+  * probing the broadcast model). Char trigrams fan out ~n_chars per doc
+  * vs ~2×words for word features — same order as the LM operators'
+  * token streams, and the explode stays narrow (no shuffle before the
+  * per-doc partial agg).
+  *
+  * Text is treated as a code-point sequence by BOTH engines (Spark
+  * `substring`/`length` and DuckDB `substr`/`length` count code points),
+  * so the gate contract holds for any BMP text; the fixture is BMP. */
+object LangId {
+
+  /** Default trigram window (fastText langid uses 2–4; 3 is the
+    * standard single-width choice). */
+  val DefaultN = 3
+
+  /** Hashed char-n-gram bucket stream of a text column — one element per
+    * n-gram occurrence, each in [0, buckets). Texts shorter than `n`
+    * yield an empty stream. The text is let-bound (computed once per
+    * row) through a single-element transform, the featureBuckets trick. */
+  def charGramBuckets(n: Int)(text: Column, buckets: Int): Column = {
+    require(n > 0, "charGramBuckets: n must be positive")
+    element_at(
+      transform(array(lower(text)), { t =>
+        when(length(t) < n, array().cast("array<bigint>"))
+          .otherwise(transform(
+            sequence(lit(1), length(t) - (n - 1)),
+            i => TextHash.hmod(substring(t, i, lit(n))) % buckets))
+      }),
+      1)
+  }
+
+  /** DuckDB SQL fragment mirroring [[charGramBuckets]]. */
+  def charGramBucketsSql(n: Int, textE: String, buckets: Int): String =
+    s"""[CASE WHEN length(t) < $n THEN CAST([] AS BIGINT[])
+       |      ELSE [${TextHash.hmodSql(s"substr(t, i, $n)")} % $buckets
+       |            FOR i IN range(1, length(t) - ${n - 2})]
+       | END FOR t IN [lower($textE)]][1]""".stripMargin
+      .replaceAll("\n\\s*", " ")
+
+  /** Train the char-n-gram NB router on `labeled` (labels from
+    * `langCol`) and classify every corpus document. Output: (idCol,
+    * lang, score_lpq) — `lang` the argmax language, ties to the
+    * lexicographically smallest label. Documents shorter than `n` chars
+    * yield no row (no evidence, no verdict) — route them to an explicit
+    * "und" bucket upstream if every doc must carry a language. */
+  def classify(
+      corpus: DataFrame,
+      labeled: DataFrame,
+      textCol: String,
+      idCol: String,
+      langCol: String,
+      n: Int = DefaultN,
+      buckets: Int = 2000,
+      alpha: Double = 1.0
+  ): DataFrame = {
+    val (model, priors) = NaiveBayes.train(
+      labeled, textCol, langCol, buckets, alpha, charGramBuckets(n))
+    NaiveBayes.classify(
+        corpus, model, priors, textCol, idCol, buckets, charGramBuckets(n))
+      .select(col(idCol), col("label").as("lang"), col("score_lpq"))
+  }
+}

@@ -39,14 +39,15 @@ object NaiveBayes {
       textCol: String,
       labelCol: String,
       buckets: Int = 10000,
-      alpha: Double = 1.0
+      alpha: Double = 1.0,
+      features: (Column, Int) => Column = Dsir.featureBuckets
   ): (DataFrame, DataFrame) = {
     require(buckets > 0, "buckets must be positive")
     require(alpha > 0, "alpha must be positive (unseen buckets need mass)")
     val q = (p: Column) => round(log(p) * lit(LanguageModel.LpScale)).cast("long")
     val counts = labeled
       .select(col(labelCol).as("label"),
-        explode(Dsir.featureBuckets(col(textCol), buckets)).as("b"))
+        explode(features(col(textCol), buckets)).as("b"))
       .groupBy("label", "b").agg(count(lit(1)).as("n"))
     val classTotals = counts.groupBy("label").agg(sum("n").as("nc"))
     // dense C×B grid: every class × every bucket id (model-sized)
@@ -76,11 +77,12 @@ object NaiveBayes {
       priors: DataFrame,
       textCol: String,
       idCol: String,
-      buckets: Int = 10000
+      buckets: Int = 10000,
+      features: (Column, Int) => Column = Dsir.featureBuckets
   ): DataFrame = {
     corpus
       .select(col(idCol),
-        explode(Dsir.featureBuckets(col(textCol), buckets)).as("b"))
+        explode(features(col(textCol), buckets)).as("b"))
       .join(broadcast(model), Seq("b"))
       .groupBy(col(idCol), col("label"))
       .agg(sum("lpq").as("__s"))
@@ -104,10 +106,12 @@ object NaiveBayes {
       labelCol: String,
       idCol: String,
       buckets: Int = 10000,
-      alpha: Double = 1.0
+      alpha: Double = 1.0,
+      features: (Column, Int) => Column = Dsir.featureBuckets
   ): DataFrame = {
-    val (model, priors) = train(labeled, textCol, labelCol, buckets, alpha)
-    classify(corpus, model, priors, textCol, idCol, buckets)
+    val (model, priors) =
+      train(labeled, textCol, labelCol, buckets, alpha, features)
+    classify(corpus, model, priors, textCol, idCol, buckets, features)
       .join(corpus.select(col(idCol), col(labelCol).as("actual")), Seq(idCol))
       .groupBy(col("actual"), col("label").as("predicted"))
       .agg(count(lit(1)).as("n"))

@@ -151,7 +151,11 @@ object Sampling {
     val keyq = round(
       log((h + 1).cast("double") / lit(TextHash.P.toDouble)) /
         col(weightCol).cast("double") * lit(Dsir.LrScale)).cast("long")
-    val keyed = df.where(col(weightCol) > 0)
+    // weight > 0 rejects null/zero/negative weights by three-valued logic;
+    // the null-id exclusion must be EXPLICIT — without it the salted hash
+    // and key_q both go null and exclusion would ride on null-ordering
+    // behavior rather than the documented contract.
+    val keyed = df.where(col(weightCol) > 0 && col(idCol).isNotNull)
       .select(col(idCol).cast("long").as("__id"), keyq.as("__k"))
     if (df.sparkSession.catalog.functionExists("graft_topk")) {
       keyed
@@ -190,7 +194,8 @@ object Sampling {
     val keyq = round(
       log((h + 1).cast("double") / lit(TextHash.P.toDouble)) /
         col(weightCol).cast("double") * lit(Dsir.LrScale)).cast("long")
-    val keyed = df.where(col(weightCol) > 0)
+    // same explicit null-id exclusion as [[weightedSample]]
+    val keyed = df.where(col(weightCol) > 0 && col(idCol).isNotNull)
       .select(col(groupCol), col(idCol).cast("long").as("__id"),
         keyq.as("__k"))
     if (df.sparkSession.catalog.functionExists("graft_topk")) {

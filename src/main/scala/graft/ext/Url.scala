@@ -163,46 +163,63 @@ object Url {
     *
     * `rules`: (host, agent, allow, rule_path) — from [[parseRobots]] or a
     * curated table. Per host, the group is the agent's own rules when any
-    * exist, else the `*` group (RFC group selection, resolved once on the
-    * driver); among matching rules the LONGEST rule path wins, ties break
-    * least-restrictive (allow). URLs with no matching rule (or no rules
-    * for their host at all) are allowed.
+    * exist, else the `*` group (RFC group selection); among matching rules
+    * the LONGEST rule path wins, ties break least-restrictive (allow).
+    * URLs with no matching rule (or no rules for their host at all) are
+    * allowed.
     *
-    * Scale shape: rules tables are dimension-sized (one site's robots is
-    * KBs), so the resolved group ships as a PLAN LITERAL and the verdict
-    * is a pure per-row expression — filter the rules array to this URL's
-    * host, regexp-match candidates, max-struct the winner. The corpus is
-    * never shuffled, never joined, never aggregated: robots screening at
-    * 100 TB is a free map over the scan, like canonicalization. (An
-    * earlier join+groupBy formulation re-shuffled the full-width corpus
-    * to collapse rule fan-out — this is the class of plan this project
-    * exists to catch.) */
+    * Scale shape: one site's robots is KBs, but a web-scale frontier has
+    * MILLIONS of hosts — the rules table is dimension-sized relative to
+    * the corpus yet far too big for a plan literal (an earlier
+    * formulation collected the whole table onto the driver and shipped it
+    * as a `typedLit` probed linearly per URL: a 1M-host × 20-rule literal
+    * is the `trainMerges` plan-string-explosion class, and per-row cost
+    * was O(total rules), not O(this host's rules)). The scale-safe shape:
+    * group-select and pre-compile the rules into ONE array row per host
+    * (a rules-dimension-only shuffle, never the corpus), then BROADCAST
+    * hash join on host — the corpus is still never shuffled, and the
+    * per-row verdict (regexp-match candidates, max-struct the winner)
+    * touches only the joined host's own rules. Robots screening at
+    * 100 TB stays a free map over the scan, like canonicalization;
+    * broadcast capacity bounds the rules side at ~millions of hosts,
+    * which is also where a curated rules table naturally tops out
+    * (compiled patterns for 100k hosts / 2M rules measure ~tens of MB —
+    * see ScaleSmoke's robots entry). */
   def robotsDecisions(
       urls: DataFrame, urlCol: String, rules: DataFrame, agent: String
   ): DataFrame = {
     val a = agent.toLowerCase(java.util.Locale.ROOT)
-    val ruleRows = rules
-      .select(lower(col("agent")).as("agent"), col("host"), col("allow"),
-        col("rule_path"), rulePattern(col("rule_path")).as("rx"))
-      .collect()
-    val exactHosts = ruleRows.filter(_.getString(0) == a)
-      .map(_.getString(1)).toSet
-    val grp = ruleRows.filter(r => r.getString(0) == a ||
-      (r.getString(0) == "*" && !exactHosts(r.getString(1))))
-    // (host, rx, plen, allow) literal — RFC "longest rule" counts the
-    // ORIGINAL rule path's length, wildcards included
-    val rulesLit = typedLit(grp.toIndexedSeq.map(r =>
-      (r.getString(1), r.getString(4), r.getString(3).length, r.getBoolean(2))))
-    val matches = filter(rulesLit, r =>
-      r.getField("_1") === col("__host") &&
-        regexp_like(col("__path"), r.getField("_2")))
+    // compile once per RULE (dimension-side work), then collapse to one
+    // row per host with RFC group selection: the exact-agent group when
+    // any of its rules exist for the host, else the `*` group.
+    // (collect_list skips the nulls the `when` produces for the other
+    // group; element order inside the array is irrelevant — the winner
+    // is an order-free max-struct.)
+    val compiled = rules
+      .select(lower(col("agent")).as("__agent"), col("host"),
+        struct(length(col("rule_path")).as("plen"), col("allow").as("allow"),
+          rulePattern(col("rule_path")).as("rx")).as("__rule"))
+      .where(col("__agent").isin(a, "*"))
+    val perHost = compiled
+      .groupBy(col("host").as("__rules_host"))
+      .agg(
+        collect_list(when(col("__agent") === a, col("__rule"))).as("__exact"),
+        collect_list(when(col("__agent") === "*", col("__rule"))).as("__star"))
+      .select(col("__rules_host"),
+        when(size(col("__exact")) > 0, col("__exact"))
+          .otherwise(col("__star")).as("__rules"))
+    // RFC "longest rule" counts the ORIGINAL rule path's length,
+    // wildcards included (plen above, not the compiled regex length)
+    val matches = filter(col("__rules"), r =>
+      regexp_like(col("__path"), r.getField("rx")))
     val win = array_max(transform(matches, r =>
-      struct(r.getField("_3").as("plen"), r.getField("_4").as("allow"))))
+      struct(r.getField("plen").as("plen"), r.getField("allow").as("allow"))))
     urls
       .withColumn("__host", host(col(urlCol)))
       .withColumn("__path", path(col(urlCol)))
+      .join(broadcast(perHost), col("__host") === col("__rules_host"), "left")
       .withColumn("allowed", coalesce(win.getField("allow"), lit(true)))
-      .drop("__path")
+      .drop("__path", "__rules_host", "__rules")
       .withColumnRenamed("__host", "url_host")
   }
 

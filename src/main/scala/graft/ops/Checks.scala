@@ -62,8 +62,17 @@ object Checks {
       c match {
         case Complete(cl, _) => Seq(count(col(cl)).as(s"__c$i"))
         case Unique(cols) =>
+          // Both tiers count the SAME all-non-null population: countDistinct
+          // skips rows where any key column is null, but a struct of nulls
+          // is itself non-null — the approx sketch must null out those rows
+          // explicitly (approx_count_distinct ignores null inputs) or dups
+          // (= __t − __c) could go negative / be misstated independent of
+          // HLL error. The approximate tier remains ADVISORY: ±HLL error
+          // can still flip a near-zero dups verdict either way; gate-grade
+          // decisions use exact = true.
+          val allNonNull = cols.map(col(_).isNotNull).reduce(_ && _)
           val d = if (exact) countDistinct(col(cols.head), cols.tail.map(col): _*)
-            else approx_count_distinct(struct(cols.map(col): _*))
+            else approx_count_distinct(when(allNonNull, struct(cols.map(col): _*)))
           Seq(d.as(s"__c$i"),
             count(when(cols.map(col(_).isNotNull).reduce(_ && _), 1))
               .as(s"__t$i"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Blocklist, Boilerplate, Bpe, Dedup, Drift, Html, LanguageModel, Markdown, Multimodal, NaiveBayes, NearDupIndex, Retrieval, Sampling, Similarity, Sketches, TextHash, TextStats, Url, VectorIndex, Winnow}
+import graft.ext.{Blocklist, Boilerplate, Bpe, Dedup, Drift, Html, LangId, LanguageModel, Markdown, Multimodal, NaiveBayes, NearDupIndex, Retrieval, Sampling, Similarity, Sketches, TextHash, TextStats, Url, VectorIndex, Winnow}
 import graft.ops.{AsOfJoin, FuzzyJoin, Profile}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -807,32 +807,41 @@ object Ext {
     }),
 
     "ext_lr_quality" -> ((s, dir) => {
-      // train on the labeled slice, then ONE corpus pass scores every
-      // document: integer margin zq, hard-sigmoid p4, decision pred
+      // the shared trained model (Fixtures.lrWeights — oracle replays the
+      // full training), then ONE corpus pass scores every document:
+      // integer margin zq, hard-sigmoid p4, decision pred
       val docs = t(s, dir, "documents")
-      val w = graft.ext.LogReg.train(
-        docs.where(col("doc_id") % 2 === 0),
-        "text", "doc_id", (col("lang") === "en").cast("long"),
-        buckets = 1000, iterations = 3)
-      graft.ext.LogReg.score(docs, w, "text", "doc_id", buckets = 1000)
+      graft.ext.LogReg.score(docs, Fixtures.lrWeights(s, dir),
+          "text", "doc_id", buckets = 1000)
         .orderBy("doc_id")
     }),
 
     "ext_curation_e2e" -> ((s, dir) => {
-      // the batch curation pipeline as ONE composition gate: train the
-      // LR quality classifier on the labeled slice → keep classifier-
-      // accepted docs → exact-dedup survivors (lowest id canonical) →
-      // per-language quota. Every stage is an already-gated operator;
-      // this re-verifies the composition end-to-end against a single
-      // oracle replaying the whole chain.
+      // the batch curation pipeline as ONE composition gate: score every
+      // doc under the trained LR quality classifier → keep docs at or
+      // above the CORPUS-MEAN margin → exact-dedup survivors (lowest id
+      // canonical) → per-language quota. Every stage is an already-gated
+      // operator; this re-verifies the composition end-to-end against a
+      // single oracle replaying the whole chain.
+      //
+      // The screen is relative (zq >= mean), not the absolute decision
+      // zq >= 0: the saturating hard-sigmoid full-batch GD swings the
+      // WHOLE corpus across z = 0 between iterations (all-negative at
+      // T=3, 499/500 positive at T=6), so an absolute threshold makes
+      // the gate vacuously empty or vacuously full — the round-7 gate
+      // passed with 0 rows on both sides and never exercised the dedup
+      // or quota stages. The mean is the FineWeb-style "keep the top
+      // share by classifier score" posture, exact integer arithmetic
+      // (sum div n, truncating — Spark div == DuckDB // on hugeint), one
+      // broadcast one-row side, and non-vacuous by construction
+      // (max >= mean for any nonempty corpus).
       val docs = t(s, dir, "documents")
-      val w = graft.ext.LogReg.train(
-        docs.where(col("doc_id") % 2 === 0),
-        "text", "doc_id", (col("lang") === "en").cast("long"),
-        buckets = 1000, iterations = 3)
-      val kept = graft.ext.LogReg
-        .score(docs, w, "text", "doc_id", buckets = 1000)
-        .where(col("pred") === 1).select("doc_id")
+      val scored = graft.ext.LogReg.score(docs, Fixtures.lrWeights(s, dir),
+        "text", "doc_id", buckets = 1000)
+      val thr = scored.agg(
+        expr("sum(cast(zq as decimal(38,0))) div count(1)").as("__thr"))
+      val kept = scored.crossJoin(broadcast(thr))
+        .where(col("zq") >= col("__thr")).select("doc_id")
       val keptDocs = docs.join(kept, "doc_id")
       val canonical = keptDocs.join(
         Dedup.exact(keptDocs, "text", "doc_id")
@@ -846,12 +855,9 @@ object Ext {
       // corpus (integer Mann-Whitney on the distinct-margin table) —
       // the one-number quality-filter evaluation
       val docs = t(s, dir, "documents")
-      val w = graft.ext.LogReg.train(
-        docs.where(col("doc_id") % 2 === 0),
-        "text", "doc_id", (col("lang") === "en").cast("long"),
-        buckets = 1000, iterations = 3)
       val scored = graft.ext.LogReg
-        .score(docs, w, "text", "doc_id", buckets = 1000)
+        .score(docs, Fixtures.lrWeights(s, dir), "text", "doc_id",
+          buckets = 1000)
         .join(docs.select(col("doc_id"),
           (col("lang") === "en").cast("long").as("y")), "doc_id")
       graft.ext.Eval.rocAuc(scored, "zq", col("y"))
@@ -861,12 +867,9 @@ object Ext {
       // per-source classifier quality: where is the filter weak? Same
       // integer Mann-Whitney, keyed window — no global window exists
       val docs = t(s, dir, "documents")
-      val w = graft.ext.LogReg.train(
-        docs.where(col("doc_id") % 2 === 0),
-        "text", "doc_id", (col("lang") === "en").cast("long"),
-        buckets = 1000, iterations = 3)
       val scored = graft.ext.LogReg
-        .score(docs, w, "text", "doc_id", buckets = 1000)
+        .score(docs, Fixtures.lrWeights(s, dir), "text", "doc_id",
+          buckets = 1000)
         .join(docs.select(col("doc_id"), col("source"),
           (col("lang") === "en").cast("long").as("y")), "doc_id")
       graft.ext.Eval.rocAucByGroup(scored, "source", "zq", col("y"))
@@ -878,12 +881,9 @@ object Ext {
       // per distinct margin, integer tp/fp/fn and truncating-ppm
       // precision/recall — the full threshold-sweep artifact
       val docs = t(s, dir, "documents")
-      val w = graft.ext.LogReg.train(
-        docs.where(col("doc_id") % 2 === 0),
-        "text", "doc_id", (col("lang") === "en").cast("long"),
-        buckets = 1000, iterations = 3)
       val scored = graft.ext.LogReg
-        .score(docs, w, "text", "doc_id", buckets = 1000)
+        .score(docs, Fixtures.lrWeights(s, dir), "text", "doc_id",
+          buckets = 1000)
         .join(docs.select(col("doc_id"),
           (col("lang") === "en").cast("long").as("y")), "doc_id")
       graft.ext.Eval.prCurve(scored, "zq", col("y"))
@@ -896,11 +896,8 @@ object Ext {
       // threshold. Bucket = zq div 2e9 (trunc toward zero, identical in
       // both engines), clamped to [-5, 5].
       val docs = t(s, dir, "documents")
-      val w = graft.ext.LogReg.train(
-        docs.where(col("doc_id") % 2 === 0),
-        "text", "doc_id", (col("lang") === "en").cast("long"),
-        buckets = 1000, iterations = 3)
-      graft.ext.LogReg.score(docs, w, "text", "doc_id", buckets = 1000)
+      graft.ext.LogReg.score(docs, Fixtures.lrWeights(s, dir),
+          "text", "doc_id", buckets = 1000)
         .join(docs.select(col("doc_id"),
           (col("lang") === "en").cast("long").as("y")), "doc_id")
         .select(greatest(lit(-5L),
@@ -959,6 +956,48 @@ object Ext {
     "ext_lang_id" -> ((s, dir) =>
       TextStats.langId(t(s, dir, "documents"), "text")
         .drop("text").orderBy("doc_id")),
+
+    "ext_langid_trained" -> ((s, dir) =>
+      // TRAINED language ID (CCNet/fastText class): char-trigram hashed
+      // NB trained on the doc_id%3 labeled slice, every document
+      // classified by integer argmax — the default router replacing the
+      // marker heuristic. The oracle replays train→score→argmax (the
+      // ext_nb_confusion discipline at character granularity).
+      LangId.classify(
+        t(s, dir, "documents").select("doc_id", "text"),
+        t(s, dir, "documents").where(col("doc_id") % 3 === 0)
+          .select("text", "lang"),
+        "text", "doc_id", "lang")
+        .orderBy("doc_id")),
+
+    "ext_langid_confusion" -> ((s, dir) => {
+      // router upgrade evidence on a SEPARABLE fixture: the synthetic
+      // corpus shares ONE vocabulary across lang labels (no text signal
+      // exists — majority-class is Bayes-optimal on it, see
+      // ext_langid_trained), so this gate decorates each document with a
+      // language-characteristic phrase (the ext_redact injection
+      // precedent) and cross-tabulates trained char-gram prediction vs
+      // the marker heuristic against the TRUE label. The heuristic
+      // drowns in the shared-vocab 'the'/'a' markers and has no zh
+      // markers at all; the trained router learns the decorations'
+      // orthography from the labeled slice and sweeps the diagonal.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          concat_ws(" ", col("text"), langDecorCol, langDecorCol,
+            langDecorCol).as("text"))
+      val trained = LangId.classify(
+        docs.select("doc_id", "text"),
+        docs.where(col("doc_id") % 3 === 0).select("text", "lang"),
+        "text", "doc_id", "lang")
+        .select(col("doc_id"), col("lang").as("trained"))
+      val heur = TextStats.langId(docs, "text")
+        .select(col("doc_id"), col("lang_pred").as("heuristic"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(trained, "doc_id").join(heur, "doc_id")
+        .groupBy("lang", "trained", "heuristic")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "trained", "heuristic")
+    }),
 
     "ext_fingerprint" -> ((s, dir) =>
       TextStats.fingerprint(t(s, dir, "documents"), "text")
@@ -1049,9 +1088,14 @@ object Ext {
       // arithmetic, realize deterministically; three gated operators
       // re-verified as one composition against a single oracle
       val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+      // LEFT join + coalesce(0): a doc yielding zero BPE-token rows must
+      // still plan and realize (with zero token mass) — the DuckDB oracle
+      // LEFT JOINs, and an inner join here would silently drop empty or
+      // whitespace-only texts from the mixture
       val withTok = docs.join(
         Bpe.tokenize(docs, "text", "doc_id", BpeMerges)
-          .select("doc_id", "n_bpe_tokens"), "doc_id")
+          .select("doc_id", "n_bpe_tokens"), Seq("doc_id"), "left")
+        .withColumn("n_bpe_tokens", coalesce(col("n_bpe_tokens"), lit(0L)))
       val weights = docs.select("source").distinct()
         .select(col("source"),
           when(length(col("source")) === 4, 1L).otherwise(3L).as("parts"))
@@ -1704,6 +1748,89 @@ object Ext {
   private def tokensSql(textE: String) =
     s"list_filter(string_split($textE, ' '), t -> t <> '')"
 
+  /** Per-language decoration phrases for the langid upgrade-evidence
+    * gate: the synthetic corpus has NO language signal in its text (one
+    * shared vocabulary for every label), so the confusion gate plants a
+    * characteristic phrase per language — BMP, precomposed, lowercase-
+    * stable — in both engines identically. */
+  private[queries] val LangDecor: Seq[(String, String)] = Seq(
+    "en" -> "the quick brown fox jumps over",
+    "de" -> "der schnelle braune fuchs springt über",
+    "fr" -> "le rapide renard brun saute déjà",
+    "es" -> "el rápido zorro marrón salta añade",
+    "zh" -> "快速的棕色狐狸跳过懒狗示例")
+
+  /** The decoration phrase of this row's `lang` as a Column. */
+  private def langDecorCol: org.apache.spark.sql.Column =
+    element_at(typedLit(LangDecor.toMap), col("lang"))
+
+  /** SQL: decorated text expression matching the gate's concat_ws. */
+  private def langDecorTextSql: String = {
+    val d = LangDecor.map { case (l, p) => s"WHEN lang = '$l' THEN '$p'" }
+      .mkString("CASE ", " ", " ELSE '' END")
+    s"text || ' ' || ($d) || ' ' || ($d) || ' ' || ($d)"
+  }
+
+  /** Unrolled replay of [[graft.ext.LangId.classify]] (char-trigram NB:
+    * feats → labeled counts → dense C×B quantized model + priors →
+    * per-doc integer argmax) — the ext_nb_confusion CTE discipline at
+    * character granularity, over relation `rel(doc_id, lang, text)`.
+    * Leaves `lpred(doc_id, label, score)` bound. */
+  private def langidCtes(rel: String): String = {
+    val b = 2000
+    def q(x: String) = s"CAST(round(ln($x) * 1e9) AS BIGINT)"
+    s"""lfeats AS (
+       |  SELECT doc_id,
+       |    unnest(${graft.ext.LangId.charGramBucketsSql(3, "text", b)}) AS b
+       |  FROM $rel),
+       |llab AS (SELECT doc_id, lang FROM $rel WHERE doc_id % 3 = 0),
+       |lrf AS (SELECT llab.lang AS label, f.b AS b
+       |        FROM lfeats f JOIN llab ON llab.doc_id = f.doc_id),
+       |lcounts AS (SELECT label, b, COUNT(*) AS n FROM lrf GROUP BY label, b),
+       |lnc AS (SELECT label, SUM(n) AS nc FROM lcounts GROUP BY label),
+       |lgrid AS (SELECT lnc.label AS label, lnc.nc AS nc, g.b AS b
+       |          FROM lnc CROSS JOIN (SELECT unnest(range(0, $b)) AS b) g),
+       |lmodel AS (
+       |  SELECT lgrid.label, lgrid.b,
+       |    ${q(s"(COALESCE(CAST(n AS DOUBLE), 0.0) + 1.0) / (CAST(nc AS DOUBLE) + ${1.0 * b})")} AS lpq
+       |  FROM lgrid LEFT JOIN lcounts
+       |    ON lcounts.label = lgrid.label AND lcounts.b = lgrid.b),
+       |ldc AS (SELECT lang AS label, COUNT(*) AS docs FROM llab GROUP BY lang),
+       |lpri AS (SELECT label,
+       |    ${q("CAST(docs AS DOUBLE) / CAST((SELECT SUM(docs) FROM ldc) AS DOUBLE)")} AS lpq_prior
+       |  FROM ldc),
+       |lsc AS (SELECT f.doc_id, m.label, SUM(m.lpq) AS s
+       |        FROM lfeats f JOIN lmodel m ON m.b = f.b
+       |        GROUP BY f.doc_id, m.label),
+       |ltot AS (SELECT lsc.doc_id, lsc.label, lsc.s + lpri.lpq_prior AS score
+       |         FROM lsc JOIN lpri ON lpri.label = lsc.label),
+       |lpred AS (SELECT doc_id, label, score FROM (
+       |  SELECT doc_id, label, score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, label ASC) AS rn
+       |  FROM ltot) WHERE rn = 1)""".stripMargin
+  }
+
+  /** The marker-heuristic language pick ([[graft.ext.TextStats.langId]]'s
+    * argmax with fixed-order tie-break) as ONE inline SQL expression. */
+  private lazy val langHeuristicPickSql: String = {
+    val toks = tokensSql("lower(text)")
+    def score(markers: Seq[String]) = {
+      val list = markers.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter($toks, t -> list_contains($list, t)))"
+    }
+    val langs = graft.ext.TextStats.LangMarkers
+    def caseFor(i: Int): String =
+      if (i == langs.length - 1) s"'${langs(i)._1}'"
+      else {
+        val cond = langs.drop(i + 1)
+          .map(o => s"${score(langs(i)._2)} >= ${score(o._2)}")
+          .mkString(" AND ")
+        s"CASE WHEN $cond THEN '${langs(i)._1}' ELSE ${caseFor(i + 1)} END"
+      }
+    caseFor(0)
+  }
+
   /** Shared LM CTE chain (train + per-token score stream `sc`) for the
     * perplexity and bucket oracles — generated from the same constants
     * as LanguageModel.trainStupidBackoff. */
@@ -2236,9 +2363,11 @@ object Ext {
          |  SELECT doc_id, -1, 1 FROM documents),
          |sc AS (SELECT doc, SUM(CAST(x AS HUGEINT) * wq) AS z
          |       FROM sf JOIN w3 USING (b) GROUP BY doc),
+         |thr AS (SELECT SUM(z) // COUNT(*) AS t FROM sc),
          |kept AS (SELECT d.doc_id, d.lang, d.text
          |         FROM documents d JOIN sc ON sc.doc = d.doc_id
-         |         WHERE sc.z >= 0),
+         |         CROSS JOIN thr
+         |         WHERE sc.z >= thr.t),
          |canon AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
          |cd AS (SELECT k.lang, k.doc_id,
          |         ${TextHash.hmodSql("(k.doc_id :: VARCHAR || ':cur1')")} AS qh
@@ -3348,6 +3477,23 @@ object Ext {
          |       $pick AS lang_pred
          |FROM scored ORDER BY doc_id""".stripMargin
     },
+
+    "ext_langid_trained" ->
+      s"""WITH ${langidCtes("documents")}
+         |SELECT doc_id, label AS lang, CAST(score AS BIGINT) AS score_lpq
+         |FROM lpred ORDER BY doc_id""".stripMargin,
+
+    "ext_langid_confusion" ->
+      s"""WITH ldocs AS (
+         |  SELECT doc_id, lang, $langDecorTextSql AS text FROM documents),
+         |${langidCtes("ldocs")},
+         |hpick AS (SELECT doc_id, $langHeuristicPickSql AS heuristic
+         |          FROM ldocs)
+         |SELECT d.lang, p.label AS trained, h.heuristic, COUNT(*) AS n
+         |FROM lpred p
+         |JOIN ldocs d ON d.doc_id = p.doc_id
+         |JOIN hpick h ON h.doc_id = p.doc_id
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "ext_quality_gopher" -> {
       val stopList = TextStats.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")

@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Process-wide memo of deterministic trained-model fixtures shared by
+  * several gates.
+  *
+  * The six LR-evaluation gates (quality / AUC / sliced AUC / PR curve /
+  * calibration / curation) all evaluate the SAME model — a deterministic
+  * function of (corpus, params) that each gate used to retrain in-gate,
+  * so ~2.5 s × 6 of every bench run measured fixture construction, not
+  * operator latency (the round-7 bench-honesty watch item). Training now
+  * happens once per (session, sf dir): the first caller pays, everyone
+  * else reads the frozen ≤(buckets+1)-row weight table back from
+  * localCheckpoint blocks. `ext_lr_train` deliberately does NOT use the
+  * memo — training is the operator that gate measures.
+  *
+  * Correctness is unchanged: the DuckDB oracles replay the full unrolled
+  * training per gate regardless (SQL is stateless), and a memoized
+  * deterministic model hashes identically to a retrained one. Bench runs
+  * the [[setups]] thunks OUTSIDE the per-query timed region and reports
+  * their cost as `setup` in the artifact, so the suite total reflects
+  * operator latency while fixture cost stays visible.
+  */
+object Fixtures {
+
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** The ext_lr_* family's model: LogReg.train on the doc_id%2 slice,
+    * y = (lang='en'), B = 1000, T = 3 — the exact spec every gate's
+    * oracle unrolls. Frozen via eager localCheckpoint so reuse is a
+    * model-sized block read. */
+  def lrWeights(s: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate(System.identityHashCode(s) + "|lr|" + dir, {
+      graft.ext.LogReg.train(
+        Tables.t(s, dir, "documents").where(col("doc_id") % 2 === 0),
+        "text", "doc_id", (col("lang") === "en").cast("long"),
+        buckets = 1000, iterations = 3)
+        .localCheckpoint(eager = true)
+    })
+
+  /** Fixture label -> force-materialization thunk, for Bench's untimed
+    * setup phase. Labels are stable artifact keys. */
+  val setups: Map[String, (SparkSession, String) => Unit] = Map(
+    "lr_weights" -> ((s, dir) => { lrWeights(s, dir).count(); () })
+  )
+
+  /** Which gates consume which fixture — Bench pre-builds exactly the
+    * fixtures its selected queries need. */
+  val querySetups: Map[String, Seq[String]] = Map(
+    "ext_lr_quality" -> Seq("lr_weights"),
+    "ext_lr_auc" -> Seq("lr_weights"),
+    "ext_lr_auc_sliced" -> Seq("lr_weights"),
+    "ext_lr_pr_curve" -> Seq("lr_weights"),
+    "ext_lr_calibration" -> Seq("lr_weights"),
+    "ext_curation_e2e" -> Seq("lr_weights")
+  )
+}

@@ -232,6 +232,33 @@ object Lifecycle {
       mv.read("li_agg").orderBy("l_returnflag", "l_linestatus")
     }),
 
+    "w_delete_rows" -> ((s, dir) => {
+      // row-level takedown lifecycle: overwrite → predicate delete →
+      // key-list delete → re-add every deleted row. Four retained
+      // versions, each summarized (count + exact balance sum): v2/v3 pin
+      // the two delete primitives' semantics, v4 == v1 pins that delete
+      // + re-add restores the untouched table (TableStoreSpec proves the
+      // content-level equality and the diffVersions delete feed; this
+      // gate pins the values against the oracle's replay).
+      val store = new TableStore(s,
+        Files.createTempDirectory("graft_q_del").toString, retainVersions = 4)
+      val c = t(s, dir, "customer").select("c_custkey", "c_acctbal")
+        .where(col("c_custkey") <= 1200)
+      store.overwrite("cust", c)
+      store.deleteWhere("cust", col("c_custkey") % 7 === 0)
+      store.deleteByKeys("cust", Seq("c_custkey"),
+        t(s, dir, "customer").where(col("c_custkey").between(100, 200)))
+      store.append("cust",
+        c.where(col("c_custkey") % 7 === 0 ||
+          col("c_custkey").between(100, 200)))
+      store.versions("cust").map { v =>
+        store.scanAsOf("cust", v).agg(
+          lit(v).as("version"),
+          count(lit(1)).as("n_rows"),
+          sum(col("c_acctbal").cast("decimal(20,2)")).cast("double").as("sum_bal"))
+      }.reduce(_.unionByName(_)).orderBy("version")
+    }),
+
     "w_version_diff" -> ((s, dir) => {
       // snapshot CDC: overwrite twice, then emit the row-level change feed
       // between the two retained versions — deletes below the new floor,
@@ -376,6 +403,25 @@ object Lifecycle {
         |  MAX(CAST(l_extendedprice AS DECIMAL(20,2))) AS max_price
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "w_delete_rows" ->
+      """SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE) AS sum_bal
+        |FROM customer WHERE c_custkey <= 1200
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), COUNT(*),
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE)
+        |FROM customer WHERE c_custkey <= 1200 AND c_custkey % 7 <> 0
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), COUNT(*),
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE)
+        |FROM customer WHERE c_custkey <= 1200 AND c_custkey % 7 <> 0
+        |  AND c_custkey NOT BETWEEN 100 AND 200
+        |UNION ALL
+        |SELECT CAST(4 AS BIGINT), COUNT(*),
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE)
+        |FROM customer WHERE c_custkey <= 1200
+        |ORDER BY version""".stripMargin,
 
     "w_version_diff" ->
       """WITH v1 AS (

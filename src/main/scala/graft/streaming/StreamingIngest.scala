@@ -477,11 +477,21 @@ object StreamingIngest {
         val row = graft.ext.Drift
           .jsDivergenceAgainstHistogram(refHist, batch, textCol, buckets)
           .first()
-        val js = row.getDouble(2)
-        onDrift(batchId, row.getLong(1), js)
-        if (js <= maxJs) {
-          if (store.exists(table)) store.append(table, batch)
-          else store.overwrite(table, batch)
+        // A token-free micro-batch has no distribution to compare:
+        // jsOfHistograms yields js = NULL there, and getDouble on a null
+        // cell would kill the whole stream. Treat it as quarantined
+        // (reported with js = NaN, never appended) — the monitor's job is
+        // to gate batches, not to die on an empty one.
+        val nBatch = if (row.isNullAt(1)) 0L else row.getLong(1)
+        if (nBatch == 0L || row.isNullAt(2)) {
+          onDrift(batchId, nBatch, Double.NaN)
+        } else {
+          val js = row.getDouble(2)
+          onDrift(batchId, nBatch, js)
+          if (js <= maxJs) {
+            if (store.exists(table)) store.append(table, batch)
+            else store.overwrite(table, batch)
+          }
         }
         ()
       }

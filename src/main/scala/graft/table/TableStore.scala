@@ -476,6 +476,37 @@ final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 
           changed.map(f => s"${f.name}: ${old(f.name)} -> ${f.dataType}").mkString(", "))
   }
 
+  /** Row-level delete: commit a NEW snapshot holding every current row
+    * whose `pred` is NOT true (SQL DELETE semantics — null predicates
+    * KEEP the row), atomic at the same CURRENT flip as any commit. The
+    * takedown/right-to-erasure primitive for corpus TABLES, completing
+    * the delete lifecycle the persistent indexes already have
+    * (BM25 tombstones, near-dup/vector index deletes): a crash mid-way
+    * leaves the pre-delete state live, retained versions still time-
+    * travel to it ([[scanAsOf]]), and the change feed shows the deletes
+    * ([[diffVersions]] `op = 'delete'`).
+    *
+    * Cost is one filtered table rewrite — O(table), like BigQuery DELETE
+    * or a Delta non-partition delete. At 100 TB route bulk erasure
+    * through key-clustered layouts ([[overwriteClustered]]) so the
+    * filter prunes most files at the scan, and batch takedowns rather
+    * than issuing per-row commits. */
+  def deleteWhere(name: String, pred: org.apache.spark.sql.Column): Unit =
+    overwrite(name, scan(name).where(!coalesce(pred, lit(false))))
+
+  /** Delete by key list: drop every current row whose `keys` tuple
+    * appears in `toDelete` (extra columns there are ignored; the key set
+    * is deduplicated and BROADCAST — takedown lists are dimension-sized,
+    * so the table itself never shuffles for the anti join). Rows with a
+    * null key component never match a list entry (SQL equality) and are
+    * kept. Same atomicity/time-travel contract as [[deleteWhere]]. */
+  def deleteByKeys(name: String, keys: Seq[String], toDelete: DataFrame): Unit = {
+    require(keys.nonEmpty, "deleteByKeys: at least one key column")
+    val keyList = toDelete.select(keys.map(col): _*).distinct()
+    overwrite(name,
+      scan(name).join(broadcast(keyList), keys, "left_anti"))
+  }
+
   /** Rewrite the manifest's snapshot chain into a single snapshot when it
     * grows past `maxSnapshots` (long append-heavy histories accumulate
     * read-time union branches; compaction restores one columnar scan).

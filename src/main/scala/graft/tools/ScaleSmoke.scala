@@ -1033,6 +1033,105 @@ object ScaleSmoke {
       assert(mx.getLong(0) == 100L && mx.getLong(1) == 10000000L)
     }
 
+    // 47. robots decisions at web-frontier scale: 100k hosts x 20 rules
+    // each = 2M rules, screened over a 10M-URL frontier. The per-host
+    // rules collapse is a rules-dimension shuffle; the frontier itself
+    // is one broadcast-probe map pass (the round-7 plan-literal shape
+    // would have embedded all 2M compiled patterns in the plan string
+    // and scanned them linearly per URL).
+    time("robots decisions 10M urls x 2M rules") {
+      // rule k of host h: path /pNN (zero-padded so no rule prefix-
+      // matches a sibling), allow iff k % 3 == 0
+      val rules = spark.range(0, 2000000L, 1, 64).select(
+        concat(lit("h"), expr("id div 20"), lit(".com")).as("host"),
+        lit("*").as("agent"),
+        ((col("id") % 20) % 3 === 0).as("allow"),
+        format_string("/p%02d", (col("id") % 20).cast("int")).as("rule_path"))
+      val urls = spark.range(0, 10000000L, 1, 128).select(
+        col("id"),
+        format_string("http://h%d.com/p%02d/x", (col("id") % 100000),
+          (col("id") % 20).cast("int")).as("url"))
+      val dec = graft.ext.Url.robotsDecisions(urls, "url", rules, "graftbot")
+      val agg = dec.agg(count(lit(1)),
+        count(when(col("allowed"), 1))).first()
+      // k = id % 20 uniform; k % 3 == 0 for 7 of 20 values -> 3.5M allowed
+      assert(agg.getLong(0) == 10000000L && agg.getLong(1) == 3500000L, agg)
+    }
+
+    // 48. crawl-frontier composition end-to-end at scale: robots screen ->
+    // canonicalize -> per-host quota -> authority order -> politeness
+    // schedule, ONE job over the same 10M-URL / 100k-host frontier. The
+    // plan-shape contract: a bounded number of shuffles total (rules
+    // collapse, quota top-k, authority agg + its join, schedule window) —
+    // the corpus-sized side crosses an exchange only where the operator
+    // semantically requires co-location by host.
+    time("crawl frontier e2e 10M urls (robots+quota+schedule)") {
+      // one root rule per host: even hosts allow-all, odd hosts deny-all
+      val rules = spark.range(0, 100000L, 1, 32).select(
+        concat(lit("h"), col("id"), lit(".com")).as("host"),
+        lit("*").as("agent"),
+        (col("id") % 2 === 0).as("allow"),
+        lit("/").as("rule_path"))
+      val urls = spark.range(0, 10000000L, 1, 128).select(
+        col("id"),
+        format_string("http://h%d.com/page/%d", (col("id") % 100000),
+          col("id")).as("url"))
+      val allowed = graft.ext.Url
+        .robotsDecisions(urls, "url", rules, "graftbot")
+        .where(col("allowed"))
+        .withColumn("curl", graft.ext.Url.canonicalize(col("url")))
+      val capped = graft.ext.Sampling.quotaCap(
+        allowed, "url_host", "id", k = 8, salt = "fsm1")
+      val auth = allowed.groupBy("url_host")
+        .agg(count(lit(1)).as("host_docs"))
+      val delays = spark.range(0, 100000L, 1, 16).select(
+        concat(lit("h"), col("id"), lit(".com")).as("host"),
+        (col("id") % 900 + 100).as("delay_ms"))
+      val sched = graft.ext.Url.politeSchedule(
+        capped.join(broadcast(auth), "url_host")
+          .withColumnRenamed("url_host", "host"),
+        "host", Seq(col("host_docs").desc, col("rank")),
+        delays, defaultDelayMs = 1000L)
+      val exec = sched.queryExecution.executedPlan
+      val shuffles = exec.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }.length
+      assert(shuffles <= 7,
+        s"frontier composition must stay at a bounded shuffle count, got $shuffles")
+      val agg = sched.agg(count(lit(1)), max("seq"), max("fetch_at_ms")).first()
+      // odd hosts deny-all, even hosts allow-all -> 50k hosts x 8 quota
+      // picks enter the schedule
+      assert(agg.getLong(0) == 400000L, agg)
+      assert(agg.getLong(1) == 8L, agg)
+    }
+
+    // 49. trained language ID at corpus scale: 10M docs, char-trigram NB
+    // trained on a 100k labeled slice, every doc classified by integer
+    // argmax. The model is a fixed C×B broadcast; classification is one
+    // narrow corpus pass + a per-doc partial agg.
+    time("langid trained 10M docs (char-trigram NB)") {
+      val phrases = Seq(
+        "the quick brown fox jumps over the lazy dog",
+        "der schnelle braune fuchs springt über den hund",
+        "le rapide renard brun saute pardessus le chien",
+        "el rápido zorro marrón salta sobre el perro",
+        "快速的棕色狐狸跳过懒惰的狗然后休息")
+      val langs = Seq("en", "de", "fr", "es", "zh")
+      def docs(n: Long) = spark.range(0, n, 1, 128).select(
+        col("id"),
+        element_at(typedLit(langs), (col("id") % 5 + 1).cast("int")).as("lang"),
+        concat(
+          element_at(typedLit(phrases), (col("id") % 5 + 1).cast("int")),
+          lit(" filler token "), (col("id") % 997).cast("string")).as("text"))
+      val corpus = docs(10000000L)
+      val labeled = docs(100000L)
+      val out = graft.ext.LangId.classify(
+        corpus, labeled, "text", "id", "lang", buckets = 2000)
+      val agg = out.join(corpus.select(col("id"), col("lang").as("y")), "id")
+        .agg(count(lit(1)), count(when(col("lang") === col("y"), 1))).first()
+      assert(agg.getLong(0) == 10000000L && agg.getLong(1) == 10000000L, agg)
+    }
+
     spark.stop()
   }
 }

@@ -344,15 +344,37 @@ class PlanSpec extends AnyFunSuite {
       s"one range exchange for the orderBy and nothing else ($exchanges):\n$p")
   }
 
-  test("robots decisions: a pure per-row map — no join, no shuffle, no agg") {
+  test("robots decisions: per-host rules broadcast in; corpus never shuffles") {
     val p = plan("ext_robots_decisions")
-    assert(!p.contains("hashpartitioning"),
-      s"the verdict must never shuffle the URL corpus:\n$p")
-    assert(!p.contains("Join"),
-      s"the rules ship as a plan literal, never a join side:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-host rule arrays must broadcast-join on host:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop"),
+      s"the corpus must never shuffle or product-join for the verdict:\n$p")
+    // the ONE hash exchange collapses the RULES dimension to per-host
+    // arrays (dimension-sized); the corpus side plans with none. No plan
+    // literal of the rules table may exist — UrlSpec pins that the plan
+    // string stays flat as the rules table grows.
+    val hashEx = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(hashEx <= 1,
+      s"only the rules-dimension collapse may hash-exchange ($hashEx):\n$p")
     val exchanges = "rangepartitioning".r.findAllIn(p).length
     assert(exchanges == 1,
       s"one range exchange for the gate's orderBy and nothing else:\n$p")
+  }
+
+  test("lr evaluation CDFs: no unpartitioned Window anywhere in the plans") {
+    // rocAuc/prCurve run their running sums through PrefixSum's two-pass
+    // partition-offset scheme; a Window with an EMPTY partitionSpec would
+    // mean a single-task global sort over the distinct-margin table
+    // (which for int64 LR margins can approach corpus cardinality)
+    for (q <- Seq("ext_lr_auc", "ext_lr_pr_curve", "ext_lr_auc_sliced")) {
+      val opt = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
+      val bad = opt.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$q plans an unpartitioned Window:\n$bad")
+    }
   }
 
   test("blocklist profile: partial agg on the pattern index, bounded shuffle") {
@@ -539,8 +561,15 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("ext_curation_e2e")
     assert(p.contains("BroadcastHashJoin"),
       s"the trained weight table must broadcast into the corpus pass:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"every stage joins on keys:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"every corpus-sized stage joins on keys:\n$p")
+    // the only keyless join allowed is the broadcast ONE-ROW mean-margin
+    // threshold side (the kmv-overlap 1x1 class); it appears twice
+    // because both the keep filter and the dedup stage reference the
+    // kept-docs subplan
+    val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 2,
+      s"only the one-row threshold may join keyless ($bnlj):\n$p")
     assert(p.contains("graft_topk"),
       "the per-language quota must route through the bounded aggregate")
   }

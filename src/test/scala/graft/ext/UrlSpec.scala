@@ -131,6 +131,40 @@ class UrlSpec extends SparkSpec {
       10L -> true, 11L -> false), got)
   }
 
+  test("robotsDecisions: plan stays flat as the rules table grows (no plan literal)") {
+    // the round-7 shape collected the WHOLE rules table into a typedLit —
+    // a 2000-host table below would embed ~8000 compiled patterns in the
+    // plan string (the trainMerges plan-explosion class). The broadcast
+    // shape must keep the plan size independent of the rules cardinality.
+    val rules = spark.range(2000)
+      .selectExpr("concat('h', id, '.com') AS host")
+      .selectExpr("host", "'*' AS agent",
+        "explode(array('/a', '/a/b', '/c*', '/d$')) AS rule_path")
+      .selectExpr("host", "agent", "rule_path LIKE '%b' AS allow", "rule_path")
+    val urls = spark.range(100).selectExpr("id",
+      "concat('http://h', id % 2000, '.com/a/b/x') AS url")
+    val dec = Url.robotsDecisions(urls, "url", rules, "graftbot")
+    val planStr = dec.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(planStr.length < 60000,
+      s"plan must not embed the rules table (explain length ${planStr.length})")
+    // verdicts stay right: /a/b/x matches /a (deny, len 2) and /a/b
+    // (allow, len 4) — longest wins → every URL allowed
+    assert(dec.where(!col("allowed")).count() === 0)
+    assert(dec.count() === 100)
+  }
+
+  test("robotsDecisions: empty rules table allows everything") {
+    import spark.implicits._
+    val rules = Seq.empty[(String, String, Boolean, String)]
+      .toDF("host", "agent", "allow", "rule_path")
+    val urls = Seq(1L -> "http://a.com/x", 2L -> "not a url").toDF("id", "url")
+    val got = Url.robotsDecisions(urls, "url", rules, "graftbot")
+      .select("id", "allowed").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> true, 2L -> true), got)
+  }
+
   test("parseCrawlDelays: group sharing, fractions, invalid/negative dropped") {
     import spark.implicits._
     val txt = Seq(

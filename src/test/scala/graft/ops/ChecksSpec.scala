@@ -34,6 +34,28 @@ class ChecksSpec extends SparkSpec {
     assert(got == Map(0L -> ((1L, false)), 1L -> ((0L, true))), got)
   }
 
+  test("unique approx tier: null-key rows excluded from BOTH sides") {
+    // the dup count is total(non-null keys) − distinct(non-null keys).
+    // A struct with null fields is itself non-null, so the approx sketch
+    // must null out null-key rows explicitly or dups could go NEGATIVE
+    // (distinct > total) independent of HLL error. HLL++ is exact at
+    // these cardinalities (sparse mode), so approx must equal exact here.
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), None), (None, Some("c")),
+      (None, Some("c")), (Some(2L), None))
+      .toDF("k", "v")
+    for (cols <- Seq(Seq("k"), Seq("v"), Seq("k", "v"))) {
+      val exact = Checks.run(df, Seq(Checks.Unique(cols)), exact = true)
+        .first()
+      val approx = Checks.run(df, Seq(Checks.Unique(cols)), exact = false)
+        .first()
+      assert(approx.getLong(3) >= 0L,
+        s"$cols: approx dups must never go negative")
+      assert(approx.getLong(3) == exact.getLong(3),
+        s"$cols: approx=${approx.getLong(3)} exact=${exact.getLong(3)}")
+    }
+  }
+
   test("bounds, in_set, row_count verdicts") {
     val got = verdicts(Seq(
       Checks.Bounds("k", Some(1L), Some(4L)),

@@ -171,6 +171,19 @@ class StreamingQualitySpec extends SparkSpec {
     ingest()
     assert(ids == Set(1L, 2L), "drifted batch must quarantine")
     assert(seen.size == 2 && seen(1) > 0.3, seen)
+
+    // a TOKEN-FREE batch has no distribution to compare: it must be
+    // quarantined (reported as NaN), never crash the stream on the null
+    // js the divergence yields for an empty side
+    write("f3.json", 4L -> "")
+    ingest()
+    assert(ids == Set(1L, 2L), "empty batch must quarantine, not land")
+    assert(seen.size == 3 && seen(2).isNaN, seen)
+
+    // and the stream keeps working afterwards
+    write("f4.json", 5L -> "the data table holds common corpus tokens")
+    ingest()
+    assert(ids == Set(1L, 2L, 5L), s"stream must survive the empty batch: $ids")
   }
 
   test("streaming blocklist screen drops flagged docs across batches and restarts") {

@@ -280,4 +280,68 @@ class TableStoreSpec extends SparkSpec {
     store.overwrite("t", spark.range(7).toDF("_id"))
     assert(store.nextRowNumberStart("t") == 7L) // max 6 + 1
   }
+
+  test("deleteWhere: SQL DELETE semantics — null predicate keeps the row") {
+    import spark.implicits._
+    val store = newStore
+    store.overwrite("t", Seq(
+      (1L, Some(10L)), (2L, Some(20L)), (3L, None), (4L, Some(40L)))
+      .toDF("k", "v"))
+    // v > 15 is NULL for k=3 -> kept (DELETE only removes TRUE rows)
+    store.deleteWhere("t", col("v") > 15)
+    assert(store.scan("t").select("k").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L))
+  }
+
+  test("deleteByKeys: broadcast anti join; null keys and extras ignored") {
+    import spark.implicits._
+    val store = newStore
+    store.overwrite("t", Seq(
+      (Some(1L), "a"), (Some(2L), "b"), (None, "c"), (Some(3L), "d"))
+      .toDF("k", "s"))
+    // list has dups + an extra column + an irrelevant null entry
+    val toDelete = Seq((Some(2L), 99), (Some(2L), 98), (None, 97))
+      .toDF("k", "junk")
+    store.deleteByKeys("t", Seq("k"), toDelete)
+    // k=2 deleted; the null-key row is KEPT (SQL equality never matches)
+    assert(store.scan("t").select("s").as[String].collect().sorted.toSeq ==
+      Seq("a", "c", "d"))
+  }
+
+  test("delete + re-add == untouched; deletes visible in diffVersions") {
+    val versioned = new TableStore(spark,
+      Files.createTempDirectory("graft_store_del").toString, retainVersions = 4)
+    val base = spark.range(1, 101).toDF("k")
+      .withColumn("v", col("k") * 10)
+    versioned.overwrite("t", base)                       // v1
+    versioned.deleteWhere("t", col("k") % 10 === 0)      // v2
+    versioned.append("t", base.where(col("k") % 10 === 0)) // v3 re-add
+    // content equality both directions (multiset via except on distinct keys)
+    val now = versioned.scan("t")
+    assert(now.count() == 100L)
+    assert(now.exceptAll(base).isEmpty && base.exceptAll(now).isEmpty)
+    // the change feed between v1 and v2 is EXACTLY the ten deletes
+    val vs = versioned.versions("t")
+    val diff = versioned.diffVersions("t", vs.min, vs(1), Seq("k"))
+      .collect()
+    assert(diff.length == 10)
+    assert(diff.forall(_.getAs[String]("op") == "delete"))
+    // and v1->v3 shows no change at all
+    assert(versioned.diffVersions("t", vs.min, vs.max, Seq("k")).isEmpty)
+  }
+
+  test("delete crash safety: snapshot written but CURRENT not flipped leaves table intact") {
+    val (store, dir) = newStoreAt
+    store.overwrite("t", spark.range(10).toDF("v"))
+    // simulate deleteWhere dying between its snapshot write and the
+    // CURRENT flip: the filtered snapshot lands on disk as an orphan
+    val orphan = java.nio.file.Paths.get(dir, "t", "snap-9999999999998-delcrash")
+    store.scan("t").where(!(col("v") < 5)).write.parquet(orphan.toString)
+    assert(store.scan("t").count() == 10,
+      "pre-delete state must stay live after the simulated crash")
+    // a real delete afterwards commits atomically and GCs the orphan
+    store.deleteWhere("t", col("v") < 5)
+    assert(store.scan("t").count() == 5)
+    assert(!java.nio.file.Files.exists(orphan), "orphan GC'd on next commit")
+  }
 }
