@@ -79,8 +79,22 @@ object LangId {
   ): DataFrame = {
     val (model, priors) = NaiveBayes.train(
       labeled, textCol, langCol, buckets, alpha, charGramBuckets(n))
+    classifyWith(corpus, model, priors, textCol, idCol, n, buckets)
+  }
+
+  /** [[classify]] under a PRE-TRAINED (model, priors) pair — the
+    * steady-state router shape: train once (or read a frozen fixture),
+    * classify every batch under the same broadcast tables. */
+  def classifyWith(
+      corpus: DataFrame,
+      model: DataFrame,
+      priors: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = DefaultN,
+      buckets: Int = 2000
+  ): DataFrame =
     NaiveBayes.classify(
         corpus, model, priors, textCol, idCol, buckets, charGramBuckets(n))
       .select(col(idCol), col("label").as("lang"), col("score_lpq"))
-  }
 }

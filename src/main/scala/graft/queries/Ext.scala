@@ -981,14 +981,10 @@ object Ext {
       // drowns in the shared-vocab 'the'/'a' markers and has no zh
       // markers at all; the trained router learns the decorations'
       // orthography from the labeled slice and sweeps the diagonal.
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          concat_ws(" ", col("text"), langDecorCol, langDecorCol,
-            langDecorCol).as("text"))
-      val trained = LangId.classify(
-        docs.select("doc_id", "text"),
-        docs.where(col("doc_id") % 3 === 0).select("text", "lang"),
-        "text", "doc_id", "lang")
+      val docs = langDecorDocs(s, dir)
+      val (m, p) = Fixtures.langidDecorModel(s, dir)
+      val trained = LangId.classifyWith(
+        docs.select("doc_id", "text"), m, p, "text", "doc_id")
         .select(col("doc_id"), col("lang").as("trained"))
       val heur = TextStats.langId(docs, "text")
         .select(col("doc_id"), col("lang_pred").as("heuristic"))
@@ -997,6 +993,22 @@ object Ext {
         .groupBy("lang", "trained", "heuristic")
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "trained", "heuristic")
+    }),
+
+    "ext_langid_routed_quota" -> ((s, dir) => {
+      // the router WIRED: trained char-gram langid predictions (not the
+      // label column) drive the per-language quota — the langid stage
+      // ahead of per-language corpus balancing, composed end-to-end on
+      // the decorated separable fixture. Every stage is an already-gated
+      // operator (LangId.classify + Sampling.quotaCap); one oracle
+      // replays the chain.
+      val docs = langDecorDocs(s, dir)
+      val (m, p) = Fixtures.langidDecorModel(s, dir)
+      val routed = LangId.classifyWith(
+        docs.select("doc_id", "text"), m, p, "text", "doc_id")
+        .select(col("doc_id"), col("lang").as("lang_pred"))
+      Sampling.quotaCap(routed, "lang_pred", "doc_id", k = 25, salt = "lr8")
+        .orderBy("lang_pred", "rank")
     }),
 
     "ext_fingerprint" -> ((s, dir) =>
@@ -1763,6 +1775,13 @@ object Ext {
   /** The decoration phrase of this row's `lang` as a Column. */
   private def langDecorCol: org.apache.spark.sql.Column =
     element_at(typedLit(LangDecor.toMap), col("lang"))
+
+  /** The decorated separable corpus the langid upgrade gates share
+    * (doc_id, lang, text + 3× the language's decoration). */
+  private[queries] def langDecorDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      concat_ws(" ", col("text"), langDecorCol, langDecorCol,
+        langDecorCol).as("text"))
 
   /** SQL: decorated text expression matching the gate's concat_ws. */
   private def langDecorTextSql: String = {
@@ -3494,6 +3513,22 @@ object Ext {
          |JOIN ldocs d ON d.doc_id = p.doc_id
          |JOIN hpick h ON h.doc_id = p.doc_id
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "ext_langid_routed_quota" ->
+      s"""WITH ldocs AS (
+         |  SELECT doc_id, lang, $langDecorTextSql AS text FROM documents),
+         |${langidCtes("ldocs")},
+         |q AS (
+         |  SELECT label AS lang_pred, doc_id,
+         |    ${TextHash.hmodSql("(doc_id :: VARCHAR || ':lr8')")} AS qh
+         |  FROM lpred),
+         |r AS (
+         |  SELECT lang_pred, doc_id,
+         |    row_number() OVER (PARTITION BY lang_pred
+         |      ORDER BY qh ASC, doc_id ASC) AS rank
+         |  FROM q)
+         |SELECT lang_pred, doc_id, rank FROM r WHERE rank <= 25
+         |ORDER BY lang_pred, rank""".stripMargin,
 
     "ext_quality_gopher" -> {
       val stopList = TextStats.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")

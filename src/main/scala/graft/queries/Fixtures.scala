@@ -27,6 +27,8 @@ object Fixtures {
 
   private val cache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val pairCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
 
   /** The ext_lr_* family's model: LogReg.train on the doc_id%2 slice,
     * y = (lang='en'), B = 1000, T = 3 — the exact spec every gate's
@@ -41,10 +43,28 @@ object Fixtures {
         .localCheckpoint(eager = true)
     })
 
+  /** The langid upgrade gates' router model: char-trigram NB trained on
+    * the DECORATED corpus's doc_id%3 slice (B = 2000, α = 1) — the spec
+    * both gates' oracles replay. (model, priors), each frozen via eager
+    * localCheckpoint (C×B- and C-sized). */
+  def langidDecorModel(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    pairCache.getOrElseUpdate(System.identityHashCode(s) + "|lid|" + dir, {
+      val labeled = Ext.langDecorDocs(s, dir)
+        .where(col("doc_id") % 3 === 0).select("text", "lang")
+      val (m, p) = graft.ext.NaiveBayes.train(
+        labeled, "text", "lang", buckets = 2000, alpha = 1.0,
+        features = graft.ext.LangId.charGramBuckets(graft.ext.LangId.DefaultN))
+      (m.localCheckpoint(eager = true), p.localCheckpoint(eager = true))
+    })
+
   /** Fixture label -> force-materialization thunk, for Bench's untimed
     * setup phase. Labels are stable artifact keys. */
   val setups: Map[String, (SparkSession, String) => Unit] = Map(
-    "lr_weights" -> ((s, dir) => { lrWeights(s, dir).count(); () })
+    "lr_weights" -> ((s, dir) => { lrWeights(s, dir).count(); () }),
+    "langid_decor_model" -> ((s, dir) => {
+      val (m, p) = langidDecorModel(s, dir)
+      m.count(); p.count(); ()
+    })
   )
 
   /** Which gates consume which fixture — Bench pre-builds exactly the
@@ -55,6 +75,8 @@ object Fixtures {
     "ext_lr_auc_sliced" -> Seq("lr_weights"),
     "ext_lr_pr_curve" -> Seq("lr_weights"),
     "ext_lr_calibration" -> Seq("lr_weights"),
-    "ext_curation_e2e" -> Seq("lr_weights")
+    "ext_curation_e2e" -> Seq("lr_weights"),
+    "ext_langid_confusion" -> Seq("langid_decor_model"),
+    "ext_langid_routed_quota" -> Seq("langid_decor_model")
   )
 }

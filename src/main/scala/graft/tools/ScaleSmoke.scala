@@ -1132,6 +1132,25 @@ object ScaleSmoke {
       assert(agg.getLong(0) == 10000000L && agg.getLong(1) == 10000000L, agg)
     }
 
+    // 50. evaluation CDFs at near-corpus distinct-score cardinality: the
+    // ROC/PR running sums must survive a 10M-distinct-margin table (the
+    // exact case an unpartitioned Window would funnel into one task —
+    // int64 LR margins rarely collide, so the "collapsed" table is NOT
+    // small). PrefixSum's range-sort keeps it parallel.
+    time("roc auc + pr curve 10M distinct margins") {
+      val scored = spark.range(0, 10000000L, 1, 128).select(
+        // unique score per row (worst case), positives on a hash
+        (col("id") * 7919L + pmod(xxhash64(col("id")), lit(1000L))).as("z"),
+        pmod(xxhash64(col("id"), lit(1)), lit(3L)).cast("int").as("y3"))
+        .select(col("z"), (col("y3") === 0).cast("long").as("y"))
+      val auc = graft.ext.Eval.rocAuc(scored, "z", col("y")).first()
+      assert(auc.getLong(1) + auc.getLong(2) == 10000000L, auc)
+      // random labels on a label-independent score -> AUC ~ 0.5
+      assert(math.abs(auc.getLong(3) - 500000L) < 5000L, auc)
+      val pr = graft.ext.Eval.prCurve(scored, "z", col("y"))
+      assert(pr.count() == 10000000L)
+    }
+
     spark.stop()
   }
 }
