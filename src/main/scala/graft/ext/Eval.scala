@@ -101,4 +101,39 @@ object Eval {
         when(col("n_pos") > 0 && col("n_neg") > 0,
           expr("(u2 * 1000000) div (2 * n_pos * n_neg)")).as("auc_ppm"))
   }
+
+  /** Expected calibration error of a probabilistic classifier, exactly:
+    * bins over the model's own probability (here the hard-sigmoid mass
+    * p4 ∈ [0, 4e9], see [[LogReg]]), and per bin the gap between
+    * PREDICTED positive mass (Σ p4) and ACTUAL positive mass
+    * (n_pos · 4e9) — both exact int64 at the same scale, so
+    *
+    *   ece_ppm = (Σ_b |Σ p4 − n_pos·4e9| · 1e6) div (N · 4e9)
+    *
+    * is one truncating division, bit-identical in any engine. This is
+    * the standard ECE (Σ n_b/N · |conf_b − acc_b|) with the absolute
+    * gap taken on unnormalized masses — algebraically identical, no
+    * per-bin division, no floats. Output one row: (n, n_bins, gap_sum,
+    * ece_ppm). `binOf` maps a row to its bin id (e.g. the clamped
+    * integer-margin bucket of the calibration report); `p4` and `label`
+    * are the probability mass and 0/1 truth.
+    *
+    * Scale shape: one partial-agg groupBy to bins-sized rows, then a
+    * one-row fold — the cheapest evaluation in the suite. */
+  def calibrationError(
+      df: DataFrame, binOf: Column, p4: Column, label: Column): DataFrame = {
+    val y = label.cast("long")
+    df.groupBy(binOf.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(y).as("n_pos"),
+        sum(p4.cast("decimal(38,0)")).as("sp4"))
+      .agg(sum("n").as("n"),
+        count(lit(1)).as("n_bins"),
+        sum(abs(col("sp4") - col("n_pos") * lit(4000000000L))).as("gap_sum"))
+      .select(col("n"), col("n_bins"),
+        col("gap_sum").cast("decimal(38,0)").as("gap_sum"),
+        // denominator in decimal: n·4e9 would pass int64 near n ~ 2.3e9
+        expr("(gap_sum * 1000000) div (cast(n as decimal(38,0)) * 4000000000)")
+          .as("ece_ppm"))
+  }
 }

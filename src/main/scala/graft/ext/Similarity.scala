@@ -107,6 +107,31 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Recall@k of an approximate result set against the exact one — the
+    * evaluation leg of every ANN index (IVF/LSH/PQ papers all report
+    * recall@k; an index without its recall number is untunable: nProbe /
+    * bands / code size are chosen by sweeping THIS metric). Both inputs
+    * are (q_id, c_id, …) result frames (ranks/scores ignored — recall is
+    * set overlap). Output per query: (q_id, n_exact, n_hit, recall_ppm)
+    * with exact truncating-ppm arithmetic, oracle-replayable.
+    *
+    * Scale shape: both sides are result-sized (queries × k), never
+    * corpus-sized — the join and groupBy touch only the top-k frames,
+    * so evaluating recall costs no more than the searches themselves. */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
+    // recall is SET overlap: dedupe both sides (result-sized — free)
+    // so a caller passing duplicate (q, c) pairs can't inflate counts
+    // through the join fan-out
+    exact.select(col("q_id"), col("c_id")).distinct()
+      .join(approx.select(col("q_id"), col("c_id")).distinct()
+          .withColumn("__hit", lit(1L)),
+        Seq("q_id", "c_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("q_id"), col("n_exact"), col("n_hit"),
+        expr("(n_hit * 1000000) div n_exact").as("recall_ppm"))
+
   /** Number of signed-random-projection hyperplanes (bucket bits). 6 bits =
     * 64 buckets — sized so testdata buckets hold useful candidate sets; at
     * 100 TB raise toward log2(n/target_bucket_size). */

@@ -574,6 +574,20 @@ object Ext {
         .orderBy("q_id", "rank")
     }),
 
+    "ext_ann_recall" -> ((s, dir) => {
+      // the index-evaluation leg: recall@5 of the IVF probe (16 cells,
+      // nProbe 4) against exact brute force over 50 queries — the metric
+      // every ANN paper reports and the one that tunes nProbe/bands/code
+      // size. Both result sets and the overlap join are (queries × k)-
+      // sized; the oracle replays search AND evaluation.
+      val e = t(s, dir, "embeddings")
+      val qs = e.where(col("vec_id") < 50)
+      val exact = Similarity.bruteForceTopK(e, qs, "embedding", "vec_id", 5)
+      val approx = Similarity.ivfTopK(e, qs, "embedding", "vec_id",
+        k = 5, nCells = 16, nProbe = 4)
+      Similarity.recallAtK(exact, approx).orderBy("q_id")
+    }),
+
     "ext_pq_topk" -> ((s, dir) => {
       // product-quantization ADC search: corpus encoded to 8 codes
       // (8 subspaces x 16 centroids), queries rank candidates via
@@ -904,6 +918,23 @@ object Ext {
           least(lit(5L), expr("zq div 2000000000"))).as("bin"), col("y"))
         .groupBy("bin").agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
         .orderBy("bin")
+    }),
+
+    "ext_lr_ece" -> ((s, dir) => {
+      // one-number calibration summary: exact expected calibration error
+      // over the clamped integer-margin bins of the calibration report —
+      // predicted positive mass (Σ p4) vs actual (n_pos·4e9) per bin,
+      // folded to a single truncating-ppm gap. Completes the evaluation
+      // family: AUC (ranking), PR curve (operating points), calibration
+      // report (per-bin), ECE (the summary the threshold-picker reads).
+      val docs = t(s, dir, "documents")
+      val scored = graft.ext.LogReg.score(docs, Fixtures.lrWeights(s, dir),
+          "text", "doc_id", buckets = 1000)
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").cast("long").as("y")), "doc_id")
+      graft.ext.Eval.calibrationError(scored,
+        greatest(lit(-5L), least(lit(5L), expr("zq div 2000000000"))),
+        col("p4"), col("y"))
     }),
 
     "ext_kmv_overlap" -> ((s, dir) => {
@@ -2370,6 +2401,34 @@ object Ext {
          |  CAST(SUM(y) AS BIGINT) AS n_pos
          |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
 
+    "ext_lr_ece" ->
+      s"""${lrCtes(3, 1000)},
+         |sf AS (
+         |  SELECT doc, b, COUNT(*) AS x
+         |  FROM (SELECT doc_id AS doc,
+         |          unnest(${graft.ext.Dsir.featureBucketsSql("text", 1000)}) AS b
+         |        FROM documents)
+         |  GROUP BY doc, b
+         |  UNION ALL
+         |  SELECT doc_id, -1, 1 FROM documents),
+         |sc AS (SELECT doc, SUM(CAST(x AS HUGEINT) * wq) AS z
+         |       FROM sf JOIN w3 USING (b) GROUP BY doc),
+         |binned AS (
+         |  SELECT GREATEST(-5, LEAST(5, CAST(z AS BIGINT) // 2000000000))
+         |           AS bin,
+         |    CAST(GREATEST(CAST(0 AS HUGEINT),
+         |           LEAST(CAST(4000000000 AS HUGEINT), z + 2000000000))
+         |         AS HUGEINT) AS p4,
+         |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM sc JOIN documents d ON d.doc_id = sc.doc),
+         |bb AS (SELECT bin, COUNT(*) AS n, SUM(y) AS n_pos, SUM(p4) AS sp4
+         |       FROM binned GROUP BY bin)
+         |SELECT CAST(SUM(n) AS BIGINT) AS n, COUNT(*) AS n_bins,
+         |  CAST(SUM(ABS(sp4 - n_pos * 4000000000)) AS DOUBLE) AS gap_sum,
+         |  CAST((SUM(ABS(sp4 - n_pos * 4000000000)) * 1000000)
+         |       // (SUM(n) * CAST(4000000000 AS HUGEINT)) AS BIGINT) AS ece_ppm
+         |FROM bb""".stripMargin,
+
     "ext_curation_e2e" ->
       s"""${lrCtes(3, 1000)},
          |sf AS (
@@ -2998,6 +3057,47 @@ object Ext {
     "ext_ivf_ann" -> ivfOracleSql,
     "ext_ivf_indexed" -> ivfOracleSql,
     "ext_ivf_incremental" -> ivfOracleSql,
+
+    "ext_ann_recall" ->
+      s"""WITH $NormCte,
+         |qs AS (SELECT * FROM n WHERE vec_id < 50),
+         |exact AS (SELECT q_id, c_id FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+         |               c.vec_id ASC) AS rank
+         |  FROM n c CROSS JOIN qs q WHERE c.vec_id <> q.vec_id)
+         |  WHERE rank <= 5),
+         |cells AS (SELECT vec_id AS cell_id, embedding AS cell_vec, nrm AS cell_norm
+         |          FROM n ORDER BY vec_id LIMIT 16),
+         |ca AS (SELECT c_id, c_vec, c_norm, cell_id FROM (
+         |  SELECT a.vec_id AS c_id, a.embedding AS c_vec, a.nrm AS c_norm, cells.cell_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${dotSql("a.embedding", "cells.cell_vec")} / (a.nrm * cells.cell_norm) DESC,
+         |               cells.cell_id ASC) AS r
+         |  FROM n a CROSS JOIN cells) WHERE r = 1),
+         |qp AS (SELECT q_id, q_vec, q_norm, cell_id FROM (
+         |  SELECT a.vec_id AS q_id, a.embedding AS q_vec, a.nrm AS q_norm, cells.cell_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${dotSql("a.embedding", "cells.cell_vec")} / (a.nrm * cells.cell_norm) DESC,
+         |               cells.cell_id ASC) AS r
+         |  FROM n a CROSS JOIN cells WHERE a.vec_id < 50) WHERE r <= 4),
+         |iscored AS (
+         |  SELECT qp.q_id, ca.c_id,
+         |    ${dotSql("qp.q_vec", "ca.c_vec")} / (qp.q_norm * ca.c_norm) AS cosine
+         |  FROM ca JOIN qp ON ca.cell_id = qp.cell_id WHERE ca.c_id <> qp.q_id),
+         |approx AS (SELECT q_id, c_id FROM (
+         |  SELECT q_id, c_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+         |  FROM iscored) WHERE rank <= 5)
+         |SELECT e.q_id, COUNT(*) AS n_exact,
+         |  CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hit,
+         |  CAST((SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+         |       // COUNT(*) AS BIGINT) AS recall_ppm
+         |FROM exact e
+         |LEFT JOIN approx a ON a.q_id = e.q_id AND a.c_id = e.c_id
+         |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin,
 
     "ext_pq_topk" ->
       s"""WITH $NormCte,

@@ -75,6 +75,7 @@ object Fixtures {
     "ext_lr_auc_sliced" -> Seq("lr_weights"),
     "ext_lr_pr_curve" -> Seq("lr_weights"),
     "ext_lr_calibration" -> Seq("lr_weights"),
+    "ext_lr_ece" -> Seq("lr_weights"),
     "ext_curation_e2e" -> Seq("lr_weights"),
     "ext_langid_confusion" -> Seq("langid_decor_model"),
     "ext_langid_routed_quota" -> Seq("langid_decor_model")

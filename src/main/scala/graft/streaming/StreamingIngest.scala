@@ -446,6 +446,50 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** Streaming language router: every micro-batch is classified under a
+    * PRE-TRAINED char-n-gram NB langid model
+    * ([[graft.ext.LangId.classifyWith]]: broadcast C×B table, one batch
+    * pass, integer argmax) and lands with its `lang_pred` column
+    * attached — the langid stage ahead of per-language scoring/quota, as
+    * a continuous ingest stage. Documents too short to classify (< n
+    * chars: no trigram evidence) are routed to the explicit `und`
+    * bucket rather than dropped — a router must place every document.
+    * Training stays an offline batch job; stream state is the
+    * checkpoint offsets alone. */
+  def langidRouterIngestAvailableNow(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      store: TableStore,
+      table: String,
+      checkpointDir: String,
+      textCol: String,
+      idCol: String,
+      model: DataFrame,
+      priors: DataFrame,
+      n: Int = graft.ext.LangId.DefaultN,
+      buckets: Int = 2000
+  ): Unit = {
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .json(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val preds = graft.ext.LangId.classifyWith(
+          batch, model, priors, textCol, idCol, n, buckets)
+          .select(col(idCol), col("lang").as("lang_pred"))
+        val routed = batch.join(preds, Seq(idCol), "left")
+          .withColumn("lang_pred", coalesce(col("lang_pred"), lit("und")))
+        if (store.exists(table)) store.append(table, routed)
+        else store.overwrite(table, routed)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming drift monitor: every micro-batch's token distribution is
     * compared against a PRECOMPUTED reference histogram
     * ([[graft.ext.Drift.tokenHistogram]] of the trusted corpus,

@@ -81,4 +81,36 @@ class EvalSpec extends SparkSpec {
         s"round $round")
     }
   }
+
+  test("calibration error: perfect 0, inverted 1e6, hand-checked mixed") {
+    val Four = 4000000000L
+    def ece(rows: Seq[(Long, Long, Long)]): (Long, Long, Long) = {
+      // (bin, p4, y)
+      val r = Eval.calibrationError(rows.toDF("bin", "p4", "y"),
+        col("bin"), col("p4"), col("y")).first()
+      (r.getLong(0), r.getLong(1), r.getLong(3))
+    }
+    // perfectly calibrated: predicted mass == actual mass in every bin
+    assert(ece(Seq((0L, Four, 1L), (0L, 0L, 0L), (1L, Four / 2, 1L),
+      (1L, Four / 2, 0L))) == ((4L, 2L, 0L)))
+    // inverted: every prediction carries the full opposite mass (in
+    // SEPARATE bins — within one bin opposite errors cancel, the
+    // standard ECE blind spot)
+    assert(ece(Seq((0L, 0L, 1L), (1L, Four, 0L))) == ((2L, 2L, 1000000L)))
+    // mixed, hand-checked: bin0 gap |3e9 - 4e9| = 1e9; bin1 gap
+    // |1e9 - 0| = 1e9; ece = 2e9*1e6 div (3*4e9) = 166666
+    assert(ece(Seq((0L, 3000000000L, 1L), (1L, 500000000L, 0L),
+      (1L, 500000000L, 0L))) == ((3L, 2L, 166666L)))
+    // brute-force reference on random sets: normalized Σ n_b/N·|conf−acc|
+    val rnd = new Random(7)
+    for (round <- 1 to 5) {
+      val rows = Seq.fill(200)((rnd.nextInt(4).toLong,
+        (rnd.nextDouble() * Four).toLong, rnd.nextInt(2).toLong))
+      val byBin = rows.groupBy(_._1).values
+      val gapSum = byBin.map(b =>
+        math.abs(b.map(_._2).sum - b.map(_._3).sum * Four)).sum
+      val expect = gapSum * 1000000L / (rows.size * Four)
+      assert(ece(rows)._3 == expect, s"round $round")
+    }
+  }
 }

@@ -110,6 +110,22 @@ class ExtSpec extends SparkSpec {
     assert(out(1).getLong(1) == 3L && math.abs(out(1).getDouble(3)) < 1e-12)
   }
 
+  test("recallAtK: identical 1e6, disjoint 0, partial overlap exact ppm") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L),
+      (3L, 30L)).toDF("q_id", "c_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (1L, 99L), // 2/3 for q1
+      (2L, 77L), (2L, 78L),                            // 0/2 for q2
+      (3L, 30L)).toDF("q_id", "c_id")                  // 1/1 for q3
+    val got = Similarity.recallAtK(exact, approx).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map(
+      1L -> ((3L, 2L, 666666L)), // truncating ppm
+      2L -> ((2L, 0L, 0L)),
+      3L -> ((1L, 1L, 1000000L))), got)
+  }
+
   test("lsh bucket is deterministic and identical for identical vectors") {
     val schema = StructType(Seq(StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))

@@ -57,6 +57,49 @@ class StreamingQualitySpec extends SparkSpec {
     assert(ids == Set(1L, 4L))
   }
 
+  test("streaming langid router labels every doc; short text routes to und") {
+    val work = Files.createTempDirectory("graft_slid")
+    val src = work.resolve("src"); Files.createDirectories(src)
+    val store = new TableStore(spark, work.resolve("store").toString)
+    val ckpt = work.resolve("ckpt").toString
+
+    // frozen router model trained offline on a separable labeled slice
+    val labeled = (0 until 60).flatMap { i =>
+      Seq(("en", s"the quick brown fox jumps over the lazy dog $i"),
+        ("de", s"der schnelle braune fuchs springt über den hund $i"),
+        ("es", s"el rápido zorro marrón salta sobre el perro $i"))
+    }.toDF("lang", "text")
+    val (m, p) = graft.ext.NaiveBayes.train(labeled, "text", "lang",
+      buckets = 2000, alpha = 1.0,
+      features = graft.ext.LangId.charGramBuckets(3))
+
+    def write(name: String, rows: (Long, String)*): Unit = {
+      Files.writeString(src.resolve(name),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("", "\n", "\n"))
+      ()
+    }
+    def ingest(): Unit = StreamingIngest.langidRouterIngestAvailableNow(
+      spark, src.toString, schema, store, "routed", ckpt, "text", "doc_id",
+      m, p)
+    def routed: Map[Long, String] = store.scan("routed").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+
+    write("f1.json",
+      1L -> "the quick brown fox runs",
+      2L -> "der schnelle braune fuchs läuft",
+      3L -> "ab") // too short for a trigram -> und
+    ingest()
+    assert(routed == Map(1L -> "en", 2L -> "de", 3L -> "und"), routed)
+
+    // later batch through the same checkpoint; rerun is a no-op
+    write("f2.json", 4L -> "el rápido zorro marrón corre")
+    ingest()
+    ingest()
+    assert(routed == Map(1L -> "en", 2L -> "de", 3L -> "und", 4L -> "es"),
+      routed)
+  }
+
   test("streaming classifier gate keeps positives across batches and restarts") {
     val work = Files.createTempDirectory("graft_sclf")
     val src = work.resolve("src"); Files.createDirectories(src)
