@@ -606,4 +606,52 @@ object Dedup {
         array_distinct(expr(s"transform(sequence(1, greatest(length($bCol)-${n - 1},1)), i -> substr($bCol, i, $n))")))
       .withColumn("jaccard", jaccard(col("a_grams"), col("b_grams")))
       .drop("a_grams", "b_grams")
+
+  /** Raw LSH candidate pairs — band collisions only, NO Jaccard
+    * verification (the screen [[minhashPairs]] applies before its exact
+    * check). Exposed separately so the screen itself can be EVALUATED:
+    * candidates vs a brute-force truth set measures both the false
+    * positives (bucket collisions below the threshold) and the false
+    * negatives (near-dups no band caught) that the verified pair set
+    * hides by construction. Same scale shape as the screen inside
+    * [[minhashPairs]]: the band self-join carries only (band, key, id). */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val banded = minhashBands(df, textCol, idCol)
+    val bandStructs = (0 until TextHash.Bands).map(b => col(s"b$b"))
+    val exploded = banded
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = exploded.select(col(idCol).as("a_id"), col("band"), col("key"))
+    val b = exploded.select(col(idCol).as("b_id"), col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+  }
+
+  /** Brute-force near-dup truth pairs over a SAMPLE: every (a < b) pair
+    * with exact shingle-set Jaccard ≥ threshold. Deliberately quadratic —
+    * this is the ground-truth leg of near-dup evaluation, meant for a
+    * labeled/bounded sample, never the corpus (the `maxSample` fail-fast
+    * enforces that, the [[graft.ext.Similarity]] `maxClusterSize`
+    * discipline). The (a < b) range join is a nested-loop product by
+    * construction; with n ≤ maxSample rows both sides broadcast. */
+  def bruteForcePairs(
+      df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, maxSample: Int = 10000): DataFrame = {
+    val shingled = df
+      .select(col(idCol), TextHash.shingles(col(textCol)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = shingled.count()
+    require(n <= maxSample,
+      s"bruteForcePairs: $n rows exceeds maxSample=$maxSample — " +
+        "brute-force truth is for bounded samples; raise maxSample only " +
+        "if you accept O(n^2) pairs")
+    val a = shingled.select(col(idCol).as("a_id"), col("sh").as("a_sh"))
+    val b = shingled.select(col(idCol).as("b_id"), col("sh").as("b_sh"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
+      .where(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
 }

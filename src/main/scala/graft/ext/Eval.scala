@@ -136,4 +136,36 @@ object Eval {
         expr("(gap_sum * 1000000) div (cast(n as decimal(38,0)) * 4000000000)")
           .as("ece_ppm"))
   }
+
+  /** Precision/recall of a predicted PAIR set against a truth pair set —
+    * the evaluation leg of every candidate-generation screen (LSH bands,
+    * SimHash buckets, blocking keys): recall is the near-dups the screen
+    * missed, precision the bucket collisions it would pay to verify.
+    * Both inputs are (a_id, b_id, …) frames; extra columns ignored, both
+    * sides deduped so fan-out can't inflate counts, pairs assumed
+    * canonical (a < b) as every graft pair producer emits them.
+    *
+    * Output one row: (n_pred, n_truth, n_hit, precision_ppm, recall_ppm)
+    * with truncating-ppm integer arithmetic; a side with zero pairs
+    * yields a null ppm rather than a fake 0 or crash.
+    *
+    * Scale shape: pair-set-sized join + one-row fold — costs no more
+    * than materializing the inputs (the [[graft.ext.Similarity]]
+    * `recallAtK` discipline, lifted from per-query to corpus pairs). */
+  def pairPrf(predicted: DataFrame, truth: DataFrame): DataFrame = {
+    val p = predicted.select(col("a_id"), col("b_id")).distinct()
+      .withColumn("__p", lit(1L))
+    val t = truth.select(col("a_id"), col("b_id")).distinct()
+      .withColumn("__t", lit(1L))
+    p.join(t, Seq("a_id", "b_id"), "full")
+      .agg(sum(coalesce(col("__p"), lit(0L))).as("n_pred"),
+        sum(coalesce(col("__t"), lit(0L))).as("n_truth"),
+        sum(when(col("__p").isNotNull && col("__t").isNotNull, 1L)
+          .otherwise(0L)).as("n_hit"))
+      .select(col("n_pred"), col("n_truth"), col("n_hit"),
+        when(col("n_pred") > 0,
+          expr("(n_hit * 1000000) div n_pred")).as("precision_ppm"),
+        when(col("n_truth") > 0,
+          expr("(n_hit * 1000000) div n_truth")).as("recall_ppm"))
+  }
 }

@@ -393,4 +393,47 @@ object Retrieval {
       store.append(s"${name}_pos_tombstones", rows)
     else store.overwrite(s"${name}_pos_tombstones", rows)
   }
+
+  /** Reciprocal-rank fusion of N ranked-retrieval arms (Cormack, Clarke &
+    * Büttcher, SIGIR 2009): each arm contributes `1/(rrfK + rank)` for every
+    * (query, candidate) it returned, and candidates are re-ranked by the
+    * summed contribution. The standard recipe for hybrid lexical+semantic
+    * retrieval — fuse a BM25 arm ([[bm25TopK]]/[[bm25TopKIndexed]]) with a
+    * vector-cosine arm ([[Similarity.bruteForceTopK]]/`ivfTopK`) without
+    * score calibration, since only RANKS cross the fusion boundary.
+    *
+    * Engine-portable determinism: the contribution is the QUANTIZED
+    * reciprocal `1e9 div (rrfK + rank)` — pure int64 division, so the fused
+    * score is an order-independent integer sum with no float addition
+    * anywhere (a double `1/(60+r)` would hash-drift on the 16th digit
+    * between engines). Ties break on candidate id ascending.
+    *
+    * Scale shape: every input is RESULT-sized (queries × armK), never
+    * corpus-sized — the union, the (q_id, c_id) partial-aggregated sum and
+    * the per-query rank window all run over ≤ |arms|·armK rows per query,
+    * so fusing costs no more than the cheapest arm's final shuffle. The
+    * rank window is partitioned by q_id over a per-query candidate set
+    * bounded by |arms|·armK — never a global or unpartitioned sort.
+    *
+    * Input arms: (q_id, c_id, rank) with rank 1-based; extra columns are
+    * ignored. Output: (q_id, rank, c_id, rrf: bigint, n_arms: bigint)
+    * where rrf is the summed quantized reciprocal and n_arms counts the
+    * arms that returned the candidate. */
+  def rrfFuse(arms: Seq[DataFrame], rrfK: Int = 60, k: Int = 10): DataFrame = {
+    require(arms.nonEmpty, "rrfFuse: no arms")
+    require(rrfK >= 0, s"rrfFuse: negative rrfK $rrfK")
+    val contribs = arms.map { a =>
+      a.select(col("q_id"), col("c_id"),
+        expr(s"CAST(1000000000 AS BIGINT) div (CAST($rrfK AS BIGINT) + CAST(rank AS BIGINT))")
+          .as("contrib"))
+    }.reduce(_ unionByName _)
+    val fused = contribs
+      .groupBy("q_id", "c_id")
+      .agg(sum(col("contrib")).as("rrf"), count(lit(1)).as("n_arms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("rrf").desc, col("c_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("rrf"), col("n_arms"))
+  }
 }

@@ -202,6 +202,24 @@ object Ext {
         .orderBy("query_id", "rank")
     }),
 
+    "ext_hybrid_rrf" -> ((s, dir) => {
+      // hybrid lexical+semantic retrieval: a BM25 arm over documents and a
+      // cosine arm over the aligned embeddings (vec_id == doc_id; query ids
+      // 0-3 double as the query vectors' vec_ids), fused by reciprocal-rank
+      // fusion — contributions are integer-quantized reciprocals
+      // (1e9 div (60+rank)) so the fused score is an exact int64 sum
+      val lex = Retrieval.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+          Bm25Queries, k = 20)
+        .select(col("query_id").as("q_id"), col("doc_id").as("c_id"),
+          col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val vec = Similarity.bruteForceTopK(emb,
+          emb.where(col("vec_id") < 4), "embedding", "vec_id", 20)
+        .select("q_id", "c_id", "rank")
+      Retrieval.rrfFuse(Seq(lex, vec), rrfK = 60, k = 10)
+        .orderBy("q_id", "rank")
+    }),
+
     "ext_phrase_index" -> ((s, dir) => {
       // exact-phrase search from the positional inverted index: bucket-
       // pruned posting scan, consecutive-position self-joins, corpus never
@@ -459,6 +477,18 @@ object Ext {
       Dedup.duplicateClusters(
         Dedup.minhashPairs(nearDupCorpus(s, dir), "text", "doc_id", threshold = 0.6))
         .orderBy("id")),
+
+    "ext_neardup_eval" -> ((s, dir) => {
+      // evaluate the LSH screen ITSELF: raw band-collision candidates vs
+      // a brute-force exact-Jaccard truth over the planted-dup sample —
+      // the pair-level precision/recall that tunes bands×rows, invisible
+      // in the verified pair set (whose precision is 1 by construction)
+      val sample = nearDupCorpus(s, dir)
+        .where(col("doc_id") % 10 === 0 || col("doc_id") >= 1000000L)
+      graft.ext.Eval.pairPrf(
+        Dedup.minhashCandidates(sample, "text", "doc_id"),
+        Dedup.bruteForcePairs(sample, "text", "doc_id", threshold = 0.6))
+    }),
 
     "ext_priority_dedup" -> ((s, dir) => {
       // multi-source merge: the same text planted in three "sources"
@@ -2463,6 +2493,55 @@ object Ext {
     "ext_bm25_delete" -> bm25OracleSqlOver(
       "(SELECT * FROM documents WHERE doc_id % 5 <> 3)"),
 
+    // hybrid fusion oracle: replays the BM25 arm (shared spec, depth 20),
+    // the cosine arm (shared norm/dot spec, self-excluded, depth 20), then
+    // the integer-reciprocal fusion — 1000000000 // (60+rank) is DuckDB's
+    // int division, mirroring Spark's `div`
+    "ext_hybrid_rrf" ->
+      s"""WITH q(query_id, term) AS (VALUES $bm25QueryValuesSql),
+         |base AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+         |stats AS (SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS sum_dl FROM base),
+         |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base),
+         |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM tok
+         |       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, dl, term),
+         |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |raw AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |             / (CAST(df AS DOUBLE) + 0.5))
+         |    * (CAST(tf AS DOUBLE) * 2.2
+         |       / (CAST(tf AS DOUBLE)
+         |          + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE)
+         |              / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS r
+         |  FROM tf JOIN q USING (term) JOIN dft USING (term) CROSS JOIN stats),
+         |score AS (SELECT query_id, doc_id, SUM(CAST(r AS DECIMAL(18,9))) AS s
+         |          FROM raw GROUP BY query_id, doc_id),
+         |lex AS (SELECT query_id AS q_id, doc_id AS c_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+         |  FROM score),
+         |$NormCte,
+         |vq AS (SELECT * FROM n WHERE vec_id < 4),
+         |vscored AS (
+         |  SELECT vq.vec_id AS q_id, c.vec_id AS c_id,
+         |    ${dotSql("vq.embedding", "c.embedding")} / (vq.nrm * c.nrm) AS cosine
+         |  FROM n c CROSS JOIN vq WHERE c.vec_id <> vq.vec_id),
+         |vec AS (SELECT q_id, c_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+         |  FROM vscored),
+         |contrib AS (
+         |  SELECT q_id, c_id, 1000000000 // (60 + rank) AS contrib
+         |  FROM lex WHERE rank <= 20
+         |  UNION ALL
+         |  SELECT q_id, c_id, 1000000000 // (60 + rank)
+         |  FROM vec WHERE rank <= 20),
+         |fused AS (SELECT q_id, c_id, CAST(SUM(contrib) AS BIGINT) AS rrf,
+         |  COUNT(*) AS n_arms FROM contrib GROUP BY q_id, c_id),
+         |ranked AS (SELECT q_id, c_id, rrf, n_arms,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, c_id ASC) AS rank
+         |  FROM fused)
+         |SELECT q_id, rank, c_id, rrf, n_arms
+         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
     "ext_phrase_index" ->
       """WITH base AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -2920,6 +2999,31 @@ object Ext {
       s"""WITH $MinhashPairsCtes
          |SELECT a_id, b_id, jaccard FROM verified
          |WHERE jaccard >= 0.6 ORDER BY a_id, b_id""".stripMargin,
+
+    // pair-level screen evaluation: replays the band pipeline over the
+    // sample, a quadratic exact-Jaccard truth (sample-bounded), and the
+    // truncating-ppm P/R fold
+    "ext_neardup_eval" ->
+      s"""WITH $NearDupCorpusSql,
+         |sample AS (SELECT doc_id, text FROM corpus
+         |           WHERE doc_id % 10 = 0 OR doc_id >= 1000000),
+         |${minhashSideCtes("s", "sample")},
+         |pred AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM sbands a JOIN sbands b ON a.band = b.band AND a.key = b.key
+         |  WHERE a.doc_id < b.doc_id),
+         |truth AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM ssh a JOIN ssh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_filter(list_distinct(a.sh), x -> list_contains(b.sh, x))) AS DOUBLE)
+         |      / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.6),
+         |hit AS (SELECT a_id, b_id FROM pred INTERSECT SELECT a_id, b_id FROM truth),
+         |c AS (SELECT
+         |  (SELECT COUNT(*) FROM pred) AS n_pred,
+         |  (SELECT COUNT(*) FROM truth) AS n_truth,
+         |  (SELECT COUNT(*) FROM hit) AS n_hit)
+         |SELECT n_pred, n_truth, n_hit,
+         |  CASE WHEN n_pred > 0 THEN (n_hit * 1000000) // n_pred END AS precision_ppm,
+         |  CASE WHEN n_truth > 0 THEN (n_hit * 1000000) // n_truth END AS recall_ppm
+         |FROM c""".stripMargin,
 
     "ext_dedup_clusters" ->
       s"""WITH RECURSIVE $MinhashPairsCtes,

@@ -113,4 +113,24 @@ class EvalSpec extends SparkSpec {
       assert(ece(rows)._3 == expect, s"round $round")
     }
   }
+
+  test("pairPrf: hand-checked P/R, dedup of fanned-out inputs, empty sides") {
+    def prf(pred: Seq[(Long, Long)], truth: Seq[(Long, Long)]) = {
+      val r = Eval.pairPrf(pred.toDF("a_id", "b_id"),
+        truth.toDF("a_id", "b_id")).first()
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))
+    }
+    // 2 predicted, 4 truth, 1 hit -> P=1/2, R=1/4 (truncating ppm)
+    assert(prf(Seq((1L, 2L), (3L, 4L)),
+      Seq((1L, 2L), (5L, 6L), (7L, 8L), (9L, 10L)))
+      == ((2L, 4L, 1L, Some(500000L), Some(250000L))))
+    // duplicated input rows must not inflate counts
+    assert(prf(Seq((1L, 2L), (1L, 2L)), Seq((1L, 2L)))
+      == ((1L, 1L, 1L, Some(1000000L), Some(1000000L))))
+    // empty predicted -> null precision; empty truth -> null recall
+    assert(prf(Seq.empty, Seq((1L, 2L))) == ((0L, 1L, 0L, None, Some(0L))))
+    assert(prf(Seq((1L, 2L)), Seq.empty) == ((1L, 0L, 0L, Some(0L), None)))
+  }
 }

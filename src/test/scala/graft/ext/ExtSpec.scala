@@ -465,4 +465,25 @@ class ExtSpec extends SparkSpec {
       .collect()
     assert(frames.nonEmpty && frames.forall(_.getLong(0) == 2L))
   }
+
+  test("minhashCandidates superset of verified pairs; bruteForcePairs exact") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val d = docs(
+      (1L, base),
+      (2L, base + " extra"),
+      (3L, "completely different words about spark catalyst expression trees"))
+    val cand = Dedup.minhashCandidates(d, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = Dedup.minhashPairs(d, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.subsetOf(cand), "every verified pair must be a candidate")
+    val truth = Dedup.bruteForcePairs(d, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth == Set((1L, 2L)))
+    // fail-fast: the quadratic truth leg refuses unbounded inputs
+    val err = intercept[IllegalArgumentException] {
+      Dedup.bruteForcePairs(d, "text", "doc_id", threshold = 0.5, maxSample = 2)
+    }
+    assert(err.getMessage.contains("maxSample"))
+  }
 }

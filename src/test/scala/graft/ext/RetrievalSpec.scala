@@ -281,4 +281,27 @@ class RetrievalSpec extends SparkSpec {
     Retrieval.deleteFromPositionalIndex(store, "c", Seq(2L).toDF("doc_id"))
     assert(occ.isEmpty, "tombstone appends accumulate")
   }
+
+  test("rrfFuse: integer contributions sum across arms, ties break on id") {
+    import spark.implicits._
+    def arm(rows: (Long, Long, Int)*) = rows.toDF("q_id", "c_id", "rank")
+    // arm1 ranks c=10 first, c=20 second; arm2 ranks c=20 first, c=30 second.
+    // c=20 appears in both arms: 1e9/62 + 1e9/61 beats c=10's 1e9/61 alone.
+    val fused = Retrieval.rrfFuse(Seq(
+        arm((1L, 10L, 1), (1L, 20L, 2)),
+        arm((1L, 20L, 1), (1L, 30L, 2))), rrfK = 60, k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val r60 = 1000000000L / 61; val r61 = 1000000000L / 62
+    assert(fused.toSeq == Seq(
+      (1, 20L, r60 + r61, 2L), (2, 10L, r60, 1L), (3, 30L, r61, 1L)))
+    // exact tie in rrf (same single-arm rank) -> lower candidate id wins
+    val tied = Retrieval.rrfFuse(Seq(arm((1L, 9L, 1)), arm((1L, 4L, 1))),
+        rrfK = 60, k = 10)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(tied.toSeq == Seq((1, 4L), (2, 9L)))
+    // k truncates per query
+    assert(Retrieval.rrfFuse(Seq(arm((1L, 1L, 1), (1L, 2L, 2), (1L, 3L, 3))),
+      k = 2).count() == 2L)
+  }
 }
