@@ -654,4 +654,61 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }
+
+  /** Asymmetric containment near-dup pairs: band candidates verified by
+    * shingle-set CONTAINMENT `|A∩B| / min(|A|,|B|)` instead of Jaccard.
+    *
+    * Catches the subset-duplicate class Jaccard structurally misses: a
+    * document whose text is a prefix/excerpt of a longer one shares almost
+    * all of ITS shingles with the parent (containment ≈ 1) while the
+    * symmetric overlap stays low (Jaccard ≈ |short|/|long|) — exactly the
+    * truncated-repost / quote-page shape a crawl corpus is full of. Both
+    * measures are emitted so the caller sees which class each pair is.
+    *
+    * Scale shape is [[minhashPairs]]'s: the band self-join carries only
+    * (band, key, id); shingle arrays re-join for the candidate set only.
+    * Recall honesty: candidates still come from the Jaccard-tuned MinHash
+    * bands, so a contained doc is surfaced with probability
+    * 1-(1-j^r)^b of the PAIR's Jaccard — high-containment/low-Jaccard
+    * pairs are screened at that reduced rate (a containment-complete
+    * screen would band over the short side's shingles alone; at corpus
+    * scale that is [[graft.ext.Winnow]]'s shared-fingerprint job, which
+    * this operator complements with exact set arithmetic on survivors). */
+  def containmentPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val shingled = df
+      .select(col(idCol), TextHash.shingles(col(textCol)).as("shingles"),
+        minhashSig(df, textCol).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandCols = (0 until TextHash.Bands).map { b =>
+      val slice = (0 until TextHash.RowsPerBand)
+        .map(r => element_at(col("sig"), b * TextHash.RowsPerBand + r + 1))
+      struct(lit(b).as("band"), concat_ws("-", slice: _*).as("key"))
+    }
+    val exploded = shingled.select(col(idCol),
+      explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = exploded.select(col(idCol).as("a_id"), col("band"), col("key"))
+    val b = exploded.select(col(idCol).as("b_id"), col("band"), col("key"))
+    val candidates = a.join(b, Seq("band", "key"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+    val sa = shingled.select(col(idCol).as("a_id"), col("shingles").as("a_sh"))
+    val sb = shingled.select(col(idCol).as("b_id"), col("shingles").as("b_sh"))
+    candidates
+      .join(sa, "a_id")
+      .join(sb, "b_id")
+      .withColumn("containment",
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          least(size(array_distinct(col("a_sh"))),
+            size(array_distinct(col("b_sh")))).cast("double"))
+      .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
+      .where(col("containment") >= threshold)
+      .select("a_id", "b_id", "containment", "jaccard")
+  }
 }

@@ -45,4 +45,32 @@ object Profile {
     }
     wide.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
+
+  /** Join/groupBy-key skew audit: the one-row report that decides whether a
+    * planned shuffle on `keyCol` needs salting or AQE skew handling BEFORE
+    * the expensive job runs. Emits the key-frequency shape in exact
+    * integer arithmetic (truncating `div`, engine-portable):
+    *
+    *   - `n_rows`, `n_keys` — population and key cardinality;
+    *   - `max_n` — the heaviest key's row count (the straggler task size
+    *     a hash-partitioned shuffle on this key would produce);
+    *   - `top_share_ppm` — `max_n / n_rows`, the fraction of all rows one
+    *     reducer would absorb;
+    *   - `skew_x_ppm` — `max_n / (n_rows / n_keys)` in ppm: how many times
+    *     the mean key weight the heaviest key is (1e6 = perfectly even).
+    *     Rule of thumb: ≥ ~20e6 on a join key ⇒ salt it (the
+    *     [[graft.ops.FuzzyJoin]] / salted-agg discipline).
+    *
+    * Null keys are excluded (they broadcast to no join partner; count them
+    * via [[profile]]'s n_null). Two exchanges, both bounded: the per-key
+    * partial-agg count, then the one-row fold of the per-key counts —
+    * nothing driver-side, no window, safe at any key universe. */
+  def skewAudit(df: DataFrame, keyCol: String): DataFrame =
+    df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("n")).as("max_n"))
+      .select(col("n_rows"), col("n_keys"), col("max_n"),
+        expr("(max_n * 1000000) div n_rows").as("top_share_ppm"),
+        expr("(max_n * n_keys * 1000000) div n_rows").as("skew_x_ppm"))
 }

@@ -324,6 +324,15 @@ object Analytics {
         Seq(count(lit(1)).as("n_events")))
         .orderBy("user_id", "session_start")),
 
+    "stream_heavy_hitters" -> ((s, dir) =>
+      // hot-key report per tumbling hour: top-5 users by event count with
+      // exact integer traffic share — the live skew/abuse signal (bounded
+      // graft_topk rank; StreamingQualitySpec proves the incremental
+      // count-state path ranks identically)
+      StreamingIngest.heavyHitters(
+        Tables.events(s, dir), "ts_us", "1 hour", "user_id", k = 5)
+        .orderBy("window_start", "rank")),
+
     // multimodal: binary payload + partition-wise decode (stubbed codec)
     "ext_multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
@@ -1024,6 +1033,22 @@ object Analytics {
         |      FROM o)
         |SELECT make_timestamp(MIN(us)) AS session_start, user_id, COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "stream_heavy_hitters" ->
+      """WITH e AS (SELECT epoch_ns(ts)//1000 AS us, user_id FROM events),
+        |c AS (SELECT make_timestamp(us - us % 3600000000) AS window_start,
+        |             user_id, COUNT(*) AS n
+        |      FROM e GROUP BY 1, 2),
+        |tot AS (SELECT window_start, CAST(SUM(n) AS BIGINT) AS n_window
+        |        FROM c GROUP BY 1),
+        |r AS (SELECT window_start, user_id, n,
+        |        row_number() OVER (PARTITION BY window_start
+        |          ORDER BY n DESC, user_id ASC) AS rank
+        |      FROM c)
+        |SELECT r.window_start, r.user_id, r.rank, CAST(r.n AS BIGINT) AS n,
+        |  tot.n_window, (CAST(r.n AS BIGINT) * 1000000) // tot.n_window AS share_ppm
+        |FROM r JOIN tot USING (window_start) WHERE r.rank <= 5
+        |ORDER BY window_start, rank""".stripMargin,
 
     "q6_forecast_revenue" ->
       """SELECT CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(25,6))) AS DOUBLE) AS revenue

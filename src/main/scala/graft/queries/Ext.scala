@@ -473,6 +473,22 @@ object Ext {
       Dedup.minhashPairs(nearDupCorpus(s, dir), "text", "doc_id", threshold = 0.6)
         .orderBy("a_id", "b_id")),
 
+    "ext_containment_pairs" -> ((s, dir) => {
+      // subset-duplicate screen: half-length PREFIX copies planted at
+      // +4M share ~all of THEIR shingles with the parent (containment
+      // ≈ 1) while Jaccard sits near |short|/|long| — the truncated-
+      // repost class the symmetric measure structurally under-scores.
+      // Band candidates, then exact containment |A∩B|/min(|A|,|B|).
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.unionByName(
+        docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 4000000L).as("doc_id"),
+            expr("substr(text, 1, cast(greatest(length(text) div 2, 12) as int))")
+              .as("text")))
+      Dedup.containmentPairs(corpus, "text", "doc_id", threshold = 0.8)
+        .orderBy("a_id", "b_id")
+    }),
+
     "ext_dedup_clusters" -> ((s, dir) =>
       Dedup.duplicateClusters(
         Dedup.minhashPairs(nearDupCorpus(s, dir), "text", "doc_id", threshold = 0.6))
@@ -689,6 +705,28 @@ object Ext {
       // stack unpivot — no posexplode row blowup (see Similarity.centroids)
       Similarity.centroids(t(s, dir, "embeddings"), "embedding", "label", nDims = 8)
         .orderBy("label", "dim")),
+
+    "ext_kmeans_train" -> ((s, dir) =>
+      // Lloyd's k-means, oracle-replayed END-TO-END: init = the 8 lowest
+      // vec_ids, then 2 full iterations of decimal-cosine assignment
+      // (scaled-int64 dot, lowest-cell-id tiebreak) + 1e7-quantized
+      // integer mean update — the trained-codebook path under ivfTopK /
+      // PQ / diversitySample, whose geometry every IVF gate so far took
+      // on init-only codebooks. Output is the codebook itself,
+      // 1e7-quantized per dim for engine-portable comparison.
+      Similarity.kmeansCodebook(t(s, dir, "embeddings"), "embedding",
+          "vec_id", nCells = 8, dim = 64, iterations = 2)
+        .select(col("cell_id"), posexplode(col("cell_vec")).as(Seq("dim", "v")))
+        .select(col("cell_id"), col("dim").cast("long").as("dim"),
+          round(col("v").cast("double") * lit(1e7)).cast("long").as("q"))
+        .orderBy("cell_id", "dim")),
+
+    "ext_skew_audit" -> ((s, dir) =>
+      // pre-shuffle join-key skew report: would hash-partitioning
+      // lineitem on l_suppkey produce a straggler? (one row: population,
+      // cardinality, heaviest key, its traffic share and ×-mean factor,
+      // exact integer ppm)
+      graft.ops.Profile.skewAudit(t(s, dir, "lineitem"), "l_suppkey")),
 
     "ext_length_histogram" -> ((s, dir) =>
       // corpus profiling: document length histogram in 50-char buckets
@@ -2106,6 +2144,47 @@ object Ext {
   /** One oracle for all three IVF paths (scan, persistent index,
     * incremental index): the index is lossless — same codebook, same
     * nearest-cell rule — so every path must agree byte-for-byte. */
+  /** Lloyd's k-means unrolled: `iters` chained CTE iterations of
+    * (scaled-int64 cosine assignment, lowest-cell-id tiebreak) →
+    * (1e7-quantized integer mean per dim, double divide, cast float) →
+    * (empty cells keep the previous centroid) — the exact arithmetic of
+    * Similarity.kmeansCodebook, so the two engines agree bit-for-bit. */
+  private def kmeansOracleSql(nCells: Int, iters: Int): String = {
+    def normOf(v: String) = s"sqrt(${dotSql(v, v)})"
+    def iter(prev: String, out: String): String =
+      s"""${out}_a AS (
+         |  SELECT vec, cell_id FROM (
+         |    SELECT e.embedding AS vec, b.cell_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotSql("e.embedding", "b.cell_vec")}
+         |                 / (${normOf("e.embedding")} * ${normOf("b.cell_vec")}) DESC,
+         |                 b.cell_id ASC) AS r
+         |    FROM embeddings e CROSS JOIN $prev b) WHERE r = 1),
+         |${out}_m AS (
+         |  SELECT cell_id,
+         |    list(CAST(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) / 1e7 AS FLOAT)
+         |         ORDER BY i) AS vec
+         |  FROM (
+         |    SELECT cell_id, i,
+         |      SUM(CAST(round(CAST(vec[i] AS DOUBLE) * 1e7) AS BIGINT)) AS s,
+         |      COUNT(*) AS cnt
+         |    FROM ${out}_a CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dims
+         |    GROUP BY cell_id, i) GROUP BY cell_id),
+         |$out AS (
+         |  SELECT b.cell_id, COALESCE(u.vec, b.cell_vec) AS cell_vec
+         |  FROM $prev b LEFT JOIN ${out}_m u ON b.cell_id = u.cell_id)"""
+    val chain = (1 to iters)
+      .map(i => iter(s"book${i - 1}", s"book$i")).mkString(",\n")
+    s"""WITH book0 AS (
+       |  SELECT vec_id AS cell_id, embedding AS cell_vec
+       |  FROM embeddings ORDER BY vec_id LIMIT $nCells),
+       |$chain
+       |SELECT cell_id, i - 1 AS dim,
+       |  CAST(round(CAST(cell_vec[i] AS DOUBLE) * 1e7) AS BIGINT) AS q
+       |FROM book$iters CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dims
+       |ORDER BY cell_id, dim""".stripMargin
+  }
+
   private def ivfOracleSql: String =
     s"""WITH $NormCte,
        |cells AS (SELECT vec_id AS cell_id, embedding AS cell_vec, nrm AS cell_norm
@@ -3387,6 +3466,43 @@ object Ext {
         |    - (CAST(si.sx AS DOUBLE)/1e7/n) * (CAST(sj.sx AS DOUBLE)/1e7/n) AS cov
         |FROM sxy JOIN sx si ON si.i = sxy.i JOIN sx sj ON sj.i = sxy.j
         |CROSS JOIN nn ORDER BY sxy.i, sxy.j""".stripMargin,
+
+    "ext_kmeans_train" -> kmeansOracleSql(nCells = 8, iters = 2),
+
+    "ext_skew_audit" ->
+      """WITH k AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem
+        |           WHERE l_suppkey IS NOT NULL GROUP BY 1),
+        |f AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+        |             CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |             CAST(MAX(n) AS BIGINT) AS max_n FROM k)
+        |SELECT n_rows, n_keys, max_n,
+        |  (max_n * 1000000) // n_rows AS top_share_ppm,
+        |  (max_n * n_keys * 1000000) // n_rows AS skew_x_ppm
+        |FROM f""".stripMargin,
+
+    "ext_containment_pairs" ->
+      s"""WITH ccorpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 4000000, substr(text, 1, greatest(len(text) // 2, 12))
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |${minhashSideCtes("p", "ccorpus")},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM pbands a JOIN pbands b ON a.band = b.band AND a.key = b.key
+         |  WHERE a.doc_id < b.doc_id),
+         |v AS (
+         |  SELECT c.a_id, c.b_id,
+         |    CAST(len(list_filter(list_distinct(sa.sh), x -> list_contains(sb.sh, x))) AS DOUBLE)
+         |      / CAST(least(len(list_distinct(sa.sh)), len(list_distinct(sb.sh))) AS DOUBLE)
+         |      AS containment,
+         |    CAST(len(list_filter(list_distinct(sa.sh), x -> list_contains(sb.sh, x))) AS DOUBLE)
+         |      / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) AS jaccard
+         |  FROM cand c
+         |  JOIN psh sa ON sa.doc_id = c.a_id
+         |  JOIN psh sb ON sb.doc_id = c.b_id)
+         |SELECT a_id, b_id, containment, jaccard FROM v
+         |WHERE containment >= 0.8 ORDER BY a_id, b_id""".stripMargin,
 
     "ext_centroids" ->
       """SELECT label, i - 1 AS dim,

@@ -113,6 +113,83 @@ object StreamingIngest {
         .agg(aggs.head, aggs.tail: _*),
       "window", "window_start")
 
+  /** Windowed heavy hitters: the top `k` keys by event count inside each
+    * tumbling window, with each hitter's share of the window's total
+    * traffic — the hot-key / hot-page / abusive-client report a streaming
+    * ingest keeps live (and the skew signal that feeds salting decisions;
+    * see [[graft.ops.Profile.skewAudit]] for the batch join-key variant).
+    *
+    * Scale shape: the per-(window, key) count is a partial-agg shuffle of
+    * narrow rows; the rank stage then reduces each window's distinct-key
+    * counts through the bounded `graft_topk` aggregate when registered —
+    * ≤ k candidates survive per mapper per window, so the second exchange
+    * carries mappers × k rows, never the key universe (the window-function
+    * fallback shuffles all distinct keys to rank them; identical output,
+    * TopKAggregateSpec discipline). Counts and shares are exact integer
+    * arithmetic (`div` truncation, engine-portable).
+    *
+    * Batch or streaming input: the count stage is streaming-legal as-is
+    * (use update mode + watermark upstream); the rank stage applies per
+    * micro-batch in `foreachBatch` — StreamingQualitySpec maintains the
+    * count state incrementally by integer-sum merge and proves the grown
+    * state ranks identically to one batch pass. */
+  def heavyHitters(
+      df: DataFrame,
+      tsCol: String,
+      windowLen: String,
+      keyCol: String,
+      k: Int
+  ): DataFrame =
+    rankHeavyHitters(windowKeyCounts(df, tsCol, windowLen, keyCol), keyCol, k)
+
+  /** The streaming-legal count stage of [[heavyHitters]]: (window, key, n).
+    * Incremental by integer sum — per-micro-batch counts merged with
+    * `sum(n)` over (window, key) equal one batch pass by associativity,
+    * so a foreachBatch sink can maintain the count state as append-only
+    * deltas and compact by sum (the BM25 postings discipline). */
+  def windowKeyCounts(
+      df: DataFrame,
+      tsCol: String,
+      windowLen: String,
+      keyCol: String
+  ): DataFrame =
+    df.groupBy(window(col(tsCol), windowLen).as("window"), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+
+  /** The rank stage of [[heavyHitters]] over a (window, key, n) count
+    * table — exposed separately so incrementally-maintained count state
+    * ranks through the same code path as the one-shot operator. */
+  def rankHeavyHitters(counts: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val spark = counts.sparkSession
+    val ranked =
+      if (spark.catalog.functionExists("graft_topk")) {
+        counts.groupBy(col("window"))
+          .agg(
+            call_function("graft_topk",
+              col("n").cast("double"), col(keyCol).cast("long"), lit(k)).as("top"),
+            sum(col("n")).as("n_window"))
+          .select(col("window"), col("n_window"),
+            posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("window"), col("t.id").as(keyCol),
+            (col("pos") + 1).cast("int").as("rank"),
+            col("t.score").cast("long").as("n"), col("n_window"))
+      } else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("window").orderBy(col("n").desc, col(keyCol).asc)
+        val tot = org.apache.spark.sql.expressions.Window.partitionBy("window")
+        counts
+          .withColumn("rank", row_number().over(w))
+          .withColumn("n_window", sum(col("n")).over(tot))
+          .where(col("rank") <= k)
+          .select(col("window"), col(keyCol), col("rank"), col("n"),
+            col("n_window"))
+      }
+    ranked
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("rank"), col("n"), col("n_window"))
+      .withColumn("share_ppm", expr("(n * 1000000) div n_window"))
+  }
+
   /** Sliding-window aggregation. */
   def slidingAgg(
       df: DataFrame,

@@ -1151,6 +1151,52 @@ object ScaleSmoke {
       assert(pr.count() == 10000000L)
     }
 
+    // heavy hitters: 50M events over 24 hourly windows x 1M users, one
+    // user carrying ~2% of all traffic — the rank exchange must carry
+    // mappers x k rows (bounded graft_topk), never the 24M-key universe
+    time("heavy hitters 50M events x 1M users (24 windows)") {
+      val ev = spark.range(0, 50000000L, 1, 256).select(
+        timestamp_micros(lit(1704067200000000L) +
+          pmod(xxhash64(col("id")), lit(24L)) * 3600000000L +
+          pmod(xxhash64(col("id"), lit(1)), lit(3600L)) * 1000000L).as("ts"),
+        when(col("id") % 50 === 0, lit(42L))
+          .otherwise(pmod(xxhash64(col("id"), lit(2)), lit(1000000L))).as("user_id"))
+      val hh = graft.streaming.StreamingIngest
+        .heavyHitters(ev, "ts", "1 hour", "user_id", k = 5)
+      val rows = hh.collect()
+      assert(rows.length == 24 * 5, s"got ${rows.length}")
+      // the planted hot user tops every window at ~2% share
+      assert(rows.filter(_.getInt(2) == 1).forall(r =>
+        r.getLong(1) == 42L && math.abs(r.getLong(5) - 20000L) < 2000L))
+    }
+
+    // skew audit: one narrow report over 50M rows, 99% on one key — two
+    // bounded exchanges (per-key partial count, one-row fold)
+    time("skew audit 50M rows (99% one key)") {
+      val df = spark.range(0, 50000000L, 1, 256)
+        .select(when(col("id") % 100 =!= 0, lit(7L))
+          .otherwise(pmod(xxhash64(col("id")), lit(100000L))).as("k"))
+      val r = graft.ops.Profile.skewAudit(df, "k").first()
+      assert(r.getLong(0) == 50000000L && r.getLong(2) >= 49000000L)
+      assert(r.getLong(4) > 100000000L, s"skew_x_ppm=${r.getLong(4)}") // >>1e6
+    }
+
+    // k-means: 2M x 8d vectors, 16 cells, 2 Lloyd iterations — per-iter
+    // cost is one broadcast cross-score pass (2M x 16 narrow rows,
+    // map-side reduced to one row per vector) + a 16x8 integer mean agg
+    time("kmeans codebook 2M x 8d, 16 cells, 2 iters") {
+      val vecs = spark.range(0, 2000000L, 1, 128).select(col("id").as("vec_id"),
+        array((0 until 8).map(d =>
+          (pmod(xxhash64(col("id"), lit(d)), lit(1000L)).cast("double") / 1000d)
+            .cast("float")): _*)
+          .as("embedding"))
+      val book = graft.ext.Similarity
+        .kmeansCodebook(vecs, "embedding", "vec_id", nCells = 16, dim = 8,
+          iterations = 2)
+        .collect()
+      assert(book.length == 16)
+    }
+
     spark.stop()
   }
 }

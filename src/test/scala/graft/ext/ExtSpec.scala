@@ -86,6 +86,22 @@ class ExtSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L)))
   }
 
+  test("containmentPairs scores a truncated copy ~1.0 where jaccard stays low") {
+    val parent = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val child = (1 to 29).map(i => s"tok$i").mkString(" ")
+    val out = Dedup.containmentPairs(docs(
+      (1L, parent),
+      (2L, child),
+      (3L, "completely different words about spark catalyst expression trees")),
+      "text", "doc_id", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    val (_, _, cont, jac) = out.head
+    // every shingle of the truncation exists in the parent => containment 1
+    assert(cont == 1.0, s"containment=$cont")
+    assert(jac < 1.0 && jac > 0.8, s"jaccard=$jac")
+  }
+
   test("simhash: near-dup texts have small hamming distance") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val out = Dedup.simhash(docs(

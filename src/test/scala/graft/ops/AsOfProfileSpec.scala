@@ -124,6 +124,17 @@ class AsOfProfileSpec extends SparkSpec {
       s.getString(4) == "a" && s.getString(5) == "b")
   }
 
+  test("skewAudit: exact integer shape of a skewed key distribution") {
+    import spark.implicits._
+    // key 7 carries 6 of 10 rows; 4 singleton keys; one null key (excluded)
+    val df = (Seq.fill(6)(Some(7L)) ++ Seq(Some(1L), Some(2L), Some(3L),
+      Some(4L), None)).toDF("k")
+    val r = Profile.skewAudit(df, "k").collect().head
+    assert(r.getLong(0) == 10 && r.getLong(1) == 5 && r.getLong(2) == 6)
+    // top share = 6e6/10 ppm; skew = 6 / (10/5 mean) = 3e6 ppm
+    assert(r.getLong(3) == 600000 && r.getLong(4) == 3000000)
+  }
+
   test("profile approx tier stays within HLL error and avoids Expand blowup") {
     val df = spark.range(10000).select(
       (col("id") % 1000).as("m"), col("id").as("u"))

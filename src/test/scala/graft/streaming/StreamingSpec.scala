@@ -145,4 +145,56 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 00:00:00.0", "b", 1L, 8.0),
       ("2024-01-01 01:00:00.0", "a", 1L, 4.0)))
   }
+
+  test("heavy hitters: per-micro-batch count deltas merged by sum rank " +
+    "identically to one batch pass") {
+    val work = Files.createTempDirectory("graft_hhspec")
+    val src = work.resolve("in"); Files.createDirectories(src)
+    val state = work.resolve("state").toString
+    // skewed traffic split across two files => two micro-batches, with
+    // user 7's hour-0 events split ACROSS the batches (the merge must sum)
+    def line(ts: String, u: Long) = s"$ts,$u"
+    Files.writeString(src.resolve("a.csv"),
+      ("ts,user_id" +: (Seq.fill(3)(line("2024-01-01 00:05:00", 7L)) ++
+        Seq(line("2024-01-01 00:10:00", 1L), line("2024-01-01 00:15:00", 2L),
+          line("2024-01-01 01:05:00", 7L)))).mkString("", "\n", "\n"))
+    Files.writeString(src.resolve("b.csv"),
+      ("ts,user_id" +: (Seq.fill(2)(line("2024-01-01 00:25:00", 7L)) ++
+        Seq(line("2024-01-01 00:30:00", 3L), line("2024-01-01 00:35:00", 4L),
+          line("2024-01-01 00:40:00", 5L), line("2024-01-01 00:45:00", 6L),
+          line("2024-01-01 01:20:00", 8L)))).mkString("", "\n", "\n"))
+    val st = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType)))
+    val q = spark.readStream.schema(st).option("header", true)
+      .option("maxFilesPerTrigger", 1).csv(src.toString)
+      .writeStream
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingIngest.windowKeyCounts(batch, "ts", "1 hour", "user_id")
+          .select(col("window.start").as("ws"), col("user_id"), col("n"))
+          .write.mode("append").parquet(state)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(state).count() >
+      spark.read.parquet(state).select("ws", "user_id").distinct().count(),
+      "split key must appear as multiple deltas — else the merge is untested")
+    val incremental = StreamingIngest.rankHeavyHitters(
+      spark.read.parquet(state)
+        .groupBy("ws", "user_id").agg(sum(col("n")).as("n"))
+        .select(struct(col("ws").as("start")).as("window"), col("user_id"), col("n")),
+      "user_id", k = 5)
+    val oneShot = StreamingIngest.heavyHitters(
+      spark.read.schema(st).option("header", true).csv(src.toString),
+      "ts", "1 hour", "user_id", k = 5)
+    val a = incremental.orderBy("window_start", "rank").collect().map(_.toSeq)
+    val b = oneShot.orderBy("window_start", "rank").collect().map(_.toSeq)
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+    // hour 0: user 7 holds 5 of 11 events => rank 1, share 5e6 div 11 ppm
+    val top = b.head
+    assert(top(1) == 7L && top(2) == 1 && top(3) == 5L && top(5) == 454545L)
+  }
 }
