@@ -38,4 +38,43 @@ object Percentiles {
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"), aggs: _*)
   }
+
+  /** EXACT global percentiles that survive 100 TB: no executor-side value
+    * buffer (the `percentile` aggregate's OOM shape) and no single-task
+    * global sort. One row out: `n` plus one column per requested
+    * percentile, exact discrete semantics — the p-quantile is the
+    * smallest value whose cumulative count reaches `ceil(p·n)`.
+    *
+    * Shape: (1) per-VALUE counts — the only input-width exchange, fully
+    * partial-agged, carrying one row per distinct value; (2)
+    * [[PrefixSum.running]] turns the distinct-value table into a CDF with
+    * a parallel range sort + partition-offset pass (ties impossible:
+    * values are distinct by construction); (3) one bounded fold picks all
+    * requested ranks in a single pass. Rank arithmetic is `ceil(p · n)`
+    * in double — exact for n < 2^53 and identical in any IEEE engine.
+    *
+    * Use [[grouped]] with `exact = false` for per-group production
+    * percentiles (GK sketch); this is the exact-global tier for the
+    * cases a sketch can't serve — threshold picking on a CDF that must
+    * be reproducible bit-for-bit across engines and runs. */
+  def exactGlobal(
+      df: DataFrame,
+      valueCol: String,
+      ps: Seq[(String, Double)]
+  ): DataFrame = {
+    require(ps.nonEmpty, "Percentiles.exactGlobal: at least one percentile")
+    ps.foreach { case (n, p) =>
+      require(p > 0.0 && p <= 1.0, s"percentile $n=$p outside (0, 1]")
+    }
+    val counts = df.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__v")).agg(count(lit(1)).as("__cnt"))
+    val cdf = PrefixSum.running(counts, Seq(col("__v").asc),
+      Seq("__cnt" -> "__cum"))
+    val total = counts.agg(sum(col("__cnt")).as("__n"))
+    val picks: Seq[Column] = ps.map { case (name, p) =>
+      min(when(col("__cum") >= ceil(lit(p) * col("__n")), col("__v"))).as(name)
+    }
+    cdf.crossJoin(broadcast(total))
+      .agg(max(col("__n")).as("n"), picks: _*)
+  }
 }

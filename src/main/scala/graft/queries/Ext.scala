@@ -728,6 +728,16 @@ object Ext {
       // exact integer ppm)
       graft.ops.Profile.skewAudit(t(s, dir, "lineitem"), "l_suppkey")),
 
+    "ext_quantiles_exact" -> ((s, dir) =>
+      // exact global percentiles WITHOUT the buffering `percentile`
+      // aggregate or a single-task sort: distinct-value counts → PrefixSum
+      // CDF (range-sort + partition offsets) → one bounded rank-pick fold.
+      // Exact discrete semantics: smallest value whose cumulative count
+      // reaches ceil(p·n).
+      graft.ops.Percentiles.exactGlobal(t(s, dir, "lineitem"),
+        "l_extendedprice",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p99" -> 0.99))),
+
     "ext_length_histogram" -> ((s, dir) =>
       // corpus profiling: document length histogram in 50-char buckets
       t(s, dir, "documents")
@@ -3479,6 +3489,20 @@ object Ext {
         |  (max_n * 1000000) // n_rows AS top_share_ppm,
         |  (max_n * n_keys * 1000000) // n_rows AS skew_x_ppm
         |FROM f""".stripMargin,
+
+    "ext_quantiles_exact" ->
+      """WITH c AS (SELECT l_extendedprice AS v, COUNT(*) AS cnt FROM lineitem
+        |           WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+        |o AS (SELECT v, SUM(cnt) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM c),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c)
+        |SELECT MAX(t.n) AS n,
+        |  MIN(CASE WHEN cum >= ceil(0.25 * t.n) THEN v END) AS p25,
+        |  MIN(CASE WHEN cum >= ceil(0.5 * t.n) THEN v END) AS p50,
+        |  MIN(CASE WHEN cum >= ceil(0.75 * t.n) THEN v END) AS p75,
+        |  MIN(CASE WHEN cum >= ceil(0.99 * t.n) THEN v END) AS p99
+        |FROM o CROSS JOIN t""".stripMargin,
 
     "ext_containment_pairs" ->
       s"""WITH ccorpus AS (

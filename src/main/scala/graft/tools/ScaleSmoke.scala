@@ -1181,6 +1181,21 @@ object ScaleSmoke {
       assert(r.getLong(4) > 100000000L, s"skew_x_ppm=${r.getLong(4)}") // >>1e6
     }
 
+    // exact global percentiles over 50M rows with ~10M distinct values —
+    // the case the buffering `percentile` aggregate OOMs on and an
+    // unpartitioned window serializes; PrefixSum keeps the CDF parallel
+    time("exact percentiles 50M rows (~10M distinct)") {
+      val df = spark.range(0, 50000000L, 1, 256)
+        .select((pmod(xxhash64(col("id")), lit(10000000L)).cast("double") / 100d)
+          .as("v"))
+      val r = graft.ops.Percentiles.exactGlobal(df, "v",
+        Seq("p50" -> 0.5, "p99" -> 0.99)).first()
+      assert(r.getLong(0) == 50000000L)
+      // uniform over [0, 1e5): quantiles land near p·1e5
+      assert(math.abs(r.getDouble(1) - 50000d) < 500d, r)
+      assert(math.abs(r.getDouble(2) - 99000d) < 500d, r)
+    }
+
     // k-means: 2M x 8d vectors, 16 cells, 2 Lloyd iterations — per-iter
     // cost is one broadcast cross-score pass (2M x 16 narrow rows,
     // map-side reduced to one row per vector) + a 16x8 integer mean agg

@@ -363,11 +363,13 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("lr evaluation CDFs: no unpartitioned Window anywhere in the plans") {
-    // rocAuc/prCurve run their running sums through PrefixSum's two-pass
-    // partition-offset scheme; a Window with an EMPTY partitionSpec would
-    // mean a single-task global sort over the distinct-margin table
-    // (which for int64 LR margins can approach corpus cardinality)
-    for (q <- Seq("ext_lr_auc", "ext_lr_pr_curve", "ext_lr_auc_sliced")) {
+    // rocAuc/prCurve (and exactGlobal percentiles) run their running sums
+    // through PrefixSum's two-pass partition-offset scheme; a Window with
+    // an EMPTY partitionSpec would mean a single-task global sort over the
+    // distinct-value table (which for int64 LR margins — or prices — can
+    // approach corpus cardinality)
+    for (q <- Seq("ext_lr_auc", "ext_lr_pr_curve", "ext_lr_auc_sliced",
+        "ext_quantiles_exact")) {
       val opt = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
       val bad = opt.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window

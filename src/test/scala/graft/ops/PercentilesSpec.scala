@@ -56,4 +56,20 @@ class PercentilesSpec extends AnyFunSuite {
         org.apache.spark.sql.execution.FormattedMode)
     assert(p.contains("percentile(") && !p.contains("approx_percentile"))
   }
+
+  test("exactGlobal: discrete rank-pick semantics, duplicates, nulls, p=1") {
+    // values 1..10 with 5 duplicated thrice (n=12); null excluded
+    val df = ((1 to 10) ++ Seq(5, 5)).map(v => Some(v.toDouble))
+      .appended(Option.empty[Double]).toDF("v")
+    val r = Percentiles.exactGlobal(df, "v",
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p100" -> 1.0)).collect().head
+    assert(r.getLong(0) == 12)
+    // sorted: 1 2 3 4 5 5 5 6 7 8 9 10; rank ceil(.25*12)=3 -> 3,
+    // ceil(.5*12)=6 -> 5, rank 12 -> 10
+    assert(r.getDouble(1) == 3.0 && r.getDouble(2) == 5.0 &&
+      r.getDouble(3) == 10.0)
+    // agrees with Spark's exact buffering aggregate at the same ranks
+    val want = df.agg(expr("percentile(v, 0.5)")).first().getDouble(0)
+    assert(math.abs(want - 5.0) < 0.5001) // interpolating vs discrete: near
+  }
 }
