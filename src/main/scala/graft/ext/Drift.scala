@@ -175,4 +175,57 @@ object Drift {
           col("__sq").cast("double") / (lit(2e9) * col("n_batch").cast("double")))
           .as("js"))
   }
+
+  /** EMBEDDING-space drift between two corpus snapshots: per-key centroid
+    * cosine and mean-shift, the retrain/re-embed alarm the token-frequency
+    * JS divergence can't see (a paraphrased or re-encoded corpus keeps its
+    * token histogram while its embedding geometry moves).
+    *
+    * Exact integer arithmetic end-to-end so any engine agrees: each side's
+    * per-key, per-dim centroid is `sum(round(x·1e7)) div n` (the
+    * [[graft.ext.Similarity.centroids]] quantization, then truncating
+    * integer division — never a float mean), and the cosine/shift fold
+    * over the 64-dim quantized centroids is int64 sums (|q| ≤ 1e7 ⇒
+    * q²·dims ≤ 6.4e15, inside int64) with one final double
+    * division/sqrt. Returns (key, n_ref, n_new, cosine, shift) where
+    * `shift` is the L2 distance between centroids in original units.
+    *
+    * Scale shape: per-side partial-agg of dims × keys integer sums (the
+    * shuffle carries keys × dims rows, never vectors), one keys-sized
+    * join, one keys-sized fold. */
+  def embeddingDrift(
+      ref: DataFrame,
+      cur: DataFrame,
+      vecCol: String,
+      keyCol: String,
+      nDims: Int
+  ): DataFrame = {
+    def qCentroids(df: DataFrame, p: String): DataFrame = {
+      val sums = (0 until nDims).map(i =>
+        sum(round(element_at(col(vecCol), i + 1).cast("double") * lit(1e7))
+          .cast("long")).as(s"_s$i"))
+      val wide = df.groupBy(col(keyCol))
+        .agg(sums.head, (sums.tail :+ count(lit(1)).as(s"${p}_n")): _*)
+      val stackArgs = (0 until nDims)
+        .map(i => s"$i, _s$i div ${p}_n").mkString(", ")
+      wide.select(col(keyCol), col(s"${p}_n"),
+        expr(s"stack($nDims, $stackArgs) AS (dim, ${p}_q)"))
+    }
+    val a = qCentroids(ref, "ref")
+    val b = qCentroids(cur, "new")
+    a.join(b, Seq(keyCol, "dim"))
+      .groupBy(col(keyCol))
+      .agg(
+        max(col("ref_n")).as("n_ref"), max(col("new_n")).as("n_new"),
+        sum(col("ref_q") * col("new_q")).as("__dot"),
+        sum(col("ref_q") * col("ref_q")).as("__na"),
+        sum(col("new_q") * col("new_q")).as("__nb"),
+        sum((col("ref_q") - col("new_q")) * (col("ref_q") - col("new_q")))
+          .as("__d2"))
+      .select(col(keyCol), col("n_ref"), col("n_new"),
+        (col("__dot").cast("double") /
+          (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))))
+          .as("cosine"),
+        (sqrt(col("__d2").cast("double")) / lit(1e7)).as("shift"))
+  }
 }

@@ -1078,4 +1078,52 @@ object Similarity {
     wide.select(col(keyCol),
       expr(s"stack($nDims, $stackArgs) AS (dim, mean_v)"))
   }
+
+  /** Clustering-quality audit of a codebook over a corpus: per cell, the
+    * population it would receive under nearest-cosine assignment plus the
+    * cohesion of that population — (cell_id, n, sum_cos_q, min_cos_q)
+    * with cosines 1e7-quantized to int64 (`round(cos·1e7)`) so the sums
+    * are exact integer math on any engine. `sum_cos_q / n / 1e7` is the
+    * cell's mean cohesion; `min_cos_q` its worst member; a cell with
+    * `n = 0` (possible whenever the codebook wasn't trained to
+    * convergence on this corpus) appears with null stats rather than
+    * vanishing. This is the report that decides whether an IVF/PQ
+    * codebook is fit to serve: dead cells waste probes, low-cohesion
+    * cells degrade recall, and a dominant cell defeats the inverted
+    * lists' pruning.
+    *
+    * Scale shape: one narrow pass against the broadcast codebook scores
+    * every (vector, cell) pair map-side; the per-vector argmax
+    * (`max(struct(cos, -cell_id))`, full map-side combine) reduces the
+    * shuffle to ONE row per vector, and the final aggregate is
+    * codebook-sized. The corpus is never shuffled wide and never
+    * re-scored per cell downstream — identical assignment semantics to
+    * [[assignCells]] / [[ivfTopK]]'s rank-1 (lowest cell_id on ties). */
+  def clusterQuality(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      codebook: DataFrame // (cell_id, cell_vec), e.g. kmeansCodebook
+  ): DataFrame = {
+    val cells = broadcast(
+      codebook.select(col("cell_id"), col("cell_vec"))
+        .withColumn("cell_norm", normDecimal(col("cell_vec"))))
+    val best = corpus.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
+      .withColumn("__norm", normDecimal(col("__vec")))
+      .crossJoin(cells)
+      .withColumn("__cos",
+        dotDecimal(col("__vec"), col("cell_vec")) / (col("__norm") * col("cell_norm")))
+      .groupBy(col("__id"))
+      .agg(max(struct(col("__cos").as("cos"), (-col("cell_id")).as("neg"),
+        col("cell_id"))).as("best"))
+      .select(col("best.cell_id").as("cell_id"),
+        round(col("best.cos").cast("double") * lit(1e7)).cast("long").as("__q"))
+    val stats = best.groupBy("cell_id").agg(
+      count(lit(1)).as("n"),
+      sum(col("__q")).as("sum_cos_q"),
+      min(col("__q")).as("min_cos_q"))
+    codebook.select("cell_id").join(stats, Seq("cell_id"), "left")
+      .select(col("cell_id"), coalesce(col("n"), lit(0L)).as("n"),
+        col("sum_cos_q"), col("min_cos_q"))
+  }
 }

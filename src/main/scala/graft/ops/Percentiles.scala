@@ -77,4 +77,43 @@ object Percentiles {
     cdf.crossJoin(broadcast(total))
       .agg(max(col("__n")).as("n"), picks: _*)
   }
+
+  /** Per-group exact discrete percentiles with the same no-value-buffer
+    * shape as [[exactGlobal]]: counts per (group, value) — the only
+    * input-width exchange — then a group-PARTITIONED cumulative window
+    * over the distinct-value table and one rank-pick aggregate per group.
+    *
+    * The window partitions by group, so no task ever sees more than one
+    * group's DISTINCT VALUES (not its rows — a billion-row group with
+    * bounded value cardinality costs its cardinality, which is why this
+    * beats the buffering `percentile` aggregate). For a group whose
+    * distinct-value count itself explodes, fall back to [[grouped]] with
+    * `exact = false` (GK sketch). */
+  def exactGrouped(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      ps: Seq[(String, Double)]
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "Percentiles.exactGrouped: need group cols")
+    require(ps.nonEmpty, "Percentiles.exactGrouped: at least one percentile")
+    ps.foreach { case (n, p) =>
+      require(p > 0.0 && p <= 1.0, s"percentile $n=$p outside (0, 1]")
+    }
+    val gs = groupCols.map(col)
+    val counts = df.where(col(valueCol).isNotNull)
+      .groupBy(gs :+ col(valueCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gs: _*).orderBy(col("__v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(gs: _*)
+    val cdf = counts
+      .withColumn("__cum", sum(col("__cnt")).over(w))
+      .withColumn("__n", sum(col("__cnt")).over(tot))
+    val picks: Seq[Column] = ps.map { case (name, p) =>
+      min(when(col("__cum") >= ceil(lit(p) * col("__n")), col("__v"))).as(name)
+    }
+    cdf.groupBy(gs: _*).agg(max(col("__n")).as("n"), picks: _*)
+  }
 }

@@ -499,8 +499,13 @@ object Ext {
       // a brute-force exact-Jaccard truth over the planted-dup sample —
       // the pair-level precision/recall that tunes bands×rows, invisible
       // in the verified pair set (whose precision is 1 by construction)
+      // truth is deliberately quadratic, so the sample is every 20th
+      // original plus ITS planted copy (both sides of a true pair stay
+      // in-sample; %10-planted ids are original+1M, so (id-1M)%20 picks
+      // the copies whose original survived the %20 cut)
       val sample = nearDupCorpus(s, dir)
-        .where(col("doc_id") % 10 === 0 || col("doc_id") >= 1000000L)
+        .where((col("doc_id") < 1000000L && col("doc_id") % 20 === 0) ||
+          (col("doc_id") >= 1000000L && (col("doc_id") - 1000000L) % 20 === 0))
       graft.ext.Eval.pairPrf(
         Dedup.minhashCandidates(sample, "text", "doc_id"),
         Dedup.bruteForcePairs(sample, "text", "doc_id", threshold = 0.6))
@@ -706,6 +711,17 @@ object Ext {
       Similarity.centroids(t(s, dir, "embeddings"), "embedding", "label", nDims = 8)
         .orderBy("label", "dim")),
 
+    "ext_embed_drift" -> ((s, dir) => {
+      // embedding-space drift between two snapshots (even/odd vec_ids):
+      // per-label centroid cosine + L2 shift in exact integer arithmetic —
+      // the re-embed/retrain alarm token-frequency JS can't see
+      val e = t(s, dir, "embeddings")
+      Drift.embeddingDrift(
+        e.where(col("vec_id") % 2 === 0), e.where(col("vec_id") % 2 === 1),
+        "embedding", "label", nDims = 64)
+        .orderBy("label")
+    }),
+
     "ext_kmeans_train" -> ((s, dir) =>
       // Lloyd's k-means, oracle-replayed END-TO-END: init = the 8 lowest
       // vec_ids, then 2 full iterations of decimal-cosine assignment
@@ -720,6 +736,17 @@ object Ext {
         .select(col("cell_id"), col("dim").cast("long").as("dim"),
           round(col("v").cast("double") * lit(1e7)).cast("long").as("q"))
         .orderBy("cell_id", "dim")),
+
+    "ext_cluster_quality" -> ((s, dir) =>
+      // is the trained IVF codebook fit to serve? Per cell: assigned
+      // population + cohesion (sum/min of 1e7-quantized cosines) under
+      // nearest-cosine assignment — dead cells, low-cohesion cells, and
+      // dominant cells are what degrade IVF probe recall. Consumes the
+      // FROZEN kmeans_book fixture (training is ext_kmeans_train's
+      // operator, not this gate's); the oracle replays train + assign.
+      Similarity.clusterQuality(t(s, dir, "embeddings"), "embedding",
+          "vec_id", Fixtures.kmeansBook(s, dir))
+        .orderBy("cell_id")),
 
     "ext_skew_audit" -> ((s, dir) =>
       // pre-shuffle join-key skew report: would hash-partitioning
@@ -737,6 +764,16 @@ object Ext {
       graft.ops.Percentiles.exactGlobal(t(s, dir, "lineitem"),
         "l_extendedprice",
         Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p99" -> 0.99))),
+
+    "ext_quantiles_grouped" -> ((s, dir) =>
+      // per-language document-length CDF picks — the corpus length report:
+      // per-(group, value) counts then a group-PARTITIONED cumulative
+      // window over distinct values (cost = value cardinality per group,
+      // never the group's row count)
+      graft.ops.Percentiles.exactGrouped(t(s, dir, "documents"),
+        Seq("lang"), "n_chars",
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        .orderBy("lang")),
 
     "ext_length_histogram" -> ((s, dir) =>
       // corpus profiling: document length histogram in 50-char buckets
@@ -804,6 +841,19 @@ object Ext {
       Sketches.cmsEstimate(exact, col("bigram"), sketch, d = 4, w = 4096)
         .orderBy(col("exact_n").desc, col("bigram").asc)
     }),
+
+    "ext_frame_sample" -> ((s, dir) =>
+      // video frame-sampling plan: one media row explodes to per-frame
+      // rows (stride-32 byte offsets over the stub payload — the real op
+      // swaps decoded-frame timestamps in for byte offsets, same
+      // explode-without-shuffle plumbing, same schema)
+      Multimodal.sampleFrames(
+        Multimodal.attachBinary(
+          t(s, dir, "documents").select("doc_id", "text"), "doc_id", "text"),
+        stride = 32)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("byte_offset").cast("long").as("byte_offset"))
+        .orderBy("doc_id", "frame_idx")),
 
     "ext_cdc_dedup" -> ((s, dir) => {
       // content-defined chunking dedup accounting over binary payloads
@@ -1202,6 +1252,33 @@ object Ext {
       Bpe.tokenize(t(s, dir, "documents").select("doc_id", "text"),
         "text", "doc_id", BpeMerges)
         .orderBy("doc_id")),
+
+    "ext_tokenizer_fertility" -> ((s, dir) => {
+      // tokenizer economics per language: token/char/byte mass plus exact
+      // integer chars-per-kilotoken and bytes-per-kilotoken — the report
+      // that decides whether a tokenizer is fit for a language BEFORE a
+      // training run pays for it (high fertility = context window wasted
+      // on fragment tokens; the CCNet/NLLB-era per-language audit). Same
+      // LEFT-join discipline as ext_token_mixture: a doc yielding zero
+      // BPE tokens still contributes its chars and bytes.
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+      docs.join(
+          Bpe.tokenize(docs, "text", "doc_id", BpeMerges)
+            .select("doc_id", "n_bpe_tokens"), Seq("doc_id"), "left")
+        .withColumn("n_bpe_tokens", coalesce(col("n_bpe_tokens"), lit(0L)))
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_bpe_tokens")).as("n_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          sum(octet_length(col("text")).cast("long")).as("n_bytes"))
+        .withColumn("chars_per_ktok",
+          when(col("n_tokens") === 0, lit(null).cast("long"))
+            .otherwise(expr("n_chars * 1000 div n_tokens")))
+        .withColumn("bytes_per_ktok",
+          when(col("n_tokens") === 0, lit(null).cast("long"))
+            .otherwise(expr("n_bytes * 1000 div n_tokens")))
+        .orderBy("lang")
+    }),
 
     "ext_token_mixture" -> ((s, dir) => {
       // token-budgeted mixture: epochs per source planned on EXACT BPE
@@ -2159,7 +2236,9 @@ object Ext {
     * (1e7-quantized integer mean per dim, double divide, cast float) →
     * (empty cells keep the previous centroid) — the exact arithmetic of
     * Similarity.kmeansCodebook, so the two engines agree bit-for-bit. */
-  private def kmeansOracleSql(nCells: Int, iters: Int): String = {
+  /** The unrolled Lloyd-iteration CTE chain shared by the k-means oracles:
+    * `WITH <kmeansChainCtes(n, iters)> SELECT ... FROM book<iters>`. */
+  private def kmeansChainCtes(nCells: Int, iters: Int): String = {
     def normOf(v: String) = s"sqrt(${dotSql(v, v)})"
     def iter(prev: String, out: String): String =
       s"""${out}_a AS (
@@ -2185,14 +2264,43 @@ object Ext {
          |  FROM $prev b LEFT JOIN ${out}_m u ON b.cell_id = u.cell_id)"""
     val chain = (1 to iters)
       .map(i => iter(s"book${i - 1}", s"book$i")).mkString(",\n")
-    s"""WITH book0 AS (
+    s"""book0 AS (
        |  SELECT vec_id AS cell_id, embedding AS cell_vec
        |  FROM embeddings ORDER BY vec_id LIMIT $nCells),
-       |$chain
+       |$chain""".stripMargin
+  }
+
+  private def kmeansOracleSql(nCells: Int, iters: Int): String =
+    s"""WITH ${kmeansChainCtes(nCells, iters)}
        |SELECT cell_id, i - 1 AS dim,
        |  CAST(round(CAST(cell_vec[i] AS DOUBLE) * 1e7) AS BIGINT) AS q
        |FROM book$iters CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dims
        |ORDER BY cell_id, dim""".stripMargin
+
+  /** Assignment + per-cell cohesion over the trained book (mirror of
+    * Similarity.clusterQuality on the kmeansBook fixture). */
+  private def clusterQualityOracleSql(nCells: Int, iters: Int): String = {
+    def normOf(v: String) = s"sqrt(${dotSql(v, v)})"
+    s"""WITH ${kmeansChainCtes(nCells, iters)},
+       |assign AS (
+       |  SELECT cell_id,
+       |    CAST(round(cos * 1e7) AS BIGINT) AS q
+       |  FROM (
+       |    SELECT b.cell_id,
+       |      ${dotSql("e.embedding", "b.cell_vec")}
+       |        / (${normOf("e.embedding")} * ${normOf("b.cell_vec")}) AS cos,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dotSql("e.embedding", "b.cell_vec")}
+       |                 / (${normOf("e.embedding")} * ${normOf("b.cell_vec")}) DESC,
+       |                 b.cell_id ASC) AS r
+       |    FROM embeddings e CROSS JOIN book$iters b) WHERE r = 1),
+       |stats AS (
+       |  SELECT cell_id, COUNT(*) AS n, SUM(q) AS sq, MIN(q) AS mq
+       |  FROM assign GROUP BY cell_id)
+       |SELECT b.cell_id, CAST(COALESCE(s.n, 0) AS BIGINT) AS n,
+       |  CAST(s.sq AS BIGINT) AS sum_cos_q, CAST(s.mq AS BIGINT) AS min_cos_q
+       |FROM book$iters b LEFT JOIN stats s ON b.cell_id = s.cell_id
+       |ORDER BY b.cell_id""".stripMargin
   }
 
   private def ivfOracleSql: String =
@@ -3095,7 +3203,8 @@ object Ext {
     "ext_neardup_eval" ->
       s"""WITH $NearDupCorpusSql,
          |sample AS (SELECT doc_id, text FROM corpus
-         |           WHERE doc_id % 10 = 0 OR doc_id >= 1000000),
+         |           WHERE (doc_id < 1000000 AND doc_id % 20 = 0)
+         |              OR (doc_id >= 1000000 AND (doc_id - 1000000) % 20 = 0)),
          |${minhashSideCtes("s", "sample")},
          |pred AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM sbands a JOIN sbands b ON a.band = b.band AND a.key = b.key
@@ -3477,7 +3586,34 @@ object Ext {
         |FROM sxy JOIN sx si ON si.i = sxy.i JOIN sx sj ON sj.i = sxy.j
         |CROSS JOIN nn ORDER BY sxy.i, sxy.j""".stripMargin,
 
+    "ext_embed_drift" ->
+      """WITH d AS (SELECT unnest(range(1, 65)) AS i),
+        |qa AS (SELECT label, i,
+        |         SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1e7) AS BIGINT))
+        |           // COUNT(*) AS q,
+        |         COUNT(*) AS n
+        |       FROM embeddings CROSS JOIN d WHERE vec_id % 2 = 0
+        |       GROUP BY label, i),
+        |qb AS (SELECT label, i,
+        |         SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1e7) AS BIGINT))
+        |           // COUNT(*) AS q,
+        |         COUNT(*) AS n
+        |       FROM embeddings CROSS JOIN d WHERE vec_id % 2 = 1
+        |       GROUP BY label, i),
+        |j AS (SELECT qa.label, CAST(qa.q AS BIGINT) AS a,
+        |             CAST(qb.q AS BIGINT) AS b, qa.n AS na, qb.n AS nb
+        |      FROM qa JOIN qb ON qa.label = qb.label AND qa.i = qb.i)
+        |SELECT label, CAST(MAX(na) AS BIGINT) AS n_ref,
+        |  CAST(MAX(nb) AS BIGINT) AS n_new,
+        |  CAST(SUM(a * b) AS DOUBLE) /
+        |    (sqrt(CAST(SUM(a * a) AS DOUBLE)) * sqrt(CAST(SUM(b * b) AS DOUBLE)))
+        |    AS cosine,
+        |  sqrt(CAST(SUM((a - b) * (a - b)) AS DOUBLE)) / 1e7 AS shift
+        |FROM j GROUP BY label ORDER BY label""".stripMargin,
+
     "ext_kmeans_train" -> kmeansOracleSql(nCells = 8, iters = 2),
+
+    "ext_cluster_quality" -> clusterQualityOracleSql(nCells = 8, iters = 2),
 
     "ext_skew_audit" ->
       """WITH k AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem
@@ -3503,6 +3639,20 @@ object Ext {
         |  MIN(CASE WHEN cum >= ceil(0.75 * t.n) THEN v END) AS p75,
         |  MIN(CASE WHEN cum >= ceil(0.99 * t.n) THEN v END) AS p99
         |FROM o CROSS JOIN t""".stripMargin,
+
+    "ext_quantiles_grouped" ->
+      """WITH c AS (SELECT lang, n_chars AS v, COUNT(*) AS cnt FROM documents
+        |           WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |o AS (SELECT lang, v,
+        |        SUM(cnt) OVER (PARTITION BY lang ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        SUM(cnt) OVER (PARTITION BY lang) AS n
+        |      FROM c)
+        |SELECT lang, CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(MIN(CASE WHEN cum >= ceil(0.5 * n) THEN v END) AS BIGINT) AS p50,
+        |  CAST(MIN(CASE WHEN cum >= ceil(0.9 * n) THEN v END) AS BIGINT) AS p90,
+        |  CAST(MIN(CASE WHEN cum >= ceil(0.99 * n) THEN v END) AS BIGINT) AS p99
+        |FROM o GROUP BY lang ORDER BY lang""".stripMargin,
 
     "ext_containment_pairs" ->
       s"""WITH ccorpus AS (
@@ -3608,6 +3758,15 @@ object Ext {
     // (unicode(substr(s,p+1,1)) IS the byte). Constants mirror the gate:
     // minSize=32, avgBits=6 (mask 63), maxSize=512; gear(b) =
     // hash60('cdc:'||b); FNV offset 2^64-3750763034362895579.
+    "ext_frame_sample" ->
+      """WITH v AS (SELECT doc_id, octet_length(encode(text)) AS blen
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT doc_id, unnest(range(0, blen // 32 + 1)) AS frame_idx
+        |      FROM v)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(frame_idx * 32 AS BIGINT) AS byte_offset
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
     "ext_cdc_dedup" ->
       """WITH RECURSIVE
         |blobs AS (
@@ -4002,6 +4161,28 @@ object Ext {
          |  md5(COALESCE(string_agg(array_to_string(toks, chr(1)), chr(2) ORDER BY widx), ''))
          |    AS tok_md5
          |FROM done GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "ext_tokenizer_fertility" ->
+      s"""WITH RECURSIVE $BpeDoneCtes,
+         |tc AS (SELECT doc_id, CAST(SUM(len(toks)) AS BIGINT) AS tok_n
+         |       FROM done GROUP BY doc_id),
+         |d2 AS (SELECT d.lang, COALESCE(tc.tok_n, 0) AS tok_n,
+         |         length(d.text) AS nch, octet_length(encode(d.text)) AS nb
+         |       FROM documents d LEFT JOIN tc ON tc.doc_id = d.doc_id),
+         |a AS (SELECT lang, COUNT(*) AS n_docs, SUM(tok_n) AS n_tokens,
+         |        SUM(nch) AS n_chars, SUM(nb) AS n_bytes
+         |      FROM d2 GROUP BY lang)
+         |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(n_chars AS BIGINT) AS n_chars,
+         |  CAST(n_bytes AS BIGINT) AS n_bytes,
+         |  CASE WHEN n_tokens = 0 THEN NULL
+         |       ELSE CAST((n_chars * 1000) // n_tokens AS BIGINT) END
+         |    AS chars_per_ktok,
+         |  CASE WHEN n_tokens = 0 THEN NULL
+         |       ELSE CAST((n_bytes * 1000) // n_tokens AS BIGINT) END
+         |    AS bytes_per_ktok
+         |FROM a ORDER BY lang""".stripMargin,
 
     "ext_token_mixture" ->
       s"""WITH RECURSIVE $BpeDoneCtes,

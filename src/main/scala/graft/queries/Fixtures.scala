@@ -57,6 +57,18 @@ object Fixtures {
       (m.localCheckpoint(eager = true), p.localCheckpoint(eager = true))
     })
 
+  /** The trained IVF codebook consumed by the clustering-quality audit:
+    * kmeansCodebook on embeddings (8 cells, 64 dims, 2 Lloyd iterations)
+    * — the exact spec `ext_kmeans_train` measures and its oracle unrolls.
+    * Frozen via eager localCheckpoint (8×64 floats). */
+  def kmeansBook(s: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate(System.identityHashCode(s) + "|km|" + dir, {
+      graft.ext.Similarity.kmeansCodebook(
+        Tables.t(s, dir, "embeddings"), "embedding", "vec_id",
+        nCells = 8, dim = 64, iterations = 2)
+        .localCheckpoint(eager = true)
+    })
+
   /** Fixture label -> force-materialization thunk, for Bench's untimed
     * setup phase. Labels are stable artifact keys. */
   val setups: Map[String, (SparkSession, String) => Unit] = Map(
@@ -64,7 +76,8 @@ object Fixtures {
     "langid_decor_model" -> ((s, dir) => {
       val (m, p) = langidDecorModel(s, dir)
       m.count(); p.count(); ()
-    })
+    }),
+    "kmeans_book" -> ((s, dir) => { kmeansBook(s, dir).count(); () })
   )
 
   /** Which gates consume which fixture — Bench pre-builds exactly the
@@ -78,6 +91,7 @@ object Fixtures {
     "ext_lr_ece" -> Seq("lr_weights"),
     "ext_curation_e2e" -> Seq("lr_weights"),
     "ext_langid_confusion" -> Seq("langid_decor_model"),
-    "ext_langid_routed_quota" -> Seq("langid_decor_model")
+    "ext_langid_routed_quota" -> Seq("langid_decor_model"),
+    "ext_cluster_quality" -> Seq("kmeans_book")
   )
 }

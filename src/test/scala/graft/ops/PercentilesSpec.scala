@@ -72,4 +72,19 @@ class PercentilesSpec extends AnyFunSuite {
     val want = df.agg(expr("percentile(v, 0.5)")).first().getDouble(0)
     assert(math.abs(want - 5.0) < 0.5001) // interpolating vs discrete: near
   }
+
+  test("exactGrouped: per-group rank picks match per-group exactGlobal") {
+    val df = data // g0/g1/g2 over 1..1000
+    val got = Percentiles.exactGrouped(df, Seq("g"), "v",
+      Seq("p50" -> 0.5, "p90" -> 0.9)).orderBy("g").collect()
+    assert(got.length == 3)
+    for (r <- got) {
+      val g = r.getString(0)
+      val want = Percentiles.exactGlobal(df.where(col("g") === g), "v",
+        Seq("p50" -> 0.5, "p90" -> 0.9)).collect().head
+      assert(r.getLong(1) == want.getLong(0) &&
+        r.getDouble(2) == want.getDouble(1) &&
+        r.getDouble(3) == want.getDouble(2), s"group $g: $r vs $want")
+    }
+  }
 }
