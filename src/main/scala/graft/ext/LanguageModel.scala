@@ -584,4 +584,46 @@ object LanguageModel {
         (-(col("__s").cast("double") / lit(LpScale) / col("n_scored").cast("double")))
           .as("logppl"))
   }
+
+  /** DoReMi-posture domain difficulty weights: per source, the mean
+    * negative log-prob of its text under a reference LM, kept in EXACT
+    * integer arithmetic — (source, n_tokens, parts) where `parts =
+    * (−Σ lpq) div n_tokens` (1e9-quantized nats per token, truncating
+    * integer division). Feed `parts` straight into
+    * [[graft.ext.Sampling.mixturePlan]]: domains the reference model
+    * finds hard (= underrepresented in the reference distribution)
+    * receive proportionally more of the token budget — the
+    * excess-loss-driven reweighting published as DoReMi (Xie et al.
+    * 2023), with the group-DRO proxy collapsed to one measured pass.
+    * [[scoreWithTables]] closes into a per-doc double; this stays on the
+    * raw int64 sums so the downstream plan arithmetic is engine-exact.
+    *
+    * Scale shape: identical to the scorer — three broadcast probes over
+    * one corpus pass, then a sources-sized partial aggregate. Nothing
+    * corpus-sized shuffles. */
+  def domainLossWeights(
+      corpus: DataFrame,
+      ref: DataFrame,
+      textCol: String,
+      idCol: String,
+      sourceCol: String,
+      alpha: Double = 0.1,
+      minCount: Long = 1
+  ): DataFrame = {
+    val (bigLp, uniLp, unkLp) =
+      trainStupidBackoff(ref, textCol, alpha, minCount)
+    corpus
+      .select(col(sourceCol), explode(bigramPairs(col(textCol))).as("p"))
+      .select(col(sourceCol), col("p.bg").as("bg"), col("p.w2").as("w2"))
+      .join(broadcast(bigLp.withColumnRenamed("lpq", "lpq_bg")), Seq("bg"), "left")
+      .join(broadcast(uniLp.select(col("w").as("w2"), col("lpq").as("lpq_uni"))),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(unkLp))
+      .select(col(sourceCol),
+        coalesce(col("lpq_bg"), col("lpq_uni"), col("lpq_unk")).as("lpq"))
+      .groupBy(col(sourceCol))
+      .agg((-sum("lpq")).as("__nlp"), count(lit(1)).as("n_tokens"))
+      .select(col(sourceCol), col("n_tokens"),
+        expr("__nlp div n_tokens").as("parts"))
+  }
 }

@@ -1126,4 +1126,46 @@ object Similarity {
       .select(col("cell_id"), coalesce(col("n"), lit(0L)).as("n"),
         col("sum_cos_q"), col("min_cos_q"))
   }
+
+  /** SEMANTIC benchmark decontamination: training vectors whose embedding
+    * lies within `minCosQ` (1e7-quantized cosine) of ANY evaluation-set
+    * vector — the leakage the exact/n-gram text screens can't see
+    * (paraphrases, translations, and re-encodings of a benchmark item
+    * keep its embedding neighborhood while sharing no 8-gram). Returns
+    * (idCol, eval_id, cos_q) for every flagged training vector with its
+    * NEAREST eval item (quantized-cosine argmax, lowest eval_id on ties)
+    * — the audit trail a takedown needs.
+    *
+    * Scale shape: mirrors the text-side screens — the eval set is small
+    * by definition (benchmark suites, not corpora), so it broadcasts;
+    * one narrow corpus pass scores (vector, eval) pairs map-side and the
+    * per-vector argmax reduces the shuffle to one row per CANDIDATE
+    * vector. The corpus is never shuffled wide. For an eval set too big
+    * to broadcast, pre-bucket both sides with [[lshBucket]] and screen
+    * per bucket ([[blockedNearDupPairs]]'s shape) — cosine ≥ 0.95
+    * neighbors collide in LSH buckets with high probability. */
+  def semanticContamination(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      vecCol: String,
+      idCol: String,
+      minCosQ: Long
+  ): DataFrame = {
+    val ev = broadcast(
+      evalSet.select(col(idCol).as("eval_id"), col(vecCol).as("eval_vec"))
+        .withColumn("eval_norm", normDecimal(col("eval_vec"))))
+    corpus.select(col(idCol), col(vecCol).as("__vec"))
+      .withColumn("__norm", normDecimal(col("__vec")))
+      .crossJoin(ev)
+      .withColumn("__q",
+        round((dotDecimal(col("__vec"), col("eval_vec")) /
+          (col("__norm") * col("eval_norm"))).cast("double") * lit(1e7))
+          .cast("long"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__q").as("q"), (-col("eval_id")).as("neg"),
+        col("eval_id"))).as("best"))
+      .where(col("best.q") >= minCosQ)
+      .select(col(idCol), col("best.eval_id").as("eval_id"),
+        col("best.q").as("cos_q"))
+  }
 }

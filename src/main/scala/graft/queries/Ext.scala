@@ -1091,6 +1091,21 @@ object Ext {
           col("o.jaccard").as("jaccard"))
     }),
 
+    "ext_contamination_semantic" -> ((s, dir) => {
+      // EMBEDDING-space decontamination: training vectors within cosine
+      // 0.95 of any eval item (1e7-quantized), with the nearest eval id
+      // as audit trail — catches the paraphrase/translation leakage the
+      // exact and 8-gram screens can't. Same planted-leak discipline as
+      // ext_contamination: the corpus is every embedding re-id'd +1M, so
+      // each eval item's verbatim copy must surface at cos_q = 1e7.
+      val e = t(s, dir, "embeddings")
+      Similarity.semanticContamination(
+        e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+        e.where(col("vec_id") % 17 === 0),
+        "embedding", "vec_id", minCosQ = 9500000L)
+        .orderBy("vec_id")
+    }),
+
     "ext_contamination" -> ((s, dir) => {
       // benchmark contamination: training-corpus docs whose whitespace-
       // normalized text exactly matches an eval-set document. Fingerprint
@@ -1733,6 +1748,24 @@ object Ext {
         .groupBy("lang", "rate_pct")
         .agg(count(lit(1)).as("n_kept"))
         .orderBy("lang")),
+
+    "ext_loss_reweight" -> ((s, dir) => {
+      // DoReMi-posture loss-driven mixture: measure each source's mean
+      // negative log-prob under the trusted-slice LM (exact 1e9-quantized
+      // integer nats per token), use it as the source's `parts` weight,
+      // and plan the token budget — hard/underrepresented domains get
+      // proportionally more mass. One scoring pass + the integer plan;
+      // the oracle replays LM training, scoring, and plan arithmetic.
+      val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+      val w = LanguageModel.domainLossWeights(
+        docs, docs.where(col("doc_id") % 5 === 0), "text", "doc_id", "source",
+        alpha = 0.1, minCount = 1)
+      val mass = docs.select(col("source"),
+        size(graft.ext.TextStats.wsTokens(col("text"))).cast("long").as("n_tok"))
+      Sampling.mixturePlan(mass, "source", "n_tok",
+          w.select("source", "parts"), budget = 500000L)
+        .orderBy("source")
+    }),
 
     "ext_lm_perplexity" -> ((s, dir) => {
       // CCNet-style LM quality scoring: train a stupid-backoff bigram LM
@@ -3941,6 +3974,29 @@ object Ext {
          |FROM sa CROSS JOIN sb CROSS JOIN th CROSS JOIN cu""".stripMargin
     },
 
+    "ext_contamination_semantic" ->
+      s"""WITH ev AS (
+         |  SELECT vec_id AS eval_id, embedding AS ev,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS evn
+         |  FROM embeddings WHERE vec_id % 17 = 0),
+         |co AS (
+         |  SELECT vec_id + 1000000 AS vec_id, embedding AS cv,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS cvn
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT co.vec_id, ev.eval_id,
+         |    CAST(round(${dotSql("co.cv", "ev.ev")} / (co.cvn * ev.evn) * 1e7)
+         |      AS BIGINT) AS q
+         |  FROM co CROSS JOIN ev),
+         |best AS (
+         |  SELECT vec_id, eval_id, q FROM (
+         |    SELECT vec_id, eval_id, q,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY q DESC, eval_id ASC) AS r
+         |    FROM scored) WHERE r = 1)
+         |SELECT vec_id, eval_id, q AS cos_q FROM best
+         |WHERE q >= 9500000 ORDER BY vec_id""".stripMargin,
+
     "ext_contamination" ->
       """WITH c AS (
         |  SELECT doc_id + 2000000 AS doc_id,
@@ -4706,6 +4762,24 @@ object Ext {
          |FROM documents d JOIN r ON d.lang = r.lang
          |WHERE ${Sampling.pctHashSql("d.doc_id", "temp1")} < r.rate_pct
          |GROUP BY d.lang, r.rate_pct ORDER BY d.lang""".stripMargin,
+
+    "ext_loss_reweight" ->
+      s"""WITH $LmScoreCtes,
+         |loss AS (SELECT d.source, -SUM(sc.lpq) AS nlp, COUNT(*) AS n_tok
+         |         FROM sc JOIN documents d USING (doc_id) GROUP BY d.source),
+         |w AS (SELECT source, nlp // n_tok AS parts FROM loss),
+         |tp AS (SELECT SUM(parts) AS tp FROM w),
+         |av AS (SELECT source, SUM(len(${tokensSql("text")})) AS avail
+         |       FROM documents GROUP BY source),
+         |p AS (SELECT av.source AS source, avail, w.parts AS parts,
+         |        (CAST(500000 AS BIGINT) * parts) // tp AS target
+         |      FROM av JOIN w USING (source) CROSS JOIN tp)
+         |SELECT source, CAST(avail AS BIGINT) AS avail_tokens,
+         |  CAST(parts AS BIGINT) AS parts,
+         |  CAST(target AS BIGINT) AS target_tokens,
+         |  CAST(target // avail AS BIGINT) AS epochs,
+         |  CAST(((target % avail) * 1000000) // avail AS BIGINT) AS frac_ppm
+         |FROM p ORDER BY source""".stripMargin,
 
     "ext_lm_perplexity" ->
       s"""WITH $LmScoreCtes

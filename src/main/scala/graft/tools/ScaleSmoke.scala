@@ -1212,6 +1212,68 @@ object ScaleSmoke {
       assert(book.length == 16)
     }
 
+    // embedding drift: 10M x 10M vectors, 16d, 20 labels — each side
+    // collapses to a 20x16 integer-sum table map-side; the join and the
+    // cosine/shift fold after that are keys x dims sized. One label's
+    // current snapshot is planted orthogonal: it must alarm while the
+    // stable labels stay at cosine ~1.
+    time("embedding drift 10M vs 10M x 16d (20 labels)") {
+      def snap(rot: Boolean) = spark.range(0, 10000000L, 1, 64).select(
+        concat(lit("l"), (col("id") % 20)).as("label"),
+        array((0 until 16).map { d =>
+          val base = (pmod(xxhash64(col("id") % 1000, lit(d)), lit(1000L))
+            .cast("double") / 1000d)
+          // label l0 rotates: dims swap halves in the drifted snapshot
+          when(lit(rot) && col("id") % 20 === 0,
+            (pmod(xxhash64(col("id") % 1000, lit(d + 16)), lit(1000L))
+              .cast("double") / 1000d).cast("float"))
+            .otherwise(base.cast("float"))
+        }: _*).as("embedding"))
+      val rows = graft.ext.Drift.embeddingDrift(
+        snap(rot = false), snap(rot = true), "embedding", "label", nDims = 16)
+        .collect()
+      assert(rows.length == 20)
+      val drifted = rows.find(_.getString(0) == "l0").get
+      val stable = rows.filter(_.getString(0) != "l0")
+      assert(stable.forall(r => r.getDouble(3) > 0.9999),
+        "unrotated labels must keep cosine ~1")
+      assert(drifted.getDouble(3) < 0.999 && drifted.getDouble(4) > 0.0,
+        s"planted rotation must alarm: $drifted")
+    }
+
+    // grouped exact percentiles: 50M rows, 1000 groups, ~100k distinct
+    // values per group — the cumulative window partitions by group, so no
+    // task ever holds more than one group's distinct-value table
+    time("grouped percentiles 50M rows / 1000 groups") {
+      val df = spark.range(0, 50000000L, 1, 256).select(
+        (col("id") % 1000).as("g"),
+        pmod(xxhash64(col("id")), lit(100000L)).cast("long").as("v"))
+      val out = graft.ops.Percentiles.exactGrouped(df, Seq("g"), "v",
+        Seq("p50" -> 0.5, "p99" -> 0.99))
+      assert(out.count() == 1000L)
+      val r = out.where(col("g") === 0).first()
+      assert(math.abs(r.getLong(2) - 50000L) < 2000L, r)  // uniform p50
+      assert(math.abs(r.getLong(3) - 99000L) < 2000L, r)  // uniform p99
+    }
+
+    // cluster quality: audit a 16-cell codebook against 10M x 8d vectors —
+    // one broadcast cross-score pass reduced map-side to one row per
+    // vector, then a 16-row aggregate; populations must cover the corpus
+    time("cluster quality 10M x 8d vs 16 cells") {
+      val vecs = spark.range(0, 10000000L, 1, 128).select(col("id").as("vec_id"),
+        array((0 until 8).map(d =>
+          (pmod(xxhash64(col("id"), lit(d)), lit(1000L)).cast("double") / 1000d)
+            .cast("float")): _*)
+          .as("embedding"))
+      val book = vecs.limit(16)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("cell_vec"))
+      val rows = graft.ext.Similarity
+        .clusterQuality(vecs, "embedding", "vec_id", book).collect()
+      assert(rows.length == 16)
+      assert(rows.map(_.getLong(1)).sum == 10000000L,
+        "every vector assigned exactly once")
+    }
+
     spark.stop()
   }
 }

@@ -260,6 +260,30 @@ class PlanSpec extends AnyFunSuite {
       s"sketch composition must not plan a keyed corpus join:\n$p")
   }
 
+  test("embedding drift: per-side centroid sums partial-aggregate; no vector-wide join") {
+    val p = plan("ext_embed_drift")
+    assert(p.contains("partial_sum"),
+      "the dims x keys integer sums must combine map-side — the shuffle " +
+        "carries centroid state, never embedding vectors")
+    assert(!p.contains("CartesianProduct"),
+      s"snapshot join must be keyed (label, dim), not a product:\n$p")
+    // after the per-side collapse both join inputs are keys x dims sized;
+    // the corpus-width column must not survive past its aggregate
+    assert(!p.contains("hashpartitioning(embedding"),
+      "the raw vector column must never be a shuffle key")
+  }
+
+  test("cluster quality: codebook broadcasts; one shuffled row per vector") {
+    val p = plan("ext_cluster_quality")
+    assert(p.contains("partial_max"),
+      "the per-vector argmax must map-side combine so the shuffle carries " +
+        "one best-cell row per vector, never rows x cells")
+    assert(!p.contains("CartesianProduct"),
+      s"the codebook side must broadcast (nested-loop against 8 rows):\n$p")
+    assert(!p.contains("SortMergeJoin(") || p.contains("BroadcastExchange"),
+      "no corpus-sized keyed join may appear before the argmax")
+  }
+
   test("per-lang lm: keyed broadcast probes, one pass for all languages") {
     val p = plan("ext_lm_per_lang")
     assert(!analyzed("ext_lm_per_lang").contains("Window"))
@@ -369,7 +393,7 @@ class PlanSpec extends AnyFunSuite {
     // distinct-value table (which for int64 LR margins — or prices — can
     // approach corpus cardinality)
     for (q <- Seq("ext_lr_auc", "ext_lr_pr_curve", "ext_lr_auc_sliced",
-        "ext_quantiles_exact")) {
+        "ext_quantiles_exact", "ext_quantiles_grouped")) {
       val opt = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
       val bad = opt.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window

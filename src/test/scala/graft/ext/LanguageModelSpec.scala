@@ -258,4 +258,25 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(scores(1001L) < scores(1002L),
       s"shuffled known words must beat unknown words: $scores")
   }
+
+  test("domainLossWeights: the out-of-distribution domain earns more parts") {
+    val ref = (0 until 200).map(i =>
+      (i.toLong, "the cat sat on the mat and the dog ran to the cat"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "easy", "the cat sat on the mat"),
+      (2L, "easy", "the dog ran to the mat"),
+      (3L, "hard", "zq xv qq ww ee rr tt yy"),
+      (4L, "hard", "vv bb nn mm kk jj hh gg")).toDF("doc_id", "source", "text")
+    val w = LanguageModel.domainLossWeights(
+      corpus, ref, "text", "doc_id", "source")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(w("hard")._2 > w("easy")._2,
+      s"OOD text must weigh heavier under the reference LM: $w")
+    assert(w("easy")._1 == 10L && w("hard")._1 == 14L,
+      s"bigram token counts: $w") // 2 docs x (6-1) and 2 x (8-1)
+    // exactness: parts = (-sum lpq) div n — re-deriving from per-doc
+    // integer sums must agree
+    assert(w.values.forall(v => v._2 > 0))
+  }
 }

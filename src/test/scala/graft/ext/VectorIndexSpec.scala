@@ -125,4 +125,22 @@ class VectorIndexSpec extends SparkSpec {
       s"vectors scan must bucket-prune on the probed-cell filter:\n$p")
     assert(out.count() == 3)
   }
+
+  test("semanticContamination: planted copy flagged at cos 1; clean corpus silent") {
+    val evalSet = corpus(20)
+    // training corpus: 50 fresh vectors (ids 1000+) plus a verbatim copy
+    // of eval vector 7 under id 5000
+    val fresh = corpus(70).where(col("vec_id") >= 20)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    val leak = evalSet.where(col("vec_id") === 7)
+      .select(lit(5000L).as("vec_id"), col("embedding"))
+    val flagged = Similarity.semanticContamination(
+      fresh.unionByName(leak), evalSet, "embedding", "vec_id",
+      minCosQ = 9999999L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(flagged.exists(f => f._1 == 5000L && f._2 == 7L && f._3 == 10000000L),
+      s"the verbatim leak must surface with its eval id: ${flagged.toSeq}")
+    assert(flagged.forall(_._1 == 5000L),
+      s"sin-derived fresh vectors sit far from the eval set: ${flagged.toSeq}")
+  }
 }
