@@ -627,6 +627,84 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** Streaming LATE-DATA accounting: rows whose event time falls more
+    * than `maxLatenessMs` behind the stream's running high-watermark (the
+    * max event time over every PRIOR batch, durable in `<table>__wm`) are
+    * routed row-wise to `<table>__late` instead of the corpus, stamped
+    * with (batch_id, late_by_ms). Where Structured Streaming's own
+    * watermark silently DROPS late rows from stateful operators, this
+    * keeps them auditable and replayable — fix the upstream skew, then
+    * re-feed the quarantine as new source files. The cutoff is the
+    * watermark as of the START of the batch, so a batch can never censor
+    * its own rows, and an out-of-order FIRST batch is always on time
+    * (no watermark exists yet — the standard cold-start posture).
+    *
+    * State = one (wm_ms) row + checkpoint offsets; per batch: one narrow
+    * timestamp pass to split, the two appends, and a one-row max. A crash
+    * between the appends and the checkpoint commit replays the batch
+    * (at-least-once appends — same contract as every foreachBatch ingest
+    * here; the exact-dedup ingest composes in front when the corpus needs
+    * exactly-once). */
+  def lateDataIngestAvailableNow(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      store: TableStore,
+      table: String,
+      checkpointDir: String,
+      tsCol: String,
+      maxLatenessMs: Long,
+      onBatch: (Long, Long, Long) => Unit = (_, _, _) => () // (id, onTime, late)
+  ): Unit = {
+    require(maxLatenessMs >= 0, "maxLatenessMs must be non-negative")
+    val wmTable = table + "__wm"
+    val lateTable = table + "__late"
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .json(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import spark.implicits._
+        val wm: Option[Long] =
+          if (store.exists(wmTable))
+            Some(store.scan(wmTable).first().getLong(0))
+          else None
+        val stamped = batch.withColumn("__ms",
+          expr(s"unix_millis(cast($tsCol as timestamp))"))
+        val isLate = wm match {
+          case Some(w) => col("__ms") < lit(w - maxLatenessMs)
+          case None    => lit(false)
+        }
+        val late = stamped.where(isLate)
+          .withColumn("batch_id", lit(batchId))
+          .withColumn("late_by_ms",
+            lit(wm.getOrElse(0L) - maxLatenessMs) - col("__ms"))
+          .drop("__ms")
+        val onTime = stamped.where(!isLate).drop("__ms")
+        def land(t: String, df: DataFrame): Long = {
+          val n = df.count()
+          if (n > 0) {
+            if (store.exists(t)) store.append(t, df)
+            else store.overwrite(t, df)
+          }
+          n
+        }
+        val nLate = land(lateTable, late)
+        val nOnTime = land(table, onTime)
+        val batchMax = stamped.agg(max(col("__ms"))).first()
+        if (!batchMax.isNullAt(0)) {
+          val newWm = math.max(wm.getOrElse(Long.MinValue), batchMax.getLong(0))
+          store.overwrite(wmTable, Seq(newWm).toDF("wm_ms"))
+        }
+        onBatch(batchId, nOnTime, nLate)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming batch-acceptance gate: the dataset-level constraint
     * suite ([[graft.ops.Checks]], the Pipeline's pre-write gate) per
     * micro-batch — a batch whose verdicts all pass appends; a failing
