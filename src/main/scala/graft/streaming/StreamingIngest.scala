@@ -627,6 +627,39 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** EXACTLY-ONCE streaming append: every micro-batch commits through
+    * [[graft.table.TableStore.appendTagged]] with `<sinkId>_b<batchId>` as
+    * the idempotency tag, so a batch replayed after a crash (foreachBatch
+    * is otherwise at-least-once) — or even a full RE-RUN from a wiped
+    * checkpoint over the same source files — lands zero duplicate rows:
+    * the tag rides the store's atomic manifest flip, and a replay either
+    * sees it (skip) or re-commits an uncommitted batch. `sinkId`
+    * namespaces tags when several streams feed one table. No dedup keys,
+    * no state store — idempotency comes from the commit protocol, not
+    * from comparing data. */
+  def exactlyOnceIngestAvailableNow(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      store: TableStore,
+      table: String,
+      checkpointDir: String,
+      sinkId: String = "s0"
+  ): Unit = {
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .json(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.appendTagged(table, batch, s"${sinkId}_b$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming LATE-DATA accounting: rows whose event time falls more
     * than `maxLatenessMs` behind the stream's running high-watermark (the
     * max event time over every PRIOR batch, durable in `<table>__wm`) are

@@ -535,13 +535,48 @@ final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 
         .first().getLong(0) + 1L
     }
 
-  private[table] def writeSnapshot(name: String, df: DataFrame): String = {
+  private[table] def writeSnapshot(name: String, df: DataFrame,
+      tagPart: String = ""): String = {
     val dir = tableDir(name)
     fs(dir).mkdirs(dir)
-    val snap = "snap-" + System.currentTimeMillis() + "-" +
+    val snap = "snap-" + System.currentTimeMillis() + "-" + tagPart +
       java.util.UUID.randomUUID().toString.take(8)
     df.write.mode("overwrite").parquet(new Path(dir, snap).toString)
     snap
+  }
+
+  /** EXACTLY-ONCE append: commit `df` as a new snapshot carrying an
+    * idempotency tag, or skip if a live snapshot already carries `tag`.
+    * Returns true iff this call committed.
+    *
+    * The tag is encoded in the snapshot DIRECTORY NAME, so it rides the
+    * same atomic CURRENT flip that commits the data — there is no
+    * separate commit marker that could desynchronize. A replay after a
+    * crash lands in exactly two states: the flip happened (tag visible in
+    * the manifest → skip) or it didn't (orphan snapshot dir, GC'd at the
+    * next commit → rewrite). This upgrades a foreachBatch sink from
+    * at-least-once to exactly-once: tag with the micro-batch id
+    * ([[graft.streaming.StreamingIngest.exactlyOnceIngestAvailableNow]]).
+    *
+    * The idempotency window is the LIVE manifest: once a later overwrite
+    * drops the tagged snapshot from CURRENT, the tag is forgotten — the
+    * contract covers streaming replays (which re-run the immediately
+    * preceding uncommitted batch), not arbitrarily delayed re-submission. */
+  def appendTagged(name: String, df: DataFrame, tag: String): Boolean = {
+    require(tag.nonEmpty &&
+        tag.forall(c => c.isLetterOrDigit || c == '.' || c == '_'),
+      s"tag must be [A-Za-z0-9._]+ (dashes delimit it in the name): '$tag'")
+    val marker = s"-tag-$tag-"
+    if (exists(name) && readManifest(name).exists(_.contains(marker))) false
+    else {
+      val prior = if (exists(name)) {
+        checkNoTypeChanges(name, scan(name), df)
+        readManifest(name)
+      } else Seq.empty[String]
+      val snap = writeSnapshot(name, df, s"tag-$tag-")
+      commitManifest(name, prior :+ snap)
+      true
+    }
   }
 
   /** Atomically flip CURRENT to `snaps`, record the new version, prune

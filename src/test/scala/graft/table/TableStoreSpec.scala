@@ -344,4 +344,25 @@ class TableStoreSpec extends SparkSpec {
     assert(store.scan("t").count() == 5)
     assert(!java.nio.file.Files.exists(orphan), "orphan GC'd on next commit")
   }
+
+  test("appendTagged: duplicate tag skips; distinct tags land; tag survives restart") {
+    import spark.implicits._
+    val (store, dir) = newStoreAt
+    assert(store.appendTagged("t", Seq(1L, 2L).toDF("v"), "b0"))
+    assert(!store.appendTagged("t", Seq(1L, 2L).toDF("v"), "b0"),
+      "replaying a committed batch must be a no-op")
+    assert(store.scan("t").count() == 2)
+    assert(store.appendTagged("t", Seq(3L).toDF("v"), "b1"))
+    assert(store.scan("t").count() == 3)
+    // idempotency is durable store state, not process memory
+    val reopened = new TableStore(spark, dir)
+    assert(!reopened.appendTagged("t", Seq(9L).toDF("v"), "b1"))
+    assert(reopened.scan("t").count() == 3)
+    // a later overwrite forgets tags (documented window): b1 can land again
+    store.overwrite("t", Seq(0L).toDF("v"))
+    assert(store.appendTagged("t", Seq(7L).toDF("v"), "b1"))
+    intercept[IllegalArgumentException] {
+      store.appendTagged("t", Seq(8L).toDF("v"), "has-dash")
+    }
+  }
 }
