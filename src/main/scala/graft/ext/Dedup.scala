@@ -629,6 +629,46 @@ object Dedup {
       .dropDuplicates("a_id", "b_id")
   }
 
+  /** Contrastive training-pair mining from the LSH candidate structure:
+    * (anchor_id, pos_id, neg_id) triples where `pos` is the anchor's
+    * lowest-id verified near-duplicate (Jaccard ≥ `posThreshold`) and
+    * `neg` its lowest-id HARD negative — a pair that collided in a
+    * minhash band (lexically close enough to fool the sketch) but failed
+    * verification (Jaccard < `negThreshold`). Exactly the mining recipe
+    * for training bi-encoders from weak supervision: positives from
+    * near-dup structure, negatives that are hard BECAUSE they collided,
+    * not random (random negatives are trivially separable and teach the
+    * model nothing). Pairs in the ambiguity band [negThreshold,
+    * posThreshold) train neither side. Anchors lacking either leg emit
+    * nothing; the lowest-id pick makes the triple set deterministic on
+    * any engine.
+    *
+    * Scale shape = [[minhashPairs]] (band-key join carries 3 narrow
+    * columns, verification only on the candidate set) plus two bounded
+    * per-anchor min-aggregates — nothing quadratic, nothing corpus-wide
+    * beyond the banding shuffle. */
+  def contrastivePairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      posThreshold: Double,
+      negThreshold: Double
+  ): DataFrame = {
+    require(negThreshold <= posThreshold,
+      "negThreshold above posThreshold would label one pair both ways")
+    val verified = minhashPairs(df, textCol, idCol, threshold = 0.0)
+    val sym = verified
+      .select(col("a_id").as("anchor_id"), col("b_id").as("partner"),
+        col("jaccard"))
+      .unionByName(verified.select(col("b_id").as("anchor_id"),
+        col("a_id").as("partner"), col("jaccard")))
+    val pos = sym.where(col("jaccard") >= posThreshold)
+      .groupBy("anchor_id").agg(min("partner").as("pos_id"))
+    val neg = sym.where(col("jaccard") < negThreshold)
+      .groupBy("anchor_id").agg(min("partner").as("neg_id"))
+    pos.join(neg, "anchor_id").select("anchor_id", "pos_id", "neg_id")
+  }
+
   /** Brute-force near-dup truth pairs over a SAMPLE: every (a < b) pair
     * with exact shingle-set Jaccard ≥ threshold. Deliberately quadratic —
     * this is the ground-truth leg of near-dup evaluation, meant for a

@@ -444,4 +444,58 @@ object Sampling {
           when(ppmHash(col(idCol), salt) < col("frac_ppm"), array(col("epochs")))
             .otherwise(array().cast("array<bigint>")))).as("epoch"): _*)
   }
+
+  /** Purged temporal K-fold assignment — backtest hygiene for
+    * time-ordered corpora (the train-before / eval-after cutoff
+    * discipline generalized to K folds, with the embargo purge of
+    * López de Prado's purged cross-validation): fold boundaries are the
+    * EXACT k-quantiles of the integer time column, and for each fold a
+    * row is `test` inside it, `purged` within `embargo` time units of its
+    * bounds (adjacent-in-time rows leak autocorrelated signal into
+    * training), `train` otherwise. Rows with null time are excluded —
+    * they can't be placed on the timeline.
+    *
+    * Returns (fold 0..k−1, role, idCol, tsCol) — one row per (input row,
+    * fold); k is small by definition, so the explode is a bounded k×.
+    * All arithmetic is exact int64 (quantile picks are DATA values from
+    * [[graft.ops.Percentiles.exactGlobal]]; bound sentinels sit at ±2⁶²
+    * so the embargo widening can't overflow), deterministic on any
+    * engine.
+    *
+    * Scale shape: the cuts are a broadcast one-row side (k−1 values from
+    * the parallel exact-CDF pass); assignment is one narrow map-side
+    * pass — no shuffle beyond the percentile computation itself. */
+  def temporalEmbargoSplit(
+      df: DataFrame,
+      idCol: String,
+      tsCol: String, // integer time units (e.g. epoch micros)
+      k: Int,
+      embargo: Long
+  ): DataFrame = {
+    require(k >= 2, "temporalEmbargoSplit: need at least 2 folds")
+    require(embargo >= 0, "temporalEmbargoSplit: embargo must be >= 0")
+    val Sentinel = 1L << 62
+    val cuts = graft.ops.Percentiles.exactGlobal(
+      df.select(col(tsCol)), tsCol,
+      (1 until k).map(i => s"__c$i" -> i.toDouble / k))
+    val bounds = cuts.select(array(
+      lit(-Sentinel) +:
+        (1 until k).map(i => col(s"__c$i")) :+
+        lit(Sentinel): _*).as("__cuts"))
+    df.select(col(idCol), col(tsCol))
+      .where(col(tsCol).isNotNull)
+      .crossJoin(broadcast(bounds))
+      .select(col(idCol), col(tsCol),
+        explode(sequence(lit(0), lit(k - 1))).as("fold"),
+        col("__cuts"))
+      .withColumn("__lo", element_at(col("__cuts"), col("fold") + 1))
+      .withColumn("__hi", element_at(col("__cuts"), col("fold") + 2))
+      .withColumn("role",
+        when(col(tsCol) >= col("__lo") && col(tsCol) < col("__hi"), "test")
+          .when(col(tsCol) >= col("__lo") - embargo &&
+            col(tsCol) < col("__hi") + embargo, "purged")
+          .otherwise("train"))
+      .select(col("fold").cast("long").as("fold"), col("role"),
+        col(idCol), col(tsCol))
+  }
 }

@@ -23,6 +23,27 @@ object Ext {
           concat(col("text"), lit(" zz dup marker")).as("text")))
   }
 
+  /** [[nearDupCorpus]] plus j≈0.45 suffix-mutated copies (+2M ids): each
+    * keeps the first 45% of its words and appends three doc-unique filler
+    * tokens — lexically close enough to collide in a minhash band with
+    * nontrivial probability, far enough to fail 0.5-Jaccard verification.
+    * These are the planted HARD NEGATIVES for contrastive mining. */
+  private def contrastiveCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val mutated = docs.where(col("doc_id") % 2 === 0)
+      .withColumn("__toks", graft.ext.TextStats.wsTokens(col("text")))
+      .withColumn("__k", expr("(size(__toks) * 9) div 20"))
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ", concat(
+          slice(col("__toks"), lit(1), col("__k")),
+          array(
+            concat(lit("m"), col("doc_id").cast("string"), lit("x0")),
+            concat(lit("m"), col("doc_id").cast("string"), lit("x1")),
+            concat(lit("m"), col("doc_id").cast("string"), lit("x2")))))
+          .as("text"))
+    nearDupCorpus(s, dir).unionByName(mutated)
+  }
+
   /** Toy-but-well-formed BPE merges for the gate (rank = index): merged
     * symbols exist before any later pair uses them, so the one-at-a-time
     * and batch semantics coincide — shared verbatim with the oracle. */
@@ -526,6 +547,16 @@ object Ext {
       Dedup.exactPriority(multi, "text", "doc_id", "prio")
         .orderBy("fingerprint")
     }),
+
+    "ext_contrastive_pairs" -> ((s, dir) =>
+      // bi-encoder training triples mined from the LSH structure:
+      // positives = verified near-dups (j >= 0.6), hard negatives = pairs
+      // that COLLIDED in a band but failed verification (j < 0.5) — the
+      // planted suffix-mutations in contrastiveCorpus guarantee both legs
+      // exist; lowest-id picks pin the triple set on any engine
+      Dedup.contrastivePairs(contrastiveCorpus(s, dir), "text", "doc_id",
+          posThreshold = 0.6, negThreshold = 0.5)
+        .orderBy("anchor_id")),
 
     "ext_leakage_split" -> ((s, dir) =>
       // group-closed train/valid/test split: near-dup cluster members
@@ -1552,6 +1583,19 @@ object Ext {
       val clicks = e.where(col("event_type") === "click").select("user_id", "us")
       AsOfJoin.asOfTime(purchases, clicks, "user_id", "us", "click_us")
         .orderBy("event_id")
+    }),
+
+    "ext_temporal_split" -> ((s, dir) => {
+      // purged temporal 4-fold split over events: exact-quantile time
+      // boundaries, 6h embargo — per (fold, role) population and id-sum
+      // (the id-sum pins every row's assignment, not just the counts)
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), expr("ts div 1000").as("us"))
+      Sampling.temporalEmbargoSplit(e, "event_id", "us",
+          k = 4, embargo = 21600000000L)
+        .groupBy("fold", "role")
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
+        .orderBy("fold", "role")
     }),
 
     "ext_sessionize" -> ((s, dir) => {
@@ -3289,6 +3333,41 @@ object Ext {
         |    AS n_sources
         |FROM ranked WHERE rn = 1 ORDER BY fingerprint""".stripMargin,
 
+    "ext_contrastive_pairs" ->
+      s"""WITH $NearDupCorpusSql,
+         |mut AS (
+         |  SELECT doc_id + 2000000 AS doc_id,
+         |    array_to_string(toks[1:k] || fill, ' ') AS text
+         |  FROM (SELECT doc_id, toks, (len(toks) * 9) // 20 AS k,
+         |          ['m' || doc_id || 'x0', 'm' || doc_id || 'x1',
+         |           'm' || doc_id || 'x2'] AS fill
+         |        FROM (SELECT doc_id, ${tokensSql("text")} AS toks
+         |              FROM documents WHERE doc_id % 2 = 0))),
+         |ccorpus AS (SELECT * FROM corpus UNION ALL SELECT * FROM mut),
+         |${minhashSideCtes("c", "ccorpus")},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM cbands a JOIN cbands b ON a.band = b.band AND a.key = b.key
+         |  WHERE a.doc_id < b.doc_id),
+         |ver AS (
+         |  SELECT cand.a_id, cand.b_id,
+         |    CAST(len(list_filter(list_distinct(sa.sh),
+         |           x -> list_contains(sb.sh, x))) AS DOUBLE)
+         |      / CAST(len(list_distinct(sa.sh || sb.sh)) AS DOUBLE) AS jaccard
+         |  FROM cand
+         |  JOIN csh sa ON sa.doc_id = cand.a_id
+         |  JOIN csh sb ON sb.doc_id = cand.b_id),
+         |sym AS (SELECT a_id AS anchor_id, b_id AS partner, jaccard FROM ver
+         |        UNION ALL
+         |        SELECT b_id, a_id, jaccard FROM ver),
+         |pos AS (SELECT anchor_id, MIN(partner) AS pos_id FROM sym
+         |        WHERE jaccard >= 0.6 GROUP BY anchor_id),
+         |neg AS (SELECT anchor_id, MIN(partner) AS neg_id FROM sym
+         |        WHERE jaccard < 0.5 GROUP BY anchor_id)
+         |SELECT p.anchor_id, p.pos_id, n.neg_id
+         |FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
+         |ORDER BY p.anchor_id""".stripMargin,
+
     "ext_leakage_split" ->
       s"""WITH RECURSIVE $MinhashPairsCtes,
          |p AS (SELECT a_id, b_id FROM verified WHERE jaccard >= 0.6),
@@ -4552,6 +4631,37 @@ object Ext {
         |     AND c.us <= p.us) AS click_us
         |FROM e p WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,
+
+    "ext_temporal_split" ->
+      """WITH e AS (SELECT event_id, epoch_ns(ts)//1000 AS us FROM events
+        |           WHERE ts IS NOT NULL),
+        |c AS (SELECT us AS v, COUNT(*) AS cnt FROM e GROUP BY 1),
+        |o AS (SELECT v,
+        |        SUM(cnt) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        SUM(cnt) OVER () AS n
+        |      FROM c),
+        |cuts AS (SELECT
+        |    MIN(CASE WHEN cum >= ceil(0.25 * n) THEN v END) AS c1,
+        |    MIN(CASE WHEN cum >= ceil(0.50 * n) THEN v END) AS c2,
+        |    MIN(CASE WHEN cum >= ceil(0.75 * n) THEN v END) AS c3
+        |  FROM o),
+        |b AS (SELECT f.fold,
+        |        [CAST(-4611686018427387904 AS BIGINT), c1, c2, c3,
+        |         CAST(4611686018427387904 AS BIGINT)][f.fold + 1] AS lo,
+        |        [CAST(-4611686018427387904 AS BIGINT), c1, c2, c3,
+        |         CAST(4611686018427387904 AS BIGINT)][f.fold + 2] AS hi
+        |      FROM (SELECT unnest(range(0, 4)) AS fold) f CROSS JOIN cuts),
+        |roles AS (
+        |  SELECT b.fold, e.event_id,
+        |    CASE WHEN e.us >= b.lo AND e.us < b.hi THEN 'test'
+        |         WHEN e.us >= b.lo - 21600000000 AND
+        |              e.us < b.hi + 21600000000 THEN 'purged'
+        |         ELSE 'train' END AS role
+        |  FROM e CROSS JOIN b)
+        |SELECT CAST(fold AS BIGINT) AS fold, role, COUNT(*) AS n,
+        |  CAST(SUM(event_id) AS BIGINT) AS sum_id
+        |FROM roles GROUP BY fold, role ORDER BY fold, role""".stripMargin,
 
     "ext_sessionize" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 AS us FROM events)

@@ -55,6 +55,34 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("contrastive mining: near-dup is the positive, failed collider the hard negative") {
+    // 1/2: near-identical (positive pair). 3: shares a long prefix with 1
+    // but diverges — close enough to collide in some band, below the
+    // verification bar (hard negative). 4: unrelated (no triple).
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = docs(
+      (1L, base + " phi chi"),
+      (2L, base + " phi psi"),
+      (3L, base.split(" ").take(11).mkString(" ") +
+        " q0 q1 q2 q3 q4 q5 q6 q7 q8 q9"),
+      (4L, "totally unrelated content nothing shared here at all " +
+        "zz yy xx ww vv uu tt ss rr qq"))
+    val out = Dedup.contrastivePairs(corpus, "text", "doc_id",
+      posThreshold = 0.6, negThreshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // whether 3 collides with 1 depends on the fixed hash geometry — but
+    // IF an anchor emits a triple, its legs must be classified correctly
+    for ((a, (p, n)) <- out) {
+      assert(Set(1L, 2L).contains(a) && Set(1L, 2L).contains(p) && p != a,
+        s"positive leg must be the near-dup: $out")
+      assert(n == 3L, s"negative leg must be the failed collider: $out")
+    }
+    // and the positive pair alone (1, 2) never forms a triple without a
+    // collided negative — doc 4 must appear nowhere
+    assert(!out.exists { case (a, (p, n)) => a == 4L || p == 4L || n == 4L })
+  }
+
   test("shingles: word 3-grams; short texts fall back to whole text") {
     val out = docs((1L, "a b c d"), (2L, "x y"))
       .select(TextHash.shingles(col("text")).as("s"))

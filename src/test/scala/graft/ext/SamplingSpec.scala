@@ -233,4 +233,35 @@ class SamplingSpec extends SparkSpec {
       }
     }
   }
+
+  test("temporalEmbargoSplit: folds cover time, embargo purges neighbors, train never leaks") {
+    import spark.implicits._
+    // 100 rows at times 0..99; k=4 → cuts at 24,49,74 (smallest v with
+    // cum >= ceil(p*n)); embargo 5 units
+    val df = (0L until 100L).map(i => (i, i)).toDF("id", "t")
+    val out = Sampling.temporalEmbargoSplit(df, "id", "t", k = 4, embargo = 5L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out.length == 400, "one row per (input row, fold)")
+    // every row is test in EXACTLY one fold, and folds partition the line
+    val testByFold = out.filter(_._2 == "test").groupBy(_._1)
+      .view.mapValues(_.map(_._3).toSet).toMap
+    assert(testByFold(0L) == (0L until 24L).toSet)
+    assert(testByFold(1L) == (24L until 49L).toSet)
+    assert(testByFold(2L) == (49L until 74L).toSet)
+    assert(testByFold(3L) == (74L until 100L).toSet)
+    // fold 1: purged = within 5 of [24,49) on either side
+    val p1 = out.filter(r => r._1 == 1L && r._2 == "purged").map(_._3).toSet
+    assert(p1 == ((19L until 24L) ++ (49L until 54L)).toSet, p1.toString)
+    // train never overlaps test-or-purged for its fold
+    for (f <- 0L until 4L) {
+      val train = out.filter(r => r._1 == f && r._2 == "train").map(_._3).toSet
+      val hot = out.filter(r => r._1 == f && r._2 != "train").map(_._3).toSet
+      assert(train.intersect(hot).isEmpty && train.union(hot).size == 100)
+    }
+    // null timestamps are excluded, not misassigned
+    val withNull = df.unionByName(Seq((999L, Option.empty[Long]))
+      .toDF("id", "t"))
+    assert(Sampling.temporalEmbargoSplit(withNull, "id", "t", 4, 5L)
+      .where($"id" === 999L).count() == 0)
+  }
 }
