@@ -193,27 +193,49 @@ object Drift {
     * Scale shape: per-side partial-agg of dims × keys integer sums (the
     * shuffle carries keys × dims rows, never vectors), one keys-sized
     * join, one keys-sized fold. */
+  /** One side's quantized-centroid state for [[embeddingDrift]]: (keyCol,
+    * `<p>_n`, dim, `<p>_q`) where q = sum(round(x·1e7)) div n per (key,
+    * dim). This IS the drift reference — freeze it (a keys × dims table)
+    * and compare any later snapshot or micro-batch against it without
+    * rescanning the reference corpus. */
+  def quantizedCentroids(
+      df: DataFrame, vecCol: String, keyCol: String,
+      nDims: Int, p: String): DataFrame = {
+    val sums = (0 until nDims).map(i =>
+      sum(round(element_at(col(vecCol), i + 1).cast("double") * lit(1e7))
+        .cast("long")).as(s"_s$i"))
+    val wide = df.groupBy(col(keyCol))
+      .agg(sums.head, (sums.tail :+ count(lit(1)).as(s"${p}_n")): _*)
+    val stackArgs = (0 until nDims)
+      .map(i => s"$i, _s$i div ${p}_n").mkString(", ")
+    wide.select(col(keyCol), col(s"${p}_n"),
+      expr(s"stack($nDims, $stackArgs) AS (dim, ${p}_q)"))
+  }
+
   def embeddingDrift(
       ref: DataFrame,
       cur: DataFrame,
       vecCol: String,
       keyCol: String,
       nDims: Int
+  ): DataFrame =
+    embeddingDriftAgainstCentroids(
+      quantizedCentroids(ref, vecCol, keyCol, nDims, "ref"),
+      cur, vecCol, keyCol, nDims)
+
+  /** [[embeddingDrift]] against a PRECOMPUTED reference centroid table
+    * ([[quantizedCentroids]] with prefix "ref") — the streaming posture:
+    * the reference corpus is collapsed once; each micro-batch pays one
+    * narrow centroid pass plus a keys-sized join. */
+  def embeddingDriftAgainstCentroids(
+      refCentroids: DataFrame, // (keyCol, ref_n, dim, ref_q)
+      cur: DataFrame,
+      vecCol: String,
+      keyCol: String,
+      nDims: Int
   ): DataFrame = {
-    def qCentroids(df: DataFrame, p: String): DataFrame = {
-      val sums = (0 until nDims).map(i =>
-        sum(round(element_at(col(vecCol), i + 1).cast("double") * lit(1e7))
-          .cast("long")).as(s"_s$i"))
-      val wide = df.groupBy(col(keyCol))
-        .agg(sums.head, (sums.tail :+ count(lit(1)).as(s"${p}_n")): _*)
-      val stackArgs = (0 until nDims)
-        .map(i => s"$i, _s$i div ${p}_n").mkString(", ")
-      wide.select(col(keyCol), col(s"${p}_n"),
-        expr(s"stack($nDims, $stackArgs) AS (dim, ${p}_q)"))
-    }
-    val a = qCentroids(ref, "ref")
-    val b = qCentroids(cur, "new")
-    a.join(b, Seq(keyCol, "dim"))
+    val b = quantizedCentroids(cur, vecCol, keyCol, nDims, "new")
+    refCentroids.join(b, Seq(keyCol, "dim"))
       .groupBy(col(keyCol))
       .agg(
         max(col("ref_n")).as("n_ref"), max(col("new_n")).as("n_new"),

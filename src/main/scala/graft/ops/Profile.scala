@@ -73,4 +73,38 @@ object Profile {
       .select(col("n_rows"), col("n_keys"), col("max_n"),
         expr("(max_n * 1000000) div n_rows").as("top_share_ppm"),
         expr("(max_n * n_keys * 1000000) div n_rows").as("skew_x_ppm"))
+
+  /** Per-source DATA CARD — the datasheet row every corpus release ships
+    * (Gebru et al., "Datasheets for Datasets"): document/char/token mass,
+    * language spread, and the exact-duplicate surplus (docs beyond one
+    * canonical per identical text, WITHIN the source), all exact int64.
+    * The token column is the whitespace count ([[graft.ext.TextStats
+    * .wsTokens]]) — the cheap proxy; swap in BPE mass via
+    * [[graft.ext.Bpe.tokenize]] when the card feeds a token budget.
+    *
+    * Scale shape: one corpus pass for the additive stats + one
+    * (source, text-fingerprint) partial-agg pass for the dup surplus —
+    * both map-side combined, the join is sources-sized. */
+  def dataCard(
+      df: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      langCol: String
+  ): DataFrame = {
+    val base = df.groupBy(col(sourceCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col(textCol)).cast("long")).as("n_chars"),
+      sum(size(graft.ext.TextStats.wsTokens(col(textCol))).cast("long"))
+        .as("n_ws_tokens"),
+      countDistinct(col(langCol)).as("n_langs"))
+    val dups = df
+      .groupBy(col(sourceCol), md5(col(textCol)).as("__fp"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(sourceCol))
+      .agg(sum(col("__n") - 1).as("n_dup_docs"))
+    base.join(dups, Seq(sourceCol), "left")
+      .select(col(sourceCol), col("n_docs"), col("n_chars"),
+        col("n_ws_tokens"), col("n_langs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
+  }
 }

@@ -548,6 +548,18 @@ object Ext {
         .orderBy("fingerprint")
     }),
 
+    "ext_data_card" -> ((s, dir) => {
+      // the datasheet row per source: doc/char/token mass, language
+      // spread, exact-dup surplus — all exact int64; planted %9 copies
+      // make the dup column non-vacuous
+      val docs = t(s, dir, "documents").select("doc_id", "source", "lang", "text")
+      val corpus = docs.unionByName(docs.where(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("source"),
+          col("lang"), col("text")))
+      graft.ops.Profile.dataCard(corpus, "source", "text", "lang")
+        .orderBy("source")
+    }),
+
     "ext_contrastive_pairs" -> ((s, dir) =>
       // bi-encoder training triples mined from the LSH structure:
       // positives = verified near-dups (j >= 0.6), hard negatives = pairs
@@ -3332,6 +3344,26 @@ object Ext {
         |  CAST(copies AS BIGINT) AS copies, CAST(n_sources AS BIGINT)
         |    AS n_sources
         |FROM ranked WHERE rn = 1 ORDER BY fingerprint""".stripMargin,
+
+    "ext_data_card" ->
+      s"""WITH c AS (SELECT source, lang, text FROM documents
+         |           UNION ALL
+         |           SELECT source, lang, text FROM documents
+         |           WHERE doc_id % 9 = 0),
+         |base AS (SELECT source, COUNT(*) AS n_docs,
+         |           SUM(length(text)) AS n_chars,
+         |           SUM(len(${tokensSql("text")})) AS n_ws_tokens,
+         |           COUNT(DISTINCT lang) AS n_langs
+         |         FROM c GROUP BY source),
+         |d AS (SELECT source, SUM(n - 1) AS n_dup FROM (
+         |        SELECT source, md5(text) AS fp, COUNT(*) AS n
+         |        FROM c GROUP BY 1, 2) GROUP BY source)
+         |SELECT base.source AS source, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_chars AS BIGINT) AS n_chars,
+         |  CAST(n_ws_tokens AS BIGINT) AS n_ws_tokens,
+         |  CAST(n_langs AS BIGINT) AS n_langs,
+         |  CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_docs
+         |FROM base LEFT JOIN d USING (source) ORDER BY source""".stripMargin,
 
     "ext_contrastive_pairs" ->
       s"""WITH $NearDupCorpusSql,

@@ -738,6 +738,63 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** Streaming EMBEDDING-drift gate: each micro-batch's per-key quantized
+    * centroids ([[graft.ext.Drift.quantizedCentroids]], exact integer
+    * arithmetic) compare against a FROZEN reference centroid table, and a
+    * batch whose minimum per-key centroid cosine falls below `minCosine`
+    * is quarantined whole — the re-embed/re-encode alarm
+    * ([[graft.ext.Drift.embeddingDriftAgainstCentroids]]) running as an
+    * ingest stage: a model-version mixup upstream keeps token histograms
+    * intact while rotating embedding geometry, and THIS gate is the one
+    * that catches it before a poisoned batch lands in the vector corpus.
+    * A batch sharing NO key with the reference (all-novel keys, or no
+    * rows) has no geometry to compare and is quarantined conservatively
+    * (reported with cosine = NaN). The reference is keys × dims sized and
+    * broadcast-joined; each batch pays one narrow centroid pass. State =
+    * checkpoint offsets alone. */
+  def embeddingDriftMonitorIngestAvailableNow(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      store: TableStore,
+      table: String,
+      checkpointDir: String,
+      vecCol: String,
+      keyCol: String,
+      nDims: Int,
+      refCentroids: DataFrame, // Drift.quantizedCentroids(..., "ref")
+      minCosine: Double,
+      onBatch: (Long, Long, Double) => Unit = (_, _, _) => () // (id, keys, minCos)
+  ): Unit = {
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .json(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val row = graft.ext.Drift
+          .embeddingDriftAgainstCentroids(refCentroids, batch,
+            vecCol, keyCol, nDims)
+          .agg(count(lit(1)).as("k"), min(col("cosine")).as("c"))
+          .first()
+        val nKeys = row.getLong(0)
+        if (nKeys == 0L || row.isNullAt(1)) {
+          onBatch(batchId, nKeys, Double.NaN)
+        } else {
+          val minCos = row.getDouble(1)
+          onBatch(batchId, nKeys, minCos)
+          if (minCos >= minCosine) {
+            if (store.exists(table)) store.append(table, batch)
+            else store.overwrite(table, batch)
+          }
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming batch-acceptance gate: the dataset-level constraint
     * suite ([[graft.ops.Checks]], the Pipeline's pre-write gate) per
     * micro-batch — a batch whose verdicts all pass appends; a failing

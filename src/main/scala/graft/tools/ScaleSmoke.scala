@@ -1274,6 +1274,44 @@ object ScaleSmoke {
         "every vector assigned exactly once")
     }
 
+    // semantic decontamination: 5M-vector corpus screened against a
+    // 32-item eval set — broadcast eval, per-vector argmax reduced
+    // map-side; the planted verbatim leaks (1 per 1M ids) must all
+    // surface at cos_q = 1e7
+    time("semantic decontamination 5M x 32 eval") {
+      def vec(seed: org.apache.spark.sql.Column) = array((0 until 8).map(d =>
+        (pmod(xxhash64(seed, lit(d)), lit(1000L)).cast("double") / 1000d + 0.001d)
+          .cast("float")): _*)
+      val evalSet = spark.range(0, 32).select(col("id").as("vec_id"),
+        vec(col("id")).as("embedding"))
+      val corpus = spark.range(0, 5000000L, 1, 128).select(
+        (col("id") + 1000000L).as("vec_id"),
+        // ids divisible by 1M re-embed an eval item verbatim (id/1M)
+        when(col("id") % 1000000L === 0, vec(expr("id div 1000000")))
+          .otherwise(vec(col("id") + 7777L)).as("embedding"))
+      val flagged = graft.ext.Similarity.semanticContamination(
+        corpus, evalSet, "embedding", "vec_id", minCosQ = 9999999L)
+        .collect()
+      val planted = flagged.filter(_.getLong(2) == 10000000L)
+      assert(planted.length >= 5,
+        s"all 5 planted verbatim leaks must surface: ${planted.length}")
+    }
+
+    // purged temporal split: 50M rows, 4 folds, embargo — exact-quantile
+    // cuts from the parallel CDF pass, then one narrow assignment pass
+    // exploded x4; role populations must cover rows x folds exactly
+    time("temporal embargo split 50M rows x 4 folds") {
+      val df = spark.range(0, 50000000L, 1, 256).select(col("id"),
+        pmod(xxhash64(col("id")), lit(1000000000L)).as("t"))
+      val out = graft.ext.Sampling
+        .temporalEmbargoSplit(df, "id", "t", k = 4, embargo = 1000000L)
+        .groupBy("role").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out.values.sum == 200000000L, s"50M x 4 folds: $out")
+      assert(out("test") == 50000000L, "every row is test in exactly one fold")
+      assert(out.getOrElse("purged", 0L) > 0L, "embargo must bite")
+    }
+
     spark.stop()
   }
 }
