@@ -284,6 +284,43 @@ class PlanSpec extends AnyFunSuite {
       "no corpus-sized keyed join may appear before the argmax")
   }
 
+  test("temporal split: broadcast one-row cuts, no product of data-sized sides") {
+    val opt = SparkEntry.queries("ext_temporal_split")(spark, dir)
+      .queryExecution.optimizedPlan
+    val bad = opt.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, s"unpartitioned Window in temporal split:\n$bad")
+    val p = plan("ext_temporal_split")
+    assert(!p.contains("CartesianProduct"),
+      s"the cuts side must broadcast (one row):\n$p")
+  }
+
+  test("contrastive mining: band-keyed joins only, per-anchor min is partial") {
+    val p = plan("ext_contrastive_pairs")
+    assert(!p.contains("CartesianProduct"),
+      s"candidates must come from the band join, never all-pairs:\n$p")
+    assert(p.contains("partial_min"),
+      "the per-anchor leg picks must map-side combine")
+    assert(!analyzed("ext_contrastive_pairs").contains("Window"))
+  }
+
+  test("data card: two partial-agg passes, sources-sized join, no window") {
+    val p = plan("ext_data_card")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "additive stats must combine map-side")
+    assert(!p.contains("CartesianProduct"))
+    assert(!analyzed("ext_data_card").contains("Window"))
+  }
+
+  test("loss reweight: broadcast LM probes; nothing corpus-sized joins keyed") {
+    val p = plan("ext_loss_reweight")
+    assert(!p.contains("SortMergeJoin"),
+      s"every join side is model- or sources-sized — broadcast them:\n$p")
+    assert(!analyzed("ext_loss_reweight").contains("Window"))
+  }
+
   test("per-lang lm: keyed broadcast probes, one pass for all languages") {
     val p = plan("ext_lm_per_lang")
     assert(!analyzed("ext_lm_per_lang").contains("Window"))
