@@ -43,6 +43,18 @@ object LangId {
     * row) through a single-element transform, the featureBuckets trick. */
   def charGramBuckets(n: Int)(text: Column, buckets: Int): Column = {
     require(n > 0, "charGramBuckets: n must be positive")
+    if (org.apache.spark.sql.SparkSession.getActiveSession
+          .exists(_.catalog.functionExists("graft_chargrams")))
+      call_function("graft_chargrams", text, lit(n), lit(buckets))
+    else charGramBucketsDeclarative(n)(text, buckets)
+  }
+
+  /** The readable spec of [[charGramBuckets]] (and the oracle-generation
+    * template): interpreted HOF pipeline, same values bit-for-bit
+    * (TextNativeSpec). The native kernel exists because this form pays
+    * substring → md5-hex-string → BigInteger-conv per CHARACTER — it
+    * dominated the langid gates. */
+  def charGramBucketsDeclarative(n: Int)(text: Column, buckets: Int): Column =
     element_at(
       transform(array(lower(text)), { t =>
         when(length(t) < n, array().cast("array<bigint>"))
@@ -51,7 +63,6 @@ object LangId {
             i => TextHash.hmod(substring(t, i, lit(n))) % buckets))
       }),
       1)
-  }
 
   /** DuckDB SQL fragment mirroring [[charGramBuckets]]. */
   def charGramBucketsSql(n: Int, textE: String, buckets: Int): String =

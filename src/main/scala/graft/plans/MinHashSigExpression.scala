@@ -74,6 +74,18 @@ object GraftExtensions {
         SimHashExpression(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_chargrams"),
+      new ExpressionInfo(classOf[CharGramBucketsExpression].getName, "graft_chargrams"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_chargrams(text, n, buckets) takes three arguments")
+        def lit(i: Int): Int = {
+          require(children(i).foldable, "graft_chargrams n/buckets must be literals")
+          children(i).eval(null).asInstanceOf[Number].intValue()
+        }
+        CharGramBucketsExpression(children.head, lit(1), lit(2))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_fp_rolling"),
       new ExpressionInfo(classOf[RollingFingerprintExpression].getName, "graft_fp_rolling"),
       (children: Seq[Expression]) => {

@@ -92,6 +92,41 @@ case class GopherCountsExpression(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_chargrams(text, n, buckets)` → array<bigint>: the hashed
+  * char-n-gram bucket stream of [[graft.ext.LangId.charGramBuckets]] as
+  * one fused kernel — lower-case once, then per code-point position the
+  * gram's md5, the value of its first 15 hex digits, % P % buckets.
+  *
+  * Why a kernel: the declarative form evaluates a per-gram interpreted
+  * lambda chaining substring → md5 (rendered to a hex STRING) → conv
+  * (BigInteger parse of that string) → casts — for language ID this runs
+  * once per character of the corpus and dominated the three langid gates
+  * (~5.9 s each, the bench ceiling). The kernel reuses one MessageDigest
+  * and reads the digest bytes directly; Spark semantics are inherited by
+  * construction (UTF8String.toLowerCase / substringSQL are the engines of
+  * lower() / substring()). TextNativeSpec pins bit-identical outputs. */
+case class CharGramBucketsExpression(child: Expression, n: Int, buckets: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_chargrams requires a string argument, got ${child.dataType.catalogString}")
+    else if (n < 1 || buckets < 1)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_chargrams needs n >= 1 and buckets >= 1")
+    else TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_chargrams"
+  override protected def nullSafeEval(input: Any): Any =
+    TextNative.charGramBuckets(input.asInstanceOf[UTF8String], n, buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.TextNative.charGramBuckets($c, $n, $buckets)")
+  override protected def withNewChildInternal(newChild: Expression): CharGramBucketsExpression =
+    copy(child = newChild)
+}
+
 object TextNative {
 
   private val P = TextHash.P
@@ -250,6 +285,34 @@ object TextNative {
       out(r) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](hs(p), p + 1))
       r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** == the declarative LangId.charGramBucketsDeclarative: per code-point
+    * position i (1-based), `conv(substr(md5(substring(lower(t), i, n)),
+    * 1, 15), 16, 10) % P % buckets`. The first 15 hex digits of the
+    * digest are bytes 0..6 in full plus the high nibble of byte 7 — 60
+    * bits, always positive. Shorter-than-n texts yield an empty array. */
+  def charGramBuckets(t: UTF8String, n: Int,
+      buckets: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val lower = t.toLowerCase
+    val len = lower.numChars()
+    if (len < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Long])
+    val out = new Array[Long](len - n + 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < out.length) {
+      md.reset()
+      val d = md.digest(lower.substringSQL(i + 1, n).getBytes)
+      var v = 0L
+      var j = 0
+      while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      v = (v << 4) | ((d(7) & 0xf0L) >>> 4)
+      out(i) = (v % P) % buckets
+      i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }

@@ -89,6 +89,20 @@ class TextNativeSpec extends SparkSpec {
     assert(norm == "na\u00efve caf\u00e9")
   }
 
+  test("chargrams: native == declarative on real documents + unicode edges") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text")
+      .unionByName(textDf(edgeTexts: _*))
+      .unionByName(textDf("AB", "ABC", "ÄÖÜ mixed CASE", "日本語テキスト"))
+    for ((n, b) <- Seq((3, 2000), (2, 17), (5, 100))) {
+      val mism = docs.select(
+        call_function("graft_chargrams", col("text"), lit(n), lit(b)).as("nat"),
+        graft.ext.LangId.charGramBucketsDeclarative(n)(col("text"), b).as("dec"))
+        .where(not(col("nat") <=> col("dec")))
+      assert(mism.count() == 0, s"n=$n buckets=$b")
+    }
+  }
+
   test("operators route through the native kernels") {
     val simPlan = graft.SparkEntry.queries("ext_dedup_simhash")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
