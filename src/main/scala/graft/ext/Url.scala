@@ -374,4 +374,42 @@ object Url {
     s"""$scheme || '://' || $h || $portSuffix || $path ||
        |  (CASE WHEN ($qs) = '' THEN '' ELSE '?' || ($qs) END)""".stripMargin
   }
+
+  /** Freshness-driven recrawl priority (the Cho–Garcia-Molina posture,
+    * integer-exact): per key, the OBSERVED change rate — changes per time
+    * unit over the key's observation span, in ppm — times the current
+    * staleness (time since the key's last observation, against the
+    * data's own max time, never the wall clock). High priority = changes
+    * often AND hasn't been visited lately; a key observed once (zero
+    * span) has no measurable rate and priority 0 — recrawl it on the
+    * discovery schedule, not the freshness one. All int64: rate_ppm =
+    * n_changes·1e6 div span, priority = age · rate_ppm (age ≤ ~1e12 time
+    * units × rate ≤ 1e6 stays inside int64).
+    *
+    * Scale shape: one partial-agg pass over the history + a broadcast
+    * one-row data-max side — the history table never shuffles twice. */
+  def recrawlPriority(
+      history: DataFrame,
+      keyCol: String,
+      tsCol: String, // integer time units
+      changed: Column // boolean: this observation saw a change
+  ): DataFrame = {
+    val obs = history
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+    val agg = obs.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_obs"),
+      sum(changed.cast("long")).as("n_changes"),
+      min(col(tsCol)).as("__first"),
+      max(col(tsCol)).as("__last"))
+    val now = obs.agg(max(col(tsCol)).as("__now"))
+    agg.crossJoin(broadcast(now))
+      .withColumn("span", col("__last") - col("__first"))
+      .withColumn("rate_ppm",
+        when(col("span") === 0, lit(0L))
+          .otherwise(expr("n_changes * 1000000 div span")))
+      .withColumn("age", col("__now") - col("__last"))
+      .withColumn("priority", col("age") * col("rate_ppm"))
+      .select(col(keyCol), col("n_obs"), col("n_changes"), col("span"),
+        col("rate_ppm"), col("age"), col("priority"))
+  }
 }

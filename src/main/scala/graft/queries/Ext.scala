@@ -1597,6 +1597,18 @@ object Ext {
         .orderBy("event_id")
     }),
 
+    "ext_recrawl_priority" -> ((s, dir) => {
+      // freshness-driven recrawl order over the event log as a crawl
+      // history: per user-key, observed change rate (clicks as changes,
+      // ppm over the key's span) x staleness vs the data's max time —
+      // exact int64; zero-span keys get priority 0 by contract
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("us"), col("event_type"))
+      graft.ext.Url.recrawlPriority(e, "user_id", "us",
+          col("event_type") === "click")
+        .orderBy(col("priority").desc, col("user_id"))
+    }),
+
     "ext_temporal_split" -> ((s, dir) => {
       // purged temporal 4-fold split over events: exact-quantile time
       // boundaries, 6h embargo — per (fold, role) population and id-sum
@@ -4663,6 +4675,28 @@ object Ext {
         |     AND c.us <= p.us) AS click_us
         |FROM e p WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,
+
+    "ext_recrawl_priority" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts)//1000 AS us, event_type
+        |           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |a AS (SELECT user_id, COUNT(*) AS n_obs,
+        |        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |          AS n_changes,
+        |        MIN(us) AS f, MAX(us) AS l
+        |      FROM e GROUP BY user_id),
+        |n AS (SELECT MAX(us) AS now FROM e),
+        |r AS (SELECT user_id, n_obs, n_changes, l - f AS span,
+        |        CASE WHEN l = f THEN 0
+        |             ELSE (n_changes * 1000000) // (l - f) END AS rate_ppm,
+        |        now - l AS age
+        |      FROM a CROSS JOIN n)
+        |SELECT user_id, CAST(n_obs AS BIGINT) AS n_obs,
+        |  CAST(n_changes AS BIGINT) AS n_changes,
+        |  CAST(span AS BIGINT) AS span,
+        |  CAST(rate_ppm AS BIGINT) AS rate_ppm,
+        |  CAST(age AS BIGINT) AS age,
+        |  CAST(age * rate_ppm AS BIGINT) AS priority
+        |FROM r ORDER BY priority DESC, user_id""".stripMargin,
 
     "ext_temporal_split" ->
       """WITH e AS (SELECT event_id, epoch_ns(ts)//1000 AS us FROM events

@@ -210,4 +210,33 @@ class UrlSpec extends SparkSpec {
       1L -> (1L, 100L), 2L -> (2L, 600L), 3L -> (3L, 1100L),
       4L -> (1L, 100L), 5L -> (2L, 1100L)), got)
   }
+
+  test("recrawlPriority: hot-and-stale outranks fresh; single obs has priority 0") {
+    import spark.implicits._
+    // key A: changes every visit, last seen at t=50 (stale, hot)
+    // key B: never changes, last seen at t=100 (fresh, cold)
+    // key C: one observation (no measurable rate)
+    val h = Seq(
+      ("A", 0L, true), ("A", 25L, true), ("A", 50L, true),
+      ("B", 0L, false), ("B", 50L, false), ("B", 100L, false),
+      ("C", 10L, true))
+      .toDF("k", "t", "ch")
+    val got = Url.recrawlPriority(h, "k", "t", col("ch"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    // A: 3 obs, 3 changes over span 50 -> rate 60000 ppm; age 50
+    assert(got("A") == (3L, 3L, 50L, 60000L, 50L, 3000000L), got.toString)
+    // B: rate 0 -> priority 0 despite nonzero age
+    assert(got("B") == (3L, 0L, 100L, 0L, 0L, 0L), got.toString)
+    // C: zero span -> rate 0 by contract
+    assert(got("C") == (1L, 1L, 0L, 0L, 90L, 0L), got.toString)
+    // null keys and timestamps are excluded, not misaggregated
+    val withNulls = h.unionByName(Seq(
+      (Option.empty[String], Option(7L), Option(true)),
+      (Option("A"), Option.empty[Long], Option(true)))
+      .toDF("k", "t", "ch"))
+    assert(Url.recrawlPriority(withNulls, "k", "t", col("ch"))
+      .where(col("k") === "A").first().getLong(1) == 3L)
+  }
 }
