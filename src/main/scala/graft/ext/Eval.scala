@@ -168,4 +168,55 @@ object Eval {
         when(col("n_truth") > 0,
           expr("(n_hit * 1000000) div n_truth")).as("recall_ppm"))
   }
+
+  /** Cohen's kappa — chance-corrected agreement between two categorical
+    * raters (label columns) on the same rows: the label-QA statistic for
+    * annotator pairs, model-vs-truth, or router-vs-router comparisons,
+    * where raw accuracy is inflated by class imbalance (a majority-class
+    * rater scores high accuracy but kappa ≈ 0).
+    *
+    *   κ = (p_o − p_e)/(1 − p_e),  p_o = agree/n,
+    *   p_e = Σ_k n_a(k)·n_b(k) / n²
+    *
+    * Everything is EXACT integer arithmetic in decimal(38,0) (the
+    * products n_a·n_b and po·n reach n² — past int64 at ~3e9 rows):
+    * output one row (n, n_agree, pe_num, kappa_num = po·n − pe_num,
+    * kappa_den = n² − pe_num, kappa_ppm = kappa_num·1e6 div kappa_den).
+    * Rows where either rater is null are excluded (no verdict, no
+    * agreement credit); perfect chance agreement (kappa_den = 0, both
+    * raters constant) yields null ppm rather than a fake value.
+    *
+    * Scale shape: ONE corpus exchange — the groupBy(a, b) confusion
+    * matrix (K² rows, K = label-space size, fixed and small); marginals,
+    * p_e, and the fold all derive from it, model-sized. */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val conf = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val aTot = conf.groupBy("__a").agg(sum("__n").as("__na"))
+    val bTot = conf.groupBy("__b").agg(sum("__n").as("__nb"))
+    val pe = aTot.join(bTot, col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__na").cast(d38) * col("__nb").cast(d38)),
+        lit(0).cast(d38)).as("pe_num"))
+    conf.agg(sum("__n").as("n"),
+        sum(when(col("__a") === col("__b"), col("__n")).otherwise(0L))
+          .as("n_agree"))
+      .crossJoin(broadcast(pe))
+      .select(col("n"), col("n_agree"), col("pe_num"),
+        (col("n_agree").cast(d38) * col("n").cast(d38) - col("pe_num"))
+          .as("kappa_num"),
+        (col("n").cast(d38) * col("n").cast(d38) - col("pe_num"))
+          .as("kappa_den"))
+      // sign-safe truncating ppm: kappa is NEGATIVE for worse-than-chance
+      // raters, and engines disagree on negative integer division
+      // (trunc vs floor) — divide magnitudes, reapply the sign
+      .withColumn("kappa_ppm",
+        when(col("kappa_den") =!= 0,
+          expr("""cast(case when kappa_num >= 0
+                 then (kappa_num * 1000000) div kappa_den
+                 else -(((-kappa_num) * 1000000) div kappa_den)
+                 end as bigint)""")))
+  }
 }

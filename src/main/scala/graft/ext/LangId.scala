@@ -93,6 +93,63 @@ object LangId {
     classifyWith(corpus, model, priors, textCol, idCol, n, buckets)
   }
 
+  /** [[classifyWith]] plus a CONFIDENCE margin and an abstain branch —
+    * the fastText `-th` posture: route a document to its argmax language
+    * only when the top-1/top-2 integer score gap clears `minMarginLpq`
+    * (quantized ln·1e9 units, the model's own scale); otherwise emit the
+    * explicit `und` bucket. Low-margin docs are exactly the ones the
+    * model cannot separate (shared-vocab text, mixed-language pages,
+    * too-short evidence), and silently routing them corrupts every
+    * per-language stage downstream (LM scoring, quotas, fertility).
+    *
+    * Output: (idCol, lang = argmax or "und", margin_lpq). Margin is
+    * always defined when the model has ≥ 2 classes (the dense C×B model
+    * scores every class for every doc with features); a top-2 tie gives
+    * margin 0 → abstain. Docs shorter than `n` chars yield no row, as in
+    * [[classify]].
+    *
+    * Scale shape: same two partial-agg exchanges as [[classifyWith]];
+    * the per-doc top-2 pick is a sorted collect over exactly C structs
+    * (C = number of languages, fixed and small — bounded by the model,
+    * not the data), never a window. */
+  def classifyMargin(
+      corpus: DataFrame,
+      model: DataFrame,
+      priors: DataFrame,
+      textCol: String,
+      idCol: String,
+      minMarginLpq: Long,
+      n: Int = DefaultN,
+      buckets: Int = 2000
+  ): DataFrame = {
+    require(minMarginLpq >= 0, "classifyMargin: minMarginLpq must be >= 0")
+    corpus
+      .select(col(idCol),
+        explode(charGramBuckets(n)(col(textCol), buckets)).as("b"))
+      .join(broadcast(model), Seq("b"))
+      .groupBy(col(idCol), col("label"))
+      .agg(sum("lpq").as("__s"))
+      .join(broadcast(priors), Seq("label"))
+      .select(col(idCol),
+        struct((-(col("__s") + col("lpq_prior"))).as("negScore"),
+          col("label")).as("__k"))
+      .groupBy(col(idCol))
+      // C structs per doc (one per language) — model-sized, sorted
+      // ascending on (negScore, label) = score desc, label asc
+      .agg(array_sort(collect_list(col("__k"))).as("__ks"))
+      // get() is 0-based and null on out-of-bounds — a single-class
+      // model has no second element (ANSI element_at would throw)
+      .select(col(idCol),
+        get(col("__ks"), lit(0)).as("__top"),
+        (get(col("__ks"), lit(1))("negScore") -
+          get(col("__ks"), lit(0))("negScore")).as("margin_lpq"))
+      .select(col(idCol),
+        when(col("margin_lpq").isNull || // single-class model: no gap
+            col("margin_lpq") >= minMarginLpq, col("__top")("label"))
+          .otherwise(lit("und")).as("lang"),
+        coalesce(col("margin_lpq"), lit(0L)).as("margin_lpq"))
+  }
+
   /** [[classify]] under a PRE-TRAINED (model, priors) pair — the
     * steady-state router shape: train once (or read a frozen fixture),
     * classify every batch under the same broadcast tables. */

@@ -135,6 +135,47 @@ object Pii {
           luhnOk _)).cast("long"))
   }
 
+  /** k-anonymity / l-diversity audit over quasi-identifier columns — the
+    * re-identification risk report a structured corpus runs before
+    * release (Sweeney 2002; Machanavajjhala 2007). A row is k-anonymous
+    * when ≥ k rows share its full quasi-identifier combination; a QI
+    * group is l-diverse when its sensitive column takes ≥ l DISTINCT
+    * values (a k-large group whose sensitive value is constant still
+    * leaks it — the homogeneity attack k alone misses).
+    *
+    * Output: one row per QI group — (qiCols…, n_rows, n_sensitive,
+    * k_ok, l_ok) with exact counts. Filter `!k_ok || !l_ok` for the
+    * violation set; rows with any null QI cell group together per
+    * SQL GROUP BY semantics (null is a value here — a null QI cell is
+    * itself a disclosure-relevant group, not ignorable); a null
+    * SENSITIVE cell likewise counts as one distinct value (the
+    * two-level grouping counts it — unlike COUNT(DISTINCT), which
+    * would silently call a group of all-null sensitives 0-diverse).
+    *
+    * Scale shape: one exchange — groupBy(qi…, sensitive) partial-aggs
+    * the corpus to (group × value) cardinality, then a second
+    * already-partitioned agg collapses to groups; COUNT DISTINCT is
+    * exact without expansion because the first agg already deduped. */
+  def kAnonymity(
+      df: DataFrame,
+      qiCols: Seq[String],
+      sensitiveCol: String,
+      k: Long,
+      l: Long
+  ): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymity: need at least one QI column")
+    require(k >= 1 && l >= 1, "kAnonymity: k and l must be >= 1")
+    val qi = qiCols.map(col)
+    df.groupBy(qi :+ col(sensitiveCol).as("__sv"): _*)
+      .agg(count(lit(1)).as("__nv"))
+      .groupBy(qi: _*)
+      .agg(sum("__nv").as("n_rows"),
+        count(lit(1)).as("n_sensitive"))
+      .select(qi ++ Seq(col("n_rows"), col("n_sensitive"),
+        (col("n_rows") >= k).as("k_ok"),
+        (col("n_sensitive") >= l).as("l_ok")): _*)
+  }
+
   // ---- DuckDB SQL mirrors (oracle generation — same patterns) ----------
 
   /** Literal for embedding a Java/RE2 pattern in SQL single quotes. */

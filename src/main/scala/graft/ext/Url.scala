@@ -376,15 +376,20 @@ object Url {
   }
 
   /** Freshness-driven recrawl priority (the Cho–Garcia-Molina posture,
-    * integer-exact): per key, the OBSERVED change rate — changes per time
-    * unit over the key's observation span, in ppm — times the current
-    * staleness (time since the key's last observation, against the
-    * data's own max time, never the wall clock). High priority = changes
-    * often AND hasn't been visited lately; a key observed once (zero
-    * span) has no measurable rate and priority 0 — recrawl it on the
-    * discovery schedule, not the freshness one. All int64: rate_ppm =
-    * n_changes·1e6 div span, priority = age · rate_ppm (age ≤ ~1e12 time
-    * units × rate ≤ 1e6 stays inside int64).
+    * integer-exact): per key, the expected number of MISSED changes —
+    * observed change rate (n_changes over the key's observation span)
+    * times the current staleness (time since the key's last observation,
+    * against the data's own max time, never the wall clock) — in ppm:
+    *
+    *   priority_ppm = (n_changes · age · 10⁶) div span
+    *
+    * computed as ONE decimal(38,0) product before the single truncating
+    * division, so fine-grained time units can't zero it (a per-factor
+    * "rate_ppm" would truncate to 0 whenever span > 10⁶·changes — with
+    * µs timestamps that is EVERY key). High priority = changes often AND
+    * hasn't been visited lately; a key observed once (zero span) has no
+    * measurable rate and priority 0 — recrawl it on the discovery
+    * schedule, not the freshness one.
     *
     * Scale shape: one partial-agg pass over the history + a broadcast
     * one-row data-max side — the history table never shuffles twice. */
@@ -404,12 +409,13 @@ object Url {
     val now = obs.agg(max(col(tsCol)).as("__now"))
     agg.crossJoin(broadcast(now))
       .withColumn("span", col("__last") - col("__first"))
-      .withColumn("rate_ppm",
-        when(col("span") === 0, lit(0L))
-          .otherwise(expr("n_changes * 1000000 div span")))
       .withColumn("age", col("__now") - col("__last"))
-      .withColumn("priority", col("age") * col("rate_ppm"))
+      .withColumn("priority_ppm",
+        when(col("span") === 0, lit(0L))
+          .otherwise(expr(
+            """cast((cast(n_changes as decimal(38,0)) * age * 1000000)
+              |div span as bigint)""".stripMargin)))
       .select(col(keyCol), col("n_obs"), col("n_changes"), col("span"),
-        col("rate_ppm"), col("age"), col("priority"))
+        col("age"), col("priority_ppm"))
   }
 }

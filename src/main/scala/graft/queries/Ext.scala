@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Blocklist, Boilerplate, Bpe, Dedup, Drift, Html, LangId, LanguageModel, Markdown, Multimodal, NaiveBayes, NearDupIndex, Retrieval, Sampling, Similarity, Sketches, TextHash, TextStats, Url, VectorIndex, Winnow}
+import graft.ext.{Blocklist, Boilerplate, Bpe, Dedup, Drift, Eval, Html, LangId, LanguageModel, Markdown, Multimodal, NaiveBayes, NearDupIndex, Pii, Retrieval, Sampling, Similarity, Sketches, TextHash, TextStats, Url, VectorIndex, Winnow}
 import graft.ops.{AsOfJoin, FuzzyJoin, Profile}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1228,6 +1228,56 @@ object Ext {
         .orderBy("lang_pred", "rank")
     }),
 
+    "ext_langid_margin" -> ((s, dir) => {
+      // the router's ABSTAIN branch (fastText -th posture): a corpus
+      // where only even doc_ids carry the language decorations, scored
+      // under the SAME frozen decor-trained model — decorated docs clear
+      // the top-1/top-2 margin and route; undecorated docs (no signal:
+      // the synthetic corpus shares one vocabulary) fall to 'und'
+      // instead of being silently mis-routed. Threshold in the model's
+      // own quantized-ln units; the oracle replays train -> score ->
+      // top-2 margin -> threshold end-to-end.
+      val docs = langHalfDecorDocs(s, dir)
+      val (m, p) = Fixtures.langidDecorModel(s, dir)
+      LangId.classifyMargin(docs.select("doc_id", "text"), m, p,
+          "text", "doc_id", minMarginLpq = LangidMarginThr)
+        .orderBy("doc_id")
+    }),
+
+    "ext_label_kappa" -> ((s, dir) => {
+      // chance-corrected label agreement (Cohen's kappa), exact-integer:
+      // trained router vs truth and marker heuristic vs truth on the
+      // decorated separable fixture — the annotator-QA statistic where
+      // raw accuracy is inflated by class imbalance. One row per rater
+      // with the full exact numerator/denominator decomposition.
+      val docs = langDecorDocs(s, dir)
+      val (m, p) = Fixtures.langidDecorModel(s, dir)
+      val truth = docs.select(col("doc_id"), col("lang"))
+      def kap(preds: DataFrame, tag: String) =
+        Eval.cohenKappa(truth.join(preds, "doc_id"), "lang", "pred")
+          .select(lit(tag).as("rater"), col("n"), col("n_agree"),
+            col("pe_num"), col("kappa_num"), col("kappa_den"),
+            col("kappa_ppm"))
+      kap(LangId.classifyWith(docs.select("doc_id", "text"), m, p,
+            "text", "doc_id")
+          .select(col("doc_id"), col("lang").as("pred")), "trained")
+        .unionByName(kap(TextStats.langId(docs, "text")
+          .select(col("doc_id"), col("lang_pred").as("pred")), "heuristic"))
+        .orderBy("rater")
+    }),
+
+    "ext_k_anon" -> ((s, dir) => {
+      // k-anonymity / l-diversity release audit: QI = (lang, source),
+      // sensitive = 500-char length band — per QI group, exact row and
+      // distinct-sensitive counts with the k>=5 / l>=3 verdicts (the
+      // homogeneity check k alone misses)
+      val d = t(s, dir, "documents")
+        .select(col("lang"), col("source"),
+          expr("n_chars div 500").as("band"))
+      Pii.kAnonymity(d, Seq("lang", "source"), "band", k = 5L, l = 3L)
+        .orderBy("lang", "source")
+    }),
+
     "ext_fingerprint" -> ((s, dir) =>
       TextStats.fingerprint(t(s, dir, "documents"), "text")
         .drop("text").orderBy("doc_id")),
@@ -1599,14 +1649,14 @@ object Ext {
 
     "ext_recrawl_priority" -> ((s, dir) => {
       // freshness-driven recrawl order over the event log as a crawl
-      // history: per user-key, observed change rate (clicks as changes,
-      // ppm over the key's span) x staleness vs the data's max time —
-      // exact int64; zero-span keys get priority 0 by contract
+      // history: per user-key, expected missed changes (clicks as
+      // changes) = n_changes x staleness / span, exact single-truncation
+      // ppm; zero-span keys get priority 0 by contract
       val e = Tables.events(s, dir)
         .select(col("user_id"), expr("ts div 1000").as("us"), col("event_type"))
       graft.ext.Url.recrawlPriority(e, "user_id", "us",
           col("event_type") === "click")
-        .orderBy(col("priority").desc, col("user_id"))
+        .orderBy(col("priority_ppm").desc, col("user_id"))
     }),
 
     "ext_temporal_split" -> ((s, dir) => {
@@ -2070,6 +2120,28 @@ object Ext {
       concat_ws(" ", col("text"), langDecorCol, langDecorCol,
         langDecorCol).as("text"))
 
+  /** Margin-gate corpus: decorations on EVEN doc_ids only — the odd half
+    * keeps the shared-vocabulary raw text, so a margin threshold must
+    * separate signal-bearing docs from signal-free ones. */
+  private[queries] def langHalfDecorDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      when(col("doc_id") % 2 === 0,
+        concat_ws(" ", col("text"), langDecorCol, langDecorCol, langDecorCol))
+        .otherwise(col("text")).as("text"))
+
+  /** Abstain threshold for ext_langid_margin, in quantized ln·1e9 units
+    * (nats·1e9). Calibrated mid-gap on the fixture: decorated docs sit
+    * at ≥163 nats, raw shared-vocab docs at ≤73 (their nonzero margins
+    * are length-amplified smoothing asymmetry, not signal — routing
+    * them would be pure overconfidence, the failure mode the abstain
+    * branch exists to catch). */
+  private val LangidMarginThr = 100000000000L // 100 nats
+
+  /** SQL: decorated text of `lang` on even doc_ids, raw text otherwise —
+    * matches [[langHalfDecorDocs]]. */
+  private def langHalfDecorTextSql: String =
+    s"CASE WHEN doc_id % 2 = 0 THEN $langDecorTextSql ELSE text END"
+
   /** SQL: decorated text expression matching the gate's concat_ws. */
   private def langDecorTextSql: String = {
     val d = LangDecor.map { case (l, p) => s"WHEN lang = '$l' THEN '$p'" }
@@ -2080,18 +2152,26 @@ object Ext {
   /** Unrolled replay of [[graft.ext.LangId.classify]] (char-trigram NB:
     * feats → labeled counts → dense C×B quantized model + priors →
     * per-doc integer argmax) — the ext_nb_confusion CTE discipline at
-    * character granularity, over relation `rel(doc_id, lang, text)`.
-    * Leaves `lpred(doc_id, label, score)` bound. */
-  private def langidCtes(rel: String): String = {
+    * character granularity. Trains on `trainRel(doc_id, lang, text)`'s
+    * doc_id%3 slice, scores every `scoreRel(doc_id, text)` row — the two
+    * coincide for the in-domain gates; the margin gate scores a
+    * DIFFERENT corpus under the same frozen model. Leaves
+    * `ltot(doc_id, label, score)` and `lpred(doc_id, label, score)`
+    * bound. */
+  private def langidCtes(trainRel: String, scoreRel: String): String = {
     val b = 2000
     def q(x: String) = s"CAST(round(ln($x) * 1e9) AS BIGINT)"
-    s"""lfeats AS (
+    s"""ltrf AS (
        |  SELECT doc_id,
        |    unnest(${graft.ext.LangId.charGramBucketsSql(3, "text", b)}) AS b
-       |  FROM $rel),
-       |llab AS (SELECT doc_id, lang FROM $rel WHERE doc_id % 3 = 0),
+       |  FROM $trainRel WHERE doc_id % 3 = 0),
+       |lfeats AS (
+       |  SELECT doc_id,
+       |    unnest(${graft.ext.LangId.charGramBucketsSql(3, "text", b)}) AS b
+       |  FROM $scoreRel),
+       |llab AS (SELECT doc_id, lang FROM $trainRel WHERE doc_id % 3 = 0),
        |lrf AS (SELECT llab.lang AS label, f.b AS b
-       |        FROM lfeats f JOIN llab ON llab.doc_id = f.doc_id),
+       |        FROM ltrf f JOIN llab ON llab.doc_id = f.doc_id),
        |lcounts AS (SELECT label, b, COUNT(*) AS n FROM lrf GROUP BY label, b),
        |lnc AS (SELECT label, SUM(n) AS nc FROM lcounts GROUP BY label),
        |lgrid AS (SELECT lnc.label AS label, lnc.nc AS nc, g.b AS b
@@ -4180,14 +4260,14 @@ object Ext {
     },
 
     "ext_langid_trained" ->
-      s"""WITH ${langidCtes("documents")}
+      s"""WITH ${langidCtes("documents", "documents")}
          |SELECT doc_id, label AS lang, CAST(score AS BIGINT) AS score_lpq
          |FROM lpred ORDER BY doc_id""".stripMargin,
 
     "ext_langid_confusion" ->
       s"""WITH ldocs AS (
          |  SELECT doc_id, lang, $langDecorTextSql AS text FROM documents),
-         |${langidCtes("ldocs")},
+         |${langidCtes("ldocs", "ldocs")},
          |hpick AS (SELECT doc_id, $langHeuristicPickSql AS heuristic
          |          FROM ldocs)
          |SELECT d.lang, p.label AS trained, h.heuristic, COUNT(*) AS n
@@ -4199,7 +4279,7 @@ object Ext {
     "ext_langid_routed_quota" ->
       s"""WITH ldocs AS (
          |  SELECT doc_id, lang, $langDecorTextSql AS text FROM documents),
-         |${langidCtes("ldocs")},
+         |${langidCtes("ldocs", "ldocs")},
          |q AS (
          |  SELECT label AS lang_pred, doc_id,
          |    ${TextHash.hmodSql("(doc_id :: VARCHAR || ':lr8')")} AS qh
@@ -4211,6 +4291,74 @@ object Ext {
          |  FROM q)
          |SELECT lang_pred, doc_id, rank FROM r WHERE rank <= 25
          |ORDER BY lang_pred, rank""".stripMargin,
+
+    "ext_langid_margin" ->
+      s"""WITH ldocs AS (
+         |  SELECT doc_id, lang, $langDecorTextSql AS text FROM documents),
+         |hdocs AS (
+         |  SELECT doc_id, $langHalfDecorTextSql AS text FROM documents),
+         |${langidCtes("ldocs", "hdocs")},
+         |lrk AS (
+         |  SELECT doc_id, label, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, label ASC) AS rn
+         |  FROM ltot),
+         |lmg AS (
+         |  SELECT a.doc_id, a.label, a.score - b.score AS margin
+         |  FROM lrk a JOIN lrk b ON b.doc_id = a.doc_id
+         |   AND a.rn = 1 AND b.rn = 2)
+         |SELECT doc_id,
+         |  CASE WHEN margin >= 100000000000 THEN label ELSE 'und' END AS lang,
+         |  CAST(margin AS BIGINT) AS margin_lpq
+         |FROM lmg ORDER BY doc_id""".stripMargin,
+
+    "ext_label_kappa" ->
+      s"""WITH ldocs AS (
+         |  SELECT doc_id, lang, $langDecorTextSql AS text FROM documents),
+         |${langidCtes("ldocs", "ldocs")},
+         |hpick AS (SELECT doc_id, $langHeuristicPickSql AS pred
+         |          FROM ldocs),
+         |tp AS (
+         |  SELECT 'trained' AS rater, d.lang AS a, p.label AS b
+         |  FROM lpred p JOIN ldocs d ON d.doc_id = p.doc_id
+         |  UNION ALL
+         |  SELECT 'heuristic', d.lang, h.pred
+         |  FROM hpick h JOIN ldocs d ON d.doc_id = h.doc_id),
+         |conf AS (SELECT rater, a, b, COUNT(*) AS n
+         |         FROM tp GROUP BY 1, 2, 3),
+         |tot AS (SELECT rater, SUM(n) AS n,
+         |          SUM(CASE WHEN a = b THEN n ELSE 0 END) AS n_agree
+         |        FROM conf GROUP BY rater),
+         |am AS (SELECT rater, a, SUM(n) AS na FROM conf GROUP BY 1, 2),
+         |bm AS (SELECT rater, b, SUM(n) AS nb FROM conf GROUP BY 1, 2),
+         |pe AS (SELECT am.rater, SUM(na * nb) AS pe_num
+         |       FROM am JOIN bm ON bm.rater = am.rater AND bm.b = am.a
+         |       GROUP BY am.rater),
+         |k AS (SELECT t.rater, t.n, t.n_agree,
+         |        COALESCE(pe.pe_num, 0) AS pe_num,
+         |        t.n_agree * t.n - COALESCE(pe.pe_num, 0) AS kn,
+         |        t.n * t.n - COALESCE(pe.pe_num, 0) AS kd
+         |      FROM tot t LEFT JOIN pe ON pe.rater = t.rater)
+         |SELECT rater, CAST(n AS BIGINT) AS n,
+         |  CAST(n_agree AS BIGINT) AS n_agree,
+         |  CAST(pe_num AS DOUBLE) AS pe_num,
+         |  CAST(kn AS DOUBLE) AS kappa_num, CAST(kd AS DOUBLE) AS kappa_den,
+         |  CAST(CASE WHEN kd = 0 THEN NULL
+         |       WHEN kn >= 0 THEN (kn * 1000000) // kd
+         |       ELSE -(((-kn) * 1000000) // kd) END AS BIGINT) AS kappa_ppm
+         |FROM k ORDER BY rater""".stripMargin,
+
+    "ext_k_anon" ->
+      """WITH v AS (
+        |  SELECT lang, source, n_chars // 500 AS band FROM documents),
+        |g AS (SELECT lang, source, band, COUNT(*) AS nv
+        |      FROM v GROUP BY 1, 2, 3),
+        |a AS (SELECT lang, source, CAST(SUM(nv) AS BIGINT) AS n_rows,
+        |        CAST(COUNT(*) AS BIGINT) AS n_sensitive
+        |      FROM g GROUP BY 1, 2)
+        |SELECT lang, source, n_rows, n_sensitive,
+        |  n_rows >= 5 AS k_ok, n_sensitive >= 3 AS l_ok
+        |FROM a ORDER BY lang, source""".stripMargin,
 
     "ext_quality_gopher" -> {
       val stopList = TextStats.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
@@ -4685,18 +4833,16 @@ object Ext {
         |        MIN(us) AS f, MAX(us) AS l
         |      FROM e GROUP BY user_id),
         |n AS (SELECT MAX(us) AS now FROM e),
-        |r AS (SELECT user_id, n_obs, n_changes, l - f AS span,
-        |        CASE WHEN l = f THEN 0
-        |             ELSE (n_changes * 1000000) // (l - f) END AS rate_ppm,
-        |        now - l AS age
+        |r AS (SELECT user_id, n_obs, n_changes, l - f AS span, now - l AS age
         |      FROM a CROSS JOIN n)
         |SELECT user_id, CAST(n_obs AS BIGINT) AS n_obs,
         |  CAST(n_changes AS BIGINT) AS n_changes,
         |  CAST(span AS BIGINT) AS span,
-        |  CAST(rate_ppm AS BIGINT) AS rate_ppm,
         |  CAST(age AS BIGINT) AS age,
-        |  CAST(age * rate_ppm AS BIGINT) AS priority
-        |FROM r ORDER BY priority DESC, user_id""".stripMargin,
+        |  CAST(CASE WHEN span = 0 THEN 0
+        |       ELSE (n_changes * age * 1000000) // span
+        |       END AS BIGINT) AS priority_ppm
+        |FROM r ORDER BY priority_ppm DESC, user_id""".stripMargin,
 
     "ext_temporal_split" ->
       """WITH e AS (SELECT event_id, epoch_ns(ts)//1000 AS us FROM events

@@ -92,6 +92,8 @@ object Fixtures {
     "ext_curation_e2e" -> Seq("lr_weights"),
     "ext_langid_confusion" -> Seq("langid_decor_model"),
     "ext_langid_routed_quota" -> Seq("langid_decor_model"),
+    "ext_langid_margin" -> Seq("langid_decor_model"),
+    "ext_label_kappa" -> Seq("langid_decor_model"),
     "ext_cluster_quality" -> Seq("kmeans_book")
   )
 }

@@ -1312,6 +1312,70 @@ object ScaleSmoke {
       assert(out.getOrElse("purged", 0L) > 0L, "embargo must bite")
     }
 
+    // recrawl priority: 50M observation history x 5M keys — one partial
+    // agg collapses the history, the data-max side is a one-row broadcast
+    time("recrawl priority 50M obs x 5M keys") {
+      val hist = spark.range(0, 50000000L, 1, 256).select(
+        (col("id") % 5000000L).as("k"),
+        (col("id") * 13L % 1000000000L).as("ts"),
+        (col("id") % 3 === 0).as("ch"))
+      val out = graft.ext.Url.recrawlPriority(hist, "k", "ts", col("ch"))
+      val agg = out.agg(count(lit(1)), max("priority_ppm")).first()
+      assert(agg.getLong(0) == 5000000L, agg)
+      assert(agg.getLong(1) > 0L, "some key must have nonzero priority")
+    }
+
+    // cohen kappa: 50M rows, 20-label raters — the corpus collapses to a
+    // 400-cell confusion in ONE exchange; everything after is model-sized
+    time("cohen kappa 50M rows x 20 labels") {
+      val df = spark.range(0, 50000000L, 1, 256).select(
+        (col("id") % 20).cast("string").as("a"),
+        ((col("id") + pmod(xxhash64(col("id")), lit(3))) % 20)
+          .cast("string").as("b"))
+      val r = graft.ext.Eval.cohenKappa(df, "a", "b").first()
+      assert(r.getLong(0) == 50000000L, r)
+      assert(!r.isNullAt(5) && r.getLong(5) > 0L, s"kappa_ppm: $r")
+    }
+
+    // k-anonymity audit: 50M rows, 1M QI groups x 8 sensitive bands —
+    // one corpus exchange to (QI, sensitive), model-sized rollup after
+    time("k-anonymity 50M rows x 1M QI groups") {
+      val df = spark.range(0, 50000000L, 1, 256).select(
+        (col("id") % 1000000L).as("qi"),
+        pmod(xxhash64(col("id")), lit(8)).as("sv"))
+      val out = graft.ext.Pii.kAnonymity(df, Seq("qi"), "sv", k = 50L, l = 8L)
+      val agg = out.agg(count(lit(1)),
+        count(when(!col("k_ok") || !col("l_ok"), 1))).first()
+      assert(agg.getLong(0) == 1000000L, agg)
+    }
+
+    // abstain-margin language routing at corpus scale: same 10M-corpus
+    // shape as the trained-langid smoke, but through the top-2 margin
+    // path (C-struct sorted collect per doc — model-sized, no window)
+    time("langid margin 10M docs (abstain routing)") {
+      val phrases2 = Seq(
+        "the quick brown fox jumps over the lazy dog",
+        "der schnelle braune fuchs springt über den hund",
+        "le rapide renard brun saute pardessus le chien")
+      val langs2 = Seq("en", "de", "fr")
+      def docs2(n: Long) = spark.range(0, n, 1, 128).select(
+        col("id"),
+        element_at(typedLit(langs2), (col("id") % 3 + 1).cast("int")).as("lang"),
+        concat(
+          element_at(typedLit(phrases2), (col("id") % 3 + 1).cast("int")),
+          lit(" filler token "), (col("id") % 997).cast("string")).as("text"))
+      val (m, p) = graft.ext.NaiveBayes.train(
+        docs2(100000L), "text", "lang", 2000, 1.0,
+        graft.ext.LangId.charGramBuckets(3))
+      val out = graft.ext.LangId.classifyMargin(
+        docs2(10000000L), m, p, "text", "id",
+        minMarginLpq = 10000000000L, buckets = 2000)
+      val agg = out.agg(count(lit(1)),
+        count(when(col("lang") =!= "und", 1))).first()
+      assert(agg.getLong(0) == 10000000L, agg)
+      assert(agg.getLong(1) == 10000000L, s"separable corpus routes fully: $agg")
+    }
+
     spark.stop()
   }
 }

@@ -687,4 +687,44 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_min"),
       s"per-hash first-occurrence pick must combine map-side:\n$p")
   }
+
+  test("langid margin: broadcast model probe, top-2 pick without a window") {
+    val p = plan("ext_langid_margin")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the C×B model must broadcast into the feature stream:\n$p")
+    assert(!analyzed("ext_langid_margin").contains("Window"),
+      "the per-doc top-2 pick folds C structs in an aggregate, never a window")
+    assert(p.contains("partial_sum"),
+      "per-(doc,label) score sums must combine map-side")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must never shuffle against the model")
+  }
+
+  test("cohen kappa: one corpus exchange to the confusion matrix, no window") {
+    val p = plan("ext_label_kappa")
+    assert(!analyzed("ext_label_kappa").contains("Window"),
+      "kappa is pure grouped counting, never a window")
+    assert(p.toLowerCase.contains("partial_count"),
+      "the confusion-matrix count must combine map-side")
+    // the only non-equi join is the one-row broadcast p_e fold; a
+    // CartesianProduct (non-broadcast product) must never appear
+    // the doc-keyed truth⋈prediction join may legitimately sort-merge
+    // (both sides are corpus-sized); a CartesianProduct (non-broadcast
+    // product) must never appear anywhere
+    assert(!p.contains("CartesianProduct"),
+      s"joins are equi or one-row-broadcast only:\n$p")
+  }
+
+  test("k-anonymity: two-level agg, second level reuses the first partitioning") {
+    val p = plan("ext_k_anon")
+    assert(!analyzed("ext_k_anon").contains("Window"),
+      "the audit is grouped counting, never a window")
+    assert(p.toLowerCase.contains("partial_count"),
+      "the (QI, sensitive) count must combine map-side")
+    // one corpus exchange to (QI, sensitive); the QI rollup and the final
+    // sort add at most one hash + one range exchange — never a second
+    // corpus-wide hash shuffle of raw rows
+    val hashEx = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(hashEx <= 2, s"expected ≤2 hash exchanges, got $hashEx:\n$p")
+  }
 }

@@ -133,4 +133,39 @@ class EvalSpec extends SparkSpec {
     assert(prf(Seq.empty, Seq((1L, 2L))) == ((0L, 1L, 0L, None, Some(0L))))
     assert(prf(Seq((1L, 2L)), Seq.empty) == ((1L, 0L, 0L, Some(0L), None)))
   }
+
+  test("cohenKappa: exact decomposition, negative kappa, degenerate cases") {
+    import spark.implicits._
+    def kap(rows: Seq[(Option[String], Option[String])]) = {
+      val r = Eval.cohenKappa(rows.toDF("a", "b"), "a", "b").first()
+      (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).longValueExact(), r.getDecimal(3).longValueExact(),
+        r.getDecimal(4).longValueExact(),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))
+    }
+    def s(x: String) = Option(x)
+    // classic 2x2: a=(y,y,n,n), b=(y,n,y,n): po=1/2, pe=1/2 -> kappa 0
+    assert(kap(Seq((s("y"), s("y")), (s("y"), s("n")),
+      (s("n"), s("y")), (s("n"), s("n"))))
+      == ((4L, 2L, 8L, 0L, 8L, Some(0L))))
+    // perfect agreement on an imbalanced set: kappa exactly 1
+    assert(kap(Seq((s("y"), s("y")), (s("y"), s("y")), (s("n"), s("n"))))
+      == ((3L, 3L, 5L, 4L, 4L, Some(1000000L))))
+    // systematic DISagreement: po=0, pe=1/2 -> kappa = -1 (sign-safe ppm)
+    assert(kap(Seq((s("y"), s("n")), (s("n"), s("y"))))
+      == ((2L, 0L, 2L, -2L, 2L, Some(-1000000L))))
+    // both raters constant and equal: pe = n^2 -> kappa_den 0 -> null
+    assert(kap(Seq((s("y"), s("y")), (s("y"), s("y"))))
+      == ((2L, 2L, 4L, 0L, 0L, None)))
+    // null verdicts on either side are excluded rows, not a class
+    assert(kap(Seq((s("y"), s("y")), (None, s("y")), (s("n"), None),
+      (s("n"), s("n"))))
+      == ((2L, 2L, 2L, 2L, 2L, Some(1000000L))))
+    // hand-checked 3-class asymmetric confusion:
+    // a: x,x,x,y,y,z  b: x,x,y,y,z,z -> agree 4 (xx, xx, yy, zz),
+    // pe = 3*2+2*2+1*2 = 12, kappa = (24-12)/(36-12) = 1/2
+    assert(kap(Seq((s("x"), s("x")), (s("x"), s("x")), (s("x"), s("y")),
+      (s("y"), s("y")), (s("y"), s("z")), (s("z"), s("z"))))
+      == ((6L, 4L, 12L, 12L, 24L, Some(500000L))))
+  }
 }

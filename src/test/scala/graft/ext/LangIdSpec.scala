@@ -58,6 +58,44 @@ class LangIdSpec extends SparkSpec {
     assert(out(1001L) == "de", out)
   }
 
+  test("classifyMargin: clear docs route, weak-margin docs abstain to und") {
+    import spark.implicits._
+    val labeled = corpus(40)
+    val (m, p) = NaiveBayes.train(labeled, "text", "lang", 2000, 1.0,
+      LangId.charGramBuckets(3))
+    val probe = Seq(
+      (1L, phrases("de")),           // strong single-language evidence
+      (2L, "zzz qqq xxx www vvv"),   // out-of-vocab: margin is noise
+      (3L, "ab")                     // < n chars -> no row at all
+    ).toDF("id", "text")
+    val out = LangId.classifyMargin(probe, m, p, "text", "id",
+        minMarginLpq = 20000000000L) // 20 nats
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(out(1L)._1 == "de" && out(1L)._2 >= 20000000000L, out)
+    assert(out(2L)._1 == "und", out)
+    assert(!out.contains(3L))
+    // threshold 0 routes everything (margin >= 0 always)
+    val all = LangId.classifyMargin(probe, m, p, "text", "id", 0L)
+    assert(all.where(col("lang") === "und").isEmpty)
+    // margin agrees with classifyWith's argmax pick when routed
+    val argmax = LangId.classifyWith(probe, m, p, "text", "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L)._1 == argmax(1L))
+  }
+
+  test("classifyMargin: single-class model routes (no top-2 exists)") {
+    import spark.implicits._
+    val labeled = corpus(40).where(col("lang") === "en")
+    val (m, p) = NaiveBayes.train(labeled, "text", "lang", 2000, 1.0,
+      LangId.charGramBuckets(3))
+    val got = LangId.classifyMargin(
+        Seq((1L, "anything at all")).toDF("id", "text"),
+        m, p, "text", "id", minMarginLpq = 1000000000000L)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(got.sameElements(Array(("en", 0L))), got.toSeq)
+  }
+
   test("charGramBuckets: occurrence stream, bounded, empty for short text") {
     import spark.implicits._
     val got = Seq("abcab", "ab", "").toDF("t")

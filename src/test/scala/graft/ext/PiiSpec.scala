@@ -83,4 +83,33 @@ class PiiSpec extends SparkSpec {
       assert(got(i.toLong) == refLuhn(d), s"digits $d")
     }
   }
+
+  test("kAnonymity: per-QI counts, k/l verdicts, null QI and sensitive") {
+    import spark.implicits._
+    val rows = Seq(
+      // group (us, a): 3 rows, sensitive {1, 1, 2} -> 2 distinct
+      (Option("us"), "a", Option(1L)), (Option("us"), "a", Option(1L)),
+      (Option("us"), "a", Option(2L)),
+      // group (us, b): 1 row -> k-violation
+      (Option("us"), "b", Option(9L)),
+      // group (de, a): 2 rows, sensitive {null, 3} -> null IS a value
+      (Option("de"), "a", Option.empty[Long]), (Option("de"), "a", Option(3L)),
+      // null QI cell forms its own group
+      (Option.empty[String], "a", Option(7L)))
+      .toDF("country", "tier", "sv")
+    val got = Pii.kAnonymity(rows, Seq("country", "tier"), "sv", k = 2, l = 2)
+      .collect().map(r => (Option(r.getString(0)).getOrElse("∅"), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(got(("us", "a")) == ((3L, 2L, true, true)))
+    assert(got(("us", "b")) == ((1L, 1L, false, false)))
+    assert(got(("de", "a")) == ((2L, 2L, true, true))) // null sv counted
+    assert(got(("∅", "a")) == ((1L, 1L, false, false)))
+    assert(got.size == 4)
+    // homogeneity: k-large but sensitive-constant group fails l only
+    val homo = Seq.fill(5)(("fr", "c", 1L)).toDF("country", "tier", "sv")
+    val h = Pii.kAnonymity(homo, Seq("country", "tier"), "sv", k = 2, l = 2)
+      .first()
+    assert(h.getLong(2) == 5L && h.getLong(3) == 1L &&
+      h.getBoolean(4) && !h.getBoolean(5))
+  }
 }

@@ -224,13 +224,23 @@ class UrlSpec extends SparkSpec {
     val got = Url.recrawlPriority(h, "k", "t", col("ch"))
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-          r.getLong(5), r.getLong(6))).toMap
-    // A: 3 obs, 3 changes over span 50 -> rate 60000 ppm; age 50
-    assert(got("A") == (3L, 3L, 50L, 60000L, 50L, 3000000L), got.toString)
-    // B: rate 0 -> priority 0 despite nonzero age
-    assert(got("B") == (3L, 0L, 100L, 0L, 0L, 0L), got.toString)
-    // C: zero span -> rate 0 by contract
-    assert(got("C") == (1L, 1L, 0L, 0L, 90L, 0L), got.toString)
+          r.getLong(5))).toMap
+    // A: 3 changes over span 50, age 50 -> 3*50*1e6/50 = 3e6 ppm
+    // (3 expected missed changes)
+    assert(got("A") == (3L, 3L, 50L, 50L, 3000000L), got.toString)
+    // B: zero changes -> priority 0 despite nonzero age
+    assert(got("B") == (3L, 0L, 100L, 0L, 0L), got.toString)
+    // C: zero span -> no measurable rate, priority 0 by contract
+    assert(got("C") == (1L, 1L, 0L, 90L, 0L), got.toString)
+    // fine-grained clocks must not truncate the rate to zero: 2 changes
+    // over a 1e11-unit span (a "rate_ppm" would floor to 0), half the
+    // span stale -> ~1 expected missed change
+    val fine = Seq(("F", 0L, true), ("F", 100000000000L, true),
+      ("F", 50000000000L, false), ("G", 200000000000L, false))
+      .toDF("k", "t", "ch")
+    val fp = Url.recrawlPriority(fine, "k", "t", col("ch"))
+      .where(col("k") === "F").first()
+    assert(fp.getLong(5) == 2000000L, fp.toString) // 2*1e11*1e6/1e11
     // null keys and timestamps are excluded, not misaggregated
     val withNulls = h.unionByName(Seq(
       (Option.empty[String], Option(7L), Option(true)),
