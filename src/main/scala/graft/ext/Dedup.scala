@@ -372,6 +372,61 @@ object Dedup {
       .where(col("n_hits") >= minHits)
   }
 
+  /** N-gram NOVELTY of candidate documents against a reference corpus —
+    * the memorization/regurgitation audit run the OTHER way from
+    * [[contaminatedByNgram]]: there the benchmark is small and broadcasts;
+    * here the reference is the (100 TB) training corpus itself and the
+    * candidates (model samples, a fresh crawl, a vendor delivery) may be
+    * large too, so NOTHING broadcasts. Per candidate: how many of its
+    * distinct word `n`-grams already occur anywhere in the reference —
+    * low novelty in sampled model output signals verbatim memorization
+    * (Carlini et al. 2021's extraction metric, corpus-side); low novelty
+    * in a purchased "new" dataset signals you already own it.
+    *
+    * Scale shape: both sides reduce to DISTINCT 60-bit gram hashes (the
+    * reference aggregate is its distinct-gram set, the candidate side
+    * carries (cand_id, gram)), then one shuffled LEFT join on the hash —
+    * distinct-gram-sized exchanges, no broadcast, no all-pairs; the
+    * per-candidate roll-up partial-aggregates map-side. A null-sentinel
+    * gram rides each candidate's explode so ZERO-GRAM documents (shorter
+    * than `n` tokens) survive to the output with `novelty_ppm` 1000000 —
+    * nothing they contain has been seen, vacuously.
+    *
+    * Returns one row per candidate:
+    * (idCol, n_grams, n_seen, n_novel, novelty_ppm) with
+    * `novelty_ppm = n_novel·1e6 div n_grams` (1000000 when n_grams = 0).
+    */
+  def ngramNovelty(
+      reference: DataFrame,
+      candidates: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8
+  ): DataFrame = {
+    val grams = array_distinct(TextHash.shingles(col(textCol), n))
+    val refGrams = reference
+      .select(explode(grams).as("g"))
+      .select(TextHash.hmod60(col("g")).as("gh"))
+      .distinct()
+      .withColumn("__seen", lit(1L))
+    candidates
+      .select(col(idCol), grams.as("__grams"))
+      .select(col(idCol), size(col("__grams")).cast("bigint").as("n_grams"),
+        explode(concat(col("__grams"),
+          array(lit(null).cast("string")))).as("g"))
+      .select(col(idCol), col("n_grams"),
+        when(col("g").isNotNull, TextHash.hmod60(col("g"))).as("gh"))
+      .join(refGrams, Seq("gh"), "left")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(sum(when(col("gh").isNotNull && col("__seen").isNotNull, lit(1L))
+        .otherwise(lit(0L))).as("n_seen"))
+      .select(col(idCol), col("n_grams"), col("n_seen"),
+        (col("n_grams") - col("n_seen")).as("n_novel"),
+        when(col("n_grams") === 0, lit(1000000L))
+          .otherwise(expr("(n_grams - n_seen) * 1000000 div n_grams"))
+          .as("novelty_ppm"))
+  }
+
   /** Within-corpus duplicated n-gram spans — the exact-substring dedup
     * signal (Lee et al. 2022, "Deduplicating Training Data Makes Language
     * Models Better"): every token position whose word n-gram occurs in at

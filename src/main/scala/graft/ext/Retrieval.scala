@@ -436,4 +436,144 @@ object Retrieval {
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id"), col("rrf"), col("n_arms"))
   }
+
+  /** `floor(1e6 / log2(rank+1))` for ranks 1..`k` — the nDCG discount
+    * table as exact integer ppm literals. Computed ONCE on the driver and
+    * embedded as literals in both the Spark plan and the oracle SQL, so
+    * both engines share the identical constants and every downstream sum
+    * and ratio is exact int64 (the engine-portability discipline: never
+    * let two engines evaluate a transcendental independently). */
+  def discountPpm(k: Int): Seq[Long] =
+    (1 to k).map(r =>
+      math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+
+  /** Prefix sums of [[discountPpm]] with a leading 0 — `cum(i)` is the
+    * summed discount of ranks 1..i, so the discount mass of an arbitrary
+    * rank RANGE (a..b] is `cum(b) - cum(a)` without materializing ranks. */
+  def discountCumPpm(k: Int): Seq[Long] =
+    discountPpm(k).scanLeft(0L)(_ + _)
+
+  /** Ranked-retrieval quality metrics — MRR and nDCG@k of the [[bm25TopK]]
+    * ranking against RELEVANCE DERIVED FROM THE CORPUS ITSELF: a document's
+    * grade for a query is its TOTAL query-term occurrence count, banded
+    * (`least(gradeMax, Σ tf div tfStep)`) — a deterministic judgment both
+    * engines replay, and one that deliberately DISAGREES with BM25's
+    * length-normalized saturating tf (raw occurrence mass vs dl-normalized
+    * score), so the metric actually discriminates instead of saturating at
+    * 1.0 the way distinct-term presence does on a narrow vocabulary (real
+    * qrels plug in by replacing the grade table — the metric tail is
+    * unchanged). Gain is the standard exponential `2^grade - 1`; discounts
+    * come from [[discountPpm]] so DCG/IDCG/nDCG are exact int64.
+    *
+    * Scale shape:
+    *   - the ranking is [[bm25TopK]] (one corpus pass, query-vocab-bounded
+    *     exchange, bounded top-k);
+    *   - the grade table is a SECOND narrow corpus pass with the same
+    *     pre-explode vocabulary filter — only docs containing ≥ 1 query
+    *     term ever reach the (query, doc) aggregate;
+    *   - IDCG@k needs the top-k grades over ALL graded docs, but grades
+    *     are tiny integers, so it reduces to the per-query GRADE HISTOGRAM
+    *     (≤ |terms|+1 rows per query): histogram rows map to rank RANGES,
+    *     and each range's discount mass is one [[discountCumPpm]]
+    *     difference — no corpus-sized sort, no row_number over candidates;
+    *   - every join after the two passes is (queries × k)-sized.
+    *
+    * Output, one row per query id:
+    * (query_id, n_ranked, dcg_micro, idcg_micro, ndcg_ppm,
+    *  first_rel_rank, rr_ppm) where `first_rel_rank` is the first rank
+    * with grade ≥ `relThreshold` (null if none; `rr_ppm` 0 then) and
+    * `ndcg_ppm = dcg_micro·1e6 div idcg_micro` (0 when nothing is graded).
+    *
+    * Reference semantics: Järvelin & Kekäläinen 2002 (nDCG); MRR per the
+    * TREC QA track definition.
+    */
+  def rankingMetrics(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      queries: Seq[(Long, String)],
+      k: Int = 10,
+      relThreshold: Int = 2,
+      gradeMax: Int = 4,
+      tfStep: Int = 2
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(queries.nonEmpty, "rankingMetrics: empty query set")
+    require(gradeMax >= 1 && gradeMax <= 30,
+      s"rankingMetrics: gradeMax $gradeMax outside 1..30 " +
+        "(2^grade gain must fit int64)")
+    require(tfStep >= 1, s"rankingMetrics: tfStep $tfStep < 1")
+    val ranked = bm25TopK(df, textCol, idCol, queries, k)
+    val qterms = queries
+      .flatMap { case (qid, qtext) => queryTerms(qtext).map(qid -> _) }
+      .toDF("query_id", "term")
+    val qvocabLit = array(
+      queries.flatMap(q => queryTerms(q._2)).distinct.map(lit): _*)
+    // grade = banded total occurrence count of the query's terms:
+    // vocabulary filter before the explode, so the exchange carries only
+    // (matched doc, term) occurrences; grade-0 docs drop (gain 0). THREE
+    // branches consume this (DCG join, IDCG histogram, first-relevant) and
+    // Spark does not CSE across branches, so lazily persist — matched-doc-
+    // scale, lineage intact, LRU-evictable (the bm25TopK tfAll discipline).
+    val grade = df
+      .select(col(idCol), explode(filter(
+        TextStats.wsTokens(col(textCol)),
+        t => array_contains(qvocabLit, t))).as("term"))
+      .join(broadcast(qterms), "term")
+      .groupBy(col("query_id"), col(idCol))
+      .agg(least(lit(gradeMax.toLong),
+        expr(s"count(1) div $tfStep")).as("grade"))
+      .where(col("grade") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val discLit = array(discountPpm(k).map(lit): _*)
+    val cumLit = array(discountCumPpm(k).map(lit): _*)
+    val gained = ranked
+      .join(grade, Seq("query_id", idCol), "left")
+      .withColumn("__gain",
+        expr("shiftleft(1L, CAST(coalesce(grade, 0) AS INT)) - 1L"))
+    val dcg = gained
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_ranked"),
+        sum(col("__gain") *
+          element_at(discLit, col("rank").cast("int"))).as("dcg_micro"))
+    // IDCG from the per-query grade histogram: row (grade g, cnt c) with
+    // cumulative start s occupies ranks (s, s+c]; clamp both ends to k and
+    // charge g's gain for that range's discount mass in one subtraction
+    val hw = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("grade").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val idcg = grade
+      .groupBy(col("query_id"), col("grade"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("__start", coalesce(sum(col("cnt")).over(hw), lit(0L)))
+      .withColumn("__contrib",
+        (expr("shiftleft(1L, CAST(grade AS INT)) - 1L")) *
+          (element_at(cumLit,
+              least(col("__start") + col("cnt"), lit(k.toLong)).cast("int") + 1) -
+            element_at(cumLit,
+              least(col("__start"), lit(k.toLong)).cast("int") + 1)))
+      .groupBy("query_id")
+      .agg(sum(col("__contrib")).as("idcg_micro"))
+    val firstRel = gained
+      .where(coalesce(col("grade"), lit(0L)) >= relThreshold)
+      .groupBy("query_id")
+      .agg(min(col("rank")).as("first_rel_rank"))
+    queries.map(_._1).distinct.toDF("query_id")
+      .join(dcg, Seq("query_id"), "left")
+      .join(idcg, Seq("query_id"), "left")
+      .join(firstRel, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_ranked"), lit(0L)).as("n_ranked"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        coalesce(col("idcg_micro"), lit(0L)).as("idcg_micro"),
+        col("first_rel_rank"))
+      .withColumn("ndcg_ppm",
+        when(col("idcg_micro") > 0,
+          expr("(dcg_micro * 1000000) div idcg_micro")).otherwise(lit(0L)))
+      .withColumn("rr_ppm",
+        coalesce(expr("1000000 div first_rel_rank"), lit(0L)))
+      .select("query_id", "n_ranked", "dcg_micro", "idcg_micro", "ndcg_ppm",
+        "first_rel_rank", "rr_ppm")
+  }
 }

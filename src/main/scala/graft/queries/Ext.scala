@@ -241,6 +241,67 @@ object Ext {
         .orderBy("q_id", "rank")
     }),
 
+    "ext_retrieval_metrics" -> ((s, dir) =>
+      // ranked-retrieval quality report: MRR + nDCG@10 of the BM25 ranking
+      // against corpus-derived graded relevance (grade = banded total
+      // query-term occurrences, which deliberately disagrees with BM25's
+      // dl-normalized saturating tf so nDCG < 1 — a saturated metric
+      // verifies nothing). Gains are 2^grade - 1; discounts are the shared
+      // floor(1e6/log2(r+1)) literal table, so DCG/IDCG/nDCG are exact
+      // int64 — IDCG comes from the per-query GRADE HISTOGRAM (≤ 5 rows),
+      // never a corpus-sized ideal sort. The oracle replays ranking,
+      // grading, and both metrics end-to-end.
+      Retrieval.rankingMetrics(t(s, dir, "documents"), "text", "doc_id",
+          Bm25Queries, k = 10, relThreshold = 4, gradeMax = 4, tfStep = 3)
+        .orderBy("query_id")),
+
+    "ext_trunc_recall" -> ((s, dir) => {
+      // Matryoshka-style dimension-truncation audit: recall@5 of exact
+      // cosine search over the FIRST 16 of 64 dims against exact full-dim
+      // search — the measurement that decides whether truncated embeddings
+      // are good enough to cut ANN index cost 4×. Both arms and the
+      // overlap join are (queries × k)-sized; the oracle replays both
+      // searches and the evaluation.
+      val e = t(s, dir, "embeddings")
+      val qs = e.where(col("vec_id") < 50)
+      val full = Similarity.bruteForceTopK(e, qs, "embedding", "vec_id", 5)
+      val e16 = e.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("emb16"))
+      val q16 = qs.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("emb16"))
+      val trunc = Similarity.bruteForceTopK(e16, q16, "emb16", "vec_id", 5)
+      Similarity.recallAtK(full, trunc).orderBy("q_id")
+    }),
+
+    "ext_novelty" -> ((s, dir) => {
+      // n-gram novelty / memorization audit: candidates = verbatim copies
+      // (novelty 0), half-kept suffix-mutations (partial), and fresh short
+      // docs (fully novel) screened against the reference corpus — the
+      // reverse-direction sibling of decontamination where NOTHING
+      // broadcasts (reference gram set is corpus-scale by contract)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val verbatim = docs.where(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+      val mutated = docs.where(col("doc_id") % 4 === 1)
+        .withColumn("__toks", TextStats.wsTokens(col("text")))
+        .withColumn("__k", expr("(size(__toks) * 9) div 20"))
+        .select((col("doc_id") + 3500000L).as("doc_id"),
+          concat_ws(" ", concat(
+            slice(col("__toks"), lit(1), col("__k")),
+            array(
+              concat(lit("m"), col("doc_id").cast("string"), lit("x0")),
+              concat(lit("m"), col("doc_id").cast("string"), lit("x1")),
+              concat(lit("m"), col("doc_id").cast("string"), lit("x2")))))
+            .as("text"))
+      val fresh = docs.where(col("doc_id") % 4 === 2)
+        .select((col("doc_id") + 4500000L).as("doc_id"),
+          concat(lit("fresh "), col("doc_id").cast("string")).as("text"))
+      Dedup.ngramNovelty(docs,
+          verbatim.unionByName(mutated).unionByName(fresh),
+          "text", "doc_id", n = 8)
+        .orderBy("doc_id")
+    }),
+
     "ext_phrase_index" -> ((s, dir) => {
       // exact-phrase search from the positional inverted index: bucket-
       // pruned posting scan, consecutive-position self-joins, corpus never
@@ -2919,6 +2980,127 @@ object Ext {
          |  FROM fused)
          |SELECT q_id, rank, c_id, rrf, n_arms
          |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "ext_retrieval_metrics" -> {
+      // the discount literals come from the SAME Scala constants the Spark
+      // plan embeds — neither engine evaluates log2 itself
+      val disc = Retrieval.discountPpm(10).zipWithIndex
+        .map { case (d, i) => s"(${i + 1}, $d)" }.mkString(", ")
+      val cum = Retrieval.discountCumPpm(10).zipWithIndex
+        .map { case (c, i) => s"($i, $c)" }.mkString(", ")
+      s"""WITH rankedq AS (SELECT * FROM ($bm25OracleSql) br),
+         |q(query_id, term) AS (VALUES $bm25QueryValuesSql),
+         |disc(rank, dppm) AS (VALUES $disc),
+         |dcum(r, cum) AS (VALUES $cum),
+         |toksq AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+         |grade AS (SELECT q.query_id, tk.doc_id,
+         |            LEAST(4, COUNT(*) // 3) AS grade
+         |          FROM (SELECT doc_id, unnest(toks) AS term FROM toksq) tk
+         |          JOIN q USING (term)
+         |          GROUP BY q.query_id, tk.doc_id
+         |          HAVING LEAST(4, COUNT(*) // 3) > 0),
+         |dcg AS (SELECT r.query_id, COUNT(*) AS n_ranked,
+         |          SUM(((1 << COALESCE(g.grade, 0)) - 1) * d.dppm) AS dcg_micro
+         |        FROM rankedq r
+         |        LEFT JOIN grade g ON g.query_id = r.query_id AND g.doc_id = r.doc_id
+         |        JOIN disc d ON d.rank = r.rank
+         |        GROUP BY r.query_id),
+         |hist AS (SELECT query_id, grade, COUNT(*) AS cnt FROM grade GROUP BY 1, 2),
+         |hs AS (SELECT query_id, grade, cnt,
+         |         COALESCE(SUM(cnt) OVER (PARTITION BY query_id ORDER BY grade DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+         |       FROM hist),
+         |idcg AS (SELECT query_id,
+         |           SUM(((1 << grade) - 1) * (d1.cum - d2.cum)) AS idcg_micro
+         |         FROM hs
+         |         JOIN dcum d1 ON d1.r = LEAST(strt + cnt, 10)
+         |         JOIN dcum d2 ON d2.r = LEAST(strt, 10)
+         |         GROUP BY query_id),
+         |fr AS (SELECT r.query_id, MIN(r.rank) AS first_rel_rank
+         |       FROM rankedq r
+         |       JOIN grade g ON g.query_id = r.query_id AND g.doc_id = r.doc_id
+         |       WHERE g.grade >= 4 GROUP BY r.query_id)
+         |SELECT qs.query_id,
+         |  CAST(COALESCE(dcg.n_ranked, 0) AS BIGINT) AS n_ranked,
+         |  CAST(COALESCE(dcg.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+         |  CAST(COALESCE(idcg.idcg_micro, 0) AS BIGINT) AS idcg_micro,
+         |  CAST(CASE WHEN COALESCE(idcg.idcg_micro, 0) > 0
+         |       THEN (COALESCE(dcg.dcg_micro, 0) * 1000000) // idcg.idcg_micro
+         |       ELSE 0 END AS BIGINT) AS ndcg_ppm,
+         |  CAST(fr.first_rel_rank AS BIGINT) AS first_rel_rank,
+         |  CAST(COALESCE(1000000 // fr.first_rel_rank, 0) AS BIGINT) AS rr_ppm
+         |FROM (SELECT DISTINCT query_id FROM q) qs
+         |LEFT JOIN dcg ON dcg.query_id = qs.query_id
+         |LEFT JOIN idcg ON idcg.query_id = qs.query_id
+         |LEFT JOIN fr ON fr.query_id = qs.query_id
+         |ORDER BY qs.query_id""".stripMargin
+    },
+
+    "ext_trunc_recall" -> {
+      val dot16 = dotScaledSqlN("q.emb16", "c.emb16", 16)
+      val nrm16 = dotScaledSqlN("embedding[1:16]", "embedding[1:16]", 16)
+      s"""WITH $NormCte,
+         |n16 AS (SELECT vec_id, embedding[1:16] AS emb16,
+         |  sqrt(CAST($nrm16 AS DOUBLE) / 1e15) AS nrm FROM embeddings),
+         |qs AS (SELECT * FROM n WHERE vec_id < 50),
+         |q16 AS (SELECT * FROM n16 WHERE vec_id < 50),
+         |exact AS (SELECT q_id, c_id FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+         |               c.vec_id ASC) AS rank
+         |  FROM n c CROSS JOIN qs q WHERE c.vec_id <> q.vec_id)
+         |  WHERE rank <= 5),
+         |trunc AS (SELECT q_id, c_id FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY (CAST($dot16 AS DOUBLE) / 1e15) / (q.nrm * c.nrm) DESC,
+         |               c.vec_id ASC) AS rank
+         |  FROM n16 c CROSS JOIN q16 q WHERE c.vec_id <> q.vec_id)
+         |  WHERE rank <= 5)
+         |SELECT e.q_id, COUNT(*) AS n_exact,
+         |  CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hit,
+         |  CAST((SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+         |       // COUNT(*) AS BIGINT) AS recall_ppm
+         |FROM exact e
+         |LEFT JOIN trunc a ON a.q_id = e.q_id AND a.c_id = e.c_id
+         |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin
+    },
+
+    "ext_novelty" -> {
+      val grams8 = TextHash.shinglesSql("text", 8)
+      s"""WITH cand AS (
+         |  SELECT doc_id + 3000000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 4 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 3500000, array_to_string(toks[1:k] || fill, ' ')
+         |  FROM (SELECT doc_id, toks, (len(toks) * 9) // 20 AS k,
+         |          ['m' || doc_id || 'x0', 'm' || doc_id || 'x1',
+         |           'm' || doc_id || 'x2'] AS fill
+         |        FROM (SELECT doc_id, ${tokensSql("text")} AS toks
+         |              FROM documents WHERE doc_id % 4 = 1))
+         |  UNION ALL
+         |  SELECT doc_id + 4500000, 'fresh ' || CAST(doc_id AS VARCHAR)
+         |  FROM documents WHERE doc_id % 4 = 2),
+         |rg AS (SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+         |       FROM (SELECT unnest(list_distinct($grams8)) AS g FROM documents)),
+         |c0 AS (SELECT doc_id, list_distinct($grams8) AS grams FROM cand),
+         |cn AS (SELECT doc_id, len(grams) AS n_grams FROM c0),
+         |hits AS (SELECT doc_id, COUNT(*) AS n_seen FROM (
+         |    SELECT doc_id,
+         |      ('0x' || substr(md5(unnest(grams)), 1, 15))::BIGINT AS gh
+         |    FROM c0)
+         |  WHERE gh IN (SELECT gh FROM rg) GROUP BY doc_id)
+         |SELECT cn.doc_id, CAST(cn.n_grams AS BIGINT) AS n_grams,
+         |  CAST(COALESCE(h.n_seen, 0) AS BIGINT) AS n_seen,
+         |  CAST(cn.n_grams - COALESCE(h.n_seen, 0) AS BIGINT) AS n_novel,
+         |  CAST(CASE WHEN cn.n_grams = 0 THEN 1000000
+         |       ELSE ((cn.n_grams - COALESCE(h.n_seen, 0)) * 1000000)
+         |            // cn.n_grams END AS BIGINT) AS novelty_ppm
+         |FROM cn LEFT JOIN hits h USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "ext_phrase_index" ->
       """WITH base AS (

@@ -1376,6 +1376,50 @@ object ScaleSmoke {
       assert(agg.getLong(1) == 10000000L, s"separable corpus routes fully: $agg")
     }
 
+    // n-gram novelty: 10M-doc reference x 1M candidates (half drawn from
+    // the reference's text space, half fresh) — distinct-gram-hash
+    // exchanges on both sides, nothing broadcasts by hint, no plan literal
+    time("ngram novelty 10M ref x 1M candidates") {
+      def body(seed: org.apache.spark.sql.Column) = concat_ws(" ",
+        (0 until 12).map(j => concat(lit("w"),
+          pmod(xxhash64(seed * 31 + j), lit(5000)).cast("string"))): _*)
+      val ref = spark.range(0, 10000000L, 1, 256)
+        .select(col("id"), body(col("id")).as("text"))
+      val cand = spark.range(0, 1000000L, 1, 64).select(col("id"),
+        when(col("id") % 2 === 0, body(col("id") % 100000L)) // seen bodies
+          .otherwise(body(col("id") + 7777777777L)).as("text")) // fresh
+      val out = graft.ext.Dedup.ngramNovelty(ref, cand, "text", "id", n = 8)
+      val agg = out.agg(count(lit(1)), sum(when(col("novelty_ppm") === 0, 1L)),
+        sum(when(col("novelty_ppm") === 1000000L, 1L))).first()
+      assert(agg.getLong(0) == 1000000L, agg)
+      assert(agg.getLong(1) >= 490000L, s"reference-drawn half is seen: $agg")
+      assert(agg.getLong(2) >= 450000L, s"fresh half is novel: $agg")
+    }
+
+    // ranked-retrieval metrics at corpus scale: 20M docs, 4 queries —
+    // two narrow corpus passes (ranking + grades), every tail join
+    // (queries x k)-sized, the one Window keyed on query_id over the
+    // <= 5-row-per-query grade histogram
+    time("retrieval metrics 20M docs x 4 queries") {
+      // 30-word vocabulary, 6 queried: the pre-explode vocabulary filter
+      // prunes ~70% of tokens (a 6-word corpus would defeat it by
+      // construction and just re-stress the bm25 shuffle)
+      val vocab = (0 until 24).map(i => s"w$i") ++
+        Seq("alpha", "beta", "gamma", "delta", "eps", "zeta")
+      val docs3 = spark.range(0, 20000000L, 1, 256).select(col("id"),
+        concat_ws(" ",
+          (0 until 10).map(j => element_at(typedLit(vocab),
+            pmod(xxhash64(col("id") * 17 + j), lit(30)).cast("int") + 1)): _*)
+          .as("text"))
+      val qs = Seq(0L -> "alpha beta", 1L -> "gamma delta",
+        2L -> "eps zeta", 3L -> "alpha zeta gamma")
+      val out = graft.ext.Retrieval.rankingMetrics(
+        docs3, "text", "id", qs, k = 10, relThreshold = 2)
+        .collect()
+      assert(out.length == 4, out.toSeq)
+      assert(out.forall(r => r.getLong(3) > 0L), s"graded mass: ${out.toSeq}")
+    }
+
     spark.stop()
   }
 }

@@ -727,4 +727,55 @@ class PlanSpec extends AnyFunSuite {
     val hashEx = "hashpartitioning\\(".r.findAllIn(p).length
     assert(hashEx <= 2, s"expected ≤2 hash exchanges, got $hashEx:\n$p")
   }
+
+  test("retrieval metrics: keyed histogram window only, broadcast query sides") {
+    val a = analyzed("ext_retrieval_metrics")
+    // the one Window (IDCG histogram cumsum) is PARTITIONED by query_id —
+    // an unpartitioned Window here would sort all graded docs on one task
+    val windows = "windowspecdefinition\\(".r
+      .findAllIn(a.toLowerCase).length
+    val keyed = "windowspecdefinition\\(query_id".r
+      .findAllIn(a.toLowerCase).length
+    assert(windows == keyed && windows >= 1,
+      s"every Window must be keyed by query_id ($keyed/$windows):\n$a")
+    val p = plan("ext_retrieval_metrics")
+    assert(p.contains("BroadcastHashJoin"),
+      "query-term and metric-tail joins must broadcast the query-sized side")
+    assert(!p.contains("CartesianProduct"),
+      s"no product joins anywhere in the metric tail:\n$p")
+    assert(p.toLowerCase.contains("partial_count"),
+      "the grade aggregation must combine map-side")
+  }
+
+  test("novelty: reference grams equi-join with no static hint or plan literal") {
+    // the reference side is corpus-scale BY CONTRACT, so the code must not
+    // FORCE a broadcast (no ResolvedHint) and must never collect the gram
+    // set into a plan literal (the robots-rules bug class) — the planner
+    // picking a broadcast HERE is fine (the fixture side is KBs; at 100 TB
+    // the same unhinted equi join exceeds the threshold and shuffles)
+    val a = analyzed("ext_novelty")
+    assert(!a.contains("ResolvedHint"),
+      "no static broadcast hint on the corpus-scale reference side")
+    assert(!a.contains("Window"),
+      "per-candidate rollup is grouped counting, never a window")
+    val p = plan("ext_novelty")
+    assert(!p.contains("CartesianProduct"), "no product joins")
+    assert(p.toLowerCase.contains("partial_sum"),
+      "the seen-gram rollup must combine map-side")
+    assert("Join [a-zA-Z]*[oO]uter".r.findFirstIn(p).isDefined ||
+        p.contains("LeftOuter"),
+      s"the gram probe is a LEFT equi join (zero-gram docs survive):\n$p")
+  }
+
+  test("trunc recall: both search arms broadcast the query side only") {
+    val p = plan("ext_trunc_recall")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side must broadcast into the corpus scan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "the scored cross product must be a broadcast product, never a " +
+        "shuffled CartesianProduct")
+    assert(!analyzed("ext_trunc_recall").contains("Window") ||
+      p.contains("graft_topk"),
+      "top-k must run through the bounded aggregate when registered")
+  }
 }

@@ -451,6 +451,33 @@ class ExtSpec extends SparkSpec {
     assert(loose.toSeq == Seq(1L, 3L))
   }
 
+  test("ngramNovelty: verbatim 0, fresh 1e6, partial exact; short docs kept") {
+    val span = (1 to 12).map(i => s"n$i").mkString(" ") // 12 tokens → 5 8-grams
+    val reference = docs((1L, span), (2L, "r1 r2 r3"))
+    val candidates = docs(
+      (10L, span), // verbatim: 5/5 seen → novelty 0
+      // 9 of the span's tokens + 3 fresh → 5 grams, 2 verbatim-seen
+      // (positions 1..2 of the original), 3 crossing into fresh tokens
+      (11L, (1 to 9).map(i => s"n$i").mkString(" ") + " z1 z2 z3"),
+      (12L, "w1 w2 w3 w4 w5 w6 w7 w8"), // 1 gram, unseen → 1e6
+      (13L, "a b")) // < n tokens → single whole-text gram, unseen → 1e6
+    val out = Dedup.ngramNovelty(reference, candidates, "text", "doc_id", n = 8)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out(10L) == ((5L, 5L, 0L, 0L)))
+    assert(out(11L) == ((5L, 2L, 3L, 600000L)))
+    assert(out(12L) == ((1L, 0L, 1L, 1000000L)))
+    assert(out(13L) == ((1L, 0L, 1L, 1000000L)))
+    // the reference side is never broadcast by construction: a reference
+    // containing the candidate's whole-text short gram is still seen
+    val seenShort = Dedup.ngramNovelty(docs((1L, "a b")), candidates,
+        "text", "doc_id", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(seenShort(13L) == 0L, "whole-text fallback grams match cross-side")
+  }
+
   test("tfidfTopK equals the window-ranked reference, including tie order") {
     val corpus = docs(
       (1L, "apple apple banana common common"),

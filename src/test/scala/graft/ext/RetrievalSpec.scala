@@ -304,4 +304,51 @@ class RetrievalSpec extends SparkSpec {
     assert(Retrieval.rrfFuse(Seq(arm((1L, 1L, 1), (1L, 2L, 2), (1L, 3L, 3))),
       k = 2).count() == 2L)
   }
+
+  test("rankingMetrics agrees with an in-memory replay of DCG/IDCG/MRR") {
+    import spark.implicits._
+    val corpus = Seq(
+      1L -> "x x x y q q q q", // Σtf 4 → grade 1 at step 3
+      2L -> "x y x y x y", // 6 → grade 2
+      3L -> "x x x x x x x x x y y y", // 12 → grade 4
+      4L -> "q w e r t", // 0 → ungraded
+      5L -> "y y y y y y", // 6 → grade 2
+      6L -> "x").toDF("doc_id", "text") // 1 → grade 0, dropped
+    val queries = Seq(10L -> "x y")
+    val out = Retrieval.rankingMetrics(corpus, "text", "doc_id", queries,
+      k = 3, relThreshold = 2, gradeMax = 4, tfStep = 3).collect().head
+    // independent replay from the (oracle-verified) ranking + hand grades
+    val ranked = Retrieval.bm25TopK(corpus, "text", "doc_id", queries, 3)
+      .orderBy("rank").collect().map(_.getLong(2))
+    val grade = Map(1L -> 4, 2L -> 6, 3L -> 12, 5L -> 6, 6L -> 1)
+      .view.mapValues(v => math.min(4, v / 3)).filter(_._2 > 0).toMap
+    val disc = Retrieval.discountPpm(3)
+    val dcg = ranked.zipWithIndex
+      .map { case (d, i) => ((1L << grade.getOrElse(d, 0)) - 1) * disc(i) }.sum
+    val idcg = grade.values.toSeq.sorted.reverse.take(3).zipWithIndex
+      .map { case (g, i) => ((1L << g) - 1) * disc(i) }.sum
+    val fr = ranked.zipWithIndex
+      .collectFirst { case (d, i) if grade.getOrElse(d, 0) >= 2 => i + 1L }
+    assert(out.getLong(1) == 3L, "n_ranked")
+    assert(out.getLong(2) == dcg, "dcg_micro")
+    assert(out.getLong(3) == idcg, "idcg_micro")
+    assert(out.getLong(4) == dcg * 1000000L / idcg, "ndcg_ppm")
+    assert(Option(out.get(5)).map(_.asInstanceOf[Long]) == fr)
+    assert(out.getLong(6) == fr.map(1000000L / _).getOrElse(0L), "rr_ppm")
+  }
+
+  test("rankingMetrics: query matching nothing yields a zero row") {
+    import spark.implicits._
+    val corpus = Seq(1L -> "x y z").toDF("doc_id", "text")
+    val out = Retrieval.rankingMetrics(corpus, "text", "doc_id",
+        Seq(7L -> "zz qq"), k = 5).collect().head
+    assert(out.getLong(0) == 7L)
+    assert((1 to 4).forall(out.getLong(_) == 0L), s"zeros: $out")
+    assert(out.isNullAt(5), "no relevant doc → null first_rel_rank")
+    assert(out.getLong(6) == 0L)
+    // discount table sanity: rank 1 discount is exactly 1e6, cum prefixes
+    assert(Retrieval.discountPpm(3).head == 1000000L)
+    assert(Retrieval.discountCumPpm(3) ==
+      Retrieval.discountPpm(3).scanLeft(0L)(_ + _))
+  }
 }
