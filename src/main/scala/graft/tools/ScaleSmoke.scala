@@ -1396,6 +1396,36 @@ object ScaleSmoke {
       assert(agg.getLong(2) >= 450000L, s"fresh half is novel: $agg")
     }
 
+    // persistent gram index: build once over the 10M reference, then the
+    // 1M-candidate probe must cost the BATCH (bucketed semi join, zero
+    // index-side exchange), not a reference re-hash
+    time("gram index build 10M + probe 1M") {
+      def body2(seed: org.apache.spark.sql.Column) = concat_ws(" ",
+        (0 until 12).map(j => concat(lit("w"),
+          pmod(xxhash64(seed * 31 + j), lit(5000)).cast("string"))): _*)
+      val ref = spark.range(0, 10000000L, 1, 256)
+        .select(col("id"), body2(col("id")).as("text"))
+      val cand = spark.range(0, 1000000L, 1, 64).select(col("id"),
+        when(col("id") % 2 === 0, body2(col("id") % 100000L))
+          .otherwise(body2(col("id") + 7777777777L)).as("text"))
+      val store = new graft.table.TableStore(spark,
+        java.nio.file.Files.createTempDirectory("graft_sm_ng").toString)
+      val t1 = System.nanoTime()
+      graft.ext.GramIndex.buildGramIndex(store, "g", ref, "text",
+        n = 8, numBuckets = 32)
+      val tBuild = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val agg = graft.ext.GramIndex
+        .noveltyAgainstIndex(store, "g", cand, "text", "id", n = 8)
+        .agg(count(lit(1)), sum(when(col("novelty_ppm") === 0, 1L))).first()
+      val tProbe = (System.nanoTime() - t2) / 1e9
+      assert(agg.getLong(0) == 1000000L, agg)
+      assert(agg.getLong(1) >= 490000L, s"seen half: $agg")
+      assert(tProbe < tBuild,
+        f"probe ($tProbe%.1fs) must undercut the build ($tBuild%.1fs)")
+      println(f"[scale]   gram-index split: build $tBuild%.1fs probe $tProbe%.1fs")
+    }
+
     // ranked-retrieval metrics at corpus scale: 20M docs, 4 queries —
     // two narrow corpus passes (ranking + grades), every tail join
     // (queries x k)-sized, the one Window keyed on query_id over the

@@ -767,6 +767,19 @@ class PlanSpec extends AnyFunSuite {
       s"the gram probe is a LEFT equi join (zero-gram docs survive):\n$p")
   }
 
+  test("novelty indexed: semi-join membership against the bucketed gram table") {
+    val p = plan("ext_novelty_indexed")
+    assert(p.contains("LeftSemi"),
+      s"membership must be a semi join (duplicate rows in the index can " +
+        s"never fan out counts):\n$p")
+    assert(p.contains("SelectedBucketsCount"),
+      s"the index side must scan through its bucketing (no exchange over " +
+        s"the persistent gram table):\n$p")
+    assert(!p.contains("CartesianProduct"), "no product joins")
+    assert(!analyzed("ext_novelty_indexed").contains("Window"),
+      "per-candidate rollup is grouped counting, never a window")
+  }
+
   test("trunc recall: both search arms broadcast the query side only") {
     val p = plan("ext_trunc_recall")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
