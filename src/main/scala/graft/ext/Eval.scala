@@ -219,4 +219,69 @@ object Eval {
                  else -(((-kappa_num) * 1000000) div kappa_den)
                  end as bigint)""")))
   }
+
+  /** Fleiss' kappa — chance-corrected agreement for n ≥ 2 raters over a
+    * fixed category set (Fleiss 1971), the multi-rater generalization of
+    * [[cohenKappa]] (which it does NOT reduce to at n = 2: Fleiss pools
+    * marginals across raters; both are standard). The label-QA statistic
+    * when an ensemble of classifiers/annotators labels the same corpus.
+    *
+    * Exact integer decomposition (the cohenKappa discipline): with
+    * `S = Σ_i Σ_j n_ij²` (n_ij = raters assigning category j to item i),
+    * `T = N·n` total assignments and `E = Σ_j (Σ_i n_ij)²`,
+    * `κ = [(S − T)·T − E·(n−1)] / [(n−1)·(T² − E)]` — every term a
+    * decimal(38,0) product of int64 counts; ppm is sign-safe truncating
+    * (negative κ divides magnitudes, trunc-vs-floor portable). The
+    * denominator is 0 exactly when every rater gives every item one
+    * identical category (P̄ₑ = 1) — `kappa_ppm` is null then.
+    *
+    * Rows where ANY rater column is null are excluded (Fleiss requires a
+    * constant rater count per item).
+    *
+    * Scale shape: one exchange keyed by item to count n_ij (partial-agg
+    * friendly: the explode emits n rows per item and combines map-side),
+    * then category-sized and one-row aggregates; no window, no product
+    * join beyond one-row broadcasts.
+    *
+    * Output (one row): (n_items, n_raters, n_categories, s_sq, e_sq,
+    * kappa_num, kappa_den, kappa_ppm). */
+  def fleissKappa(
+      df: DataFrame, idCol: String, raterCols: Seq[String]
+  ): DataFrame = {
+    require(raterCols.size >= 2, "fleissKappa: need >= 2 raters")
+    val d38 = "decimal(38,0)"
+    val nR = raterCols.size
+    val nij = df
+      .where(raterCols.map(c => col(c).isNotNull).reduce(_ && _))
+      .select(col(idCol).as("__i"),
+        explode(array(raterCols.map(c => col(c).cast("string")): _*))
+          .as("__cat"))
+      .groupBy(col("__i"), col("__cat"))
+      .agg(count(lit(1)).as("__nij"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sAgg = nij.agg(
+      sum((col("__nij").cast(d38) * col("__nij").cast(d38))).as("s_sq"),
+      sum(col("__nij")).as("__tot"))
+    val eAgg = nij.groupBy("__cat").agg(sum(col("__nij")).as("__tj"))
+      .agg(sum(col("__tj").cast(d38) * col("__tj").cast(d38)).as("e_sq"),
+        count(lit(1)).as("n_categories"))
+    sAgg.crossJoin(broadcast(eAgg))
+      .select(
+        expr(s"__tot div $nR").as("n_items"),
+        lit(nR.toLong).as("n_raters"),
+        col("n_categories"),
+        col("s_sq"),
+        col("e_sq"),
+        ((col("s_sq") - col("__tot").cast(d38)) * col("__tot").cast(d38) -
+          col("e_sq") * lit(nR - 1).cast(d38)).as("kappa_num"),
+        (lit(nR - 1).cast(d38) *
+          (col("__tot").cast(d38) * col("__tot").cast(d38) - col("e_sq")))
+          .as("kappa_den"))
+      .withColumn("kappa_ppm",
+        when(col("kappa_den") =!= 0,
+          expr("""cast(case when kappa_num >= 0
+                 then (kappa_num * 1000000) div kappa_den
+                 else -(((-kappa_num) * 1000000) div kappa_den)
+                 end as bigint)""")))
+  }
 }

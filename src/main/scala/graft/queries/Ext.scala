@@ -1357,6 +1357,38 @@ object Ext {
         .orderBy("rater")
     }),
 
+    "ext_shard_assign" -> ((s, dir) =>
+      // rendezvous-hash shard map + reshard-impact report: 8 -> 9 shards
+      // must move ~1/9 of documents (modulo sharding would move ~8/9) —
+      // the stable-resharding property IS the operator; per-row O(S)
+      // portable md5 hashes in one projection, no shuffle
+      graft.ops.Sharding.reshardReport(
+          t(s, dir, "documents").select("doc_id"), "doc_id",
+          nShards = 8, delta = 1)
+        .orderBy("doc_id")),
+
+    "ext_fleiss_kappa" -> ((s, dir) => {
+      // multi-rater agreement (Fleiss 1971) over THREE real raters labeling
+      // the half-decorated corpus under one frozen model: the trained NB
+      // router, the abstain-margin router (und on low evidence), and the
+      // marker heuristic — the ensemble-labeling QA statistic Cohen's
+      // pairwise kappa cannot express. Exact decimal(38,0) decomposition,
+      // sign-safe ppm; the oracle replays all three raters AND the fold.
+      val docs = langHalfDecorDocs(s, dir)
+      val (m, p) = Fixtures.langidDecorModel(s, dir)
+      val trained = LangId.classifyWith(docs.select("doc_id", "text"), m, p,
+          "text", "doc_id")
+        .select(col("doc_id"), col("lang").as("r_trained"))
+      val margin = LangId.classifyMargin(docs.select("doc_id", "text"), m, p,
+          "text", "doc_id", minMarginLpq = LangidMarginThr)
+        .select(col("doc_id"), col("lang").as("r_margin"))
+      val heur = TextStats.langId(docs, "text")
+        .select(col("doc_id"), col("lang_pred").as("r_heuristic"))
+      Eval.fleissKappa(
+        trained.join(margin, "doc_id").join(heur, "doc_id"),
+        "doc_id", Seq("r_trained", "r_margin", "r_heuristic"))
+    }),
+
     "ext_k_anon" -> ((s, dir) => {
       // k-anonymity / l-diversity release audit: QI = (lang, source),
       // sensitive = 500-char length band — per QI group, exact row and
@@ -4569,6 +4601,68 @@ object Ext {
          |       WHEN kn >= 0 THEN (kn * 1000000) // kd
          |       ELSE -(((-kn) * 1000000) // kd) END AS BIGINT) AS kappa_ppm
          |FROM k ORDER BY rater""".stripMargin,
+
+    "ext_shard_assign" ->
+      """WITH sc AS (
+        |  SELECT doc_id, s,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |                        CAST(s AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents CROSS JOIN (SELECT unnest(range(0, 9)) AS s)),
+        |b AS (SELECT doc_id, s AS shard_before FROM (
+        |  SELECT doc_id, s,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s ASC) AS rn
+        |  FROM sc WHERE s < 8) WHERE rn = 1),
+        |a AS (SELECT doc_id, s AS shard_after FROM (
+        |  SELECT doc_id, s,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s ASC) AS rn
+        |  FROM sc) WHERE rn = 1)
+        |SELECT b.doc_id, CAST(shard_before AS BIGINT) AS shard_before,
+        |  CAST(shard_after AS BIGINT) AS shard_after,
+        |  shard_before <> shard_after AS moved
+        |FROM b JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "ext_fleiss_kappa" ->
+      s"""WITH ldocs AS (
+         |  SELECT doc_id, lang, $langDecorTextSql AS text FROM documents),
+         |hdocs AS (
+         |  SELECT doc_id, $langHalfDecorTextSql AS text FROM documents),
+         |${langidCtes("ldocs", "hdocs")},
+         |lrk AS (
+         |  SELECT doc_id, label, score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, label ASC) AS rn
+         |  FROM ltot),
+         |lmg AS (
+         |  SELECT a.doc_id, a.label, a.score - b.score AS margin
+         |  FROM lrk a JOIN lrk b ON b.doc_id = a.doc_id
+         |   AND a.rn = 1 AND b.rn = 2),
+         |ratings AS (
+         |  SELECT doc_id, label AS cat FROM lpred
+         |  UNION ALL
+         |  SELECT doc_id,
+         |    CASE WHEN margin >= $LangidMarginThr THEN label ELSE 'und' END
+         |  FROM lmg
+         |  UNION ALL
+         |  SELECT doc_id, $langHeuristicPickSql FROM hdocs),
+         |nij AS (SELECT doc_id, cat, COUNT(*) AS nij
+         |        FROM ratings GROUP BY 1, 2),
+         |sagg AS (SELECT SUM(nij * nij) AS s_sq, SUM(nij) AS tot FROM nij),
+         |eagg AS (SELECT SUM(tj * tj) AS e_sq, COUNT(*) AS n_categories
+         |         FROM (SELECT cat, SUM(nij) AS tj FROM nij GROUP BY cat)),
+         |k AS (SELECT tot // 3 AS n_items, 3 AS n_raters, n_categories,
+         |        s_sq, e_sq,
+         |        (s_sq - tot) * tot - e_sq * 2 AS kn,
+         |        2 * (tot * tot - e_sq) AS kd
+         |      FROM sagg CROSS JOIN eagg)
+         |SELECT CAST(n_items AS BIGINT) AS n_items,
+         |  CAST(n_raters AS BIGINT) AS n_raters,
+         |  CAST(n_categories AS BIGINT) AS n_categories,
+         |  CAST(s_sq AS DOUBLE) AS s_sq, CAST(e_sq AS DOUBLE) AS e_sq,
+         |  CAST(kn AS DOUBLE) AS kappa_num, CAST(kd AS DOUBLE) AS kappa_den,
+         |  CAST(CASE WHEN kd = 0 THEN NULL
+         |       WHEN kn >= 0 THEN (kn * 1000000) // kd
+         |       ELSE -(((-kn) * 1000000) // kd) END AS BIGINT) AS kappa_ppm
+         |FROM k""".stripMargin,
 
     "ext_k_anon" ->
       """WITH v AS (

@@ -153,6 +153,7 @@ object Fixtures {
     "ext_langid_routed_quota" -> Seq("langid_decor_model"),
     "ext_langid_margin" -> Seq("langid_decor_model"),
     "ext_label_kappa" -> Seq("langid_decor_model"),
+    "ext_fleiss_kappa" -> Seq("langid_decor_model"),
     "ext_bm25_indexed" -> Seq("bm25_index"),
     "ext_neardup_indexed" -> Seq("neardup_index"),
     "ext_ivf_indexed" -> Seq("ivf_index"),

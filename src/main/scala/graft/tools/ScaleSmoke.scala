@@ -1337,6 +1337,36 @@ object ScaleSmoke {
       assert(!r.isNullAt(5) && r.getLong(5) > 0L, s"kappa_ppm: $r")
     }
 
+    // rendezvous sharding: 50M rows x 16 shards — 2x17 md5s per row in one
+    // codegen'd projection, zero shuffle; the moved fraction IS the
+    // resharding cost and must stay ~1/17
+    time("rendezvous shard 50M x 16->17") {
+      val out = graft.ops.Sharding.reshardReport(
+        spark.range(0, 50000000L, 1, 256).toDF("id"), "id",
+        nShards = 16, delta = 1)
+      val agg = out.agg(count(lit(1)),
+        sum(col("moved").cast("long"))).first()
+      assert(agg.getLong(0) == 50000000L, agg)
+      val frac = agg.getLong(1).toDouble / 5e7
+      assert(frac > 0.045 && frac < 0.075, s"~1/17 must move: $frac")
+    }
+
+    // fleiss kappa: 50M items x 3 raters x 20 labels — one item-keyed
+    // exchange to n_ij (map-side combined), category- and one-row
+    // aggregates after
+    time("fleiss kappa 50M items x 3 raters") {
+      val df = spark.range(0, 50000000L, 1, 256).select(col("id"),
+        (col("id") % 20).cast("string").as("r1"),
+        ((col("id") + pmod(xxhash64(col("id")), lit(3))) % 20)
+          .cast("string").as("r2"),
+        ((col("id") + pmod(xxhash64(col("id") + 7), lit(5))) % 20)
+          .cast("string").as("r3"))
+      val r = graft.ext.Eval.fleissKappa(df, "id", Seq("r1", "r2", "r3"))
+        .first()
+      assert(r.getLong(0) == 50000000L, r)
+      assert(!r.isNullAt(7) && r.getLong(7) > 0L, s"kappa_ppm: $r")
+    }
+
     // k-anonymity audit: 50M rows, 1M QI groups x 8 sensitive bands —
     // one corpus exchange to (QI, sensitive), model-sized rollup after
     time("k-anonymity 50M rows x 1M QI groups") {

@@ -715,6 +715,27 @@ class PlanSpec extends AnyFunSuite {
       s"joins are equi or one-row-broadcast only:\n$p")
   }
 
+  test("shard assign: pure projection — no exchange but the final sort, no join") {
+    val p = plan("ext_shard_assign")
+    assert(!p.contains("hashpartitioning("),
+      s"rendezvous scoring is per-row — nothing may shuffle on a key:\n$p")
+    assert(!p.contains("Join"),
+      "no join — the shard range is a per-row literal sequence")
+    assert(!analyzed("ext_shard_assign").contains("Window"), "no window")
+  }
+
+  test("fleiss kappa: grouped counting only — no window, no product join") {
+    val a = analyzed("ext_fleiss_kappa")
+    assert(!a.contains("Window"),
+      "three classifier passes + the n_ij fold are all aggregates — the " +
+        "margin top-2 pick and the kappa fold must never window")
+    val p = plan("ext_fleiss_kappa")
+    assert(!p.contains("CartesianProduct"),
+      s"only one-row broadcast folds may cross:\n$p")
+    assert(p.toLowerCase.contains("partial_count"),
+      "the per-(item, category) count must combine map-side")
+  }
+
   test("k-anonymity: two-level agg, second level reuses the first partitioning") {
     val p = plan("ext_k_anon")
     assert(!analyzed("ext_k_anon").contains("Window"),

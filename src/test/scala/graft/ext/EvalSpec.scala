@@ -168,4 +168,37 @@ class EvalSpec extends SparkSpec {
       (s("y"), s("y")), (s("y"), s("z")), (s("z"), s("z"))))
       == ((6L, 4L, 12L, 12L, 24L, Some(500000L))))
   }
+
+  test("fleissKappa: hand-computed decomposition, degenerate and null cases") {
+    def fk(rows: Seq[(Long, Option[String], Option[String], Option[String])]) = {
+      val r = Eval.fleissKappa(rows.toDF("id", "r1", "r2", "r3"),
+        "id", Seq("r1", "r2", "r3")).first()
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).longValueExact(), r.getDecimal(4).longValueExact(),
+        r.getDecimal(5).longValueExact(), r.getDecimal(6).longValueExact(),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)))
+    }
+    val s = Option.apply[String] _
+    // hand-worked: items (a,a,a),(a,b,b),(b,b,a):
+    // S = 9+5+5 = 19, T = 9, Tj = (a:5, b:4) -> E = 41
+    // kappa = [(19-9)*9 - 41*2] / [2*(81-41)] = 8/80 = 0.1 exactly
+    assert(fk(Seq(
+      (1L, s("a"), s("a"), s("a")),
+      (2L, s("a"), s("b"), s("b")),
+      (3L, s("b"), s("b"), s("a"))))
+      == ((3L, 3L, 2L, 19L, 41L, 8L, 80L, Some(100000L))))
+    // unanimous single category: P̄e = 1 -> denominator 0 -> null ppm
+    assert(fk(Seq((1L, s("a"), s("a"), s("a")), (2L, s("a"), s("a"), s("a"))))
+      == ((2L, 3L, 1L, 18L, 36L, 0L, 0L, None)))
+    // an item with ANY null rater is excluded entirely
+    assert(fk(Seq(
+      (1L, s("a"), s("a"), s("a")),
+      (2L, s("a"), None, s("b")),
+      (3L, s("b"), s("b"), s("a"))))._1 == 2L)
+    // worse than chance: every item maximally split across 3 categories
+    // S = 3 per item, P̄ = 0 -> kappa negative, sign-safe truncation
+    val split = fk(Seq(
+      (1L, s("a"), s("b"), s("c")), (2L, s("a"), s("b"), s("c"))))
+    assert(split._6 < 0L && split._8.exists(_ < 0L), split)
+  }
 }
