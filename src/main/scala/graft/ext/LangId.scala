@@ -123,6 +123,30 @@ object LangId {
       buckets: Int = 2000
   ): DataFrame = {
     require(minMarginLpq >= 0, "classifyMargin: minMarginLpq must be >= 0")
+    classifyTopMargin(corpus, model, priors, textCol, idCol, n, buckets)
+      .select(col(idCol),
+        when(col("margin_lpq").isNull || // single-class model: no gap
+            col("margin_lpq") >= minMarginLpq, col("lang_top"))
+          .otherwise(lit("und")).as("lang"),
+        coalesce(col("margin_lpq"), lit(0L)).as("margin_lpq"))
+  }
+
+  /** The shared scoring pass under [[classifyMargin]], exposed so a
+    * caller needing BOTH the unconditional argmax and a margin-gated
+    * routing (e.g. rater-agreement audits that compare the two) scores
+    * the corpus once instead of twice. Output: (idCol, lang_top,
+    * margin_lpq) with margin_lpq null exactly when the model has a
+    * single class (no runner-up). `lang_top` is bit-identical to
+    * [[classifyWith]]'s `lang` — both take min on (negScore, label). */
+  def classifyTopMargin(
+      corpus: DataFrame,
+      model: DataFrame,
+      priors: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = DefaultN,
+      buckets: Int = 2000
+  ): DataFrame = {
     corpus
       .select(col(idCol),
         explode(charGramBuckets(n)(col(textCol), buckets)).as("b"))
@@ -140,14 +164,9 @@ object LangId {
       // get() is 0-based and null on out-of-bounds — a single-class
       // model has no second element (ANSI element_at would throw)
       .select(col(idCol),
-        get(col("__ks"), lit(0)).as("__top"),
+        get(col("__ks"), lit(0))("label").as("lang_top"),
         (get(col("__ks"), lit(1))("negScore") -
           get(col("__ks"), lit(0))("negScore")).as("margin_lpq"))
-      .select(col(idCol),
-        when(col("margin_lpq").isNull || // single-class model: no gap
-            col("margin_lpq") >= minMarginLpq, col("__top")("label"))
-          .otherwise(lit("und")).as("lang"),
-        coalesce(col("margin_lpq"), lit(0L)).as("margin_lpq"))
   }
 
   /** [[classify]] under a PRE-TRAINED (model, priors) pair — the

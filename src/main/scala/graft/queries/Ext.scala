@@ -690,6 +690,19 @@ object Ext {
         .orderBy("doc_id")
     }),
 
+    "ext_hamming_neighbors" -> ((s, dir) =>
+      // EXACT Hamming r-neighbor search by multi-index pigeonhole banding
+      // (Norouzi 2012): 60-bit simhashes split into 4 disjoint 15-bit
+      // chunks; any pair within hamming 3 must collide on >= 1 chunk.
+      // Zero false negatives by construction (unlike minhash LSH) and the
+      // bit_count verification removes every false positive — the planted
+      // " zz dup marker" copies land within the radius, random cross-pairs
+      // (hamming ~30) never do.
+      Dedup.hammingNeighbors(
+          Dedup.simhash(nearDupCorpus(s, dir), "text", "doc_id"),
+          "doc_id", "simhash", maxDist = 3)
+        .orderBy("a_id", "b_id")),
+
     "ext_ngram_jaccard" -> ((s, dir) => {
       val c = nearDupCorpus(s, dir)
       val orig = c.where(col("doc_id") % 10 === 0 && col("doc_id") < 1000000L)
@@ -1376,16 +1389,19 @@ object Ext {
       // sign-safe ppm; the oracle replays all three raters AND the fold.
       val docs = langHalfDecorDocs(s, dir)
       val (m, p) = Fixtures.langidDecorModel(s, dir)
-      val trained = LangId.classifyWith(docs.select("doc_id", "text"), m, p,
+      // one scoring pass feeds BOTH model raters: the unconditional
+      // argmax and the abstain-margin routing are projections of the
+      // same (lang_top, margin) — scoring the corpus twice would halve
+      // the gate's throughput for identical output
+      val tm = LangId.classifyTopMargin(docs.select("doc_id", "text"), m, p,
           "text", "doc_id")
-        .select(col("doc_id"), col("lang").as("r_trained"))
-      val margin = LangId.classifyMargin(docs.select("doc_id", "text"), m, p,
-          "text", "doc_id", minMarginLpq = LangidMarginThr)
-        .select(col("doc_id"), col("lang").as("r_margin"))
+        .select(col("doc_id"), col("lang_top").as("r_trained"),
+          when(col("margin_lpq").isNull ||
+              col("margin_lpq") >= LangidMarginThr, col("lang_top"))
+            .otherwise(lit("und")).as("r_margin"))
       val heur = TextStats.langId(docs, "text")
         .select(col("doc_id"), col("lang_pred").as("r_heuristic"))
-      Eval.fleissKappa(
-        trained.join(margin, "doc_id").join(heur, "doc_id"),
+      Eval.fleissKappa(tm.join(heur, "doc_id"),
         "doc_id", Seq("r_trained", "r_margin", "r_heuristic"))
     }),
 
@@ -3776,6 +3792,23 @@ object Ext {
          |FROM sim o JOIN sim d ON d.doc_id = o.doc_id + 1000000
          |WHERE o.doc_id % 10 = 0 AND o.doc_id < 1000000
          |ORDER BY o.doc_id""".stripMargin,
+
+    "ext_hamming_neighbors" ->
+      s"""WITH $NearDupCorpusSql,
+         |${TextHash.simhashSql("corpus", "doc_id", "text")},
+         |ch AS (
+         |  SELECT doc_id, simhash, ci,
+         |         (simhash >> (ci * 15)) & 32767 AS cv
+         |  FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS ci)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         a.simhash AS a_h, b.simhash AS b_h
+         |  FROM ch a JOIN ch b
+         |    ON b.ci = a.ci AND b.cv = a.cv AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id,
+         |       CAST(bit_count(xor(a_h, b_h)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(a_h, b_h)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin,
 
     "ext_ngram_jaccard" ->
       s"""WITH $NearDupCorpusSql,

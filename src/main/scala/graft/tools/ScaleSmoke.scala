@@ -1367,6 +1367,29 @@ object ScaleSmoke {
       assert(!r.isNullAt(7) && r.getLong(7) > 0L, s"kappa_ppm: $r")
     }
 
+    // exact Hamming r-neighbor pairs at 10M hashes: the wide-key block
+    // variant (6 blocks -> C(6,3)=20 bands of 30-bit keys) keeps bucket
+    // occupancy ~n²/2^30 per band — the default 15-bit single-block keys
+    // would be quadratic here. Every planted 2-bit-flip pair must be
+    // found (exactness), coincidental hamming<=3 pairs are ~0 at random.
+    time("hamming neighbors 10M x r=3 (6 blocks)") {
+      val n = 10000000L
+      val basePop = spark.range(0, n, 1, 256)
+        .select(col("id"),
+          xxhash64(col("id")).bitwiseAND(lit((1L << 60) - 1)).as("h"))
+      val planted = basePop.where(col("id") % 100 === 0)
+        .select((col("id") + n).as("id"),
+          col("h").bitwiseXOR(lit(3L)).as("h"))
+      val pairs = graft.ext.Dedup.hammingNeighbors(
+        basePop.unionByName(planted), "id", "h", maxDist = 3, blocks = 6)
+      val found = pairs.agg(count(lit(1)),
+        sum(when(col("b_id") === col("a_id") + n &&
+          col("hamming") === 2L, 1L).otherwise(0L))).first()
+      assert(found.getLong(1) == 100000L,
+        s"every planted pair must be found (exactness): $found")
+      assert(found.getLong(0) < 100100L, s"coincidentals ~0: $found")
+    }
+
     // k-anonymity audit: 50M rows, 1M QI groups x 8 sensitive bands —
     // one corpus exchange to (QI, sensitive), model-sized rollup after
     time("k-anonymity 50M rows x 1M QI groups") {

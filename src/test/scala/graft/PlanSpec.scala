@@ -724,6 +724,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!analyzed("ext_shard_assign").contains("Window"), "no window")
   }
 
+  test("hamming neighbors: chunk-keyed equi-join, no product, no window") {
+    val p = plan("ext_hamming_neighbors")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the pigeonhole band join must stay an equi-join on (ci, cv):\n$p")
+    assert(!analyzed("ext_hamming_neighbors").contains("Window"), "no window")
+  }
+
   test("fleiss kappa: grouped counting only — no window, no product join") {
     val a = analyzed("ext_fleiss_kappa")
     assert(!a.contains("Window"),

@@ -92,6 +92,36 @@ class ExtSpec extends SparkSpec {
     assert(out(1) == Seq("x y"))
   }
 
+  test("hammingNeighbors: exact within radius, none beyond, chunk-width guard") {
+    // hand-built 60-bit hashes with known pairwise distances:
+    // d(1,2)=3  d(1,3)=4  d(3,4)=1  d(1,4)=5  d(2,3)=7  d(2,4)=8
+    val base = 0x0AAAAAAAAAAAAAAAL & ((1L << 60) - 1)
+    val b3 = base ^ 7L // flip 3 low bits
+    val c4 = base ^ 0xF0L // flip 4 bits
+    val d1 = c4 ^ (1L << 59) // 1 from c4, 5 from base, 7 from b3
+    val hashes = spark.createDataFrame(java.util.List.of(
+      Row(1L, base), Row(2L, b3), Row(3L, c4), Row(4L, d1)),
+      StructType(Seq(StructField("id", LongType), StructField("h", LongType))))
+    val pairs = Dedup.hammingNeighbors(hashes, "id", "h", maxDist = 3)
+      .orderBy("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs == Seq((1L, 2L, 3L), (3L, 4L, 1L)), pairs)
+    // radius 4 additionally admits (1,3) at exactly the boundary
+    val r4 = Dedup.hammingNeighbors(hashes, "id", "h", maxDist = 4)
+      .orderBy("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(r4 == Seq((1L, 2L), (1L, 3L), (3L, 4L)), r4)
+    // the wide-key block-combination variant (Manku 2007) is the same
+    // exact result — C(6,3)=20 bands of 30-bit keys instead of 4x15
+    val wide = Dedup.hammingNeighbors(hashes, "id", "h", maxDist = 3,
+      blocks = 6).orderBy("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(wide == pairs, wide)
+    // sub-8-bit band keys are refused, not silently degraded
+    intercept[IllegalArgumentException] {
+      Dedup.hammingNeighbors(hashes, "id", "h", maxDist = 7)
+    }
+  }
+
   test("minhash signature: identical texts share signatures; length k") {
     val out = docs((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
       .select(col("doc_id"),
