@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
@@ -90,6 +90,15 @@ object Multimodal {
           s"transform(sequence(0, int(octet_length(payload)/$stride)), i -> i * $stride)"))
           .as(Seq("frame_idx", "byte_offset")))
   }
+
+  /** 60-bit perceptual average-hash of a binary column via the
+    * `graft_avg_hash` codegen kernel (one O(L) scan per blob, no shuffle)
+    * — the near-dup signature for media payloads. Feed the result to
+    * [[graft.ext.Dedup.hammingNeighbors]] for exact corpus-scale
+    * Hamming-radius pair search: identical payloads collide at distance
+    * 0, locally-edited ones land within a small radius. */
+  def avgHash(bin: Column): Column =
+    call_function("graft_avg_hash", bin)
 
   /** Content-defined chunks of a binary column (no codec needed): adds a
     * `chunks` array<struct<offset,len,fp>> via the `graft_cdc_chunks`

@@ -179,6 +179,13 @@ object GraftExtensions {
         AcCountsExpression(children.head, ps,
           children(2).eval(null).asInstanceOf[Boolean])
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_avg_hash"),
+      new ExpressionInfo(classOf[AvgHashExpression].getName, "graft_avg_hash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_avg_hash(bin) takes one argument")
+        AvgHashExpression(children.head)
+      }))
     // plan rewrite: window row_number-top-k → bounded graft_topk aggregate
     ext.injectOptimizerRule(_ => TopKWindowRewrite)
     // physical operator: AsOfJoinNode → AsOfJoinExec (sorted streaming merge)

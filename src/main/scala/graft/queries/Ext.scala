@@ -641,6 +641,15 @@ object Ext {
         .orderBy("fingerprint")
     }),
 
+    "ext_table_fingerprint" -> ((s, dir) =>
+      // order-independent per-source checksum (count + commutative 60-bit
+      // hash sum mod 2^60): the cheap replication/re-derivation equality
+      // check — the oracle IS a second engine reproducing the checksum
+      // over the same logical content, which is the operator's contract
+      graft.ops.Fingerprint.fingerprint(t(s, dir, "documents"),
+          Seq("source"), Seq("doc_id", "text", "lang"))
+        .orderBy("source")),
+
     "ext_data_card" -> ((s, dir) => {
       // the datasheet row per source: doc/char/token mass, language
       // spread, exact-dup surplus — all exact int64; planted %9 copies
@@ -1001,6 +1010,25 @@ object Ext {
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
           col("byte_offset").cast("long").as("byte_offset"))
         .orderBy("doc_id", "frame_idx")),
+
+    "ext_phash_neardup" -> ((s, dir) => {
+      // perceptual-hash near-dup over BINARY payloads: graft_avg_hash
+      // (60-bit average-hash kernel, one codegen scan per blob) feeds the
+      // exact block-banded Hamming search — the media near-dup pipeline
+      // with the codec decode env-stubbed out. Planted exact copies (%7)
+      // collide at hamming 0. The oracle replays the hash relationally
+      // from hex(blob) bytes and brute-forces pairs (exactness makes the
+      // banding invisible in the result — same pairs by construction).
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.unionByName(
+        docs.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      val hashed = corpus.select(col("doc_id"),
+        Multimodal.avgHash(encode(col("text"), "UTF-8")).as("phash"))
+      Dedup.hammingNeighbors(hashed, "doc_id", "phash", maxDist = 3,
+          blocks = 6)
+        .orderBy("a_id", "b_id")
+    }),
 
     "ext_cdc_dedup" -> ((s, dir) => {
       // content-defined chunking dedup accounting over binary payloads
@@ -3707,6 +3735,15 @@ object Ext {
         |    AS n_sources
         |FROM ranked WHERE rn = 1 ORDER BY fingerprint""".stripMargin,
 
+    "ext_table_fingerprint" ->
+      """SELECT source, COUNT(*) AS n_rows,
+        |  CAST(SUM(('0x' || substr(md5(
+        |      coalesce(CAST(doc_id AS VARCHAR), chr(30)) || chr(31) ||
+        |      coalesce(text, chr(30)) || chr(31) ||
+        |      coalesce(lang, chr(30))), 1, 15))::BIGINT)
+        |    % 1152921504606846976 AS BIGINT) AS checksum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
     "ext_data_card" ->
       s"""WITH c AS (SELECT source, lang, text FROM documents
          |           UNION ALL
@@ -4289,6 +4326,32 @@ object Ext {
         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
         |  CAST(frame_idx * 32 AS BIGINT) AS byte_offset
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "ext_phash_neardup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0),
+        |bv AS (
+        |  SELECT doc_id, L, (i * 60) // L AS w,
+        |    ('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2))::BIGINT AS v
+        |  FROM (SELECT doc_id, hex(encode(text)) AS hx,
+        |          octet_length(encode(text)) AS L,
+        |          unnest(range(0, octet_length(encode(text)))) AS i
+        |        FROM corpus)),
+        |ws AS (SELECT doc_id, any_value(L) AS L, w, SUM(v) AS s, COUNT(*) AS c
+        |       FROM bv GROUP BY doc_id, w),
+        |tot AS (SELECT doc_id, SUM(v) AS t FROM bv GROUP BY doc_id),
+        |ph AS (SELECT ws.doc_id,
+        |         CAST(SUM(CASE WHEN s * L > t * c
+        |              THEN (1::BIGINT << CAST(w AS INT)) ELSE 0 END) AS BIGINT)
+        |           AS phash
+        |       FROM ws JOIN tot USING (doc_id) GROUP BY ws.doc_id)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "ext_cdc_dedup" ->
       """WITH RECURSIVE

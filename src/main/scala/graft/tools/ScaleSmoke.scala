@@ -1390,6 +1390,55 @@ object ScaleSmoke {
       assert(found.getLong(0) < 100100L, s"coincidentals ~0: $found")
     }
 
+    // order-independent fingerprint: 50M rows, 1000 groups — one narrow
+    // partial-agg pass; the shuffled copy must reproduce the checksums
+    // bit-for-bit (the operator's whole contract)
+    time("fingerprint 50M x 1000 groups (+order invariance)") {
+      val rows = spark.range(0, 50000000L, 1, 256)
+        .select(col("id"), (col("id") % 1000).cast("string").as("g"),
+          md5(col("id").cast("string")).as("payload"))
+      val fp1 = graft.ops.Fingerprint.fingerprint(
+        rows, Seq("g"), Seq("id", "payload"))
+      val fp2 = graft.ops.Fingerprint.fingerprint(
+        rows.repartition(97, col("payload")), Seq("g"), Seq("id", "payload"))
+      // collect both (1000 rows each) — exceptAll would re-evaluate the
+      // 50M-row pipelines once per comparison side
+      def setOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val (s1, s2) = (setOf(fp1), setOf(fp2))
+      assert(s1.size == 1000 && s1 == s2,
+        "checksums must be order/partitioning independent")
+    }
+
+    // perceptual average-hash kernel: 5M x 512-byte blobs in one codegen
+    // scan — O(L) per blob, no shuffle; entropy check guards against a
+    // degenerate all-zeros kernel regression
+    time("avg_hash 5M x 512B blobs") {
+      val blobs = spark.range(0, 5000000L, 1, 128)
+        .select(encode(concat_ws("|",
+          md5(col("id").cast("string")),
+          md5((col("id") + 1L).cast("string")),
+          md5((col("id") + 2L).cast("string")),
+          md5((col("id") + 3L).cast("string")),
+          md5((col("id") + 4L).cast("string")),
+          md5((col("id") + 5L).cast("string")),
+          md5((col("id") + 6L).cast("string")),
+          md5((col("id") + 7L).cast("string")),
+          md5((col("id") + 8L).cast("string")),
+          md5((col("id") + 9L).cast("string")),
+          md5((col("id") + 10L).cast("string")),
+          md5((col("id") + 11L).cast("string")),
+          md5((col("id") + 12L).cast("string")),
+          md5((col("id") + 13L).cast("string")),
+          md5((col("id") + 14L).cast("string")),
+          md5((col("id") + 15L).cast("string"))), "UTF-8").as("bin"))
+      val agg = blobs
+        .select(graft.ext.Multimodal.avgHash(col("bin")).as("h"))
+        .agg(count(lit(1)), approx_count_distinct(col("h"))).first()
+      assert(agg.getLong(0) == 5000000L, agg)
+      assert(agg.getLong(1) > 1000000L, s"hash entropy collapsed: $agg")
+    }
+
     // k-anonymity audit: 50M rows, 1M QI groups x 8 sensitive bands —
     // one corpus exchange to (QI, sensitive), model-sized rollup after
     time("k-anonymity 50M rows x 1M QI groups") {

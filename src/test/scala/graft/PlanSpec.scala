@@ -732,6 +732,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!analyzed("ext_hamming_neighbors").contains("Window"), "no window")
   }
 
+  test("table fingerprint: one partial-agg pass, no window, no join") {
+    val p = plan("ext_table_fingerprint")
+    assert(p.toLowerCase.contains("partial_count") ||
+      p.toLowerCase.contains("partial_sum"),
+      s"count+sum must combine map-side:\n$p")
+    assert(!p.contains("Join"), "a checksum is a projection + aggregate")
+    assert(!analyzed("ext_table_fingerprint").contains("Window"), "no window")
+  }
+
+  test("phash neardup: kernel projection into banded search — no product, no window") {
+    val p = plan("ext_phash_neardup")
+    assert(p.contains("graft_avg_hash"),
+      "the hash must be the codegen'd kernel, not a SQL detour")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pair search must stay the banded bucket aggregate:\n$p")
+    assert(!analyzed("ext_phash_neardup").contains("Window"), "no window")
+  }
+
   test("fleiss kappa: grouped counting only — no window, no product join") {
     val a = analyzed("ext_fleiss_kappa")
     assert(!a.contains("Window"),
