@@ -83,6 +83,53 @@ object Sampling {
         TextHash.hmod(concat(col(idCol).cast("string"), lit(":" + salt))))
       .orderBy(col("shuffle_key").asc, col(idCol).asc)
 
+  /** Feistel epoch position: a pseudorandom BIJECTION of the 60-bit id
+    * space (4-round balanced Feistel network over 30-bit halves —
+    * Luby–Rackoff; any round function yields a permutation, here the
+    * engine-portable md5 hash keyed by (epoch, round)). The shuffle-free
+    * epoch reorder: [[shuffleOrder]] must globally SORT to materialize an
+    * epoch, but a bijective position lets a training reader address any
+    * slice of any epoch as a pure filter — batch k of epoch e is
+    * `position ∈ [k·S, (k+1)·S)`, one narrow scan, no exchange, and no
+    * collision tiebreak is ever needed (hash order has collisions; a
+    * permutation cannot). Changing `epoch` re-keys every round function —
+    * a fresh permutation per epoch from the same corpus snapshot.
+    *
+    * Positions are uniform over [0, 2^60), NOT dense in [0, N): fixed
+    * position ranges hold binomial(N, S/2^60) rows — tightly concentrated
+    * at corpus scale (the hash-range sharding contract). Ids must sit in
+    * [0, 2^60), which every engine id in this codebase does.
+    *
+    * Scale shape: 4 md5s per row inside one codegen'd projection; zero
+    * shuffle, zero state. The DuckDB oracle replays positions
+    * bit-for-bit. */
+  def epochPosition(id: Column, epoch: Int, rounds: Int = 4): Column = {
+    require(rounds >= 3, "epochPosition: Luby-Rackoff needs >= 3 rounds")
+    val half = 1L << 30
+    val start = (
+      call_function("shiftright", id, lit(30)).bitwiseAND(lit(half - 1L)),
+      id.bitwiseAND(lit(half - 1L)))
+    val (l, r) = (0 until rounds).foldLeft(start) { case ((l, r), i) =>
+      val f = conv(substring(md5(concat(lit(s"fst:$epoch:$i:"),
+        r.cast("string"))), 1, 15), 16, 10).cast("long") % half
+      (r, l.bitwiseXOR(f))
+    }
+    (call_function("shiftleft", l, lit(30)).bitwiseOR(r)).as("position")
+  }
+
+  /** DuckDB SQL mirror of [[epochPosition]] (callers splice CTE steps:
+    * the expression nests `rounds` md5 calls). */
+  def epochPositionSql(idE: String, epoch: Int, rounds: Int = 4): String = {
+    val half = 1L << 30
+    val start = (s"(($idE >> 30) & ${half - 1L})", s"($idE & ${half - 1L})")
+    val (l, r) = (0 until rounds).foldLeft(start) { case ((l, r), i) =>
+      val f = s"((('0x' || substr(md5('fst:$epoch:$i:' || " +
+        s"CAST($r AS VARCHAR)), 1, 15))::BIGINT) % $half)"
+      (r, s"xor($l, $f)")
+    }
+    s"(($l << 30) | $r)"
+  }
+
   /** Domain-mix quota cap: keep at most `k` rows per group, selected by
     * salted-hash order (deterministic "random" — change the salt to draw a
     * different cap set; same salt always reproduces the mix). This is the

@@ -101,4 +101,45 @@ object Sketches {
       .withColumn(outCol, if (rows.size == 1) rows.head else least(rows: _*))
       .drop("cms")
   }
+
+  /** Equi-join cardinality estimate from two count-min sketches of the
+    * join keys: `min_i ⟨row_i(A), row_i(B)⟩` (the AMS inner-product
+    * estimator through CMS rows — Cormode & Muthukrishnan 2005 §4.2;
+    * Alon, Matias & Szegedy 1996 for the F₂ core). NEVER underestimates:
+    * every hash collision only adds cross-mass, so
+    * est ≥ |A ⋈ B| = Σ_k cntA(k)·cntB(k) exactly as CMS point queries
+    * never undercount.
+    *
+    * This is plan-time join sizing at 100 TB: each side folds to a d×w
+    * sketch in ONE narrow pass (no key shuffle — the exact answer needs
+    * the join's own exchange), and the estimate is expression arithmetic
+    * over two one-row frames. Pick broadcast vs shuffle vs skew-salting
+    * BEFORE paying for the join; the estimator is also exactly the
+    * self-join size bound (second frequency moment) that flags skewed
+    * keys: est(A ⋈ A) >> |A| means heavy hitters.
+    *
+    * Products accumulate in decimal(38,0): at 10¹¹-row sides a bucket
+    * product alone overflows int64. Output: one row, `outCol` decimal. */
+  def cmsJoinSize(
+      sketchA: DataFrame,
+      sketchB: DataFrame,
+      d: Int,
+      w: Int,
+      outCol: String = "join_size_est"
+  ): DataFrame = {
+    require(d >= 1 && w >= 1, s"cmsJoinSize: d=$d w=$w")
+    val d38 = "decimal(38,0)"
+    val ips = (0 until d).map { i =>
+      aggregate(
+        zip_with(
+          slice(col("__a"), i * w + 1, w),
+          slice(col("__b"), i * w + 1, w),
+          (x, y) => x.cast(d38) * y.cast(d38)),
+        lit(0L).cast(d38),
+        (acc, v) => (acc + v).cast(d38))
+    }
+    sketchA.select(col("cms").as("__a"))
+      .crossJoin(broadcast(sketchB.select(col("cms").as("__b"))))
+      .select((if (ips.size == 1) ips.head else least(ips: _*)).as(outCol))
+  }
 }

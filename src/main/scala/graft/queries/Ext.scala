@@ -955,6 +955,17 @@ object Ext {
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "split")),
 
+    "ext_epoch_permutation" -> ((s, dir) =>
+      // shuffle-free epoch reorder: a 4-round Feistel bijection of the
+      // 60-bit id space, keyed per epoch — a training reader addresses
+      // batch k of epoch e as one narrow position-range filter (no global
+      // sort, no exchange, no hash-collision tiebreaks); the oracle
+      // replays every round's md5 bit-for-bit
+      t(s, dir, "documents").select(col("doc_id"),
+          Sampling.epochPosition(col("doc_id"), 0).as("pos_e0"),
+          Sampling.epochPosition(col("doc_id"), 1).as("pos_e1"))
+        .orderBy("doc_id")),
+
     "ext_shuffle_order" -> ((s, dir) =>
       // deterministic epoch shuffle: total order by salted hash + id —
       // a range-partitioned sort at scale; new salt = new permutation
@@ -982,6 +993,25 @@ object Ext {
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram").asc)
         .limit(20)),
+
+    "ext_cms_join_size" -> ((s, dir) => {
+      // plan-time join sizing: AMS inner product of two CMS sketches of
+      // the join keys upper-bounds |orders ⋈ lineitem| with ONE narrow
+      // pass per side — the exact count (second column) needs the join's
+      // own key exchange. est >= exact always; at this w they're close.
+      val a = Sketches.cmsSketch(
+        t(s, dir, "orders").select(col("o_orderkey").cast("string").as("k")),
+        col("k"), d = 4, w = 4096)
+      val b = Sketches.cmsSketch(
+        t(s, dir, "lineitem").select(col("l_orderkey").cast("string").as("k")),
+        col("k"), d = 4, w = 4096)
+      val exact = t(s, dir, "orders").select("o_orderkey")
+        .join(t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey")),
+          "o_orderkey")
+        .agg(count(lit(1)).as("exact_join_size"))
+      Sketches.cmsJoinSize(a, b, d = 4, w = 4096)
+        .crossJoin(broadcast(exact))
+    }),
 
     "ext_cms_counts" -> ((s, dir) => {
       // two-tier heavy hitters: exact top-20 bigram counts (oracle tier —
@@ -4265,6 +4295,12 @@ object Ext {
          |SELECT lang, split, COUNT(*) AS n FROM s
          |GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
+    "ext_epoch_permutation" ->
+      s"""SELECT doc_id,
+         |  CAST(${Sampling.epochPositionSql("doc_id", 0)} AS BIGINT) AS pos_e0,
+         |  CAST(${Sampling.epochPositionSql("doc_id", 1)} AS BIGINT) AS pos_e1
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
     "ext_shuffle_order" ->
       s"""SELECT doc_id,
          |  ${TextHash.hmodSql("(doc_id :: VARCHAR || ':epoch0')")} AS shuffle_key
@@ -4286,6 +4322,24 @@ object Ext {
       s"""WITH g AS (SELECT unnest(${TextHash.shinglesSql("text", 2)}) AS bigram FROM documents)
          |SELECT bigram, COUNT(*) AS n FROM g
          |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    "ext_cms_join_size" -> {
+      val w = 4096
+      def sideCtes(name: String, src: String) = (0 until 4).map(i =>
+        s"""SELECT $i AS i, ${Sketches.cmsBucketSql("k", i, w)} AS bucket,
+           |       COUNT(*) AS c FROM $src GROUP BY bucket""".stripMargin)
+        .mkString(s"$name AS (", "\n  UNION ALL ", ")")
+      s"""WITH ka AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
+         |kb AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+         |${sideCtes("ba", "ka")},
+         |${sideCtes("bb", "kb")},
+         |ip AS (SELECT a.i, SUM(a.c * b.c) AS p
+         |       FROM ba a JOIN bb b ON b.i = a.i AND b.bucket = a.bucket
+         |       GROUP BY a.i)
+         |SELECT CAST((SELECT MIN(p) FROM ip) AS DOUBLE) AS join_size_est,
+         |  (SELECT COUNT(*) FROM orders o JOIN lineitem l
+         |     ON l.l_orderkey = o.o_orderkey) AS exact_join_size""".stripMargin
+    },
 
     "ext_cms_counts" -> {
       val w = 4096

@@ -1390,6 +1390,39 @@ object ScaleSmoke {
       assert(found.getLong(0) < 100100L, s"coincidentals ~0: $found")
     }
 
+    // CMS join sizing: |50M ⋈ 20M| estimated from two narrow sketch folds
+    // — no key exchange anywhere. Analytic truth: 10k shared keys x 5000
+    // x 1000 = 5e10; AMS error bound n_a·n_b/w ≈ 15% here, min over d=4
+    // rows tightens it — assert one-sidedness and <=50% overshoot
+    time("cms join-size 50M x 20M (2 narrow folds)") {
+      val d = 4; val w = 131072
+      val aa = spark.range(0, 50000000L, 1, 256)
+        .select((col("id") % 10000L).cast("string").as("k"))
+      val bb = spark.range(0, 20000000L, 1, 128)
+        .select((col("id") % 20000L).cast("string").as("k"))
+      val est = graft.ext.Sketches.cmsJoinSize(
+        graft.ext.Sketches.cmsSketch(aa, col("k"), d, w),
+        graft.ext.Sketches.cmsSketch(bb, col("k"), d, w), d, w)
+        .first().getDecimal(0).longValueExact()
+      val exact = 10000L * 5000L * 1000L
+      assert(est >= exact, s"AMS never underestimates: $est < $exact")
+      assert(est <= exact * 3 / 2, s"overshoot: $est vs $exact")
+    }
+
+    // Feistel epoch permutation: 50M ids — 4 md5s/row in one projection;
+    // bijectivity checked exactly (a collision breaks the whole batch-
+    // addressing contract), then one epoch-batch read as a pure filter
+    time("epoch permutation 50M (bijectivity + batch slice)") {
+      val ids = spark.range(0, 50000000L, 1, 256).toDF("id")
+      val pos = ids.select(col("id"),
+        graft.ext.Sampling.epochPosition(col("id"), 3).as("p"))
+      assert(pos.select(countDistinct(col("p"))).first().getLong(0)
+        == 50000000L, "permutation collided")
+      // batch = position range: binomial(50M, 2^-10) rows, no exchange
+      val batch = pos.where(col("p") < (1L << 50)).count()
+      assert(batch > 40000L && batch < 58000L, s"batch size off: $batch")
+    }
+
     // order-independent fingerprint: 50M rows, 1000 groups — one narrow
     // partial-agg pass; the shuffled copy must reproduce the checksums
     // bit-for-bit (the operator's whole contract)

@@ -732,6 +732,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!analyzed("ext_hamming_neighbors").contains("Window"), "no window")
   }
 
+  test("cms join size: two sketch folds + one-row broadcasts — never the join's key exchange") {
+    val p = plan("ext_cms_join_size")
+    assert(p.contains("graft_cms"), "both sides must fold through the sketch aggregate")
+    // the one exchange allowed on the ESTIMATE path is none at all: the
+    // sketches are all-agg folds; the exact column (gate comparison)
+    // carries the only keyed join
+    assert(!analyzed("ext_cms_join_size").contains("Window"), "no window")
+    assert(!p.contains("CartesianProduct"),
+      "only one-row broadcast crosses are allowed")
+  }
+
+  test("epoch permutation: pure projection — no keyed exchange, no join, no window") {
+    val p = plan("ext_epoch_permutation")
+    assert(!p.contains("hashpartitioning("),
+      s"the Feistel walk is per-row — nothing may shuffle on a key:\n$p")
+    assert(!p.contains("Join"), "no join")
+    assert(!analyzed("ext_epoch_permutation").contains("Window"), "no window")
+  }
+
   test("table fingerprint: one partial-agg pass, no window, no join") {
     val p = plan("ext_table_fingerprint")
     assert(p.toLowerCase.contains("partial_count") ||

@@ -75,6 +75,43 @@ class SamplingSpec extends SparkSpec {
       "nonpositive weights never sampled")
   }
 
+  test("epochPosition: bijective on a dense range, epoch-keyed, JVM-reference exact") {
+    val n = 20000L
+    val ids = spark.range(0, n, 1, 8).toDF("id")
+    val pos = ids.select(col("id"),
+      Sampling.epochPosition(col("id"), 0).as("p0"),
+      Sampling.epochPosition(col("id"), 1).as("p1"))
+    val agg = pos.agg(
+      countDistinct(col("p0")), countDistinct(col("p1")),
+      sum(when(col("p0") === col("p1"), 1L).otherwise(0L)),
+      max(greatest(col("p0"), col("p1"))), min(least(col("p0"), col("p1"))))
+      .first()
+    assert(agg.getLong(0) == n && agg.getLong(1) == n,
+      s"a permutation cannot collide: $agg")
+    assert(agg.getLong(2) < n / 100,
+      s"epochs must be (near-)disjoint orders: $agg")
+    assert(agg.getLong(4) >= 0L && agg.getLong(3) < (1L << 60))
+    // independent JVM reference of the Feistel walk for one id
+    def md5mod(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"$b%02x").mkString.take(15), 16) % (1L << 30)
+    }
+    def ref(id: Long, epoch: Int): Long = {
+      var l = (id >> 30) & ((1L << 30) - 1)
+      var r = id & ((1L << 30) - 1)
+      for (i <- 0 until 4) {
+        val f = md5mod(s"fst:$epoch:$i:$r")
+        val nl = r; val nr = l ^ f
+        l = nl; r = nr
+      }
+      (l << 30) | r
+    }
+    val row = pos.where(col("id") === 12345L).first()
+    assert(row.getLong(1) == ref(12345L, 0) && row.getLong(2) == ref(12345L, 1))
+  }
+
   test("temperature mix: sqrt rates, largest stratum fully kept, reproducible") {
     val out = Sampling.temperatureMix(docs.select("doc_id", "lang"), "lang", "doc_id")
     val kept = out.groupBy("lang", "rate_pct").agg(count(lit(1)).as("n"))

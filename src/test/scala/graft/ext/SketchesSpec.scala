@@ -30,6 +30,27 @@ class SketchesSpec extends SparkSpec {
       s"expected exact estimates at this width: ${est.filter(e => e._2 != e._3).toSeq}")
   }
 
+  test("cmsJoinSize: >= exact join size, exact when collision-free, flags self-join skew") {
+    import spark.implicits._
+    val d = 4; val w = 2048
+    // A: item-k appears k times for k in 1..20; B: item-k appears 2 times
+    // for k in 11..30 → exact |A ⋈ B| = Σ_{k=11..20} k*2 = 310
+    val a = (1 to 20).flatMap(k => Seq.fill(k)(s"item-$k")).toDF("item")
+    val b = (11 to 30).flatMap(k => Seq.fill(2)(s"item-$k")).toDF("item")
+    val est = Sketches.cmsJoinSize(
+      Sketches.cmsSketch(a, col("item"), d, w),
+      Sketches.cmsSketch(b, col("item"), d, w), d, w)
+      .first().getDecimal(0).longValueExact()
+    assert(est == 310L,
+      s"collision-free at this width -> exact inner product: $est")
+    // self-join size = F2 = Σ k² over A = 2870 — vs |A| = 210: the skew
+    // signal (est(A⋈A) >> |A| means heavy keys)
+    val sa = Sketches.cmsSketch(a, col("item"), d, w)
+    val f2 = Sketches.cmsJoinSize(sa, sa, d, w)
+      .first().getDecimal(0).longValueExact()
+    assert(f2 == (1 to 20).map(k => k.toLong * k).sum, f2)
+  }
+
   test("sketch is partition-invariant (merge == single-node fold)") {
     val a = Sketches.cmsSketch(stream.repartition(7), col("item"), 3, 512)
       .collect()(0).getSeq[Long](0)
