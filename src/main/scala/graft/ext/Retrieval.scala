@@ -107,6 +107,131 @@ object Retrieval {
     scoreAndRank(tf, qterms, dft, stats, idCol, k, k1, b)
   }
 
+  /** One scored field of a [[bm25fTopK]] corpus: its column, its saturation
+    * weight w_f, and its length-normalization slope b_f ∈ [0, 1]. */
+  final case class Bm25Field(col: String, weight: Double, b: Double) {
+    require(b >= 0.0 && b <= 1.0, s"Bm25Field($col): b $b outside [0,1]")
+    require(weight > 0.0, s"Bm25Field($col): weight $weight <= 0")
+  }
+
+  /** BM25F — fielded BM25 (Robertson, Zaragoza & Taylor, CIKM 2004;
+    * Zaragoza et al., TREC-13 "simple BM25F"): per-field term frequencies
+    * are length-normalized and weighted FIRST, then a single saturation is
+    * applied to the combined pseudo-frequency —
+    *
+    *   tf̃(t,d) = Σ_f  w_f · tf_f / (1 − b_f + b_f · dl_f/avgdl_f)
+    *   score(q,d) = Σ_{t ∈ q} idf(t) · tf̃ / (k1 + tf̃)
+    *
+    * which is NOT equivalent to summing per-field BM25 scores (saturating
+    * after mixing is the point: a term stuffed into a low-weight field
+    * cannot re-earn fresh saturation headroom per field). idf is document-
+    * level: df(t) counts documents containing t in ANY field.
+    *
+    * Scale shape (the [[bm25TopK]] contract, fielded): ONE corpus pass —
+    * every field's token array is filtered to the query vocabulary BEFORE
+    * a single shared explode (rows carry a field tag), and one null
+    * sentinel per (doc, field) rides the same explode as the field-length
+    * table, so per-field corpus stats branch off the same lazily-persisted
+    * docs-scale aggregate. Everything after is query-vocabulary-bounded;
+    * the top-k runs through the bounded `graft_topk` aggregate.
+    *
+    * Portability: per-field normalized contributions quantize to
+    * decimal(18,9) and sum EXACTLY into tf̃ (field addition order can
+    * never drift); tf̃ re-enters double land as an exact ppb integer over
+    * 1e9 (one deterministic IEEE division — never a decimal→double cast,
+    * whose rounding is engine-specific); the final idf·saturation
+    * contribution quantizes to decimal(18,9) before the exact per-(query,
+    * doc) sum — the [[bm25TopK]] discipline end-to-end, same 9.0e6
+    * rank-injectivity fail-fast.
+    *
+    * Output: (query_id, rank 1..k, idCol, score decimal(18,9)). */
+  def bm25fTopK(
+      df: DataFrame,
+      fields: Seq[Bm25Field],
+      idCol: String,
+      queries: Seq[(Long, String)],
+      k: Int,
+      k1: Double = 1.2
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(queries.nonEmpty, "bm25fTopK: empty query set")
+    require(fields.nonEmpty, "bm25fTopK: no fields")
+    val qterms = queries
+      .flatMap { case (qid, qtext) => queryTerms(qtext).map(qid -> _) }
+      .toDF("query_id", "term")
+    val qvocabLit = array(
+      queries.flatMap(q => queryTerms(q._2)).distinct.map(lit): _*)
+
+    // one tagged stream per field, concatenated into ONE explode; the
+    // token array is let-bound (the TextHash.shingles idiom) so the split
+    // runs once per (row, field), not once per emitted element
+    val tagged = fields.zipWithIndex.map { case (fd, fi) =>
+      element_at(
+        transform(array(TextStats.wsTokens(col(fd.col))), toks => concat(
+          transform(filter(toks, t => array_contains(qvocabLit, t)),
+            t => struct(lit(fi).as("f"),
+              size(toks).cast("bigint").as("dl"), t.as("term"))),
+          array(struct(lit(fi).as("f"), size(toks).cast("bigint").as("dl"),
+            lit(null).cast("string").as("term"))))),
+        1)
+    }
+    val tfAll = df
+      .select(col(idCol), explode(concat(tagged: _*)).as("x"))
+      .select(col(idCol), col("x.f").as("f"), col("x.dl").as("dl"),
+        col("x.term").as("term"))
+      .groupBy(col(idCol), col("f"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = tfAll.where(col("term").isNotNull)
+    val fstats = tfAll.where(col("term").isNull)
+      .groupBy("f").agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val statsN = fstats.limit(1).select(col("n_docs"))
+
+    // per-field normalized weighted tf, quantized then EXACTLY summed
+    val wF = fields.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (fd, fi)) =>
+      when(col("f") === fi, lit(fd.weight)).otherwise(acc) }
+    val bF = fields.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (fd, fi)) =>
+      when(col("f") === fi, lit(fd.b)).otherwise(acc) }
+    val avgdlF = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val cF = wF * col("tf").cast("double") /
+      (lit(1.0) - bF + bF * (col("dl").cast("double") / avgdlF))
+    val tfw = tf
+      .join(broadcast(fstats), "f")
+      .withColumn("__cf", cF.cast("decimal(18,9)"))
+      .groupBy(col(idCol), col("term"))
+      .agg(sum(col("__cf")).as("__tfw"))
+      // decimal(18,9)'s unscaled value IS ppb — exact integer re-entry
+      .withColumn("__tfw_ppb", expr("CAST(__tfw * 1000000000 AS BIGINT)"))
+    val dft = tfw.groupBy("term").agg(count(lit(1)).as("df"))
+
+    val nD = col("n_docs").cast("double")
+    val dfD = col("df").cast("double")
+    val tfd = col("__tfw_ppb").cast("double") / lit(1.0e9)
+    val idf = log(lit(1.0) + (nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
+    val raw = idf * tfd / (lit(k1) + tfd)
+    val contrib = tfw
+      .join(broadcast(qterms), "term")
+      .join(broadcast(dft), "term")
+      .crossJoin(broadcast(statsN))
+      .withColumn("__c",
+        when(abs(raw) < lit(9.0e6), raw.cast("decimal(18,9)"))
+          .otherwise(raise_error(concat(
+            lit("graft.bm25fTopK: |contribution| >= 9.0e6 breaks the " +
+              "decimal(18,9)->double rank injectivity bound (term "),
+            col("term"), lit(")")))))
+    val scored = contrib
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("__c")).as("__score"))
+    scored
+      .groupBy(col("query_id"))
+      .agg(call_function("graft_topk",
+        col("__score").cast("double"), col(idCol).cast("bigint"), lit(k)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("bigint").as("rank"),
+        col("t.id").as(idCol), col("t.score").cast("decimal(18,9)").as("score"))
+  }
+
   /** The shared BM25 scoring tail: (doc, dl, term, tf) candidates × query
     * terms × (term, df) × one-row (N, Σdl) → per-query ranked top-k. All
     * small sides broadcast; the exact-decimal-sum / quantize-before-rank

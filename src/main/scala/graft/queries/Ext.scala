@@ -202,6 +202,27 @@ object Ext {
           Bm25Queries, k = 10)
         .orderBy("query_id", "rank")),
 
+    "ext_bm25f_topk" -> ((s, dir) => {
+      // BM25F fielded retrieval (Robertson/Zaragoza 2004): title = first 5
+      // tokens at weight 2.5 / b 0.5, body = the rest at 1.0 / 0.75 —
+      // per-field normalize-and-weight FIRST, saturate the combined
+      // pseudo-frequency ONCE (not a sum of per-field BM25s). One corpus
+      // pass over both fields via a shared tagged explode; tf-tilde
+      // re-enters double land as an exact ppb integer, never a
+      // decimal->double cast.
+      val toksed = t(s, dir, "documents").select(col("doc_id"),
+        graft.ext.TextStats.wsTokens(col("text")).as("__toks"))
+      val fielded = toksed.select(col("doc_id"),
+        concat_ws(" ", slice(col("__toks"), 1, 5)).as("title"),
+        concat_ws(" ",
+          expr("slice(__toks, 6, greatest(size(__toks) - 5, 0))")).as("body"))
+      Retrieval.bm25fTopK(fielded,
+          Seq(Retrieval.Bm25Field("title", 2.5, 0.5),
+            Retrieval.Bm25Field("body", 1.0, 0.75)),
+          "doc_id", Bm25Queries, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "ext_bm25_indexed" -> ((s, dir) =>
       // same retrieval, served from a persistent bucket-pruned inverted
       // index (posting lists bucketed+sorted on term) — "build once, query
@@ -3100,6 +3121,47 @@ object Ext {
          |ORDER BY lang, rank""".stripMargin,
 
     "ext_bm25_topk" -> bm25OracleSql,
+    "ext_bm25f_topk" ->
+      s"""WITH q(query_id, term) AS (VALUES $bm25QueryValuesSql),
+         |base AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+         |flds AS (
+         |  SELECT doc_id, 0 AS f, toks[1:5] AS ft FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 1, toks[6:] FROM base),
+         |fstats AS (SELECT f, COUNT(*) AS n_docs, SUM(len(ft)) AS sum_dl
+         |           FROM flds GROUP BY f),
+         |tf AS (SELECT doc_id, f, len(ft) AS dl, term, COUNT(*) AS tf
+         |       FROM (SELECT doc_id, f, ft, unnest(ft) AS term FROM flds)
+         |       WHERE term IN (SELECT term FROM q)
+         |       GROUP BY doc_id, f, dl, term),
+         |cf AS (SELECT doc_id, term,
+         |    CAST((CASE f WHEN 0 THEN 2.5 ELSE 1.0 END) * CAST(tf AS DOUBLE)
+         |      / (1.0 - (CASE f WHEN 0 THEN 0.5 ELSE 0.75 END)
+         |         + (CASE f WHEN 0 THEN 0.5 ELSE 0.75 END)
+         |           * (CAST(dl AS DOUBLE)
+         |              / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+         |      AS DECIMAL(18,9)) AS cfv
+         |  FROM tf JOIN fstats USING (f)),
+         |tfw AS (SELECT doc_id, term,
+         |          CAST(SUM(cfv) * 1000000000 AS BIGINT) AS ppb
+         |        FROM cf GROUP BY doc_id, term),
+         |dft AS (SELECT term, COUNT(*) AS df FROM tfw GROUP BY term),
+         |n AS (SELECT n_docs FROM fstats WHERE f = 0),
+         |raw AS (SELECT q.query_id, tfw.doc_id,
+         |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |             / (CAST(df AS DOUBLE) + 0.5))
+         |    * (CAST(ppb AS DOUBLE) / 1000000000.0)
+         |    / (1.2 + CAST(ppb AS DOUBLE) / 1000000000.0) AS r
+         |  FROM tfw JOIN q USING (term) JOIN dft USING (term) CROSS JOIN n),
+         |score AS (SELECT query_id, doc_id, SUM(CAST(r AS DECIMAL(18,9))) AS s
+         |          FROM raw GROUP BY query_id, doc_id),
+         |ranked AS (SELECT query_id, doc_id, s,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id ASC)
+         |    AS rank
+         |  FROM score)
+         |SELECT query_id, rank, doc_id, CAST(s AS DECIMAL(18,9)) AS score
+         |FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
     "ext_bm25_indexed" -> bm25OracleSql,
     "ext_bm25_incremental" -> bm25OracleSql,
     "ext_bm25_delete" -> bm25OracleSqlOver(

@@ -732,6 +732,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!analyzed("ext_hamming_neighbors").contains("Window"), "no window")
   }
 
+  test("bm25f: ONE corpus pass over all fields, topk aggregate, no window") {
+    val p = plan("ext_bm25f_topk")
+    val explodes = "Generate explode".r.findAllIn(p).length
+    assert(explodes <= 2, // the tagged field explode + the topk posexplode
+      s"fields must share one tagged corpus explode, saw $explodes:\n$p")
+    assert(p.contains("graft_topk"), "per-query top-k must be the bounded aggregate")
+    assert(!analyzed("ext_bm25f_topk").contains("Window"), "no window")
+    assert(!p.contains("CartesianProduct"), "only one-row broadcast crosses")
+  }
+
   test("cms join size: two sketch folds + one-row broadcasts — never the join's key exchange") {
     val p = plan("ext_cms_join_size")
     assert(p.contains("graft_cms"), "both sides must fold through the sketch aggregate")

@@ -3,7 +3,7 @@ package graft.ext
 import graft.SparkSpec
 import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions.{col, posexplode, split}
+import org.apache.spark.sql.functions.{col, lit, posexplode, split}
 
 /** BM25 against a brute-force reference on a hand-built corpus, plus the
   * operator's edge semantics (tie-break, query-term multiplicity collapse,
@@ -102,6 +102,41 @@ class RetrievalSpec extends SparkSpec {
   test("k bounds the result; fewer matches than k returns all of them") {
     assert(run(Seq(0L -> "join"), 2).size == 2)
     assert(run(Seq(0L -> "prunes"), 10).map(_.getLong(2)) == Seq(5L))
+  }
+
+  test("bm25f: field weight reranks, saturation applies AFTER mixing, empty field safe") {
+    import spark.implicits._
+    // doc 1 has the term once in TITLE; doc 2 has it once in BODY and once
+    // more (tf 2); equal lengths otherwise
+    val fielded = Seq(
+      (1L, "alpha topic", "filler words only here"),
+      (2L, "other head", "alpha alpha words here x"),
+      (3L, "other head", "filler words only here")).toDF("doc_id", "title", "body")
+    val fs = Seq(Retrieval.Bm25Field("title", 3.0, 0.5),
+      Retrieval.Bm25Field("body", 1.0, 0.75))
+    val out = Retrieval.bm25fTopK(fielded, fs, "doc_id",
+      Seq(0L -> "alpha"), k = 10)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getLong(1)))
+    // title weight 3 beats body tf 2: w*tf enters BEFORE the shared
+    // saturation, so 3.0-weighted tf 1 > 1.0-weighted tf 2 post-normalize
+    assert(out.toSeq.map(_._1) == Seq(1L, 2L), out.toSeq)
+    assert(out.length == 2, "doc 3 never matches")
+    // hand-check doc 1's score: tf-tilde = 3*1/(1-0.5+0.5*(2/2)) = 3
+    // exactly; idf = ln(1 + 1.5/2.5); score = idf*3/(1.2+3), quantized
+    val s1 = Retrieval.bm25fTopK(fielded, fs, "doc_id",
+      Seq(0L -> "alpha"), k = 10)
+      .where(col("doc_id") === 1L).first().getDecimal(3)
+    val want = new JBigDecimal(
+      math.log(1.0 + 1.5 / 2.5) * 3.0 / (1.2 + 3.0))
+      .setScale(9, RoundingMode.HALF_UP)
+    assert(s1.compareTo(want) == 0, s"$s1 vs $want")
+    // degenerate: a field empty everywhere contributes nothing but is safe
+    val withEmpty = fielded.withColumn("extra", lit(""))
+    val out2 = Retrieval.bm25fTopK(withEmpty,
+      fs :+ Retrieval.Bm25Field("extra", 5.0, 0.5), "doc_id",
+      Seq(0L -> "alpha"), k = 10)
+      .orderBy("rank").collect().map(_.getLong(2))
+    assert(out2.toSeq == Seq(1L, 2L))
   }
 
   test("indexed path is byte-identical to the scan path; scan prunes buckets") {
