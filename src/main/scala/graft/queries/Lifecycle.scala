@@ -131,6 +131,40 @@ object Lifecycle {
           sum(col("sv")).cast("double").as("sum_value")))
         .orderBy("event_type")),
 
+    // skew mitigation for JOINS: fact side salted, dim side replicated
+    // across buckets, join on (key, salt) — splits every hot key over 8
+    // reducers; result is provably the plain join (the oracle runs it
+    // unsalted). Fact key = event_type (a handful of hot values over the
+    // whole table — the born-skewed case AQE only fixes after a straggler)
+    "a5_salted_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dim = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("type_users"))
+      graft.ops.Skew.saltedJoin(ev, dim, "event_type", buckets = 8,
+          saltFrom = Seq(col("event_id")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast("decimal(20,2)")).cast("double").as("sum_value"),
+          max(col("type_users")).as("type_users"))
+        .orderBy("event_type")
+    }),
+
+    // skew-SPLIT join: hot keys (from the audit) salted against the hot
+    // dim slice, the cold mass joined plainly; union == the plain join
+    "a6_skew_split_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dim = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("type_users"))
+      graft.ops.Skew.skewSplitJoin(ev, dim, "event_type",
+          hotKeys = Seq("click", "view"), buckets = 8,
+          saltFrom = Seq(col("event_id")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast("decimal(20,2)")).cast("double").as("sum_value"),
+          max(col("type_users")).as("type_users"))
+        .orderBy("event_type")
+    }),
+
     // W10 stand-in: key-clustered snapshot write + key-predicate scan. The
     // layout (range-partitioned, sorted within files) is what makes the
     // predicate prune row groups via parquet min/max stats — the pruning
@@ -363,6 +397,24 @@ object Lifecycle {
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "a5_salted_join" ->
+      """WITH dim AS (SELECT event_type, COUNT(DISTINCT user_id) AS type_users
+        |             FROM events GROUP BY event_type)
+        |SELECT e.event_type, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(20,2))) AS DOUBLE) AS sum_value,
+        |  MAX(d.type_users) AS type_users
+        |FROM events e JOIN dim d ON d.event_type = e.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "a6_skew_split_join" ->
+      """WITH dim AS (SELECT event_type, COUNT(DISTINCT user_id) AS type_users
+        |             FROM events GROUP BY event_type)
+        |SELECT e.event_type, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(20,2))) AS DOUBLE) AS sum_value,
+        |  MAX(d.type_users) AS type_users
+        |FROM events e JOIN dim d ON d.event_type = e.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "w10_clustered_scan" ->
       """SELECT l_orderkey,

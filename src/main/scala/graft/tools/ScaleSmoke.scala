@@ -1390,6 +1390,24 @@ object ScaleSmoke {
       assert(found.getLong(0) < 100100L, s"coincidentals ~0: $found")
     }
 
+    // skew-split join: 100M fact rows, HALF on 5 hot keys, against a 5M-row
+    // dim (too big to broadcast, too big to replicate whole) — hot keys
+    // salted 32 ways against the 5-row hot dim slice, cold mass joined
+    // plainly; a vanilla shuffle join puts ~10M rows on each hot reducer
+    time("skew-split join 100M (half on 5 keys) x 5M dim") {
+      val fact = spark.range(0, 100000000L, 1, 256)
+        .select(col("id"),
+          when(col("id") % 2 === 0, col("id") % 5)
+            .otherwise(col("id") % 5000000L).as("k"))
+      val dim = spark.range(0, 5000000L, 1, 64)
+        .select(col("id").as("k"), (col("id") * 7L).as("w"))
+      val j = graft.ops.Skew.skewSplitJoin(fact, dim, "k",
+        hotKeys = Seq(0L, 1L, 2L, 3L, 4L), buckets = 32,
+        saltFrom = Seq(col("id")))
+      val agg = j.agg(count(lit(1)), sum(col("k") * lit(1L))).first()
+      assert(agg.getLong(0) == 100000000L, agg)
+    }
+
     // CMS join sizing: |50M ⋈ 20M| estimated from two narrow sketch folds
     // — no key exchange anywhere. Analytic truth: 10k shared keys x 5000
     // x 1000 = 5e10; AMS error bound n_a·n_b/w ≈ 15% here, min over d=4
