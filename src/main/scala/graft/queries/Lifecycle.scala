@@ -266,6 +266,70 @@ object Lifecycle {
       mv.read("li_agg").orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // zero-copy branch + three-way merge: branch updates %10==0 rows and
+    // deletes %10==1 and inserts +9M ids; main (after the fork)
+    // updates %10==2 rows and inserts +8M ids — disjoint change sets, so
+    // the merge commits: main minus branch-changed keys, union branch's
+    // rows for them. The gate returns the merged table's rows; the
+    // oracle replays the set algebra directly.
+    "w_branch_merge" -> ((s, dir) => {
+      val store = new TableStore(s,
+        Files.createTempDirectory("graft_q_br").toString)
+      val c = t(s, dir, "customer").select("c_custkey", "c_acctbal")
+        .where(col("c_custkey") <= 800)
+      store.overwrite("cust", c)
+      store.createBranch("cust", "fix")
+      store.overwriteBranch("cust", "fix",
+        c.where(col("c_custkey") % 10 =!= 1)
+          .select(col("c_custkey"),
+            when(col("c_custkey") % 10 === 0, col("c_acctbal") + 1000.0)
+              .otherwise(col("c_acctbal")).as("c_acctbal"))
+          .unionByName(c.where(col("c_custkey") % 10 === 3)
+            .select((col("c_custkey") + 9000000L).as("c_custkey"),
+              col("c_acctbal"))))
+      store.append("cust",
+        c.where(col("c_custkey") % 10 === 4)
+          .select((col("c_custkey") + 8000000L).as("c_custkey"),
+            col("c_acctbal")))
+      store.deleteWhere("cust", col("c_custkey") % 10 === 2)
+      store.append("cust",
+        c.where(col("c_custkey") % 10 === 2)
+          .select(col("c_custkey"), (col("c_acctbal") + 5.0).as("c_acctbal")))
+      val conflicts = store.mergeBranch("cust", "fix", Seq("c_custkey"))
+      // a conflict here is a gate bug — surface it loudly
+      require(conflicts.isEmpty, "w_branch_merge: unexpected conflicts")
+      store.scan("cust")
+        .select(col("c_custkey"),
+          col("c_acctbal").cast("decimal(20,2)").cast("double").as("bal"))
+        .orderBy("c_custkey")
+    }),
+
+    // branch merge CONFLICTS: both sides update the same keys to different
+    // values (and main deletes one key the branch updates) — the merge
+    // must refuse, leave main untouched, and report (key, op_main,
+    // op_branch); the gate returns the conflict report
+    "w_branch_conflict" -> ((s, dir) => {
+      val store = new TableStore(s,
+        Files.createTempDirectory("graft_q_brc").toString)
+      val c = t(s, dir, "customer").select("c_custkey", "c_acctbal")
+        .where(col("c_custkey") <= 400)
+      store.overwrite("cust", c)
+      store.createBranch("cust", "fix")
+      store.overwriteBranch("cust", "fix",
+        c.select(col("c_custkey"),
+          when(col("c_custkey") % 10 === 0, col("c_acctbal") + 7.0)
+            .otherwise(col("c_acctbal")).as("c_acctbal")))
+      store.deleteWhere("cust", col("c_custkey") === 100)
+      store.append("cust", c.where(col("c_custkey") === 100)
+        .select(col("c_custkey"), lit(-1.0).as("c_acctbal")))
+      store.deleteWhere("cust", col("c_custkey") === 200)
+      val before = store.scan("cust").count()
+      val conflicts = store.mergeBranch("cust", "fix", Seq("c_custkey"))
+      require(store.scan("cust").count() == before,
+        "conflicted merge must leave main untouched")
+      conflicts.orderBy("c_custkey")
+    }),
+
     "w_delete_rows" -> ((s, dir) => {
       // row-level takedown lifecycle: overwrite → predicate delete →
       // key-list delete → re-add every deleted row. Four retained
@@ -455,6 +519,43 @@ object Lifecycle {
         |  MAX(CAST(l_extendedprice AS DECIMAL(20,2))) AS max_price
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "w_branch_merge" ->
+      """WITH base AS (SELECT c_custkey AS k, c_acctbal AS b FROM customer
+        |              WHERE c_custkey <= 800),
+        |merged AS (
+        |  SELECT k, b + 1000.0 AS b FROM base WHERE k % 10 = 0
+        |  UNION ALL SELECT k, b FROM base WHERE k % 10 NOT IN (0, 1, 2)
+        |  UNION ALL SELECT k, b + 5.0 FROM base WHERE k % 10 = 2
+        |  UNION ALL SELECT k + 8000000, b FROM base WHERE k % 10 = 4
+        |  UNION ALL SELECT k + 9000000, b FROM base WHERE k % 10 = 3)
+        |SELECT k AS c_custkey, CAST(CAST(b AS DECIMAL(20,2)) AS DOUBLE) AS bal
+        |FROM merged ORDER BY c_custkey""".stripMargin,
+
+    "w_branch_conflict" ->
+      """WITH base AS (SELECT c_custkey AS k, c_acctbal AS b FROM customer
+        |              WHERE c_custkey <= 400),
+        |theirs AS (SELECT k, CASE WHEN k % 10 = 0 THEN b + 7.0 ELSE b END AS b
+        |           FROM base),
+        |ours AS (SELECT k, CASE WHEN k = 100 THEN -1.0 ELSE b END AS b
+        |         FROM base WHERE k <> 200),
+        |bd AS (SELECT COALESCE(t.k, b0.k) AS k,
+        |         CASE WHEN b0.k IS NULL THEN 'insert'
+        |              WHEN t.k IS NULL THEN 'delete' ELSE 'update' END AS op_branch
+        |       FROM base b0 FULL JOIN theirs t ON t.k = b0.k
+        |       WHERE b0.k IS NULL OR t.k IS NULL OR t.b IS DISTINCT FROM b0.b),
+        |md AS (SELECT COALESCE(o.k, b0.k) AS k,
+        |         CASE WHEN b0.k IS NULL THEN 'insert'
+        |              WHEN o.k IS NULL THEN 'delete' ELSE 'update' END AS op_main
+        |       FROM base b0 FULL JOIN ours o ON o.k = b0.k
+        |       WHERE b0.k IS NULL OR o.k IS NULL OR o.b IS DISTINCT FROM b0.b),
+        |conf AS (SELECT bd.k, md.op_main, bd.op_branch
+        |         FROM bd JOIN md USING (k)
+        |         LEFT JOIN ours o ON o.k = bd.k
+        |         LEFT JOIN theirs t ON t.k = bd.k
+        |         WHERE o.b IS DISTINCT FROM t.b)
+        |SELECT k AS c_custkey, op_main, op_branch FROM conf
+        |ORDER BY c_custkey""".stripMargin,
 
     "w_delete_rows" ->
       """SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,

@@ -288,8 +288,14 @@ final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 
   def diffVersions(name: String, fromV: Long, toV: Long,
       keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "diffVersions: at least one key column")
-    val a = scanAsOf(name, fromV)
-    val b = scanAsOf(name, toV)
+    diffFrames(scanAsOf(name, fromV), scanAsOf(name, toV), keys)
+  }
+
+  /** Keyed row diff of two frames — (keys..., op ∈ insert/update/delete,
+    * changed_cols) from a's state to b's. The full-outer-join core of
+    * [[diffVersions]] and [[mergeBranch]]. */
+  private[table] def diffFrames(
+      a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
     val nonKey = b.columns.filter(c => !keys.contains(c) && a.columns.contains(c))
     val keyCond = keys.map(k => a(k) <=> b(k)).reduce(_ && _)
     val joined = a.as("a").join(b.as("b"), keyCond, "full_outer")
@@ -579,23 +585,181 @@ final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 
     }
   }
 
+  // ------------------------------------------------------------------
+  // Branches: zero-copy divergent lines of a table (the LakeFS/Nessie
+  // pattern scaled down to path-table manifests). A branch is two extra
+  // pointer files in the SAME table directory —
+  //   BRANCH-<b>: the branch head (flipped atomically like CURRENT)
+  //   BASE-<b>:   the fork-point manifest, frozen (the three-way base)
+  // — so creating a branch moves zero data bytes, branch commits write
+  // ordinary snapshots next to main's, and commitManifest's GC counts
+  // every branch pointer among the live roots. Branch commits keep no
+  // version history (the branch is a workspace, not an archive); orphan
+  // snapshots from branch overwrites are reaped by the next main commit.
+  // ------------------------------------------------------------------
+
+  private def branchFile(name: String, b: String) =
+    new Path(tableDir(name), s"BRANCH-$b")
+  private def branchBaseFile(name: String, b: String) =
+    new Path(tableDir(name), s"BASE-$b")
+  private def requireBranchName(b: String): Unit =
+    require(b.nonEmpty && b.forall(c => c.isLetterOrDigit || c == '.' || c == '_'),
+      s"branch name must be [A-Za-z0-9._]+: '$b'")
+
+  /** Fork `branch` off the table's current state — O(pointer), no data
+    * copied. The base manifest freezes for the eventual three-way merge. */
+  def createBranch(name: String, branch: String): Unit = {
+    requireBranchName(branch)
+    require(exists(name), s"Table not found: $name")
+    require(!fs(tableDir(name)).exists(branchFile(name, branch)),
+      s"Branch exists: $name@$branch")
+    val snaps = readManifest(name)
+    // base first: a crash between the writes leaves an inert BASE file
+    // (extra GC root, no visible branch) rather than a branch with no base
+    atomicWritePointer(tableDir(name), branchBaseFile(name, branch), snaps)
+    atomicWritePointer(tableDir(name), branchFile(name, branch), snaps)
+  }
+
+  /** Live branches of `name`. */
+  def branches(name: String): Seq[String] = {
+    val dir = tableDir(name)
+    val filesystem = fs(dir)
+    if (!filesystem.exists(dir)) Nil
+    else filesystem.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("BRANCH-") && !n.contains(".tmp-") =>
+        n.stripPrefix("BRANCH-") }
+      .toSeq.sorted
+  }
+
+  private def unionRead(name: String, snaps: Seq[String]): DataFrame = {
+    require(snaps.nonEmpty, s"empty manifest for $name")
+    snaps
+      .map(sn => spark.read.parquet(new Path(tableDir(name), sn).toString))
+      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  /** Scan a branch head — same union-read + schema evolution as [[scan]]. */
+  def scanBranch(name: String, branch: String): DataFrame = {
+    val f = branchFile(name, branch)
+    require(fs(tableDir(name)).exists(f), s"Branch not found: $name@$branch")
+    unionRead(name, readManifestFile(f))
+  }
+
+  /** Append to a branch head (atomic branch-pointer flip; main untouched). */
+  def appendBranch(name: String, branch: String, df: DataFrame): Unit = {
+    val f = branchFile(name, branch)
+    require(fs(tableDir(name)).exists(f), s"Branch not found: $name@$branch")
+    checkNoTypeChanges(name, scanBranch(name, branch), df)
+    val snap = writeSnapshot(name, df)
+    atomicWritePointer(tableDir(name), f, readManifestFile(f) :+ snap)
+  }
+
+  /** Replace a branch head's content (atomic; main untouched). */
+  def overwriteBranch(name: String, branch: String, df: DataFrame): Unit = {
+    val f = branchFile(name, branch)
+    require(fs(tableDir(name)).exists(f), s"Branch not found: $name@$branch")
+    val snap = writeSnapshot(name, df)
+    atomicWritePointer(tableDir(name), f, Seq(snap))
+  }
+
+  /** Delete a branch and its base pointer; snapshots referenced by
+    * nothing else fall to the next main commit's GC. */
+  def dropBranch(name: String, branch: String): Unit = {
+    val filesystem = fs(tableDir(name))
+    filesystem.delete(branchFile(name, branch), false)
+    filesystem.delete(branchBaseFile(name, branch), false)
+  }
+
+  /** Row-level THREE-WAY merge of `branch` into main, keyed by `keys`
+    * (unique per row on every side).
+    *
+    * Change sets are computed against the frozen fork base: a key is a
+    * CONFLICT iff both sides changed it since the base AND their final
+    * rows differ (both making the identical change is not a conflict —
+    * the git contract). With zero conflicts the merge commits
+    * atomically — main becomes (main minus branch-changed keys) ∪
+    * (branch's rows for those keys), covering updates, inserts, and
+    * deletes in one expression — and the branch drops. With conflicts
+    * the store is left UNTOUCHED and the conflict report returns:
+    * (keys..., op_main, op_branch) — op ∈ insert/update/delete from each
+    * side's diff vs base. Callers resolve by writing the winning rows to
+    * one side and re-merging.
+    *
+    * Scale shape: three manifest scans, two key-wise diffs (full-outer
+    * joins on the key — the same shape as [[diffVersions]]), and the
+    * commit path's anti/semi joins; nothing row-quadratic, no windows.
+    * The conflict probe `count()` is a driver scalar, not a collect. */
+  def mergeBranch(name: String, branch: String, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "mergeBranch: at least one key column")
+    val f = branchFile(name, branch)
+    require(fs(tableDir(name)).exists(f), s"Branch not found: $name@$branch")
+    val base = unionRead(name, readManifestFile(branchBaseFile(name, branch)))
+    val ours = scan(name)
+    val theirs = scanBranch(name, branch)
+
+    // change sets are edit-sized, not table-sized, and the branch diff is
+    // consumed twice (conflict probe + the commit's anti/semi keys) —
+    // persist both so each base-vs-side full-outer join runs once
+    val bd = diffFrames(base, theirs, keys)
+      .select(keys.map(col) :+ col("op").as("op_branch"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val md = diffFrames(base, ours, keys)
+      .select(keys.map(col) :+ col("op").as("op_main"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val both = bd.join(md, keys)
+    // identical-change exemption: ours row null-safe-equals theirs row
+    val nonKey = ours.columns.filter(c => !keys.contains(c))
+    val o = ours.select(keys.map(col) :+
+      struct(nonKey.sorted.map(col): _*).as("__orow"): _*)
+    val t = theirs.select(keys.map(col) :+
+      struct(nonKey.sorted.map(col): _*).as("__trow"): _*)
+    val conflicts = both
+      .join(o, keys, "left")
+      .join(t, keys, "left")
+      .where(!(col("__orow") <=> col("__trow")))
+      .select(keys.map(col) :+ col("op_main") :+ col("op_branch"): _*)
+
+    if (conflicts.limit(1).count() == 0L) {
+      val changedKeys = bd.select(keys.map(col): _*)
+      val merged = ours.join(changedKeys, keys, "left_anti")
+        .unionByName(
+          theirs.join(changedKeys, keys, "left_semi"),
+          allowMissingColumns = true)
+      overwrite(name, merged)
+      dropBranch(name, branch)
+      // the lazy conflict frame reads pre-merge snapshots that the commit
+      // just made GC-eligible — hand back a same-schema EMPTY frame the
+      // caller can evaluate at any time
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        conflicts.schema)
+    } else conflicts
+  }
+
   /** Atomically flip CURRENT to `snaps`, record the new version, prune
     * versions past the retention window, then GC snapshot dirs referenced
     * by neither CURRENT nor any retained version (and tmp leftovers).
     * Ordering matters for crash safety: the CURRENT rename alone commits;
     * version files are written after (a crash there loses history, not
     * data), and GC runs last against the union of everything retained. */
-  private[table] def commitManifest(name: String, snaps: Seq[String]): Unit = {
-    val dir = tableDir(name)
+  /** Atomic pointer flip (tmp write + rename) — shared by the CURRENT
+    * commit and branch-head commits. The rename alone is the commit. */
+  private def atomicWritePointer(
+      dir: Path, pointer: Path, snaps: Seq[String]): Unit = {
     val filesystem = fs(dir)
-    val tmp = new Path(dir, s"CURRENT.tmp-${snaps.last}")
+    val tmp = new Path(dir, s"${pointer.getName}.tmp-${snaps.lastOption.getOrElse("empty")}")
     val out = filesystem.create(tmp, true)
     try out.write(snaps.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    val cur = currentFile(name)
-    if (filesystem.exists(cur)) filesystem.delete(cur, false)
-    if (!filesystem.rename(tmp, cur))
-      throw new IllegalStateException(s"Failed to commit ${snaps.last} of $name")
+    if (filesystem.exists(pointer)) filesystem.delete(pointer, false)
+    if (!filesystem.rename(tmp, pointer))
+      throw new IllegalStateException(s"Failed to commit pointer $pointer")
+  }
+
+  private[table] def commitManifest(name: String, snaps: Seq[String]): Unit = {
+    val dir = tableDir(name)
+    val filesystem = fs(dir)
+    atomicWritePointer(dir, currentFile(name), snaps)
 
     // version bookkeeping (advisory — after the commit point)
     val known = versions(name)
@@ -607,8 +771,16 @@ final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 
     (known :+ next).filterNot(retained.contains)
       .foreach(v => filesystem.delete(versionFile(name, v), false))
 
+    // GC must see every pointer that can reach a snapshot: CURRENT,
+    // retained versions, AND all branch heads + their merge bases
+    val branchRefs = filesystem.listStatus(dir)
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("BRANCH-") ||
+        p.getName.startsWith("BASE-"))
+      .flatMap(readManifestFile)
     val live = snaps.toSet ++
-      retained.flatMap(v => readManifestFile(versionFile(name, v)))
+      retained.flatMap(v => readManifestFile(versionFile(name, v))) ++
+      branchRefs
     filesystem.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
       if (st.isDirectory && n.startsWith("snap-") && !live.contains(n))

@@ -1390,6 +1390,29 @@ object ScaleSmoke {
       assert(found.getLong(0) < 100100L, s"coincidentals ~0: $found")
     }
 
+    // zero-copy branch + three-way merge at 20M rows: fork is O(pointer);
+    // the merge pays three scans + two keyed diffs + the commit — never
+    // row-quadratic. Branch updates 1% of keys, main inserts 1M fresh.
+    time("branch fork + 3-way merge 20M rows") {
+      val dir = java.nio.file.Files.createTempDirectory("graft_sm_br").toString
+      val store = new graft.table.TableStore(spark, dir)
+      val base = spark.range(0, 20000000L, 1, 128).toDF("k")
+        .withColumn("v", (col("k") % 997).cast("double"))
+      store.overwrite("t", base)
+      store.createBranch("t", "b")
+      store.overwriteBranch("t", "b",
+        base.withColumn("v",
+          when(col("k") % 100 === 0, col("v") + 1.0).otherwise(col("v"))))
+      store.append("t", spark.range(20000000L, 21000000L, 1, 16).toDF("k")
+        .withColumn("v", lit(-1.0)))
+      val conflicts = store.mergeBranch("t", "b", Seq("k"))
+      assert(conflicts.isEmpty, "disjoint edits")
+      val agg = store.scan("t").agg(count(lit(1)),
+        sum(when(col("v") === col("k") % 997 + 1.0, 1L).otherwise(0L))).first()
+      assert(agg.getLong(0) == 21000000L, agg)
+      assert(agg.getLong(1) == 200000L, s"branch updates must land: $agg")
+    }
+
     // skew-split join: 100M fact rows, HALF on 5 hot keys, against a 5M-row
     // dim (too big to broadcast, too big to replicate whole) — hot keys
     // salted 32 ways against the 5-row hot dim slice, cold mass joined

@@ -365,4 +365,71 @@ class TableStoreSpec extends SparkSpec {
       store.appendTagged("t", Seq(8L).toDF("v"), "has-dash")
     }
   }
+
+  test("branches: zero-copy fork, isolated writes, main GC keeps branch snaps live") {
+    import spark.implicits._
+    val store = newStore
+    store.overwrite("t", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    store.createBranch("t", "fix")
+    assert(store.branches("t") == Seq("fix"))
+    intercept[IllegalArgumentException](store.createBranch("t", "fix"))
+    intercept[IllegalArgumentException](store.createBranch("t", "bad-name"))
+    // branch writes never touch main; main writes never touch the branch
+    store.appendBranch("t", "fix", Seq((4L, "d")).toDF("k", "v"))
+    assert(store.scan("t").count() == 3)
+    assert(store.scanBranch("t", "fix").count() == 4)
+    // a main OVERWRITE (whose commit GCs) must not reap snapshots the
+    // branch still references — the fork base and head stay readable
+    store.overwrite("t", Seq((1L, "a"), (9L, "z")).toDF("k", "v"))
+    assert(store.scanBranch("t", "fix").count() == 4)
+    store.dropBranch("t", "fix")
+    assert(store.branches("t").isEmpty)
+    intercept[IllegalArgumentException](store.scanBranch("t", "fix"))
+  }
+
+  test("mergeBranch: disjoint changes commit (update/insert/delete), branch drops") {
+    import spark.implicits._
+    val store = newStore
+    store.overwrite("t",
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0)).toDF("k", "v"))
+    store.createBranch("t", "b")
+    // branch: update k=1, delete k=2, insert k=5
+    store.overwriteBranch("t", "b",
+      Seq((1L, 11.0), (3L, 30.0), (4L, 40.0), (5L, 50.0)).toDF("k", "v"))
+    // main: update k=3, insert k=6
+    store.overwrite("t",
+      Seq((1L, 10.0), (2L, 20.0), (3L, 33.0), (4L, 40.0), (6L, 60.0)).toDF("k", "v"))
+    val conflicts = store.mergeBranch("t", "b", Seq("k"))
+    assert(conflicts.isEmpty, "disjoint edits cannot conflict")
+    val out = store.scan("t").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 11.0, 3L -> 33.0, 4L -> 40.0, 5L -> 50.0, 6L -> 60.0), out)
+    assert(store.branches("t").isEmpty, "a committed merge drops the branch")
+    // the returned empty frame stays evaluable after the commit's GC
+    assert(conflicts.count() == 0L)
+  }
+
+  test("mergeBranch: conflicts refuse, report ops, leave main AND branch intact; resolving re-merges") {
+    import spark.implicits._
+    val store = newStore
+    store.overwrite("t", Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v"))
+    store.createBranch("t", "b")
+    // branch updates k=1 and k=2; main updates k=1 DIFFERENTLY, deletes k=2
+    store.overwriteBranch("t", "b",
+      Seq((1L, 11.0), (2L, 22.0), (3L, 30.0)).toDF("k", "v"))
+    store.overwrite("t", Seq((1L, 12.0), (3L, 30.0)).toDF("k", "v"))
+    val conflicts = store.mergeBranch("t", "b", Seq("k"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(conflicts.toSeq ==
+      Seq((1L, "update", "update"), (2L, "delete", "update")), conflicts.toSeq)
+    assert(store.scan("t").count() == 2, "main untouched")
+    assert(store.branches("t") == Seq("b"), "branch intact")
+    // resolve by adopting main's rows on the branch, then re-merge
+    store.overwriteBranch("t", "b", Seq((1L, 12.0), (3L, 30.0)).toDF("k", "v"))
+    assert(store.mergeBranch("t", "b", Seq("k")).isEmpty,
+      "identical changes are not conflicts")
+    assert(store.scan("t").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      == Map(1L -> 12.0, 3L -> 30.0))
+  }
 }
