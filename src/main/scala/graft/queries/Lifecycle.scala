@@ -330,6 +330,43 @@ object Lifecycle {
       conflicts.orderBy("c_custkey")
     }),
 
+    // rebase-then-merge lifecycle: branch updates %10==5; main diverges
+    // (updates %10==7, inserts +8M); REBASE carries main's changes into
+    // the branch and advances the fork base; main then deletes key 601;
+    // the final merge is clean because the base moved past the first
+    // divergence. Gate returns the end state; the oracle replays the
+    // whole algebra.
+    "w_branch_rebase" -> ((s, dir) => {
+      val store = new TableStore(s,
+        Files.createTempDirectory("graft_q_rb").toString)
+      val c = t(s, dir, "customer").select("c_custkey", "c_acctbal")
+        .where(col("c_custkey") <= 600)
+      store.overwrite("cust", c)
+      store.createBranch("cust", "fix")
+      store.overwriteBranch("cust", "fix",
+        c.select(col("c_custkey"),
+          when(col("c_custkey") % 10 === 5, col("c_acctbal") + 3.0)
+            .otherwise(col("c_acctbal")).as("c_acctbal")))
+      store.overwrite("cust",
+        c.select(col("c_custkey"),
+          when(col("c_custkey") % 10 === 7, col("c_acctbal") + 9.0)
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+          .unionByName(c.where(col("c_custkey") % 10 === 6)
+            .select((col("c_custkey") + 8000000L).as("c_custkey"),
+              col("c_acctbal"))))
+      require(store.rebaseBranch("cust", "fix", Seq("c_custkey")).isEmpty,
+        "w_branch_rebase: unexpected rebase conflicts")
+      store.deleteWhere("cust", col("c_custkey") === 600)
+      require(store.mergeBranch("cust", "fix", Seq("c_custkey")).isEmpty,
+        "w_branch_rebase: unexpected merge conflicts")
+      require(store.branches("cust").isEmpty,
+        "w_branch_rebase: merge must drop the branch")
+      store.scan("cust")
+        .select(col("c_custkey"),
+          col("c_acctbal").cast("decimal(20,2)").cast("double").as("bal"))
+        .orderBy("c_custkey")
+    }),
+
     "w_delete_rows" -> ((s, dir) => {
       // row-level takedown lifecycle: overwrite → predicate delete →
       // key-list delete → re-add every deleted row. Four retained
@@ -529,6 +566,18 @@ object Lifecycle {
         |  UNION ALL SELECT k, b + 5.0 FROM base WHERE k % 10 = 2
         |  UNION ALL SELECT k + 8000000, b FROM base WHERE k % 10 = 4
         |  UNION ALL SELECT k + 9000000, b FROM base WHERE k % 10 = 3)
+        |SELECT k AS c_custkey, CAST(CAST(b AS DECIMAL(20,2)) AS DOUBLE) AS bal
+        |FROM merged ORDER BY c_custkey""".stripMargin,
+
+    "w_branch_rebase" ->
+      """WITH base AS (SELECT c_custkey AS k, c_acctbal AS b FROM customer
+        |              WHERE c_custkey <= 600),
+        |merged AS (
+        |  SELECT k, b + 3.0 AS b FROM base WHERE k % 10 = 5
+        |  UNION ALL SELECT k, b + 9.0 FROM base WHERE k % 10 = 7 AND k <> 600
+        |  UNION ALL SELECT k, b FROM base
+        |    WHERE k % 10 NOT IN (5, 7) AND k <> 600
+        |  UNION ALL SELECT k + 8000000, b FROM base WHERE k % 10 = 6)
         |SELECT k AS c_custkey, CAST(CAST(b AS DECIMAL(20,2)) AS DOUBLE) AS bal
         |FROM merged ORDER BY c_custkey""".stripMargin,
 

@@ -689,17 +689,99 @@ final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 
     * joins on the key — the same shape as [[diffVersions]]), and the
     * commit path's anti/semi joins; nothing row-quadratic, no windows.
     * The conflict probe `count()` is a driver scalar, not a collect. */
-  def mergeBranch(name: String, branch: String, keys: Seq[String]): DataFrame = {
-    require(keys.nonEmpty, "mergeBranch: at least one key column")
+  def mergeBranch(
+      name: String,
+      branch: String,
+      keys: Seq[String],
+      policy: TableStore.MergePolicy = TableStore.MergePolicy.Fail
+  ): DataFrame = {
+    val tw = threeWay(name, branch, keys)
+    val resolvable = policy != TableStore.MergePolicy.Fail
+    if (!tw.hasConflicts || resolvable) {
+      // with a resolution policy the report outlives the commit, whose GC
+      // can reap the snapshots the lazy frame reads — materialize first
+      // (edit-sized by construction; localCheckpoint cuts the file lineage)
+      val report =
+        if (tw.hasConflicts) tw.conflicts.localCheckpoint(true)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          tw.conflicts.schema)
+      val takeKeys = policy match {
+        case TableStore.MergePolicy.OursWins =>
+          tw.branchChangedKeys.join(tw.conflicts, keys, "left_anti")
+            .select(keys.map(col): _*)
+        case _ => tw.branchChangedKeys
+      }
+      val merged = tw.ours.join(takeKeys, keys, "left_anti")
+        .unionByName(tw.theirs.join(takeKeys, keys, "left_semi"),
+          allowMissingColumns = true)
+      overwrite(name, merged)
+      dropBranch(name, branch)
+      report
+    } else tw.conflicts
+  }
+
+  /** REBASE `branch` onto main's current state: the branch head becomes
+    * (main minus branch-changed keys) ∪ (branch's rows for them) — the
+    * same three-way algebra as [[mergeBranch]] committed to the BRANCH —
+    * and the fork base advances to main's manifest, so a later merge is
+    * clean by construction. Conflicts follow `policy`: Fail refuses and
+    * touches nothing; OursWins adopts main's rows; TheirsWins keeps the
+    * branch's. Returns the conflict report ((keys..., op_main,
+    * op_branch); empty under Fail when the rebase committed). */
+  def rebaseBranch(
+      name: String,
+      branch: String,
+      keys: Seq[String],
+      policy: TableStore.MergePolicy = TableStore.MergePolicy.Fail
+  ): DataFrame = {
+    val tw = threeWay(name, branch, keys)
+    val resolvable = policy != TableStore.MergePolicy.Fail
+    if (!tw.hasConflicts || resolvable) {
+      val report =
+        if (tw.hasConflicts) tw.conflicts.localCheckpoint(true)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          tw.conflicts.schema)
+      val takeKeys = policy match {
+        case TableStore.MergePolicy.OursWins =>
+          tw.branchChangedKeys.join(tw.conflicts, keys, "left_anti")
+            .select(keys.map(col): _*)
+        case _ => tw.branchChangedKeys
+      }
+      val rebased = tw.ours.join(takeKeys, keys, "left_anti")
+        .unionByName(tw.theirs.join(takeKeys, keys, "left_semi"),
+          allowMissingColumns = true)
+      val snap = writeSnapshot(name, rebased)
+      // head first, then base: a crash between the flips leaves a branch
+      // whose base still predates the rebase — a later merge re-runs the
+      // same three-way and converges (rows already match theirs)
+      atomicWritePointer(tableDir(name), branchFile(name, branch), Seq(snap))
+      atomicWritePointer(tableDir(name), branchBaseFile(name, branch),
+        readManifest(name))
+      report
+    } else tw.conflicts
+  }
+
+  private case class ThreeWay(
+      ours: DataFrame, theirs: DataFrame,
+      branchChangedKeys: DataFrame, conflicts: DataFrame,
+      hasConflicts: Boolean)
+
+  /** The shared three-way core: change sets vs the frozen fork base,
+    * git-contract conflicts (both changed AND final rows differ). Change
+    * sets persist — edit-sized, consumed by both the probe and the
+    * commit's anti/semi keys. The probe is a driver scalar, not a
+    * collect. */
+  private def threeWay(
+      name: String, branch: String, keys: Seq[String]): ThreeWay = {
+    require(keys.nonEmpty, "three-way merge: at least one key column")
     val f = branchFile(name, branch)
     require(fs(tableDir(name)).exists(f), s"Branch not found: $name@$branch")
     val base = unionRead(name, readManifestFile(branchBaseFile(name, branch)))
     val ours = scan(name)
     val theirs = scanBranch(name, branch)
 
-    // change sets are edit-sized, not table-sized, and the branch diff is
-    // consumed twice (conflict probe + the commit's anti/semi keys) —
-    // persist both so each base-vs-side full-outer join runs once
     val bd = diffFrames(base, theirs, keys)
       .select(keys.map(col) :+ col("op").as("op_branch"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -718,22 +800,9 @@ final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 
       .join(t, keys, "left")
       .where(!(col("__orow") <=> col("__trow")))
       .select(keys.map(col) :+ col("op_main") :+ col("op_branch"): _*)
-
-    if (conflicts.limit(1).count() == 0L) {
-      val changedKeys = bd.select(keys.map(col): _*)
-      val merged = ours.join(changedKeys, keys, "left_anti")
-        .unionByName(
-          theirs.join(changedKeys, keys, "left_semi"),
-          allowMissingColumns = true)
-      overwrite(name, merged)
-      dropBranch(name, branch)
-      // the lazy conflict frame reads pre-merge snapshots that the commit
-      // just made GC-eligible — hand back a same-schema EMPTY frame the
-      // caller can evaluate at any time
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        conflicts.schema)
-    } else conflicts
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ThreeWay(ours, theirs, bd.select(keys.map(col): _*), conflicts,
+      conflicts.limit(1).count() > 0L)
   }
 
   /** Atomically flip CURRENT to `snaps`, record the new version, prune
@@ -786,5 +855,18 @@ final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 
       if (st.isDirectory && n.startsWith("snap-") && !live.contains(n))
         filesystem.delete(st.getPath, true)
     }
+  }
+}
+
+object TableStore {
+  /** Conflict handling for [[TableStore.mergeBranch]]/[[TableStore.rebaseBranch]]:
+    * Fail refuses and commits nothing; OursWins keeps main's rows on
+    * conflicted keys; TheirsWins keeps the branch's. Either resolving
+    * policy still returns the conflict report for audit. */
+  sealed trait MergePolicy
+  object MergePolicy {
+    case object Fail extends MergePolicy
+    case object OursWins extends MergePolicy
+    case object TheirsWins extends MergePolicy
   }
 }

@@ -432,4 +432,72 @@ class TableStoreSpec extends SparkSpec {
     assert(store.scan("t").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       == Map(1L -> 12.0, 3L -> 30.0))
   }
+
+  test("mergeBranch policies: OursWins / TheirsWins resolve, both report conflicts") {
+    import spark.implicits._
+    def seeded(): TableStore = {
+      val store = newStore
+      store.overwrite("t", Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v"))
+      store.createBranch("t", "b")
+      // branch: k=1 -> 11, k=2 -> 22; main: k=1 -> 12 (conflict), k=3 -> 33
+      store.overwriteBranch("t", "b",
+        Seq((1L, 11.0), (2L, 22.0), (3L, 30.0)).toDF("k", "v"))
+      store.overwrite("t", Seq((1L, 12.0), (2L, 20.0), (3L, 33.0)).toDF("k", "v"))
+      store
+    }
+    val s1 = seeded()
+    val r1 = s1.mergeBranch("t", "b", Seq("k"), TableStore.MergePolicy.TheirsWins)
+    assert(r1.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      == Seq((1L, "update", "update")), "report survives the commit")
+    assert(s1.scan("t").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      == Map(1L -> 11.0, 2L -> 22.0, 3L -> 33.0), "theirs wins k=1; branch k=2 lands; main k=3 kept")
+    assert(s1.branches("t").isEmpty)
+    val s2 = seeded()
+    val r2 = s2.mergeBranch("t", "b", Seq("k"), TableStore.MergePolicy.OursWins)
+    assert(r2.count() == 1L)
+    assert(s2.scan("t").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      == Map(1L -> 12.0, 2L -> 22.0, 3L -> 33.0), "ours wins the conflicted key only")
+  }
+
+  test("rebaseBranch: branch adopts main's changes, base advances, later merge is clean") {
+    import spark.implicits._
+    val store = newStore
+    store.overwrite("t", Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"))
+    store.createBranch("t", "b")
+    store.overwriteBranch("t", "b", Seq((1L, 11.0), (2L, 20.0)).toDF("k", "v"))
+    store.overwrite("t", Seq((1L, 10.0), (2L, 20.0), (4L, 44.0)).toDF("k", "v"))
+    val rep = store.rebaseBranch("t", "b", Seq("k"))
+    assert(rep.isEmpty, "disjoint rebase has no conflicts")
+    assert(store.scanBranch("t", "b").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      == Map(1L -> 11.0, 2L -> 20.0, 4L -> 44.0),
+      "branch = main's state + branch's own change")
+    assert(store.scan("t").count() == 3, "rebase never touches main")
+    // main moves again AFTER the rebase; the advanced base sees only the
+    // post-rebase delta, so the merge is clean and total
+    store.overwrite("t",
+      Seq((1L, 10.0), (2L, 20.0), (4L, 44.0), (5L, 55.0)).toDF("k", "v"))
+    assert(store.mergeBranch("t", "b", Seq("k")).isEmpty)
+    assert(store.scan("t").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      == Map(1L -> 11.0, 2L -> 20.0, 4L -> 44.0, 5L -> 55.0))
+  }
+
+  test("rebaseBranch conflict: Fail refuses untouched; TheirsWins keeps branch rows") {
+    import spark.implicits._
+    val store = newStore
+    store.overwrite("t", Seq((1L, 10.0)).toDF("k", "v"))
+    store.createBranch("t", "b")
+    store.overwriteBranch("t", "b", Seq((1L, 11.0)).toDF("k", "v"))
+    store.overwrite("t", Seq((1L, 12.0)).toDF("k", "v"))
+    val refuse = store.rebaseBranch("t", "b", Seq("k"))
+    assert(refuse.count() == 1L)
+    assert(store.scanBranch("t", "b").first().getDouble(1) == 11.0, "branch untouched")
+    val rep = store.rebaseBranch("t", "b", Seq("k"),
+      TableStore.MergePolicy.TheirsWins)
+    assert(rep.count() == 1L, "resolved conflicts still reported")
+    assert(store.scanBranch("t", "b").first().getDouble(1) == 11.0)
+    assert(store.mergeBranch("t", "b", Seq("k")).isEmpty,
+      "post-rebase merge is clean: base advanced past the conflict")
+    assert(store.scan("t").first().getDouble(1) == 11.0)
+  }
 }
