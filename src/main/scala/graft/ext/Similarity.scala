@@ -140,6 +140,57 @@ object Similarity {
   /** Deterministic small-int hyperplane coefficient c(i,j) ∈ [-3,3]. */
   def coeff(i: Int, j: Int): Long = ((i * 37 + j * 101) % 7) - 3
 
+  /** Max (bits, dims) the SRP coefficient table covers. */
+  val SrpMaxBits = 60
+  val SrpMaxDim = 64
+
+  /** Full-rank deterministic SRP hyperplane coefficients in [-3, 3],
+    * derived from md5("srp:i:j") at class-load time — unlike [[coeff]]
+    * (period 7 in the plane index: plane i ≡ plane i+7, fine for 6
+    * bucketing planes, degenerate for a 60-bit signature). A Scala
+    * CONSTANT, so the DuckDB oracle embeds the identical literals — one
+    * source of truth, no cross-engine hash replication needed. */
+  lazy val srpCoeffs: IndexedSeq[IndexedSeq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until SrpMaxBits).map { i =>
+      (0 until SrpMaxDim).map { j =>
+        val h = md.digest(s"srp:$i:$j".getBytes("UTF-8"))
+        (java.lang.Long.parseLong(
+          h.take(4).map(b => f"$b%02x").mkString, 16) % 7L) - 3L
+      }
+    }
+  }
+
+  /** Signed-random-projection signature: `bits` sign bits of exact int64
+    * dot products between the 1e7-quantized vector and the [[srpCoeffs]]
+    * hyperplanes — the binary embedding code that makes vector near-dup
+    * searchable EXACTLY at corpus scale through
+    * [[graft.ext.Dedup.hammingNeighbors]] (Charikar 2002: P[bit differs]
+    * = angle/π, so near-identical vectors land within a small Hamming
+    * radius). Identical vectors collide at distance 0 by construction.
+    * Production planes would be Gaussian; these are small-int and
+    * deterministic so both engines reproduce signatures bit-for-bit —
+    * the same trade every hash in this codebase makes. */
+  def srpSignature(vec: Column, dim: Int, bits: Int = SrpMaxBits): Column = {
+    require(bits >= 1 && bits <= SrpMaxBits, s"srpSignature: bits $bits")
+    require(dim >= 1 && dim <= SrpMaxDim, s"srpSignature: dim $dim")
+    // full-width signatures route through the codegen'd kernel when a
+    // GraftSession registered it (54 µs -> sub-µs per vector; SrpNativeSpec
+    // pins bit-parity); partial widths keep the declarative formulation
+    val active = org.apache.spark.sql.SparkSession.getActiveSession
+    if (bits == SrpMaxBits && dim == SrpMaxDim &&
+        active.exists(_.catalog.functionExists("graft_srp")))
+      return call_function("graft_srp", vec)
+    val quantized = transform(vec, x => round(x.cast("double") * lit(1e7)).cast("long"))
+    val dots = (0 until bits).map { i =>
+      val coeffs = array((0 until dim).map(j => lit(srpCoeffs(i)(j))): _*)
+      aggregate(zip_with(quantized, coeffs, (x, c) => x * c), lit(0L), (a, x) => a + x)
+    }
+    dots.zipWithIndex.map { case (d, i) =>
+      when(d >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   /** LSH bucket id: sign bits of integer dot products between the
     * 1e7-quantized vector and NumPlanes fixed hyperplanes. Narrow, exact
     * int64 math — byte-identical across engines. */

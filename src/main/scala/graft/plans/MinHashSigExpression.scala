@@ -180,6 +180,13 @@ object GraftExtensions {
           children(2).eval(null).asInstanceOf[Boolean])
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_srp"),
+      new ExpressionInfo(classOf[SrpExpression].getName, "graft_srp"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_srp(vec) takes one argument")
+        SrpExpression(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_avg_hash"),
       new ExpressionInfo(classOf[AvgHashExpression].getName, "graft_avg_hash"),
       (children: Seq[Expression]) => {

@@ -733,6 +733,24 @@ object Ext {
           "doc_id", "simhash", maxDist = 3)
         .orderBy("a_id", "b_id")),
 
+    "ext_hamming_dedup_e2e" -> ((s, dir) => {
+      // the full simhash dedup pipeline: 60-bit signatures → exact
+      // block-banded Hamming pairs (r=3) → label-propagation clusters →
+      // keep the lowest id per cluster. Output: every doc with its
+      // cluster label and the keep decision — the composed exact-Hamming
+      // analogue of keepCanonical's minhash path.
+      val corpus = nearDupCorpus(s, dir)
+      val sim = Dedup.simhash(corpus, "text", "doc_id")
+      val pairs = Dedup.hammingNeighbors(sim, "doc_id", "simhash", maxDist = 3)
+      val clusters = Dedup.duplicateClusters(pairs)
+      corpus.join(clusters, corpus("doc_id") === clusters("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"),
+          (col("cluster").isNull || col("cluster") === col("doc_id"))
+            .as("keep"))
+        .orderBy("doc_id")
+    }),
+
     "ext_ngram_jaccard" -> ((s, dir) => {
       val c = nearDupCorpus(s, dir)
       val orig = c.where(col("doc_id") % 10 === 0 && col("doc_id") < 1000000L)
@@ -837,6 +855,28 @@ object Ext {
       Similarity.ivfPqTopK(e, e.where(col("vec_id") < 5), "embedding", "vec_id",
         k = 5, nCells = 16, nProbe = 4, m = 8, ksub = 16, dim = 64)
         .orderBy("q_id", "rank")
+    }),
+
+    "ext_srp_neardup" -> ((s, dir) => {
+      // vector near-dup through BINARY codes: 60-bit signed-random-
+      // projection signatures (Charikar 2002, full-rank md5-derived
+      // planes) -> exact block-banded Hamming pairs at r=4. Planted
+      // exact copies collide at 0; single-dim perturbations land within
+      // a few sign flips. The oracle rebuilds signatures from the SAME
+      // coefficient constants and brute-forces pairs (exactness makes
+      // the banding invisible in the result).
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val corpus = e
+        .unionByName(e.where(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        .unionByName(e.where(col("vec_id") % 10 === 5)
+          .select((col("vec_id") + 2000000L).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              when(i === 0, x + lit(0.01f)).otherwise(x)).as("embedding")))
+      val sigs = corpus.select(col("vec_id"),
+        Similarity.srpSignature(col("embedding"), 64).as("srp"))
+      Dedup.hammingNeighbors(sigs, "vec_id", "srp", maxDist = 4, blocks = 6)
+        .orderBy("a_id", "b_id")
     }),
 
     "ext_lsh_buckets" -> ((s, dir) =>
@@ -2302,6 +2342,20 @@ object Ext {
     }
     dots.mkString("(", " + ", ")")
   }
+
+  /** The 60-bit SRP signature as one integer-arithmetic SQL expression
+    * over `vq` (the 1e7-quantized embedding list) — per plane a plain sum
+    * of nonzero-coefficient terms (int addition is associative, so no
+    * reduce scaffolding), coefficients spliced from the SAME Scala
+    * constant the Spark side uses. */
+  private lazy val srpExprSql: String =
+    (0 until Similarity.SrpMaxBits).map { i =>
+      val terms = (0 until Similarity.SrpMaxDim)
+        .map(j => (j, Similarity.srpCoeffs(i)(j)))
+        .filter(_._2 != 0L)
+        .map { case (j, c) => s"($c)*vq[${j + 1}]" }
+      s"(CASE WHEN (${terms.mkString(" + ")}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " +\n      ", ")")
 
   private val BucketCte =
     s"""v AS (
@@ -3939,6 +3993,31 @@ object Ext {
          |FROM cand WHERE bit_count(xor(a_h, b_h)) <= 3
          |ORDER BY a_id, b_id""".stripMargin,
 
+    "ext_hamming_dedup_e2e" ->
+      s"""WITH RECURSIVE $NearDupCorpusSql,
+         |${TextHash.simhashSql("corpus", "doc_id", "text")},
+         |ch AS (
+         |  SELECT doc_id, simhash, ci,
+         |         (simhash >> (ci * 15)) & 32767 AS cv
+         |  FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS ci)),
+         |p AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM ch a JOIN ch b
+         |    ON b.ci = a.ci AND b.cv = a.cv AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM p
+         |          UNION SELECT b_id, a_id FROM p),
+         |verts AS (SELECT DISTINCT src AS id FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |cl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+         |SELECT c.doc_id, COALESCE(cl.cluster, c.doc_id) AS cluster,
+         |       (cl.cluster IS NULL OR cl.cluster = c.doc_id) AS keep
+         |FROM corpus c LEFT JOIN cl ON cl.id = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
+
     "ext_ngram_jaccard" ->
       s"""WITH $NearDupCorpusSql,
          |grams AS (
@@ -3985,6 +4064,28 @@ object Ext {
     "ext_lsh_buckets" ->
       s"""WITH $BucketCte
          |SELECT vec_id, bucket FROM bk ORDER BY vec_id""".stripMargin,
+
+    "ext_srp_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |corpus AS (
+         |  SELECT vec_id, embedding FROM e
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, embedding FROM e WHERE vec_id % 10 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 2000000,
+         |    [CASE WHEN j = 1 THEN embedding[j] + 0.01::FLOAT
+         |          ELSE embedding[j] END FOR j IN range(1, 65)]
+         |  FROM e WHERE vec_id % 10 = 5),
+         |v AS (SELECT vec_id,
+         |        [CAST(round(CAST(embedding[j] AS DOUBLE)*1e7) AS BIGINT)
+         |         FOR j IN range(1, 65)] AS vq
+         |      FROM corpus),
+         |sig AS (SELECT vec_id, $srpExprSql AS srp FROM v)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |       CAST(bit_count(xor(a.srp, b.srp)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+         |WHERE bit_count(xor(a.srp, b.srp)) <= 4
+         |ORDER BY a_id, b_id""".stripMargin,
 
     "ext_ann_multiprobe" -> {
       val probeList = ("bucket" +: (0 until Similarity.NumPlanes)

@@ -1390,6 +1390,30 @@ object ScaleSmoke {
       assert(found.getLong(0) < 100100L, s"coincidentals ~0: $found")
     }
 
+    // SRP embedding near-dup: 5M 64-d vectors through the graft_srp
+    // kernel (HOF path measured 54 µs/vec — the kernel is the scale
+    // story) into exact block-banded Hamming pairs at r=2; every planted
+    // exact copy must surface at distance 0
+    time("srp 5M x 64d + hamming pairs r=2") {
+      val n = 5000000L
+      val vecs = spark.range(0, n, 1, 256)
+        .select(col("id"), transform(sequence(lit(1), lit(64)),
+          j => ((pmod(xxhash64(col("id") * 100 + j), lit(2000)) - 1000)
+            .cast("double") / lit(1000.0)).cast("float")).as("embedding"))
+      val plants = vecs.where(col("id") % 100 === 0)
+        .select((col("id") + n).as("id"), col("embedding"))
+      val sigs = vecs.unionByName(plants).select(col("id"),
+        graft.ext.Similarity.srpSignature(col("embedding"), 64).as("srp"))
+      val pairs = graft.ext.Dedup.hammingNeighbors(
+        sigs, "id", "srp", maxDist = 2, blocks = 6)
+      val found = pairs.agg(count(lit(1)),
+        sum(when(col("b_id") === col("a_id") + n &&
+          col("hamming") === 0L, 1L).otherwise(0L))).first()
+      assert(found.getLong(1) == 50000L,
+        s"every planted copy at distance 0: $found")
+      assert(found.getLong(0) < 51000L, s"coincidentals ~0: $found")
+    }
+
     // zero-copy branch + three-way merge at 20M rows: fork is O(pointer);
     // the merge pays three scans + two keyed diffs + the commit — never
     // row-quadratic. Branch updates 1% of keys, main inserts 1M fresh.

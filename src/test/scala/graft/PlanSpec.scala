@@ -732,6 +732,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!analyzed("ext_hamming_neighbors").contains("Window"), "no window")
   }
 
+  test("srp neardup + hamming dedup e2e: banded equi-joins, no product, no window") {
+    Seq("ext_srp_neardup", "ext_hamming_dedup_e2e").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: pair search must stay the banded bucket aggregate:\n$p")
+      assert(!analyzed(q).contains("Window"), s"$q: no window")
+    }
+  }
+
   test("bm25f: ONE corpus pass over all fields, topk aggregate, no window") {
     val p = plan("ext_bm25f_topk")
     val explodes = "Generate explode".r.findAllIn(p).length

@@ -212,6 +212,32 @@ class ExtSpec extends SparkSpec {
     assert(buckets(0) >= 0 && buckets(0) < (1L << Similarity.NumPlanes))
   }
 
+  test("srp signature: full-rank planes, identical vecs collide, perturbation stays near") {
+    // the bucket coeffs are period-7 in the plane index; the SRP table
+    // must NOT be (that degeneracy is why it exists)
+    assert((0 until 53).exists(i =>
+      Similarity.srpCoeffs(i) != Similarity.srpCoeffs(i + 7)),
+      "SRP planes must not repeat with period 7")
+    assert(Similarity.srpCoeffs.flatten.forall(c => c >= -3 && c <= 3))
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val vec = (1 to 64).map(i => (math.sin(i) / 2).toFloat)
+    val pert = vec.updated(0, vec(0) + 0.01f)
+    val anti = vec.map(x => -x)
+    val df = spark.createDataFrame(java.util.List.of(
+      Row(1L, vec), Row(2L, vec), Row(3L, pert), Row(4L, anti)), schema)
+    val sigs = df.select(col("vec_id"),
+      Similarity.srpSignature(col("embedding"), 64).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L), "identical vectors share the signature")
+    assert(sigs.values.forall(s => s >= 0 && s < (1L << 60)))
+    val dPert = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    assert(dPert <= 6, s"tiny perturbation flips few sign bits: $dPert")
+    // the antipode flips EVERY non-zero dot's sign (Charikar: angle pi)
+    val dAnti = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    assert(dAnti >= 50, s"antipodal vector must flip nearly all bits: $dAnti")
+  }
+
   test("quality + langid + fingerprint columns are present and sane") {
     val d = docs((1L, "the cat and the dog of the house, in a big town!"))
     val q = TextStats.qualityScore(d, "text").first()
