@@ -807,6 +807,53 @@ object Dedup {
       .select("a_id", "b_id", "containment", "jaccard")
   }
 
+  /** Analytic S-curve of the b-band × r-row minhash scheme: for a pair
+    * with Jaccard similarity s, the probability at least one band
+    * collides is P(s) = 1 − (1 − s^r)^b — the function you TUNE (b, r)
+    * against before paying for a banding run at 100 TB (Leskovec/
+    * Rajaraman/Ullman, MMDS ch. 3). Evaluated EXACTLY on the lattice
+    * s = k/grid: every term is an integer power (decimal(38,0)
+    * multiplies, no floating pow), ppm is the truncating integral `div`
+    * the kappa gates already use, so any engine reproduces the table
+    * bit-for-bit. `grid^(rows·bands)` must fit 38 digits — the guard
+    * rejects shapes that would silently overflow.
+    *
+    * Output: (s_ppm, collide_ppm) per lattice point, plus the scheme's
+    * (bands, rows) for self-description. Driver-sized: grid+1 rows. */
+  def lshCollisionCurve(
+      spark: org.apache.spark.sql.SparkSession,
+      bands: Int = TextHash.Bands,
+      rows: Int = TextHash.RowsPerBand,
+      grid: Int = 20
+  ): DataFrame = {
+    require(bands >= 1 && rows >= 1 && grid >= 1,
+      s"lshCollisionCurve: bands=$bands rows=$rows grid=$grid")
+    require(BigInt(grid).pow(rows * bands).toString.length <= 38,
+      s"lshCollisionCurve: grid^$rows*$bands overflows decimal(38,0)")
+    require(1000000 % grid == 0,
+      s"lshCollisionCurve: grid $grid must divide 1e6 for exact s_ppm")
+    val d38 = "decimal(38,0)"
+    val gR = lit(new java.math.BigDecimal(BigInt(grid).pow(rows).toString))
+      .cast(d38)
+    val den = lit(new java.math.BigDecimal(
+      BigInt(grid).pow(rows * bands).toString)).cast(d38)
+    val kR = (1 to rows).map(_ => col("k").cast(d38))
+      .reduce((a, b) => (a * b).cast(d38))
+    val diffB = {
+      val diff = (gR - kR).cast(d38)
+      (1 to bands).map(_ => diff).reduce((a, b) => (a * b).cast(d38))
+    }
+    spark.range(0, grid + 1L).toDF("k")
+      .withColumn("__num", (den - diffB).cast(d38))
+      .select(
+        (col("k") * (1000000L / grid)).cast("bigint").as("s_ppm"),
+        expr("CAST((__num * 1000000) div " +
+          s"CAST('${BigInt(grid).pow(rows * bands)}' AS $d38) AS BIGINT)")
+          .as("collide_ppm"),
+        lit(bands.toLong).as("bands"),
+        lit(rows.toLong).as("rows"))
+  }
+
   /** EXACT Hamming r-neighbor pairs over a fixed-width hash column by
     * pigeonhole block banding (Manku, Jain & Das Sarma 2007, "Detecting
     * Near-Duplicates for Web Crawling"; the batch formulation of Norouzi

@@ -720,6 +720,12 @@ object Ext {
         .orderBy("doc_id")
     }),
 
+    "ext_lsh_scurve" -> ((s, dir) =>
+      // the banding scheme's analytic S-curve at the repo's own 4x4
+      // shape, exact integer lattice — tune (b, r) BEFORE a 100 TB
+      // banding run; the oracle recomputes every power in HUGEINT
+      Dedup.lshCollisionCurve(s).orderBy("s_ppm")),
+
     "ext_hamming_neighbors" -> ((s, dir) =>
       // EXACT Hamming r-neighbor search by multi-index pigeonhole banding
       // (Norouzi 2012): 60-bit simhashes split into 4 disjoint 15-bit
@@ -3975,6 +3981,24 @@ object Ext {
          |FROM sim o JOIN sim d ON d.doc_id = o.doc_id + 1000000
          |WHERE o.doc_id % 10 = 0 AND o.doc_id < 1000000
          |ORDER BY o.doc_id""".stripMargin,
+
+    "ext_lsh_scurve" -> {
+      val g = 20; val r = TextHash.RowsPerBand; val b = TextHash.Bands
+      val gR = BigInt(g).pow(r); val den = BigInt(g).pow(r * b)
+      s"""WITH lattice AS (SELECT unnest(range(0, ${g + 1})) AS k),
+         |t AS (SELECT k,
+         |  (${(1 to r).map(_ => "k::HUGEINT").mkString(" * ")}) AS kr
+         |  FROM lattice),
+         |p AS (SELECT k,
+         |  ${den}::HUGEINT -
+         |  (${(1 to b).map(_ => s"(${gR}::HUGEINT - kr)").mkString(" * ")})
+         |    AS num
+         |  FROM t)
+         |SELECT CAST(k * ${1000000 / g} AS BIGINT) AS s_ppm,
+         |  CAST((num * 1000000) // ${den}::HUGEINT AS BIGINT) AS collide_ppm,
+         |  CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows
+         |FROM p ORDER BY s_ppm""".stripMargin
+    },
 
     "ext_hamming_neighbors" ->
       s"""WITH $NearDupCorpusSql,

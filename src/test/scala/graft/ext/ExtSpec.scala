@@ -212,6 +212,21 @@ class ExtSpec extends SparkSpec {
     assert(buckets(0) >= 0 && buckets(0) < (1L << Similarity.NumPlanes))
   }
 
+  test("lsh S-curve: exact endpoints, monotone, hand-checked midpoint") {
+    val rows = Dedup.lshCollisionCurve(spark).orderBy("s_ppm").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.head == (0L, 0L) && rows.last == (1000000L, 1000000L))
+    assert(rows.sliding(2).forall(w => w(0)._2 <= w(1)._2), "monotone")
+    // s = 0.5 under 4x4: P = 1 - (15/16)^4 = 14911/65536 -> 227523 ppm
+    assert(rows.toMap.apply(500000L) == 227523L)
+    intercept[IllegalArgumentException] {
+      Dedup.lshCollisionCurve(spark, bands = 16, rows = 16) // 20^256
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.lshCollisionCurve(spark, grid = 7) // 1e6 % 7 != 0
+    }
+  }
+
   test("srp signature: full-rank planes, identical vecs collide, perturbation stays near") {
     // the bucket coeffs are period-7 in the plane index; the SRP table
     // must NOT be (that degeneracy is why it exists)
