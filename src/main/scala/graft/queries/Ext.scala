@@ -1033,6 +1033,16 @@ object Ext {
           Sampling.epochPosition(col("doc_id"), 1).as("pos_e1"))
         .orderBy("doc_id")),
 
+    "ext_epoch_batch" -> ((s, dir) =>
+      // random access into one epoch's order WITHOUT any sort: a batch is
+      // a position-range filter over the bijection (here the first 1/32
+      // of the position space) — the training-reader contract the
+      // permutation exists for
+      t(s, dir, "documents").select(col("doc_id"),
+          Sampling.epochPosition(col("doc_id"), 1).as("position"))
+        .where(col("position") < (1L << 55))
+        .orderBy("position")),
+
     "ext_shuffle_order" -> ((s, dir) =>
       // deterministic epoch shuffle: total order by salted hash + id —
       // a range-partitioned sort at scale; new salt = new permutation
@@ -4487,6 +4497,13 @@ object Ext {
          |  CAST(${Sampling.epochPositionSql("doc_id", 0)} AS BIGINT) AS pos_e0,
          |  CAST(${Sampling.epochPositionSql("doc_id", 1)} AS BIGINT) AS pos_e1
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ext_epoch_batch" ->
+      s"""SELECT doc_id,
+         |  CAST(${Sampling.epochPositionSql("doc_id", 1)} AS BIGINT) AS position
+         |FROM documents
+         |WHERE ${Sampling.epochPositionSql("doc_id", 1)} < ${1L << 55}
+         |ORDER BY position""".stripMargin,
 
     "ext_shuffle_order" ->
       s"""SELECT doc_id,

@@ -764,11 +764,13 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("epoch permutation: pure projection — no keyed exchange, no join, no window") {
-    val p = plan("ext_epoch_permutation")
-    assert(!p.contains("hashpartitioning("),
-      s"the Feistel walk is per-row — nothing may shuffle on a key:\n$p")
-    assert(!p.contains("Join"), "no join")
-    assert(!analyzed("ext_epoch_permutation").contains("Window"), "no window")
+    Seq("ext_epoch_permutation", "ext_epoch_batch").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning("),
+        s"$q: the Feistel walk is per-row — nothing may shuffle on a key:\n$p")
+      assert(!p.contains("Join"), s"$q: no join")
+      assert(!analyzed(q).contains("Window"), s"$q: no window")
+    }
   }
 
   test("table fingerprint: one partial-agg pass, no window, no join") {
