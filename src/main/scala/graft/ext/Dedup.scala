@@ -828,8 +828,12 @@ object Dedup {
   ): DataFrame = {
     require(bands >= 1 && rows >= 1 && grid >= 1,
       s"lshCollisionCurve: bands=$bands rows=$rows grid=$grid")
-    require(BigInt(grid).pow(rows * bands).toString.length <= 38,
-      s"lshCollisionCurve: grid^$rows*$bands overflows decimal(38,0)")
+    // <= 32 digits, not 38: collide_ppm multiplies __num by 1e6 before the
+    // div, so 6 digits of headroom must stay reserved inside decimal(38,0)
+    // or the ppm product overflows to null silently under non-ANSI Spark
+    require(BigInt(grid).pow(rows * bands).toString.length <= 32,
+      s"lshCollisionCurve: grid^($rows*$bands) needs the 6-digit ppm " +
+        "headroom inside decimal(38,0) — shrink grid, rows, or bands")
     require(1000000 % grid == 0,
       s"lshCollisionCurve: grid $grid must divide 1e6 for exact s_ppm")
     val d38 = "decimal(38,0)"

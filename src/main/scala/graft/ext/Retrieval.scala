@@ -166,9 +166,14 @@ object Retrieval {
     // one tagged stream per field, concatenated into ONE explode; the
     // token array is let-bound (the TextHash.shingles idiom) so the split
     // runs once per (row, field), not once per emitted element
+    // a null field is an EMPTY field, never a document eraser: without the
+    // coalesce a single null column nullifies its tagged array, concat
+    // nullifies, and explode silently drops the doc from retrieval and
+    // from every field's n_docs/avgdl stats
     val tagged = fields.zipWithIndex.map { case (fd, fi) =>
       element_at(
-        transform(array(TextStats.wsTokens(col(fd.col))), toks => concat(
+        transform(array(coalesce(TextStats.wsTokens(col(fd.col)),
+          array().cast("array<string>"))), toks => concat(
           transform(filter(toks, t => array_contains(qvocabLit, t)),
             t => struct(lit(fi).as("f"),
               size(toks).cast("bigint").as("dl"), t.as("term"))),

@@ -76,8 +76,19 @@ object AvgHashNative {
     }
     var hash = 0L
     var w = 0
+    val nL = n.toLong
     while (w < Windows) {
-      if (sums(w) * n > total * counts(w)) hash |= (1L << w)
+      // the cross-multiply sums(w)*n vs total*counts(w) tops out at
+      // 255·n², which leaves Long at ~190 MB payloads — compare in 128
+      // bits (multiplyHigh is an intrinsic; the loop is 60 iterations)
+      // so the bit pattern stays exact for any blob size
+      val aHi = Math.multiplyHigh(sums(w), nL)
+      val aLo = sums(w) * nL
+      val bHi = Math.multiplyHigh(total, counts(w))
+      val bLo = total * counts(w)
+      if (aHi > bHi ||
+          (aHi == bHi && java.lang.Long.compareUnsigned(aLo, bLo) > 0))
+        hash |= (1L << w)
       w += 1
     }
     hash

@@ -25,17 +25,33 @@ import org.apache.spark.sql.functions._
   */
 object Fixtures {
 
+  // Keys embed sessionUUID (unique for the session's lifetime, never
+  // reused by the JVM), not identityHashCode (which CAN be handed to a
+  // later session after GC and would serve fixtures bound to a dead
+  // SparkSession). Entries for stopped sessions stay until process exit —
+  // fixture frames are model-sized, so the bound is harmless in the
+  // single-session Bench/Verify processes these serve.
   private val cache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private val pairCache =
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+
+  /** Stable per-session token: a UUID minted on first sight, held weakly
+    * by session identity. Unlike identityHashCode it can never be handed
+    * to a later session after GC, and the entry itself evicts with the
+    * session. */
+  private val tokens =
+    new java.util.WeakHashMap[SparkSession, String]()
+  private def sessionToken(s: SparkSession): String = tokens.synchronized {
+    tokens.computeIfAbsent(s, _ => java.util.UUID.randomUUID().toString)
+  }
 
   /** The ext_lr_* family's model: LogReg.train on the doc_id%2 slice,
     * y = (lang='en'), B = 1000, T = 3 — the exact spec every gate's
     * oracle unrolls. Frozen via eager localCheckpoint so reuse is a
     * model-sized block read. */
   def lrWeights(s: SparkSession, dir: String): DataFrame =
-    cache.getOrElseUpdate(System.identityHashCode(s) + "|lr|" + dir, {
+    cache.getOrElseUpdate(sessionToken(s) + "|lr|" + dir, {
       graft.ext.LogReg.train(
         Tables.t(s, dir, "documents").where(col("doc_id") % 2 === 0),
         "text", "doc_id", (col("lang") === "en").cast("long"),
@@ -48,7 +64,7 @@ object Fixtures {
     * both gates' oracles replay. (model, priors), each frozen via eager
     * localCheckpoint (C×B- and C-sized). */
   def langidDecorModel(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    pairCache.getOrElseUpdate(System.identityHashCode(s) + "|lid|" + dir, {
+    pairCache.getOrElseUpdate(sessionToken(s) + "|lid|" + dir, {
       val labeled = Ext.langDecorDocs(s, dir)
         .where(col("doc_id") % 3 === 0).select("text", "lang")
       val (m, p) = graft.ext.NaiveBayes.train(
@@ -62,7 +78,7 @@ object Fixtures {
     * — the exact spec `ext_kmeans_train` measures and its oracle unrolls.
     * Frozen via eager localCheckpoint (8×64 floats). */
   def kmeansBook(s: SparkSession, dir: String): DataFrame =
-    cache.getOrElseUpdate(System.identityHashCode(s) + "|km|" + dir, {
+    cache.getOrElseUpdate(sessionToken(s) + "|km|" + dir, {
       graft.ext.Similarity.kmeansCodebook(
         Tables.t(s, dir, "embeddings"), "embedding", "vec_id",
         nCells = 8, dim = 64, iterations = 2)
@@ -87,7 +103,7 @@ object Fixtures {
     * DuckDB oracles replay the scan-path spec regardless. */
   def bm25IndexStore(s: SparkSession, dir: String): graft.table.TableStore =
     storeCache.getOrElseUpdate(
-      System.identityHashCode(s) + "|bm25ix|" + dir, {
+      sessionToken(s) + "|bm25ix|" + dir, {
         val store = tempStore(s, "bm25")
         graft.ext.Retrieval.buildBm25Index(store, "docs",
           Tables.t(s, dir, "documents"), "text", "doc_id", numBuckets = 8)
@@ -96,7 +112,7 @@ object Fixtures {
 
   def nearDupIndexStore(s: SparkSession, dir: String): graft.table.TableStore =
     storeCache.getOrElseUpdate(
-      System.identityHashCode(s) + "|ndix|" + dir, {
+      sessionToken(s) + "|ndix|" + dir, {
         val store = tempStore(s, "nd")
         graft.ext.NearDupIndex.buildNearDupIndex(store, "nd",
           Tables.t(s, dir, "documents").select(col("doc_id"), col("text")),
@@ -106,7 +122,7 @@ object Fixtures {
 
   def gramIndexStore(s: SparkSession, dir: String): graft.table.TableStore =
     storeCache.getOrElseUpdate(
-      System.identityHashCode(s) + "|ngix|" + dir, {
+      sessionToken(s) + "|ngix|" + dir, {
         val store = tempStore(s, "ng")
         graft.ext.GramIndex.buildGramIndex(store, "ng",
           Tables.t(s, dir, "documents").select(col("doc_id"), col("text")),
@@ -116,7 +132,7 @@ object Fixtures {
 
   def ivfIndexStore(s: SparkSession, dir: String): graft.table.TableStore =
     storeCache.getOrElseUpdate(
-      System.identityHashCode(s) + "|ivfix|" + dir, {
+      sessionToken(s) + "|ivfix|" + dir, {
         val store = tempStore(s, "ivf")
         graft.ext.VectorIndex.buildIvfIndex(store, "emb",
           Tables.t(s, dir, "embeddings"), "embedding", "vec_id",

@@ -3,7 +3,7 @@ package graft.ext
 import graft.SparkSpec
 import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions.{col, lit, posexplode, split}
+import org.apache.spark.sql.functions.{col, lit, posexplode, split, when}
 
 /** BM25 against a brute-force reference on a hand-built corpus, plus the
   * operator's edge semantics (tie-break, query-term multiplicity collapse,
@@ -137,6 +137,16 @@ class RetrievalSpec extends SparkSpec {
       Seq(0L -> "alpha"), k = 10)
       .orderBy("rank").collect().map(_.getLong(2))
     assert(out2.toSeq == Seq(1L, 2L))
+    // a NULL field is an empty field, never a document eraser: doc 2's
+    // null title must not drop it from retrieval or from title's
+    // n_docs/avgdl stats (so doc 1's title normalization still sees 3 docs)
+    val withNull = fielded.withColumn("title",
+      when(col("doc_id") === 2L, lit(null).cast("string"))
+        .otherwise(col("title")))
+    val out3 = Retrieval.bm25fTopK(withNull, fs, "doc_id",
+      Seq(0L -> "alpha"), k = 10)
+      .orderBy("rank").collect().map(_.getLong(2))
+    assert(out3.toSeq == Seq(1L, 2L), out3.toSeq)
   }
 
   test("indexed path is byte-identical to the scan path; scan prunes buckets") {
