@@ -394,6 +394,36 @@ object Lifecycle {
       }.reduce(_.unionByName(_)).orderBy("version")
     }),
 
+    "w_delete_rows_dv" -> ((s, dir) => {
+      // deletion-vector takedown lifecycle: same observable states as
+      // w_delete_rows but at O(deleted) commit cost — two DV commits
+      // write only their key lists (no data file rewritten), the re-add
+      // append proves replay order (a re-inserted key outlives earlier
+      // vectors), and the forced compact folds the vectors into one
+      // snapshot whose values must equal the untouched table (v5 == v1).
+      // DvDeleteSpec pins DV == rewrite at the content level; this gate
+      // pins every version's values against the oracle's replay.
+      val store = new TableStore(s,
+        Files.createTempDirectory("graft_q_dvdel").toString, retainVersions = 5)
+      val c = t(s, dir, "customer").select("c_custkey", "c_acctbal")
+        .where(col("c_custkey") <= 1200)
+      store.overwrite("cust", c)
+      store.deleteByKeysDV("cust", Seq("c_custkey"),
+        t(s, dir, "customer").where(col("c_custkey") % 7 === 0))
+      store.deleteByKeysDV("cust", Seq("c_custkey"),
+        t(s, dir, "customer").where(col("c_custkey").between(100, 200)))
+      store.append("cust",
+        c.where(col("c_custkey") % 7 === 0 ||
+          col("c_custkey").between(100, 200)))
+      store.compact("cust", maxSnapshots = 0) // fold the DVs
+      store.versions("cust").map { v =>
+        store.scanAsOf("cust", v).agg(
+          lit(v).as("version"),
+          count(lit(1)).as("n_rows"),
+          sum(col("c_acctbal").cast("decimal(20,2)")).cast("double").as("sum_bal"))
+      }.reduce(_.unionByName(_)).orderBy("version")
+    }),
+
     "w_version_diff" -> ((s, dir) => {
       // snapshot CDC: overwrite twice, then emit the row-level change feed
       // between the two retained versions — deletes below the new floor,
@@ -621,6 +651,29 @@ object Lifecycle {
         |  AND c_custkey NOT BETWEEN 100 AND 200
         |UNION ALL
         |SELECT CAST(4 AS BIGINT), COUNT(*),
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE)
+        |FROM customer WHERE c_custkey <= 1200
+        |ORDER BY version""".stripMargin,
+
+    "w_delete_rows_dv" ->
+      """SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE) AS sum_bal
+        |FROM customer WHERE c_custkey <= 1200
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), COUNT(*),
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE)
+        |FROM customer WHERE c_custkey <= 1200 AND c_custkey % 7 <> 0
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), COUNT(*),
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE)
+        |FROM customer WHERE c_custkey <= 1200 AND c_custkey % 7 <> 0
+        |  AND c_custkey NOT BETWEEN 100 AND 200
+        |UNION ALL
+        |SELECT CAST(4 AS BIGINT), COUNT(*),
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE)
+        |FROM customer WHERE c_custkey <= 1200
+        |UNION ALL
+        |SELECT CAST(5 AS BIGINT), COUNT(*),
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE)
         |FROM customer WHERE c_custkey <= 1200
         |ORDER BY version""".stripMargin,

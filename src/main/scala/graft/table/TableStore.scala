@@ -36,12 +36,32 @@ import java.nio.charset.StandardCharsets
   *   GC as soon as they leave CURRENT — exactly the storage profile of a
   *   plain table); a history store (e.g. 8) retains the last N versions'
   *   manifests AND their snapshot dirs, giving Delta-style time travel for
-  *   the cost of the retained deltas. Versions are advisory metadata: the
-  *   atomic CURRENT flip alone defines the live state, so a crash between
-  *   flip and version bookkeeping can lose a history entry but never
-  *   corrupts the table. */
-final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 1) {
+  *   the cost of the retained deltas.
+  *
+  *   Commit protocol (multi-writer safe): the COMMIT POINT is the atomic
+  *   claim of the next version file `v-NNNNNN` (tmp write + no-overwrite
+  *   rename — putIfAbsent). A writer that loses the claim re-reads the
+  *   fresh manifest, re-derives its change (append unions re-derive their
+  *   snapshot list), and retries the next slot, so two racing appenders
+  *   both land and neither's snapshot is lost. CURRENT is a tagged CACHE
+  *   of the head (`#v:N` first line), flipped after the claim: readers
+  *   prefer the higher of (CURRENT's tag, the highest sealed version
+  *   file), so a crash between claim and flip is invisible. Same-process
+  *   writers additionally serialize on a per-table lock; cross-process
+  *   atomicity delegates to the filesystem's no-overwrite rename (atomic
+  *   on HDFS; conditional-put on object stores).
+  *
+  * @param gcGraceMs snapshot/DV dirs younger than this are never GC'd even
+  *   when unreferenced — the cross-PROCESS guard for a writer whose
+  *   snapshot is on disk but whose commit hasn't claimed a version yet.
+  *   Same-process in-flight writes are tracked exactly (a registry the GC
+  *   always spares), so the default 0 is safe for any number of racing
+  *   writers in one JVM; fleets with writers in separate processes should
+  *   set this to a few commit-latencies (e.g. 15 min). */
+final class TableStore(spark: SparkSession, root: String,
+    retainVersions: Int = 1, gcGraceMs: Long = 0L) {
   require(retainVersions >= 1, "retainVersions must be >= 1")
+  require(gcGraceMs >= 0L, "gcGraceMs must be >= 0")
 
   private[table] def session: SparkSession = spark
   private def conf = spark.sparkContext.hadoopConfiguration
@@ -53,7 +73,7 @@ final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 
 
   def exists(name: String): Boolean = {
     val f = currentFile(name)
-    fs(f).exists(f)
+    fs(f).exists(f) || versions(name).nonEmpty
   }
 
   def list(): Seq[String] = {
@@ -63,19 +83,71 @@ final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 
     else f.listStatus(r).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
   }
 
-  private def readManifestFile(f: Path): Seq[String] = {
+  /** Raw pointer-file lines (comments included); Nil when absent. */
+  private def readPointerLines(f: Path): Seq[String] = {
     val filesystem = fs(f)
     if (!filesystem.exists(f)) Nil
     else {
-      val in = filesystem.open(f)
+      val in =
+        try filesystem.open(f)
+        catch { case _: java.io.FileNotFoundException => return Nil }
       try new String(in.readAllBytes(), StandardCharsets.UTF_8)
         .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
       finally in.close()
     }
   }
 
+  /** Manifest entries of a pointer file — `#`-prefixed metadata lines
+    * (CURRENT's `#v:N` tag, version files' `#graft-commit` seal) are
+    * dropped; entry names never start with `#`. */
+  private def readManifestFile(f: Path): Seq[String] =
+    readPointerLines(f).filterNot(_.startsWith("#"))
+
+  /** The seal every version file written by the claim protocol carries as
+    * its last line. Its PRESENCE distinguishes a committed claim from a
+    * legacy-format version file, making version files authoritative only
+    * once a table has been committed by this protocol. */
+  private val SealLine = "#graft-commit"
+
+  /** Resolve the live manifest: the higher of CURRENT's `#v:N` tag and the
+    * highest SEALED version file wins (they agree except in the claim→flip
+    * crash window, where the sealed claim is the committed truth). Legacy
+    * tables (untagged CURRENT, unsealed version files) resolve to CURRENT,
+    * their original contract. Retries ride out the prune race (a reader
+    * listing a version the next commit just retired re-lists and finds the
+    * newer head). */
   private[table] def readManifest(name: String): Seq[String] =
-    readManifestFile(currentFile(name))
+    readHead(name)._2
+
+  /** [[readManifest]] plus the HEAD VERSION the manifest corresponds to —
+    * the commit loop's read-point. A committer must claim exactly
+    * `head + 1`: binding the claim slot to the version its manifest was
+    * read at is what makes the claim a compare-and-swap (a racer landing
+    * in between takes the slot, our rename fails, and we re-derive from
+    * THEIR manifest instead of silently committing over it). */
+  private[table] def readHead(name: String): (Long, Seq[String]) = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val curLines = readPointerLines(currentFile(name))
+      val curTag = curLines.collectFirst {
+        case l if l.startsWith("#v:") => l.drop(3).toLong }
+      val curSnaps = curLines.filterNot(_.startsWith("#"))
+      val vmax = versions(name).lastOption
+      // the claim base must clear every number either pointer kind knows
+      val base = math.max(vmax.getOrElse(0L), curTag.getOrElse(0L))
+      vmax match {
+        case Some(v) if curTag.forall(_ < v) =>
+          val lines = readPointerLines(versionFile(name, v))
+          if (lines.contains(SealLine))
+            return (base, lines.filterNot(_.startsWith("#")))
+          else if (lines.isEmpty && attempt < 20) () // pruned underneath — re-list
+          else return (base, curSnaps) // legacy version file: CURRENT is the contract
+        case _ => return (base, curSnaps)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Committed versions still readable via [[scanAsOf]], ascending. */
   def versions(name: String): Seq[Long] = {
@@ -87,27 +159,85 @@ final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 
       .toSeq.sorted
   }
 
-  /** Scan = union of the manifest's snapshot dirs in commit order, with
-    * read-time schema evolution (later snapshots may add columns). */
+  /** Scan = replay of the manifest in commit order: snapshot entries union
+    * in (read-time schema evolution — later snapshots may add columns);
+    * deletion-vector entries ([[deleteByKeysDV]]) anti-join their key list
+    * out of everything that PRECEDES them, so a key re-appended after a
+    * takedown is live again — exactly the state a rewrite at each step
+    * would have produced, at O(batch)/O(deleted) commit cost. */
   def scan(name: String): DataFrame = {
-    val snaps = readManifest(name)
-    if (snaps.isEmpty)
+    val entries = readManifest(name)
+    if (entries.isEmpty)
       throw new IllegalArgumentException(s"Table not found: $name")
-    snaps
-      .map(sn => spark.read.parquet(new Path(tableDir(name), sn).toString))
-      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    readState(name, entries)
   }
 
   /** Time travel: scan the table as of a retained `version` (from
-    * [[versions]]). Same union-read + schema evolution as [[scan]]. */
+    * [[versions]]). Same replay + schema evolution as [[scan]]. */
   def scanAsOf(name: String, version: Long): DataFrame = {
-    val snaps = readManifestFile(versionFile(name, version))
-    if (snaps.isEmpty)
+    val entries = readManifestFile(versionFile(name, version))
+    if (entries.isEmpty)
       throw new IllegalArgumentException(
         s"Version $version of $name not found (retained: ${versions(name).mkString(",")})")
-    snaps
-      .map(sn => spark.read.parquet(new Path(tableDir(name), sn).toString))
-      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    readState(name, entries)
+  }
+
+  private def isDvEntry(e: String): Boolean = e.startsWith("dv-")
+
+  /** The replay core shared by every read path: fold the manifest in
+    * commit order — data snapshots union in, deletion vectors anti-join
+    * the accumulated state on THEIR OWN columns (the key tuple each DV
+    * was written with; DVs are dimension-sized, so the broadcast never
+    * shuffles the table). Every snapshot is read against the full evolved
+    * schema (parquet fills absent columns with null), which keeps the
+    * interleaved unions positionally safe.
+    *
+    * @param keepFile when set, each snapshot reads only its physical
+    *   files passing the predicate (zone-map / Bloom file skipping);
+    *   snapshots with no surviving file drop out of the replay, DVs still
+    *   apply. The per-snapshot grouping is what keeps replay order
+    *   correct under pruning.
+    * @param withFile prepend `__file` (= `_metadata.file_path`) to every
+    *   row, selected per-snapshot because hidden metadata columns don't
+    *   survive unions. */
+  private def readState(name: String, entries: Seq[String],
+      keepFile: Option[String => Boolean] = None,
+      withFile: Boolean = false): DataFrame = {
+    val dataEntries = entries.filterNot(isDvEntry)
+    require(dataEntries.nonEmpty, s"manifest of $name holds no data snapshots")
+    def snapPath(sn: String) = new Path(tableDir(name), sn).toString
+    val fullSchema = dataEntries
+      .map(sn => spark.read.parquet(snapPath(sn)))
+      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true)).schema
+    def decorate(df: DataFrame): DataFrame =
+      if (!withFile) df
+      else df.select(col("_metadata.file_path").as("__file") +:
+        fullSchema.fieldNames.map(col).toIndexedSeq: _*)
+    def snapFrame(sn: String): Option[DataFrame] = {
+      val whole = spark.read.schema(fullSchema).parquet(snapPath(sn))
+      keepFile match {
+        case None => Some(decorate(whole))
+        case Some(p) =>
+          val kept = whole.inputFiles.filter(p).toIndexedSeq
+          if (kept.isEmpty) None
+          else Some(decorate(spark.read.schema(fullSchema).parquet(kept: _*)))
+      }
+    }
+    val replayed = entries.foldLeft(Option.empty[DataFrame]) { (acc, e) =>
+      if (isDvEntry(e)) acc.map { df =>
+        val dv = spark.read.parquet(snapPath(e))
+        df.join(broadcast(dv), dv.columns.toIndexedSeq, "left_anti")
+      }
+      else snapFrame(e) match {
+        case None    => acc
+        case Some(f) => Some(acc.map(_.unionByName(f)).getOrElse(f))
+      }
+    }
+    replayed.getOrElse(
+      // every file of every snapshot pruned away: an empty frame that
+      // still carries the table's evolved schema
+      decorate(spark.read.schema(fullSchema).parquet(snapPath(dataEntries.head)))
+        .where(lit(false)))
   }
 
   /** Name of the zone-map sidecar table for `name` (a regular store table,
@@ -115,18 +245,13 @@ final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 
     * suffix convention). */
   def zoneMapTable(name: String): String = s"${name}_zonemap"
 
-  /** Per-snapshot frames with the physical file path attached. The
-    * `_metadata.file_path` column must be selected BEFORE the snapshot
-    * union — hidden metadata columns don't survive `unionByName`. */
+  /** Per-snapshot frames with the physical file path attached (replay
+    * semantics identical to [[scan]], DVs applied). */
   private def scanWithFile(name: String): DataFrame = {
-    val snaps = readManifest(name)
-    if (snaps.isEmpty)
+    val entries = readManifest(name)
+    if (entries.isEmpty)
       throw new IllegalArgumentException(s"Table not found: $name")
-    snaps.map { sn =>
-      val df = spark.read.parquet(new Path(tableDir(name), sn).toString)
-      df.select(col("_metadata.file_path").as("__file") +:
-        df.columns.map(col).toIndexedSeq: _*)
-    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    readState(name, entries, withFile = true)
   }
 
   /** Build/refresh the manifest-level zone map of `name`: one row per
@@ -170,8 +295,7 @@ final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 
   def scanPruned(name: String, colName: String, lo: Any, hi: Any): DataFrame = {
     def resid(df: DataFrame) =
       df.where(col(colName) >= lit(lo) && col(colName) <= lit(hi))
-    val base = scan(name)
-    if (!exists(zoneMapTable(name))) return resid(base)
+    if (!exists(zoneMapTable(name))) return resid(scan(name))
     val zm = scan(zoneMapTable(name))
     require(zm.columns.contains(s"${colName}__min"),
       s"scanPruned: zone map of $name was not analyzed for $colName — " +
@@ -180,9 +304,8 @@ final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 
     val skip = zm.where(col(s"${colName}__min").isNull ||
         col(s"${colName}__max") < lit(lo) || col(s"${colName}__min") > lit(hi))
       .select("file").collect().map(r => pathOf(r.getString(0))).toSet
-    val keep = base.inputFiles.filterNot(f => skip.contains(pathOf(f)))
-    if (keep.isEmpty) base.where(lit(false))
-    else resid(spark.read.schema(base.schema).parquet(keep.toIndexedSeq: _*))
+    resid(readState(name, readManifest(name),
+      keepFile = Some(f => !skip.contains(pathOf(f)))))
   }
 
   /** Scheme-independent path component ("file:/x", "file:///x", "/x" all
@@ -248,6 +371,7 @@ final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 
     val base = scan(name)
     if (!exists(bloomTable(name))) return resid(base)
     val bt = scan(bloomTable(name)).where(col("column") === colName)
+    // (probe hashing needs the column's type from the evolved schema)
     val params = bt.select("bits", "hashes").distinct().collect()
     if (params.isEmpty)
       throw new IllegalArgumentException(
@@ -265,9 +389,8 @@ final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 
       .where(!probe.map(p => array_contains(col("positions"), p))
         .reduce(_ && _))
       .select("file").collect().map(r => pathOf(r.getString(0))).toSet
-    val keep = base.inputFiles.filterNot(f => skip.contains(pathOf(f)))
-    if (keep.isEmpty) base.where(lit(false))
-    else resid(spark.read.schema(base.schema).parquet(keep.toIndexedSeq: _*))
+    resid(readState(name, readManifest(name),
+      keepFile = Some(f => !skip.contains(pathOf(f)))))
   }
 
   /** Snapshot CDC: row-level difference between two retained versions —
@@ -470,7 +593,10 @@ final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 
     else {
       checkNoTypeChanges(name, scan(name), df)
       val snap = writeSnapshot(name, df)
-      commitManifest(name, readManifest(name) :+ snap)
+      // the closure re-derives the union from the manifest AT COMMIT
+      // TIME, so losing the version race to a concurrent appender only
+      // means retrying on top of their manifest — never dropping it
+      commitManifestCas(name, cur => cur :+ snap)
     }
 
   private def checkNoTypeChanges(name: String, existing: DataFrame, incoming: DataFrame): Unit = {
@@ -513,10 +639,36 @@ final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 
       scan(name).join(broadcast(keyList), keys, "left_anti"))
   }
 
-  /** Rewrite the manifest's snapshot chain into a single snapshot when it
-    * grows past `maxSnapshots` (long append-heavy histories accumulate
-    * read-time union branches; compaction restores one columnar scan).
-    * Atomic like any commit; no-op below the threshold. */
+  /** Deletion-vector delete: same observable result as [[deleteByKeys]]
+    * at O(deleted) commit cost instead of O(table). The deduplicated key
+    * list lands as a `dv-` manifest entry — NO data file is rewritten —
+    * and every read path replays it as a broadcast anti-join over the
+    * snapshots that precede it ([[scan]]): rows re-appended after the
+    * takedown are untouched, time travel and [[diffVersions]] see the
+    * deletes, zone-map/Bloom file skipping composes (the residual DV
+    * join still decides row membership). At 100 TB this is the takedown
+    * primitive: a right-to-erasure batch commits in seconds regardless
+    * of table size, and the accumulated vectors fold into a real rewrite
+    * at the next [[compact]] — after which the manifest holds plain
+    * snapshots again. Rows with a null key component never match (SQL
+    * equality), like [[deleteByKeys]]. */
+  def deleteByKeysDV(name: String, keys: Seq[String], toDelete: DataFrame): Unit = {
+    require(keys.nonEmpty, "deleteByKeysDV: at least one key column")
+    val current = scan(name) // also: table-exists check
+    keys.foreach(k => require(current.columns.contains(k),
+      s"deleteByKeysDV: no such column $k in $name"))
+    val keyList = toDelete.select(keys.map(col): _*).distinct()
+    val dv = writeDeletionVector(name, keyList)
+    commitManifestCas(name, cur => cur :+ dv)
+  }
+
+  /** Rewrite the manifest's chain into a single snapshot when it grows
+    * past `maxSnapshots` entries (appends accumulate read-time union
+    * branches, [[deleteByKeysDV]] accumulates anti-join branches;
+    * compaction restores one columnar scan and FOLDS every deletion
+    * vector into the rewrite — the O(table) cost deferred from each
+    * O(deleted) takedown, paid once). Atomic like any commit; no-op
+    * below the threshold. */
   def compact(name: String, maxSnapshots: Int = 16): Unit =
     if (readManifest(name).size > maxSnapshots) overwrite(name, scan(name))
 
@@ -543,13 +695,33 @@ final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 
 
   private[table] def writeSnapshot(name: String, df: DataFrame,
       tagPart: String = ""): String = {
-    val dir = tableDir(name)
-    fs(dir).mkdirs(dir)
     val snap = "snap-" + System.currentTimeMillis() + "-" + tagPart +
       java.util.UUID.randomUUID().toString.take(8)
-    df.write.mode("overwrite").parquet(new Path(dir, snap).toString)
-    snap
+    writeDataDir(name, snap, df)
   }
+
+  /** A deletion vector's key list, written like a snapshot (the dv's
+    * parquet columns ARE its key tuple). */
+  private def writeDeletionVector(name: String, keyList: DataFrame): String =
+    writeDataDir(name,
+      "dv-" + System.currentTimeMillis() + "-" +
+        java.util.UUID.randomUUID().toString.take(8),
+      keyList)
+
+  /** Write a data dir and register it in-flight so a concurrent
+    * committer's GC can't reap it before its own commit lands; the
+    * registration clears when the commit (or the attempt) finishes. */
+  private def writeDataDir(name: String, entry: String, df: DataFrame): String = {
+    val dir = tableDir(name)
+    fs(dir).mkdirs(dir)
+    val p = new Path(dir, entry)
+    TableStore.markPending(pendingKey(name, entry))
+    df.write.mode("overwrite").parquet(p.toString)
+    entry
+  }
+
+  private def pendingKey(name: String, entry: String): String =
+    new Path(tableDir(name), entry).toUri.getPath
 
   /** EXACTLY-ONCE append: commit `df` as a new snapshot carrying an
     * idempotency tag, or skip if a live snapshot already carries `tag`.
@@ -575,13 +747,16 @@ final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 
     val marker = s"-tag-$tag-"
     if (exists(name) && readManifest(name).exists(_.contains(marker))) false
     else {
-      val prior = if (exists(name)) {
-        checkNoTypeChanges(name, scan(name), df)
-        readManifest(name)
-      } else Seq.empty[String]
+      if (exists(name)) checkNoTypeChanges(name, scan(name), df)
       val snap = writeSnapshot(name, df, s"tag-$tag-")
-      commitManifest(name, prior :+ snap)
-      true
+      // the tag re-check runs INSIDE the commit against the manifest at
+      // commit time, so two replays racing each other collapse to one
+      // committed snapshot — the loser aborts and its orphan dir GCs
+      val committed = commitManifestCasOpt(name, cur =>
+        if (cur.exists(_.contains(marker))) None else Some(cur :+ snap))
+      if (!committed)
+        TableStore.unmarkPending(pendingKey(name, snap))
+      committed
     }
   }
 
@@ -633,12 +808,11 @@ final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 
 
   private def unionRead(name: String, snaps: Seq[String]): DataFrame = {
     require(snaps.nonEmpty, s"empty manifest for $name")
-    snaps
-      .map(sn => spark.read.parquet(new Path(tableDir(name), sn).toString))
-      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    readState(name, snaps)
   }
 
-  /** Scan a branch head — same union-read + schema evolution as [[scan]]. */
+  /** Scan a branch head — same replay + schema evolution as [[scan]]
+    * (a branch forked after a DV delete inherits the DV entry). */
   def scanBranch(name: String, branch: String): DataFrame = {
     val f = branchFile(name, branch)
     require(fs(tableDir(name)).exists(f), s"Branch not found: $name@$branch")
@@ -805,42 +979,123 @@ final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 
       conflicts.limit(1).count() > 0L)
   }
 
-  /** Atomically flip CURRENT to `snaps`, record the new version, prune
-    * versions past the retention window, then GC snapshot dirs referenced
-    * by neither CURRENT nor any retained version (and tmp leftovers).
-    * Ordering matters for crash safety: the CURRENT rename alone commits;
-    * version files are written after (a crash there loses history, not
-    * data), and GC runs last against the union of everything retained. */
-  /** Atomic pointer flip (tmp write + rename) — shared by the CURRENT
-    * commit and branch-head commits. The rename alone is the commit. */
+  /** Atomic pointer flip (tmp write + rename, overwrite allowed) — branch
+    * heads and the CURRENT cache. For branch heads the rename IS the
+    * commit; for CURRENT the commit already happened at the version claim
+    * and the flip only refreshes the cache. Entries the new pointer names
+    * are referenced now, so their in-flight GC marks clear. */
   private def atomicWritePointer(
-      dir: Path, pointer: Path, snaps: Seq[String]): Unit = {
+      dir: Path, pointer: Path, lines: Seq[String]): Unit = {
     val filesystem = fs(dir)
-    val tmp = new Path(dir, s"${pointer.getName}.tmp-${snaps.lastOption.getOrElse("empty")}")
+    val tmp = new Path(dir,
+      s"${pointer.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = filesystem.create(tmp, true)
-    try out.write(snaps.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     if (filesystem.exists(pointer)) filesystem.delete(pointer, false)
     if (!filesystem.rename(tmp, pointer))
       throw new IllegalStateException(s"Failed to commit pointer $pointer")
+    lines.filterNot(_.startsWith("#"))
+      .foreach(e => TableStore.unmarkPending(
+        new Path(dir, e).toUri.getPath))
   }
 
   private[table] def commitManifest(name: String, snaps: Seq[String]): Unit = {
+    val committed = commitManifestCasOpt(name, _ => Some(snaps))
+    assert(committed, s"unconditional commit of $name cannot abort")
+  }
+
+  private[table] def commitManifestCas(
+      name: String, compute: Seq[String] => Seq[String]): Unit = {
+    val committed = commitManifestCasOpt(name, cur => Some(compute(cur)))
+    assert(committed, s"CAS commit of $name cannot abort")
+  }
+
+  /** Optimistic commit: `compute` maps the manifest AT COMMIT TIME to the
+    * new manifest (None aborts — e.g. an idempotency tag already landed).
+    * The COMMIT POINT is claiming `v-(max+1)` by no-overwrite rename of a
+    * sealed tmp file (putIfAbsent); a writer that loses the claim re-runs
+    * `compute` against the winner's manifest and tries the next slot, so
+    * concurrent appenders all land. Post-claim work (CURRENT cache flip,
+    * retention pruning, GC) is crash-tolerant: a death anywhere after the
+    * claim leaves the committed state readable ([[readManifest]] prefers
+    * the sealed head over a stale CURRENT). Returns true iff committed. */
+  private[table] def commitManifestCasOpt(
+      name: String, compute: Seq[String] => Option[Seq[String]]): Boolean = {
     val dir = tableDir(name)
     val filesystem = fs(dir)
-    atomicWritePointer(dir, currentFile(name), snaps)
+    filesystem.mkdirs(dir)
+    TableStore.commitLock(root, name).synchronized {
+      var attempt = 0
+      while (attempt < 64) {
+        attempt += 1
+        val (head, cur) = readHead(name)
+        compute(cur) match {
+          case None => return false
+          case Some(snaps) =>
+            // claim exactly head+1: a racer that committed since our read
+            // holds this slot, so the rename fails and we re-derive
+            val next = head + 1L
+            // "vtmp-", not "v-…": versions() must never parse a claim tmp.
+            // Written through FileContext, the same layer that renames it,
+            // so no sidecar (e.g. local checksum) is ever stranded.
+            val tmp = new Path(dir,
+              s"vtmp-${java.util.UUID.randomUUID().toString.take(8)}")
+            val out = fileContext(dir).create(
+              filesystem.makeQualified(tmp),
+              java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+                org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+            try out.write((snaps :+ SealLine).mkString("\n")
+              .getBytes(StandardCharsets.UTF_8))
+            finally out.close()
+            if (claimRename(tmp, versionFile(name, next))) {
+              finishCommit(name, snaps, next)
+              return true
+            } else filesystem.delete(tmp, false)
+        }
+      }
+      throw new IllegalStateException(
+        s"commit of $name lost the version race 64 times — aborting")
+    }
+  }
 
-    // version bookkeeping (advisory — after the commit point)
+  /** putIfAbsent rename: must NOT overwrite an existing destination.
+    * FileContext's rename without the OVERWRITE option fails on an
+    * existing destination (atomic on HDFS; object stores map it to a
+    * conditional put). Same-process claimants are additionally serialized
+    * by the per-table commit lock. */
+  private def fileContext(p: Path): org.apache.hadoop.fs.FileContext =
+    org.apache.hadoop.fs.FileContext.getFileContext(
+      fs(p).makeQualified(p).toUri, conf)
+
+  private def claimRename(src: Path, dst: Path): Boolean = {
+    val qualified = fs(dst).makeQualified(dst)
+    try {
+      fileContext(dst).rename(fs(src).makeQualified(src), qualified)
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException if fs(dst).exists(dst) => false
+    }
+  }
+
+  /** Post-claim bookkeeping: CURRENT cache flip (tagged `#v:N`), version
+    * retention pruning (never the head — takeRight includes it), then GC
+    * of `snap-`/`dv-` dirs reachable from no pointer. GC spares dirs a
+    * same-process writer has in flight (the pending registry) and dirs
+    * younger than `gcGraceMs` (the cross-process guard); stale claim tmp
+    * files reap on the same grace. */
+  private def finishCommit(name: String, snaps: Seq[String], next: Long): Unit = {
+    val dir = tableDir(name)
+    val filesystem = fs(dir)
+    atomicWritePointer(dir, currentFile(name), s"#v:$next" +: snaps)
+
     val known = versions(name)
-    val next = known.lastOption.getOrElse(0L) + 1L
-    val vOut = filesystem.create(versionFile(name, next), true)
-    try vOut.write(snaps.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    finally vOut.close()
-    val retained = (known :+ next).takeRight(retainVersions)
-    (known :+ next).filterNot(retained.contains)
+    val retained = known.takeRight(retainVersions)
+    known.filterNot(retained.contains)
       .foreach(v => filesystem.delete(versionFile(name, v), false))
 
-    // GC must see every pointer that can reach a snapshot: CURRENT,
+    // GC must see every pointer that can reach an entry: the new head,
     // retained versions, AND all branch heads + their merge bases
     val branchRefs = filesystem.listStatus(dir)
       .map(_.getPath)
@@ -850,15 +1105,41 @@ final class TableStore(spark: SparkSession, root: String, retainVersions: Int = 
     val live = snaps.toSet ++
       retained.flatMap(v => readManifestFile(versionFile(name, v))) ++
       branchRefs
+    val now = System.currentTimeMillis()
     filesystem.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
-      if (st.isDirectory && n.startsWith("snap-") && !live.contains(n))
+      if (st.isDirectory && (n.startsWith("snap-") || n.startsWith("dv-")) &&
+          !live.contains(n) &&
+          !TableStore.isPending(st.getPath.toUri.getPath) &&
+          now - st.getModificationTime >= gcGraceMs)
         filesystem.delete(st.getPath, true)
+      else if (!st.isDirectory && n.startsWith("vtmp-") &&
+          now - st.getModificationTime >= math.max(gcGraceMs, 60000L))
+        filesystem.delete(st.getPath, false)
     }
   }
 }
 
 object TableStore {
+  /** Data dirs written but not yet referenced by any pointer — a
+    * concurrent committer's GC must spare them or a commit racing an
+    * in-flight snapshot write would reap the loser's data before its
+    * retry lands. Keys are scheme-less absolute paths. Process-wide:
+    * covers any number of stores/threads in one JVM; cross-process
+    * writers rely on `gcGraceMs`. */
+  private val pending =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[table] def markPending(p: String): Unit = { pending.add(p); () }
+  private[table] def unmarkPending(p: String): Unit = { pending.remove(p); () }
+  private[table] def isPending(p: String): Boolean = pending.contains(p)
+
+  /** Per-(root, table) commit mutex — reentrant, so a compute closure
+    * that itself commits (tests simulating racers) cannot deadlock. */
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[table] def commitLock(root: String, name: String): Object =
+    locks.computeIfAbsent(root + " " + name, _ => new Object)
+
   /** Conflict handling for [[TableStore.mergeBranch]]/[[TableStore.rebaseBranch]]:
     * Fail refuses and commits nothing; OursWins keeps main's rows on
     * conflicted keys; TheirsWins keeps the branch's. Either resolving

@@ -1650,6 +1650,37 @@ object ScaleSmoke {
       assert(out.forall(r => r.getLong(3) > 0L), s"graded mass: ${out.toSeq}")
     }
 
+    // 40. deletion-vector vs rewrite delete on a 20M-row store table:
+    // the DV commit writes only the key list (O(deleted)) while the
+    // rewrite path pays the whole table again (O(table)); both must
+    // agree exactly. The assertion is structural (data files untouched)
+    // plus a wall-clock sanity bound, printed for the record.
+    time("dv-delete 20M: O(deleted) commit vs O(table) rewrite") {
+      val rows20m = spark.range(0, 20000000L, 1, 128)
+        .select(col("id").as("k"), (col("id") % 9973).cast("double").as("v"))
+      val doomed = spark.range(0, 20000000L, 1, 16)
+        .where(col("id") % 1000 === 7).select(col("id").as("k")) // 20k keys
+      val mkStore = () => new graft.table.TableStore(spark,
+        java.nio.file.Files.createTempDirectory("graft_sm_dv").toString)
+      val dvStore = mkStore(); val rwStore = mkStore()
+      dvStore.overwrite("t", rows20m); rwStore.overwrite("t", rows20m)
+      val filesBefore = dvStore.scan("t").inputFiles.toSet
+      val t0 = System.nanoTime()
+      dvStore.deleteByKeysDV("t", Seq("k"), doomed)
+      val dvSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      rwStore.deleteByKeys("t", Seq("k"), doomed)
+      val rwSec = (System.nanoTime() - t1) / 1e9
+      println(f"[scale]   dv commit ${dvSec}%6.2fs vs rewrite ${rwSec}%6.2fs")
+      assert(filesBefore.subsetOf(dvStore.scan("t").inputFiles.toSet),
+        "DV delete must not rewrite or drop any data file")
+      val nDv = dvStore.scan("t").count()
+      assert(nDv == rwStore.scan("t").count() && nDv == 20000000L - 20000L,
+        s"DV and rewrite disagree: $nDv")
+      assert(dvSec < rwSec,
+        f"O(deleted) commit ($dvSec%.2fs) must beat the O(table) rewrite ($rwSec%.2fs)")
+    }
+
     spark.stop()
   }
 }

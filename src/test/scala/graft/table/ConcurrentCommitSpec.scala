@@ -1,0 +1,162 @@
+package graft.table
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+/** Optimistic concurrency of the manifest commit: the version-file claim
+  * is the commit point, losers re-derive and retry, and every crash
+  * window (claim landed / CURRENT stale, mid-retry tmp litter, in-flight
+  * snapshot of a slower writer) leaves a consistent, fully readable
+  * table with no appended snapshot lost. */
+class ConcurrentCommitSpec extends SparkSpec {
+
+  private def newStoreAt: (TableStore, String) = {
+    val dir = Files.createTempDirectory("graft_cas").toString
+    (new TableStore(spark, dir), dir)
+  }
+
+  test("two racing appenders: every snapshot survives in the final manifest") {
+    val (store, _) = newStoreAt
+    store.overwrite("t", spark.range(0, 1).toDF("v"))
+    val perWriter = 6
+    def appender(offset: Int): Thread = new Thread(() => {
+      for (i <- 0 until perWriter)
+        store.append("t", spark.range(offset + i, offset + i + 1).toDF("v"))
+    })
+    val a = appender(1000)
+    val b = appender(2000)
+    a.start(); b.start(); a.join(); b.join()
+    val vals = store.scan("t").collect().map(_.getLong(0)).sorted.toSeq
+    val want = (0L +: ((0 until perWriter).map(_ + 1000L) ++
+      (0 until perWriter).map(_ + 2000L))).sorted
+    assert(vals == want, s"lost appends: got $vals")
+    assert(store.readManifest("t").size == 1 + 2 * perWriter,
+      "one snapshot per committed append")
+  }
+
+  test("losing the claim re-derives the union: the racer's snapshot is kept") {
+    val (store, dir) = newStoreAt
+    store.overwrite("t", spark.range(0, 5).toDF("v"))
+    // a racer's snapshot, already on disk
+    val racerSnap = store.writeSnapshot("t", spark.range(100, 105).toDF("v"))
+    // our append's snapshot
+    val ourSnap = store.writeSnapshot("t", spark.range(200, 205).toDF("v"))
+    var calls = 0
+    store.commitManifestCas("t", cur => {
+      calls += 1
+      if (calls == 1) {
+        // simulate an external process committing BETWEEN our manifest
+        // read and our claim: seal the next version slot directly
+        val tDir = new Path(dir, "t")
+        val vmax = store.versions("t").last
+        val f = tDir.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val out = f.create(new Path(tDir, f"v-${vmax + 1}%06d"), false)
+        try out.write((cur :+ racerSnap :+ "#graft-commit")
+          .mkString("\n").getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      cur :+ ourSnap
+    })
+    assert(calls == 2, s"the losing claim must re-run compute (calls=$calls)")
+    val vals = store.scan("t").collect().map(_.getLong(0)).sorted.toSeq
+    assert(vals == ((0L to 4L) ++ (100L to 104L) ++ (200L to 204L)),
+      "both the racer's and our snapshot must be in the committed state")
+  }
+
+  test("crash after claim, before CURRENT flip: readers serve the sealed head") {
+    val (store, dir) = newStoreAt
+    store.overwrite("t", spark.range(0, 3).toDF("v"))
+    val snap = store.writeSnapshot("t", spark.range(50, 53).toDF("v"))
+    // hand-craft the sealed claim the crashed writer would have left
+    // (content derived BEFORE the create: readManifest treats a visible
+    // but unwritten claim as in-flight and would spin on it)
+    val tDir = new Path(dir, "t")
+    val f = tDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vmax = store.versions("t").last
+    val content = (store.readManifest("t") :+ snap :+ "#graft-commit")
+      .mkString("\n").getBytes(StandardCharsets.UTF_8)
+    val out = f.create(new Path(tDir, f"v-${vmax + 1}%06d"), false)
+    try out.write(content)
+    finally out.close()
+    // CURRENT still carries the old tag, but the sealed head wins
+    assert(store.scan("t").count() == 6,
+      "sealed version files are the committed truth over a stale CURRENT")
+    // the next real commit repairs the CURRENT cache
+    store.append("t", spark.range(90, 91).toDF("v"))
+    assert(store.scan("t").count() == 7)
+    val cur = new String(f.open(new Path(tDir, "CURRENT")).readAllBytes(),
+      StandardCharsets.UTF_8)
+    assert(cur.startsWith(s"#v:${vmax + 2}"), s"CURRENT tag stale: $cur")
+  }
+
+  test("crash mid-retry: stale claim tmp litter never corrupts reads or commits") {
+    val (store, dir) = newStoreAt
+    store.overwrite("t", spark.range(0, 4).toDF("v"))
+    val tDir = new Path(dir, "t")
+    val f = tDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val litter = new Path(tDir, "vtmp-deadbeef")
+    val out = f.create(litter, true)
+    try out.write("snap-never-committed\n#graft-commit"
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    assert(store.scan("t").count() == 4, "litter must be invisible to readers")
+    store.append("t", spark.range(10, 12).toDF("v"))
+    assert(store.scan("t").count() == 6, "litter must not block commits")
+    assert(store.versions("t").nonEmpty)
+  }
+
+  test("GC spares a slower writer's in-flight snapshot until its commit lands") {
+    val (store, dir) = newStoreAt
+    store.overwrite("t", spark.range(0, 3).toDF("v"))
+    // writer A stages its snapshot but has not committed yet
+    val inFlight = store.writeSnapshot("t", spark.range(700, 703).toDF("v"))
+    // writer B commits an overwrite, whose GC sweeps unreferenced dirs
+    store.overwrite("t", spark.range(10, 13).toDF("v"))
+    val snapDir = java.nio.file.Paths.get(dir, "t", inFlight)
+    assert(java.nio.file.Files.exists(snapDir),
+      "GC must spare the in-flight snapshot of a concurrent writer")
+    // A's commit still lands on top of B's state
+    store.commitManifestCas("t", cur => cur :+ inFlight)
+    val vals = store.scan("t").collect().map(_.getLong(0)).sorted.toSeq
+    assert(vals == ((10L to 12L) ++ (700L to 702L)))
+  }
+
+  test("appendTagged: racing replays collapse to one commit; the loser's orphan GCs") {
+    val (store, dir) = newStoreAt
+    store.overwrite("t", spark.range(0, 2).toDF("v"))
+    assert(store.appendTagged("t", spark.range(5, 7).toDF("v"), "batch7"))
+    assert(!store.appendTagged("t", spark.range(5, 7).toDF("v"), "batch7"),
+      "the replay must abort inside the commit")
+    assert(store.scan("t").count() == 4)
+    // the aborted replay's snapshot dir is unmarked and reaped next commit
+    store.append("t", spark.range(9, 10).toDF("v"))
+    import scala.jdk.CollectionConverters._
+    val tagged = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "t"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .count(n => n.contains("-tag-batch7-"))
+    assert(tagged == 1, "exactly the committed tagged snapshot remains")
+  }
+
+  test("a legacy-format table (untagged CURRENT, unsealed versions) still reads CURRENT") {
+    val (store, dir) = newStoreAt
+    store.overwrite("t", spark.range(0, 3).toDF("v"))
+    val tDir = new Path(dir, "t")
+    val f = tDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snaps = store.readManifest("t")
+    // strip the protocol markers: untag CURRENT, unseal the version file
+    val out = f.create(new Path(tDir, "CURRENT"), true)
+    try out.write(snaps.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val v = store.versions("t").last
+    val vOut = f.create(new Path(tDir, f"v-$v%06d"), true)
+    try vOut.write(snaps.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally vOut.close()
+    assert(store.scan("t").count() == 3, "legacy layout must keep reading")
+    store.append("t", spark.range(7, 9).toDF("v")) // upgrade on next commit
+    assert(store.scan("t").count() == 5)
+  }
+}
