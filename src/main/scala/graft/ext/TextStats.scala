@@ -83,9 +83,19 @@ object TextStats {
     // GetStructField, never the tokenize pass.
     val cCol = "__gopher_c"
     require(!df.columns.contains(cCol), s"column $cCol already exists")
+    // evalOnce pins the kernel to ONE evaluation per row: without the
+    // barrier, a user filter on pass_gopher pushes down and alias
+    // substitution duplicates the tokenize pass into every rule conjunct
+    // — up to 10× per-row cost inside a codegen'd FilterExec (which,
+    // unlike the interpreted path, has no subexpression elimination), or
+    // a silent 64 KB codegen fallback when the input is itself a wide
+    // expression. With it, the plan is Project(kernel once) with cheap
+    // field-extraction filters above, and unrelated conjuncts still push
+    // past to the scan.
     val counters =
       if (df.sparkSession.catalog.functionExists("graft_gopher_counts"))
-        call_function("graft_gopher_counts", col(textCol))
+        graft.plans.EvalOnceExpression.evalOnce(
+          call_function("graft_gopher_counts", col(textCol)))
       else {
         val toks = wsTokens(col(textCol))
         struct(

@@ -107,6 +107,13 @@ object GraftExtensions {
         GopherCountsExpression(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_eval_once"),
+      new ExpressionInfo(classOf[EvalOnceExpression].getName, "graft_eval_once"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_eval_once(expr) takes one argument")
+        EvalOnceExpression(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_argmax_cell"),
       new ExpressionInfo(classOf[ArgmaxCellExpression].getName, "graft_argmax_cell"),
       (children: Seq[Expression]) => {

@@ -341,22 +341,36 @@ object ScaleSmoke {
       assert(n >= 49500L && n <= 50000L, s"planted edited re-crawls: $n")
     }
 
-    // 22. gopher rule bundle at 10M docs — pure narrow scan, no shuffle
-    val gopherDocs = spark.range(0, 10000000L, 1, 128)
+    // 22. gopher rule bundle at 10M docs — pure narrow scan, no shuffle.
+    // The corpus is MATERIALIZED to parquet first (like any real table):
+    // with the text synthesized inline, the pushed pass_gopher predicate
+    // alias-substitutes the 55-term concat_ws into every rule conjunct and
+    // the generated filter method overflows 64 KB — Spark silently runs
+    // the stage INTERPRETED (the round-8 watch item). Reading text as a
+    // storage attribute keeps each duplicated kernel reference one call
+    // wide, whole-stage codegen engages, and the guard turns any future
+    // fallback into a hard failure instead of a silent 10×.
+    val gopherPath = java.nio.file.Files
+      .createTempDirectory("graft_sm_gopher").toString
+    spark.range(0, 10000000L, 1, 128)
       .select(col("id").as("doc_id"),
         concat_ws(" ", lit("the"), lit("a"),
           concat_ws(" ", (0 until 55).map(i =>
             concat(lit("w"), pmod(col("id") + i, lit(9999)))): _*)).as("text"))
+      .write.mode("overwrite").parquet(gopherPath)
+    val gopherDocs = spark.read.parquet(gopherPath)
     time("gopher rules 10M docs (narrow scan)") {
-      val scored = graft.ext.TextStats.gopherRules(gopherDocs, "text")
-      val n = scored.where(col("pass_gopher")).count()
-      // ids near multiples of 9999 emit short w0..w54-style tokens whose
-      // mean length dips under 3 — the mean-word-length rule catching the
-      // planted band (~0.5%); no other rule may fire on this corpus
-      assert(n >= 9900000L && n < 10000000L, s"pass rate off: $n")
-      val otherRule = scored
-        .where(!col("pass_gopher") && col("ok_mean_word_len")).count()
-      assert(otherRule == 0L, s"only the mean-word-len rule may fail: $otherRule")
+      CodegenGuard.assertNoFallback("gopher-rules") {
+        val scored = graft.ext.TextStats.gopherRules(gopherDocs, "text")
+        val n = scored.where(col("pass_gopher")).count()
+        // ids near multiples of 9999 emit short w0..w54-style tokens whose
+        // mean length dips under 3 — the mean-word-length rule catching the
+        // planted band (~0.5%); no other rule may fire on this corpus
+        assert(n >= 9900000L && n < 10000000L, s"pass rate off: $n")
+        val otherRule = scored
+          .where(!col("pass_gopher") && col("ok_mean_word_len")).count()
+        assert(otherRule == 0L, s"only the mean-word-len rule may fail: $otherRule")
+      }
     }
 
     // 23b. PQ encode + ADC top-k over the 2M × 8d vectors from entry 17:
@@ -364,10 +378,12 @@ object ScaleSmoke {
     // rank via broadcast table lookups; the only corpus shuffles carry one
     // row per vector (encode) and one per (query, candidate) pair (ADC).
     time("pq encode + adc top-10, 2M x 8d") {
-      val out = graft.ext.Similarity.pqTopK(
-        vecs, vecs.where(col("vec_id") < 5), "embedding", "vec_id",
-        k = 10, m = 4, ksub = 16, dim = 8)
-      assert(out.count() == 50L, "5 queries x k=10")
+      CodegenGuard.assertNoFallback("pq-encode") {
+        val out = graft.ext.Similarity.pqTopK(
+          vecs, vecs.where(col("vec_id") < 5), "embedding", "vec_id",
+          k = 10, m = 4, ksub = 16, dim = 8)
+        assert(out.count() == 50L, "5 queries x k=10")
+      }
     }
 
     // 23c. composed IVF-PQ over the same 2M × 8d vectors: the index build

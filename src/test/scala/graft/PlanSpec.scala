@@ -880,4 +880,21 @@ class PlanSpec extends AnyFunSuite {
       p.contains("graft_topk"),
       "top-k must run through the bounded aggregate when registered")
   }
+
+  test("gopher rules + pass filter: the counters kernel is evaluated once per row") {
+    // a filter on pass_gopher must NOT alias-substitute the tokenize
+    // kernel into every rule conjunct (10× per-row cost in a codegen'd
+    // FilterExec, or a 64 KB codegen fallback on wide inputs) — the
+    // EvalOnce barrier pins exactly one kernel call in the whole plan
+    import org.apache.spark.sql.functions.col
+    val docs = graft.queries.Tables.t(spark, dir, "documents")
+    val filtered = graft.ext.TextStats.gopherRules(docs, "text")
+      .where(col("pass_gopher"))
+      .select("doc_id", "n_words")
+    val opt = filtered.queryExecution.optimizedPlan.toString
+    val kernelCalls = "graft_gopher_counts".r.findAllIn(opt).length
+    assert(kernelCalls == 1,
+      s"expected exactly one kernel evaluation, saw $kernelCalls:\n$opt")
+    assert(opt.contains("graft_eval_once"), "the barrier must be in the plan")
+  }
 }
