@@ -24,10 +24,40 @@ object Bench {
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt.max(1)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val plansPath = sys.env.getOrElse("SPARK_GRAFT_PLANS_OUT", "bench_plans.json")
     val spark = GraftSession.get(s"local[$cpus]", cpus.toInt)
+    var lastPlanned: org.apache.spark.sql.DataFrame = null
     def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      try {
+        val df = fn(spark, sfDir)
+        lastPlanned = df
+        df.write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => () }
+    // Optimized-plan fingerprint: a STRUCTURAL hash — the pre-order walk
+    // of operator node names plus each expression tree's node classes.
+    // Literal payloads are deliberately excluded: several gates embed
+    // run-varying values (temp-store paths, frozen row-number offsets
+    // whose partition structure shifts with parallelism), and a
+    // fingerprint that flips on those can't separate plan drift from
+    // environment drift — the one job it exists for. A changed sha means
+    // the plan SHAPE changed (pushdown, join order, rewrite firing or
+    // not); an unchanged sha pins a timing delta on the environment.
+    // scripts/plan_compare.py diffs two artifacts.
+    def planSha(df: org.apache.spark.sql.DataFrame): String =
+      try {
+        val sb = new StringBuilder
+        df.queryExecution.optimizedPlan.canonicalized.foreach { node =>
+          sb.append(node.nodeName).append('[')
+          node.expressions.foreach { e =>
+            e.foreach(x => sb.append(x.getClass.getSimpleName).append(','))
+            sb.append(';')
+          }
+          sb.append(']')
+        }
+        java.security.MessageDigest.getInstance("SHA-1")
+          .digest(sb.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
+      } catch { case _: Throwable => "unavailable" }
     // optional args: bench only these query names (dev shortcut; the driver
     // invokes with no args → full suite)
     val only = args.toSet
@@ -63,19 +93,27 @@ object Bench {
         run(fn)
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      val sha = if (lastPlanned != null) planSha(lastPlanned) else "unavailable"
+      lastPlanned = null
       // median (lower-middle for even repeat counts)
-      name -> times((times.size - 1) / 2)
+      (name, times((times.size - 1) / 2), sha)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val planJson = results.map { case (k, _, sha) => s"\"" + k + "\":\"" + sha + "\"" }
       .mkString("{", ",", "}")
     val setupJson = setupTimes.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val setupTotal = setupTimes.map(_._2).sum
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"setup":$setupJson,"setup_total":$setupTotal,"repeat":$repeat,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$planJson,"setup":$setupJson,"setup_total":$setupTotal,"repeat":$repeat,"sf":"$sfDir"}"""
     if (outPath.nonEmpty) {
       val w = new java.io.PrintWriter(outPath)
       try w.println(line) finally w.close()
+    }
+    if (plansPath.nonEmpty) {
+      val w = new java.io.PrintWriter(plansPath)
+      try w.println(s"""{"plans":$planJson,"sf":"$sfDir"}""") finally w.close()
     }
     // The driver keeps only the LAST ~2000 chars of stdout and json-parses
     // the final line — the full per-query map (~40 chars x 100+ queries)
@@ -90,9 +128,9 @@ object Bench {
     def ms(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val slowest = results.sortBy(-_._2).take(20)
-      .map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+      .map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"setup_total":${ms(setupTotal)},"repeat":$repeat,"full":"$outPath","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"setup_total":${ms(setupTotal)},"repeat":$repeat,"full":"$outPath","plans_file":"$plansPath","sf":"$sfDir"}"""
     spark.stop()
     println(line)
     println(compact)

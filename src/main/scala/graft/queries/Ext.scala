@@ -1437,15 +1437,10 @@ object Ext {
       // drowns in the shared-vocab 'the'/'a' markers and has no zh
       // markers at all; the trained router learns the decorations'
       // orthography from the labeled slice and sweeps the diagonal.
-      val docs = langDecorDocs(s, dir)
-      val (m, p) = Fixtures.langidDecorModel(s, dir)
-      val trained = LangId.classifyWith(
-        docs.select("doc_id", "text"), m, p, "text", "doc_id")
-        .select(col("doc_id"), col("lang").as("trained"))
-      val heur = TextStats.langId(docs, "text")
-        .select(col("doc_id"), col("lang_pred").as("heuristic"))
-      docs.select(col("doc_id"), col("lang"))
-        .join(trained, "doc_id").join(heur, "doc_id")
+      // one frozen scoring pass (Fixtures.langidDecorScored) feeds this
+      // gate, the routed quota, and Cohen's kappa — the Fleiss shared-
+      // pass discipline applied across gates; oracles replay per gate
+      Fixtures.langidDecorScored(s, dir)
         .groupBy("lang", "trained", "heuristic")
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "trained", "heuristic")
@@ -1458,11 +1453,8 @@ object Ext {
       // the decorated separable fixture. Every stage is an already-gated
       // operator (LangId.classify + Sampling.quotaCap); one oracle
       // replays the chain.
-      val docs = langDecorDocs(s, dir)
-      val (m, p) = Fixtures.langidDecorModel(s, dir)
-      val routed = LangId.classifyWith(
-        docs.select("doc_id", "text"), m, p, "text", "doc_id")
-        .select(col("doc_id"), col("lang").as("lang_pred"))
+      val routed = Fixtures.langidDecorScored(s, dir)
+        .select(col("doc_id"), col("trained").as("lang_pred"))
       Sampling.quotaCap(routed, "lang_pred", "doc_id", k = 25, salt = "lr8")
         .orderBy("lang_pred", "rank")
     }),
@@ -1476,10 +1468,14 @@ object Ext {
       // instead of being silently mis-routed. Threshold in the model's
       // own quantized-ln units; the oracle replays train -> score ->
       // top-2 margin -> threshold end-to-end.
-      val docs = langHalfDecorDocs(s, dir)
-      val (m, p) = Fixtures.langidDecorModel(s, dir)
-      LangId.classifyMargin(docs.select("doc_id", "text"), m, p,
-          "text", "doc_id", minMarginLpq = LangidMarginThr)
+      // classifyMargin's exact projection over the frozen shared pass
+      // (LangId.classifyMargin is itself this select over classifyTopMargin)
+      Fixtures.langidHalfScored(s, dir)
+        .select(col("doc_id"),
+          when(col("margin_lpq").isNull ||
+              col("margin_lpq") >= LangidMarginThr, col("lang_top"))
+            .otherwise(lit("und")).as("lang"),
+          coalesce(col("margin_lpq"), lit(0L)).as("margin_lpq"))
         .orderBy("doc_id")
     }),
 
@@ -1489,19 +1485,15 @@ object Ext {
       // decorated separable fixture — the annotator-QA statistic where
       // raw accuracy is inflated by class imbalance. One row per rater
       // with the full exact numerator/denominator decomposition.
-      val docs = langDecorDocs(s, dir)
-      val (m, p) = Fixtures.langidDecorModel(s, dir)
-      val truth = docs.select(col("doc_id"), col("lang"))
-      def kap(preds: DataFrame, tag: String) =
-        Eval.cohenKappa(truth.join(preds, "doc_id"), "lang", "pred")
+      val scored = Fixtures.langidDecorScored(s, dir)
+      def kap(predCol: String, tag: String) =
+        Eval.cohenKappa(scored.select(col("doc_id"), col("lang"),
+            col(predCol).as("pred")), "lang", "pred")
           .select(lit(tag).as("rater"), col("n"), col("n_agree"),
             col("pe_num"), col("kappa_num"), col("kappa_den"),
             col("kappa_ppm"))
-      kap(LangId.classifyWith(docs.select("doc_id", "text"), m, p,
-            "text", "doc_id")
-          .select(col("doc_id"), col("lang").as("pred")), "trained")
-        .unionByName(kap(TextStats.langId(docs, "text")
-          .select(col("doc_id"), col("lang_pred").as("pred")), "heuristic"))
+      kap("trained", "trained")
+        .unionByName(kap("heuristic", "heuristic"))
         .orderBy("rater")
     }),
 
@@ -1522,21 +1514,17 @@ object Ext {
       // marker heuristic — the ensemble-labeling QA statistic Cohen's
       // pairwise kappa cannot express. Exact decimal(38,0) decomposition,
       // sign-safe ppm; the oracle replays all three raters AND the fold.
-      val docs = langHalfDecorDocs(s, dir)
-      val (m, p) = Fixtures.langidDecorModel(s, dir)
-      // one scoring pass feeds BOTH model raters: the unconditional
-      // argmax and the abstain-margin routing are projections of the
-      // same (lang_top, margin) — scoring the corpus twice would halve
-      // the gate's throughput for identical output
-      val tm = LangId.classifyTopMargin(docs.select("doc_id", "text"), m, p,
-          "text", "doc_id")
-        .select(col("doc_id"), col("lang_top").as("r_trained"),
-          when(col("margin_lpq").isNull ||
-              col("margin_lpq") >= LangidMarginThr, col("lang_top"))
-            .otherwise(lit("und")).as("r_margin"))
-      val heur = TextStats.langId(docs, "text")
-        .select(col("doc_id"), col("lang_pred").as("r_heuristic"))
-      Eval.fleissKappa(tm.join(heur, "doc_id"),
+      // one frozen scoring pass (Fixtures.langidHalfScored, shared with
+      // the abstain-margin gate) feeds all THREE raters: the argmax, the
+      // margin routing, and the heuristic are projections of the same
+      // (lang_top, margin_lpq, heuristic) row
+      Eval.fleissKappa(
+        Fixtures.langidHalfScored(s, dir)
+          .select(col("doc_id"), col("lang_top").as("r_trained"),
+            when(col("margin_lpq").isNull ||
+                col("margin_lpq") >= LangidMarginThr, col("lang_top"))
+              .otherwise(lit("und")).as("r_margin"),
+            col("heuristic").as("r_heuristic")),
         "doc_id", Seq("r_trained", "r_margin", "r_heuristic"))
     }),
 
