@@ -72,13 +72,20 @@ object Blocklist {
   def patternsHit(counts: Column): Column =
     size(filter(counts, _ > 0))
 
-  /** Attach `ac_counts`, `total_hits`, `n_patterns_hit` signal columns. */
+  /** Attach `ac_counts`, `total_hits`, `n_patterns_hit` signal columns.
+    * The counts array is pinned to one evaluation per row when the graft
+    * extensions are registered — a `total_hits <= N` drop predicate must
+    * not re-run the Aho–Corasick scan per conjunct it is inlined into. */
   def withSignals(
       df: DataFrame,
       textCol: String,
       patterns: Seq[String],
       boundary: Boolean = true): DataFrame = {
-    val c = matchCounts(df, textCol, patterns, boundary)
+    val raw = matchCounts(df, textCol, patterns, boundary)
+    val c =
+      if (df.sparkSession.catalog.functionExists("graft_eval_once"))
+        graft.plans.EvalOnceExpression.evalOnce(raw)
+      else raw
     df.withColumn("ac_counts", c)
       .withColumn("total_hits", totalHits(col("ac_counts")).cast("bigint"))
       .withColumn("n_patterns_hit", patternsHit(col("ac_counts")).cast("bigint"))

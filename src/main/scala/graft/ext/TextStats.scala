@@ -30,21 +30,47 @@ object TextStats {
     * arithmetic in a fixed expression order — deterministic. */
   val Stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** With the graft extensions registered, pin `c` to one per-row
+    * evaluation ([[graft.plans.EvalOnceExpression]]) — a downstream
+    * filter on a derived column otherwise alias-inlines the whole
+    * tokenize/shingle pass into every pushed conjunct (no subexpression
+    * elimination inside a codegen'd FilterExec). Without the registry
+    * the raw expression stands, the pre-extensions behavior. */
+  private def pinOnce(df: DataFrame, c: Column): Column =
+    if (df.sparkSession.catalog.functionExists("graft_eval_once"))
+      graft.plans.EvalOnceExpression.evalOnce(c)
+    else c
+
   def qualityScore(df: DataFrame, textCol: String): DataFrame = {
     val toks = wsTokens(col(textCol))
     val nTok = size(toks)
     val nChar = length(col(textCol))
     val punct = length(regexp_replace(col(textCol), "[a-zA-Z0-9 ]", ""))
     val stops = size(filter(toks, t => t.isin(Stopwords.map(lit(_)): _*)))
-    df.withColumn("n_tokens", nTok)
+    // one let-bound counter struct (pinned to a single evaluation): the
+    // signals and the composite are field extractions, so a curation
+    // filter over them costs ONE tokenize pass per row, not one per rule
+    val cCol = "__q_c"
+    require(!df.columns.contains(cCol), s"column $cCol already exists")
+    val counters = pinOnce(df, struct(
+      nTok.as("n_tok"), nChar.as("n_char"),
+      punct.as("punct"), stops.as("stops")))
+    val c = col(cCol)
+    val fTok = c.getField("n_tok")
+    val fChar = c.getField("n_char")
+    df.withColumn(cCol, counters)
+      .withColumn("n_tokens", fTok)
       .withColumn("avg_token_len",
-        (nChar - (nTok - 1)).cast("double") / nTok.cast("double"))
-      .withColumn("punct_ratio", punct.cast("double") / nChar.cast("double"))
-      .withColumn("stopword_ratio", stops.cast("double") / nTok.cast("double"))
+        (fChar - (fTok - 1)).cast("double") / fTok.cast("double"))
+      .withColumn("punct_ratio",
+        c.getField("punct").cast("double") / fChar.cast("double"))
+      .withColumn("stopword_ratio",
+        c.getField("stops").cast("double") / fTok.cast("double"))
       .withColumn("quality",
         col("stopword_ratio") * 0.4
           + (lit(1.0) - col("punct_ratio")) * 0.4
           + when(col("n_tokens") >= 20 && col("n_tokens") <= 1000, 0.2).otherwise(0.0))
+      .drop(cCol)
   }
 
   /** Gopher-style structural quality rules (Rae et al. 2021, "Scaling
@@ -180,11 +206,20 @@ object TextStats {
     * transform over the let-bound shingle array; scan speed at 100 TB. */
   def repetitionScore(df: DataFrame, textCol: String): DataFrame = {
     val grams = TextHash.shingles(col(textCol), 2)
-    df.withColumn("n_bigrams", size(grams))
-      .withColumn("n_distinct_bigrams", size(array_distinct(grams)))
+    // pinned like qualityScore: a repetition-threshold filter costs one
+    // shingle pass, not one per conjunct referencing it
+    val cCol = "__rep_c"
+    require(!df.columns.contains(cCol), s"column $cCol already exists")
+    val counters = pinOnce(df, struct(
+      size(grams).as("n_bi"), size(array_distinct(grams)).as("n_dist")))
+    val c = col(cCol)
+    df.withColumn(cCol, counters)
+      .withColumn("n_bigrams", c.getField("n_bi"))
+      .withColumn("n_distinct_bigrams", c.getField("n_dist"))
       .withColumn("repetition",
         lit(1.0) - col("n_distinct_bigrams").cast("double") /
           col("n_bigrams").cast("double"))
+      .drop(cCol)
   }
 
   /** Greedy-LZ77 compressibility stats (`graft_lz_stats` kernel; see
@@ -199,8 +234,12 @@ object TextStats {
       df: DataFrame, textCol: String,
       window: Int = 16, minMatch: Int = 4, maxMatch: Int = 12): DataFrame =
     df.withColumn("lz",
-        call_function("graft_lz_stats", col(textCol),
-          lit(window), lit(minMatch), lit(maxMatch)))
+        // pinned: a filter on lz_ratio must not re-run the LZ parse per
+        // conjunct (the kernel requires the extensions, so the barrier
+        // is always available here)
+        graft.plans.EvalOnceExpression.evalOnce(
+          call_function("graft_lz_stats", col(textCol),
+            lit(window), lit(minMatch), lit(maxMatch))))
       .withColumn("lz_ratio",
         (col("lz.n_literals") + col("lz.n_matches") * 3).cast("double") /
           greatest(length(col(textCol)).cast("double"), lit(1.0)))

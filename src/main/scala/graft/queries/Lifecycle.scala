@@ -424,6 +424,35 @@ object Lifecycle {
       }.reduce(_.unionByName(_)).orderBy("version")
     }),
 
+    "stream_takedown_dv" -> ((s, dir) => {
+      // continuous right-to-erasure: two takedown key batches stream in
+      // as O(deleted) deletion-vector commits (no data file rewritten),
+      // then a re-add append proves replay order — re-inserted keys
+      // outlive earlier vectors. StreamingTakedownSpec pins idempotent
+      // replays and the compact fold; this gate pins the values.
+      val work = Files.createTempDirectory("graft_q_stkdn")
+      val src = work.resolve("src")
+      Files.createDirectories(src)
+      val store = new TableStore(s, work.resolve("store").toString)
+      val c = t(s, dir, "customer").select("c_custkey", "c_acctbal")
+        .where(col("c_custkey").between(1, 1000))
+      store.overwrite("cust", c)
+      Files.writeString(src.resolve("t0.json"),
+        (9 to 1000 by 9).map(k => s"""{"c_custkey":$k}""").mkString("\n"))
+      Files.writeString(src.resolve("t1.json"),
+        (200 to 300).map(k => s"""{"c_custkey":$k}""").mkString("\n"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("c_custkey",
+          org.apache.spark.sql.types.LongType)))
+      graft.streaming.StreamingIngest.takedownIngestAvailableNow(
+        s, src.toString, schema, store, "cust",
+        work.resolve("ckpt").toString, Seq("c_custkey"))
+      store.append("cust", c.where(col("c_custkey").between(200, 300)))
+      store.scan("cust").select(col("c_custkey"),
+        col("c_acctbal").cast("decimal(20,2)").cast("double").as("bal"))
+        .orderBy("c_custkey")
+    }),
+
     "w_version_diff" -> ((s, dir) => {
       // snapshot CDC: overwrite twice, then emit the row-level change feed
       // between the two retained versions — deletes below the new floor,
@@ -677,6 +706,14 @@ object Lifecycle {
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE)
         |FROM customer WHERE c_custkey <= 1200
         |ORDER BY version""".stripMargin,
+
+    "stream_takedown_dv" ->
+      """SELECT c_custkey,
+        |  CAST(CAST(c_acctbal AS DECIMAL(20,2)) AS DOUBLE) AS bal
+        |FROM customer
+        |WHERE c_custkey BETWEEN 1 AND 1000
+        |  AND (c_custkey % 9 <> 0 OR c_custkey BETWEEN 200 AND 300)
+        |ORDER BY c_custkey""".stripMargin,
 
     "w_version_diff" ->
       """WITH v1 AS (

@@ -1084,6 +1084,45 @@ object StreamingIngest {
         col("c_ts") > col("p_ts") - expr(s"INTERVAL $windowSeconds SECONDS"))
   }
 
+  /** Streaming TAKEDOWN: a right-to-erasure key stream applied
+    * continuously as deletion-vector commits. Every micro-batch lands one
+    * O(deleted) `dv-` manifest entry
+    * ([[graft.table.TableStore.deleteByKeysDV]]) — no data file is
+    * rewritten, so the erasure SLA is decoupled from table size: a 100 TB
+    * corpus and a 100 MB one retire a key batch at the same cost, and the
+    * accumulated vectors fold into a real rewrite on the maintenance
+    * cadence ([[graft.table.TableStore.compact]]). Replayed batches are
+    * SEMANTICALLY idempotent (erasing the same keys twice is the same
+    * erasure), so foreachBatch's at-least-once contract needs no
+    * idempotency tags; empty batches commit nothing. Rows appended AFTER
+    * a takedown batch survive it (manifest replay order) — fresh data
+    * re-enters the corpus while the old rows stay erased, with time
+    * travel and the change feed still showing the deletes. */
+  def takedownIngestAvailableNow(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      store: TableStore,
+      table: String,
+      checkpointDir: String,
+      keys: Seq[String]
+  ): Unit = {
+    require(keys.nonEmpty, "takedownIngestAvailableNow: at least one key column")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .json(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (batch.limit(1).count() > 0L)
+          store.deleteByKeysDV(table, keys, batch)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming variant with watermark, for unbounded inputs. */
   def tumblingAggStreaming(
       df: DataFrame,

@@ -819,13 +819,20 @@ final class TableStore(spark: SparkSession, root: String,
     unionRead(name, readManifestFile(f))
   }
 
-  /** Append to a branch head (atomic branch-pointer flip; main untouched). */
+  /** Append to a branch head (atomic branch-pointer flip; main untouched).
+    * The read-modify-write of the head runs under the table's commit lock
+    * so same-process racing branch appenders serialize instead of one
+    * silently overwriting the other's flip (branch heads keep no version
+    * files, so the main table's claim protocol doesn't apply; the branch
+    * is a single-writer workspace across processes). */
   def appendBranch(name: String, branch: String, df: DataFrame): Unit = {
     val f = branchFile(name, branch)
     require(fs(tableDir(name)).exists(f), s"Branch not found: $name@$branch")
     checkNoTypeChanges(name, scanBranch(name, branch), df)
     val snap = writeSnapshot(name, df)
-    atomicWritePointer(tableDir(name), f, readManifestFile(f) :+ snap)
+    TableStore.commitLock(root, name).synchronized {
+      atomicWritePointer(tableDir(name), f, readManifestFile(f) :+ snap)
+    }
   }
 
   /** Replace a branch head's content (atomic; main untouched). */

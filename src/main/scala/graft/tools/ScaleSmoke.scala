@@ -1666,6 +1666,70 @@ object ScaleSmoke {
       assert(out.forall(r => r.getLong(3) > 0L), s"graded mass: ${out.toSeq}")
     }
 
+    // 41/42. 100M-DOC LINEARITY TIER for the two inherent-cost ceilings
+    // (dsir select 217 s, bpe tokenize 122 s at 10M docs — both documented
+    // as md5-/scan-bound). Each entry times its OWN 10M baseline first,
+    // then the 100M run, and asserts the per-row rate holds within 1.35×
+    // across the decade — the linearity claim measured, not asserted from
+    // one point. Opt-in (arg `frontier100m` or SPARK_GRAFT_FRONTIER=1):
+    // the pair costs ~an hour at local[32], which would drown the default
+    // full run.
+    val frontierOn = only.exists(_.startsWith("frontier100m")) ||
+      sys.env.get("SPARK_GRAFT_FRONTIER").contains("1")
+    def dsirDocs(n: Long) = spark.range(0, n, 1, (n / 78125L).toInt.max(128))
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 10).map(i =>
+          concat(when(col("id") % 100 === 0, "x").otherwise("w"),
+            pmod(col("id") + i, lit(499)))): _*).as("text"))
+    if (frontierOn) time("frontier100m dsir select (10M baseline + 100M)") {
+      def runTier(n: Long, k: Int): Double = {
+        val corpus = dsirDocs(n)
+        val t0 = System.nanoTime()
+        val sel = graft.ext.Dsir.resample(
+          corpus,
+          corpus.where(col("doc_id") % 100 =!= 0 && col("doc_id") < 1000000L),
+          "text", "doc_id", k = k)
+        val r = sel.agg(count(lit(1)),
+          sum(when(col("doc_id") % 100 === 0, 1L).otherwise(0L))).first()
+        assert(r.getLong(0) == k.toLong && r.getLong(1) == 0L,
+          s"dsir@$n: selected ${r.getLong(0)}, off-vocab ${r.getLong(1)}")
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t10 = runTier(10000000L, 100000)
+      val t100 = runTier(100000000L, 100000)
+      val rate10 = 10000000L / t10
+      val rate100 = 100000000L / t100
+      println(f"[scale]   dsir rows/s: 10M ${rate10}%.0f, 100M ${rate100}%.0f " +
+        f"(t10=${t10}%.1fs t100=${t100}%.1fs ratio=${t100 / t10}%.2f)")
+      assert(rate100 >= rate10 / 1.35,
+        f"dsir throughput bent at 100M: ${rate10}%.0f -> ${rate100}%.0f rows/s")
+    }
+    if (frontierOn) time("frontier100m bpe tokenize (10M baseline + 100M)") {
+      def docs(n: Long) = spark.range(0, n, 1, (n / 78125L).toInt.max(128))
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", lit("the"), lit("a"),
+            concat_ws(" ", (0 until 55).map(i =>
+              concat(lit("w"), pmod(col("id") + i, lit(9999)))): _*)).as("text"))
+      val merges = Seq(("t", "h"), ("th", "e"), ("e", "n"), ("w", "1"),
+        ("1", "2"), ("2", "3"), ("w1", "23"), ("9", "9"))
+      def runTier(n: Long): Double = {
+        val t0 = System.nanoTime()
+        val out = graft.ext.Bpe.tokenize(docs(n), "text", "doc_id", merges)
+        val r = out.agg(count(lit(1)), sum("n_bpe_tokens")).first()
+        assert(r.getLong(0) == n && r.getLong(1) > 0L,
+          s"bpe@$n: ${r.getLong(0)} docs")
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t10 = runTier(10000000L)
+      val t100 = runTier(100000000L)
+      val rate10 = 10000000L / t10
+      val rate100 = 100000000L / t100
+      println(f"[scale]   bpe rows/s: 10M ${rate10}%.0f, 100M ${rate100}%.0f " +
+        f"(t10=${t10}%.1fs t100=${t100}%.1fs ratio=${t100 / t10}%.2f)")
+      assert(rate100 >= rate10 / 1.35,
+        f"bpe throughput bent at 100M: ${rate10}%.0f -> ${rate100}%.0f rows/s")
+    }
+
     // 40. deletion-vector vs rewrite delete on a 20M-row store table:
     // the DV commit writes only the key list (O(deleted)) while the
     // rewrite path pays the whole table again (O(table)); both must

@@ -689,10 +689,23 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("langid margin: broadcast model probe, top-2 pick without a window") {
-    val p = plan("ext_langid_margin")
+    // the GATE now projects a frozen fixture (one shared scoring pass), so
+    // the plan posture is asserted on the scoring operator itself — the
+    // same classifyTopMargin call the fixture freezes
+    import org.apache.spark.sql.functions.col
+    val docs = graft.queries.Tables.t(spark, dir, "documents")
+      .select("doc_id", "text")
+    val labeled = graft.queries.Tables.t(spark, dir, "documents")
+      .where(col("doc_id") % 3 === 0).select("text", "lang")
+    val (m, pr) = graft.ext.NaiveBayes.train(
+      labeled, "text", "lang", buckets = 2000, alpha = 1.0,
+      features = graft.ext.LangId.charGramBuckets(graft.ext.LangId.DefaultN))
+    val scored = graft.ext.LangId.classifyTopMargin(docs, m, pr, "text", "doc_id")
+    val p = scored.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
     assert(p.contains("BroadcastHashJoin"),
       s"the C×B model must broadcast into the feature stream:\n$p")
-    assert(!analyzed("ext_langid_margin").contains("Window"),
+    assert(!scored.queryExecution.analyzed.toString.contains("Window"),
       "the per-doc top-2 pick folds C structs in an aggregate, never a window")
     assert(p.contains("partial_sum"),
       "per-(doc,label) score sums must combine map-side")
@@ -879,6 +892,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!analyzed("ext_trunc_recall").contains("Window") ||
       p.contains("graft_topk"),
       "top-k must run through the bounded aggregate when registered")
+  }
+
+  test("curation filter: quality and repetition counters pinned to one evaluation each") {
+    // ext_curation filters on three derived signals; without the EvalOnce
+    // pins the pushed predicate would re-tokenize/re-shingle per conjunct
+    val opt = SparkEntry.queries("ext_curation")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    val pins = "graft_eval_once".r.findAllIn(opt).length
+    assert(pins == 2,
+      s"expected the two pinned counter structs (quality, repetition), saw $pins:\n$opt")
   }
 
   test("gopher rules + pass filter: the counters kernel is evaluated once per row") {

@@ -141,6 +141,26 @@ class ConcurrentCommitSpec extends SparkSpec {
     assert(tagged == 1, "exactly the committed tagged snapshot remains")
   }
 
+  test("racing branch appenders both land (head flips serialize on the table lock)") {
+    val (store, _) = newStoreAt
+    store.overwrite("t", spark.range(0, 2).toDF("v"))
+    store.createBranch("t", "work")
+    val perWriter = 4
+    def appender(offset: Int): Thread = new Thread(() => {
+      for (i <- 0 until perWriter)
+        store.appendBranch("t", "work",
+          spark.range(offset + i, offset + i + 1).toDF("v"))
+    })
+    val a = appender(100); val b = appender(200)
+    a.start(); b.start(); a.join(); b.join()
+    val vals = store.scanBranch("t", "work").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val want = (Seq(0L, 1L) ++ (0 until perWriter).map(_ + 100L) ++
+      (0 until perWriter).map(_ + 200L)).sorted
+    assert(vals == want, s"lost branch appends: got $vals")
+    assert(store.scan("t").count() == 2, "main untouched")
+  }
+
   test("a legacy-format table (untagged CURRENT, unsealed versions) still reads CURRENT") {
     val (store, dir) = newStoreAt
     store.overwrite("t", spark.range(0, 3).toDF("v"))
