@@ -56,17 +56,25 @@ final class MatView(store: TableStore) {
     val d = definition(view)
     val baseSnaps = store.readManifest(d.base)
     if (baseSnaps == d.folded) return false
+    val delta = baseSnaps.filterNot(d.folded.contains)
     val merged =
-      if (d.folded.forall(baseSnaps.contains)) {
-        val delta = baseSnaps.filterNot(d.folded.contains)
+      if (d.folded.forall(baseSnaps.contains) &&
+          delta.forall(!_.startsWith("dv-"))) {
+        // pure appends: new snapshots are unaffected by any deletion
+        // vector already folded (vectors only erase rows that PRECEDE
+        // them in the manifest), so the delta folds in directly
+        val deltaDf = delta
           .map(sn => store.session.read.parquet(
             new Path(store.tableDir(d.base), sn).toString))
           .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
-        merge(store.scan(view), aggregate(delta, d.keys, d.measures),
+        merge(store.scan(view), aggregate(deltaDf, d.keys, d.measures),
           d.keys, d.measures)
       } else
-        // base overwritten/compacted/merged: delta folding is unsound
-        // (rows may have vanished — min/max cannot "un-see" them)
+        // base overwritten/compacted/merged — or a deletion vector landed
+        // since the last refresh: rows vanished, so delta folding is
+        // unsound (count/sum can't subtract what a dv- entry names, and
+        // min/max cannot "un-see" rows); recompute from the DV-applied
+        // scan. A refresh is ALWAYS correct, just not always incremental.
         aggregate(store.scan(d.base), d.keys, d.measures)
     commit(view, d.copy(folded = baseSnaps), merged)
     true

@@ -206,6 +206,15 @@ final class TableStore(spark: SparkSession, root: String,
     val dataEntries = entries.filterNot(isDvEntry)
     require(dataEntries.nonEmpty, s"manifest of $name holds no data snapshots")
     def snapPath(sn: String) = new Path(tableDir(name), sn).toString
+    // fast path — no vectors, no file pruning, no metadata column: the
+    // plain union read (one footer pass per snapshot, not two). This is
+    // the overwhelmingly common shape; the replay fold below pays an
+    // extra schema-discovery pass only when a DV or pruning demands the
+    // per-snapshot structure.
+    if (keepFile.isEmpty && !withFile && dataEntries.sizeIs == entries.size)
+      return dataEntries
+        .map(sn => spark.read.parquet(snapPath(sn)))
+        .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
     val fullSchema = dataEntries
       .map(sn => spark.read.parquet(snapPath(sn)))
       .reduce((a, b) => a.unionByName(b, allowMissingColumns = true)).schema
@@ -278,6 +287,100 @@ final class TableStore(spark: SparkSession, root: String,
     val zm = df.groupBy(col("__file").as("file"))
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
     overwrite(zoneMapTable(name), zm)
+  }
+
+  /** Incrementally refresh the zone map: ONLY files not yet in the
+    * sidecar are scanned (the appends since the last analyze/refresh);
+    * sidecar rows for files no longer live drop out. Content-equivalent
+    * to a fresh [[analyzeZoneMaps]] over the same state at O(new files)
+    * cost instead of O(table) — the only refresh cadence that survives a
+    * 100 TB append stream (re-analyzing 100 TB to index a 100 GB append
+    * is the zone-map equivalent of the rewrite-per-takedown trap).
+    * Falls back to the full analyze when no sidecar exists or the
+    * requested columns changed. Stats rows for files whose rows were
+    * since DV-deleted keep their (wider) ranges — skipping stays
+    * conservative, the residual predicate still decides every row. */
+  def refreshZoneMaps(name: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "refreshZoneMaps: at least one column")
+    val zmName = zoneMapTable(name)
+    if (!exists(zmName)) return analyzeZoneMaps(name, cols)
+    val zm = scan(zmName)
+    if (!cols.forall(c => zm.columns.contains(s"${c}__min")))
+      return analyzeZoneMaps(name, cols)
+    // file-count-sized driver sets, like the prune paths
+    val known = zm.select("file").collect().map(r => pathOf(r.getString(0))).toSet
+    val live = dataFiles(name)
+    val liveSet = live.map(pathOf).toSet
+    val fresh = live.filterNot(f => known.contains(pathOf(f)))
+    val survivors = zm.where(udfFreeIsin(zm("file"), liveSet))
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max")))
+    val next =
+      if (fresh.isEmpty) survivors
+      else {
+        val newPart = readState(name, readManifest(name),
+            keepFile = Some(f => !known.contains(pathOf(f))), withFile = true)
+          .groupBy(col("__file").as("file"))
+          .agg(count(lit(1)).as("n_rows"), aggs: _*)
+        survivors.unionByName(newPart)
+      }
+    overwrite(zmName, next)
+  }
+
+  /** Membership of a sidecar `file` value in a driver-side path set,
+    * scheme-independent (sidecar values and `inputFiles` may spell one
+    * file "file:/x", "file:///x", or "/x"). The literal list is
+    * file-count-sized — manifest metadata, never data. */
+  private def udfFreeIsin(c: org.apache.spark.sql.Column,
+      paths: Set[String]): org.apache.spark.sql.Column =
+    if (paths.isEmpty) lit(false)
+    else regexp_replace(c, "^[a-zA-Z0-9+.-]+:(//)?", "").isin(
+      paths.toSeq.sorted.map(p => p: Any): _*)
+
+  /** The live data files (deletion-vector dirs excluded). */
+  private def dataFiles(name: String): Seq[String] =
+    readManifest(name).filterNot(isDvEntry).flatMap(sn =>
+      spark.read.parquet(new Path(tableDir(name), sn).toString).inputFiles)
+
+  /** Incremental Bloom-sidecar refresh — [[refreshZoneMaps]]'s contract
+    * for [[analyzeBloomFilters]]: only unseen files scanned, dead files
+    * dropped, build parameters taken from the existing sidecar so probe
+    * and build can never hash differently. */
+  def refreshBloomFilters(name: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "refreshBloomFilters: at least one column")
+    val btName = bloomTable(name)
+    if (!exists(btName)) return analyzeBloomFilters(name, cols)
+    val bt = scan(btName)
+    val have = bt.select("column").distinct().collect().map(_.getString(0)).toSet
+    if (!cols.forall(have.contains)) return analyzeBloomFilters(name, cols)
+    val params = bt.select("bits", "hashes").distinct().collect()
+    require(params.length == 1,
+      s"refreshBloomFilters: mixed bits/hashes in Bloom sidecar of $name")
+    val (bits, hashes) = (params.head.getInt(0), params.head.getInt(1))
+    val known = bt.select("file").distinct().collect()
+      .map(r => pathOf(r.getString(0))).toSet
+    val live = dataFiles(name)
+    val liveSet = live.map(pathOf).toSet
+    val fresh = live.filterNot(f => known.contains(pathOf(f)))
+    val survivors = bt.where(udfFreeIsin(bt("file"), liveSet))
+    val next =
+      if (fresh.isEmpty) survivors
+      else {
+        val df = readState(name, readManifest(name),
+          keepFile = Some(f => !known.contains(pathOf(f))), withFile = true)
+        val perCol = cols.map { c =>
+          df.where(col(c).isNotNull)
+            .select(col("__file").as("file"), lit(c).as("column"),
+              explode(bloomPositions(col(c), bits, hashes)).as("pos"))
+        }
+        val newPart = perCol.reduce(_ unionByName _)
+          .groupBy("file", "column")
+          .agg(collect_set(col("pos")).as("positions"))
+          .withColumn("bits", lit(bits))
+          .withColumn("hashes", lit(hashes))
+        survivors.unionByName(newPart)
+      }
+    overwrite(btName, next)
   }
 
   /** `scan(name).where(colName BETWEEN lo AND hi)` with zone-map file

@@ -71,6 +71,29 @@ class MatViewSpec extends SparkSpec {
     assertSame(mv.read("agg"), recompute(store))
   }
 
+  test("a deletion-vector delete triggers the full-recompute fallback") {
+    val store = freshStore()
+    val mv = new MatView(store)
+    store.overwrite("base", rows(0, 300))
+    mv.define("agg", "base", Seq("k"), measures)
+    // a DV delete APPENDS a dv- manifest entry, so the folded-subset
+    // check alone would wrongly fold the key-list parquet as data rows;
+    // the refresh must recompute from the DV-applied scan instead
+    store.deleteByKeysDV("base", Seq("id"),
+      spark.range(0, 150).selectExpr("id"))
+    assert(mv.refresh("agg"))
+    assertSame(mv.read("agg"), recompute(store))
+    // appends AFTER the vector fold incrementally again
+    store.append("base", rows(300, 400))
+    assert(mv.refresh("agg"))
+    assertSame(mv.read("agg"), recompute(store))
+    // a re-add of deleted ids also folds (new snapshot, unaffected by
+    // the earlier vector)
+    store.append("base", rows(0, 50))
+    assert(mv.refresh("agg"))
+    assertSame(mv.read("agg"), recompute(store))
+  }
+
   test("define requires the base table to exist") {
     val store = freshStore()
     intercept[IllegalArgumentException] {

@@ -1,0 +1,94 @@
+package graft.table
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Incremental zone-map / Bloom sidecar refresh: content-equivalent to a
+  * full re-analyze while scanning ONLY the files appended since the last
+  * refresh — the O(new files) cadence an append-heavy 100 TB table needs. */
+class SidecarRefreshSpec extends SparkSpec {
+
+  private def newStoreAt: (TableStore, String) = {
+    val dir = Files.createTempDirectory("graft_sidecar").toString
+    (new TableStore(spark, dir), dir)
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+      .toIndexedSeq.sorted
+
+  test("zone-map refresh == full analyze; only new files are scanned") {
+    val (store, _) = newStoreAt
+    store.overwrite("t", spark.range(0, 1000)
+      .selectExpr("id AS k", "id * 2 AS v"))
+    store.analyzeZoneMaps("t", Seq("k"))
+    val firstFiles = store.scan("t").inputFiles.toSet
+
+    store.append("t", spark.range(5000, 6000)
+      .selectExpr("id AS k", "id * 2 AS v"))
+    store.refreshZoneMaps("t", Seq("k"))
+    val incremental = rows(store.scan(store.zoneMapTable("t")))
+
+    // the reference: a from-scratch analyze over the same table state
+    store.analyzeZoneMaps("t", Seq("k"))
+    val full = rows(store.scan(store.zoneMapTable("t")))
+    assert(incremental == full,
+      "incremental refresh must equal the full analyze row-for-row")
+
+    // pruning works through the refreshed sidecar and stays exact
+    store.refreshZoneMaps("t", Seq("k")) // no new files -> survivors only
+    val got = store.scanPruned("t", "k", 5100, 5200)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (5100L to 5200L))
+    // ... and the pruned read skips the first snapshot's files entirely
+    val read = store.scanPruned("t", "k", 5100, 5200).inputFiles.toSet
+    assert(firstFiles.intersect(read).isEmpty,
+      "zone map must prune the pre-append files for a post-append range")
+  }
+
+  test("zone-map refresh drops sidecar rows of files the table no longer has") {
+    val (store, _) = newStoreAt
+    store.overwrite("t", spark.range(0, 100).selectExpr("id AS k"))
+    store.analyzeZoneMaps("t", Seq("k"))
+    store.overwrite("t", spark.range(500, 600).selectExpr("id AS k")) // old files GC
+    store.refreshZoneMaps("t", Seq("k"))
+    val zm = store.scan(store.zoneMapTable("t"))
+    val mins = zm.select("k__min").collect().map(_.getLong(0))
+    assert(mins.forall(_ >= 500L), "dead files' stats must drop out")
+    assert(rows(zm) == {
+      store.analyzeZoneMaps("t", Seq("k"))
+      rows(store.scan(store.zoneMapTable("t")))
+    })
+  }
+
+  test("zone-map refresh with new columns falls back to the full analyze") {
+    val (store, _) = newStoreAt
+    store.overwrite("t", spark.range(0, 100)
+      .selectExpr("id AS k", "id * 3 AS v"))
+    store.analyzeZoneMaps("t", Seq("k"))
+    store.refreshZoneMaps("t", Seq("k", "v")) // v missing in sidecar
+    assert(store.scan(store.zoneMapTable("t")).columns.contains("v__min"))
+  }
+
+  test("bloom refresh == full analyze, params inherited, pruning exact") {
+    val (store, _) = newStoreAt
+    store.overwrite("t", spark.range(0, 500)
+      .selectExpr("CAST(id AS STRING) AS h", "id AS v"))
+    store.analyzeBloomFilters("t", Seq("h"), bits = 4096, hashes = 3)
+    store.append("t", spark.range(9000, 9500)
+      .selectExpr("CAST(id AS STRING) AS h", "id AS v"))
+    store.refreshBloomFilters("t", Seq("h"))
+    val incremental = rows(store.scan(store.bloomTable("t"))
+      .select(col("file"), col("column"),
+        array_sort(col("positions")).as("positions"), col("bits"), col("hashes")))
+    store.analyzeBloomFilters("t", Seq("h"), bits = 4096, hashes = 3)
+    val full = rows(store.scan(store.bloomTable("t"))
+      .select(col("file"), col("column"),
+        array_sort(col("positions")).as("positions"), col("bits"), col("hashes")))
+    assert(incremental == full,
+      "incremental Bloom refresh must equal the full analyze")
+    val got = store.scanBloomPruned("t", "h", "9123").collect()
+    assert(got.length == 1 && got.head.getLong(1) == 9123L)
+  }
+}
