@@ -112,8 +112,14 @@ object Multimodal {
       avgBits: Int = 10,
       maxSize: Int = 8192
   ): DataFrame =
-    df.withColumn("chunks", call_function("graft_cdc_chunks",
-      col(binCol), lit(minSize), lit(avgBits), lit(maxSize)))
+    // pinned to one evaluation per row: the explode consumer triggers
+    // InferFiltersFromGenerate, whose inferred size(chunks)>0 filter
+    // would otherwise alias-inline a SECOND full chunking pass (and on
+    // wide synthetic inputs overflow the 64 KB codegen method limit,
+    // silently dropping the stage to interpreted execution)
+    df.withColumn("chunks", graft.plans.EvalOnceExpression.evalOnce(
+      call_function("graft_cdc_chunks",
+        col(binCol), lit(minSize), lit(avgBits), lit(maxSize))))
 
   /** Chunk-level dedup accounting over a blob corpus — the storage-savings
     * question ("how many bytes are redundant across payloads") answered

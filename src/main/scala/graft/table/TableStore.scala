@@ -305,14 +305,25 @@ final class TableStore(spark: SparkSession, root: String,
     val zmName = zoneMapTable(name)
     if (!exists(zmName)) return analyzeZoneMaps(name, cols)
     val zm = scan(zmName)
-    if (!cols.forall(c => zm.columns.contains(s"${c}__min")))
-      return analyzeZoneMaps(name, cols)
-    // file-count-sized driver sets, like the prune paths
-    val known = zm.select("file").collect().map(r => pathOf(r.getString(0))).toSet
+    // EXACT column-set match or full re-analyze: a subset would leave
+    // the new files without the other columns' stats (and the union
+    // would not even resolve), a superset lacks stats for the new ones
+    val analyzed = zm.columns.collect {
+      case c if c.endsWith("__min") => c.stripSuffix("__min") }.toSet
+    if (analyzed != cols.toSet) return analyzeZoneMaps(name, cols)
+    // file-count-sized driver sets, like the prune paths; survivors are
+    // picked DRIVER-side on pathOf-normalized values so URI scheme,
+    // authority, and percent-encoding differences between the sidecar's
+    // rendering and inputFiles' can never drop live rows
+    val fileVals = zm.select("file").collect().map(_.getString(0))
+    val known = fileVals.map(pathOf).toSet
     val live = dataFiles(name)
     val liveSet = live.map(pathOf).toSet
     val fresh = live.filterNot(f => known.contains(pathOf(f)))
-    val survivors = zm.where(udfFreeIsin(zm("file"), liveSet))
+    val survivorVals = fileVals.filter(v => liveSet.contains(pathOf(v)))
+    val survivors =
+      if (survivorVals.isEmpty) zm.where(lit(false))
+      else zm.where(zm("file").isin(survivorVals.toSeq: _*))
     val aggs = cols.flatMap(c => Seq(
       min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max")))
     val next =
@@ -326,16 +337,6 @@ final class TableStore(spark: SparkSession, root: String,
       }
     overwrite(zmName, next)
   }
-
-  /** Membership of a sidecar `file` value in a driver-side path set,
-    * scheme-independent (sidecar values and `inputFiles` may spell one
-    * file "file:/x", "file:///x", or "/x"). The literal list is
-    * file-count-sized — manifest metadata, never data. */
-  private def udfFreeIsin(c: org.apache.spark.sql.Column,
-      paths: Set[String]): org.apache.spark.sql.Column =
-    if (paths.isEmpty) lit(false)
-    else regexp_replace(c, "^[a-zA-Z0-9+.-]+:(//)?", "").isin(
-      paths.toSeq.sorted.map(p => p: Any): _*)
 
   /** The live data files (deletion-vector dirs excluded). */
   private def dataFiles(name: String): Seq[String] =
@@ -357,12 +358,15 @@ final class TableStore(spark: SparkSession, root: String,
     require(params.length == 1,
       s"refreshBloomFilters: mixed bits/hashes in Bloom sidecar of $name")
     val (bits, hashes) = (params.head.getInt(0), params.head.getInt(1))
-    val known = bt.select("file").distinct().collect()
-      .map(r => pathOf(r.getString(0))).toSet
+    val fileVals = bt.select("file").distinct().collect().map(_.getString(0))
+    val known = fileVals.map(pathOf).toSet
     val live = dataFiles(name)
     val liveSet = live.map(pathOf).toSet
     val fresh = live.filterNot(f => known.contains(pathOf(f)))
-    val survivors = bt.where(udfFreeIsin(bt("file"), liveSet))
+    val survivorVals = fileVals.filter(v => liveSet.contains(pathOf(v)))
+    val survivors =
+      if (survivorVals.isEmpty) bt.where(lit(false))
+      else bt.where(bt("file").isin(survivorVals.toSeq: _*))
     val next =
       if (fresh.isEmpty) survivors
       else {
@@ -550,7 +554,8 @@ final class TableStore(spark: SparkSession, root: String,
   /** Write df as the whole new state of `name` (atomic manifest flip). */
   def overwrite(name: String, df: DataFrame): Unit = {
     val snap = writeSnapshot(name, df)
-    commitManifest(name, Seq(snap))
+    val done = commitOwning(name, snap)(_ => Some(Seq(snap)))
+    assert(done, s"unconditional overwrite of $name cannot abort")
   }
 
   /** Overwrite with the data CLUSTERED on `clusterKeys`: range-partitioned
@@ -699,7 +704,8 @@ final class TableStore(spark: SparkSession, root: String,
       // the closure re-derives the union from the manifest AT COMMIT
       // TIME, so losing the version race to a concurrent appender only
       // means retrying on top of their manifest — never dropping it
-      commitManifestCas(name, cur => cur :+ snap)
+      val done = commitOwning(name, snap)(cur => Some(cur :+ snap))
+      assert(done, s"append to $name cannot abort")
     }
 
   private def checkNoTypeChanges(name: String, existing: DataFrame, incoming: DataFrame): Unit = {
@@ -711,23 +717,58 @@ final class TableStore(spark: SparkSession, root: String,
           changed.map(f => s"${f.name}: ${old(f.name)} -> ${f.dataType}").mkString(", "))
   }
 
+  /** Read-modify-write rewrite that cannot drop a concurrent commit:
+    * derive the new state FROM a basis manifest, then commit conditional
+    * on the manifest still being that basis — if another writer moved
+    * the table (an append, a DV takedown), re-derive from the fresh
+    * manifest and retry. Plain [[overwrite]] is deliberately last-wins
+    * (its contract ignores prior state); everything that REWRITES the
+    * current state (compact, predicate/key deletes, branch merges) must
+    * come through here or a racing takedown could be silently
+    * resurrected by the rewrite's stale snapshot. */
+  private[table] def rewriteConditional(name: String, what: String)(
+      derive: Seq[String] => Option[DataFrame]): Unit = {
+    var attempt = 0
+    while (attempt < 8) {
+      attempt += 1
+      val basis = readManifest(name)
+      if (basis.isEmpty)
+        throw new IllegalArgumentException(s"Table not found: $name")
+      derive(basis) match {
+        case None => return // nothing to do at this basis (e.g. compact under threshold)
+        case Some(df) =>
+          val snap = writeSnapshot(name, df)
+          val committed = commitOwning(name, snap)(
+            cur => if (cur == basis) Some(Seq(snap)) else None)
+          if (committed) return
+        // else: another writer landed between our read and claim —
+        // loop re-derives against their manifest (orphan snap GCs)
+      }
+    }
+    throw new IllegalStateException(
+      s"$what of $name lost to concurrent writers 8 times — aborting")
+  }
+
   /** Row-level delete: commit a NEW snapshot holding every current row
     * whose `pred` is NOT true (SQL DELETE semantics — null predicates
-    * KEEP the row), atomic at the same CURRENT flip as any commit. The
-    * takedown/right-to-erasure primitive for corpus TABLES, completing
-    * the delete lifecycle the persistent indexes already have
+    * KEEP the row), atomic at the same commit point as any write, and
+    * CONDITIONAL on the state it filtered: a concurrent append or DV
+    * takedown makes the rewrite re-derive instead of silently dropping
+    * it. The takedown/right-to-erasure primitive for corpus TABLES,
+    * completing the delete lifecycle the persistent indexes already have
     * (BM25 tombstones, near-dup/vector index deletes): a crash mid-way
     * leaves the pre-delete state live, retained versions still time-
     * travel to it ([[scanAsOf]]), and the change feed shows the deletes
     * ([[diffVersions]] `op = 'delete'`).
     *
     * Cost is one filtered table rewrite — O(table), like BigQuery DELETE
-    * or a Delta non-partition delete. At 100 TB route bulk erasure
-    * through key-clustered layouts ([[overwriteClustered]]) so the
-    * filter prunes most files at the scan, and batch takedowns rather
-    * than issuing per-row commits. */
+    * or a Delta non-partition delete. At 100 TB use [[deleteByKeysDV]]
+    * for O(deleted) commits, or route bulk erasure through key-clustered
+    * layouts ([[overwriteClustered]]) so the filter prunes most files at
+    * the scan, and batch takedowns rather than issuing per-row commits. */
   def deleteWhere(name: String, pred: org.apache.spark.sql.Column): Unit =
-    overwrite(name, scan(name).where(!coalesce(pred, lit(false))))
+    rewriteConditional(name, "deleteWhere")(basis =>
+      Some(readState(name, basis).where(!coalesce(pred, lit(false)))))
 
   /** Delete by key list: drop every current row whose `keys` tuple
     * appears in `toDelete` (extra columns there are ignored; the key set
@@ -738,8 +779,8 @@ final class TableStore(spark: SparkSession, root: String,
   def deleteByKeys(name: String, keys: Seq[String], toDelete: DataFrame): Unit = {
     require(keys.nonEmpty, "deleteByKeys: at least one key column")
     val keyList = toDelete.select(keys.map(col): _*).distinct()
-    overwrite(name,
-      scan(name).join(broadcast(keyList), keys, "left_anti"))
+    rewriteConditional(name, "deleteByKeys")(basis =>
+      Some(readState(name, basis).join(broadcast(keyList), keys, "left_anti")))
   }
 
   /** Deletion-vector delete: same observable result as [[deleteByKeys]]
@@ -762,7 +803,8 @@ final class TableStore(spark: SparkSession, root: String,
       s"deleteByKeysDV: no such column $k in $name"))
     val keyList = toDelete.select(keys.map(col): _*).distinct()
     val dv = writeDeletionVector(name, keyList)
-    commitManifestCas(name, cur => cur :+ dv)
+    val done = commitOwning(name, dv)(cur => Some(cur :+ dv))
+    assert(done, s"deleteByKeysDV on $name cannot abort")
   }
 
   /** Rewrite the manifest's chain into a single snapshot when it grows
@@ -773,7 +815,8 @@ final class TableStore(spark: SparkSession, root: String,
     * O(deleted) takedown, paid once). Atomic like any commit; no-op
     * below the threshold. */
   def compact(name: String, maxSnapshots: Int = 16): Unit =
-    if (readManifest(name).size > maxSnapshots) overwrite(name, scan(name))
+    rewriteConditional(name, "compact")(basis =>
+      if (basis.size > maxSnapshots) Some(readState(name, basis)) else None)
 
   /** Schema-only clone — `CREATE TABLE … WHERE 1=0` (warehouse.py:148-151). */
   def createLike(name: String, df: DataFrame): Unit =
@@ -812,16 +855,30 @@ final class TableStore(spark: SparkSession, root: String,
       keyList)
 
   /** Write a data dir and register it in-flight so a concurrent
-    * committer's GC can't reap it before its own commit lands; the
-    * registration clears when the commit (or the attempt) finishes. */
+    * committer's GC can't reap it before its own commit lands. Every
+    * writer clears the mark when its commit attempt finishes (success,
+    * abort, or exception — the mark must not outlive the attempt or the
+    * registry grows unboundedly and orphans become un-GC-able for the
+    * JVM's lifetime); a failed WRITE clears it here. */
   private def writeDataDir(name: String, entry: String, df: DataFrame): String = {
     val dir = tableDir(name)
     fs(dir).mkdirs(dir)
     val p = new Path(dir, entry)
     TableStore.markPending(pendingKey(name, entry))
-    df.write.mode("overwrite").parquet(p.toString)
+    try df.write.mode("overwrite").parquet(p.toString)
+    catch { case e: Throwable =>
+      TableStore.unmarkPending(pendingKey(name, entry)); throw e
+    }
     entry
   }
+
+  /** Commit `compute` and ALWAYS clear `entry`'s in-flight mark when the
+    * attempt finishes — committed entries are protected by manifest
+    * liveness from then on, failed ones become ordinary GC fodder. */
+  private def commitOwning(name: String, entry: String)(
+      compute: Seq[String] => Option[Seq[String]]): Boolean =
+    try commitManifestCasOpt(name, compute)
+    finally TableStore.unmarkPending(pendingKey(name, entry))
 
   private def pendingKey(name: String, entry: String): String =
     new Path(tableDir(name), entry).toUri.getPath
@@ -855,11 +912,8 @@ final class TableStore(spark: SparkSession, root: String,
       // the tag re-check runs INSIDE the commit against the manifest at
       // commit time, so two replays racing each other collapse to one
       // committed snapshot — the loser aborts and its orphan dir GCs
-      val committed = commitManifestCasOpt(name, cur =>
+      commitOwning(name, snap)(cur =>
         if (cur.exists(_.contains(marker))) None else Some(cur :+ snap))
-      if (!committed)
-        TableStore.unmarkPending(pendingKey(name, snap))
-      committed
     }
   }
 
@@ -938,12 +992,17 @@ final class TableStore(spark: SparkSession, root: String,
     }
   }
 
-  /** Replace a branch head's content (atomic; main untouched). */
+  /** Replace a branch head's content (atomic; main untouched). Last-wins
+    * by contract (like [[overwrite]]); the lock only serializes the flip
+    * against [[appendBranch]]'s read-modify-write so an append never
+    * resurrects the pre-overwrite head. */
   def overwriteBranch(name: String, branch: String, df: DataFrame): Unit = {
     val f = branchFile(name, branch)
     require(fs(tableDir(name)).exists(f), s"Branch not found: $name@$branch")
     val snap = writeSnapshot(name, df)
-    atomicWritePointer(tableDir(name), f, Seq(snap))
+    TableStore.commitLock(root, name).synchronized {
+      atomicWritePointer(tableDir(name), f, Seq(snap))
+    }
   }
 
   /** Delete a branch and its base pointer; snapshots referenced by
@@ -999,8 +1058,21 @@ final class TableStore(spark: SparkSession, root: String,
       val merged = tw.ours.join(takeKeys, keys, "left_anti")
         .unionByName(tw.theirs.join(takeKeys, keys, "left_semi"),
           allowMissingColumns = true)
-      overwrite(name, merged)
-      dropBranch(name, branch)
+      val snap = writeSnapshot(name, merged)
+      // commit conditional on BOTH basis states: a concurrent main commit
+      // or branch append since the three-way read means the merged
+      // snapshot describes a state that no longer exists — fail loudly
+      // (callers re-run the merge) instead of silently dropping it
+      TableStore.commitLock(root, name).synchronized {
+        val branchNow = readManifestFile(branchFile(name, branch))
+        require(branchNow == tw.basisBranch,
+          s"mergeBranch: $name@$branch moved during the merge — retry")
+        val committed = commitOwning(name, snap)(
+          cur => if (cur == tw.basisMain) Some(Seq(snap)) else None)
+        require(committed,
+          s"mergeBranch: $name moved during the merge — retry")
+        dropBranch(name, branch)
+      }
       report
     } else tw.conflicts
   }
@@ -1039,10 +1111,19 @@ final class TableStore(spark: SparkSession, root: String,
       val snap = writeSnapshot(name, rebased)
       // head first, then base: a crash between the flips leaves a branch
       // whose base still predates the rebase — a later merge re-runs the
-      // same three-way and converges (rows already match theirs)
-      atomicWritePointer(tableDir(name), branchFile(name, branch), Seq(snap))
-      atomicWritePointer(tableDir(name), branchBaseFile(name, branch),
-        readManifest(name))
+      // same three-way and converges (rows already match theirs). The
+      // flips run under the table lock AND conditional on the branch
+      // head the three-way read, so a racing appendBranch fails the
+      // rebase loudly instead of being silently overwritten (or, on the
+      // other interleaving, resurrecting the pre-rebase head).
+      TableStore.commitLock(root, name).synchronized {
+        val branchNow = readManifestFile(branchFile(name, branch))
+        require(branchNow == tw.basisBranch,
+          s"rebaseBranch: $name@$branch moved during the rebase — retry")
+        atomicWritePointer(tableDir(name), branchFile(name, branch), Seq(snap))
+        atomicWritePointer(tableDir(name), branchBaseFile(name, branch),
+          readManifest(name))
+      }
       report
     } else tw.conflicts
   }
@@ -1050,7 +1131,8 @@ final class TableStore(spark: SparkSession, root: String,
   private case class ThreeWay(
       ours: DataFrame, theirs: DataFrame,
       branchChangedKeys: DataFrame, conflicts: DataFrame,
-      hasConflicts: Boolean)
+      hasConflicts: Boolean,
+      basisMain: Seq[String], basisBranch: Seq[String])
 
   /** The shared three-way core: change sets vs the frozen fork base,
     * git-contract conflicts (both changed AND final rows differ). Change
@@ -1063,8 +1145,14 @@ final class TableStore(spark: SparkSession, root: String,
     val f = branchFile(name, branch)
     require(fs(tableDir(name)).exists(f), s"Branch not found: $name@$branch")
     val base = unionRead(name, readManifestFile(branchBaseFile(name, branch)))
-    val ours = scan(name)
-    val theirs = scanBranch(name, branch)
+    // basis manifests captured ONCE and frames built from them — the
+    // commit is conditional on these exact states, so a concurrent main
+    // or branch writer makes the merge fail loudly instead of silently
+    // committing a merge of a state that no longer exists
+    val basisMain = readManifest(name)
+    val basisBranch = readManifestFile(f)
+    val ours = readState(name, basisMain)
+    val theirs = unionRead(name, basisBranch)
 
     val bd = diffFrames(base, theirs, keys)
       .select(keys.map(col) :+ col("op").as("op_branch"): _*)
@@ -1086,7 +1174,7 @@ final class TableStore(spark: SparkSession, root: String,
       .select(keys.map(col) :+ col("op_main") :+ col("op_branch"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ThreeWay(ours, theirs, bd.select(keys.map(col): _*), conflicts,
-      conflicts.limit(1).count() > 0L)
+      conflicts.limit(1).count() > 0L, basisMain, basisBranch)
   }
 
   /** Atomic pointer flip (tmp write + rename, overwrite allowed) — branch
@@ -1248,7 +1336,7 @@ object TableStore {
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[table] def commitLock(root: String, name: String): Object =
-    locks.computeIfAbsent(root + " " + name, _ => new Object)
+    locks.computeIfAbsent(root + "\u0000" + name, _ => new Object)
 
   /** Conflict handling for [[TableStore.mergeBranch]]/[[TableStore.rebaseBranch]]:
     * Fail refuses and commits nothing; OursWins keeps main's rows on

@@ -19,10 +19,17 @@ object CodegenGuard {
       extends AbstractAppender(name, null, null, false, Property.EMPTY_ARRAY) {
     val hits = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     override def append(event: LogEvent): Unit = {
-      val msg = event.getMessage.getFormattedMessage
-      if (msg.contains("Whole-stage codegen disabled") ||
-          msg.contains("Code grows beyond 64 KB") ||
-          msg.contains("Failed to compile the generated Java code"))
+      // match loosely and case-insensitively, and include the attached
+      // throwable's message — Spark/Janino wording varies across
+      // versions ("Code of method ... grows beyond 64 KB", "failed to
+      // compile: ...") and the overflow often rides the exception, not
+      // the log line
+      val thrown = Option(event.getThrown)
+        .map(t => " " + String.valueOf(t.getMessage)).getOrElse("")
+      val msg = (event.getMessage.getFormattedMessage + thrown).toLowerCase
+      if (msg.contains("codegen disabled") ||
+          msg.contains("grows beyond 64 kb") ||
+          msg.contains("failed to compile"))
         hits.add(event.getLoggerName + ": " + msg.linesIterator.next())
     }
   }

@@ -495,15 +495,25 @@ object ScaleSmoke {
     // the accounting must find a large shared-chunk mass (fixed-size
     // chunking would find none).
     time("cdc chunk 2M blobs (~4GB, 25% shifted dups)") {
-      val blobs = spark.range(0, 2000000L, 1, 64)
+      // blobs MATERIALIZED first (like any real binary corpus): the
+      // ~600-term synthetic blob expression alone overflows one codegen
+      // method even evaluated once — with `bin` a storage attribute the
+      // chunking stage codegens, and the guard keeps it that way
+      val blobPath = java.nio.file.Files
+        .createTempDirectory("graft_sm_cdc").toString
+      spark.range(0, 2000000L, 1, 64)
         .select(col("id"),
           encode(when(col("id") % 4 === 3, concat(lit("zz "), blobText(col("id") - 1)))
             .otherwise(blobText(col("id"))), "UTF-8").as("bin"))
+        .write.mode("overwrite").parquet(blobPath)
+      CodegenGuard.assertNoFallback("cdc-chunks") {
+      val blobs = spark.read.parquet(blobPath)
       val r = graft.ext.Multimodal.cdcDedupStats(blobs, "bin").first()
       val (total, uniq) = (r.getLong(2), r.getLong(4))
       assert(r.getLong(0) == 2000000L)
       assert(uniq < total * 85L / 100L,
         s"shifted dups must share chunk mass: uniq=$uniq total=$total")
+      }
     }
 
     // 27f. PageRank at 20M edges / ~2M nodes, 5 rounds: per round one

@@ -141,6 +141,25 @@ class ConcurrentCommitSpec extends SparkSpec {
     assert(tagged == 1, "exactly the committed tagged snapshot remains")
   }
 
+  test("rewrite commits are conditional: a takedown landing mid-rewrite is never resurrected") {
+    val (store, _) = newStoreAt
+    store.overwrite("t", spark.range(0, 100).toDF("v"))
+    var calls = 0
+    // the derive closure simulates a takedown racing an O(table) rewrite
+    // (e.g. a maintenance compact): the first attempt's basis predates the
+    // DV commit, so the conditional claim must fail and re-derive
+    store.rewriteConditional("t", "test-rewrite") { basis =>
+      calls += 1
+      if (calls == 1)
+        store.deleteByKeysDV("t", Seq("v"), spark.range(0, 10).toDF("v"))
+      Some(store.scan("t").where(org.apache.spark.sql.functions.col("v") < 50))
+    }
+    assert(calls == 2, s"stale-basis rewrite must re-derive (calls=$calls)")
+    val vals = store.scan("t").collect().map(_.getLong(0)).sorted.toSeq
+    assert(vals == (10L until 50L),
+      s"the racing takedown's deletions must survive the rewrite: $vals")
+  }
+
   test("racing branch appenders both land (head flips serialize on the table lock)") {
     val (store, _) = newStoreAt
     store.overwrite("t", spark.range(0, 2).toDF("v"))

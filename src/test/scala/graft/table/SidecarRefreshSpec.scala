@@ -62,13 +62,22 @@ class SidecarRefreshSpec extends SparkSpec {
     })
   }
 
-  test("zone-map refresh with new columns falls back to the full analyze") {
+  test("zone-map refresh with a changed column set falls back to the full analyze") {
     val (store, _) = newStoreAt
     store.overwrite("t", spark.range(0, 100)
       .selectExpr("id AS k", "id * 3 AS v"))
     store.analyzeZoneMaps("t", Seq("k"))
-    store.refreshZoneMaps("t", Seq("k", "v")) // v missing in sidecar
+    store.refreshZoneMaps("t", Seq("k", "v")) // superset: v missing in sidecar
     assert(store.scan(store.zoneMapTable("t")).columns.contains("v__min"))
+    // SUBSET after appends: survivors carry v stats the delta lacks — a
+    // naive incremental union would not even resolve; must re-analyze
+    store.append("t", spark.range(500, 600)
+      .selectExpr("id AS k", "id * 3 AS v"))
+    store.refreshZoneMaps("t", Seq("k"))
+    val zm = store.scan(store.zoneMapTable("t"))
+    assert(!zm.columns.contains("v__min") && zm.columns.contains("k__min"))
+    assert(zm.select(max(col("k__max"))).first().getLong(0) == 599L,
+      "the re-analyze must cover the appended files")
   }
 
   test("bloom refresh == full analyze, params inherited, pruning exact") {
