@@ -1091,13 +1091,17 @@ object StreamingIngest {
     * rewritten, so the erasure SLA is decoupled from table size: a 100 TB
     * corpus and a 100 MB one retire a key batch at the same cost, and the
     * accumulated vectors fold into a real rewrite on the maintenance
-    * cadence ([[graft.table.TableStore.compact]]). Replayed batches are
-    * SEMANTICALLY idempotent (erasing the same keys twice is the same
-    * erasure), so foreachBatch's at-least-once contract needs no
-    * idempotency tags; empty batches commit nothing. Rows appended AFTER
-    * a takedown batch survive it (manifest replay order) — fresh data
-    * re-enters the corpus while the old rows stay erased, with time
-    * travel and the change feed still showing the deletes. */
+    * cadence ([[graft.table.TableStore.compact]]). Every batch commits
+    * through [[graft.table.TableStore.deleteByKeysDVTagged]] with
+    * `<sinkId>_b<batchId>` as the idempotency tag — erasing the same
+    * keys twice would NOT be harmless on its own, because a key
+    * legitimately re-appended between the original commit and a replay
+    * would be erased by the replayed vector (it lands later in the
+    * manifest); the tag makes the replay a true no-op instead. Empty
+    * batches commit nothing. Rows appended AFTER a takedown batch
+    * survive it (manifest replay order) — fresh data re-enters the
+    * corpus while the old rows stay erased, with time travel and the
+    * change feed still showing the deletes. */
   def takedownIngestAvailableNow(
       spark: SparkSession,
       sourceDir: String,
@@ -1105,7 +1109,8 @@ object StreamingIngest {
       store: TableStore,
       table: String,
       checkpointDir: String,
-      keys: Seq[String]
+      keys: Seq[String],
+      sinkId: String = "td0"
   ): Unit = {
     require(keys.nonEmpty, "takedownIngestAvailableNow: at least one key column")
     val q = spark.readStream.schema(schema)
@@ -1114,9 +1119,10 @@ object StreamingIngest {
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (batch.limit(1).count() > 0L)
-          store.deleteByKeysDV(table, keys, batch)
+          store.deleteByKeysDVTagged(table, keys, batch,
+            s"${sinkId}_b$batchId")
         ()
       }
       .start()

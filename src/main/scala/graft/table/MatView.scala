@@ -46,8 +46,11 @@ final class MatView(store: TableStore) {
     require(outs.distinct.size == outs.size,
       s"MatView: duplicate output columns in ${outs.mkString(",")}")
     val baseSnaps = store.readManifest(base)
+    // aggregate EXACTLY the manifest recorded as folded — a concurrent
+    // base commit between the two reads would otherwise be in the data
+    // but not in `folded`, and the next refresh would fold it again
     commit(view, Def(base, keys, measures, baseSnaps),
-      aggregate(store.scan(base), keys, measures))
+      aggregate(store.readState(base, baseSnaps), keys, measures))
   }
 
   /** Fold appended base snapshots into the view (or fully recompute when
@@ -74,8 +77,11 @@ final class MatView(store: TableStore) {
         // since the last refresh: rows vanished, so delta folding is
         // unsound (count/sum can't subtract what a dv- entry names, and
         // min/max cannot "un-see" rows); recompute from the DV-applied
-        // scan. A refresh is ALWAYS correct, just not always incremental.
-        aggregate(store.scan(d.base), d.keys, d.measures)
+        // read of EXACTLY the captured manifest (a commit racing this
+        // refresh must not be aggregated without being recorded as
+        // folded, or the next refresh folds it twice). A refresh is
+        // ALWAYS correct, just not always incremental.
+        aggregate(store.readState(d.base, baseSnaps), d.keys, d.measures)
     commit(view, d.copy(folded = baseSnaps), merged)
     true
   }

@@ -142,7 +142,13 @@ final class TableStore(spark: SparkSession, root: String,
           if (lines.contains(SealLine))
             return (base, lines.filterNot(_.startsWith("#")))
           else if (lines.isEmpty && attempt < 20) () // pruned underneath — re-list
-          else return (base, curSnaps) // legacy version file: CURRENT is the contract
+          else if (lines.isEmpty)
+            // a head that stays unreadable is NOT license to serve (and
+            // worse, commit on top of) the stale CURRENT — that would
+            // silently drop every commit between the tag and the head
+            throw new IllegalStateException(
+              s"head version v$v of $name unreadable after 20 attempts")
+          else return (base, curSnaps) // legacy (unsealed) version file: CURRENT is the contract
         case _ => return (base, curSnaps)
       }
     }
@@ -200,7 +206,7 @@ final class TableStore(spark: SparkSession, root: String,
     * @param withFile prepend `__file` (= `_metadata.file_path`) to every
     *   row, selected per-snapshot because hidden metadata columns don't
     *   survive unions. */
-  private def readState(name: String, entries: Seq[String],
+  private[table] def readState(name: String, entries: Seq[String],
       keepFile: Option[String => Boolean] = None,
       withFile: Boolean = false): DataFrame = {
     val dataEntries = entries.filterNot(isDvEntry)
@@ -311,29 +317,18 @@ final class TableStore(spark: SparkSession, root: String,
     val analyzed = zm.columns.collect {
       case c if c.endsWith("__min") => c.stripSuffix("__min") }.toSet
     if (analyzed != cols.toSet) return analyzeZoneMaps(name, cols)
-    // file-count-sized driver sets, like the prune paths; survivors are
-    // picked DRIVER-side on pathOf-normalized values so URI scheme,
-    // authority, and percent-encoding differences between the sidecar's
-    // rendering and inputFiles' can never drop live rows
-    val fileVals = zm.select("file").collect().map(_.getString(0))
-    val known = fileVals.map(pathOf).toSet
-    val live = dataFiles(name)
-    val liveSet = live.map(pathOf).toSet
-    val fresh = live.filterNot(f => known.contains(pathOf(f)))
-    val survivorVals = fileVals.filter(v => liveSet.contains(pathOf(v)))
-    val survivors =
-      if (survivorVals.isEmpty) zm.where(lit(false))
-      else zm.where(zm("file").isin(survivorVals.toSeq: _*))
+    val d = sidecarDelta(name, zm)
     val aggs = cols.flatMap(c => Seq(
       min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max")))
     val next =
-      if (fresh.isEmpty) survivors
+      if (!d.hasFresh) d.survivors
       else {
         val newPart = readState(name, readManifest(name),
-            keepFile = Some(f => !known.contains(pathOf(f))), withFile = true)
+            keepFile = Some(f => !d.knownPaths.contains(pathOf(f))),
+            withFile = true)
           .groupBy(col("__file").as("file"))
           .agg(count(lit(1)).as("n_rows"), aggs: _*)
-        survivors.unionByName(newPart)
+        d.survivors.unionByName(newPart)
       }
     overwrite(zmName, next)
   }
@@ -342,6 +337,28 @@ final class TableStore(spark: SparkSession, root: String,
   private def dataFiles(name: String): Seq[String] =
     readManifest(name).filterNot(isDvEntry).flatMap(sn =>
       spark.read.parquet(new Path(tableDir(name), sn).toString).inputFiles)
+
+  /** Shared incremental-refresh scaffolding for the sidecar tables:
+    * given the sidecar's `file` values, split the world into SURVIVORS
+    * (sidecar rows for still-live files, filtered by the exact values
+    * the column holds) and the known set for fresh-file discovery.
+    * Matching is driver-side on [[pathOf]]-normalized values, so URI
+    * scheme/authority/percent-encoding differences between the
+    * sidecar's rendering and `inputFiles`' can never drop live rows —
+    * all sets are file-count-sized (manifest metadata, never data). */
+  private case class SidecarDelta(
+      survivors: DataFrame, knownPaths: Set[String], hasFresh: Boolean)
+  private def sidecarDelta(name: String, sidecar: DataFrame): SidecarDelta = {
+    val fileVals = sidecar.select("file").distinct().collect()
+      .map(_.getString(0))
+    val known = fileVals.map(pathOf).toSet
+    val liveSet = dataFiles(name).map(pathOf).toSet
+    val survivorVals = fileVals.filter(v => liveSet.contains(pathOf(v)))
+    val survivors =
+      if (survivorVals.isEmpty) sidecar.where(lit(false))
+      else sidecar.where(sidecar("file").isin(survivorVals.toSeq: _*))
+    SidecarDelta(survivors, known, !liveSet.forall(known.contains))
+  }
 
   /** Incremental Bloom-sidecar refresh — [[refreshZoneMaps]]'s contract
     * for [[analyzeBloomFilters]]: only unseen files scanned, dead files
@@ -352,26 +369,23 @@ final class TableStore(spark: SparkSession, root: String,
     val btName = bloomTable(name)
     if (!exists(btName)) return analyzeBloomFilters(name, cols)
     val bt = scan(btName)
+    // EXACT column-set match or full re-analyze — a subset would index
+    // fresh files for only the requested columns while still marking
+    // them known, so the other columns' rows would NEVER be backfilled
+    // (the zone-map path enforces the same policy for the same reason)
     val have = bt.select("column").distinct().collect().map(_.getString(0)).toSet
-    if (!cols.forall(have.contains)) return analyzeBloomFilters(name, cols)
+    if (have != cols.toSet) return analyzeBloomFilters(name, cols)
     val params = bt.select("bits", "hashes").distinct().collect()
     require(params.length == 1,
       s"refreshBloomFilters: mixed bits/hashes in Bloom sidecar of $name")
     val (bits, hashes) = (params.head.getInt(0), params.head.getInt(1))
-    val fileVals = bt.select("file").distinct().collect().map(_.getString(0))
-    val known = fileVals.map(pathOf).toSet
-    val live = dataFiles(name)
-    val liveSet = live.map(pathOf).toSet
-    val fresh = live.filterNot(f => known.contains(pathOf(f)))
-    val survivorVals = fileVals.filter(v => liveSet.contains(pathOf(v)))
-    val survivors =
-      if (survivorVals.isEmpty) bt.where(lit(false))
-      else bt.where(bt("file").isin(survivorVals.toSeq: _*))
+    val d = sidecarDelta(name, bt)
     val next =
-      if (fresh.isEmpty) survivors
+      if (!d.hasFresh) d.survivors
       else {
         val df = readState(name, readManifest(name),
-          keepFile = Some(f => !known.contains(pathOf(f))), withFile = true)
+          keepFile = Some(f => !d.knownPaths.contains(pathOf(f))),
+          withFile = true)
         val perCol = cols.map { c =>
           df.where(col(c).isNotNull)
             .select(col("__file").as("file"), lit(c).as("column"),
@@ -382,7 +396,7 @@ final class TableStore(spark: SparkSession, root: String,
           .agg(collect_set(col("pos")).as("positions"))
           .withColumn("bits", lit(bits))
           .withColumn("hashes", lit(hashes))
-        survivors.unionByName(newPart)
+        d.survivors.unionByName(newPart)
       }
     overwrite(btName, next)
   }
@@ -807,6 +821,34 @@ final class TableStore(spark: SparkSession, root: String,
     assert(done, s"deleteByKeysDV on $name cannot abort")
   }
 
+  /** EXACTLY-ONCE [[deleteByKeysDV]]: commit the vector with an
+    * idempotency tag, or skip if a live `dv-` entry already carries it.
+    * Re-running a takedown batch is NOT harmless without this — a key
+    * legitimately re-appended between the original commit and the replay
+    * would be erased by the replayed vector (it lands LATER in the
+    * manifest). Same tag window as [[appendTagged]]: the live manifest —
+    * once [[compact]] folds the vector away the tag is forgotten, which
+    * covers streaming replays of the immediately preceding batch, not
+    * arbitrarily delayed re-submission. Returns true iff committed. */
+  def deleteByKeysDVTagged(name: String, keys: Seq[String],
+      toDelete: DataFrame, tag: String): Boolean = {
+    require(tag.nonEmpty &&
+        tag.forall(c => c.isLetterOrDigit || c == '.' || c == '_'),
+      s"tag must be [A-Za-z0-9._]+ (dashes delimit it in the name): '$tag'")
+    require(keys.nonEmpty, "deleteByKeysDVTagged: at least one key column")
+    val marker = s"-tag-$tag-"
+    def tagged(cur: Seq[String]) =
+      cur.exists(e => isDvEntry(e) && e.contains(marker))
+    if (exists(name) && tagged(readManifest(name))) return false
+    val current = scan(name)
+    keys.foreach(k => require(current.columns.contains(k),
+      s"deleteByKeysDVTagged: no such column $k in $name"))
+    val keyList = toDelete.select(keys.map(col): _*).distinct()
+    val dv = writeDeletionVector(name, keyList, s"tag-$tag-")
+    commitOwning(name, dv)(cur =>
+      if (tagged(cur)) None else Some(cur :+ dv))
+  }
+
   /** Rewrite the manifest's chain into a single snapshot when it grows
     * past `maxSnapshots` entries (appends accumulate read-time union
     * branches, [[deleteByKeysDV]] accumulates anti-join branches;
@@ -847,10 +889,12 @@ final class TableStore(spark: SparkSession, root: String,
   }
 
   /** A deletion vector's key list, written like a snapshot (the dv's
-    * parquet columns ARE its key tuple). */
-  private def writeDeletionVector(name: String, keyList: DataFrame): String =
+    * parquet columns ARE its key tuple); `tagPart` carries the
+    * idempotency marker for [[deleteByKeysDVTagged]]. */
+  private def writeDeletionVector(name: String, keyList: DataFrame,
+      tagPart: String = ""): String =
     writeDataDir(name,
-      "dv-" + System.currentTimeMillis() + "-" +
+      "dv-" + System.currentTimeMillis() + "-" + tagPart +
         java.util.UUID.randomUUID().toString.take(8),
       keyList)
 
@@ -880,8 +924,13 @@ final class TableStore(spark: SparkSession, root: String,
     try commitManifestCasOpt(name, compute)
     finally TableStore.unmarkPending(pendingKey(name, entry))
 
-  private def pendingKey(name: String, entry: String): String =
-    new Path(tableDir(name), entry).toUri.getPath
+  private def pendingKey(name: String, entry: String): String = {
+    // qualified-absolute, because the GC side compares listStatus paths
+    // (always qualified); a relative store root would otherwise make the
+    // registry inert and let a racing commit's GC reap in-flight dirs
+    val p = new Path(tableDir(name), entry)
+    fs(p).makeQualified(p).toUri.getPath
+  }
 
   /** EXACTLY-ONCE append: commit `df` as a new snapshot carrying an
     * idempotency tag, or skip if a live snapshot already carries `tag`.
@@ -987,9 +1036,9 @@ final class TableStore(spark: SparkSession, root: String,
     require(fs(tableDir(name)).exists(f), s"Branch not found: $name@$branch")
     checkNoTypeChanges(name, scanBranch(name, branch), df)
     val snap = writeSnapshot(name, df)
-    TableStore.commitLock(root, name).synchronized {
+    try TableStore.commitLock(root, name).synchronized {
       atomicWritePointer(tableDir(name), f, readManifestFile(f) :+ snap)
-    }
+    } finally TableStore.unmarkPending(pendingKey(name, snap))
   }
 
   /** Replace a branch head's content (atomic; main untouched). Last-wins
@@ -1000,9 +1049,9 @@ final class TableStore(spark: SparkSession, root: String,
     val f = branchFile(name, branch)
     require(fs(tableDir(name)).exists(f), s"Branch not found: $name@$branch")
     val snap = writeSnapshot(name, df)
-    TableStore.commitLock(root, name).synchronized {
+    try TableStore.commitLock(root, name).synchronized {
       atomicWritePointer(tableDir(name), f, Seq(snap))
-    }
+    } finally TableStore.unmarkPending(pendingKey(name, snap))
   }
 
   /** Delete a branch and its base pointer; snapshots referenced by
@@ -1062,8 +1111,10 @@ final class TableStore(spark: SparkSession, root: String,
       // commit conditional on BOTH basis states: a concurrent main commit
       // or branch append since the three-way read means the merged
       // snapshot describes a state that no longer exists — fail loudly
-      // (callers re-run the merge) instead of silently dropping it
-      TableStore.commitLock(root, name).synchronized {
+      // (callers re-run the merge) instead of silently dropping it. The
+      // in-flight mark clears on every exit (the failed snapshot becomes
+      // ordinary GC fodder).
+      try TableStore.commitLock(root, name).synchronized {
         val branchNow = readManifestFile(branchFile(name, branch))
         require(branchNow == tw.basisBranch,
           s"mergeBranch: $name@$branch moved during the merge — retry")
@@ -1072,7 +1123,7 @@ final class TableStore(spark: SparkSession, root: String,
         require(committed,
           s"mergeBranch: $name moved during the merge — retry")
         dropBranch(name, branch)
-      }
+      } finally TableStore.unmarkPending(pendingKey(name, snap))
       report
     } else tw.conflicts
   }
@@ -1112,18 +1163,23 @@ final class TableStore(spark: SparkSession, root: String,
       // head first, then base: a crash between the flips leaves a branch
       // whose base still predates the rebase — a later merge re-runs the
       // same three-way and converges (rows already match theirs). The
-      // flips run under the table lock AND conditional on the branch
-      // head the three-way read, so a racing appendBranch fails the
-      // rebase loudly instead of being silently overwritten (or, on the
-      // other interleaving, resurrecting the pre-rebase head).
-      TableStore.commitLock(root, name).synchronized {
+      // flips run under the table lock AND conditional on BOTH basis
+      // manifests the three-way read: a racing appendBranch (or a main
+      // commit) fails the rebase loudly. The new base is EXACTLY the
+      // main manifest the rebased rows were derived from — advancing it
+      // to a fresher manifest would poison the fork point (a later merge
+      // would read main-side rows the branch never saw as branch
+      // deletions and silently drop them from main).
+      try TableStore.commitLock(root, name).synchronized {
         val branchNow = readManifestFile(branchFile(name, branch))
         require(branchNow == tw.basisBranch,
           s"rebaseBranch: $name@$branch moved during the rebase — retry")
+        require(readManifest(name) == tw.basisMain,
+          s"rebaseBranch: $name moved during the rebase — retry")
         atomicWritePointer(tableDir(name), branchFile(name, branch), Seq(snap))
         atomicWritePointer(tableDir(name), branchBaseFile(name, branch),
-          readManifest(name))
-      }
+          tw.basisMain)
+      } finally TableStore.unmarkPending(pendingKey(name, snap))
       report
     } else tw.conflicts
   }
@@ -1194,8 +1250,10 @@ final class TableStore(spark: SparkSession, root: String,
     if (!filesystem.rename(tmp, pointer))
       throw new IllegalStateException(s"Failed to commit pointer $pointer")
     lines.filterNot(_.startsWith("#"))
-      .foreach(e => TableStore.unmarkPending(
-        new Path(dir, e).toUri.getPath))
+      .foreach { e =>
+        val p = new Path(dir, e)
+        TableStore.unmarkPending(fs(p).makeQualified(p).toUri.getPath)
+      }
   }
 
   private[table] def commitManifest(name: String, snaps: Seq[String]): Unit = {
@@ -1286,7 +1344,14 @@ final class TableStore(spark: SparkSession, root: String,
   private def finishCommit(name: String, snaps: Seq[String], next: Long): Unit = {
     val dir = tableDir(name)
     val filesystem = fs(dir)
-    atomicWritePointer(dir, currentFile(name), s"#v:$next" +: snaps)
+    // the CACHE flip is best-effort: the commit already sealed at the
+    // version claim, and two processes' delete+rename flips can race —
+    // the loser must not surface an error for an already-committed write
+    // (readers prefer the higher of the tag and the sealed head anyway)
+    try atomicWritePointer(dir, currentFile(name), s"#v:$next" +: snaps)
+    catch { case _: IllegalStateException =>
+      snaps.foreach(e => TableStore.unmarkPending(pendingKey(name, e)))
+    }
 
     val known = versions(name)
     val retained = known.takeRight(retainVersions)

@@ -42,8 +42,15 @@ class StreamingTakedownSpec extends SparkSpec {
     assert(filesBefore.subsetOf(store.scan("docs").inputFiles.toSet),
       "takedowns must not rewrite any data file")
 
-    // replay from a wiped checkpoint: erasing the same keys twice is the
-    // same erasure — no tags needed, content unchanged
+    // a doc re-added AFTER the takedowns survives them (replay order)
+    store.append("docs", spark.range(6, 7)
+      .selectExpr("id AS doc_id", "'fresh' AS text"))
+    assert(ids.contains(6L), "re-added doc must outlive earlier vectors")
+
+    // replay from a wiped checkpoint: the batch tags make the replayed
+    // vectors true no-ops — in particular the re-added doc 6 must NOT be
+    // erased by a replayed t0 (an untagged replay would land a fresh
+    // vector AFTER the re-append and wrongly kill it)
     def rmrf(p: java.nio.file.Path): Unit = {
       import scala.jdk.CollectionConverters._
       if (Files.exists(p)) {
@@ -52,14 +59,12 @@ class StreamingTakedownSpec extends SparkSpec {
     }
     rmrf(ckpt)
     ingest()
-    assert(ids == ((1L to 100L).filterNot(Set(5L, 6L, 7L, 50L))),
-      "replayed takedowns must be idempotent")
+    assert(ids.contains(6L),
+      "a replayed takedown must not erase a doc re-added since the original")
+    assert(ids == (6L +: (1L to 100L).filterNot(Set(5L, 6L, 7L, 50L))).sorted,
+      "replayed takedowns must be no-ops")
 
-    // a doc re-added AFTER the takedowns survives them (replay order)...
-    store.append("docs", spark.range(6, 7)
-      .selectExpr("id AS doc_id", "'fresh' AS text"))
-    assert(ids.contains(6L), "re-added doc must outlive earlier vectors")
-    // ...until a LATER takedown batch names it again
+    // ...a LATER (new) takedown batch names doc 6 again and erases it
     write("t2.json", 6L)
     ingest()
     assert(!ids.contains(6L))
