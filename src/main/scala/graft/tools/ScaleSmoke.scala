@@ -1771,6 +1771,38 @@ object ScaleSmoke {
         f"O(deleted) commit ($dvSec%.2fs) must beat the O(table) rewrite ($rwSec%.2fs)")
     }
 
+    // 40b. BULK right-to-erasure: a 5M-key deletion vector over the same
+    // 20M-row table. The vector's parquet footprint clears the broadcast
+    // threshold, so the replay must plan a SHUFFLED anti-join — the
+    // size gate at work; a forced broadcast here is the executor-OOM
+    // plan at fleet scale. Also proves the scan stays correct and
+    // the commit stays O(deleted) even when deleted is 25% of the table.
+    time("dv-delete 20M: bulk 5M-key vector (shuffled anti-join)") {
+      val rows20m = spark.range(0, 20000000L, 1, 128)
+        .select(col("id").as("k"), (col("id") % 9973).cast("double").as("v"))
+      val doomed = spark.range(0, 20000000L, 1, 64)
+        .where(pmod(xxhash64(col("id")), lit(4)) === 0)
+        .select(col("id").as("k")) // ~5M non-sequential keys
+      val nDoomed = doomed.count()
+      val store = new graft.table.TableStore(spark,
+        java.nio.file.Files.createTempDirectory("graft_sm_dvbulk").toString)
+      store.overwrite("t", rows20m)
+      val t0 = System.nanoTime()
+      store.deleteByKeysDV("t", Seq("k"), doomed)
+      println(f"[scale]   bulk dv commit (${nDoomed} keys) " +
+        f"${(System.nanoTime() - t0) / 1e9}%6.2fs")
+      val scanned = store.scan("t")
+      val forced = scanned.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti &&
+              j.hint.rightHint.exists(_.strategy.isDefined) => j
+      }
+      assert(forced.isEmpty,
+        s"bulk DV must not force a broadcast anti-join: ${forced.map(_.hint)}")
+      assert(scanned.count() == 20000000L - nDoomed,
+        s"bulk DV scan wrong: ${scanned.count()} vs ${20000000L - nDoomed}")
+    }
+
     spark.stop()
   }
 }

@@ -12,7 +12,8 @@ class DvDeleteSpec extends SparkSpec {
 
   private def newStoreAt(retain: Int = 1): (TableStore, String) = {
     val dir = Files.createTempDirectory("graft_dv").toString
-    (new TableStore(spark, dir, retainVersions = retain), dir)
+    // single-process spec asserting immediate GC: grace opt-out
+    (new TableStore(spark, dir, retainVersions = retain, gcGraceMs = 0L), dir)
   }
 
   private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
@@ -141,6 +142,91 @@ class DvDeleteSpec extends SparkSpec {
     // first snapshot's rows read k = null -> never match -> all kept;
     // second snapshot loses k = 20 and 22
     assert(store.scan("t").count() == 3 + 1)
+  }
+
+  private def leftAntiJoins(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+
+  /** Join count on the ANALYZED plan: pins how many anti-joins the replay
+    * CONSTRUCTED (the coalescing contract), not how many the optimizer
+    * chooses to keep — LeftAnti pushdown through Union legally duplicates
+    * a join into union branches. */
+  private def constructedAntiJoins(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.analyzed.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }.size
+
+  test("bulk DV past the broadcast threshold plans a non-broadcast anti-join, same rows") {
+    val (store, _) = newStoreAt()
+    val big = spark.range(1, 20001)
+      .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    store.overwrite("t", big)
+    // ~10k keys → dv parquet far above a 1 KB threshold
+    store.deleteByKeysDV("t", Seq("k"),
+      spark.range(1, 10001).selectExpr("id AS k"))
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      val scanned = store.scan("t")
+      val joins = leftAntiJoins(scanned)
+      assert(joins.nonEmpty, "DV replay must produce an anti-join")
+      assert(joins.forall(j => j.hint.rightHint.forall(_.strategy.isEmpty)),
+        s"a DV past the threshold must NOT force a broadcast: ${joins.map(_.hint)}")
+      assert(scanned.count() == 10000)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+      // routine takedown (under threshold) keeps the broadcast guarantee
+      val hinted = leftAntiJoins(store.scan("t"))
+      assert(hinted.exists(_.hint.rightHint.exists(_.strategy.isDefined)),
+        "a dimension-sized DV must still broadcast (no table shuffle)")
+      assert(rows(store.scan("t")) == rows(big.where(col("k") > 10000)))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+  }
+
+  test("consecutive same-key DVs coalesce into ONE anti-join == rewrite result") {
+    val (dvStore, _) = newStoreAt()
+    val (rwStore, _) = newStoreAt()
+    dvStore.overwrite("t", base)
+    rwStore.overwrite("t", base)
+    for (lo <- Seq(1, 21, 41)) { // three takedown batches, no append between
+      dvStore.deleteByKeysDV("t", Seq("k"),
+        spark.range(lo, lo + 10).selectExpr("id AS k"))
+      rwStore.deleteByKeys("t", Seq("k"),
+        spark.range(lo, lo + 10).selectExpr("id AS k"))
+    }
+    val scanned = dvStore.scan("t")
+    assert(constructedAntiJoins(scanned) == 1,
+      "three consecutive vectors must coalesce into one anti-join")
+    assert(rows(scanned) == rows(rwStore.scan("t")))
+    assert(scanned.count() == 70)
+  }
+
+  test("coalescing normalizes key-column order; a data snapshot is a barrier") {
+    val (store, _) = newStoreAt()
+    val two = spark.range(1, 51)
+      .selectExpr("id AS a", "id * 2 AS b", "CAST(id AS DOUBLE) AS v")
+    store.overwrite("t", two)
+    // same key SET, opposite column order → still one join
+    store.deleteByKeysDV("t", Seq("a", "b"),
+      spark.range(1, 6).selectExpr("id AS a", "id * 2 AS b"))
+    store.deleteByKeysDV("t", Seq("b", "a"),
+      spark.range(10, 16).selectExpr("id * 2 AS b", "id AS a"))
+    assert(constructedAntiJoins(store.scan("t")) == 1,
+      "same key set in different column order must merge")
+    assert(store.scan("t").count() == 50 - 5 - 6)
+    // an append between vectors is a replay barrier: 2 joins, revive intact
+    store.append("t", spark.range(3, 4)
+      .selectExpr("id AS a", "id * 2 AS b", "CAST(999 AS DOUBLE) AS v"))
+    store.deleteByKeysDV("t", Seq("a", "b"),
+      spark.range(20, 23).selectExpr("id AS a", "id * 2 AS b"))
+    assert(constructedAntiJoins(store.scan("t")) == 2,
+      "vectors across a data snapshot must NOT merge")
+    assert(store.scan("t").where(col("a") === 3).count() == 1,
+      "re-appended row must survive the earlier coalesced vectors")
+    assert(store.scan("t").count() == 50 - 5 - 6 + 1 - 3)
   }
 
   test("GC reaps dv dirs once unreferenced") {

@@ -8,7 +8,8 @@ class TableStoreSpec extends SparkSpec {
 
   private def newStoreAt: (TableStore, String) = {
     val dir = Files.createTempDirectory("graft_store").toString
-    (new TableStore(spark, dir), dir)
+    // single-process spec asserting immediate GC: grace opt-out
+    (new TableStore(spark, dir, gcGraceMs = 0L), dir)
   }
   private def newStore = newStoreAt._1
 
@@ -206,7 +207,7 @@ class TableStoreSpec extends SparkSpec {
 
   test("time travel: retained versions stay readable; retention prunes; retain=1 keeps none") {
     val dir = Files.createTempDirectory("graft_store_tt").toString
-    val store = new TableStore(spark, dir, retainVersions = 3)
+    val store = new TableStore(spark, dir, retainVersions = 3, gcGraceMs = 0L)
     store.overwrite("t", spark.range(5).toDF("v"))                  // v1: 0..4
     store.append("t", spark.range(100, 103).toDF("v"))              // v2: +3
     store.overwrite("t", spark.range(7).toDF("v"))                  // v3: 0..6
