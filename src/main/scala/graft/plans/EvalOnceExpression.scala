@@ -27,9 +27,17 @@ import org.apache.spark.sql.types.DataType
   * property every duplicating rule checks before inlining. The plan that
   * falls out is the one a query compiler should emit — one Project
   * computing the kernel once per row, consumers referencing its
-  * attribute, and residual filters evaluated ABOVE it while unrelated
-  * conjuncts still push below (conjunct splitting only retains the parts
-  * that reference the barrier). Task retries re-run the child and get
+  * attribute, and residual filters evaluated ABOVE it.
+  *
+  * The declaration alone would ALSO stop unrelated conjuncts from
+  * pushing below the projection: Spark's `PushPredicateThroughNonJoin`
+  * refuses any Project with a non-deterministic field (SPARK-13473), so
+  * `.where(col("lang") === "en")` above a pinned scoring projection
+  * would stall there and never reach the scan. The companion rule
+  * [[PushThroughEvalOnce]] (registered alongside this function) restores
+  * exactly that half: conjuncts are split, parts referencing only
+  * pass-through columns push below the barrier, parts referencing the
+  * pinned output stay above. Task retries re-run the child and get
   * the same value, so the declaration costs nothing semantically.
   */
 case class EvalOnceExpression(child: Expression) extends UnaryExpression {

@@ -202,6 +202,9 @@ object GraftExtensions {
       }))
     // plan rewrite: window row_number-top-k → bounded graft_topk aggregate
     ext.injectOptimizerRule(_ => TopKWindowRewrite)
+    // conjunct splitting around graft_eval_once barriers: unrelated
+    // predicates keep reaching the scan (pushdown + partition pruning)
+    ext.injectOptimizerRule(_ => PushThroughEvalOnce)
     // physical operator: AsOfJoinNode → AsOfJoinExec (sorted streaming merge)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }

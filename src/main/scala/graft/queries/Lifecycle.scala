@@ -201,6 +201,27 @@ object Lifecycle {
         .orderBy("l_orderkey")
     }),
 
+    "w_partitioned_scan" -> ((s, dir) => {
+      // Hive-partitioned snapshot: the lang predicate prunes whole
+      // partition directories at listing time (PlanSpec asserts
+      // PartitionFilters reach the scan); a deletion-vector takedown
+      // composes on top — partition pruning decides which directories
+      // are read, the DV decides row membership, and the values must
+      // equal a plain filtered read of the source
+      val store = new TableStore(s,
+        Files.createTempDirectory("graft_q_hp").toString)
+      store.overwritePartitioned("docs",
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        Seq("lang"))
+      store.deleteByKeysDV("docs", Seq("doc_id"),
+        t(s, dir, "documents").where(col("doc_id") % 10 === 3)
+          .select("doc_id"))
+      store.scan("docs").where(col("lang").isin("en", "de"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     "w_time_travel" -> ((s, dir) => {
       // versioned store: overwrite → append → overwrite, then read every
       // retained version — snapshot manifests give Delta-style time travel
@@ -587,6 +608,12 @@ object Lifecycle {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey BETWEEN 500 AND 1500
         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "w_partitioned_scan" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang IN ('en', 'de') AND doc_id % 10 <> 3
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "w_time_travel" ->
       """SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,

@@ -920,4 +920,38 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one kernel evaluation, saw $kernelCalls:\n$opt")
     assert(opt.contains("graft_eval_once"), "the barrier must be in the plan")
   }
+
+  test("partitioned scan: the lang predicate prunes at directory level") {
+    // the gate's predicate must land in PartitionFilters (listing-time
+    // directory pruning), not only in PushedFilters/row-group stats —
+    // at 100 TB this is the difference between listing every file of
+    // every language and listing two directories
+    val p = plan("w_partitioned_scan")
+    assert(p.contains("PartitionFilters: [lang") ||
+      p.contains("PartitionFilters: [isnotnull(lang") ||
+      p.contains("PartitionFilters: [(lang") ||
+      p.contains("PartitionFilters: [lang#"),
+      s"lang IN (…) must reach PartitionFilters:\n$p")
+  }
+
+  test("eval-once barrier: an unrelated predicate still reaches the scan") {
+    // the barrier's non-deterministic declaration would stall EVERY
+    // conjunct above the pinned projection (PushPredicateThroughNonJoin
+    // refuses non-deterministic project fields); PushThroughEvalOnce
+    // splits the conjuncts — cheap selective filters keep their
+    // data-source pushdown, kernel-referencing parts stay above the pin
+    import org.apache.spark.sql.functions.col
+    val docs = graft.queries.Tables.t(spark, dir, "documents")
+    val scored = graft.ext.TextStats.gopherRules(docs, "text")
+      .where(col("lang") === "en" && col("pass_gopher"))
+    val p = scored.queryExecution.executedPlan.toString
+    assert(p.contains("EqualTo(lang,en)"),
+      s"unrelated conjunct must reach PushedFilters below the barrier:\n$p")
+    val opt = scored.queryExecution.optimizedPlan.toString
+    assert("graft_gopher_counts".r.findAllIn(opt).length == 1,
+      s"the split must not unpin the kernel (one evaluation):\n$opt")
+    // the kernel-derived conjunct must NOT land in the scan
+    assert(!p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en), "),
+      s"only the lang conjunct may push to the scan:\n$p")
+  }
 }

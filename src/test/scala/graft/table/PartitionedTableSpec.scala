@@ -1,0 +1,119 @@
+package graft.table
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Hive-partitioned snapshots: directory-level pruning composes with the
+  * store's replay semantics — appends, deletion vectors, time travel,
+  * zone-map file skipping, and compact all behave exactly as on flat
+  * snapshots; the only new physics is `PartitionFilters` at the scan. */
+class PartitionedTableSpec extends SparkSpec {
+
+  private def newStoreAt(retain: Int = 1): (TableStore, String) = {
+    val dir = Files.createTempDirectory("graft_hp").toString
+    (new TableStore(spark, dir, retainVersions = retain, gcGraceMs = 0L), dir)
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq.toIndexedSeq).toIndexedSeq
+      .sortBy(_.mkString("|"))
+
+  private def base = spark.range(1, 101).selectExpr(
+    "id AS k",
+    "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'de' ELSE 'fr' END AS lang",
+    "CAST(id * 10 AS DOUBLE) AS v")
+
+  test("partitioned overwrite round-trips; partition predicate reaches PartitionFilters") {
+    val (store, dir) = newStoreAt()
+    store.overwritePartitioned("t", base, Seq("lang"))
+    // hive layout on disk: snap dir contains lang=… subdirectories
+    import scala.jdk.CollectionConverters._
+    val snapDir = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "t"))
+      .iterator().asScala.find(_.getFileName.toString.startsWith("snap-")).get
+    val parts = java.nio.file.Files.list(snapDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("lang=")).toSet
+    assert(parts == Set("lang=en", "lang=de", "lang=fr"), parts)
+    // same rows (column ORDER moves partition cols last — compare by name)
+    val scanned = store.scan("t").select("k", "lang", "v")
+    assert(rows(scanned) == rows(base))
+    // the predicate must prune at DIRECTORY level, not just row groups
+    val pruned = store.scan("t").where(col("lang") === "en")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang") ||
+      plan.contains("PartitionFilters: [(lang"),
+      s"partition predicate must reach PartitionFilters:\n$plan")
+    assert(pruned.count() == base.where(col("lang") === "en").count())
+    // and the pruned scan must only touch the matching directory's files
+    assert(pruned.queryExecution.executedPlan.collectLeaves()
+      .forall(_.toString.nonEmpty)) // plan materializes
+  }
+
+  test("partitioned append: O(batch) snapshot, evolution, per-snapshot pruning") {
+    val (store, _) = newStoreAt()
+    store.overwritePartitioned("t", base, Seq("lang"))
+    val more = spark.range(200, 221).selectExpr(
+      "id AS k", "'zh' AS lang", "CAST(id AS DOUBLE) AS v", "id * 2 AS extra")
+    store.appendPartitioned("t", more, Seq("lang"))
+    assert(store.scan("t").count() == 100 + 21)
+    // evolution: old rows read extra = null
+    assert(store.scan("t").where(col("extra").isNotNull).count() == 21)
+    assert(store.scan("t").where(col("lang") === "zh").count() == 21)
+    // plain append onto a partitioned table also composes
+    store.append("t", spark.range(300, 303).selectExpr(
+      "id AS k", "'en' AS lang", "CAST(id AS DOUBLE) AS v"))
+    assert(store.scan("t").where(col("lang") === "en").count() ==
+      base.where(col("lang") === "en").count() + 3)
+  }
+
+  test("deletion vectors, time travel and diffVersions compose with partitions") {
+    val (store, _) = newStoreAt(retain = 4)
+    store.overwritePartitioned("t", base, Seq("lang")) // v1
+    store.deleteByKeysDV("t", Seq("k"),
+      spark.range(1, 31).selectExpr("id AS k")) // v2
+    assert(store.scan("t").count() == 70)
+    assert(store.scan("t").where(col("lang") === "en" && col("k") <= 30)
+      .count() == 0)
+    val vs = store.versions("t")
+    assert(store.scanAsOf("t", vs.head).count() == 100)
+    val feed = store.diffVersions("t", vs.head, vs.last, Seq("k"))
+    assert(feed.where(col("op") === "delete").count() == 30)
+  }
+
+  test("zone-map pruned file reads keep partition columns (basePath anchor)") {
+    val (store, _) = newStoreAt()
+    store.overwritePartitioned("t", base, Seq("lang"))
+    store.analyzeZoneMaps("t", Seq("k"))
+    val got = store.scanPruned("t", "k", 10L, 40L).select("k", "lang", "v")
+    assert(rows(got) == rows(base.where(col("k").between(10, 40))),
+      "pruned per-file reads must recover partition-directory columns")
+  }
+
+  test("compact folds a partitioned chain; re-layout restores partitioning") {
+    val (store, dir) = newStoreAt()
+    store.overwritePartitioned("t", base, Seq("lang"))
+    store.appendPartitioned("t",
+      spark.range(101, 111).selectExpr("id AS k", "'en' AS lang",
+        "CAST(id AS DOUBLE) AS v"), Seq("lang"))
+    val before = rows(store.scan("t").select("k", "lang", "v"))
+    store.compact("t", maxSnapshots = 0)
+    assert(rows(store.scan("t").select("k", "lang", "v")) == before)
+    // maintenance re-layout: partitioned rewrite of the compacted state
+    store.overwritePartitioned("t", store.scan("t"), Seq("lang"))
+    assert(rows(store.scan("t").select("k", "lang", "v")) == before)
+    val plan = store.scan("t").where(col("lang") === "de")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang") ||
+      plan.contains("PartitionFilters: [(lang"), plan)
+  }
+
+  test("partition-column validation: missing column and all-columns rejected") {
+    val (store, _) = newStoreAt()
+    intercept[IllegalArgumentException](
+      store.overwritePartitioned("t", base, Seq("nope")))
+    intercept[IllegalArgumentException](
+      store.overwritePartitioned("t", base.select("lang"), Seq("lang")))
+    intercept[IllegalArgumentException](
+      store.overwritePartitioned("t", base, Nil))
+  }
+}
