@@ -1,0 +1,52 @@
+#!/usr/bin/env bash
+# Cross-process commit smoke: two SEPARATE JVMs race appends to one
+# TableStore table; a third verifies every snapshot landed (no lost
+# commit, no GC of an in-flight snapshot, no duplicated batch).
+# ConcurrentCommitSpec covers same-JVM races; this is the only place the
+# claim primitive's cross-process atomicity (link(2) putIfAbsent) and the
+# gcGraceMs cross-process guard run for real.
+#
+# Usage: scripts/two_writer_smoke.sh [nCommitsPerWriter]   (default 12)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+N="${1:-12}"
+ROOT="$(mktemp -d /tmp/graft_2jvm.XXXXXX)"
+trap 'rm -rf "$ROOT"' EXIT
+
+# compile once so the raced JVMs start from bytecode, not from sbt
+sbt -batch "compile" >/dev/null
+
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+ADD_OPENS=(
+  --add-opens=java.base/java.lang=ALL-UNNAMED
+  --add-opens=java.base/java.lang.invoke=ALL-UNNAMED
+  --add-opens=java.base/java.lang.reflect=ALL-UNNAMED
+  --add-opens=java.base/java.io=ALL-UNNAMED
+  --add-opens=java.base/java.net=ALL-UNNAMED
+  --add-opens=java.base/java.nio=ALL-UNNAMED
+  --add-opens=java.base/java.util=ALL-UNNAMED
+  --add-opens=java.base/java.util.concurrent=ALL-UNNAMED
+  --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED
+  --add-opens=java.base/sun.nio.ch=ALL-UNNAMED
+  --add-opens=java.base/sun.nio.cs=ALL-UNNAMED
+  --add-opens=java.base/sun.security.action=ALL-UNNAMED
+  --add-opens=java.base/sun.util.calendar=ALL-UNNAMED
+)
+JAVA_FLAGS=("${ADD_OPENS[@]}" -Xmx2g -Dspark.ui.enabled=false
+  -Dspark.sql.session.timeZone=UTC)
+
+run() { java "${JAVA_FLAGS[@]}" -cp "$CP" graft.tools.TwoWriterSmoke "$@"; }
+
+echo "[2jvm] racing two writer JVMs, $N commits each, root=$ROOT"
+run write "$ROOT" t A "$N" >"$ROOT/a.log" 2>&1 &
+PID_A=$!
+run write "$ROOT" t B "$N" >"$ROOT/b.log" 2>&1 &
+PID_B=$!
+wait "$PID_A" || { echo "[2jvm] writer A FAILED"; tail -20 "$ROOT/a.log"; exit 1; }
+wait "$PID_B" || { echo "[2jvm] writer B FAILED"; tail -20 "$ROOT/b.log"; exit 1; }
+grep -h WRITER_DONE "$ROOT/a.log" "$ROOT/b.log"
+
+# every batch is 10 rows; both writers' every commit must be visible
+run verify "$ROOT" t "$((2 * N * 10))" 2 2>&1 | grep VERIFY_OK
+echo "[2jvm] OK: all $((2 * N)) cross-process commits landed"

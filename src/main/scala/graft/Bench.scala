@@ -102,11 +102,43 @@ object Bench {
       .mkString("{", ",", "}")
     val planJson = results.map { case (k, _, sha) => s"\"" + k + "\":\"" + sha + "\"" }
       .mkString("{", ",", "}")
+    // Plan drift vs the COMMITTED baseline (the plansPath content from the
+    // previous round, read before this run overwrites it): a driver-side
+    // timing regression self-classifies as environment (sha unchanged) or
+    // plan drift (sha changed) without a local reproduction. Queries whose
+    // physical strategy legitimately flips with runtime size estimates
+    // (adaptive broadcast-vs-shuffle decisions) are whitelisted — their
+    // sha is EXPECTED to be multi-valued across runs.
+    val adaptiveWhitelist = Set("j1_merge_upsert", "q_ntile")
+    val baseline: Map[String, String] = {
+      val f = new java.io.File(plansPath)
+      if (!f.exists()) Map.empty
+      else {
+        val txt = scala.io.Source.fromFile(f)
+        val content = try txt.mkString finally txt.close()
+        "\"([A-Za-z0-9_]+)\":\"([0-9a-f]{12}|unavailable)\"".r
+          .findAllMatchIn(content)
+          .map(m => m.group(1) -> m.group(2)).toMap -- Seq("plans", "sf")
+      }
+    }
+    val current = results.map { case (k, _, sha) => k -> sha }.toMap
+    val changed = current.keySet.intersect(baseline.keySet)
+      .filter(k => current(k) != baseline(k))
+      .partition(adaptiveWhitelist)
+    val added = (current.keySet -- baseline.keySet).toSeq.sorted
+    val removed =
+      if (baseline.isEmpty || only.nonEmpty) Nil // partial run: not drift
+      else (baseline.keySet -- current.keySet).toSeq.sorted
+    def arr(xs: Iterable[String]) =
+      xs.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val driftJson = s"""{"changed":${arr(changed._2)},""" +
+      s""""whitelisted":${arr(changed._1)},"added":${arr(added)},""" +
+      s""""removed":${arr(removed)},"baseline_n":${baseline.size}}"""
     val setupJson = setupTimes.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val setupTotal = setupTimes.map(_._2).sum
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$planJson,"setup":$setupJson,"setup_total":$setupTotal,"repeat":$repeat,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$planJson,"plan_drift":$driftJson,"setup":$setupJson,"setup_total":$setupTotal,"repeat":$repeat,"sf":"$sfDir"}"""
     if (outPath.nonEmpty) {
       val w = new java.io.PrintWriter(outPath)
       try w.println(line) finally w.close()
@@ -130,7 +162,7 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(20)
       .map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"setup_total":${ms(setupTotal)},"repeat":$repeat,"full":"$outPath","plans_file":"$plansPath","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"plan_drift":$driftJson,"setup_total":${ms(setupTotal)},"repeat":$repeat,"full":"$outPath","plans_file":"$plansPath","sf":"$sfDir"}"""
     spark.stop()
     println(line)
     println(compact)
