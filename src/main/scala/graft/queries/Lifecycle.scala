@@ -222,6 +222,26 @@ object Lifecycle {
         .orderBy("lang")
     }),
 
+    "w_partition_drop" -> ((s, dir) => {
+      // O(metadata) partition retention: dropping lang partitions
+      // replaces manifest entries with partition-subset references — no
+      // data file is touched (spec-asserted); a DV takedown composes on
+      // top, and the values must equal a plain filtered read
+      val store = new TableStore(s,
+        Files.createTempDirectory("graft_q_pdrop").toString)
+      store.overwritePartitioned("docs",
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        Seq("lang"))
+      store.dropPartitions("docs", "lang", Seq("zh", "fr"))
+      store.deleteByKeysDV("docs", Seq("doc_id"),
+        t(s, dir, "documents").where(col("doc_id") % 7 === 2)
+          .select("doc_id"))
+      store.scan("docs")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     "w_time_travel" -> ((s, dir) => {
       // versioned store: overwrite → append → overwrite, then read every
       // retained version — snapshot manifests give Delta-style time travel
@@ -613,6 +633,12 @@ object Lifecycle {
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang IN ('en', 'de') AND doc_id % 10 <> 3
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "w_partition_drop" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang NOT IN ('zh', 'fr') AND doc_id % 7 <> 2
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "w_time_travel" ->

@@ -1740,6 +1740,79 @@ object ScaleSmoke {
         f"bpe throughput bent at 100M: ${rate10}%.0f -> ${rate100}%.0f rows/s")
     }
 
+    // 41c/41d. 100M LINEARITY TIER, round 10: the SHUFFLE-BEARING dedup
+    // claims. The r9 tier proved the two embarrassingly-parallel scans
+    // (dsir, bpe); these two carry real exchanges — banded self-grouping
+    // (hamming) and a banded probe join (incremental near-dup) — where a
+    // skew or bucket blowup would bend the curve first. Same protocol:
+    // own 10M/2M baseline first, then the decade, rate within 1.35×.
+    // NOTE on parameters: banded exact Hamming carries an inherent
+    // n²/2^keybits candidate term (30-bit keys at blocks=6 → ~9.5e7
+    // cheap bit_count candidates at 100M across 20 bands — still two
+    // decades under the exploded-row volume, so linear terms dominate
+    // through 100M; the block count must rise only past ~300M rows).
+    // Raising blocks instead COSTS more than it saves here: bands are
+    // C(m, m-d), so blocks=8 means 56 bands = 2.8x the exploded rows
+    // and the aggregation dominates. Both tiers run blocks = 6 so the
+    // ratio isolates the engine on the same plan.
+    if (frontierOn) time("frontier100m hamming neighbors (10M baseline + 100M)") {
+      def runTier(n: Long): Double = {
+        val basePop = spark.range(0, n, 1, (n / 390625L).toInt.max(256))
+          .select(col("id"),
+            xxhash64(col("id")).bitwiseAND(lit((1L << 60) - 1)).as("h"))
+        val planted = basePop.where(col("id") % 100 === 0)
+          .select((col("id") + n).as("id"),
+            col("h").bitwiseXOR(lit(3L)).as("h"))
+        val t0 = System.nanoTime()
+        val pairs = graft.ext.Dedup.hammingNeighbors(
+          basePop.unionByName(planted), "id", "h", maxDist = 3, blocks = 6)
+        val found = pairs.agg(count(lit(1)),
+          sum(when(col("b_id") === col("a_id") + n &&
+            col("hamming") === 2L, 1L).otherwise(0L))).first()
+        assert(found.getLong(1) == n / 100,
+          s"hamming@$n: every planted pair must be found: $found")
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t10 = runTier(10000000L)
+      val t100 = runTier(100000000L)
+      val (rate10, rate100) = (10000000L / t10, 100000000L / t100)
+      println(f"[scale]   hamming rows/s: 10M ${rate10}%.0f, 100M ${rate100}%.0f " +
+        f"(t10=${t10}%.1fs t100=${t100}%.1fs ratio=${t100 / t10}%.2f)")
+      assert(rate100 >= rate10 / 1.35,
+        f"hamming throughput bent at 100M: ${rate10}%.0f -> ${rate100}%.0f rows/s")
+    }
+    if (frontierOn) time("frontier100m incremental near-dup (2M baseline + 20M corpus)") {
+      def corpusOf(n: Long) = spark.range(0, n, 1, (n / 15625L).toInt.max(128))
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 40).map(i =>
+            concat(lit("w"), col("id") * 40 + lit(i))): _*).as("text"))
+      // fixed 100k batch: the broadcast side must stay batch-sized no
+      // matter how the corpus grows — that is the incremental contract
+      val batch = spark.range(0, 100000L, 1, 16)
+        .select((col("id") + 900000000L).as("doc_id"),
+          when(col("id") % 2 === 0,
+            concat(concat_ws(" ", (0 until 40).map(i =>
+              concat(lit("w"), col("id") * 10 * 40 + lit(i))): _*),
+              lit(" zz edited")))
+            .otherwise(concat(lit("fresh "), col("id"))).as("text"))
+      def runTier(n: Long): Double = {
+        val t0 = System.nanoTime()
+        val cnt = graft.ext.Dedup
+          .incrementalNearDupPairs(corpusOf(n), batch, "text", "doc_id", 0.6)
+          .count()
+        assert(cnt >= 49500L && cnt <= 50000L,
+          s"neardup@$n: planted edited re-crawls: $cnt")
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t2 = runTier(2000000L)
+      val t20 = runTier(20000000L)
+      val (rate2, rate20) = (2000000L / t2, 20000000L / t20)
+      println(f"[scale]   neardup-probe rows/s: 2M ${rate2}%.0f, 20M ${rate20}%.0f " +
+        f"(t2=${t2}%.1fs t20=${t20}%.1fs ratio=${t20 / t2}%.2f)")
+      assert(rate20 >= rate2 / 1.35,
+        f"neardup probe bent at 20M: ${rate2}%.0f -> ${rate20}%.0f rows/s")
+    }
+
     // 40. deletion-vector vs rewrite delete on a 20M-row store table:
     // the DV commit writes only the key list (O(deleted)) while the
     // rewrite path pays the whole table again (O(table)); both must

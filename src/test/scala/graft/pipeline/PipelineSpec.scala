@@ -70,7 +70,9 @@ class PipelineSpec extends SparkSpec {
   test("append pipeline compacts the snapshot chain past the configured threshold") {
     val work = Files.createTempDirectory("graft_pipecompact")
     Files.writeString(work.resolve("a.csv"), "id,amount\n1,1.0\n")
-    val store = new TableStore(spark, work.resolve("t").toString)
+    // gcGraceMs=0: the assertion counts ON-DISK snap dirs, so retired
+    // snapshots must GC immediately (single-process test)
+    val store = new TableStore(spark, work.resolve("t").toString, gcGraceMs = 0L)
     val pipe = new Pipeline(spark, store)
     val cfg = PipelineConfig(work.resolve("a.csv").toString, "t",
       IngestionMethod.Append, format = Some(SourceFormat.Csv),

@@ -229,6 +229,19 @@ class DvDeleteSpec extends SparkSpec {
     assert(store.scan("t").count() == 50 - 5 - 6 + 1 - 3)
   }
 
+  test("empty takedown batch commits nothing (no manifest entry, no scan join)") {
+    val (store, _) = newStoreAt()
+    store.overwrite("t", base)
+    val before = store.readManifest("t")
+    store.deleteByKeysDV("t", Seq("k"), base.where(lit(false)).select("k"))
+    assert(!store.deleteByKeysDVTagged("t", Seq("k"),
+      base.where(lit(false)).select("k"), "empty.batch"))
+    assert(store.readManifest("t") == before,
+      "a zero-row vector must not grow the manifest")
+    assert(constructedAntiJoins(store.scan("t")) == 0)
+    assert(store.scan("t").count() == 100)
+  }
+
   test("GC reaps dv dirs once unreferenced") {
     val (store, dir) = newStoreAt()
     store.overwrite("t", base)

@@ -107,6 +107,83 @@ class PartitionedTableSpec extends SparkSpec {
       plan.contains("PartitionFilters: [(lang"), plan)
   }
 
+  test("dropPartitions: O(metadata) drop == filtered read; data files untouched") {
+    val (store, dir) = newStoreAt()
+    store.overwritePartitioned("t", base, Seq("lang"))
+    store.appendPartitioned("t",
+      spark.range(101, 121).selectExpr("id AS k", "'zh' AS lang",
+        "CAST(id AS DOUBLE) AS v"), Seq("lang"))
+    import scala.jdk.CollectionConverters._
+    def allFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "t"))
+      .iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toSet
+    val zhFiles = allFiles.filter(_.contains("lang=zh"))
+    val survivorFiles = allFiles -- zhFiles
+    assert(store.dropPartitions("t", "lang", Seq("fr", "zh")))
+    // surviving snapshots' files (incl. the dropped-but-co-resident
+    // lang=fr dirs) are untouched; the zh snapshot lost its EVERY
+    // partition, so its entry left the manifest and the dir GC'd like
+    // any unreferenced snapshot (retain=1, grace=0) — immediate byte
+    // reclaim is the correct outcome there
+    assert(survivorFiles.subsetOf(allFiles),
+      "a partition drop must not touch surviving snapshots' data files")
+    assert(rows(store.scan("t").select("k", "lang", "v")) ==
+      rows(base.where(col("lang") =!= "fr")))
+    // the manifest now holds subset entries
+    assert(store.readManifest("t").exists(_.contains("/lang=")))
+    // idempotent re-drop: nothing left to do
+    assert(!store.dropPartitions("t", "lang", Seq("zh")))
+    // second drop on the same column (subset entries match by own value)
+    assert(store.dropPartitions("t", "lang", Seq("de")))
+    assert(rows(store.scan("t").select("k", "lang", "v")) ==
+      rows(base.where(col("lang") === "en")))
+  }
+
+  test("dropPartitions composes with DVs, time travel, and compact reclaims") {
+    val (store, dir) = newStoreAt(retain = 4)
+    store.overwritePartitioned("t", base, Seq("lang")) // v1
+    store.deleteByKeysDV("t", Seq("k"),
+      spark.range(1, 11).selectExpr("id AS k")) // v2
+    assert(store.dropPartitions("t", "lang", Seq("fr"))) // v3
+    val expect = base.where(col("lang") =!= "fr" && !col("k").between(1, 10))
+    assert(rows(store.scan("t").select("k", "lang", "v")) == rows(expect))
+    // time travel: the pre-drop version still holds fr rows
+    val vs = store.versions("t")
+    assert(store.scanAsOf("t", vs.head).count() == 100)
+    assert(store.scanAsOf("t", vs(1)).where(col("lang") === "fr").count() > 0)
+    // compact folds subset entries AND the DV into one plain snapshot
+    store.compact("t", maxSnapshots = 0)
+    assert(rows(store.scan("t").select("k", "lang", "v")) == rows(expect))
+    assert(store.readManifest("t").sizeIs == 1)
+  }
+
+  test("dropped partition bytes reclaim at compact + GC (retain=1)") {
+    val (store, dir) = newStoreAt() // retain=1, gcGraceMs=0
+    store.overwritePartitioned("t", base, Seq("lang"))
+    assert(store.dropPartitions("t", "lang", Seq("fr")))
+    import scala.jdk.CollectionConverters._
+    def frDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "t"))
+      .iterator().asScala.count(_.getFileName.toString == "lang=fr")
+    assert(frDirs == 1, "before compact the bytes are invisible but on disk")
+    store.compact("t", maxSnapshots = 0) // folds subsets; old snap dir GCs
+    assert(frDirs == 0,
+      "dropped partition bytes must reclaim once compact retires the snapshot")
+    assert(rows(store.scan("t").select("k", "lang", "v")) ==
+      rows(base.where(col("lang") =!= "fr")))
+  }
+
+  test("dropPartitions contract: unpartitioned snapshot and full wipe refused") {
+    val (store, _) = newStoreAt()
+    store.overwritePartitioned("t", base, Seq("lang"))
+    store.append("t", spark.range(500, 505).selectExpr(
+      "id AS k", "'en' AS lang", "CAST(id AS DOUBLE) AS v")) // flat snapshot
+    intercept[IllegalArgumentException](
+      store.dropPartitions("t", "lang", Seq("fr")))
+    val (p, _) = newStoreAt()
+    p.overwritePartitioned("t", base, Seq("lang"))
+    intercept[IllegalArgumentException](
+      p.dropPartitions("t", "lang", Seq("en", "de", "fr")))
+  }
+
   test("partition-column validation: missing column and all-columns rejected") {
     val (store, _) = newStoreAt()
     intercept[IllegalArgumentException](
