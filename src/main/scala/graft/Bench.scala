@@ -43,13 +43,26 @@ object Bench {
     // the plan SHAPE changed (pushdown, join order, rewrite firing or
     // not); an unchanged sha pins a timing delta on the environment.
     // scripts/plan_compare.py diffs two artifacts.
+    //
+    // v2 (round 10): each expression contributes its class multiset
+    // SORTED, not in tree order. Canonicalization orders commutative
+    // operands by expression hashCode, which is BINARY-dependent for
+    // trees carrying Class references (MultiCommutativeOp's eval
+    // context) — so `lit * ln(x)` vs `ln(x) * lit` flipped ~10 gates'
+    // shas on every recompile, exactly the false-positive class the
+    // fingerprint exists to kill. Operator order (pushdown, join order)
+    // stays order-sensitive through the node-name walk; an operand swap
+    // inside one expression is not a plan-shape event. Shas are NOT
+    // comparable across the v1/v2 boundary (re-baselined this round).
     def planSha(df: org.apache.spark.sql.DataFrame): String =
       try {
         val sb = new StringBuilder
         df.queryExecution.optimizedPlan.canonicalized.foreach { node =>
           sb.append(node.nodeName).append('[')
           node.expressions.foreach { e =>
-            e.foreach(x => sb.append(x.getClass.getSimpleName).append(','))
+            val names = scala.collection.mutable.ArrayBuffer.empty[String]
+            e.foreach(x => names += x.getClass.getSimpleName)
+            names.sorted.foreach(n => sb.append(n).append(','))
             sb.append(';')
           }
           sb.append(']')
