@@ -1746,15 +1746,16 @@ object ScaleSmoke {
     // (hamming) and a banded probe join (incremental near-dup) — where a
     // skew or bucket blowup would bend the curve first. Same protocol:
     // own 10M/2M baseline first, then the decade, rate within 1.35×.
-    // NOTE on parameters: banded exact Hamming carries an inherent
-    // n²/2^keybits candidate term (30-bit keys at blocks=6 → ~9.5e7
-    // cheap bit_count candidates at 100M across 20 bands — still two
-    // decades under the exploded-row volume, so linear terms dominate
-    // through 100M; the block count must rise only past ~300M rows).
-    // Raising blocks instead COSTS more than it saves here: bands are
-    // C(m, m-d), so blocks=8 means 56 bands = 2.8x the exploded rows
-    // and the aggregation dominates. Both tiers run blocks = 6 so the
-    // ratio isolates the engine on the same plan.
+    // NOTE on parameters: the 100M tier runs r=2 / blocks=4 — 6 bands
+    // of 30-bit keys, the standard simhash near-dup radius at this
+    // corpus size. Bands are C(m, m-d), so the r=3 configs explode
+    // 20-56 band rows per input row and their 100M shuffle (~80 GB)
+    // exceeds this box's disk — the OPERATOR is identical (banded
+    // aggregate, inline pair generation), only the radius changes, and
+    // the candidate term (6·n²/2^30 ≈ 2.8e7 cheap bit_counts at 100M)
+    // stays two decades under the exploded-row volume, so the measured
+    // ratio isolates the engine's linear path. Both tiers share the
+    // parameterization and the plan.
     if (frontierOn) time("frontier100m hamming neighbors (10M baseline + 100M)") {
       def runTier(n: Long): Double = {
         val basePop = spark.range(0, n, 1, (n / 390625L).toInt.max(256))
@@ -1765,7 +1766,7 @@ object ScaleSmoke {
             col("h").bitwiseXOR(lit(3L)).as("h"))
         val t0 = System.nanoTime()
         val pairs = graft.ext.Dedup.hammingNeighbors(
-          basePop.unionByName(planted), "id", "h", maxDist = 3, blocks = 6)
+          basePop.unionByName(planted), "id", "h", maxDist = 2, blocks = 4)
         val found = pairs.agg(count(lit(1)),
           sum(when(col("b_id") === col("a_id") + n &&
             col("hamming") === 2L, 1L).otherwise(0L))).first()
