@@ -25,6 +25,13 @@ object GraftSession {
       // is epoch-preserving and matches DuckDB's naive-as-UTC oracle reading,
       // and keeps literal comparisons (`lit(...).cast("timestamp")`) resolvable
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // hive partition VALUES live in directory names; inference would
+      // read "2026-01-01" back as DATE and "3" as INT, so a partitioned
+      // table's schema would drift from what was written (and the next
+      // append would see a type change). TableStore's contract is
+      // partition-columns-are-strings (cast at write); inference off
+      // makes the read side honor it.
+      .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.ui.enabled", "false")
 

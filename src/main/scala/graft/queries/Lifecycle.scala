@@ -494,6 +494,40 @@ object Lifecycle {
         .orderBy("c_custkey")
     }),
 
+    "stream_partitioned_retention" -> ((s, dir) => {
+      // the steady-state crawl shape: streamed batches land as
+      // hive-partitioned snapshots (PartitionFilters from the first
+      // file), then the standing retention sweep expires partitions
+      // below a cutoff at O(metadata) — here lang<'en' stands in for
+      // date<cutoff (same lexicographic contract ISO dates ride)
+      val work = Files.createTempDirectory("graft_q_spart")
+      val src = work.resolve("src")
+      Files.createDirectories(src)
+      val store = new TableStore(s, work.resolve("store").toString)
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+        .collect()
+      val (b0, b1) = docs.partition(_.getLong(0) % 2 == 0)
+      def line(r: org.apache.spark.sql.Row) =
+        s"""{"doc_id":${r.getLong(0)},"lang":"${r.getString(1)}","n_chars":${r.getLong(2)}}"""
+      Files.writeString(src.resolve("b0.json"), b0.map(line).mkString("\n"))
+      Files.writeString(src.resolve("b1.json"), b1.map(line).mkString("\n"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType)))
+      graft.streaming.StreamingIngest.partitionedIngestAvailableNow(
+        s, src.toString, schema, "json", store, "docs",
+        work.resolve("ckpt").toString, Seq("lang"))
+      store.expirePartitionsBelow("docs", "lang", "en")
+      store.scan("docs")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     "w_version_diff" -> ((s, dir) => {
       // snapshot CDC: overwrite twice, then emit the row-level change feed
       // between the two retained versions — deletes below the new floor,
@@ -639,6 +673,12 @@ object Lifecycle {
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang NOT IN ('zh', 'fr') AND doc_id % 7 <> 2
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "stream_partitioned_retention" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang >= 'en'
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "w_time_travel" ->

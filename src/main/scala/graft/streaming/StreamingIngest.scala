@@ -95,6 +95,49 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** Incrementally ingest files into a HIVE-PARTITIONED table: each
+    * micro-batch lands as one partitioned snapshot
+    * ([[TableStore.appendPartitioned]] — O(batch), creation CAS-safe), so
+    * the steady-state crawl corpus accrues date/source-pruned layout as
+    * it ingests, scans prune by `PartitionFilters` from the first file,
+    * and the standing retention sweep ([[TableStore.expirePartitionsBelow]])
+    * plus partition-scoped takedowns ([[TableStore.dropPartitions]]) stay
+    * O(metadata) forever. `derive` runs before the write — the place to
+    * compute the partition column (e.g. `to_date(ts)`) from event fields.
+    * At-least-once appends like [[ingestAvailableNow]]; pair with
+    * [[taggedIngestAvailableNow]]-style tags when replays must be exact. */
+  def partitionedIngestAvailableNow(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      format: String, // csv | json | parquet
+      store: TableStore,
+      table: String,
+      checkpointDir: String,
+      partitionCols: Seq[String],
+      derive: DataFrame => DataFrame = identity
+  ): Unit = {
+    require(partitionCols.nonEmpty, "partitionedIngestAvailableNow: partition columns")
+    val reader = spark.readStream.schema(schema)
+    val stream = format match {
+      case "csv"     => reader.option("header", true).csv(sourceDir)
+      case "json"    => reader.json(sourceDir)
+      case "parquet" => reader.parquet(sourceDir)
+      case other     => throw new IllegalArgumentException(s"format: $other")
+    }
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val shaped = derive(batch)
+        // an empty replayed batch must not litter an empty snapshot
+        if (!shaped.isEmpty) store.appendPartitioned(table, shaped, partitionCols)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   private def flattenWindow(aggDf: DataFrame, windowCol: String, startAlias: String): DataFrame = {
     val rest = aggDf.columns.filterNot(_ == windowCol).map(col)
     aggDf.select(col(s"$windowCol.start").as(startAlias) +: rest.toIndexedSeq: _*)
