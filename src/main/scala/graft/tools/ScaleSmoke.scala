@@ -1814,6 +1814,32 @@ object ScaleSmoke {
         f"neardup probe bent at 20M: ${rate2}%.0f -> ${rate20}%.0f rows/s")
     }
 
+    // 40c. partition drop at 20M rows: retention/takedown of a whole
+    // partition must cost MILLISECONDS of commit work (directory
+    // listings + one manifest CAS), not a rewrite and not a scan — the
+    // operation's entire point at 100 TB. The drop itself is timed
+    // separately from the correctness count.
+    time("partition-drop 20M: O(metadata) retention sweep") {
+      val rows20m = spark.range(0, 20000000L, 1, 128)
+        .select(col("id").as("k"),
+          concat(lit("d"), (col("id") % 30).cast("string")).as("day"),
+          (col("id") % 9973).cast("double").as("v"))
+      val store = new graft.table.TableStore(spark,
+        java.nio.file.Files.createTempDirectory("graft_sm_pdrop").toString)
+      store.overwritePartitioned("t", rows20m, Seq("day"))
+      val t0 = System.nanoTime()
+      val dropped = store.dropPartitions("t", "day",
+        (0 until 10).map(i => s"d$i"))
+      val dropSec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale]   drop 10/30 partitions commit ${dropSec}%6.3fs")
+      assert(dropped, "ten partitions must drop")
+      assert(dropSec < 5.0,
+        f"partition drop must be metadata-priced, took ${dropSec}%.1fs")
+      assert(store.scan("t").count() ==
+        rows20m.where(!col("day").isin((0 until 10).map(i => s"d$i"): _*))
+          .count())
+    }
+
     // 40. deletion-vector vs rewrite delete on a 20M-row store table:
     // the DV commit writes only the key list (O(deleted)) while the
     // rewrite path pays the whole table again (O(table)); both must

@@ -184,6 +184,28 @@ class PartitionedTableSpec extends SparkSpec {
       p.dropPartitions("t", "lang", Seq("en", "de", "fr")))
   }
 
+  test("multi-level partitions: drop the leading column, then descend into the second") {
+    val (store, _) = newStoreAt()
+    val two = spark.range(1, 101).selectExpr(
+      "id AS k",
+      "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END AS lang",
+      "CASE WHEN id % 5 = 0 THEN 'web' ELSE 'books' END AS source",
+      "CAST(id AS DOUBLE) AS v")
+    store.overwritePartitioned("t", two, Seq("lang", "source"))
+    // dropping the SECOND column while the first is intact is refused
+    // (leading-column contract — no silent partial drop)
+    intercept[IllegalArgumentException](
+      store.dropPartitions("t", "source", Seq("web")))
+    // leading drop produces lang= subset entries…
+    assert(store.dropPartitions("t", "lang", Seq("de")))
+    assert(store.scan("t").count() == 50)
+    // …whose children are source= dirs, so the second level now drops
+    assert(store.dropPartitions("t", "source", Seq("web")))
+    assert(rows(store.scan("t").select("k", "lang", "source", "v")) ==
+      rows(two.where(col("lang") === "en" && col("source") === "books")))
+    assert(store.partitionValues("t", "source") == Seq("books"))
+  }
+
   test("partition-column validation: missing column and all-columns rejected") {
     val (store, _) = newStoreAt()
     intercept[IllegalArgumentException](
