@@ -184,6 +184,21 @@ class PartitionedTableSpec extends SparkSpec {
       p.dropPartitions("t", "lang", Seq("en", "de", "fr")))
   }
 
+  test("a snapshot holding none of the doomed values keeps its single entry") {
+    val (store, _) = newStoreAt()
+    store.overwritePartitioned("t",
+      base.where(col("lang") =!= "fr"), Seq("lang"))        // en + de only
+    store.appendPartitioned("t",
+      spark.range(200, 210).selectExpr("id AS k", "'fr' AS lang",
+        "CAST(id AS DOUBLE) AS v"), Seq("lang"))            // fr only
+    assert(store.dropPartitions("t", "lang", Seq("fr")))
+    val entries = store.readManifest("t")
+    // the en/de snapshot must NOT expand into per-partition references
+    assert(entries.sizeIs == 1 && !entries.head.contains("/"),
+      s"untouched snapshot must keep one plain entry: $entries")
+    assert(store.scan("t").count() == base.where(col("lang") =!= "fr").count())
+  }
+
   test("multi-level partitions: drop the leading column, then descend into the second") {
     val (store, _) = newStoreAt()
     val two = spark.range(1, 101).selectExpr(
