@@ -221,6 +221,23 @@ class PartitionedTableSpec extends SparkSpec {
     assert(store.partitionValues("t", "source") == Seq("books"))
   }
 
+  test("partition drop on main composes with a zero-copy branch and 3-way merge") {
+    val (store, _) = newStoreAt()
+    store.overwritePartitioned("t", base, Seq("lang"))
+    store.createBranch("t", "b")
+    // branch edits rows in a SURVIVING partition; main drops another
+    store.appendBranch("t", "b", spark.range(500, 505).selectExpr(
+      "id AS k", "'en' AS lang", "CAST(id AS DOUBLE) AS v"))
+    assert(store.dropPartitions("t", "lang", Seq("fr")))
+    // the branch still reads its full pre-drop state (zero-copy fork)
+    assert(store.scanBranch("t", "b").count() == 100 + 5)
+    val conflicts = store.mergeBranch("t", "b", Seq("k"))
+    assert(conflicts.isEmpty, "disjoint changes must merge cleanly")
+    // merged main = post-drop state + the branch's inserts; fr stays gone
+    assert(store.scan("t").where(col("lang") === "fr").count() == 0)
+    assert(store.scan("t").where(col("k") >= 500).count() == 5)
+  }
+
   test("partition-column validation: missing column and all-columns rejected") {
     val (store, _) = newStoreAt()
     intercept[IllegalArgumentException](
