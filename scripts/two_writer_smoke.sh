@@ -17,7 +17,18 @@ trap 'rm -rf "$ROOT"' EXIT
 # compile once so the raced JVMs start from bytecode, not from sbt
 sbt -batch "compile" >/dev/null
 
-CP="target/scala-2.13/classes:/opt/spark/jars/*"
+# resolve the Spark jars dir from the environment, not a hardcoded layout
+SPARK_JARS="${SPARK_HOME:-/opt/spark}/jars"
+if [ ! -d "$SPARK_JARS" ]; then
+  echo "ERROR: Spark jars not found at $SPARK_JARS — set SPARK_HOME" >&2
+  exit 1
+fi
+CLASSES_DIR="$(ls -d target/scala-*/classes 2>/dev/null | head -1)"
+if [ -z "$CLASSES_DIR" ]; then
+  echo "ERROR: no compiled classes under target/scala-*/classes" >&2
+  exit 1
+fi
+CP="$CLASSES_DIR:$SPARK_JARS/*"
 ADD_OPENS=(
   --add-opens=java.base/java.lang=ALL-UNNAMED
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED

@@ -54,23 +54,11 @@ object Bench {
     // stays order-sensitive through the node-name walk; an operand swap
     // inside one expression is not a plan-shape event. Shas are NOT
     // comparable across the v1/v2 boundary (re-baselined this round).
+    // Walk + hash live in graft.tools.PlanFingerprint, shared with the
+    // dev tool that dumps the raw input string — so a cross-box drift is
+    // diffed character-by-character, not adjudicated from opaque shas.
     def planSha(df: org.apache.spark.sql.DataFrame): String =
-      try {
-        val sb = new StringBuilder
-        df.queryExecution.optimizedPlan.canonicalized.foreach { node =>
-          sb.append(node.nodeName).append('[')
-          node.expressions.foreach { e =>
-            val names = scala.collection.mutable.ArrayBuffer.empty[String]
-            e.foreach(x => names += x.getClass.getSimpleName)
-            names.sorted.foreach(n => sb.append(n).append(','))
-            sb.append(';')
-          }
-          sb.append(']')
-        }
-        java.security.MessageDigest.getInstance("SHA-1")
-          .digest(sb.toString.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(12)
-      } catch { case _: Throwable => "unavailable" }
+      graft.tools.PlanFingerprint.sha(df)
     // optional args: bench only these query names (dev shortcut; the driver
     // invokes with no args → full suite)
     val only = args.toSet
@@ -122,7 +110,14 @@ object Bench {
     // physical strategy legitimately flips with runtime size estimates
     // (adaptive broadcast-vs-shuffle decisions) are whitelisted — their
     // sha is EXPECTED to be multi-valued across runs.
-    val adaptiveWhitelist = Set("j1_merge_upsert", "q_ntile")
+    // name -> REASON the sha is expected to be multi-valued; the reason
+    // ships in the drift JSON so an entry can't outlive its justification
+    // unnoticed.
+    val adaptiveWhitelist = Map(
+      "j1_merge_upsert" ->
+        "AQE broadcast-vs-shuffle flips with the staging side's runtime size",
+      "q_ntile" ->
+        "window-partition coalescing flips with input split count")
     val baseline: Map[String, String] = {
       val f = new java.io.File(plansPath)
       if (!f.exists()) Map.empty
@@ -137,15 +132,18 @@ object Bench {
     val current = results.map { case (k, _, sha) => k -> sha }.toMap
     val changed = current.keySet.intersect(baseline.keySet)
       .filter(k => current(k) != baseline(k))
-      .partition(adaptiveWhitelist)
+      .partition(adaptiveWhitelist.contains)
     val added = (current.keySet -- baseline.keySet).toSeq.sorted
     val removed =
       if (baseline.isEmpty || only.nonEmpty) Nil // partial run: not drift
       else (baseline.keySet -- current.keySet).toSeq.sorted
     def arr(xs: Iterable[String]) =
       xs.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val whitelistedJson = changed._1.toSeq.sorted.map { k =>
+      s"""{"query":"$k","reason":"${adaptiveWhitelist(k)}"}"""
+    }.mkString("[", ",", "]")
     val driftJson = s"""{"changed":${arr(changed._2)},""" +
-      s""""whitelisted":${arr(changed._1)},"added":${arr(added)},""" +
+      s""""whitelisted":$whitelistedJson,"added":${arr(added)},""" +
       s""""removed":${arr(removed)},"baseline_n":${baseline.size}}"""
     val setupJson = setupTimes.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

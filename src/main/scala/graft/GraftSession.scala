@@ -7,6 +7,16 @@ import org.apache.spark.sql.SparkSession
   * Local testing runs `local[32]`; the same settings are what we'd submit to
   * a 1000-executor cluster (shuffle partition count would be raised to
   * ~2-3× total cores there — AQE coalesces the excess at runtime).
+  *
+  * SESSION-WIDE semantics note: partition-column type inference is
+  * DISABLED (see below), and that applies to every hive-partitioned
+  * dataset read through a Graft session — including external ones a user
+  * reads with plain `spark.read.parquet` — not just TableStore tables.
+  * Partition columns always come back as STRING; cast at read
+  * (`col("date").cast("date")`) where typed values are needed. This is
+  * the price of a deterministic write/read round-trip for the store's
+  * partitioned tables; if an application needs inference for external
+  * data, read it through a separate vanilla SparkSession.
   */
 object GraftSession {
   def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder =

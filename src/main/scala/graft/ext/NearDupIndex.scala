@@ -108,14 +108,15 @@ object NearDupIndex {
       store: TableStore, name: String, numBuckets: Int
   ): Unit = {
     if (!store.exists(s"${name}_tombstones")) return
-    val ts = broadcast(store.scan(s"${name}_tombstones")
-      .select(col("doc_id").as("__ts")).distinct())
-    val bands = store.scanBucketed(s"${name}_bands")
-      .join(ts, col("doc_id") === col("__ts"), "left_anti")
+    // size-gated anti-join (TableStore.antiJoinKeys): a routine takedown
+    // list broadcasts, a bulk-erasure tombstone table past the session
+    // broadcast threshold shuffles instead of OOMing an executor
+    val bands = store.antiJoinKeys(store.scanBucketed(s"${name}_bands"),
+        s"${name}_tombstones", "doc_id", "doc_id")
       .select("band", "key", "doc_id")
       .localCheckpoint(true)
-    val docsT = store.scan(s"${name}_docs")
-      .join(ts, col("doc_id") === col("__ts"), "left_anti")
+    val docsT = store.antiJoinKeys(store.scan(s"${name}_docs"),
+        s"${name}_tombstones", "doc_id", "doc_id")
       .select("doc_id", "shingles")
       .localCheckpoint(true)
     store.overwriteBucketed(s"${name}_bands", bands, Seq("key"), numBuckets)
@@ -158,10 +159,9 @@ object NearDupIndex {
       .distinct()
     val pairs1 =
       if (store.exists(s"${name}_tombstones"))
-        pairs0.join(
-          broadcast(store.scan(s"${name}_tombstones")
-            .select(col("doc_id").as("__ts")).distinct()),
-          col("corpus_id") === col("__ts"), "left_anti")
+        // size-gated: bulk-erasure tombstones shuffle instead of OOMing
+        store.antiJoinKeys(pairs0, s"${name}_tombstones",
+          "doc_id", "corpus_id")
       else pairs0
     val pairs = if (materialize) pairs1.localCheckpoint(true) else pairs1
     val candIds = pairs.select(col("corpus_id")).distinct()

@@ -407,11 +407,10 @@ object Retrieval {
       store: TableStore, name: String, numBuckets: Int
   ): Unit = {
     if (!store.exists(s"${name}_pos_tombstones")) return
-    val live = store.scanBucketed(s"${name}_pos")
-      .join(
-        broadcast(store.scan(s"${name}_pos_tombstones")
-          .select(col("doc_id").as("__ts")).distinct()),
-        col("doc_id") === col("__ts"), "left_anti")
+    // size-gated anti-join (TableStore.antiJoinKeys): bulk-erasure
+    // tombstone tables shuffle instead of forcing an executor-OOM build
+    val live = store.antiJoinKeys(store.scanBucketed(s"${name}_pos"),
+        s"${name}_pos_tombstones", "doc_id", "doc_id")
       .select("term", "doc_id", "pos")
       .localCheckpoint(true)
     store.overwriteBucketed(s"${name}_pos", live, Seq("term"), numBuckets)
@@ -498,14 +497,12 @@ object Retrieval {
           col(s"__p$i") === col("start_pos") + i)
         .select(col("doc_id"), col("start_pos"))
     }
-    // tombstoned docs drop at query time (broadcast anti on the
-    // dimension-sized takedown list); their postings stay until the next
-    // compaction rebuild
+    // tombstoned docs drop at query time (size-gated anti-join: a
+    // dimension-sized takedown list broadcasts, a bulk-erasure one
+    // shuffles); their postings stay until the next compaction rebuild
     if (store.exists(s"${name}_pos_tombstones"))
-      matched.join(
-        broadcast(store.scan(s"${name}_pos_tombstones")
-          .select(col("doc_id").as("__ts")).distinct()),
-        col("doc_id") === col("__ts"), "left_anti")
+      store.antiJoinKeys(matched, s"${name}_pos_tombstones",
+        "doc_id", "doc_id")
     else matched
   }
 

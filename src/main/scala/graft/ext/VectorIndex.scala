@@ -115,11 +115,10 @@ object VectorIndex {
       store: TableStore, name: String, numBuckets: Int
   ): Unit = {
     if (!store.exists(s"${name}_tombstones")) return
-    val live = store.scanBucketed(s"${name}_vecs")
-      .join(
-        broadcast(store.scan(s"${name}_tombstones")
-          .select(col("vec_id").as("__ts")).distinct()),
-        col("vec_id") === col("__ts"), "left_anti")
+    // size-gated anti-join (TableStore.antiJoinKeys): bulk-erasure
+    // tombstone tables shuffle instead of forcing an executor-OOM build
+    val live = store.antiJoinKeys(store.scanBucketed(s"${name}_vecs"),
+        s"${name}_tombstones", "vec_id", "vec_id")
       .select("cell_id", "vec_id", "vec")
       .localCheckpoint(true)
     store.overwriteBucketed(s"${name}_vecs", live, Seq("cell_id"), numBuckets)
@@ -165,14 +164,12 @@ object VectorIndex {
     val probed = qAssign.select("cell_id").distinct()
       .collect().map(_.getLong(0)).toIndexedSeq
     val vecs = store.scanBucketed(s"${name}_vecs")
-    // tombstoned vectors drop at query time (broadcast anti on the
-    // dimension-sized takedown list) — the deleteFromIvfIndex path
+    // tombstoned vectors drop at query time (size-gated anti-join: a
+    // dimension-sized takedown list broadcasts, a bulk-erasure one
+    // shuffles) — the deleteFromIvfIndex path
     val live =
       if (store.exists(s"${name}_tombstones"))
-        vecs.join(
-          broadcast(store.scan(s"${name}_tombstones")
-            .select(col("vec_id").as("__ts")).distinct()),
-          col("vec_id") === col("__ts"), "left_anti")
+        store.antiJoinKeys(vecs, s"${name}_tombstones", "vec_id", "vec_id")
       else vecs
     val cand = live.where(col("cell_id").isin(probed: _*))
     val scored = cand.join(broadcast(qAssign), Seq("cell_id"))

@@ -528,6 +528,54 @@ object Lifecycle {
         .orderBy("lang")
     }),
 
+    // the whole partitioned table lifecycle in ONE gate: partitioned
+    // ingest (two appends) → O(metadata) retention sweep → DV takedown →
+    // zero-copy branch with a three-way merge → ordered single-file
+    // export, read back. Every leg composes on the previous one's state;
+    // the oracle replays the set algebra in plain SQL.
+    "w_lifecycle_partitioned" -> ((s, dir) => {
+      val work = Files.createTempDirectory("graft_q_lcp")
+      val store = new TableStore(s, work.resolve("store").toString)
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      // 1. partitioned ingest: batch-shaped appends, hive layout on lang
+      store.appendPartitioned("docs",
+        docs.where(col("doc_id") % 2 === 0), Seq("lang"))
+      store.appendPartitioned("docs",
+        docs.where(col("doc_id") % 2 === 1), Seq("lang"))
+      // 2. retention: expire lang partitions below 'en' (the ISO-date
+      //    lexicographic contract), no data file touched
+      store.expirePartitionsBelow("docs", "lang", "en")
+      // 3. right-to-erasure takedown via deletion vector on survivors
+      store.deleteByKeysDV("docs", Seq("doc_id"),
+        docs.where(col("doc_id") % 11 === 4).select("doc_id"))
+      // 4. branch updates %10==0 docs (+1000 chars); main (post-fork)
+      //    appends re-id'd %10==7 docs — disjoint change sets, merge
+      //    commits
+      val base = store.scan("docs").localCheckpoint(true)
+      store.createBranch("docs", "fix")
+      store.overwriteBranch("docs", "fix",
+        base.select(col("doc_id"), col("lang"),
+          when(col("doc_id") % 10 === 0, col("n_chars") + 1000L)
+            .otherwise(col("n_chars")).as("n_chars")))
+      store.appendPartitioned("docs",
+        base.where(col("doc_id") % 10 === 7)
+          .select((col("doc_id") + 5000000L).as("doc_id"), col("lang"),
+            col("n_chars")),
+        Seq("lang"))
+      val conflicts = store.mergeBranch("docs", "fix", Seq("doc_id"))
+      require(conflicts.isEmpty, "w_lifecycle_partitioned: unexpected conflicts")
+      // 5. ordered single-file export, read back through the CSV path
+      val out = s"$work/export_csv"
+      Export.export(
+        store.scan("docs").select("doc_id", "lang", "n_chars"), out,
+        Export.ExportOptions(SourceFormat.Csv, orderBy = Some("doc_id"),
+          singleFile = true))
+      s.read.option("header", "true")
+        .schema("doc_id LONG, lang STRING, n_chars LONG")
+        .csv(out)
+        .orderBy("doc_id")
+    }),
+
     "w_version_diff" -> ((s, dir) => {
       // snapshot CDC: overwrite twice, then emit the row-level change feed
       // between the two retained versions — deletes below the new floor,
@@ -680,6 +728,20 @@ object Lifecycle {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE lang >= 'en'
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "w_lifecycle_partitioned" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE lang >= 'en' AND doc_id % 11 <> 4),
+        |merged AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000
+        |         ELSE n_chars END AS n_chars
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, lang, n_chars FROM base
+        |  WHERE doc_id % 10 = 7)
+        |SELECT doc_id, lang, n_chars FROM merged ORDER BY doc_id""".stripMargin,
 
     "w_time_travel" ->
       """SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,

@@ -1,0 +1,119 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Retention must cascade into the persistent indexes: after
+  * `expirePartitionsBelowCascade`, every index family's probe over the
+  * swept table equals the same probe against a FRESH index built on the
+  * surviving corpus — an erased source is unfindable through retrieval,
+  * not just absent from the table scan. */
+class RetentionCascadeSpec extends SparkSpec {
+
+  private def tmpStore() = new graft.table.TableStore(spark,
+    java.nio.file.Files.createTempDirectory("graft_retcasc").toString)
+
+  /** 90 docs over three dates (30 each); word pattern gives each doc a
+    * distinct shingle set with overlaps for the near-dup probe. */
+  private def corpus(): DataFrame = {
+    import spark.implicits._
+    (0 until 90).map { i =>
+      val date = f"2026-01-${i / 30 + 1}%02d"
+      val words = (0 until 14).map(j => s"w${(i * 13 + j * 5) % 97}")
+      (i.toLong, date, words.mkString(" "),
+        Array.tabulate(4)(d => math.sin(i * 7 + d).toFloat))
+    }.toDF("doc_id", "date", "text", "vec")
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().toSeq.map(_.toString).sorted
+
+  test("expire cascade: all four index families equal a fresh rebuild on survivors") {
+    val full = corpus()
+    val survivors = full.where(col("date") >= "2026-01-02")
+    val store = tmpStore()
+    store.overwritePartitioned("docs", full, Seq("date"))
+    NearDupIndex.buildNearDupIndex(store, "nd", full, "text", "doc_id",
+      numBuckets = 2)
+    Retrieval.buildBm25Index(store, "bm", full, "text", "doc_id",
+      numBuckets = 2)
+    Retrieval.buildPositionalIndex(store, "pos", full, "text", "doc_id",
+      numBuckets = 2)
+    VectorIndex.buildIvfIndex(store, "ivf", full, "vec", "doc_id",
+      nCells = 4, numBuckets = 2)
+
+    val swept = Retention.expirePartitionsBelowCascade(store, "docs",
+      "date", cutoff = "2026-01-02", idCol = "doc_id",
+      indexes = Seq(Retention.NearDup("nd"),
+        Retention.Bm25("bm", "text", numBuckets = 2),
+        Retention.Positional("pos"), Retention.Ivf("ivf")))
+    assert(swept, "cutoff above the first date must drop something")
+    assert(store.scan("docs").agg(min(col("date"))).head.getString(0)
+      == "2026-01-02", "table sweep itself must hold")
+
+    // fresh indexes on the surviving corpus (IVF shares the codebook —
+    // cell assignment must match for row-identical probes)
+    val fresh = tmpStore()
+    NearDupIndex.buildNearDupIndex(fresh, "nd", survivors, "text",
+      "doc_id", numBuckets = 2)
+    Retrieval.buildBm25Index(fresh, "bm", survivors, "text", "doc_id",
+      numBuckets = 2)
+    Retrieval.buildPositionalIndex(fresh, "pos", survivors, "text",
+      "doc_id", numBuckets = 2)
+    VectorIndex.buildIvfIndex(fresh, "ivf", survivors, "vec", "doc_id",
+      nCells = 4, numBuckets = 2,
+      codebook = Some(store.scan("ivf_cells")))
+
+    // near-dup: batch holds edited copies of a dropped and a surviving doc
+    val batch = full.where(col("doc_id").isin(5L, 65L))
+      .select((col("doc_id") + 1000L).as("doc_id"),
+        concat(col("text"), lit(" edited")).as("text"))
+    def ndProbe(s: graft.table.TableStore) =
+      NearDupIndex.nearDupAgainstIndex(s, "nd", batch, "text", "doc_id",
+        threshold = 0.5, materialize = false)
+    assert(rows(ndProbe(store)) == rows(ndProbe(fresh)))
+    assert(rows(ndProbe(store)).nonEmpty, "surviving plant must match")
+    assert(!ndProbe(store).select("corpus_id").collect()
+      .exists(_.getLong(0) < 30), "dropped docs must not match")
+
+    // BM25: negated postings must cancel to the survivors-only scores
+    val queries = Seq((1L, "w5 w18 w31"), (2L, "w44 w57"))
+    def bmProbe(s: graft.table.TableStore) =
+      Retrieval.bm25TopKIndexed(s, "bm", queries, k = 5)
+    assert(rows(bmProbe(store)) == rows(bmProbe(fresh)))
+    assert(rows(bmProbe(store)).nonEmpty)
+
+    // positional: phrase from a surviving doc found, dropped ids absent
+    val phrase = full.where(col("doc_id") === 40L)
+      .select(col("text")).head.getString(0).split(" ").take(2).mkString(" ")
+    def posProbe(s: graft.table.TableStore) =
+      Retrieval.phraseOccurrences(s, "pos", phrase)
+    assert(rows(posProbe(store)) == rows(posProbe(fresh)))
+    assert(rows(posProbe(store)).nonEmpty)
+
+    // IVF: same codebook, so probe rows must be identical
+    val qVecs = full.where(col("doc_id").isin(35L, 80L))
+      .select("doc_id", "vec")
+    def ivfProbe(s: graft.table.TableStore) =
+      VectorIndex.ivfTopKIndexed(s, "ivf", qVecs, "vec", "doc_id",
+        k = 3, nProbe = 4)
+    assert(rows(ivfProbe(store)) == rows(ivfProbe(fresh)))
+    assert(rows(ivfProbe(store)).nonEmpty)
+    assert(!ivfProbe(store).select("c_id").collect()
+      .exists(_.getLong(0) < 30), "dropped vectors must not be retrievable")
+  }
+
+  test("cutoff below every partition is a no-op: no drop, no index writes") {
+    val store = tmpStore()
+    store.overwritePartitioned("docs", corpus(), Seq("date"))
+    NearDupIndex.buildNearDupIndex(store, "nd", corpus(), "text",
+      "doc_id", numBuckets = 2)
+    val swept = Retention.expirePartitionsBelowCascade(store, "docs",
+      "date", cutoff = "2026-01-01", idCol = "doc_id",
+      indexes = Seq(Retention.NearDup("nd")))
+    assert(!swept)
+    assert(!store.exists("nd_tombstones"), "no-op sweep must not tombstone")
+    assert(store.scan("docs").count() == 90)
+  }
+}
