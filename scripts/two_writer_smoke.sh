@@ -61,3 +61,24 @@ grep -h WRITER_DONE "$ROOT/a.log" "$ROOT/b.log"
 # every batch is 10 rows; both writers' every commit must be visible
 run verify "$ROOT" t "$((2 * N * 10))" 2 2>&1 | grep VERIFY_OK
 echo "[2jvm] OK: all $((2 * N)) cross-process commits landed"
+
+# ---- partitioned leg: two JVMs race hive-partitioned CAS appends, a
+# THIRD process drops day partitions from the manifest those JVMs built,
+# and a FOURTH (cold caches) verifies the survivors — include/exclusion
+# subset entries must round-trip across processes, not just in-memory.
+# Row math assumes N % 4 == 0 (each day-residue hit equally often).
+if [ $((N % 4)) -eq 0 ]; then
+  echo "[2jvm] partitioned leg: racing writers, then cross-process drop"
+  run writep "$ROOT" tp A "$N" >"$ROOT/pa.log" 2>&1 &
+  PID_A=$!
+  run writep "$ROOT" tp B "$N" >"$ROOT/pb.log" 2>&1 &
+  PID_B=$!
+  wait "$PID_A" || { echo "[2jvm] partitioned writer A FAILED"; tail -20 "$ROOT/pa.log"; exit 1; }
+  wait "$PID_B" || { echo "[2jvm] partitioned writer B FAILED"; tail -20 "$ROOT/pb.log"; exit 1; }
+  run drop "$ROOT" tp d0,d1 2>&1 | grep DROP_DONE
+  # per writer: d0=5N/4, d1..d3=10N/4, d4=5N/4 rows; dropping d0,d1
+  # keeps 10N - 15N/4 per writer
+  KEPT_ROWS=$((2 * (10 * N - 15 * N / 4)))
+  run verifyp "$ROOT" tp "$KEPT_ROWS" 2 d2,d3,d4 2>&1 | grep VERIFYP_OK
+  echo "[2jvm] OK: partitioned appends + cross-process drop verified"
+fi

@@ -259,53 +259,118 @@ final class TableStore(spark: SparkSession, root: String,
       if (sn.contains('/'))
         reader.option("basePath", snapPath(snapRootOf(sn)))
       else reader
-    def readSnap(sn: String) = anchored(sn, spark.read).parquet(snapPath(sn))
-    // fast path — no vectors, no file pruning, no metadata column: the
-    // plain union read (one footer pass per snapshot, not two). This is
-    // the overwhelmingly common shape; the replay fold below pays an
-    // extra schema-discovery pass only when a DV or pruning demands the
-    // per-snapshot structure.
-    if (keepFile.isEmpty && !withFile && dataEntries.sizeIs == entries.size)
-      return dataEntries
-        .map(readSnap)
-        .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
-    val fullSchema = dataEntries
+    // EXCLUSION entries ("snap-x/!lang=fr") read their physical prefix and
+    // filter the dropped partitions out — a partition-column-only predicate
+    // that prunes directories at listing time, keeping the replay ONE scan
+    // relation however many partitions a retention sweep removed
+    def readSnap(sn: String) = {
+      val (phys, excl) = parseEntry(sn)
+      val df = anchored(sn, spark.read).parquet(snapPath(phys))
+      if (excl.isEmpty) df else df.where(exclusionFilter(excl))
+    }
+    // Evolved schema = what the per-snapshot unionByName chain would
+    // produce. The footer fold is O(entries) CACHED footer reads (entry
+    // dirs are immutable), not O(entries) analyzed relations; a historic
+    // type disagreement between snapshots (pre-contract data) falls back
+    // to the union's own coercion. LAZY on purpose: the dominant shape —
+    // one snapshot, no pruning — reads straight through readSnap and
+    // must not pay a footer pass it never uses.
+    lazy val foldedSchema: Option[org.apache.spark.sql.types.StructType] =
+      try Some(dataEntries.map(entryFooterSchema(name, _)).reduce(mergeEvolved))
+      catch { case _: TypeConflict => None }
+    lazy val fullSchema = foldedSchema.getOrElse(dataEntries
       .map(readSnap)
-      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true)).schema
+      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true)).schema)
+    // Merged read of one RUN of data entries (no deletion vector between
+    // them — union order within a run is irrelevant): ONE relation per
+    // partition-column chain instead of one per snapshot, with the
+    // evolved schema applied explicitly (parquet null-fills absent
+    // columns — exactly the unionByName(allowMissingColumns) semantics).
+    // This is the plan-width guard at streaming commit counts: a
+    // 600-snapshot un-compacted table planned in ~31 s as a 600-way
+    // union and ~1 s merged. Flat snapshots share one multi-path read;
+    // hive-partitioned snapshots cannot (partition discovery demands a
+    // single base), so their group gets a manifest-built
+    // InMemoryFileIndex with an EXPLICIT PartitionSpec — the
+    // Delta/Iceberg file-index pattern on this store's own metadata.
+    // Include/exclusion subset entries dissolve into the spec (their
+    // dropped directories simply never enter the index), so a
+    // post-retention table needs neither row filters nor extra
+    // relations.
+    def mergedRun(run: Seq[String]): Seq[DataFrame] =
+      if (run.sizeIs == 1 || foldedSchema.isEmpty) run.map(readSnap)
+      else {
+        // all-nullable: a later-added column IS null for earlier files,
+        // exactly as the unionByName chain would have widened it
+        val readSchema = org.apache.spark.sql.types.StructType(
+          fullSchema.fields.map(_.copy(nullable = true)))
+        run.map(e => enumerateEntry(name, e))
+          .groupBy(_._1).toSeq.sortBy(_._1.mkString(","))
+          .map { case (cols, group) =>
+            val leaves = group.flatMap(_._2)
+            if (cols.isEmpty)
+              spark.read.schema(readSchema)
+                .parquet(leaves.map(_._1.toString): _*)
+            else mergedPartitionedRead(readSchema, cols, leaves)
+          }
+      }
+    if (keepFile.isEmpty && !withFile && dataEntries.sizeIs == entries.size)
+      return mergedRun(dataEntries)
+        .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
     def decorate(df: DataFrame): DataFrame =
       if (!withFile) df
       else df.select(col("_metadata.file_path").as("__file") +:
         fullSchema.fieldNames.map(col).toIndexedSeq: _*)
     def snapFrame(sn: String): Option[DataFrame] = {
+      val (phys, excl) = parseEntry(sn)
+      def minusDropped(df: DataFrame) =
+        if (excl.isEmpty) df else df.where(exclusionFilter(excl))
       val whole = anchored(sn, spark.read.schema(fullSchema))
-        .parquet(snapPath(sn))
+        .parquet(snapPath(phys))
       keepFile match {
-        case None => Some(decorate(whole))
+        case None => Some(decorate(minusDropped(whole)))
         case Some(p) =>
-          val kept = whole.inputFiles.filter(p).toIndexedSeq
+          // files under an excluded partition dir leave the list here (one
+          // fewer file read); the row filter below still guards them, so
+          // correctness never rides on path-string rendering
+          val dropDirs = excl.map(d => "/" + d + "/")
+          val kept = whole.inputFiles
+            .filter(f => p(f) && !dropDirs.exists(f.contains)).toIndexedSeq
           if (kept.isEmpty) None
           // basePath: a hive-partitioned snapshot's partition columns live
           // in the directory names ABOVE the kept leaf files — without the
           // anchor a file-list read would silently drop them
-          else Some(decorate(spark.read.schema(fullSchema)
-            .option("basePath", snapPath(snapRootOf(sn))).parquet(kept: _*)))
+          else Some(decorate(minusDropped(spark.read.schema(fullSchema)
+            .option("basePath", snapPath(snapRootOf(sn))).parquet(kept: _*))))
       }
     }
-    // segment the manifest: data entries alone, consecutive DV entries as
-    // one run (anti-joins against the same accumulated state commute, so
-    // a run can regroup freely; a data snapshot between two vectors is a
-    // hard barrier — the later vector must also kill re-appended rows)
-    val segments = entries.foldLeft(List.empty[Either[String, List[String]]]) {
+    // segment the manifest: consecutive DATA entries as one run (their
+    // union order is irrelevant, so a run reads merged), consecutive DV
+    // entries as one run (anti-joins against the same accumulated state
+    // commute, so a run can regroup freely; a data snapshot between two
+    // vectors is a hard barrier — the later vector must also kill
+    // re-appended rows)
+    val segments = entries.foldLeft(List.empty[Either[List[String], List[String]]]) {
       case (Right(run) :: rest, e) if isDvEntry(e) => Right(run :+ e) :: rest
       case (acc, e) if isDvEntry(e)                => Right(List(e)) :: acc
-      case (acc, e)                                => Left(e) :: acc
+      case (Left(run) :: rest, e)                  => Left(run :+ e) :: rest
+      case (acc, e)                                => Left(List(e)) :: acc
     }.reverse
+    // per-snapshot frames only where file pruning or the metadata column
+    // demands them; merged multi-path relations otherwise
+    def runFrames(run: List[String]): Seq[DataFrame] =
+      if (keepFile.isEmpty && !withFile) mergedRun(run)
+      else run.flatMap(snapFrame)
     val replayed = segments.foldLeft(Option.empty[DataFrame]) { (acc, seg) =>
       seg match {
         case Right(run) => acc.map(df => applyDvRun(name, df, run))
-        case Left(e) => snapFrame(e) match {
-          case None    => acc
-          case Some(f) => Some(acc.map(_.unionByName(f)).getOrElse(f))
+        case Left(run) => runFrames(run) match {
+          case Seq() => acc
+          case fs =>
+            val f = fs.reduce(_.unionByName(_, allowMissingColumns = true))
+            Some(acc
+              .map(_.unionByName(f, allowMissingColumns = true))
+              .getOrElse(f))
         }
       }
     }
@@ -322,6 +387,157 @@ final class TableStore(spark: SparkSession, root: String,
     * entries (`snap-x/lang=en` → `snap-x`). GC keys on this: a live
     * subset reference keeps its whole snapshot directory alive. */
   private def snapRootOf(e: String): String = e.takeWhile(_ != '/')
+
+  /** Manifest-entry grammar: `root(/col=val)*(/!col=val)*` — the snapshot
+    * dir, then zero+ INCLUDE segments (the partition directories a
+    * [[dropPartitions]] descent pinned), then zero+ EXCLUSION segments
+    * (the partition directories a drop removed, all on one column).
+    * Returns the physical read prefix (root + includes — a real directory)
+    * and the excluded dir names (hive-escaped, `col=value`). Both
+    * renderings of a drop are O(metadata); [[representSubset]] picks
+    * whichever keeps the manifest (and the scan's replay union) small. */
+  private def parseEntry(e: String): (String, Seq[String]) = {
+    val segs = e.split('/')
+    val (exc, inc) = segs.partition(_.startsWith("!"))
+    (inc.mkString("/"), exc.map(_.stripPrefix("!")).toIndexedSeq)
+  }
+
+  /** Parquet schema of one manifest entry's physical directory, partition
+    * columns included (basePath-anchored for subset prefixes). Entry dirs
+    * are immutable once committed, so the footer read caches for the
+    * store's lifetime — repeated scans of an N-snapshot table pay N footer
+    * reads ONCE, then O(new entries). */
+  private def entryFooterSchema(name: String,
+      e: String): org.apache.spark.sql.types.StructType = {
+    val dir = tableDir(name)
+    val phys = parseEntry(e)._1
+    val p = new Path(dir, phys)
+    footerSchemaCache.computeIfAbsent(
+      fs(p).makeQualified(p).toString,
+      _ => {
+        val r =
+          if (phys.contains('/'))
+            spark.read.option("basePath", new Path(dir, snapRootOf(e)).toString)
+          else spark.read
+        r.parquet(p.toString).schema
+      })
+  }
+
+  private val footerSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]
+
+  /** One data entry resolved to its partition-column chain and leaf
+    * partition directories with their (unescaped, null-mapped) values —
+    * the rows of the explicit PartitionSpec a merged read is built from.
+    * A flat snapshot is `(Nil, Seq(dir -> Nil))`; an include entry pins
+    * its path segments' values; an exclusion entry's dropped directories
+    * are skipped at enumeration, so they never reach a file index.
+    * Directory listings cache per immutable entry subtree. */
+  private def enumerateEntry(name: String,
+      e: String): (Seq[String], Seq[(Path, Seq[String])]) = {
+    val segs = e.split('/')
+    val incSegs = segs.drop(1).filterNot(_.startsWith("!")).toSeq
+    val exclSet = segs.drop(1).filter(_.startsWith("!"))
+      .map(_.stripPrefix("!")).toSet
+    val physPath = new Path(tableDir(name), (segs.head +: incSegs).mkString("/"))
+    def valueOf(seg: String): String = {
+      val v = unescapePart(seg.dropWhile(_ != '=').drop(1))
+      if (v == org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+      else v
+    }
+    def descend(p: Path,
+        skip: Set[String]): (Seq[String], Seq[(Path, Seq[String])]) = {
+      val kids = listPartDirsCached(p)
+      if (kids.isEmpty) (Nil, Seq(p -> Nil))
+      else {
+        val c = kids.head.takeWhile(_ != '=')
+        val parts = kids.filter(_.startsWith(c + "=")).filterNot(skip)
+          .map { d =>
+            val (subCols, leaves) = descend(new Path(p, d), Set.empty)
+            (subCols,
+              leaves.map { case (lp, lv) => (lp, valueOf(d) +: lv) })
+          }
+        val subCols = parts.headOption.map(_._1).getOrElse(Nil)
+        (c +: subCols, parts.flatMap(_._2))
+      }
+    }
+    val (belowCols, leaves) = descend(physPath, exclSet)
+    val fixedCols = incSegs.map(_.takeWhile(_ != '='))
+    val fixedVals = incSegs.map(valueOf)
+    (fixedCols ++ belowCols,
+      leaves.map { case (p, vs) => (p, fixedVals ++ vs) })
+  }
+
+  /** Hive partition subdirectory names of one immutable entry directory,
+    * listed once per store. */
+  private def listPartDirsCached(p: Path): Seq[String] =
+    partDirsCache.computeIfAbsent(
+      fs(p).makeQualified(p).toString,
+      _ => fs(p).listStatus(p)
+        .filter(s => s.isDirectory && s.getPath.getName.contains('='))
+        .map(_.getPath.getName).sorted.toSeq)
+
+  private val partDirsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]
+
+  /** ONE relation over many hive-partitioned snapshot directories: Spark's
+    * partition discovery refuses multiple bases, so the partition spec is
+    * built EXPLICITLY from the manifest enumeration and handed to an
+    * [[org.apache.spark.sql.execution.datasources.InMemoryFileIndex]] —
+    * the Delta/Iceberg manifest-file-index pattern. Listings share the
+    * session [[org.apache.spark.sql.execution.datasources.FileStatusCache]];
+    * partition pruning, pushdown, and metadata columns ride the standard
+    * FileSourceScan path. Partition values are strings by the store's
+    * layout contract. */
+  private def mergedPartitionedRead(
+      readSchema: org.apache.spark.sql.types.StructType,
+      cols: Seq[String], leaves: Seq[(Path, Seq[String])]): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{
+      FileStatusCache, HadoopFsRelation, InMemoryFileIndex, PartitionPath,
+      PartitionSpec}
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val partSchema = StructType(
+      cols.map(c => StructField(c, StringType, nullable = true)))
+    val dataSchema = StructType(
+      readSchema.fields.filterNot(f => cols.contains(f.name)))
+    // qualified paths: the index matches a partition's files by comparing
+    // its PartitionPath against the listed files' (qualified) parent dirs
+    val qualified = leaves.map { case (p, vs) => (fs(p).makeQualified(p), vs) }
+    val partitions = qualified.map { case (p, vs) =>
+      PartitionPath(
+        org.apache.spark.sql.catalyst.InternalRow.fromSeq(vs.map(v =>
+          if (v == null) null
+          else org.apache.spark.unsafe.types.UTF8String.fromString(v))),
+        p)
+    }
+    val index = new InMemoryFileIndex(spark, qualified.map(_._1), Map.empty,
+      Some(dataSchema), FileStatusCache.getOrCreate(spark),
+      Some(PartitionSpec(partSchema, partitions)))
+    spark.baseRelationToDataFrame(HadoopFsRelation(index, partSchema,
+      dataSchema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      Map.empty[String, String])(spark))
+  }
+
+  /** Row-level rendering of an exclusion entry's dropped partitions: the
+    * filter is on partition COLUMNS only, so Catalyst routes it to
+    * `PartitionFilters` and the excluded directories are pruned at
+    * file-listing time — the scan stays one relation however many
+    * partitions were dropped. Hive's null sentinel maps back to IS NULL;
+    * rows with a null partition value survive a drop of real values
+    * (the `coalesce(..., true)` keeps the NOT-IN null-safe). */
+  private def exclusionFilter(dirs: Seq[String]): org.apache.spark.sql.Column =
+    dirs.groupBy(_.takeWhile(_ != '=')).map { case (c, segs) =>
+      val vals = segs.map(s => unescapePart(s.drop(c.length + 1)))
+      val nullName = org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+      val (nulls, real) = vals.partition(_ == nullName)
+      val notIn =
+        if (real.isEmpty) lit(true)
+        else coalesce(!col(c).isin(real: _*), lit(true))
+      if (nulls.nonEmpty) col(c).isNotNull && notIn else notIn
+    }.reduce(_ && _)
 
   /** Apply one run of consecutive deletion vectors to `df` as ONE
     * anti-join per distinct key-column SET (vectors sharing a key tuple
@@ -357,9 +573,13 @@ final class TableStore(spark: SparkSession, root: String,
 
   /** Cached on-disk bytes of one manifest entry's directory (snapshot,
     * partition subset, or dv). Entry dirs are immutable once committed, so
-    * the getContentSummary result is cached for the store's lifetime. */
+    * the getContentSummary result is cached for the store's lifetime.
+    * Exclusion entries stat their physical prefix — an OVERESTIMATE that
+    * still counts the dropped partitions' bytes, which only makes the
+    * broadcast size gates MORE conservative (never a forced broadcast of
+    * something bigger than measured). */
   private def entryBytes(name: String, entry: String): Long = {
-    val p = new Path(tableDir(name), entry)
+    val p = new Path(tableDir(name), parseEntry(entry)._1)
     dirSizeCache.computeIfAbsent(
       fs(p).makeQualified(p).toString,
       _ => java.lang.Long.valueOf(fs(p).getContentSummary(p).getLength)
@@ -371,6 +591,11 @@ final class TableStore(spark: SparkSession, root: String,
     * O(entries) metadata calls on first touch, O(new entries) after. */
   def tableDataBytes(name: String): Long =
     readManifest(name).map(entryBytes(name, _)).sum
+
+  /** The live manifest, read-only — for operational introspection
+    * (entry counts in maintenance dashboards, manifest-growth smokes).
+    * Entry strings are the store's internal grammar; treat as opaque. */
+  def manifestEntries(name: String): Seq[String] = readManifest(name)
 
   /** Left-anti-join `df` against the DISTINCT values of `keyCol` in table
     * `name`, matching on `df`'s `dfCol` — the tombstone-exclusion shape
@@ -471,10 +696,17 @@ final class TableStore(spark: SparkSession, root: String,
     overwrite(zmName, next)
   }
 
-  /** The live data files (deletion-vector dirs excluded). */
+  /** The live data files (deletion-vector dirs excluded; an exclusion
+    * entry's dropped-partition files too — a sidecar row for a file the
+    * scan can never read would hold the whole sidecar un-foldable). */
   private def dataFiles(name: String): Seq[String] =
-    readManifest(name).filterNot(isDvEntry).flatMap(sn =>
-      spark.read.parquet(new Path(tableDir(name), sn).toString).inputFiles)
+    readManifest(name).filterNot(isDvEntry).flatMap { sn =>
+      val (phys, excl) = parseEntry(sn)
+      val files =
+        spark.read.parquet(new Path(tableDir(name), phys).toString).inputFiles
+      val dropDirs = excl.map(d => "/" + d + "/")
+      files.filterNot(f => dropDirs.exists(f.contains))
+    }
 
   /** Shared incremental-refresh scaffolding for the sidecar tables:
     * given the sidecar's `file` values, split the world into SURVIVORS
@@ -822,16 +1054,25 @@ final class TableStore(spark: SparkSession, root: String,
     // creation through the same CAS commit as [[append]] (no racy
     // exists-then-overwrite)
     val shaped = stringifyParts(df, partitionCols)
-    if (exists(name)) checkNoTypeChanges(name, scan(name), shaped)
+    if (exists(name)) checkNoTypeChanges(name, tableSchema(name), shaped)
     val snap = writeSnapshot(name, shaped, partitionBy = partitionCols)
     val done = commitOwning(name, snap)(cur => Some(cur :+ snap))
     assert(done, s"partitioned append to $name cannot abort")
   }
 
   /** Drop whole partitions at O(metadata) cost: every data snapshot's
-    * manifest entry is replaced by PARTITION-SUBSET entries naming only
-    * its surviving `partitionCol=value` subdirectories — no data file is
-    * read, written, or deleted at commit time. The retention/takedown
+    * manifest entry is replaced by the SMALLER of two faithful renderings
+    * of "this snapshot minus the doomed partitions" — per-partition
+    * INCLUDE entries naming the survivors (`snap-x/lang=en`) while the
+    * kept set is small, or ONE EXCLUSION entry naming the dropped values
+    * (`snap-x/!lang=fr`) otherwise. No data file is read, written, or
+    * deleted at commit time either way. The exclusion form is the
+    * manifest-scale guard: a 365-partition compacted snapshot losing 10
+    * days stays ONE manifest entry and ONE scan relation (the dropped
+    * values become a `PartitionFilters` predicate), where an
+    * include-only rendering would explode it into 355 entries and a
+    * 355-way union in every scan plan — the curve that bends first at a
+    * year of snapshots × hundreds of partitions. The retention/takedown
     * primitive partitioned layouts exist for: expiring a crawl date or
     * erasing a source at 100 TB costs one directory listing per snapshot
     * plus the commit, where `deleteWhere` pays a full table rewrite and
@@ -862,39 +1103,7 @@ final class TableStore(spark: SparkSession, root: String,
       if (cur.isEmpty) throw new IllegalArgumentException(s"Table not found: $name")
       val derived = cur.flatMap { e =>
         if (isDvEntry(e)) Seq(e)
-        else {
-          val p = new Path(tableDir(name), e)
-          val st = fs(p).listStatus(p)
-          val childDirs = st.filter(_.isDirectory).map(_.getPath.getName)
-          val partDirs = childDirs.filter(_.startsWith(prefix))
-          // a prior drop on the SAME column left this entry carrying its
-          // value in its own path — match it directly
-          val ownSeg = e.split('/').drop(1).find(_.startsWith(prefix))
-          if (partDirs.nonEmpty) {
-            val (dead, kept) = partDirs.partition(d =>
-              doomed.contains(unescapePart(d.stripPrefix(prefix))))
-            // a snapshot holding NONE of the doomed values keeps its one
-            // entry — expanding it into per-partition references would
-            // balloon the manifest (snapshots × partitions entries) and
-            // fragment the scan's union for zero benefit
-            if (dead.isEmpty) Seq(e)
-            else kept.sorted.map(d => s"$e/$d").toSeq
-          }
-          else ownSeg match {
-            case Some(seg) =>
-              if (doomed.contains(unescapePart(seg.stripPrefix(prefix)))) Nil
-              else Seq(e)
-            case None =>
-              val hasData = st.exists(s =>
-                !s.isDirectory && s.getPath.getName.startsWith("part-"))
-              if (childDirs.nonEmpty || hasData)
-                throw new IllegalArgumentException(
-                  s"dropPartitions($partitionCol) on $name: snapshot $e is " +
-                    s"not hive-partitioned on $partitionCol (leading " +
-                    "column) — overwritePartitioned/compact to re-layout first")
-              else Seq(e) // zero-row snapshot: nothing to drop
-          }
-        }
+        else deriveDropped(name, e, partitionCol, prefix, doomed)
       }
       if (derived == cur) None
       else {
@@ -905,6 +1114,83 @@ final class TableStore(spark: SparkSession, root: String,
       }
     })
   }
+
+  /** One entry's replacement under a drop of `doomed` values on
+    * `partitionCol` — the [[dropPartitions]] per-entry step. */
+  private def deriveDropped(name: String, e: String, partitionCol: String,
+      prefix: String, doomed: Set[String]): Seq[String] = {
+    val (phys, excl) = parseEntry(e)
+    if (excl.nonEmpty) {
+      // an exclusion entry's open level IS its exclusion column: several
+      // of its partitions are live, so any OTHER column is not leading
+      val exclCol = excl.head.takeWhile(_ != '=')
+      if (exclCol != partitionCol)
+        throw new IllegalArgumentException(
+          s"dropPartitions($partitionCol) on $name: entry $e is partition-" +
+            s"filtered on $exclCol (its leading open column) — " +
+            "overwritePartitioned/compact to re-layout first")
+      val p = new Path(tableDir(name), phys)
+      val exclSet = excl.toSet
+      val live = fs(p).listStatus(p).filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(d => d.startsWith(prefix) && !exclSet.contains(d)).toSeq
+      val (dead, kept) = live.partition(d =>
+        doomed.contains(unescapePart(d.stripPrefix(prefix))))
+      if (dead.isEmpty) Seq(e)
+      else representSubset(phys, kept, (exclSet ++ dead).toSeq)
+    } else {
+      val p = new Path(tableDir(name), e)
+      val st = fs(p).listStatus(p)
+      val childDirs = st.filter(_.isDirectory).map(_.getPath.getName)
+      val partDirs = childDirs.filter(_.startsWith(prefix))
+      // a prior drop on the SAME column left this entry carrying its
+      // value in its own path — match it directly
+      val ownSeg = e.split('/').drop(1).find(_.startsWith(prefix))
+      if (partDirs.nonEmpty) {
+        val (dead, kept) = partDirs.partition(d =>
+          doomed.contains(unescapePart(d.stripPrefix(prefix))))
+        // a snapshot holding NONE of the doomed values keeps its one
+        // entry — expanding it into per-partition references would
+        // balloon the manifest (snapshots × partitions entries) and
+        // fragment the scan's union for zero benefit
+        if (dead.isEmpty) Seq(e)
+        else representSubset(e, kept.toSeq, dead.toSeq)
+      }
+      else ownSeg match {
+        case Some(seg) =>
+          if (doomed.contains(unescapePart(seg.stripPrefix(prefix)))) Nil
+          else Seq(e)
+        case None =>
+          val hasData = st.exists(s =>
+            !s.isDirectory && s.getPath.getName.startsWith("part-"))
+          if (childDirs.nonEmpty || hasData)
+            throw new IllegalArgumentException(
+              s"dropPartitions($partitionCol) on $name: snapshot $e is " +
+                s"not hive-partitioned on $partitionCol (leading " +
+                "column) — overwritePartitioned/compact to re-layout first")
+          else Seq(e) // zero-row snapshot: nothing to drop
+      }
+    }
+  }
+
+  /** Above this many include entries a split snapshot folds to the
+    * one-entry exclusion form regardless of which side is smaller — the
+    * hard bound on manifest entries (and scan relations) per snapshot. */
+  private val includeSubsetCap = 32
+
+  /** The smaller faithful rendering of "prefix `phys` minus partitions
+    * `dead`": INCLUDE entries (each its own scan relation in the replay
+    * union) while the kept side is small, otherwise ONE EXCLUSION entry
+    * (a single relation + `PartitionFilters` predicate). Entry count per
+    * snapshot is thereby ≤ min(kept, dead, [[includeSubsetCap]]) — the
+    * auto-fold that keeps a heavily-partitioned snapshot from blowing up
+    * the manifest and the scan plan under repeated retention sweeps. */
+  private def representSubset(phys: String, kept: Seq[String],
+      dead: Seq[String]): Seq[String] =
+    if (kept.isEmpty) Nil
+    else if (kept.size <= math.min(dead.size, includeSubsetCap))
+      kept.sorted.map(d => s"$phys/$d")
+    else Seq(phys + dead.sorted.map("/!" + _).mkString)
 
   /** Distinct values of `partitionCol` across the LIVE data snapshots —
     * pure directory metadata, no file opened. Same strict layout
@@ -917,23 +1203,37 @@ final class TableStore(spark: SparkSession, root: String,
     if (entries.isEmpty)
       throw new IllegalArgumentException(s"Table not found: $name")
     entries.filterNot(isDvEntry).flatMap { e =>
-      val p = new Path(tableDir(name), e)
-      val st = fs(p).listStatus(p)
-      val childDirs = st.filter(_.isDirectory).map(_.getPath.getName)
-      val partDirs = childDirs.filter(_.startsWith(prefix))
-      val ownSeg = e.split('/').drop(1).find(_.startsWith(prefix))
-      if (partDirs.nonEmpty)
-        partDirs.map(d => unescapePart(d.stripPrefix(prefix))).toSeq
-      else ownSeg match {
-        case Some(seg) => Seq(unescapePart(seg.stripPrefix(prefix)))
-        case None =>
-          val hasData = st.exists(s =>
-            !s.isDirectory && s.getPath.getName.startsWith("part-"))
-          if (childDirs.nonEmpty || hasData)
-            throw new IllegalArgumentException(
-              s"partitionValues($partitionCol) on $name: snapshot $e is " +
-                s"not hive-partitioned on $partitionCol (leading column)")
-          else Nil // zero-row snapshot
+      val (phys, excl) = parseEntry(e)
+      if (excl.nonEmpty) {
+        val exclCol = excl.head.takeWhile(_ != '=')
+        if (exclCol != partitionCol)
+          throw new IllegalArgumentException(
+            s"partitionValues($partitionCol) on $name: entry $e is " +
+              s"partition-filtered on $exclCol (its leading open column)")
+        val p = new Path(tableDir(name), phys)
+        val exclSet = excl.toSet
+        fs(p).listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+          .filter(d => d.startsWith(prefix) && !exclSet.contains(d))
+          .map(d => unescapePart(d.stripPrefix(prefix))).toSeq
+      } else {
+        val p = new Path(tableDir(name), e)
+        val st = fs(p).listStatus(p)
+        val childDirs = st.filter(_.isDirectory).map(_.getPath.getName)
+        val partDirs = childDirs.filter(_.startsWith(prefix))
+        val ownSeg = e.split('/').drop(1).find(_.startsWith(prefix))
+        if (partDirs.nonEmpty)
+          partDirs.map(d => unescapePart(d.stripPrefix(prefix))).toSeq
+        else ownSeg match {
+          case Some(seg) => Seq(unescapePart(seg.stripPrefix(prefix)))
+          case None =>
+            val hasData = st.exists(s =>
+              !s.isDirectory && s.getPath.getName.startsWith("part-"))
+            if (childDirs.nonEmpty || hasData)
+              throw new IllegalArgumentException(
+                s"partitionValues($partitionCol) on $name: snapshot $e is " +
+                  s"not hive-partitioned on $partitionCol (leading column)")
+            else Nil // zero-row snapshot
+        }
       }
     }.distinct.sorted
   }
@@ -1051,7 +1351,7 @@ final class TableStore(spark: SparkSession, root: String,
     * loser's re-derivation starts from the winner's manifest, so both
     * land. */
   def append(name: String, df: DataFrame): Unit = {
-    if (exists(name)) checkNoTypeChanges(name, scan(name), df)
+    if (exists(name)) checkNoTypeChanges(name, tableSchema(name), df)
     val snap = writeSnapshot(name, df)
     // the closure re-derives the union from the manifest AT COMMIT
     // TIME, so losing the version race to a concurrent appender only
@@ -1060,14 +1360,74 @@ final class TableStore(spark: SparkSession, root: String,
     assert(done, s"append to $name cannot abort")
   }
 
-  private def checkNoTypeChanges(name: String, existing: DataFrame, incoming: DataFrame): Unit = {
-    val old = existing.schema.fields.map(f => f.name -> f.dataType).toMap
+  private def checkNoTypeChanges(name: String, existing: DataFrame, incoming: DataFrame): Unit =
+    checkNoTypeChanges(name, existing.schema, incoming)
+
+  private def checkNoTypeChanges(name: String, existing: org.apache.spark.sql.types.StructType,
+      incoming: DataFrame): Unit = {
+    val old = existing.fields.map(f => f.name -> f.dataType).toMap
     val changed = incoming.schema.fields.filter(f => old.get(f.name).exists(_ != f.dataType))
     if (changed.nonEmpty)
       throw new IllegalArgumentException(
         s"Type change not allowed on append to $name: " +
           changed.map(f => s"${f.name}: ${old(f.name)} -> ${f.dataType}").mkString(", "))
   }
+
+  /** Evolved schema of `name` — what [[scan]] reads — WITHOUT building the
+    * replay union: fold per-snapshot parquet footer schemas in manifest
+    * order, appending fields unseen so far. The fold is cached on the
+    * manifest's data-entry list, and a cached PREFIX re-folds only the
+    * delta — so the append cadence (streaming micro-batches, index
+    * segment commits) pays one footer read per commit instead of
+    * re-analyzing an O(snapshots) union every time; commit cost no longer
+    * grows with table age. Any non-append manifest change (compact,
+    * partition drop, overwrite) just recomputes the full fold once. On a
+    * common-column TYPE disagreement between snapshots the fold defers to
+    * the union's coercion semantics (`scan(name).schema`) rather than
+    * guessing — reachable only through historic data written before this
+    * store's no-type-change append contract. */
+  def tableSchema(name: String): org.apache.spark.sql.types.StructType = {
+    val entries = readManifest(name)
+    if (entries.isEmpty)
+      throw new IllegalArgumentException(s"Table not found: $name")
+    val dataEntries = entries.filterNot(isDvEntry).map(parseEntry(_)._1).distinct
+    val dir = tableDir(name)
+    val key = fs(dir).makeQualified(dir).toString
+    val cached = Option(schemaCache.get(key))
+    val (base, todo) = cached match {
+      case Some((prev, s)) if dataEntries.startsWith(prev) =>
+        (Option(s), dataEntries.drop(prev.size))
+      case _ => (None, dataEntries)
+    }
+    if (todo.isEmpty && base.isDefined) return base.get
+    val folded =
+      try todo.foldLeft(base) { (acc, e) =>
+        val s = entryFooterSchema(name, e)
+        Some(acc.map(mergeEvolved(_, s)).getOrElse(s))
+      }.get
+      catch { case _: TypeConflict => scan(name).schema }
+    schemaCache.put(key, (dataEntries, folded))
+    folded
+  }
+
+  private final class TypeConflict extends RuntimeException
+
+  /** Field-addition merge matching `unionByName(allowMissingColumns)`
+    * column order: left fields first, right's new fields appended. A
+    * common field whose type differs signals [[TypeConflict]] — the
+    * caller falls back to the union's own coercion. */
+  private def mergeEvolved(a: org.apache.spark.sql.types.StructType,
+      b: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    val known = a.fields.map(f => f.name -> f.dataType).toMap
+    b.fields.foreach(f => if (known.get(f.name).exists(_ != f.dataType))
+      throw new TypeConflict)
+    org.apache.spark.sql.types.StructType(
+      a.fields ++ b.fields.filterNot(f => known.contains(f.name)))
+  }
+
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (Seq[String], org.apache.spark.sql.types.StructType)]
 
   /** Read-modify-write rewrite that cannot drop a concurrent commit:
     * derive the new state FROM a basis manifest, then commit conditional
@@ -1307,7 +1667,7 @@ final class TableStore(spark: SparkSession, root: String,
     val marker = s"-tag-$tag-"
     if (exists(name) && readManifest(name).exists(_.contains(marker))) false
     else {
-      if (exists(name)) checkNoTypeChanges(name, scan(name), df)
+      if (exists(name)) checkNoTypeChanges(name, tableSchema(name), df)
       val snap = writeSnapshot(name, df, s"tag-$tag-")
       // the tag re-check runs INSIDE the commit against the manifest at
       // commit time, so two replays racing each other collapse to one

@@ -1840,6 +1840,79 @@ object ScaleSmoke {
           .count())
     }
 
+    // 40d. MANIFEST scale: a year of streaming commits × hundreds of
+    // partition values — the metadata hot path the data-path smokes
+    // can't see. 1,000 snapshots over 500 distinct day values, then the
+    // standing-retention loop: partitionValues sweep, expire drop,
+    // post-drop scan PLANNING (the replay-union construction the driver
+    // pays on every query). Also the compacted shape — ONE snapshot ×
+    // 730 partitions losing 15 days — which must fold to a single
+    // EXCLUSION entry (one scan relation + PartitionFilters), not 715
+    // include entries. Append cadence is timed in halves: with the
+    // footer-fold schema cache, the 1000th commit must cost what the
+    // 100th did (pre-cache, appends re-analyzed an O(snapshots) union
+    // each time and this loop alone took minutes).
+    time("manifest scale: 1000 snapshots x 500 partition values") {
+      val store = new graft.table.TableStore(spark,
+        java.nio.file.Files.createTempDirectory("graft_sm_manifest").toString)
+      def batch(i: Int) = spark.range(i * 2L, i * 2L + 2, 1, 1)
+        .select(col("id").as("k"), lit(f"d${i / 2}%03d").as("day"))
+      val a0 = System.nanoTime()
+      (0 until 500).foreach(i => store.appendPartitioned("t", batch(i), Seq("day")))
+      val firstHalf = (System.nanoTime() - a0) / 1e9
+      val a1 = System.nanoTime()
+      (500 until 1000).foreach(i => store.appendPartitioned("t", batch(i), Seq("day")))
+      val secondHalf = (System.nanoTime() - a1) / 1e9
+      println(f"[scale]   appends 1-500 ${firstHalf}%6.1fs, 501-1000 ${secondHalf}%6.1fs " +
+        f"(ratio ${secondHalf / firstHalf}%.2f)")
+      assert(secondHalf < firstHalf * 2.0,
+        f"append cost grows with table age: ${firstHalf}%.1fs -> ${secondHalf}%.1fs")
+      val t0 = System.nanoTime()
+      val vals = store.partitionValues("t", "day")
+      val sweepSec = (System.nanoTime() - t0) / 1e9
+      assert(vals.size == 500, s"${vals.size}")
+      val t1 = System.nanoTime()
+      assert(store.expirePartitionsBelow("t", "day", "d200"))
+      val dropSec = (System.nanoTime() - t1) / 1e9
+      val entries = store.manifestEntries("t").size
+      val t2 = System.nanoTime()
+      val df = store.scan("t")
+      df.queryExecution.executedPlan // force full planning, no execution
+      val planSec = (System.nanoTime() - t2) / 1e9
+      println(f"[scale]   sweep ${sweepSec}%6.2fs drop(400 vals) ${dropSec}%6.2fs " +
+        f"plan ${planSec}%6.2fs manifest $entries entries")
+      // merged manifest-built file-index reads: planning a 600-snapshot
+      // replay must NOT scale as a 600-way union (measured 31 s before
+      // the merged read, ~1 s after)
+      assert(planSec < 10.0,
+        f"scan planning bent at 600 snapshots: ${planSec}%.1fs")
+      // 400 dropped values kill 800 whole snapshots; survivors keep one
+      // entry each — the manifest must not balloon past the live set
+      assert(entries <= 620, s"manifest ballooned: $entries entries")
+      assert(df.count() == 2L * 600) // 300 surviving days x 2 snapshots x 2 rows
+      assert(sweepSec < 30 && dropSec < 30,
+        f"retention must stay metadata-priced: sweep $sweepSec%.1fs drop $dropSec%.1fs")
+      // the compacted-corpus shape: one snapshot, 730 day partitions
+      val wide = spark.range(0, 14600L, 1, 32)
+        .select(col("id").as("k"), concat(lit("d"),
+          lpad((col("id") % 730).cast("string"), 3, "0")).as("day"))
+      store.overwritePartitioned("w", wide, Seq("day"))
+      val doomed = (0 until 15).map(i => f"d$i%03d")
+      val t3 = System.nanoTime()
+      assert(store.dropPartitions("w", "day", doomed))
+      val wDropSec = (System.nanoTime() - t3) / 1e9
+      val wEntries = store.manifestEntries("w")
+      assert(wEntries.sizeIs == 1 && wEntries.head.contains("/!day="),
+        s"15-of-730 drop must fold to one exclusion entry: ${wEntries.size}")
+      val t4 = System.nanoTime()
+      val wScan = store.scan("w")
+      wScan.queryExecution.executedPlan
+      val wPlanSec = (System.nanoTime() - t4) / 1e9
+      println(f"[scale]   wide-snapshot drop ${wDropSec}%6.2fs " +
+        f"plan ${wPlanSec}%6.2fs (1 exclusion entry)")
+      assert(wScan.count() == 14600L - 15 * 20)
+    }
+
     // 40. deletion-vector vs rewrite delete on a 20M-row store table:
     // the DV commit writes only the key list (O(deleted)) while the
     // rewrite path pays the whole table again (O(table)); both must

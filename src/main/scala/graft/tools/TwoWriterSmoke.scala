@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   * Modes:
   *   write  <root> <table> <writerId> <nCommits>   append nCommits batches
   *   verify <root> <table> <expectRows> <expectWriters>  assert + fingerprint
+  *   writep <root> <table> <writerId> <nCommits>   PARTITIONED appends
+  *                                                 (day = batch % 5)
+  *   drop   <root> <table> <vals,csv>              dropPartitions on day
+  *   verifyp <root> <table> <expectRows> <expectWriters> <keptDays,csv>
+  *           assert rows + that only the kept day partitions survive
   */
 object TwoWriterSmoke {
   def main(args: Array[String]): Unit = {
@@ -51,6 +56,44 @@ object TwoWriterSmoke {
           .cast("bigint"))).first().getLong(0)
         println(s"VERIFY_OK rows=$n writers=$writers " +
           s"batches=${batches.mkString(",")} fp=$fp")
+      case "writep" =>
+        // hive-partitioned appends through the same CAS commit: each
+        // batch spans two day partitions so later drops split snapshots
+        val (table, writerId, n) = (args(2), args(3), args(4).toInt)
+        (1 to n).foreach { i =>
+          store.appendPartitioned(table, spark.range(100L * i, 100L * i + 10)
+            .select(col("id").as("k"), lit(writerId).as("writer"),
+              lit(i).as("batch"),
+              concat(lit("d"), (col("id") % 2 + i % 4).cast("string"))
+                .as("day")),
+            Seq("day"))
+          Thread.sleep(20)
+        }
+        println(s"WRITER_DONE $writerId $n")
+      case "drop" =>
+        // a THIRD process sweeps partitions committed by the other two —
+        // the manifest it rewrites (and the include/exclusion subset
+        // entries it derives) were produced entirely by foreign JVMs
+        val (table, vals) = (args(2), args(3).split(',').toSeq)
+        val dropped = store.dropPartitions(table, "day", vals)
+        println(s"DROP_DONE committed=$dropped")
+      case "verifyp" =>
+        val (table, expectRows, expectWriters, kept) =
+          (args(2), args(3).toLong, args(4).toInt,
+            args(5).split(',').toSet)
+        val df = store.scan(table)
+        val n = df.count()
+        val writers = df.select("writer").distinct().count()
+        val days = df.select("day").distinct().collect()
+          .map(_.getString(0)).toSet
+        assert(n == expectRows,
+          s"expected $expectRows rows, found $n — a commit or drop was lost")
+        assert(writers == expectWriters.toLong,
+          s"expected $expectWriters writers, found $writers")
+        assert(days == kept, s"expected partitions $kept, found $days")
+        assert(store.partitionValues(table, "day").toSet == kept,
+          "partitionValues must agree with the scanned survivors")
+        println(s"VERIFYP_OK rows=$n writers=$writers days=${days.toSeq.sorted.mkString(",")}")
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

@@ -934,6 +934,43 @@ class PlanSpec extends AnyFunSuite {
       s"lang IN (…) must reach PartitionFilters:\n$p")
   }
 
+  test("multi-snapshot scan: one relation per layout, never an N-way union") {
+    // replay runs merge into manifest-built file-index relations: the
+    // plan of a table with many append snapshots must hold ONE scan node
+    // per layout group, not one per snapshot — at streaming commit
+    // counts the per-snapshot union is a 30s-planning-per-query cliff
+    import org.apache.spark.sql.functions.{col, lit}
+    val store = new graft.table.TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_planspec_ms").toString)
+    val base = spark.range(0, 60).select(
+      col("id").as("k"),
+      (col("id") % 3).cast("string").as("day"),
+      (col("id") * 2).as("v"))
+    (0 until 6).foreach(i =>
+      store.appendPartitioned("t", base.where(col("k") % 6 === i), Seq("day")))
+    val qe = store.scan("t").queryExecution
+    assert(!qe.optimizedPlan.toString.toLowerCase.contains("union"),
+      s"6 same-layout snapshots must merge into one relation:\n${qe.optimizedPlan}")
+    val scans = "Scan parquet".r
+      .findAllIn(qe.executedPlan.toString).length
+    assert(scans == 1, s"expected one parquet scan, saw $scans")
+    assert(store.scan("t").count() == 60)
+    // partition pruning still prunes directories through the merged index
+    val pruned = store.scan("t").where(col("day") === "1")
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: ["), "merged index must keep PartitionFilters")
+    assert(pruned.count() == base.where(col("day") === "1").count())
+    // mixed layouts still split: a flat append alongside partitioned ones
+    store.append("t", spark.range(100, 103).select(col("id").as("k"),
+      lit("9").as("day"), (col("id") * 2).as("v")))
+    val mixed = store.scan("t")
+    val mixedScans = "Scan parquet".r
+      .findAllIn(mixed.queryExecution.executedPlan.toString).length
+    assert(mixedScans == 2,
+      s"flat + partitioned layouts = exactly two relations, saw $mixedScans")
+    assert(mixed.count() == 63)
+  }
+
   test("eval-once barrier: an unrelated predicate still reaches the scan") {
     // the barrier's non-deterministic declaration would stall EVERY
     // conjunct above the pinned projection (PushPredicateThroughNonJoin

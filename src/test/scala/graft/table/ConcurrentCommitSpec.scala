@@ -37,6 +37,43 @@ class ConcurrentCommitSpec extends SparkSpec {
       "one snapshot per committed append")
   }
 
+  test("partitioned appends racing a partition drop: neither commit is lost") {
+    // the drop's CAS derive re-lists snapshot directories from whatever
+    // manifest it reads at commit time; an append landing mid-derive
+    // forces a retry on the fresh manifest — the end state must equal
+    // SOME serial order: every appended batch present, the dropped day
+    // absent from batches the drop saw, and never a half-dropped batch
+    val (store, _) = newStoreAt
+    def batch(i: Int) = spark.range(10L * i, 10L * i + 10)
+      .select(col("id").as("k"), lit(i).as("batch"),
+        concat(lit("d"), (col("id") % 2).cast("string")).as("day"))
+    store.appendPartitioned("t", batch(0), Seq("day"))
+    val appender = new Thread(() => (1 to 8).foreach { i =>
+      store.appendPartitioned("t", batch(i), Seq("day")); Thread.sleep(5)
+    })
+    @volatile var drops = 0
+    val dropper = new Thread(() => (1 to 4).foreach { _ =>
+      if (store.dropPartitions("t", "day", Seq("d0"))) drops += 1
+      Thread.sleep(15)
+    })
+    appender.start(); dropper.start(); appender.join(); dropper.join()
+    assert(drops >= 1, "at least one sweep must commit")
+    val df = store.scan("t")
+    // every batch's d1 half survives every sweep (d1 never dropped)
+    assert(df.where(col("day") === "d1").select("batch").distinct().count() == 9,
+      "a batch's surviving partition went missing — a commit was lost")
+    // d0 rows, if any, belong ONLY to batches appended after the last
+    // committed sweep — and each present batch holds its full 5-row half
+    val d0 = df.where(col("day") === "d0")
+      .groupBy("batch").count().collect()
+    assert(d0.forall(_.getLong(1) == 5L),
+      s"half-dropped batch: ${d0.mkString(",")}")
+    // a final quiesced sweep leaves exactly the d1 halves
+    store.dropPartitions("t", "day", Seq("d0"))
+    assert(store.scan("t").count() == 9 * 5)
+    assert(store.partitionValues("t", "day") == Seq("d1"))
+  }
+
   test("losing the claim re-derives the union: the racer's snapshot is kept") {
     val (store, dir) = newStoreAt
     store.overwrite("t", spark.range(0, 5).toDF("v"))

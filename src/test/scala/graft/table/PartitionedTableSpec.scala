@@ -128,8 +128,9 @@ class PartitionedTableSpec extends SparkSpec {
       "a partition drop must not touch surviving snapshots' data files")
     assert(rows(store.scan("t").select("k", "lang", "v")) ==
       rows(base.where(col("lang") =!= "fr")))
-    // the manifest now holds subset entries
-    assert(store.readManifest("t").exists(_.contains("/lang=")))
+    // the manifest now holds subset entries — include (`/lang=`) or
+    // exclusion (`/!lang=`) form, whichever rendered smaller
+    assert(store.readManifest("t").exists(_.contains("lang=")))
     // idempotent re-drop: nothing left to do
     assert(!store.dropPartitions("t", "lang", Seq("zh")))
     // second drop on the same column (subset entries match by own value)
@@ -236,6 +237,102 @@ class PartitionedTableSpec extends SparkSpec {
     // merged main = post-drop state + the branch's inserts; fr stays gone
     assert(store.scan("t").where(col("lang") === "fr").count() == 0)
     assert(store.scan("t").where(col("k") >= 500).count() == 5)
+  }
+
+  test("exclusion entries: many-partition drop stays ONE manifest entry + ONE pruned scan") {
+    val (store, _) = newStoreAt()
+    // 40 partitions in one snapshot — the compacted-corpus shape
+    val wide = spark.range(0, 400).selectExpr(
+      "id AS k", "CONCAT('d', LPAD(CAST(id % 40 AS STRING), 2, '0')) AS day",
+      "CAST(id AS DOUBLE) AS v")
+    store.overwritePartitioned("t", wide, Seq("day"))
+    // drop 5 of 40: kept(35) > dead(5) → exclusion form, not 35 entries
+    val dropped = Seq("d03", "d07", "d11", "d23", "d36")
+    assert(store.dropPartitions("t", "day", dropped))
+    val entries = store.readManifest("t")
+    assert(entries.sizeIs == 1 && entries.head.contains("/!day="),
+      s"5-of-40 drop must render as one exclusion entry: $entries")
+    assert(rows(store.scan("t").select("k", "day", "v")) ==
+      rows(wide.where(!col("day").isin(dropped: _*))))
+    // the dropped values must prune at DIRECTORY level (PartitionFilters),
+    // keeping the scan a single relation
+    val qe = store.scan("t").queryExecution
+    assert(qe.executedPlan.toString.contains("PartitionFilters:"),
+      s"exclusion filter must reach PartitionFilters:\n${qe.executedPlan}")
+    assert(!qe.optimizedPlan.toString.toLowerCase.contains("union"),
+      "an exclusion-entry scan must not fragment into a union")
+    // partitionValues sees through the exclusion
+    assert(store.partitionValues("t", "day").sizeIs == 35)
+    assert(!store.partitionValues("t", "day").exists(dropped.contains))
+    // a second sweep MERGES into the same single entry
+    assert(store.dropPartitions("t", "day", Seq("d00", "d01")))
+    val entries2 = store.readManifest("t")
+    assert(entries2.sizeIs == 1 && entries2.head.contains("/!day=d00"),
+      s"repeated sweeps must fold into one exclusion entry: $entries2")
+    assert(store.scan("t").count() == wide.where(
+      !col("day").isin((dropped ++ Seq("d00", "d01")): _*)).count())
+    // idempotent re-drop of already-excluded values: no commit
+    assert(!store.dropPartitions("t", "day", Seq("d03", "d00")))
+    // flipping sides: drop almost everything → folds back to include form
+    val keep = Seq("d05", "d06")
+    val killRest = (0 until 40).map(i => f"d$i%02d").filterNot(keep.contains)
+    assert(store.dropPartitions("t", "day", killRest))
+    val entries3 = store.readManifest("t")
+    assert(entries3.sizeIs == 2 && entries3.forall(_.contains("/day=")),
+      s"2 survivors must render as include entries: $entries3")
+    assert(rows(store.scan("t").select("k", "day", "v")) ==
+      rows(wide.where(col("day").isin(keep: _*))))
+  }
+
+  test("exclusion entries compose with DVs, time travel, zone maps and compact") {
+    val (store, _) = newStoreAt(retain = 4)
+    val wide = spark.range(0, 300).selectExpr(
+      "id AS k", "CONCAT('d', CAST(id % 10 AS STRING)) AS day",
+      "CAST(id AS DOUBLE) AS v")
+    store.overwritePartitioned("t", wide, Seq("day")) // v1
+    store.deleteByKeysDV("t", Seq("k"),
+      spark.range(0, 30).selectExpr("id AS k")) // v2
+    assert(store.dropPartitions("t", "day", Seq("d1", "d2"))) // v3: excl form
+    assert(store.readManifest("t").exists(_.contains("/!day=")))
+    val expect = wide.where(!col("day").isin("d1", "d2") && col("k") >= 30)
+    assert(rows(store.scan("t").select("k", "day", "v")) == rows(expect))
+    // time travel: pre-drop version still whole
+    val vs = store.versions("t")
+    assert(store.scanAsOf("t", vs.head).count() == 300)
+    // zone-map pruned reads respect the exclusion (file skipping + filter)
+    store.analyzeZoneMaps("t", Seq("k"))
+    assert(rows(store.scanPruned("t", "k", 0L, 400L).select("k", "day", "v"))
+      == rows(expect))
+    // retention cascade entry point: expire below a cutoff over excl form
+    assert(store.expirePartitionsBelow("t", "day", "d4"))
+    assert(store.scan("t").where(col("day") < "d4").count() == 0)
+    // compact folds the exclusion away into one plain snapshot
+    store.compact("t", maxSnapshots = 0)
+    assert(store.readManifest("t").sizeIs == 1)
+    assert(rows(store.scan("t").select("k", "day", "v")) ==
+      rows(expect.where(col("day") >= "d4")))
+  }
+
+  test("exclusion entry at the second partition level (include-prefixed)") {
+    val (store, _) = newStoreAt()
+    val two = spark.range(0, 200).selectExpr(
+      "id AS k", "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END AS lang",
+      "CONCAT('s', CAST(id % 9 AS STRING)) AS source",
+      "CAST(id AS DOUBLE) AS v")
+    store.overwritePartitioned("t", two, Seq("lang", "source"))
+    assert(store.dropPartitions("t", "lang", Seq("de")))   // include: lang=en
+    assert(store.dropPartitions("t", "source", Seq("s3", "s4"))) // excl at L2
+    val entries = store.readManifest("t")
+    assert(entries.sizeIs == 1 &&
+      entries.head.contains("/lang=en/!source="), entries.toString)
+    assert(rows(store.scan("t").select("k", "lang", "source", "v")) ==
+      rows(two.where(col("lang") === "en" && !col("source").isin("s3", "s4"))))
+    // a third level does not exist → strict contract error, not silence
+    intercept[IllegalArgumentException](
+      store.dropPartitions("t", "nope", Seq("x")))
+    // partitionValues at the open level sees through the exclusion
+    assert(store.partitionValues("t", "source") ==
+      (0 until 9).map(i => s"s$i").filterNot(Seq("s3", "s4").contains))
   }
 
   test("partition-column validation: missing column and all-columns rejected") {

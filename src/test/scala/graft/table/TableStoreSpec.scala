@@ -44,6 +44,28 @@ class TableStoreSpec extends SparkSpec {
     assert(df.where(col("extra").isNull).count() == 3)
   }
 
+  test("tableSchema: footer fold == scan schema; cache folds append deltas") {
+    val (store, dir) = newStoreAt
+    store.append("t", spark.range(3).toDF("v"))
+    assert(store.tableSchema("t") == store.scan("t").schema)
+    // evolution: the incremental fold (cached prefix + one new footer)
+    // must agree with the union's schema, order included
+    store.append("t", spark.range(2).toDF("v").withColumn("extra", lit("x")))
+    assert(store.tableSchema("t") == store.scan("t").schema)
+    // non-append manifest change (compact) → full recompute, still equal
+    store.compact("t", maxSnapshots = 0)
+    assert(store.tableSchema("t") == store.scan("t").schema)
+    // a SECOND store over the same dir (cold cache) agrees too
+    val again = new TableStore(spark, dir)
+    assert(again.tableSchema("t") == store.scan("t").schema)
+    // and the type-change gate keyed off it still fires
+    val e = intercept[IllegalArgumentException] {
+      store.append("t", spark.range(2).toDF("v")
+        .select(col("v").cast("string").as("v")))
+    }
+    assert(e.getMessage.contains("Type change not allowed"))
+  }
+
   test("append with type change on existing column is a hard error") {
     val store = newStore
     store.append("t", spark.range(3).toDF("v"))
