@@ -1360,9 +1360,6 @@ final class TableStore(spark: SparkSession, root: String,
     assert(done, s"append to $name cannot abort")
   }
 
-  private def checkNoTypeChanges(name: String, existing: DataFrame, incoming: DataFrame): Unit =
-    checkNoTypeChanges(name, existing.schema, incoming)
-
   private def checkNoTypeChanges(name: String, existing: org.apache.spark.sql.types.StructType,
       incoming: DataFrame): Unit = {
     val old = existing.fields.map(f => f.name -> f.dataType).toMap
@@ -1428,6 +1425,15 @@ final class TableStore(spark: SparkSession, root: String,
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[
       String, (Seq[String], org.apache.spark.sql.types.StructType)]
+
+  /** Evolved schema of an arbitrary manifest (branch heads, captured
+    * bases) via the same cached footer fold as [[tableSchema]] — no
+    * replay union analyzed just to compare field types. */
+  private def entriesSchema(name: String,
+      entries: Seq[String]): org.apache.spark.sql.types.StructType =
+    try entries.filterNot(isDvEntry).map(entryFooterSchema(name, _))
+      .reduce(mergeEvolved)
+    catch { case _: TypeConflict => readState(name, entries).schema }
 
   /** Read-modify-write rewrite that cannot drop a concurrent commit:
     * derive the new state FROM a basis manifest, then commit conditional
@@ -1745,7 +1751,7 @@ final class TableStore(spark: SparkSession, root: String,
   def appendBranch(name: String, branch: String, df: DataFrame): Unit = {
     val f = branchFile(name, branch)
     require(fs(tableDir(name)).exists(f), s"Branch not found: $name@$branch")
-    checkNoTypeChanges(name, scanBranch(name, branch), df)
+    checkNoTypeChanges(name, entriesSchema(name, readManifestFile(f)), df)
     val snap = writeSnapshot(name, df)
     try TableStore.commitLock(root, name).synchronized {
       atomicWritePointer(tableDir(name), f, readManifestFile(f) :+ snap)

@@ -1913,6 +1913,60 @@ object ScaleSmoke {
       assert(wScan.count() == 14600L - 15 * 20)
     }
 
+    // 40e. RETENTION CASCADE at 2M docs: a governance erasure must reach
+    // the persistent indexes at O(dropped) cost — capture the doomed ids
+    // via a partition-pruned scan, O(metadata) table drop, then
+    // takedown-sized index deletes (near-dup tombstones; BM25 count
+    // negation) — never an index rebuild. Identity check: an exact copy
+    // of a dropped doc must be unfindable through the swept index while
+    // a surviving doc still matches. The wall-clock assertion pins
+    // cascade < build (the rebuild it replaces).
+    time("retention cascade 2M docs x neardup+bm25 indexes") {
+      val days = 20
+      val docs2m = spark.range(0, 2000000L, 1, 64)
+        .select(col("id").as("doc_id"),
+          concat(lit("d"), lpad((col("id") % days).cast("string"), 2, "0"))
+            .as("day"),
+          concat_ws(" ", (0 until 12).map(j =>
+            concat(lit("w"), pmod(col("id") * (j + 3) + j, lit(50000)))): _*)
+            .as("text"))
+      val store = new graft.table.TableStore(spark,
+        java.nio.file.Files.createTempDirectory("graft_sm_retcasc").toString)
+      store.overwritePartitioned("docs", docs2m, Seq("day"))
+      val tb = System.nanoTime()
+      graft.ext.NearDupIndex.buildNearDupIndex(store, "nd", docs2m, "text",
+        "doc_id", numBuckets = 8)
+      graft.ext.Retrieval.buildBm25Index(store, "bm", docs2m, "text",
+        "doc_id", numBuckets = 8)
+      val buildSec = (System.nanoTime() - tb) / 1e9
+      val t0 = System.nanoTime()
+      val swept = graft.ext.Retention.expirePartitionsBelowCascade(store,
+        "docs", "day", cutoff = "d05", idCol = "doc_id",
+        indexes = Seq(graft.ext.Retention.NearDup("nd"),
+          graft.ext.Retention.Bm25("bm", "text", numBuckets = 8)))
+      val cascadeSec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale]   index build ${buildSec}%6.1fs, cascade (5/20 days," +
+        f" 500k docs) ${cascadeSec}%6.1fs")
+      assert(swept, "five partitions must drop")
+      assert(store.scan("docs").count() == 2000000L * (days - 5) / days)
+      // doc 42 lives in d02 (dropped); its exact-clone probe must be dark
+      val probeDropped = docs2m.where(col("doc_id") === 42)
+        .select((col("doc_id") + 9000000L).as("doc_id"), col("text"))
+      val darkHits = graft.ext.NearDupIndex.nearDupAgainstIndex(store, "nd",
+        probeDropped, "text", "doc_id", threshold = 0.8,
+        materialize = false).count()
+      assert(darkHits == 0, s"dropped doc still findable: $darkHits hits")
+      // doc 19 lives in d19 (kept); its clone probe must still match
+      val probeKept = docs2m.where(col("doc_id") === 19)
+        .select((col("doc_id") + 9000001L).as("doc_id"), col("text"))
+      assert(graft.ext.NearDupIndex.nearDupAgainstIndex(store, "nd",
+        probeKept, "text", "doc_id", threshold = 0.8,
+        materialize = false).count() >= 1, "surviving doc must stay findable")
+      assert(cascadeSec < buildSec,
+        f"cascade ($cascadeSec%.1fs) must cost less than the rebuild it " +
+          f"replaces ($buildSec%.1fs)")
+    }
+
     // 40. deletion-vector vs rewrite delete on a 20M-row store table:
     // the DV commit writes only the key list (O(deleted)) while the
     // rewrite path pays the whole table again (O(table)); both must

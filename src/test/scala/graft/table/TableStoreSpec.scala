@@ -401,6 +401,11 @@ class TableStoreSpec extends SparkSpec {
     store.appendBranch("t", "fix", Seq((4L, "d")).toDF("k", "v"))
     assert(store.scan("t").count() == 3)
     assert(store.scanBranch("t", "fix").count() == 4)
+    // branch appends type-check against the BRANCH head's evolved schema
+    // (footer fold), same contract as main appends
+    val te = intercept[IllegalArgumentException](store.appendBranch("t",
+      "fix", Seq((5L, 5.0)).toDF("k", "v")))
+    assert(te.getMessage.contains("Type change not allowed"))
     // a main OVERWRITE (whose commit GCs) must not reap snapshots the
     // branch still references — the fork base and head stay readable
     store.overwrite("t", Seq((1L, "a"), (9L, "z")).toDF("k", "v"))
