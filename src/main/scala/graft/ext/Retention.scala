@@ -33,7 +33,26 @@ import org.apache.spark.sql.functions._
   * (tombstones dedup at probe time via DISTINCT; BM25 re-negation of
   * already-negated docs is prevented by the drop returning false on the
   * second run — re-issue the index deletes manually from the captured
-  * ids if a partial cascade is suspected, or rebuild the index). */
+  * ids if a partial cascade is suspected, or rebuild the index).
+  *
+  * Concurrency: the capture and the drop are bound together — the drop
+  * commits ONLY if the manifest is still the one the capture read
+  * ([[TableStore.dropPartitionsFromBasis]]); a batch appended to a
+  * doomed partition mid-cascade forces a re-capture instead of being
+  * silently dropped from the table while staying findable through
+  * retrieval.
+  *
+  * SYNC CONTRACT: each listed index must cover exactly the table's
+  * indexed docs at capture time — the pairing the streaming
+  * curate-and-index path maintains (every appended batch also
+  * `append*Index`ed, every DV takedown also `deleteFrom*Index`ed). For
+  * the tombstone families an over-capture is harmless (a tombstone for
+  * a never-indexed id matches nothing), but BM25 is COUNT NEGATION:
+  * negating a doc that was never indexed (or negating text that differs
+  * from what was indexed) leaves df/stats residue that skews every
+  * surviving score on the shared terms — `deleteFromBm25Index`'s own
+  * contract, inherited here. If table and index have drifted, rebuild
+  * the index instead of cascading. */
 object Retention {
 
   /** One persistent index built over the table being swept. */
@@ -62,27 +81,43 @@ object Retention {
   ): Boolean = {
     val textCols = indexes.collect { case Bm25(_, t, _) => t }.distinct
     val cols = (idCol +: textCols).distinct
-    // capture BEFORE the drop: partition filters prune the scan to the
-    // doomed directories; eager checkpoint pins the rows past the commit
-    val doomed = store.scan(table)
-      .where(col(partitionCol).isin(values: _*))
-      .select(cols.map(col): _*)
-      .dropDuplicates(Seq(idCol))
-      .localCheckpoint(true)
-    val committed = store.dropPartitions(table, partitionCol, values)
-    if (committed && !doomed.isEmpty) indexes.foreach {
-      case NearDup(n) =>
-        NearDupIndex.deleteFromNearDupIndex(store, n, doomed.select(idCol))
-      case Positional(n) =>
-        Retrieval.deleteFromPositionalIndex(store, n, doomed.select(idCol))
-      case Ivf(n) =>
-        VectorIndex.deleteFromIvfIndex(store, n, doomed.select(idCol))
-      case Bm25(n, textCol, numBuckets) =>
-        Retrieval.deleteFromBm25Index(store, n,
-          doomed.select(col(idCol), col(textCol)), textCol, idCol,
-          numBuckets)
+    var attempt = 0
+    while (attempt < 8) {
+      attempt += 1
+      // capture BEFORE the drop, from the exact manifest the conditional
+      // drop will commit against: partition filters prune the scan to the
+      // doomed directories; eager checkpoint pins the rows past the commit
+      val basis = store.manifestEntries(table)
+      val doomed = store.scanEntries(table, basis)
+        .where(col(partitionCol).isin(values: _*))
+        .select(cols.map(col): _*)
+        .dropDuplicates(Seq(idCol))
+        .localCheckpoint(true)
+      store.dropPartitionsFromBasis(table, partitionCol, values,
+        basis) match {
+        case 1 =>
+          if (!doomed.isEmpty) indexes.foreach {
+            case NearDup(n) =>
+              NearDupIndex.deleteFromNearDupIndex(store, n,
+                doomed.select(idCol))
+            case Positional(n) =>
+              Retrieval.deleteFromPositionalIndex(store, n,
+                doomed.select(idCol))
+            case Ivf(n) =>
+              VectorIndex.deleteFromIvfIndex(store, n, doomed.select(idCol))
+            case Bm25(n, textCol, numBuckets) =>
+              Retrieval.deleteFromBm25Index(store, n,
+                doomed.select(col(idCol), col(textCol)), textCol, idCol,
+                numBuckets)
+          }
+          return true
+        case 0 => return false
+        case _ => () // a commit landed mid-cascade: re-capture and retry
+      }
     }
-    committed
+    throw new IllegalStateException(
+      s"dropPartitionsCascade($table) kept racing concurrent commits — " +
+        "quiesce writers or retry")
   }
 
   /** [[TableStore.expirePartitionsBelow]] + index cascade: drop every

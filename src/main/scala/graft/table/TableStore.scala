@@ -551,21 +551,24 @@ final class TableStore(spark: SparkSession, root: String,
     * instead of OOMing an executor. Threshold <= 0 (broadcast disabled)
     * never hints. */
   private def applyDvRun(name: String, df: DataFrame, run: Seq[String]): DataFrame = {
-    val loaded = run.map { e =>
-      val frame = spark.read.parquet(new Path(tableDir(name), e).toString)
-      val cols = frame.columns.sorted.toIndexedSeq
-      // dv dirs are immutable once committed: stat each once per store,
-      // not once per scan (a takedown-heavy table is also a scan-heavy
-      // table, and the gate must stay metadata-cheap)
-      (cols, frame.select(cols.map(col): _*), entryBytes(name, e))
-    }
-    val order = loaded.map(_._1).distinct // deterministic: first appearance
+    // column set per vector from the CACHED footer (dv dirs are immutable
+    // once committed — no per-scan schema pass, and the size stat caches
+    // the same way: a takedown-heavy table is also a scan-heavy table,
+    // and the gate must stay metadata-cheap)
+    val metas = run.map { e =>
+      (entryFooterSchema(name, e).fieldNames.sorted.toIndexedSeq, e) }
+    val order = metas.map(_._1).distinct // deterministic: first appearance
     order.foldLeft(df) { (acc, cols) =>
-      val group = loaded.filter(_._1 == cols)
-      val keys = group.map(_._2).reduce(_ union _)
+      val group = metas.collect { case (c, e) if c == cols => e }
+      // one MULTI-PATH relation per key-column set, not one relation per
+      // vector — K takedowns before a compaction stay one scan node
+      val keys = spark.read
+        .parquet(group.map(e => new Path(tableDir(name), e).toString): _*)
+        .select(cols.map(col): _*)
       val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
       val side =
-        if (threshold > 0 && group.map(_._3).sum <= threshold) broadcast(keys)
+        if (threshold > 0 &&
+            group.map(entryBytes(name, _)).sum <= threshold) broadcast(keys)
         else keys
       acc.join(side, cols, "left_anti")
     }
@@ -1095,24 +1098,53 @@ final class TableStore(spark: SparkSession, root: String,
     * retention sweep). Returns true iff a commit happened (false = no
     * matching partitions anywhere). */
   def dropPartitions(name: String, partitionCol: String,
-      values: Seq[String]): Boolean = {
+      values: Seq[String]): Boolean =
+    dropPartitionsImpl(name, partitionCol, values, basis = None) == 1
+
+  /** [[dropPartitions]] conditional on the manifest still being `basis` —
+    * the retention-CASCADE primitive: the cascade captures the doomed
+    * doc ids from `basis` BEFORE the drop, and a commit on any other
+    * manifest could drop rows the capture never saw (a batch appended to
+    * a doomed partition mid-cascade) — erased from the table but still
+    * findable through every index. Returns 1 = committed, 0 = nothing to
+    * drop, -1 = the manifest moved (re-capture from the fresh manifest
+    * and retry). */
+  private[graft] def dropPartitionsFromBasis(name: String,
+      partitionCol: String, values: Seq[String],
+      basis: Seq[String]): Int =
+    dropPartitionsImpl(name, partitionCol, values, Some(basis))
+
+  /** Scan of an EXPLICIT manifest — the cascade's capture must read the
+    * exact basis its conditional drop will commit against, not whatever
+    * the manifest says by the time the scan plans. */
+  private[graft] def scanEntries(name: String, entries: Seq[String]): DataFrame =
+    readState(name, entries)
+
+  private def dropPartitionsImpl(name: String, partitionCol: String,
+      values: Seq[String], basis: Option[Seq[String]]): Int = {
     require(values.nonEmpty, "dropPartitions: at least one value")
     val doomed = values.toSet
     val prefix = s"$partitionCol="
-    commitManifestCasOpt(name, cur => {
+    var raced = false
+    val committed = commitManifestCasOpt(name, cur => {
       if (cur.isEmpty) throw new IllegalArgumentException(s"Table not found: $name")
-      val derived = cur.flatMap { e =>
-        if (isDvEntry(e)) Seq(e)
-        else deriveDropped(name, e, partitionCol, prefix, doomed)
-      }
-      if (derived == cur) None
+      raced = basis.exists(_ != cur)
+      if (raced) None
       else {
-        require(derived.exists(!isDvEntry(_)),
-          s"dropPartitions would leave $name with no data — refuse " +
-            "(use overwrite/drop for table-level removal)")
-        Some(derived)
+        val derived = cur.flatMap { e =>
+          if (isDvEntry(e)) Seq(e)
+          else deriveDropped(name, e, partitionCol, prefix, doomed)
+        }
+        if (derived == cur) None
+        else {
+          require(derived.exists(!isDvEntry(_)),
+            s"dropPartitions would leave $name with no data — refuse " +
+              "(use overwrite/drop for table-level removal)")
+          Some(derived)
+        }
       }
     })
+    if (committed) 1 else if (raced) -1 else 0
   }
 
   /** One entry's replacement under a drop of `doomed` values on
@@ -1121,23 +1153,35 @@ final class TableStore(spark: SparkSession, root: String,
       prefix: String, doomed: Set[String]): Seq[String] = {
     val (phys, excl) = parseEntry(e)
     if (excl.nonEmpty) {
-      // an exclusion entry's open level IS its exclusion column: several
-      // of its partitions are live, so any OTHER column is not leading
-      val exclCol = excl.head.takeWhile(_ != '=')
-      if (exclCol != partitionCol)
-        throw new IllegalArgumentException(
-          s"dropPartitions($partitionCol) on $name: entry $e is partition-" +
-            s"filtered on $exclCol (its leading open column) — " +
-            "overwritePartitioned/compact to re-layout first")
-      val p = new Path(tableDir(name), phys)
-      val exclSet = excl.toSet
-      val live = fs(p).listStatus(p).filter(_.isDirectory)
-        .map(_.getPath.getName)
-        .filter(d => d.startsWith(prefix) && !exclSet.contains(d)).toSeq
-      val (dead, kept) = live.partition(d =>
-        doomed.contains(unescapePart(d.stripPrefix(prefix))))
-      if (dead.isEmpty) Seq(e)
-      else representSubset(phys, kept, (exclSet ++ dead).toSeq)
+      // an INCLUDE segment pinning this column takes precedence — the
+      // entry already names its one value at that level (a prior descent),
+      // exclusion or not; without this check a lang-then-source drop
+      // chain would wrongly error on a later lang sweep
+      val ownSeg = phys.split('/').drop(1).find(_.startsWith(prefix))
+      ownSeg match {
+        case Some(seg) =>
+          if (doomed.contains(unescapePart(seg.stripPrefix(prefix)))) Nil
+          else Seq(e)
+        case None =>
+          // the exclusion entry's open level IS its exclusion column:
+          // several of its partitions are live, so any OTHER column is
+          // not leading
+          val exclCol = excl.head.takeWhile(_ != '=')
+          if (exclCol != partitionCol)
+            throw new IllegalArgumentException(
+              s"dropPartitions($partitionCol) on $name: entry $e is partition-" +
+                s"filtered on $exclCol (its leading open column) — " +
+                "overwritePartitioned/compact to re-layout first")
+          val p = new Path(tableDir(name), phys)
+          val exclSet = excl.toSet
+          val live = fs(p).listStatus(p).filter(_.isDirectory)
+            .map(_.getPath.getName)
+            .filter(d => d.startsWith(prefix) && !exclSet.contains(d)).toSeq
+          val (dead, kept) = live.partition(d =>
+            doomed.contains(unescapePart(d.stripPrefix(prefix))))
+          if (dead.isEmpty) Seq(e)
+          else representSubset(phys, kept, (exclSet ++ dead).toSeq)
+      }
     } else {
       val p = new Path(tableDir(name), e)
       val st = fs(p).listStatus(p)
@@ -1205,16 +1249,23 @@ final class TableStore(spark: SparkSession, root: String,
     entries.filterNot(isDvEntry).flatMap { e =>
       val (phys, excl) = parseEntry(e)
       if (excl.nonEmpty) {
-        val exclCol = excl.head.takeWhile(_ != '=')
-        if (exclCol != partitionCol)
-          throw new IllegalArgumentException(
-            s"partitionValues($partitionCol) on $name: entry $e is " +
-              s"partition-filtered on $exclCol (its leading open column)")
-        val p = new Path(tableDir(name), phys)
-        val exclSet = excl.toSet
-        fs(p).listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
-          .filter(d => d.startsWith(prefix) && !exclSet.contains(d))
-          .map(d => unescapePart(d.stripPrefix(prefix))).toSeq
+        // an include segment pinning this column answers directly (same
+        // precedence as in [[deriveDropped]])
+        val ownSeg = phys.split('/').drop(1).find(_.startsWith(prefix))
+        ownSeg match {
+          case Some(seg) => Seq(unescapePart(seg.stripPrefix(prefix)))
+          case None =>
+            val exclCol = excl.head.takeWhile(_ != '=')
+            if (exclCol != partitionCol)
+              throw new IllegalArgumentException(
+                s"partitionValues($partitionCol) on $name: entry $e is " +
+                  s"partition-filtered on $exclCol (its leading open column)")
+            val p = new Path(tableDir(name), phys)
+            val exclSet = excl.toSet
+            fs(p).listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+              .filter(d => d.startsWith(prefix) && !exclSet.contains(d))
+              .map(d => unescapePart(d.stripPrefix(prefix))).toSeq
+        }
       } else {
         val p = new Path(tableDir(name), e)
         val st = fs(p).listStatus(p)
@@ -2070,20 +2121,26 @@ final class TableStore(spark: SparkSession, root: String,
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
         // a file:// mount without hard-link support (CIFS, FAT, some NFS
-        // exports): degrade to the FileContext no-overwrite rename claim —
-        // atomic on any POSIX rename, the same primitive the non-file
-        // branch uses — instead of failing every commit
+        // exports): degrade to O_CREAT|O_EXCL — exclusive create is the
+        // atomic putIfAbsent POSIX and NFSv3+ both guarantee, where a
+        // no-overwrite RENAME on a local mount is Hadoop's exists-check
+        // followed by rename(2) (which silently replaces) and would let
+        // two claimants both "win". Weaker than link(2) only in the
+        // crash window: a claimant dying mid-write leaves a partial
+        // (unsealed) version file, which readHead already refuses to
+        // serve as authoritative — the slot is burned, the committed
+        // state stays CURRENT's.
         case _: UnsupportedOperationException |
             _: java.nio.file.FileSystemException =>
-          val htmp = new Path(dir, tmpName + ".r")
-          val out = fileContext(dir).create(
-            fs(dir).makeQualified(htmp),
-            java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
-              org.apache.hadoop.fs.CreateFlag.OVERWRITE))
-          try out.write(payload)
-          finally out.close()
-          if (claimRename(htmp, dst)) true
-          else { fs(dir).delete(htmp, false); false }
+          try {
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(qdst.toUri.getPath), payload,
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
       } finally {
         java.nio.file.Files.deleteIfExists(tmp); ()
       }

@@ -1879,15 +1879,16 @@ object ScaleSmoke {
       val df = store.scan("t")
       df.queryExecution.executedPlan // force full planning, no execution
       val planSec = (System.nanoTime() - t2) / 1e9
-      println(f"[scale]   sweep ${sweepSec}%6.2fs drop(400 vals) ${dropSec}%6.2fs " +
+      println(f"[scale]   sweep ${sweepSec}%6.2fs drop(200 vals) ${dropSec}%6.2fs " +
         f"plan ${planSec}%6.2fs manifest $entries entries")
       // merged manifest-built file-index reads: planning a 600-snapshot
       // replay must NOT scale as a 600-way union (measured 31 s before
       // the merged read, ~1 s after)
       assert(planSec < 10.0,
         f"scan planning bent at 600 snapshots: ${planSec}%.1fs")
-      // 400 dropped values kill 800 whole snapshots; survivors keep one
-      // entry each — the manifest must not balloon past the live set
+      // 200 dropped values (d000-d199) kill 400 whole snapshots; the 600
+      // survivors keep one entry each — the manifest must not balloon
+      // past the live set
       assert(entries <= 620, s"manifest ballooned: $entries entries")
       assert(df.count() == 2L * 600) // 300 surviving days x 2 snapshots x 2 rows
       assert(sweepSec < 30 && dropSec < 30,

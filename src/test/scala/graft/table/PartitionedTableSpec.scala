@@ -333,6 +333,60 @@ class PartitionedTableSpec extends SparkSpec {
     // partitionValues at the open level sees through the exclusion
     assert(store.partitionValues("t", "source") ==
       (0 until 9).map(i => s"s$i").filterNot(Seq("s3", "s4").contains))
+    // the INCLUDE-pinned level still answers through the exclusion form:
+    // lang is fixed to en by the entry's own path, so a later lang sweep
+    // must match it directly, not error on the source exclusion
+    assert(store.partitionValues("t", "lang") == Seq("en"))
+    assert(!store.dropPartitions("t", "lang", Seq("zz")))
+    store.appendPartitioned("t",
+      spark.range(500, 510).selectExpr("id AS k", "'zh' AS lang",
+        "'s0' AS source", "CAST(id AS DOUBLE) AS v"), Seq("lang", "source"))
+    assert(store.dropPartitions("t", "lang", Seq("en")))
+    assert(store.partitionValues("t", "lang") == Seq("zh"))
+    assert(store.scan("t").count() == 10)
+  }
+
+  test("dropPartitionsFromBasis: stale basis aborts with -1 and commits nothing") {
+    val (store, _) = newStoreAt()
+    store.overwritePartitioned("t", base, Seq("lang"))
+    val basis = store.manifestEntries("t")
+    // a commit lands between capture and drop
+    store.appendPartitioned("t", spark.range(200, 205).selectExpr(
+      "id AS k", "'fr' AS lang", "CAST(id AS DOUBLE) AS v"), Seq("lang"))
+    assert(store.dropPartitionsFromBasis("t", "lang", Seq("fr"), basis) == -1,
+      "a moved manifest must abort the conditional drop")
+    assert(store.scan("t").where(col("lang") === "fr").count() ==
+      base.where(col("lang") === "fr").count() + 5, "nothing may commit")
+    // fresh basis → commits; unmatched values → 0
+    val fresh = store.manifestEntries("t")
+    assert(store.dropPartitionsFromBasis("t", "lang", Seq("fr"), fresh) == 1)
+    assert(store.scan("t").where(col("lang") === "fr").count() == 0)
+    assert(store.dropPartitionsFromBasis("t", "lang", Seq("zz"),
+      store.manifestEntries("t")) == 0)
+  }
+
+  test("null partition values: hive sentinel round-trips; drops spare null rows") {
+    val (store, _) = newStoreAt()
+    val withNulls = spark.range(0, 30).selectExpr(
+      "id AS k",
+      "CASE WHEN id % 3 = 0 THEN NULL ELSE CONCAT('d', CAST(id % 3 AS STRING)) END AS day",
+      "CAST(id AS DOUBLE) AS v")
+    // two snapshots → the merged (file-index) read path, nulls in both
+    store.appendPartitioned("t", withNulls.where(col("k") < 15), Seq("day"))
+    store.appendPartitioned("t", withNulls.where(col("k") >= 15), Seq("day"))
+    assert(rows(store.scan("t").select("k", "day", "v")) == rows(withNulls))
+    assert(store.scan("t").where(col("day").isNull).count() == 10)
+    // dropping a REAL value must spare the null-partition rows
+    assert(store.dropPartitions("t", "day", Seq("d1")))
+    assert(rows(store.scan("t").select("k", "day", "v")) ==
+      rows(withNulls.where(col("day").isNull || col("day") =!= "d1")))
+    assert(store.scan("t").where(col("day").isNull).count() == 10)
+    // and the sentinel itself is droppable like any other directory
+    assert(store.dropPartitions("t", "day",
+      Seq("__HIVE_DEFAULT_PARTITION__")))
+    assert(store.scan("t").where(col("day").isNull).count() == 0)
+    assert(store.scan("t").count() ==
+      withNulls.where(col("day") === "d2").count())
   }
 
   test("partition-column validation: missing column and all-columns rejected") {
