@@ -115,7 +115,8 @@ object StreamingIngest {
       table: String,
       checkpointDir: String,
       partitionCols: Seq[String],
-      derive: DataFrame => DataFrame = identity
+      derive: DataFrame => DataFrame = identity,
+      compactAfterSnapshots: Option[Int] = None
   ): Unit = {
     require(partitionCols.nonEmpty, "partitionedIngestAvailableNow: partition columns")
     val reader = spark.readStream.schema(schema)
@@ -132,6 +133,13 @@ object StreamingIngest {
         val shaped = derive(batch)
         // an empty replayed batch must not litter an empty snapshot
         if (!shaped.isEmpty) store.appendPartitioned(table, shaped, partitionCols)
+        // standing maintenance: fold the micro-batch chain back to one
+        // PARTITIONED snapshot once it crosses the threshold — the
+        // layout-preserving compaction (plain compact would flatten the
+        // hive dirs and break the next retention sweep's O(metadata)
+        // contract), and the point where earlier drops' bytes reclaim
+        compactAfterSnapshots.foreach(n =>
+          store.compactPartitioned(table, partitionCols, maxSnapshots = n))
         ()
       }
       .start()

@@ -1495,7 +1495,8 @@ final class TableStore(spark: SparkSession, root: String,
     * current state (compact, predicate/key deletes, branch merges) must
     * come through here or a racing takedown could be silently
     * resurrected by the rewrite's stale snapshot. */
-  private[table] def rewriteConditional(name: String, what: String)(
+  private[table] def rewriteConditional(name: String, what: String,
+      partitionBy: Seq[String] = Nil)(
       derive: Seq[String] => Option[DataFrame]): Unit = {
     var attempt = 0
     while (attempt < 8) {
@@ -1506,7 +1507,7 @@ final class TableStore(spark: SparkSession, root: String,
       derive(basis) match {
         case None => return // nothing to do at this basis (e.g. compact under threshold)
         case Some(df) =>
-          val snap = writeSnapshot(name, df)
+          val snap = writeSnapshot(name, df, partitionBy = partitionBy)
           val committed = commitOwning(name, snap)(
             cur => if (cur == basis) Some(Seq(snap)) else None)
           if (committed) return
@@ -1623,6 +1624,28 @@ final class TableStore(spark: SparkSession, root: String,
   def compact(name: String, maxSnapshots: Int = 16): Unit =
     rewriteConditional(name, "compact")(basis =>
       if (basis.size > maxSnapshots) Some(readState(name, basis)) else None)
+
+  /** [[compact]] for hive-partitioned tables: fold a long manifest into
+    * ONE partitioned snapshot, preserving the directory layout that
+    * retention sweeps, partition drops, and time-sliced scans prune on —
+    * plain [[compact]] folds to a FLAT snapshot (correct rows, but the
+    * next `dropPartitions` would hard-error on the layout contract and
+    * every erasure thereafter would pay a rewrite). The streaming
+    * maintenance pairing: `partitionedIngestAvailableNow` accrues one
+    * snapshot per micro-batch; this folds them on the same cadence
+    * (no-op at or under `maxSnapshots`), subset/exclusion entries from
+    * prior drops fold away like any other entry, and GC then reclaims
+    * the dropped partitions' bytes. Same conditional-rewrite safety as
+    * [[compact]] — a concurrent append or takedown re-derives instead
+    * of being silently dropped. */
+  def compactPartitioned(name: String, partitionCols: Seq[String],
+      maxSnapshots: Int = 16): Unit = {
+    require(partitionCols.nonEmpty, "compactPartitioned: partition columns")
+    rewriteConditional(name, "compactPartitioned", partitionCols)(basis =>
+      if (basis.size > maxSnapshots)
+        Some(stringifyParts(readState(name, basis), partitionCols))
+      else None)
+  }
 
   /** Schema-only clone — `CREATE TABLE … WHERE 1=0` (warehouse.py:148-151). */
   def createLike(name: String, df: DataFrame): Unit =

@@ -62,6 +62,29 @@ class StreamingPartitionedSpec extends SparkSpec {
       Seq("2026-01-02", "2026-01-03"))
   }
 
+  test("standing compaction folds the micro-batch chain, layout preserved") {
+    val work = Files.createTempDirectory("graft_spart_compact")
+    val src = work.resolve("src"); Files.createDirectories(src)
+    val store = new TableStore(spark, work.resolve("store").toString)
+    def ingest(): Unit =
+      StreamingIngest.partitionedIngestAvailableNow(spark, src.toString,
+        schema, "json", store, "t", work.resolve("ckpt").toString,
+        Seq("day"), compactAfterSnapshots = Some(1))
+    (0 until 3).foreach { i =>
+      writeBatch(src, s"b$i.json",
+        (1L to 10L).map(k => (i * 100 + k, s"2026-01-0${i + 1}", k)))
+      ingest()
+    }
+    // the chain folded back each time it crossed the threshold
+    assert(store.manifestEntries("t").sizeIs <= 2,
+      s"chain must fold: ${store.manifestEntries("t")}")
+    assert(store.scan("t").count() == 30)
+    // and the fold PRESERVED the hive layout: retention still O(metadata)
+    assert(store.partitionValues("t", "day").sizeIs == 3)
+    assert(store.expirePartitionsBelow("t", "day", "2026-01-02"))
+    assert(store.scan("t").count() == 20)
+  }
+
   test("derive computes the partition column before the write") {
     val work = Files.createTempDirectory("graft_spart_derive")
     val src = work.resolve("src"); Files.createDirectories(src)

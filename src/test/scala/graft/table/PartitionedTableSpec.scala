@@ -365,6 +365,33 @@ class PartitionedTableSpec extends SparkSpec {
       store.manifestEntries("t")) == 0)
   }
 
+  test("compactPartitioned folds the chain to ONE partitioned snapshot; drops keep working") {
+    val (store, dir) = newStoreAt()
+    (0 until 5).foreach(i => store.appendPartitioned("t",
+      base.where(col("k") % 5 === i), Seq("lang")))
+    assert(store.dropPartitions("t", "lang", Seq("fr")))
+    val before = rows(store.scan("t").select("k", "lang", "v"))
+    store.compactPartitioned("t", Seq("lang"), maxSnapshots = 0)
+    val entries = store.manifestEntries("t")
+    assert(entries.sizeIs == 1 && !entries.head.contains("/"),
+      s"must fold to one plain partitioned snapshot: $entries")
+    assert(rows(store.scan("t").select("k", "lang", "v")) == before)
+    // the hive layout SURVIVED the fold: retention stays O(metadata)
+    assert(store.partitionValues("t", "lang").toSet == Set("en", "de"))
+    assert(store.dropPartitions("t", "lang", Seq("de")))
+    assert(rows(store.scan("t").select("k", "lang", "v")) ==
+      rows(base.where(col("lang") === "en")))
+    // and the dropped-fr bytes reclaimed with the retired snapshots
+    import scala.jdk.CollectionConverters._
+    val frDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "t"))
+      .iterator().asScala.count(_.getFileName.toString == "lang=fr")
+    assert(frDirs == 0, "compactPartitioned + GC must reclaim dropped bytes")
+    // under the threshold it is a no-op
+    val head = store.manifestEntries("t")
+    store.compactPartitioned("t", Seq("lang"), maxSnapshots = 16)
+    assert(store.manifestEntries("t") == head)
+  }
+
   test("null partition values: hive sentinel round-trips; drops spare null rows") {
     val (store, _) = newStoreAt()
     val withNulls = spark.range(0, 30).selectExpr(
