@@ -137,9 +137,12 @@ object StreamingIngest {
         // PARTITIONED snapshot once it crosses the threshold — the
         // layout-preserving compaction (plain compact would flatten the
         // hive dirs and break the next retention sweep's O(metadata)
-        // contract), and the point where earlier drops' bytes reclaim
-        compactAfterSnapshots.foreach(n =>
-          store.compactPartitioned(table, partitionCols, maxSnapshots = n))
+        // contract), and the point where earlier drops' bytes reclaim.
+        // Guarded on existence: an all-empty replay before the first
+        // data batch has no table to fold and must not fail the stream.
+        if (store.exists(table))
+          compactAfterSnapshots.foreach(n =>
+            store.compactPartitioned(table, partitionCols, maxSnapshots = n))
         ()
       }
       .start()

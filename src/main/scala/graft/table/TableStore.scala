@@ -469,6 +469,20 @@ final class TableStore(spark: SparkSession, root: String,
       leaves.map { case (p, vs) => (p, fixedVals ++ vs) })
   }
 
+  /** The partition-column chain shared by EVERY data entry of `basis`,
+    * or Nil when the layouts are mixed or flat — what a conditional
+    * rewrite writes back so it never silently flattens a uniformly
+    * partitioned table. Cached entry listings make this O(entries)
+    * metadata on first touch. */
+  private def inferredLayout(name: String, basis: Seq[String]): Seq[String] = {
+    val chains = basis.filterNot(isDvEntry)
+      .map(e => enumerateEntry(name, e)._1).distinct
+    chains match {
+      case Seq(one) => one
+      case _        => Nil
+    }
+  }
+
   /** Hive partition subdirectory names of one immutable entry directory,
     * listed once per store. */
   private def listPartDirsCached(p: Path): Seq[String] =
@@ -1033,10 +1047,9 @@ final class TableStore(spark: SparkSession, root: String,
     * so they are cast to string at write and read back as string
     * (partition-type inference is disabled in GraftSession; cast at
     * read for typed values) — and partition
-    * columns are moved to the END of the read schema. [[compact]]
-    * rewrites to an unpartitioned snapshot; re-layout with
-    * `overwritePartitioned(name, scan(name), cols)` on the maintenance
-    * cadence instead. */
+    * columns are moved to the END of the read schema. Maintenance:
+    * [[compactPartitioned]] (or plain [[compact]], which now preserves a
+    * uniform layout) folds the snapshot chain without flattening it. */
   def overwritePartitioned(name: String, df: DataFrame,
       partitionCols: Seq[String]): Unit = {
     requirePartitionCols(df, partitionCols)
@@ -1504,10 +1517,23 @@ final class TableStore(spark: SparkSession, root: String,
       val basis = readManifest(name)
       if (basis.isEmpty)
         throw new IllegalArgumentException(s"Table not found: $name")
+      // rewrites PRESERVE a uniform hive layout: a deleteWhere/compact on
+      // a partitioned table must not silently flatten it — the next
+      // retention sweep would hard-error on the layout contract and every
+      // erasure after it would pay a rewrite. Explicit partitionBy wins;
+      // otherwise the layout every data entry agrees on (mixed or flat →
+      // flat, the old behavior).
+      val layout0 =
+        if (partitionBy.nonEmpty) partitionBy else inferredLayout(name, basis)
       derive(basis) match {
         case None => return // nothing to do at this basis (e.g. compact under threshold)
-        case Some(df) =>
-          val snap = writeSnapshot(name, df, partitionBy = partitionBy)
+        case Some(df0) =>
+          // a derivation projecting the layout columns away (not a shape
+          // any current rewrite produces) falls back to flat rather than
+          // failing the write
+          val layout = if (layout0.forall(df0.columns.contains)) layout0 else Nil
+          val df = if (layout.isEmpty) df0 else stringifyParts(df0, layout)
+          val snap = writeSnapshot(name, df, partitionBy = layout)
           val committed = commitOwning(name, snap)(
             cur => if (cur == basis) Some(Seq(snap)) else None)
           if (committed) return
@@ -1620,7 +1646,9 @@ final class TableStore(spark: SparkSession, root: String,
     * compaction restores one columnar scan and FOLDS every deletion
     * vector into the rewrite — the O(table) cost deferred from each
     * O(deleted) takedown, paid once). Atomic like any commit; no-op
-    * below the threshold. */
+    * below the threshold. Like every conditional rewrite, a UNIFORM
+    * hive layout is preserved (mixed or flat folds flat); see
+    * [[compactPartitioned]] to assert a specific layout. */
   def compact(name: String, maxSnapshots: Int = 16): Unit =
     rewriteConditional(name, "compact")(basis =>
       if (basis.size > maxSnapshots) Some(readState(name, basis)) else None)
@@ -1642,9 +1670,19 @@ final class TableStore(spark: SparkSession, root: String,
       maxSnapshots: Int = 16): Unit = {
     require(partitionCols.nonEmpty, "compactPartitioned: partition columns")
     rewriteConditional(name, "compactPartitioned", partitionCols)(basis =>
-      if (basis.size > maxSnapshots)
+      if (basis.size > maxSnapshots) {
+        // a WRONG column list would silently rewrite the table into a
+        // different layout (e.g. day-only over a day/hour table moves
+        // `hour` into the data files and later hour-level drops error);
+        // when the live layout is uniform it must match the request —
+        // a mixed/flat basis is the legitimate re-layout case
+        val actual = inferredLayout(name, basis)
+        require(actual.isEmpty || actual == partitionCols,
+          s"compactPartitioned($name, ${partitionCols.mkString(",")}): " +
+            s"table is uniformly partitioned on ${actual.mkString(",")} — " +
+            "pass that chain, or overwritePartitioned to re-layout")
         Some(stringifyParts(readState(name, basis), partitionCols))
-      else None)
+      } else None)
   }
 
   /** Schema-only clone — `CREATE TABLE … WHERE 1=0` (warehouse.py:148-151). */
@@ -1701,6 +1739,16 @@ final class TableStore(spark: SparkSession, root: String,
       val w = df.write.mode("overwrite")
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
         .parquet(p.toString)
+      // a partitioned write of a ZERO-ROW frame creates no partition dirs
+      // and no data files (a flat empty write leaves a schema-bearing
+      // empty part file) — committing that dir would leave the table
+      // permanently unreadable ('Unable to infer schema'). Detect and
+      // rewrite flat: zero-row snapshots pass the layout contract as the
+      // documented nothing-to-drop case.
+      if (partitionBy.nonEmpty &&
+          !fs(p).listStatus(p).exists(s => s.isDirectory ||
+            s.getPath.getName.startsWith("part-")))
+        df.write.mode("overwrite").parquet(p.toString)
     } catch { case e: Throwable =>
       TableStore.unmarkPending(pendingKey(name, entry)); throw e
     }

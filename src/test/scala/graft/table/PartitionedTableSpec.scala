@@ -383,13 +383,67 @@ class PartitionedTableSpec extends SparkSpec {
       rows(base.where(col("lang") === "en")))
     // and the dropped-fr bytes reclaimed with the retired snapshots
     import scala.jdk.CollectionConverters._
-    val frDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "t"))
-      .iterator().asScala.count(_.getFileName.toString == "lang=fr")
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "t"))
+    val frDirs =
+      try walk.iterator().asScala.count(_.getFileName.toString == "lang=fr")
+      finally walk.close()
     assert(frDirs == 0, "compactPartitioned + GC must reclaim dropped bytes")
     // under the threshold it is a no-op
     val head = store.manifestEntries("t")
     store.compactPartitioned("t", Seq("lang"), maxSnapshots = 16)
     assert(store.manifestEntries("t") == head)
+  }
+
+  test("rewrites preserve a uniform layout: deleteWhere keeps retention O(metadata)") {
+    val (store, _) = newStoreAt()
+    store.overwritePartitioned("t", base, Seq("lang"))
+    store.appendPartitioned("t", spark.range(200, 210).selectExpr(
+      "id AS k", "'en' AS lang", "CAST(id AS DOUBLE) AS v"), Seq("lang"))
+    // a row-level rewrite delete must NOT flatten the hive layout
+    store.deleteWhere("t", col("k") <= 10)
+    assert(store.scan("t").count() ==
+      base.where(col("k") > 10).count() + 10)
+    assert(store.partitionValues("t", "lang").toSet == Set("en", "de", "fr"),
+      "deleteWhere silently flattened the partitioned layout")
+    assert(store.dropPartitions("t", "lang", Seq("fr")),
+      "retention must still be O(metadata) after a rewrite")
+    assert(store.scan("t").where(col("lang") === "fr").count() == 0)
+    // plain compact on the uniform layout also preserves it
+    store.compact("t", maxSnapshots = 0)
+    assert(store.partitionValues("t", "lang").toSet == Set("en", "de"))
+  }
+
+  test("empty partitioned states stay readable (flat zero-row fallback)") {
+    val (store, _) = newStoreAt()
+    // a zero-row partitioned OVERWRITE must not commit a fileless dir
+    store.overwritePartitioned("e", base.where(lit(false)), Seq("lang"))
+    assert(store.scan("e").count() == 0)
+    assert(store.scan("e").columns.contains("k"))
+    // full DV takedown then partitioned compaction: the folded state is
+    // empty; the snapshot must still carry the schema
+    val (s2, _) = newStoreAt()
+    s2.overwritePartitioned("t", base, Seq("lang"))
+    s2.deleteByKeysDV("t", Seq("k"), base.select(col("k")))
+    assert(s2.scan("t").count() == 0)
+    s2.compactPartitioned("t", Seq("lang"), maxSnapshots = 0)
+    assert(s2.scan("t").count() == 0)
+    assert(s2.scan("t").columns.contains("v"))
+  }
+
+  test("compactPartitioned refuses a column list that contradicts the live layout") {
+    val (store, _) = newStoreAt()
+    val two = spark.range(0, 40).selectExpr("id AS k",
+      "CAST(id % 2 AS STRING) AS day", "CAST(id % 4 AS STRING) AS hour",
+      "CAST(id AS DOUBLE) AS v")
+    store.overwritePartitioned("t", two, Seq("day", "hour"))
+    store.appendPartitioned("t", two.where(col("k") < 4), Seq("day", "hour"))
+    val e = intercept[IllegalArgumentException](
+      store.compactPartitioned("t", Seq("day"), maxSnapshots = 0))
+    assert(e.getMessage.contains("uniformly partitioned"))
+    // the full chain folds fine
+    store.compactPartitioned("t", Seq("day", "hour"), maxSnapshots = 0)
+    assert(store.partitionValues("t", "day").toSet == Set("0", "1"))
+    assert(store.scan("t").count() == 44)
   }
 
   test("null partition values: hive sentinel round-trips; drops spare null rows") {
