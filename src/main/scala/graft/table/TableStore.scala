@@ -469,6 +469,19 @@ final class TableStore(spark: SparkSession, root: String,
       leaves.map { case (p, vs) => (p, fixedVals ++ vs) })
   }
 
+  /** [[writeSnapshot]] preserving the uniform hive layout of `basis`
+    * (flat when mixed/flat or when the frame lacks the layout columns) —
+    * the write primitive for rewrite commits that do not go through
+    * [[rewriteConditional]] (branch merge/rebase). */
+  private def writeLayoutPreserving(name: String, basis: Seq[String],
+      df: DataFrame): String = {
+    val layout0 = inferredLayout(name, basis)
+    val layout = if (layout0.forall(df.columns.contains)) layout0 else Nil
+    writeSnapshot(name,
+      if (layout.isEmpty) df else stringifyParts(df, layout),
+      partitionBy = layout)
+  }
+
   /** The partition-column chain shared by EVERY data entry of `basis`,
     * or Nil when the layouts are mixed or flat — what a conditional
     * rewrite writes back so it never silently flattens a uniformly
@@ -1946,7 +1959,9 @@ final class TableStore(spark: SparkSession, root: String,
       val merged = tw.ours.join(takeKeys, keys, "left_anti")
         .unionByName(tw.theirs.join(takeKeys, keys, "left_semi"),
           allowMissingColumns = true)
-      val snap = writeSnapshot(name, merged)
+      // like every rewrite: a uniform hive layout on main survives the
+      // merge commit (a flat fold would break the next retention sweep)
+      val snap = writeLayoutPreserving(name, tw.basisMain, merged)
       // commit conditional on BOTH basis states: a concurrent main commit
       // or branch append since the three-way read means the merged
       // snapshot describes a state that no longer exists — fail loudly
@@ -1998,7 +2013,8 @@ final class TableStore(spark: SparkSession, root: String,
       val rebased = tw.ours.join(takeKeys, keys, "left_anti")
         .unionByName(tw.theirs.join(takeKeys, keys, "left_semi"),
           allowMissingColumns = true)
-      val snap = writeSnapshot(name, rebased)
+      // the branch head inherits main's uniform layout the same way
+      val snap = writeLayoutPreserving(name, tw.basisMain, rebased)
       // head first, then base: a crash between the flips leaves a branch
       // whose base still predates the rebase — a later merge re-runs the
       // same three-way and converges (rows already match theirs). The

@@ -237,6 +237,11 @@ class PartitionedTableSpec extends SparkSpec {
     // merged main = post-drop state + the branch's inserts; fr stays gone
     assert(store.scan("t").where(col("lang") === "fr").count() == 0)
     assert(store.scan("t").where(col("k") >= 500).count() == 5)
+    // the merge commit preserved the hive layout: retention still works
+    assert(store.partitionValues("t", "lang").toSet == Set("en", "de"),
+      "mergeBranch silently flattened the partitioned layout")
+    assert(store.dropPartitions("t", "lang", Seq("de")))
+    assert(store.scan("t").where(col("lang") === "de").count() == 0)
   }
 
   test("exclusion entries: many-partition drop stays ONE manifest entry + ONE pruned scan") {
