@@ -1,0 +1,69 @@
+package graft.ext
+
+import graft.table.TableStore
+
+/** The single maintenance entry point — one call an operator schedules on
+  * a cadence instead of remembering eight primitives spread across
+  * compact/compactPartitioned, two sidecar refreshes, four per-family
+  * index compactions, and the retention-journal drain. */
+object Maintenance {
+
+  /** ONE maintenance pass over `table`, in the order that keeps each step
+    * cheap and correct:
+    *
+    *  1. drain any pending retention-cascade journal
+    *     ([[Retention.drainPendingCascades]]) — a crashed cascade's index
+    *     deletes must land before anything compacts the tombstones they
+    *     write;
+    *  2. fold the manifest once it exceeds `maxSnapshots`, LAYOUT-AWARE:
+    *     a uniformly hive-partitioned table folds through
+    *     [[TableStore.compactPartitioned]] (preserving the O(metadata)
+    *     retention contract), anything else through [[TableStore.compact]].
+    *     The fold also materializes accumulated deletion vectors and lets
+    *     GC reclaim dropped partitions' bytes;
+    *  3. refresh the zone-map / Bloom sidecars INCREMENTALLY with their
+    *     own recorded column sets — O(new files) after appends; a fold in
+    *     step 2 rewrites the files, making this the one full re-analyze
+    *     the new layout needs;
+    *  4. physically compact each listed index family (tombstoned rows
+    *     dropped, tombstone table cleared; BM25 postings/df/stats runs
+    *     summed and zero rows dropped). Targets declared with
+    *     `numBuckets = 0` are delete-only and skipped here.
+    *
+    * Observable results are unchanged by construction — every step is a
+    * fold or an equivalence-preserving rewrite; MaintenanceSpec pins scan
+    * rows, probe rows, manifest/sidecar/tombstone sizes across the pass. */
+  def maintain(store: TableStore, table: String,
+      indexes: Seq[Retention.IndexTarget] = Nil,
+      maxSnapshots: Int = 16): Unit = {
+    Retention.drainPendingCascades(store, table)
+    val layout = store.tableLayout(table)
+    if (layout.nonEmpty)
+      store.compactPartitioned(table, layout, maxSnapshots)
+    else store.compact(table, maxSnapshots)
+    val zm = store.zoneMapTable(table)
+    if (store.exists(zm)) {
+      val cols = store.scan(zm).columns.collect {
+        case c if c.endsWith("__min") => c.stripSuffix("__min")
+      }.toSeq
+      if (cols.nonEmpty) store.refreshZoneMaps(table, cols)
+    }
+    val bt = store.bloomTable(table)
+    if (store.exists(bt)) {
+      val cols = store.scan(bt).select("column").distinct()
+        .collect().map(_.getString(0)).toSeq
+      if (cols.nonEmpty) store.refreshBloomFilters(table, cols)
+    }
+    indexes.foreach {
+      case Retention.NearDup(n, nb) if nb > 0 =>
+        NearDupIndex.compactNearDupIndex(store, n, nb)
+      case Retention.Positional(n, nb) if nb > 0 =>
+        Retrieval.compactPositionalIndex(store, n, nb)
+      case Retention.Ivf(n, nb) if nb > 0 =>
+        VectorIndex.compactIvfIndex(store, n, nb)
+      case Retention.Bm25(n, _, nb) if nb > 0 =>
+        Retrieval.compactBm25Index(store, n, nb)
+      case _ => () // delete-only target (numBuckets = 0): nothing physical
+    }
+  }
+}

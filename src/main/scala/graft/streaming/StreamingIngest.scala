@@ -47,6 +47,8 @@ final case class FunnelProgress(user_id: Long, stage: Long, t_last: Option[Long]
 
 object StreamingIngest {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.streaming")
+
   /** Incrementally ingest files appearing under `sourceDir` into `table`.
     * Each micro-batch appends (or merges when `uniqueKeys` is set) through
     * the same TableStore used by batch. Processes everything available, then
@@ -140,9 +142,19 @@ object StreamingIngest {
         // contract), and the point where earlier drops' bytes reclaim.
         // Guarded on existence: an all-empty replay before the first
         // data batch has no table to fold and must not fail the stream.
+        // BEST-EFFORT: the appendPartitioned above already committed and
+        // is NOT idempotent — a compaction failure here (e.g. the
+        // conditional rewrite losing 8 races to an external writer) must
+        // not fail the batch, or the checkpoint replay would append the
+        // batch a second time (duplicate rows) just to redo maintenance
+        // the next batch's fold retries anyway.
         if (store.exists(table))
           compactAfterSnapshots.foreach(n =>
-            store.compactPartitioned(table, partitionCols, maxSnapshots = n))
+            try store.compactPartitioned(table, partitionCols, maxSnapshots = n)
+            catch { case scala.util.control.NonFatal(e) =>
+              log.warn(s"standing compaction of $table failed (batch " +
+                "already committed; next batch retries the fold)", e)
+            })
         ()
       }
       .start()

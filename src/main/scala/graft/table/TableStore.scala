@@ -489,7 +489,14 @@ final class TableStore(spark: SparkSession, root: String,
     * metadata on first touch. */
   private def inferredLayout(name: String, basis: Seq[String]): Seq[String] = {
     val chains = basis.filterNot(isDvEntry)
-      .map(e => enumerateEntry(name, e)._1).distinct
+      .map(e => (e, enumerateEntry(name, e)._1))
+      .filterNot { case (e, chain) =>
+        // a zero-row snapshot (the emptied-table fallback shape) carries
+        // no layout information — it must not flatten a uniform chain
+        chain.isEmpty &&
+          isZeroRowDir(new Path(tableDir(name), parseEntry(e)._1))
+      }
+      .map(_._2).distinct
     chains match {
       case Seq(one) => one
       case _        => Nil
@@ -507,6 +514,32 @@ final class TableStore(spark: SparkSession, root: String,
 
   private val partDirsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]
+
+  /** True iff entry directory `p` holds only zero-row `part-` files — the
+    * shape [[writeDataDir]]'s partitioned-write fallback leaves behind
+    * when a rewrite empties a partitioned table (a full DV takedown folded
+    * by compactPartitioned). Such a snapshot carries a schema but no rows
+    * and therefore no layout information: the layout-contract checks
+    * ([[dropPartitions]], [[partitionValues]], [[inferredLayout]]) treat
+    * it as the documented zero-row nothing-to-drop case instead of
+    * hard-erroring a standing retention sweep on a table a takedown
+    * emptied. Footer metadata only (parquet row counts), cached for the
+    * store's lifetime like every immutable-entry stat. */
+  private def isZeroRowDir(p: Path): Boolean =
+    zeroRowCache.computeIfAbsent(
+      fs(p).makeQualified(p).toString,
+      _ => {
+        val parts = fs(p).listStatus(p).filter(s =>
+          !s.isDirectory && s.getPath.getName.startsWith("part-"))
+        java.lang.Boolean.valueOf(parts.nonEmpty && parts.forall { s =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(s, conf))
+          try r.getRecordCount == 0L finally r.close()
+        })
+      }).booleanValue()
+
+  private val zeroRowCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
 
   /** ONE relation over many hive-partitioned snapshot directories: Spark's
     * partition discovery refuses multiple bases, so the partition spec is
@@ -627,6 +660,15 @@ final class TableStore(spark: SparkSession, root: String,
     * Entry strings are the store's internal grammar; treat as opaque. */
   def manifestEntries(name: String): Seq[String] = readManifest(name)
 
+  /** The uniform hive partition-column chain shared by every live data
+    * entry of `name`, or Nil when the layouts are flat or mixed — what
+    * layout-aware maintenance keys on to choose [[compactPartitioned]]
+    * over [[compact]] without being told the layout. Cached directory
+    * metadata only (zero-row fallback snapshots are ignored, like every
+    * layout check). */
+  def tableLayout(name: String): Seq[String] =
+    inferredLayout(name, readManifest(name))
+
   /** Left-anti-join `df` against the DISTINCT values of `keyCol` in table
     * `name`, matching on `df`'s `dfCol` — the tombstone-exclusion shape
     * every persistent index probe and compaction uses. The broadcast hint
@@ -728,14 +770,24 @@ final class TableStore(spark: SparkSession, root: String,
 
   /** The live data files (deletion-vector dirs excluded; an exclusion
     * entry's dropped-partition files too — a sidecar row for a file the
-    * scan can never read would hold the whole sidecar un-foldable). */
+    * scan can never read would hold the whole sidecar un-foldable).
+    * Derived from the manifest's own leaf-directory enumeration, so an
+    * exclusion entry's dropped directories never ENTER the listing —
+    * liveness never rides on substring-matching rendered path strings
+    * (which a filesystem re-encoding hive-escaped `%XX` dir names would
+    * silently break). Pure directory metadata — no parquet relation is
+    * analyzed just to list files. */
   private def dataFiles(name: String): Seq[String] =
     readManifest(name).filterNot(isDvEntry).flatMap { sn =>
-      val (phys, excl) = parseEntry(sn)
-      val files =
-        spark.read.parquet(new Path(tableDir(name), phys).toString).inputFiles
-      val dropDirs = excl.map(d => "/" + d + "/")
-      files.filterNot(f => dropDirs.exists(f.contains))
+      enumerateEntry(name, sn)._2.flatMap { case (leaf, _) =>
+        fs(leaf).listStatus(leaf).collect {
+          case s if !s.isDirectory && s.getPath.getName.startsWith("part-") =>
+            // toUri, not toString: [[pathOf]] normalization parses these
+            // as URIs, and a raw rendering of an escaped-value partition
+            // dir (spaces, '%') is not a parseable URI
+            s.getPath.toUri.toString
+        }
+      }
     }
 
   /** Shared incremental-refresh scaffolding for the sidecar tables:
@@ -1233,7 +1285,7 @@ final class TableStore(spark: SparkSession, root: String,
         case None =>
           val hasData = st.exists(s =>
             !s.isDirectory && s.getPath.getName.startsWith("part-"))
-          if (childDirs.nonEmpty || hasData)
+          if (childDirs.nonEmpty || (hasData && !isZeroRowDir(p)))
             throw new IllegalArgumentException(
               s"dropPartitions($partitionCol) on $name: snapshot $e is " +
                 s"not hive-partitioned on $partitionCol (leading " +
@@ -1305,7 +1357,7 @@ final class TableStore(spark: SparkSession, root: String,
           case None =>
             val hasData = st.exists(s =>
               !s.isDirectory && s.getPath.getName.startsWith("part-"))
-            if (childDirs.nonEmpty || hasData)
+            if (childDirs.nonEmpty || (hasData && !isZeroRowDir(p)))
               throw new IllegalArgumentException(
                 s"partitionValues($partitionCol) on $name: snapshot $e is " +
                   s"not hive-partitioned on $partitionCol (leading column)")

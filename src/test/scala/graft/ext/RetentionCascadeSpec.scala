@@ -104,6 +104,145 @@ class RetentionCascadeSpec extends SparkSpec {
       .exists(_.getLong(0) < 30), "dropped vectors must not be retrievable")
   }
 
+  /** All four index targets over a store at `root`, fresh-built or
+    * cascade-swept. */
+  private def allTargets = Seq(Retention.NearDup("nd"),
+    Retention.Bm25("bm", "text", numBuckets = 2),
+    Retention.Positional("pos"), Retention.Ivf("ivf"))
+
+  private def buildAll(store: graft.table.TableStore,
+      docs: DataFrame): Unit = {
+    NearDupIndex.buildNearDupIndex(store, "nd", docs, "text", "doc_id",
+      numBuckets = 2)
+    Retrieval.buildBm25Index(store, "bm", docs, "text", "doc_id",
+      numBuckets = 2)
+    Retrieval.buildPositionalIndex(store, "pos", docs, "text", "doc_id",
+      numBuckets = 2)
+    VectorIndex.buildIvfIndex(store, "ivf", docs, "vec", "doc_id",
+      nCells = 4, numBuckets = 2)
+  }
+
+  /** Probe rows of all four families against `store`'s indexes — the
+    * cross-store equality fingerprint. */
+  private def probeAll(store: graft.table.TableStore,
+      full: DataFrame): Seq[String] = {
+    val batch = full.where(col("doc_id").isin(5L, 65L))
+      .select((col("doc_id") + 1000L).as("doc_id"),
+        concat(col("text"), lit(" edited")).as("text"))
+    val nd = NearDupIndex.nearDupAgainstIndex(store, "nd", batch, "text",
+      "doc_id", threshold = 0.5, materialize = false)
+    val bm = Retrieval.bm25TopKIndexed(store, "bm",
+      Seq((1L, "w5 w18 w31"), (2L, "w44 w57")), k = 5)
+    val phrase = full.where(col("doc_id") === 40L)
+      .select(col("text")).head.getString(0).split(" ").take(2).mkString(" ")
+    val pos = Retrieval.phraseOccurrences(store, "pos", phrase)
+    val qVecs = full.where(col("doc_id").isin(35L, 80L))
+      .select("doc_id", "vec")
+    val ivf = VectorIndex.ivfTopKIndexed(store, "ivf", qVecs, "vec",
+      "doc_id", k = 3, nProbe = 4)
+    rows(nd) ++ Seq("§") ++ rows(bm) ++ Seq("§") ++ rows(pos) ++
+      Seq("§") ++ rows(ivf)
+  }
+
+  /** The fresh-rebuild fingerprint on the survivors (IVF reuses the swept
+    * store's codebook so cell assignment matches). */
+  private def freshFingerprint(swept: graft.table.TableStore, full: DataFrame,
+      survivors: DataFrame): Seq[String] = {
+    val fresh = tmpStore()
+    NearDupIndex.buildNearDupIndex(fresh, "nd", survivors, "text",
+      "doc_id", numBuckets = 2)
+    Retrieval.buildBm25Index(fresh, "bm", survivors, "text", "doc_id",
+      numBuckets = 2)
+    Retrieval.buildPositionalIndex(fresh, "pos", survivors, "text",
+      "doc_id", numBuckets = 2)
+    VectorIndex.buildIvfIndex(fresh, "ivf", survivors, "vec", "doc_id",
+      nCells = 4, numBuckets = 2, codebook = Some(swept.scan("ivf_cells")))
+    probeAll(fresh, full)
+  }
+
+  /** Run one crash-window scenario: arm the failpoint to die at `label`,
+    * run the cascade (must throw), then recover through a NEW store
+    * instance (the journal is the only survivor of the "process death")
+    * and assert all four families equal a fresh rebuild on survivors. */
+  private def crashRecoverScenario(label: String): Unit = {
+    val full = corpus()
+    val survivors = full.where(col("date") >= "2026-01-02")
+    val dir = java.nio.file.Files.createTempDirectory("graft_retcrash")
+      .toString
+    val s0 = new graft.table.TableStore(spark, dir)
+    s0.overwritePartitioned("docs", full, Seq("date"))
+    buildAll(s0, full)
+    Retention.failpoint = l =>
+      if (l == label) throw new RuntimeException(s"simulated crash at $l")
+    val died =
+      try {
+        Retention.expirePartitionsBelowCascade(s0, "docs", "date",
+          cutoff = "2026-01-02", idCol = "doc_id", indexes = allTargets)
+        false
+      } catch {
+        case e: RuntimeException if e.getMessage.contains("simulated") =>
+          true
+      } finally Retention.failpoint = _ => ()
+    assert(died, s"failpoint $label must fire")
+    // the drop itself committed (every window here is post-drop)…
+    val s1 = new graft.table.TableStore(spark, dir) // "new process"
+    assert(s1.scan("docs").agg(min(col("date"))).head.getString(0)
+      == "2026-01-02")
+    // …and the journal survives the crash
+    assert(s1.exists(Retention.journalStateName("docs")))
+    assert(s1.scan(Retention.journalStateName("docs")).count() > 0)
+    // recovery path #1 per the contract: just re-run the cascade (it
+    // drains pending journals first; this one finds nothing left to drop)
+    val swept2 = Retention.expirePartitionsBelowCascade(s1, "docs", "date",
+      cutoff = "2026-01-02", idCol = "doc_id", indexes = allTargets)
+    assert(!swept2, "nothing left to drop on the re-run")
+    assert(probeAll(s1, full) == freshFingerprint(s1, full, survivors),
+      s"crash at $label: drained indexes must equal a fresh rebuild " +
+        "(BM25 negation replayed once, from the journaled text)")
+    // journal fully drained
+    assert(s1.scan(Retention.journalStateName("docs")).isEmpty)
+    assert(s1.scan(Retention.journalName("docs")).isEmpty)
+  }
+
+  test("crash between drop commit and the commit marker: drain recovers") {
+    crashRecoverScenario("dropped")
+  }
+
+  test("crash between the commit marker and the index deletes: drain recovers") {
+    crashRecoverScenario("committed-mark")
+  }
+
+  test("crash mid-targets: only the missing deletes replay (no BM25 double negation)") {
+    crashRecoverScenario("target-1")
+  }
+
+  test("crash after journaling, before the drop: drain aborts cleanly") {
+    val full = corpus()
+    val dir = java.nio.file.Files.createTempDirectory("graft_retabort")
+      .toString
+    val s0 = new graft.table.TableStore(spark, dir)
+    s0.overwritePartitioned("docs", full, Seq("date"))
+    buildAll(s0, full)
+    Retention.failpoint = l =>
+      if (l == "journaled") throw new RuntimeException("simulated crash")
+    try intercept[RuntimeException] {
+      Retention.expirePartitionsBelowCascade(s0, "docs", "date",
+        cutoff = "2026-01-02", idCol = "doc_id", indexes = allTargets)
+    } finally Retention.failpoint = _ => ()
+    val s1 = new graft.table.TableStore(spark, dir)
+    assert(s1.scan("docs").count() == 90, "drop never committed")
+    Retention.drainPendingCascades(s1, "docs")
+    // aborted: the journal clears and NO index delete was issued — the
+    // docs are still live in the table, erasing them from the indexes
+    // would be the worse failure
+    assert(s1.scan(Retention.journalStateName("docs")).isEmpty)
+    assert(!s1.exists("nd_tombstones"))
+    assert(!s1.exists("pos_pos_tombstones"))
+    assert(!s1.exists("ivf_tombstones"))
+    assert(probeAll(s1, full) == freshFingerprint(s1, full, full),
+      "indexes must still cover the whole (undropped) corpus")
+  }
+
   test("cutoff below every partition is a no-op: no drop, no index writes") {
     val store = tmpStore()
     store.overwritePartitioned("docs", corpus(), Seq("date"))

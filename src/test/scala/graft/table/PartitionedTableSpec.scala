@@ -435,6 +435,31 @@ class PartitionedTableSpec extends SparkSpec {
     assert(s2.scan("t").columns.contains("v"))
   }
 
+  test("emptied partitioned table: layout ops no-op instead of erroring") {
+    // full DV takedown + compactPartitioned leaves ONE flat zero-row
+    // snapshot (the fallback shape) — the standing retention sweep and
+    // every other layout-contract op must treat it as nothing-to-drop,
+    // not crash with 'not hive-partitioned'
+    val (store, _) = newStoreAt()
+    store.overwritePartitioned("t", base, Seq("lang"))
+    store.deleteByKeysDV("t", Seq("k"), base.select(col("k")))
+    store.compactPartitioned("t", Seq("lang"), maxSnapshots = 0)
+    assert(store.partitionValues("t", "lang").isEmpty)
+    assert(!store.expirePartitionsBelow("t", "lang", "zz"))
+    assert(!store.dropPartitions("t", "lang", Seq("en")))
+    assert(store.scan("t").count() == 0)
+    // the zero-row snapshot carries no layout information: partitioned
+    // appends resume, plain compact folds PARTITIONED (not flat), and
+    // retention keeps working afterwards
+    store.appendPartitioned("t", base, Seq("lang"))
+    store.compact("t", maxSnapshots = 0)
+    assert(store.tableLayout("t") == Seq("lang"))
+    assert(store.dropPartitions("t", "lang", Seq("fr")))
+    assert(store.partitionValues("t", "lang").toSet == Set("de", "en"))
+    assert(store.scan("t").count() ==
+      base.where(col("lang") =!= "fr").count())
+  }
+
   test("compactPartitioned refuses a column list that contradicts the live layout") {
     val (store, _) = newStoreAt()
     val two = spark.range(0, 40).selectExpr("id AS k",

@@ -62,6 +62,33 @@ class SidecarRefreshSpec extends SparkSpec {
     })
   }
 
+  test("zone-map refresh after a partition drop of hive-ESCAPED values") {
+    // dropped-partition liveness is derived from the manifest's own leaf
+    // enumeration, not from substring-matching rendered path strings —
+    // values whose hive dir names carry %XX escapes (here '=' and ' ')
+    // are exactly where a path-rendering dependency would silently keep
+    // dropped files live in the sidecar
+    val (store, _) = newStoreAt
+    val df = spark.range(0, 90).selectExpr("id AS k",
+      "CASE WHEN id % 3 = 0 THEN 'a=b' WHEN id % 3 = 1 THEN 'c d' " +
+        "ELSE 'plain' END AS src")
+    store.overwritePartitioned("t", df, Seq("src"))
+    store.analyzeZoneMaps("t", Seq("k"))
+    assert(store.dropPartitions("t", "src", Seq("a=b")))
+    store.refreshZoneMaps("t", Seq("k"))
+    val zm = store.scan(store.zoneMapTable("t"))
+    // sidecar rows for the dropped partition's files are gone: every
+    // surviving stats row covers only k % 3 != 0 rows
+    val liveKs = store.scan("t").select("k").collect().map(_.getLong(0)).toSet
+    val zmCount = zm.agg(sum(col("n_rows"))).first().getLong(0)
+    assert(zmCount == liveKs.size.toLong,
+      s"sidecar must cover exactly the live files' rows, got $zmCount")
+    assert(rows(zm) == {
+      store.analyzeZoneMaps("t", Seq("k"))
+      rows(store.scan(store.zoneMapTable("t")))
+    }, "refresh after an escaped-value drop must equal the full analyze")
+  }
+
   test("zone-map refresh with a changed column set falls back to the full analyze") {
     val (store, _) = newStoreAt
     store.overwrite("t", spark.range(0, 100)
