@@ -99,7 +99,7 @@ object Ext {
   /** The crawl-batch fixture of the near-dup screen gates: edited
     * re-crawls (near-matches) + genuinely fresh docs; shared verbatim
     * with [[incNearDupOracleSql]]'s batchd CTE. */
-  private def nearDupBatch(docs: DataFrame): DataFrame =
+  private[queries] def nearDupBatch(docs: DataFrame): DataFrame =
     docs.where(col("doc_id") % 9 === 0)
       .select((col("doc_id") + 5000000L).as("doc_id"),
         concat(col("text"), lit(" zz near marker")).as("text"))
@@ -2828,7 +2828,7 @@ object Ext {
   /** The BM25 scan-path oracle over an arbitrary corpus expression — the
     * delete gate replays it over `documents` minus the taken-down rows,
     * which a correct negative-increment index must match exactly. */
-  private def bm25OracleSqlOver(src: String): String =
+  private[queries] def bm25OracleSqlOver(src: String): String =
       s"""WITH q(query_id, term) AS (VALUES $bm25QueryValuesSql),
          |base AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM $src),
          |stats AS (SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS sum_dl FROM base),
@@ -2858,7 +2858,13 @@ object Ext {
     * the scan path and both persistent-index gates produce identical
     * output by construction (lossless index), so all three replay it. */
   private lazy val incNearDupOracleSql: String =
-    s"""WITH corpusd AS (SELECT doc_id, text FROM documents),
+    incNearDupOracleSqlOver("documents")
+
+  /** [[incNearDupOracleSql]] with the corpus side swapped — the retention
+    * cascade gate replays the identical screen over the SURVIVING corpus
+    * (a tombstoned doc must behave exactly as if it was never indexed). */
+  private[queries] def incNearDupOracleSqlOver(src: String): String =
+    s"""WITH corpusd AS (SELECT doc_id, text FROM $src),
        |batchd AS (
        |  SELECT doc_id + 5000000 AS doc_id, text || ' zz near marker' AS text
        |  FROM documents WHERE doc_id % 9 = 0

@@ -612,6 +612,41 @@ object Lifecycle {
         .orderBy("l_partkey", "l_suppkey")
     }),
 
+    // governance erasure end-to-end through the CRASH-DURABLE cascade:
+    // partitioned corpus → near-dup LSH + BM25 indexes → expire lang
+    // partitions below 'en' as ONE operation (O(metadata) table drop +
+    // journaled index deletes) → probe both indexes. Tombstones must hide
+    // every dropped doc and the BM25 count negation must cancel exactly,
+    // so both probes must equal the same retrieval computed over the
+    // surviving corpus alone — which is what the oracle replays.
+    "w_retention_cascade" -> ((s, dir) => {
+      val store = new TableStore(s,
+        Files.createTempDirectory("graft_q_retcasc").toString)
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+      store.overwritePartitioned("docs", docs, Seq("lang"))
+      graft.ext.NearDupIndex.buildNearDupIndex(store, "nd", docs, "text",
+        "doc_id", numBuckets = 8)
+      graft.ext.Retrieval.buildBm25Index(store, "bm", docs, "text",
+        "doc_id", numBuckets = 8)
+      val swept = graft.ext.Retention.expirePartitionsBelowCascade(store,
+        "docs", "lang", cutoff = "en", idCol = "doc_id",
+        indexes = Seq(graft.ext.Retention.NearDup("nd"),
+          graft.ext.Retention.Bm25("bm", "text", numBuckets = 8)))
+      require(swept, "w_retention_cascade: the sweep must drop something")
+      val bm = graft.ext.Retrieval.bm25TopKIndexed(store, "bm",
+          Ext.Bm25Queries, k = 10)
+        .select(lit("bm25").as("family"), col("query_id").as("q_id"),
+          col("rank").cast("long").as("rank"), col("doc_id"),
+          col("score").cast("double").as("score"))
+      val nd = graft.ext.NearDupIndex.nearDupAgainstIndex(store, "nd",
+          Ext.nearDupBatch(docs.select("doc_id", "text")), "text", "doc_id",
+          threshold = 0.5)
+        .select(lit("neardup").as("family"), col("batch_id").as("q_id"),
+          lit(0L).as("rank"), col("corpus_id").as("doc_id"),
+          col("jaccard").as("score"))
+      bm.unionByName(nd).orderBy("family", "q_id", "rank", "doc_id")
+    }),
+
     // W2/C2/C4: the WHOLE pipeline (ingest csv → overwrite → append with
     // MAX(_id)+1 continuation → ordered export) as one oracle-checked query
     "pipeline_e2e" -> ((s, dir) => {
@@ -897,6 +932,19 @@ object Lifecycle {
         |FROM lineitem
         |WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 60
         |GROUP BY l_partkey, l_suppkey ORDER BY l_partkey, l_suppkey""".stripMargin,
+
+    "w_retention_cascade" -> {
+      val survivors = "(SELECT doc_id, text FROM documents WHERE lang >= 'en')"
+      s"""SELECT * FROM (
+         |SELECT 'bm25' AS family, query_id AS q_id,
+         |       CAST(rank AS BIGINT) AS rank, doc_id,
+         |       CAST(score AS DOUBLE) AS score
+         |FROM (${Ext.bm25OracleSqlOver(survivors)}) AS b
+         |UNION ALL
+         |SELECT 'neardup', batch_id, 0, corpus_id, jaccard
+         |FROM (${Ext.incNearDupOracleSqlOver(survivors)}) AS n
+         |) AS u ORDER BY family, q_id, rank, doc_id""".stripMargin
+    },
 
     "pipeline_e2e" ->
       """WITH once AS (
