@@ -26,6 +26,57 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val plansPath = sys.env.getOrElse("SPARK_GRAFT_PLANS_OUT", "bench_plans.json")
     val spark = GraftSession.get(s"local[$cpus]", cpus.toInt)
+    // CALIBRATION PROBE (untimed region): two fixed, data-independent
+    // kernels measured before the suite — a pure-CPU mix loop and a small
+    // write/read/delete IO loop, each the median of 5 runs after one
+    // warmup. Round-over-round totals can then be stated in calibrated
+    // units: a uniform timing drift at byte-identical plan shas DIVIDES
+    // OUT as box speed instead of being inferred from ratio uniformity
+    // (two prior rounds' artifacts disagreed 21% with zero plan drift).
+    // The checksum rides into the JSON so the JIT cannot dead-code the
+    // CPU loop.
+    def median5(once: () => Double): Double = {
+      once() // warmup (JIT)
+      val ts = (1 to 5).map(_ => once()).sorted
+      ts(2)
+    }
+    var calChecksum = 0L
+    def cpuOnce(): Double = {
+      val t0 = System.nanoTime()
+      var acc = 0L
+      var i = 0
+      while (i < 600000000) {
+        var h = i.toLong * 0x9E3779B97F4A7C15L
+        h ^= h >>> 32; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 29
+        acc += h
+        i += 1
+      }
+      calChecksum = calChecksum * 31 + acc
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ioBuf = Array.tabulate[Byte](16 << 20)(i => (i * 31).toByte)
+    def ioOnce(): Double = {
+      val t0 = System.nanoTime()
+      var j = 0
+      while (j < 4) {
+        val p = java.nio.file.Files.createTempFile("graft_cal", ".bin")
+        java.nio.file.Files.write(p, ioBuf)
+        val r = java.nio.file.Files.readAllBytes(p)
+        calChecksum = calChecksum * 31 + r(r.length - 1).toLong
+        java.nio.file.Files.delete(p)
+        j += 1
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def cal(v: Double): String =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val calibrationJson = {
+      val cpuSec = median5(cpuOnce _)
+      val ioSec = median5(ioOnce _)
+      s"""{"cpu_sec":${cal(cpuSec)},"io_sec":${cal(ioSec)},""" +
+        s""""cpu_iters":600000000,"io_bytes":${(16 << 20) * 4L},""" +
+        s""""checksum":"${java.lang.Long.toHexString(calChecksum)}"}"""
+    }
     var lastPlanned: org.apache.spark.sql.DataFrame = null
     def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try {
@@ -149,7 +200,7 @@ object Bench {
       .mkString("{", ",", "}")
     val setupTotal = setupTimes.map(_._2).sum
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$planJson,"plan_drift":$driftJson,"setup":$setupJson,"setup_total":$setupTotal,"repeat":$repeat,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"plans":$planJson,"plan_drift":$driftJson,"setup":$setupJson,"setup_total":$setupTotal,"calibration":$calibrationJson,"repeat":$repeat,"sf":"$sfDir"}"""
     if (outPath.nonEmpty) {
       val w = new java.io.PrintWriter(outPath)
       try w.println(line) finally w.close()
@@ -173,7 +224,7 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(20)
       .map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"plan_drift":$driftJson,"setup_total":${ms(setupTotal)},"repeat":$repeat,"full":"$outPath","plans_file":"$plansPath","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"plan_drift":$driftJson,"setup_total":${ms(setupTotal)},"calibration":$calibrationJson,"repeat":$repeat,"full":"$outPath","plans_file":"$plansPath","sf":"$sfDir"}"""
     spark.stop()
     println(line)
     println(compact)
