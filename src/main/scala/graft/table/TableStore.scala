@@ -1538,17 +1538,68 @@ final class TableStore(spark: SparkSession, root: String,
 
   private final class TypeConflict extends RuntimeException
 
+  /** Numeric widening for a common field whose type differs between
+    * snapshots (legacy/mixed-writer histories — store appends type-check,
+    * so new tables can't produce this). The result must satisfy BOTH
+    * masters at once: equal Spark's own tightest-common-type (what the
+    * per-snapshot unionByName chain would coerce to, so the fold stays a
+    * faithful stand-in for the replay) AND be a widening the parquet
+    * readers support as a read schema over the NARROWER physical files
+    * (integral→long, integral/float→double — the SPARK-40876 matrix,
+    * pinned by TableStoreSpec), because [[readState]]'s merged run hands
+    * the folded schema straight to the scan. Everything else —
+    * string-vs-numeric, decimal drift, long→float precedence loss —
+    * stays a [[TypeConflict]]. */
+  private def widenedType(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType
+  ): Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    val integral = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+    def isIntegral(t: DataType) = integral.contains(t)
+    (a, b) match {
+      case _ if a == b => Some(a)
+      case _ if isIntegral(a) && isIntegral(b) =>
+        Some(integral(math.max(integral.indexOf(a), integral.indexOf(b))))
+      case (DoubleType, o) if isIntegral(o) && o != LongType => Some(DoubleType)
+      case (o, DoubleType) if isIntegral(o) && o != LongType => Some(DoubleType)
+      case (DoubleType, FloatType) | (FloatType, DoubleType) =>
+        Some(DoubleType)
+      case _ => None
+    }
+  }
+
   /** Field-addition merge matching `unionByName(allowMissingColumns)`
     * column order: left fields first, right's new fields appended. A
-    * common field whose type differs signals [[TypeConflict]] — the
-    * caller falls back to the union's own coercion. */
+    * common field whose type differs WIDENS when [[widenedType]] allows
+    * (the merged read then serves even a legacy mixed-type history in one
+    * relation per layout); otherwise it signals [[TypeConflict]] and the
+    * caller falls back to the union's own coercion — LOUDLY, because that
+    * fallback re-opens the O(snapshots) per-snapshot planning path this
+    * fold exists to avoid. */
   private def mergeEvolved(a: org.apache.spark.sql.types.StructType,
       b: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
     val known = a.fields.map(f => f.name -> f.dataType).toMap
-    b.fields.foreach(f => if (known.get(f.name).exists(_ != f.dataType))
-      throw new TypeConflict)
+    val widenTo = b.fields.flatMap { f =>
+      known.get(f.name) match {
+        case Some(t) if t != f.dataType =>
+          widenedType(t, f.dataType) match {
+            case Some(w) => Some(f.name -> w)
+            case None =>
+              TableStore.log.warn(
+                s"schema fold: un-widenable type disagreement on " +
+                  s"'${f.name}' ($t vs ${f.dataType}) — falling back to " +
+                  "per-snapshot relations (O(snapshots) planning); " +
+                  "rewrite the table to restore merged reads")
+              throw new TypeConflict
+          }
+        case _ => None
+      }
+    }.toMap
     org.apache.spark.sql.types.StructType(
-      a.fields ++ b.fields.filterNot(f => known.contains(f.name)))
+      a.fields.map(f => widenTo.get(f.name)
+        .map(w => f.copy(dataType = w)).getOrElse(f)) ++
+        b.fields.filterNot(f => known.contains(f.name)))
   }
 
   private val schemaCache =
@@ -2362,6 +2413,8 @@ final class TableStore(spark: SparkSession, root: String,
 }
 
 object TableStore {
+  private[table] val log = org.slf4j.LoggerFactory.getLogger("graft.table")
+
   /** Data dirs written but not yet referenced by any pointer — a
     * concurrent committer's GC must spare them or a commit racing an
     * in-flight snapshot write would reap the loser's data before its

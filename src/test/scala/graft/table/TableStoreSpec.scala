@@ -528,4 +528,56 @@ class TableStoreSpec extends SparkSpec {
       "post-rebase merge is clean: base advanced past the conflict")
     assert(store.scan("t").first().getDouble(1) == 11.0)
   }
+
+  private def scanRelations(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.size
+
+  test("legacy mixed-type history: supported widenings keep ONE merged relation") {
+    // store appends type-check, so these histories come only from data
+    // written before the contract — committed here through the raw
+    // manifest API. The fold must widen exactly where the parquet readers
+    // can serve the narrower physical files under the widened schema
+    // (integral->long, integral/float->double), matching the union
+    // chain's own coercion.
+    val store = newStore
+    val s1 = store.writeSnapshot("t",
+      spark.range(0, 5).selectExpr("CAST(id AS INT) AS a",
+        "CAST(id AS FLOAT) AS f", "id AS k"))
+    val s2 = store.writeSnapshot("t",
+      spark.range(5, 10).selectExpr("CAST(id AS BIGINT) AS a",
+        "CAST(id AS DOUBLE) AS f", "id AS k", "id * 2 AS extra"))
+    store.commitManifest("t", Seq(s1, s2))
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    assert(store.tableSchema("t")("a").dataType == LongType)
+    assert(store.tableSchema("t")("f").dataType == DoubleType)
+    val df = store.scan("t")
+    assert(df.schema("a").dataType == LongType)
+    assert(scanRelations(df) == 1,
+      "a widenable type evolution must not re-open per-snapshot planning")
+    assert(df.select("a").collect().map(_.getLong(0)).sorted.toSeq
+      == (0L to 9L))
+    assert(df.select("f").collect().map(_.getDouble(0)).sorted.toSeq
+      == (0 to 9).map(_.toDouble))
+    assert(df.where(col("extra").isNotNull).count() == 5)
+  }
+
+  test("un-widenable type disagreement: loud per-snapshot fallback, values correct") {
+    val store = newStore
+    val s1 = store.writeSnapshot("t",
+      spark.range(0, 3).selectExpr("CAST(id AS STRING) AS a", "id AS k"))
+    val s2 = store.writeSnapshot("t",
+      spark.range(3, 6).selectExpr("id AS a", "id AS k"))
+    store.commitManifest("t", Seq(s1, s2))
+    val df = store.scan("t")
+    // the union's own coercion decides (ANSI precedence: string-vs-bigint
+    // resolves to bigint), one relation per snapshot — the documented
+    // degraded path
+    assert(df.schema("a").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(scanRelations(df) == 2)
+    assert(df.select("a").collect().map(_.getLong(0)).sorted.toSeq
+      == (0L to 5L))
+  }
 }
