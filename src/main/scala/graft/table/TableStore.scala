@@ -2305,7 +2305,7 @@ final class TableStore(spark: SparkSession, root: String,
       val tmp = dirPath.resolve(tmpName)
       java.nio.file.Files.write(tmp, payload)
       try {
-        java.nio.file.Files.createLink(
+        TableStore.linkOp(
           java.nio.file.Paths.get(qdst.toUri.getPath), tmp)
         true
       } catch {
@@ -2414,6 +2414,16 @@ final class TableStore(spark: SparkSession, root: String,
 
 object TableStore {
   private[table] val log = org.slf4j.LoggerFactory.getLogger("graft.table")
+
+  /** TEST SEAM: the link(2) primitive the `file://` claim path uses —
+    * ConcurrentCommitSpec swaps it for one that throws
+    * UnsupportedOperationException (a CIFS/FAT/NFS-without-hardlinks
+    * mount) to pin the O_CREAT|O_EXCL degradation path every spec and
+    * smoke otherwise never exercises. Production value is always
+    * `Files.createLink`. */
+  private[table] var linkOp:
+      (java.nio.file.Path, java.nio.file.Path) => Unit =
+    (dst, src) => { java.nio.file.Files.createLink(dst, src); () }
 
   /** Data dirs written but not yet referenced by any pointer — a
     * concurrent committer's GC must spare them or a commit racing an

@@ -217,6 +217,47 @@ class ConcurrentCommitSpec extends SparkSpec {
     assert(store.scan("t").count() == 2, "main untouched")
   }
 
+  test("no-hardlink mounts (O_CREAT|O_EXCL fallback): claims stay exclusive, losers re-derive") {
+    // a file:// mount without link(2) support (CIFS, FAT, some NFS
+    // exports) degrades the claim to exclusive create — the path no spec
+    // or smoke otherwise runs. Pin: the fallback engages, an existing
+    // destination is NEVER clobbered (the putIfAbsent contract), the
+    // loser re-derives onto the next slot, and racing appenders still
+    // all land.
+    val linkCalls = new java.util.concurrent.atomic.AtomicInteger
+    val prev = TableStore.linkOp
+    TableStore.linkOp = (_, _) => {
+      linkCalls.incrementAndGet()
+      throw new UnsupportedOperationException("simulated no-link mount")
+    }
+    try {
+      val dir = Files.createTempDirectory("graft_noln").toString
+      val store = new TableStore(spark, dir, retainVersions = 8)
+      store.overwrite("t", spark.range(0, 3).toDF("v"))
+      assert(linkCalls.get() > 0, "the fallback must actually engage")
+      // a foreign claimant burned the next slot with a partial write:
+      // exclusive create must refuse it and the committer re-derives
+      val burned = java.nio.file.Paths.get(dir, "t", "v-000002")
+      Files.write(burned, "snap-bogus".getBytes(StandardCharsets.UTF_8))
+      store.append("t", spark.range(100, 103).toDF("v"))
+      assert(new String(Files.readAllBytes(burned), StandardCharsets.UTF_8)
+        == "snap-bogus", "an existing destination must never be clobbered")
+      assert(store.versions("t").max == 3L, "loser re-derives to slot 3")
+      assert(store.scan("t").count() == 6)
+      // racing appenders through the fallback: every snapshot lands
+      def appender(offset: Int): Thread = new Thread(() => {
+        for (i <- 0 until 4)
+          store.append("t", spark.range(offset + i, offset + i + 1).toDF("v"))
+      })
+      val a = appender(1000); val b = appender(2000)
+      a.start(); b.start(); a.join(); b.join()
+      assert(store.scan("t").count() == 6 + 8)
+      // unsealed burned slots are never served as heads: the live scan
+      // reflects the real commits, time travel skips the garbage
+      assert(store.scan("t").where(col("v") === 100).count() == 1)
+    } finally TableStore.linkOp = prev
+  }
+
   test("a legacy-format table (untagged CURRENT, unsealed versions) still reads CURRENT") {
     val (store, dir) = newStoreAt
     store.overwrite("t", spark.range(0, 3).toDF("v"))
