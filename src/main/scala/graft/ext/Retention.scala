@@ -286,7 +286,7 @@ object Retention {
     * an index delete and its durability record). */
   private def appendMarker(store: TableStore, table: String, cid: String,
       kind: String, seq: Int): Unit = {
-    val sp = store.scan(journalStateName(table)).sparkSession
+    val sp = org.apache.spark.sql.SparkSession.active
     import sp.implicits._
     store.append(journalStateName(table),
       Seq((cid, seq, kind, "", "", 0))
@@ -327,14 +327,23 @@ object Retention {
     }
   }
 
-  /** Remove one cascade's journal rows (both tables). The tables stay —
-    * zero-row — so repeated cascades pay two tiny rewrites, never a
-    * create/drop churn. */
+  /** Remove one cascade's journal rows. When the cascade owns every state
+    * row (the normal single-operator case) both journal tables DROP — a
+    * pure filesystem delete, no rewrite jobs; rows of a concurrent
+    * cascade keep the tables alive and this one's rows rewrite out. */
   private def clearCascade(store: TableStore, table: String,
       cid: String): Unit = {
-    if (store.exists(journalStateName(table)))
-      store.deleteWhere(journalStateName(table), col("cascade_id") === cid)
-    if (store.exists(journalName(table)))
-      store.deleteWhere(journalName(table), col("__cascade_id") === cid)
+    val stName = journalStateName(table)
+    if (!store.exists(stName)) return
+    val others = store.scan(stName)
+      .where(col("cascade_id") =!= cid).limit(1).count() > 0
+    if (!others) {
+      store.drop(stName)
+      store.drop(journalName(table))
+    } else {
+      store.deleteWhere(stName, col("cascade_id") === cid)
+      if (store.exists(journalName(table)))
+        store.deleteWhere(journalName(table), col("__cascade_id") === cid)
+    }
   }
 }

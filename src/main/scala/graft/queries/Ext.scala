@@ -2860,17 +2860,20 @@ object Ext {
   private lazy val incNearDupOracleSql: String =
     incNearDupOracleSqlOver("documents")
 
-  /** [[incNearDupOracleSql]] with the corpus side swapped — the retention
-    * cascade gate replays the identical screen over the SURVIVING corpus
-    * (a tombstoned doc must behave exactly as if it was never indexed). */
-  private[queries] def incNearDupOracleSqlOver(src: String): String =
+  /** [[incNearDupOracleSql]] with the corpus (and optionally batch) side
+    * swapped — the retention cascade gate replays the identical screen
+    * over the SURVIVING corpus (a tombstoned doc must behave exactly as
+    * if it was never indexed), probing a batch derived from its own
+    * slimmer doc subset. */
+  private[queries] def incNearDupOracleSqlOver(src: String,
+      batchSrc: String = "documents"): String =
     s"""WITH corpusd AS (SELECT doc_id, text FROM $src),
        |batchd AS (
        |  SELECT doc_id + 5000000 AS doc_id, text || ' zz near marker' AS text
-       |  FROM documents WHERE doc_id % 9 = 0
+       |  FROM $batchSrc WHERE doc_id % 9 = 0
        |  UNION ALL
        |  SELECT doc_id + 6000000, 'fresh ' || CAST(doc_id AS VARCHAR)
-       |  FROM documents WHERE doc_id % 9 = 1),
+       |  FROM $batchSrc WHERE doc_id % 9 = 1),
        |${minhashSideCtes("c", "corpusd")},
        |${minhashSideCtes("b", "batchd")},
        |cand AS (

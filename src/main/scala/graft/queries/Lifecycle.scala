@@ -622,7 +622,11 @@ object Lifecycle {
     "w_retention_cascade" -> ((s, dir) => {
       val store = new TableStore(s,
         Files.createTempDirectory("graft_q_retcasc").toString)
-      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+      // a third of the corpus: the gate pays TWO index builds plus the
+      // cascade in-gate (they must rebuild per run — the sweep mutates
+      // them), so it slims like the other in-gate builders
+      val docs = t(s, dir, "documents").where(col("doc_id") % 3 === 0)
+        .select("doc_id", "lang", "text")
       store.overwritePartitioned("docs", docs, Seq("lang"))
       graft.ext.NearDupIndex.buildNearDupIndex(store, "nd", docs, "text",
         "doc_id", numBuckets = 8)
@@ -934,7 +938,10 @@ object Lifecycle {
         |GROUP BY l_partkey, l_suppkey ORDER BY l_partkey, l_suppkey""".stripMargin,
 
     "w_retention_cascade" -> {
-      val survivors = "(SELECT doc_id, text FROM documents WHERE lang >= 'en')"
+      val subset =
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0)"
+      val survivors = "(SELECT doc_id, text FROM documents " +
+        "WHERE lang >= 'en' AND doc_id % 3 = 0)"
       s"""SELECT * FROM (
          |SELECT 'bm25' AS family, query_id AS q_id,
          |       CAST(rank AS BIGINT) AS rank, doc_id,
@@ -942,7 +949,7 @@ object Lifecycle {
          |FROM (${Ext.bm25OracleSqlOver(survivors)}) AS b
          |UNION ALL
          |SELECT 'neardup', batch_id, 0, corpus_id, jaccard
-         |FROM (${Ext.incNearDupOracleSqlOver(survivors)}) AS n
+         |FROM (${Ext.incNearDupOracleSqlOver(survivors, subset)}) AS n
          |) AS u ORDER BY family, q_id, rank, doc_id""".stripMargin
     },
 

@@ -199,9 +199,14 @@ class RetentionCascadeSpec extends SparkSpec {
     assert(probeAll(s1, full) == freshFingerprint(s1, full, survivors),
       s"crash at $label: drained indexes must equal a fresh rebuild " +
         "(BM25 negation replayed once, from the journaled text)")
-    // journal fully drained
-    assert(s1.scan(Retention.journalStateName("docs")).isEmpty)
-    assert(s1.scan(Retention.journalName("docs")).isEmpty)
+    // journal fully drained (tables drop when the last cascade clears)
+    assert(journalGone(s1))
+  }
+
+  private def journalGone(s: graft.table.TableStore): Boolean = {
+    def empty(n: String) = !s.exists(n) || s.scan(n).isEmpty
+    empty(Retention.journalStateName("docs")) &&
+      empty(Retention.journalName("docs"))
   }
 
   test("crash between drop commit and the commit marker: drain recovers") {
@@ -235,7 +240,7 @@ class RetentionCascadeSpec extends SparkSpec {
     // aborted: the journal clears and NO index delete was issued — the
     // docs are still live in the table, erasing them from the indexes
     // would be the worse failure
-    assert(s1.scan(Retention.journalStateName("docs")).isEmpty)
+    assert(journalGone(s1))
     assert(!s1.exists("nd_tombstones"))
     assert(!s1.exists("pos_pos_tombstones"))
     assert(!s1.exists("ivf_tombstones"))
