@@ -286,7 +286,7 @@ object Retention {
     * an index delete and its durability record). */
   private def appendMarker(store: TableStore, table: String, cid: String,
       kind: String, seq: Int): Unit = {
-    val sp = org.apache.spark.sql.SparkSession.active
+    val sp = store.session
     import sp.implicits._
     store.append(journalStateName(table),
       Seq((cid, seq, kind, "", "", 0))

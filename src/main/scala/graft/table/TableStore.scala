@@ -75,7 +75,7 @@ final class TableStore(spark: SparkSession, root: String,
   require(retainVersions >= 1, "retainVersions must be >= 1")
   require(gcGraceMs >= 0L, "gcGraceMs must be >= 0")
 
-  private[table] def session: SparkSession = spark
+  private[graft] def session: SparkSession = spark
   private def conf = spark.sparkContext.hadoopConfiguration
   private[table] def tableDir(name: String) = new Path(root, name)
   private def currentFile(name: String) = new Path(tableDir(name), "CURRENT")
