@@ -41,19 +41,8 @@ object Maintenance {
     if (layout.nonEmpty)
       store.compactPartitioned(table, layout, maxSnapshots)
     else store.compact(table, maxSnapshots)
-    val zm = store.zoneMapTable(table)
-    if (store.exists(zm)) {
-      val cols = store.scan(zm).columns.collect {
-        case c if c.endsWith("__min") => c.stripSuffix("__min")
-      }.toSeq
-      if (cols.nonEmpty) store.refreshZoneMaps(table, cols)
-    }
-    val bt = store.bloomTable(table)
-    if (store.exists(bt)) {
-      val cols = store.scan(bt).select("column").distinct()
-        .collect().map(_.getString(0)).toSeq
-      if (cols.nonEmpty) store.refreshBloomFilters(table, cols)
-    }
+    store.refreshZoneMaps(table)
+    store.refreshBloomFilters(table)
     indexes.foreach {
       case Retention.NearDup(n, nb) if nb > 0 =>
         NearDupIndex.compactNearDupIndex(store, n, nb)

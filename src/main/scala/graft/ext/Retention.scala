@@ -79,6 +79,8 @@ import org.apache.spark.sql.functions._
   * the index instead of cascading. */
 object Retention {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.retention")
+
   /** One persistent index built over the table being swept.
     * `numBuckets` (tombstone families) is only consulted by
     * [[Maintenance.maintain]]'s physical index compaction — 0 means
@@ -125,6 +127,17 @@ object Retention {
       values: Seq[String], idCol: String, indexes: Seq[IndexTarget]
   ): Boolean = {
     drainPendingCascades(store, table)
+    dropCascadeDrained(store, table, partitionCol, values, idCol, indexes)
+  }
+
+  /** [[dropPartitionsCascade]] body after the journal drain — shared with
+    * [[expirePartitionsBelowCascade]], which has already drained (so a
+    * standing no-op sweep still recovers crashed cascades) and must not
+    * pay the probe twice. */
+  private def dropCascadeDrained(
+      store: TableStore, table: String, partitionCol: String,
+      values: Seq[String], idCol: String, indexes: Seq[IndexTarget]
+  ): Boolean = {
     if (indexes.isEmpty)
       return store.dropPartitions(table, partitionCol, values)
     val textCols = indexes.collect { case Bm25(_, t, _) => t }.distinct
@@ -154,8 +167,7 @@ object Retention {
           if (hasDoomed) {
             appendMarker(store, table, cid, CommitKind, -1)
             failpoint("committed-mark")
-            runTargets(store, table, cid, idCol,
-              indexes.zipWithIndex, doneSeqs = Set.empty)
+            runTargets(store, table, cid, idCol, indexes.zipWithIndex)
             clearCascade(store, table, cid)
           }
           return true
@@ -183,7 +195,7 @@ object Retention {
     val doomed = store.partitionValues(table, partitionCol)
       .filter(_ < cutoff)
     doomed.nonEmpty &&
-      dropPartitionsCascade(store, table, partitionCol, doomed, idCol,
+      dropCascadeDrained(store, table, partitionCol, doomed, idCol,
         indexes)
   }
 
@@ -206,7 +218,14 @@ object Retention {
       val targets = rows
         .filterNot(r => Set(CommitKind, DoneKind)(r.getAs[String]("kind")))
         .sortBy(_.getAs[Int]("seq"))
-      if (targets.isEmpty) clearCascade(store, table, cid)
+      // state rows with the payload already cleared = a clearCascade was
+      // interrupted between its two drops; every target had completed
+      // (payload clears only after the last delete) — just finish clearing
+      def payloadGone: Boolean =
+        !store.exists(journalName(table)) ||
+          store.scan(journalName(table))
+            .where(col("__cascade_id") === cid).isEmpty
+      if (targets.isEmpty || payloadGone) clearCascade(store, table, cid)
       else {
         val pcol = targets.head.getAs[String]("partition_col")
         val vals = targets.head.getSeq[String](
@@ -214,12 +233,20 @@ object Retention {
         val idCol = targets.head.getAs[String]("id_col")
         val proceed = committed || {
           // pre-marker crash window: the drop committed iff the doomed
-          // values are gone from the live layout (a table dropped
-          // entirely, or with its layout since re-shaped, drains as an
-          // abort — the indexes for it are being rebuilt anyway)
+          // values are gone from the live layout
           val live =
             try Some(store.partitionValues(table, pcol).toSet)
-            catch { case scala.util.control.NonFatal(_) => None }
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                // table dropped or re-laid-out since the crash: the drop's
+                // fate is unknowable, so this drains as an abort — loudly,
+                // because if the drop DID commit the dropped docs stay
+                // findable until the indexes are rebuilt
+                log.warn(s"pending cascade $cid on $table: liveness probe " +
+                  s"failed (${e.getMessage}) — abandoning its journal; if " +
+                  "the drop committed, rebuild the listed indexes")
+                None
+            }
           live.exists(lv => vals.forall(v => !lv.contains(v))) && {
             appendMarker(store, table, cid, CommitKind, -1); true
           }
@@ -227,10 +254,8 @@ object Retention {
         if (proceed) {
           val pending = targets
             .filterNot(r => done.contains(r.getAs[Int]("seq")))
-            .map { r =>
-              (decodeTarget(r), r.getAs[Int]("seq"))
-            }
-          runTargets(store, table, cid, idCol, pending, done)
+            .map(r => (decodeTarget(r), r.getAs[Int]("seq")))
+          runTargets(store, table, cid, idCol, pending)
         }
         clearCascade(store, table, cid)
       }
@@ -299,31 +324,29 @@ object Retention {
   }
 
   /** Issue the index deletes for one cascade FROM THE JOURNALED payload,
-    * marking each target `__done__` as its delete lands. */
+    * marking each target `__done__` as its delete lands. Callers pass
+    * only not-yet-done targets. */
   private def runTargets(store: TableStore, table: String, cid: String,
-      idCol: String, targets: Seq[(IndexTarget, Int)],
-      doneSeqs: Set[Int]): Unit = {
+      idCol: String, targets: Seq[(IndexTarget, Int)]): Unit = {
     lazy val payload = store.scan(journalName(table))
       .where(col("__cascade_id") === cid)
     targets.foreach { case (t, i) =>
-      if (!doneSeqs.contains(i)) {
-        t match {
-          case NearDup(n, _) =>
-            NearDupIndex.deleteFromNearDupIndex(store, n,
-              payload.select(idCol))
-          case Positional(n, _) =>
-            Retrieval.deleteFromPositionalIndex(store, n,
-              payload.select(idCol))
-          case Ivf(n, _) =>
-            VectorIndex.deleteFromIvfIndex(store, n, payload.select(idCol))
-          case Bm25(n, textCol, numBuckets) =>
-            Retrieval.deleteFromBm25Index(store, n,
-              payload.select(col(idCol), col(textCol)), textCol, idCol,
-              numBuckets)
-        }
-        appendMarker(store, table, cid, DoneKind, i)
-        failpoint(s"target-$i")
+      t match {
+        case NearDup(n, _) =>
+          NearDupIndex.deleteFromNearDupIndex(store, n,
+            payload.select(idCol))
+        case Positional(n, _) =>
+          Retrieval.deleteFromPositionalIndex(store, n,
+            payload.select(idCol))
+        case Ivf(n, _) =>
+          VectorIndex.deleteFromIvfIndex(store, n, payload.select(idCol))
+        case Bm25(n, textCol, numBuckets) =>
+          Retrieval.deleteFromBm25Index(store, n,
+            payload.select(col(idCol), col(textCol)), textCol, idCol,
+            numBuckets)
       }
+      appendMarker(store, table, cid, DoneKind, i)
+      failpoint(s"target-$i")
     }
   }
 
@@ -337,13 +360,19 @@ object Retention {
     if (!store.exists(stName)) return
     val others = store.scan(stName)
       .where(col("cascade_id") =!= cid).limit(1).count() > 0
+    // payload before state, both branches: the state rows are the
+    // cascade's discoverability root, so a crash between the two steps
+    // leaves state-without-payload — which the drain recognizes as a
+    // finished cascade mid-clear and just re-clears. The other order
+    // would strand an invisible orphan payload (captured rows under an
+    // erasure request) that no drain could ever see.
     if (!others) {
-      store.drop(stName)
       store.drop(journalName(table))
+      store.drop(stName)
     } else {
-      store.deleteWhere(stName, col("cascade_id") === cid)
       if (store.exists(journalName(table)))
         store.deleteWhere(journalName(table), col("__cascade_id") === cid)
+      store.deleteWhere(stName, col("cascade_id") === cid)
     }
   }
 }

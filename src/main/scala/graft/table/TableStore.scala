@@ -768,6 +768,30 @@ final class TableStore(spark: SparkSession, root: String,
     overwrite(zmName, next)
   }
 
+  /** [[refreshZoneMaps]] with the sidecar's OWN recorded column set (the
+    * `__min`-suffixed fields — derived from the cached footer fold, no
+    * scan analyzed) — the maintenance-cadence form, so callers can't
+    * drift from the sidecar owner's naming policy. No-op without a
+    * sidecar. */
+  def refreshZoneMaps(name: String): Unit = {
+    val zmName = zoneMapTable(name)
+    if (!exists(zmName)) return
+    val cols = tableSchema(zmName).fieldNames.collect {
+      case c if c.endsWith("__min") => c.stripSuffix("__min")
+    }.toSeq
+    if (cols.nonEmpty) refreshZoneMaps(name, cols)
+  }
+
+  /** [[refreshBloomFilters]] with the sidecar's own recorded column set
+    * (the distinct `column` values). No-op without a sidecar. */
+  def refreshBloomFilters(name: String): Unit = {
+    val btName = bloomTable(name)
+    if (!exists(btName)) return
+    val cols = scan(btName).select("column").distinct().collect()
+      .map(_.getString(0)).toSeq
+    if (cols.nonEmpty) refreshBloomFilters(name, cols)
+  }
+
   /** The live data files (deletion-vector dirs excluded; an exclusion
     * entry's dropped-partition files too — a sidecar row for a file the
     * scan can never read would hold the whole sidecar un-foldable).
@@ -1555,12 +1579,14 @@ final class TableStore(spark: SparkSession, root: String,
       b: org.apache.spark.sql.types.DataType
   ): Option[org.apache.spark.sql.types.DataType] = {
     import org.apache.spark.sql.types._
-    val integral = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+    val integral = Set[DataType](ByteType, ShortType, IntegerType, LongType)
     def isIntegral(t: DataType) = integral.contains(t)
     (a, b) match {
       case _ if a == b => Some(a)
-      case _ if isIntegral(a) && isIntegral(b) =>
-        Some(integral(math.max(integral.indexOf(a), integral.indexOf(b))))
+      // any differing integral pair folds straight to LONG — never to an
+      // intermediate width (int8→int16 promotion is outside the verified
+      // reader matrix; int-class→int64 is in it)
+      case _ if isIntegral(a) && isIntegral(b) => Some(LongType)
       case (DoubleType, o) if isIntegral(o) && o != LongType => Some(DoubleType)
       case (o, DoubleType) if isIntegral(o) && o != LongType => Some(DoubleType)
       case (DoubleType, FloatType) | (FloatType, DoubleType) =>

@@ -542,13 +542,19 @@ class TableStoreSpec extends SparkSpec {
     // (integral->long, integral/float->double), matching the union
     // chain's own coercion.
     val store = newStore
+    val s0 = store.writeSnapshot("t",
+      spark.range(0, 3).selectExpr("CAST(id AS TINYINT) AS a",
+        "CAST(id AS FLOAT) AS f", "id AS k"))
     val s1 = store.writeSnapshot("t",
-      spark.range(0, 5).selectExpr("CAST(id AS INT) AS a",
+      spark.range(3, 5).selectExpr("CAST(id AS SMALLINT) AS a",
+        "CAST(id AS FLOAT) AS f", "id AS k"))
+    val s1b = store.writeSnapshot("t",
+      spark.range(5, 7).selectExpr("CAST(id AS INT) AS a",
         "CAST(id AS FLOAT) AS f", "id AS k"))
     val s2 = store.writeSnapshot("t",
-      spark.range(5, 10).selectExpr("CAST(id AS BIGINT) AS a",
+      spark.range(7, 10).selectExpr("CAST(id AS BIGINT) AS a",
         "CAST(id AS DOUBLE) AS f", "id AS k", "id * 2 AS extra"))
-    store.commitManifest("t", Seq(s1, s2))
+    store.commitManifest("t", Seq(s0, s1, s1b, s2))
     import org.apache.spark.sql.types.{DoubleType, LongType}
     assert(store.tableSchema("t")("a").dataType == LongType)
     assert(store.tableSchema("t")("f").dataType == DoubleType)
@@ -560,7 +566,7 @@ class TableStoreSpec extends SparkSpec {
       == (0L to 9L))
     assert(df.select("f").collect().map(_.getDouble(0)).sorted.toSeq
       == (0 to 9).map(_.toDouble))
-    assert(df.where(col("extra").isNotNull).count() == 5)
+    assert(df.where(col("extra").isNotNull).count() == 3)
   }
 
   test("un-widenable type disagreement: loud per-snapshot fallback, values correct") {
