@@ -262,6 +262,29 @@ object Retention {
     }
   }
 
+  /** Governance introspection: the pending-cascade journal's state rows
+    * for `table` — one row per (cascade, index target) plus progress
+    * markers. Empty frame (correct schema) when nothing is pending. An
+    * operator auditing "is any erasure half-landed?" reads this; a
+    * non-empty result means [[drainPendingCascades]] (or any cascade
+    * call, or [[Maintenance.maintain]]) has recovery work to do. */
+  def pendingCascades(store: TableStore, table: String): DataFrame = {
+    val sp = store.session
+    val stName = journalStateName(table)
+    if (store.exists(stName)) store.scan(stName)
+    else {
+      import sp.implicits._
+      Seq.empty[(String, Int, String, String, String, Int)]
+        .toDF("cascade_id", "seq", "kind", "index_name", "text_col",
+          "num_buckets")
+        .withColumn("id_col", lit(""))
+        .withColumn("partition_col", lit(""))
+        .withColumn("part_values", array().cast("array<string>"))
+        .withColumn("created_ms", lit(0L))
+        .where(lit(false))
+    }
+  }
+
   private def decodeTarget(r: org.apache.spark.sql.Row): IndexTarget =
     r.getAs[String]("kind") match {
       case "neardup"    => NearDup(r.getAs[String]("index_name"))

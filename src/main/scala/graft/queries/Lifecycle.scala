@@ -651,6 +651,36 @@ object Lifecycle {
       bm.unionByName(nd).orderBy("family", "q_id", "rank", "doc_id")
     }),
 
+    // the ONE maintenance entry point is equivalence-preserving by
+    // contract: grow a partitioned table, expire a partition, DV-delete
+    // keys, analyze zone maps, then maintain() — the fold materializes
+    // the deletion vectors, preserves the hive layout, and refreshes the
+    // sidecar with its own recorded columns. The result is read THROUGH
+    // the refreshed zone map (scanPruned), so sidecar correctness is
+    // load-bearing; the oracle computes the plain survivor algebra.
+    "w_maintain_fold" -> ((s, dir) => {
+      val store = new TableStore(s,
+        Files.createTempDirectory("graft_q_maint").toString)
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      store.appendPartitioned("docs",
+        docs.where(col("doc_id") % 2 === 0), Seq("lang"))
+      store.appendPartitioned("docs",
+        docs.where(col("doc_id") % 2 === 1), Seq("lang"))
+      store.expirePartitionsBelow("docs", "lang", "en")
+      store.deleteByKeysDV("docs", Seq("doc_id"),
+        docs.where(col("doc_id") % 11 === 4).select("doc_id"))
+      store.analyzeZoneMaps("docs", Seq("doc_id"))
+      graft.ext.Maintenance.maintain(store, "docs", maxSnapshots = 0)
+      require(store.manifestEntries("docs").sizeIs == 1,
+        "w_maintain_fold: maintain must fold the manifest to one snapshot")
+      require(store.tableLayout("docs") == Seq("lang"),
+        "w_maintain_fold: the fold must preserve the hive layout")
+      store.scanPruned("docs", "doc_id", 100L, 5000L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     // W2/C2/C4: the WHOLE pipeline (ingest csv → overwrite → append with
     // MAX(_id)+1 continuation → ordered export) as one oracle-checked query
     "pipeline_e2e" -> ((s, dir) => {
@@ -952,6 +982,14 @@ object Lifecycle {
          |FROM (${Ext.incNearDupOracleSqlOver(survivors, subset)}) AS n
          |) AS u ORDER BY family, q_id, rank, doc_id""".stripMargin
     },
+
+    "w_maintain_fold" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE lang >= 'en' AND doc_id % 11 <> 4
+        |  AND doc_id BETWEEN 100 AND 5000
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "pipeline_e2e" ->
       """WITH once AS (

@@ -248,6 +248,30 @@ class RetentionCascadeSpec extends SparkSpec {
       "indexes must still cover the whole (undropped) corpus")
   }
 
+  test("pendingCascades: empty before, visible after a crash, empty after drain") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_retpend")
+      .toString
+    val s0 = new graft.table.TableStore(spark, dir)
+    val full = corpus()
+    s0.overwritePartitioned("docs", full, Seq("date"))
+    NearDupIndex.buildNearDupIndex(s0, "nd", full, "text", "doc_id",
+      numBuckets = 2)
+    assert(Retention.pendingCascades(s0, "docs").isEmpty)
+    Retention.failpoint = l =>
+      if (l == "dropped") throw new RuntimeException("simulated")
+    try intercept[RuntimeException] {
+      Retention.expirePartitionsBelowCascade(s0, "docs", "date",
+        cutoff = "2026-01-02", idCol = "doc_id",
+        indexes = Seq(Retention.NearDup("nd")))
+    } finally Retention.failpoint = _ => ()
+    val s1 = new graft.table.TableStore(spark, dir)
+    val pending = Retention.pendingCascades(s1, "docs")
+    assert(pending.where(col("kind") === "neardup").count() == 1,
+      "the half-landed erasure must be visible to a governance audit")
+    Retention.drainPendingCascades(s1, "docs")
+    assert(Retention.pendingCascades(s1, "docs").isEmpty)
+  }
+
   test("cutoff below every partition is a no-op: no drop, no index writes") {
     val store = tmpStore()
     store.overwritePartitioned("docs", corpus(), Seq("date"))
