@@ -364,10 +364,15 @@ object Retention {
         case Ivf(n, _) =>
           VectorIndex.deleteFromIvfIndex(store, n, payload.select(idCol))
         case Bm25(n, textCol, numBuckets) =>
-          Retrieval.deleteFromBm25Index(store, n,
+          // tagged: count negation is not idempotent, and the crash
+          // window between the delete completing and the __done__ marker
+          // landing would otherwise replay it — the tag on the (last)
+          // stats commit proves completion, so the replay skips
+          Retrieval.deleteFromBm25IndexTagged(store, n,
             payload.select(col(idCol), col(textCol)), textCol, idCol,
-            numBuckets)
+            numBuckets, tag = s"rc.$cid.$i")
       }
+      failpoint(s"target-pre-mark-$i")
       appendMarker(store, table, cid, DoneKind, i)
       failpoint(s"target-$i")
     }

@@ -335,10 +335,39 @@ object Retrieval {
     writeBm25Index(store, name, docs, textCol, idCol, numBuckets,
       append = true, sign = -1)
 
+  /** [[deleteFromBm25Index]] with a replay-idempotency `tag`: the STATS
+    * append — the last of the negation's three commits — lands through
+    * [[TableStore.appendTagged]], so the tag's presence in the live stats
+    * manifest proves the whole negation completed, and a replay carrying
+    * the same tag SKIPS instead of negating twice (count negation is not
+    * idempotent — a double run would skew every surviving score on the
+    * shared terms). This is how the retention journal replays a BM25
+    * target whose `__done__` marker was lost to a crash. The tag window
+    * is the live stats manifest, like every append tag: once
+    * [[compactBm25Index]] folds the log the tag is forgotten — which
+    * covers journal drains (prompt by construction), not arbitrarily
+    * delayed re-submission. A crash INSIDE the three appends still
+    * leaves the partial-negation residue the delete contract documents;
+    * the tag closes the completed-but-unrecorded window. */
+  def deleteFromBm25IndexTagged(
+      store: TableStore, name: String,
+      docs: DataFrame, textCol: String, idCol: String,
+      numBuckets: Int, tag: String
+  ): Boolean = {
+    if (store.exists(s"${name}_stats") &&
+        store.hasAppendTag(s"${name}_stats", tag)) false
+    else {
+      writeBm25Index(store, name, docs, textCol, idCol, numBuckets,
+        append = true, sign = -1, statsTag = Some(tag))
+      true
+    }
+  }
+
   private def writeBm25Index(
       store: TableStore, name: String,
       df: DataFrame, textCol: String, idCol: String,
-      numBuckets: Int, append: Boolean, sign: Int = 1
+      numBuckets: Int, append: Boolean, sign: Int = 1,
+      statsTag: Option[String] = None
   ): Unit = {
     val tfAll = df
       .select(col(idCol).cast("bigint").as("doc_id"),
@@ -361,7 +390,12 @@ object Retrieval {
         store.appendBucketed(s"${name}_postings", postings,
           Seq("term"), numBuckets)
         store.appendBucketed(s"${name}_terms", terms, Seq("term"), numBuckets)
-        store.append(s"${name}_stats", stats)
+        // stats LAST, optionally tagged: its tag in the live manifest is
+        // the proof the postings/terms commits above it already landed
+        statsTag match {
+          case Some(t) => store.appendTagged(s"${name}_stats", stats, t); ()
+          case None    => store.append(s"${name}_stats", stats)
+        }
       } else {
         store.overwriteBucketed(s"${name}_postings", postings,
           Seq("term"), numBuckets)

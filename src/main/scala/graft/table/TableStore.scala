@@ -1930,6 +1930,12 @@ final class TableStore(spark: SparkSession, root: String,
     * drops the tagged snapshot from CURRENT, the tag is forgotten — the
     * contract covers streaming replays (which re-run the immediately
     * preceding uncommitted batch), not arbitrarily delayed re-submission. */
+  /** True iff a live snapshot of `name` carries [[appendTagged]]'s `tag`
+    * — the replay-detection probe (the tag window is the live manifest,
+    * exactly appendTagged's own skip check). */
+  def hasAppendTag(name: String, tag: String): Boolean =
+    exists(name) && readManifest(name).exists(_.contains(s"-tag-$tag-"))
+
   def appendTagged(name: String, df: DataFrame, tag: String): Boolean = {
     require(tag.nonEmpty &&
         tag.forall(c => c.isLetterOrDigit || c == '.' || c == '_'),

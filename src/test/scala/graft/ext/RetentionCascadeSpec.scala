@@ -221,6 +221,14 @@ class RetentionCascadeSpec extends SparkSpec {
     crashRecoverScenario("target-1")
   }
 
+  test("crash between a completed BM25 negation and its done marker: tag skips the replay") {
+    // the negation landed (stats tag committed) but the __done__ marker
+    // did not — the drain re-runs the target, and ONLY the stats tag
+    // stands between it and a double negation that would skew every
+    // surviving score on the shared terms
+    crashRecoverScenario("target-pre-mark-1")
+  }
+
   test("crash after journaling, before the drop: drain aborts cleanly") {
     val full = corpus()
     val dir = java.nio.file.Files.createTempDirectory("graft_retabort")
