@@ -8,27 +8,36 @@ import graft.table.TableStore
   * index compactions, and the retention-journal drain. */
 object Maintenance {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.maintenance")
+
   /** ONE maintenance pass over `table`, in the order that keeps each step
     * cheap and correct:
     *
     *  1. drain any pending retention-cascade journal
-    *     ([[Retention.drainPendingCascades]]) — a crashed cascade's index
-    *     deletes must land before anything compacts the tombstones they
-    *     write;
+    *     ([[Retention.drainPendingCascades]], under the table's retention
+    *     lease) — a crashed cascade's index deletes must land before
+    *     anything compacts the tombstones they write;
     *  2. fold the manifest once it exceeds `maxSnapshots`, LAYOUT-AWARE:
     *     a uniformly hive-partitioned table folds through
     *     [[TableStore.compactPartitioned]] (preserving the O(metadata)
-    *     retention contract), anything else through [[TableStore.compact]].
-    *     The fold also materializes accumulated deletion vectors and lets
-    *     GC reclaim dropped partitions' bytes;
+    *     retention contract); an all-flat table through
+    *     [[TableStore.compact]]. A MIXED manifest (partitioned snapshots
+    *     alongside flat ones — a stray flat writer on a partitioned
+    *     table) SKIPS the fold with a loud warning: compact() would
+    *     silently flatten it and the next partition-retention sweep would
+    *     hard-error, breaking a standing pipeline from one scheduled
+    *     call. The fold also materializes accumulated deletion vectors
+    *     and lets GC reclaim dropped partitions' bytes;
     *  3. refresh the zone-map / Bloom sidecars INCREMENTALLY with their
     *     own recorded column sets — O(new files) after appends; a fold in
     *     step 2 rewrites the files, making this the one full re-analyze
     *     the new layout needs;
-    *  4. physically compact each listed index family (tombstoned rows
+    *  4. physically compact each index family (tombstoned rows
     *     dropped, tombstone table cleared; BM25 postings/df/stats runs
-    *     summed and zero rows dropped). Targets declared with
-    *     `numBuckets = 0` are delete-only and skipped here.
+    *     summed and zero rows dropped). `indexes = Nil` resolves to the
+    *     table's REGISTERED index list ([[Retention.registerIndex]]); an
+    *     explicit list is drift-checked against the registry. Targets
+    *     with `numBuckets = 0` are delete-only and skipped here.
     *
     * Observable results are unchanged by construction — every step is a
     * fold or an equivalence-preserving rewrite; MaintenanceSpec pins scan
@@ -37,13 +46,23 @@ object Maintenance {
       indexes: Seq[Retention.IndexTarget] = Nil,
       maxSnapshots: Int = 16): Unit = {
     Retention.drainPendingCascades(store, table)
+    val resolved = Retention.resolveIndexes(store, table, indexes)
     val layout = store.tableLayout(table)
     if (layout.nonEmpty)
       store.compactPartitioned(table, layout, maxSnapshots)
+    else if (store.entryLayouts(table).exists(_.nonEmpty))
+      log.warn(s"maintain($table): manifest holds hive-partitioned " +
+        "snapshots alongside flat ones (MIXED layout) — folding would " +
+        "silently flatten the table and hard-error every later " +
+        "dropPartitions/expirePartitionsBelow sweep; SKIPPING the " +
+        "manifest fold (sidecars and indexes still maintained). Rewrite " +
+        "to one uniform layout (overwritePartitioned, or compact the " +
+        "stray flat snapshots into the partition scheme) to restore " +
+        "folding")
     else store.compact(table, maxSnapshots)
     store.refreshZoneMaps(table)
     store.refreshBloomFilters(table)
-    indexes.foreach {
+    resolved.foreach {
       case Retention.NearDup(n, nb) if nb > 0 =>
         NearDupIndex.compactNearDupIndex(store, n, nb)
       case Retention.Positional(n, nb) if nb > 0 =>

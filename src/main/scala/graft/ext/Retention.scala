@@ -62,9 +62,14 @@ import org.apache.spark.sql.functions._
   * ([[TableStore.dropPartitionsFromBasis]]); a batch appended to a
   * doomed partition mid-cascade forces a re-capture instead of being
   * silently dropped from the table while staying findable through
-  * retrieval. Concurrent cascades on the SAME table from different
-  * processes should be quiesced (the journal, like the underlying index
-  * deletes, assumes one retention operator per table at a time).
+  * retrieval. The one-retention-operator-per-table contract is ENFORCED
+  * by a per-table lease ([[TableStore.tryAcquireLease]], kind
+  * `retention`): every cascade/expire/drain/acknowledge holds it for its
+  * duration, a second operator aborts with [[IllegalStateException]]
+  * instead of racing (two concurrent drains could replay an in-flight,
+  * untagged BM25 negation twice — exactly the residue skew the delete
+  * contract warns about). A crashed operator's lease expires after
+  * [[leaseTtlMs]]; size that above the longest legitimate cascade.
   *
   * SYNC CONTRACT: each listed index must cover exactly the table's
   * indexed docs at capture time — the pairing the streaming
@@ -76,7 +81,11 @@ import org.apache.spark.sql.functions._
   * from what was indexed) leaves df/stats residue that skews every
   * surviving score on the shared terms — `deleteFromBm25Index`'s own
   * contract, inherited here. If table and index have drifted, rebuild
-  * the index instead of cascading. */
+  * the index instead of cascading. The pairing itself is PERSISTED via
+  * [[registerIndex]] (`<table>_indexreg`): with a registry, `indexes =
+  * Nil` cascades every registered family and an explicit list that
+  * disagrees with the registry fails fast — caller discipline upgraded
+  * to a checked contract. */
 object Retention {
 
   private val log = org.slf4j.LoggerFactory.getLogger("graft.retention")
@@ -110,6 +119,113 @@ object Retention {
   def journalName(table: String): String = s"${table}_retjournal"
   def journalStateName(table: String): String = s"${table}_retjournal_state"
 
+  /** Index-registry table of `table` — the PERSISTED table↔index sync
+    * contract (one row per registered index target). */
+  def indexRegistryName(table: String): String = s"${table}_indexreg"
+
+  /** Register `target` as an index maintained over `table` — the persisted
+    * form of the SYNC CONTRACT above, written where the pairing is created
+    * (index build time; the streaming curate-and-index paths register
+    * automatically). Once a registry exists, a cascade/maintain called
+    * with `indexes = Nil` reaches every registered family, and an explicit
+    * list that DRIFTS from the registry fails fast instead of silently
+    * leaving an unlisted index covering erased docs. Idempotent upsert
+    * keyed on (family, index name); the registry is a tiny ordinary store
+    * table (atomic commits, time travel). */
+  def registerIndex(store: TableStore, table: String,
+      target: IndexTarget): Unit = {
+    val sp = store.session
+    import sp.implicits._
+    val (kind, name, textCol, nb) = encodeTarget(target)
+    val row = Seq((kind, name, textCol, nb))
+      .toDF("kind", "index_name", "text_col", "num_buckets")
+      .withColumn("registered_ms", lit(System.currentTimeMillis()))
+    val regName = indexRegistryName(table)
+    if (!store.exists(regName)) store.overwrite(regName, row)
+    else {
+      val kept = store.scan(regName)
+        .where(col("kind") =!= kind || col("index_name") =!= name)
+      store.overwrite(regName, kept.unionByName(row))
+    }
+  }
+
+  /** Remove `indexName` from `table`'s registry (e.g. after dropping the
+    * index) — no-op when absent. */
+  def unregisterIndex(store: TableStore, table: String,
+      indexName: String): Unit = {
+    val regName = indexRegistryName(table)
+    if (store.exists(regName))
+      store.deleteWhere(regName, col("index_name") === indexName)
+  }
+
+  /** The registered index targets of `table` (empty when no registry). */
+  def registeredIndexes(store: TableStore,
+      table: String): Seq[IndexTarget] = {
+    val regName = indexRegistryName(table)
+    if (!store.exists(regName)) Nil
+    else store.scan(regName).collect().toSeq.map(r =>
+      decodeTargetFields(r.getAs[String]("kind"),
+        r.getAs[String]("index_name"), r.getAs[String]("text_col"),
+        r.getAs[Int]("num_buckets")))
+      .sortBy(encodeTarget)
+  }
+
+  /** The identity of a target for drift comparison: family + name, plus
+    * the correctness-bearing BM25 parameters (text column and bucket
+    * count drive the count negation — a disagreement there IS a sync
+    * drift). Tombstone families' `numBuckets` is only a compaction knob
+    * and deliberately not part of the identity. */
+  private def targetKey(t: IndexTarget): (String, String, String, Int) =
+    t match {
+      case NearDup(n, _)    => ("neardup", n, "", 0)
+      case Positional(n, _) => ("positional", n, "", 0)
+      case Ivf(n, _)        => ("ivf", n, "", 0)
+      case Bm25(n, tc, nb)  => ("bm25", n, tc, nb)
+    }
+
+  /** Resolve the effective index list for a cascade: no registry → the
+    * caller's list (the documented caller-discipline mode); registry +
+    * empty list → the registered targets; registry + explicit list →
+    * the lists must AGREE (by [[targetKey]]) or the cascade fails fast —
+    * an index registered but not listed would keep serving erased docs,
+    * one listed but never registered suggests the registry is stale. */
+  private[ext] def resolveIndexes(store: TableStore, table: String,
+      listed: Seq[IndexTarget]): Seq[IndexTarget] = {
+    val reg = registeredIndexes(store, table)
+    if (reg.isEmpty) listed
+    else if (listed.isEmpty) reg
+    else {
+      val rk = reg.map(targetKey).toSet
+      val lk = listed.map(targetKey).toSet
+      require(rk == lk,
+        s"index registry drift on $table: registered=" +
+          s"${rk.toSeq.sorted.mkString("[", ", ", "]")} vs listed=" +
+          s"${lk.toSeq.sorted.mkString("[", ", ", "]")} — fix with " +
+          "registerIndex/unregisterIndex (or pass indexes = Nil to use " +
+          "the registry); cascading past a drift would leave an index " +
+          "serving erased docs or negate one that never indexed them")
+      listed
+    }
+  }
+
+  private def encodeTarget(t: IndexTarget): (String, String, String, Int) =
+    t match {
+      case NearDup(n, nb)    => ("neardup", n, "", nb)
+      case Positional(n, nb) => ("positional", n, "", nb)
+      case Ivf(n, nb)        => ("ivf", n, "", nb)
+      case Bm25(n, tc, nb)   => ("bm25", n, tc, nb)
+    }
+
+  private def decodeTargetFields(kind: String, name: String,
+      textCol: String, numBuckets: Int): IndexTarget = kind match {
+    case "neardup"    => NearDup(name, numBuckets)
+    case "positional" => Positional(name, numBuckets)
+    case "ivf"        => Ivf(name, numBuckets)
+    case "bm25"       => Bm25(name, textCol, numBuckets)
+    case other => throw new IllegalStateException(
+      s"unknown index target kind: $other")
+  }
+
   /** TEST SEAM: invoked with a label at each step boundary of the live
     * cascade ("journaled", "dropped", "committed-mark", "target-<i>") so
     * the crash spec can kill the cascade at an exact window. No-op in
@@ -118,16 +234,49 @@ object Retention {
 
   private val CommitKind = "__commit__"
   private val DoneKind = "__done__"
+  private val AbandonedKind = "__abandoned__"
+  private val LeaseKind = "retention"
+
+  /** Staleness window for the per-table retention lease: a lease older
+    * than this is presumed orphaned by a dead operator and is taken
+    * over. MUST exceed the longest legitimate cascade/drain on the
+    * table — a takeover of a live-but-slow operator re-opens the
+    * concurrent-drain window the lease exists to close. Process-global
+    * knob (one retention policy per deployment, not per call). */
+  @volatile var leaseTtlMs: Long = 15 * 60 * 1000L
+
+  /** Acquire the per-table retention lease around `body`, aborting
+    * loudly if another operator holds it — the structural form of the
+    * one-retention-operator-per-table contract. */
+  private def withLease[T](store: TableStore, table: String)(body: => T): T = {
+    val holder = s"retention-${java.util.UUID.randomUUID()}"
+    if (!store.tryAcquireLease(table, LeaseKind, holder, leaseTtlMs)) {
+      val who = store.leaseInfo(table, LeaseKind)
+        .map { case (h, ts) =>
+          s"held by '$h' since epoch-ms $ts" }
+        .getOrElse("released mid-probe — safe to retry now")
+      throw new IllegalStateException(
+        s"retention lease on table '$table' unavailable ($who): one " +
+          "retention operator per table at a time — retry after it " +
+          s"finishes, or after the ${leaseTtlMs} ms staleness window if " +
+          "its process died (Retention.leaseTtlMs)")
+    }
+    try body finally store.releaseLease(table, LeaseKind, holder)
+  }
 
   /** [[TableStore.dropPartitions]] + index cascade. Returns true iff the
     * table drop committed (false = no matching partitions, no cascade).
-    * Drains any pending journal from a crashed earlier cascade first. */
+    * Holds the table's retention lease; drains any pending journal from
+    * a crashed earlier cascade first. `indexes = Nil` resolves to the
+    * table's registered index list ([[registerIndex]]); an explicit list
+    * is checked against the registry when one exists. */
   def dropPartitionsCascade(
       store: TableStore, table: String, partitionCol: String,
       values: Seq[String], idCol: String, indexes: Seq[IndexTarget]
-  ): Boolean = {
-    drainPendingCascades(store, table)
-    dropCascadeDrained(store, table, partitionCol, values, idCol, indexes)
+  ): Boolean = withLease(store, table) {
+    drainInternal(store, table)
+    dropCascadeDrained(store, table, partitionCol, values, idCol,
+      resolveIndexes(store, table, indexes))
   }
 
   /** [[dropPartitionsCascade]] body after the journal drain — shared with
@@ -190,33 +339,47 @@ object Retention {
   def expirePartitionsBelowCascade(
       store: TableStore, table: String, partitionCol: String,
       cutoff: String, idCol: String, indexes: Seq[IndexTarget]
-  ): Boolean = {
-    drainPendingCascades(store, table)
+  ): Boolean = withLease(store, table) {
+    drainInternal(store, table)
     val doomed = store.partitionValues(table, partitionCol)
       .filter(_ < cutoff)
     doomed.nonEmpty &&
       dropCascadeDrained(store, table, partitionCol, doomed, idCol,
-        indexes)
+        resolveIndexes(store, table, indexes))
   }
 
   /** Replay any cascade that journaled its capture but died before all
     * its index deletes landed: not-yet-`__done__` targets re-issue from
     * the JOURNALED payload rows; a cascade whose drop never committed
     * (no `__commit__` marker AND its doomed values still live) is an
-    * abort and its journal is cleared untouched. Idempotent and cheap
-    * when nothing is pending (one existence probe + one tiny scan).
-    * Called automatically at the head of every cascade/expire on the
-    * table and from [[Maintenance.maintain]]. */
-  def drainPendingCascades(store: TableStore, table: String): Unit = {
+    * abort and its journal is cleared untouched. A cascade whose drop's
+    * fate is UNKNOWABLE (liveness probe fails — table dropped or
+    * re-laid-out since the crash) is PARKED, not cleared: its payload
+    * drops (no copies of doomed content outlive the decision) but its
+    * state rows persist under an `__abandoned__` marker as the durable
+    * audit record that an erasure may be half-landed — surfaced by
+    * [[pendingCascades]]/[[abandonedCascades]], skipped by later drains,
+    * cleared only by an explicit [[acknowledgeAbandoned]] after the
+    * listed indexes are rebuilt. Idempotent and cheap when nothing is
+    * pending (two existence probes). Holds the retention lease; called
+    * automatically (without re-acquiring) at the head of every
+    * cascade/expire on the table and from [[Maintenance.maintain]]. */
+  def drainPendingCascades(store: TableStore, table: String): Unit =
+    withLease(store, table) { drainInternal(store, table) }
+
+  private def drainInternal(store: TableStore, table: String): Unit = {
     val stName = journalStateName(table)
-    if (!store.exists(stName)) return
-    val all = store.scan(stName).collect() // targets × pending cascades
+    val all =
+      if (!store.exists(stName)) Array.empty[org.apache.spark.sql.Row]
+      else store.scan(stName).collect() // targets × pending cascades
     all.groupBy(_.getAs[String]("cascade_id")).foreach { case (cid, rows) =>
       val committed = rows.exists(_.getAs[String]("kind") == CommitKind)
+      val abandoned = rows.exists(_.getAs[String]("kind") == AbandonedKind)
       val done = rows.filter(_.getAs[String]("kind") == DoneKind)
         .map(_.getAs[Int]("seq")).toSet
       val targets = rows
-        .filterNot(r => Set(CommitKind, DoneKind)(r.getAs[String]("kind")))
+        .filterNot(r => Set(CommitKind, DoneKind, AbandonedKind)(
+          r.getAs[String]("kind")))
         .sortBy(_.getAs[Int]("seq"))
       // state rows with the payload already cleared = a clearCascade was
       // interrupted between its two drops; every target had completed
@@ -225,49 +388,133 @@ object Retention {
         !store.exists(journalName(table)) ||
           store.scan(journalName(table))
             .where(col("__cascade_id") === cid).isEmpty
-      if (targets.isEmpty || payloadGone) clearCascade(store, table, cid)
-      else {
+      if (abandoned) {
+        // parked: a terminal audit record, never replayed (the drop's
+        // fate was unknowable; replaying the deletes could erase LIVE
+        // docs from the indexes). Finish an interrupted park's payload
+        // clear, otherwise leave it for acknowledgeAbandoned.
+        if (!payloadGone) clearPayload(store, table, cid)
+      } else if (targets.isEmpty || payloadGone) {
+        clearCascade(store, table, cid)
+      } else {
         val pcol = targets.head.getAs[String]("partition_col")
         val vals = targets.head.getSeq[String](
           targets.head.fieldIndex("part_values")).toSeq
         val idCol = targets.head.getAs[String]("id_col")
-        val proceed = committed || {
-          // pre-marker crash window: the drop committed iff the doomed
-          // values are gone from the live layout
-          val live =
-            try Some(store.partitionValues(table, pcol).toSet)
-            catch {
+        // Left = park (probe failed), Right = drop committed?
+        val fate: Either[Unit, Boolean] =
+          if (committed) Right(true)
+          else {
+            // pre-marker crash window: the drop committed iff the doomed
+            // values are gone from the live layout
+            try {
+              val live = store.partitionValues(table, pcol).toSet
+              Right(vals.forall(v => !live.contains(v)) && {
+                appendMarker(store, table, cid, CommitKind, -1); true
+              })
+            } catch {
               case scala.util.control.NonFatal(e) =>
-                // table dropped or re-laid-out since the crash: the drop's
-                // fate is unknowable, so this drains as an abort — loudly,
-                // because if the drop DID commit the dropped docs stay
-                // findable until the indexes are rebuilt
-                log.warn(s"pending cascade $cid on $table: liveness probe " +
-                  s"failed (${e.getMessage}) — abandoning its journal; if " +
-                  "the drop committed, rebuild the listed indexes")
-                None
+                // table dropped or re-laid-out since the crash: the
+                // drop's fate is unknowable — PARK the journal as the
+                // durable record of a possibly-half-landed erasure
+                log.warn(s"pending cascade $cid on $table: liveness " +
+                  s"probe failed (${e.getMessage}) — PARKING its journal " +
+                  "as an abandoned-erasure audit record; if the drop " +
+                  "committed, the dropped docs stay findable until the " +
+                  "listed indexes are rebuilt — rebuild them, then " +
+                  "Retention.acknowledgeAbandoned to clear the record")
+                Left(())
             }
-          live.exists(lv => vals.forall(v => !lv.contains(v))) && {
-            appendMarker(store, table, cid, CommitKind, -1); true
           }
+        fate match {
+          case Left(_) =>
+            // marker BEFORE the payload clear: a crash between the two
+            // leaves a parked cascade with lingering payload (finished
+            // by the next drain's abandoned branch), never a clearable-
+            // looking journal whose audit record a drain then destroys
+            appendMarker(store, table, cid, AbandonedKind, -1)
+            clearPayload(store, table, cid)
+          case Right(proceed) =>
+            if (proceed) {
+              val pending = targets
+                .filterNot(r => done.contains(r.getAs[Int]("seq")))
+                .map(r => (decodeTarget(r), r.getAs[Int]("seq")))
+              runTargets(store, table, cid, idCol, pending)
+            }
+            clearCascade(store, table, cid)
         }
-        if (proceed) {
-          val pending = targets
-            .filterNot(r => done.contains(r.getAs[Int]("seq")))
-            .map(r => (decodeTarget(r), r.getAs[Int]("seq")))
-          runTargets(store, table, cid, idCol, pending)
-        }
-        clearCascade(store, table, cid)
+      }
+    }
+    gcOrphanPayload(store, table)
+  }
+
+  /** GC payload rows no state row points to — the crash window inside
+    * [[journalWrite]] between its payload append and its state append.
+    * Without a state row no drain can ever act on them, and an
+    * erasure-oriented journal must not keep unbounded-lifetime copies of
+    * doomed content invisible to [[pendingCascades]]. */
+  private def gcOrphanPayload(store: TableStore, table: String): Unit = {
+    val jName = journalName(table)
+    if (!store.exists(jName)) return
+    val stName = journalStateName(table)
+    val live: Set[String] =
+      if (!store.exists(stName)) Set.empty
+      else store.scan(stName).select("cascade_id").distinct().collect()
+        .map(_.getString(0)).toSet
+    if (live.isEmpty) store.drop(jName)
+    else {
+      val orphans = store.scan(jName).select("__cascade_id").distinct()
+        .collect().map(_.getString(0)).filterNot(live)
+      if (orphans.nonEmpty) {
+        log.warn(s"retention journal of $table: dropping payload of " +
+          s"${orphans.length} cascade(s) that never journaled state " +
+          "(a crash inside journalWrite) — their cascades never started, " +
+          "nothing to replay")
+        store.deleteWhere(jName,
+          col("__cascade_id").isin(orphans.toSeq: _*))
       }
     }
   }
 
+  /** Clear a PARKED (abandoned) cascade's audit record — the explicit
+    * acknowledgement that its remediation (rebuilding the indexes listed
+    * in its state rows) is done. Refuses a cascade that is not parked: a
+    * live pending cascade is drained, never acknowledged away. */
+  def acknowledgeAbandoned(store: TableStore, table: String,
+      cascadeId: String): Unit = withLease(store, table) {
+    val stName = journalStateName(table)
+    require(store.exists(stName),
+      s"acknowledgeAbandoned: no retention journal on $table")
+    val rows = store.scan(stName)
+      .where(col("cascade_id") === cascadeId).collect()
+    require(rows.nonEmpty,
+      s"acknowledgeAbandoned: no cascade $cascadeId journaled on $table")
+    require(rows.exists(_.getAs[String]("kind") == AbandonedKind),
+      s"acknowledgeAbandoned: cascade $cascadeId on $table is not " +
+        "abandoned — drainPendingCascades handles live journals")
+    clearCascade(store, table, cascadeId)
+  }
+
+  /** The parked (abandoned) cascades' state rows — cascade ids plus the
+    * index-target rows naming exactly what to rebuild: the remediation
+    * list as data, not as a log line. Empty when no erasure is in the
+    * unknowable-fate state. */
+  def abandonedCascades(store: TableStore, table: String): DataFrame = {
+    val st = pendingCascades(store, table)
+    val parked = st.where(col("kind") === lit(AbandonedKind))
+      .select("cascade_id").distinct()
+    st.join(parked, Seq("cascade_id"))
+  }
+
   /** Governance introspection: the pending-cascade journal's state rows
     * for `table` — one row per (cascade, index target) plus progress
-    * markers. Empty frame (correct schema) when nothing is pending. An
-    * operator auditing "is any erasure half-landed?" reads this; a
-    * non-empty result means [[drainPendingCascades]] (or any cascade
-    * call, or [[Maintenance.maintain]]) has recovery work to do. */
+    * markers (`__commit__`/`__done__`/`__abandoned__`). Empty frame
+    * (correct schema) when nothing is pending. An operator auditing "is
+    * any erasure half-landed?" reads this; rows WITHOUT an
+    * `__abandoned__` marker mean [[drainPendingCascades]] (or any
+    * cascade call, or [[Maintenance.maintain]]) has recovery work to do,
+    * rows with one are parked audit records awaiting an index rebuild +
+    * [[acknowledgeAbandoned]] (see [[abandonedCascades]]). */
   def pendingCascades(store: TableStore, table: String): DataFrame = {
     val sp = store.session
     val stName = journalStateName(table)
@@ -286,15 +533,9 @@ object Retention {
   }
 
   private def decodeTarget(r: org.apache.spark.sql.Row): IndexTarget =
-    r.getAs[String]("kind") match {
-      case "neardup"    => NearDup(r.getAs[String]("index_name"))
-      case "positional" => Positional(r.getAs[String]("index_name"))
-      case "ivf"        => Ivf(r.getAs[String]("index_name"))
-      case "bm25" => Bm25(r.getAs[String]("index_name"),
-        r.getAs[String]("text_col"), r.getAs[Int]("num_buckets"))
-      case other => throw new IllegalStateException(
-        s"unknown journal target kind: $other")
-    }
+    decodeTargetFields(r.getAs[String]("kind"),
+      r.getAs[String]("index_name"), r.getAs[String]("text_col"),
+      r.getAs[Int]("num_buckets"))
 
   /** Persist the capture (payload rows, then the state rows that make the
     * cascade discoverable — payload-first so a discoverable cascade
@@ -394,13 +635,21 @@ object Retention {
     // finished cascade mid-clear and just re-clears. The other order
     // would strand an invisible orphan payload (captured rows under an
     // erasure request) that no drain could ever see.
-    if (!others) {
-      store.drop(journalName(table))
-      store.drop(stName)
-    } else {
-      if (store.exists(journalName(table)))
-        store.deleteWhere(journalName(table), col("__cascade_id") === cid)
-      store.deleteWhere(stName, col("cascade_id") === cid)
-    }
+    clearPayload(store, table, cid)
+    if (!others) store.drop(stName)
+    else store.deleteWhere(stName, col("cascade_id") === cid)
+  }
+
+  /** Remove one cascade's PAYLOAD rows only (the captured doomed docs —
+    * the erasure-sensitive half of the journal); the whole table drops
+    * when no other cascade's payload shares it. */
+  private def clearPayload(store: TableStore, table: String,
+      cid: String): Unit = {
+    val jName = journalName(table)
+    if (!store.exists(jName)) return
+    val others = store.scan(jName)
+      .where(col("__cascade_id") =!= cid).limit(1).count() > 0
+    if (!others) store.drop(jName)
+    else store.deleteWhere(jName, col("__cascade_id") === cid)
   }
 }

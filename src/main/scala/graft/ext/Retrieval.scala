@@ -335,20 +335,27 @@ object Retrieval {
     writeBm25Index(store, name, docs, textCol, idCol, numBuckets,
       append = true, sign = -1)
 
-  /** [[deleteFromBm25Index]] with a replay-idempotency `tag`: the STATS
-    * append — the last of the negation's three commits — lands through
-    * [[TableStore.appendTagged]], so the tag's presence in the live stats
-    * manifest proves the whole negation completed, and a replay carrying
-    * the same tag SKIPS instead of negating twice (count negation is not
-    * idempotent — a double run would skew every surviving score on the
-    * shared terms). This is how the retention journal replays a BM25
-    * target whose `__done__` marker was lost to a crash. The tag window
-    * is the live stats manifest, like every append tag: once
-    * [[compactBm25Index]] folds the log the tag is forgotten — which
-    * covers journal drains (prompt by construction), not arbitrarily
-    * delayed re-submission. A crash INSIDE the three appends still
-    * leaves the partial-negation residue the delete contract documents;
-    * the tag closes the completed-but-unrecorded window. */
+  /** [[deleteFromBm25Index]] with replay-idempotency `tag`s on ALL THREE
+    * of the negation's commits: the postings and terms appends each mark
+    * completion with a tiny ZERO-DELTA stats row tagged `<tag>.p` /
+    * `<tag>.t` (harmless to every reader — the query path sums stats
+    * rows, and [[compactBm25Index]] folds them away), and the real stats
+    * append — last — carries `tag` itself, whose presence in the live
+    * stats manifest proves the whole negation completed. A replay
+    * carrying the same tag therefore RESUMES at exactly the first
+    * sub-append whose marker is missing instead of re-running completed
+    * ones (count negation is not idempotent — a double run would skew
+    * every surviving score on the shared terms). This is how the
+    * retention journal replays a BM25 target whose `__done__` marker was
+    * lost to a crash. The tag window is the live stats manifest, like
+    * every append tag: once [[compactBm25Index]] folds the log the tags
+    * are forgotten — which covers journal drains (prompt by
+    * construction), not arbitrarily delayed re-submission. The residual
+    * window is now marker-append-wide: a crash BETWEEN one sub-append
+    * landing and its marker landing still replays that ONE sub-append
+    * (partial double negation — the delete contract's documented rebuild
+    * remediation applies), where previously any crash inside the
+    * three-append span replayed every already-landed commit. */
   def deleteFromBm25IndexTagged(
       store: TableStore, name: String,
       docs: DataFrame, textCol: String, idCol: String,
@@ -362,6 +369,12 @@ object Retrieval {
       true
     }
   }
+
+  /** TEST SEAM: invoked at the tagged negation's sub-append boundaries
+    * ("bm25-postings-marked", "bm25-terms-marked") so specs can kill the
+    * delete at an exact window and prove the replay resumes instead of
+    * double-negating. No-op in production. */
+  private[graft] var failpoint: String => Unit = _ => ()
 
   private def writeBm25Index(
       store: TableStore, name: String,
@@ -387,14 +400,37 @@ object Retrieval {
         .agg((count(lit(1)) * sign).as("n_docs"),
           (sum(col("dl")) * sign).as("sum_dl"))
       if (append) {
-        store.appendBucketed(s"${name}_postings", postings,
-          Seq("term"), numBuckets)
-        store.appendBucketed(s"${name}_terms", terms, Seq("term"), numBuckets)
-        // stats LAST, optionally tagged: its tag in the live manifest is
-        // the proof the postings/terms commits above it already landed
         statsTag match {
-          case Some(t) => store.appendTagged(s"${name}_stats", stats, t); ()
-          case None    => store.append(s"${name}_stats", stats)
+          case Some(t) =>
+            // tagged (journal-replay) path: each sub-append marks its own
+            // completion with a zero-delta stats row (sums unchanged,
+            // folded away by compaction) so a replay resumes at the first
+            // missing marker instead of re-running landed negations; the
+            // real stats append stays LAST — its tag proves the whole
+            // negation completed
+            val statsTable = s"${name}_stats"
+            val zero = stats.select((col("n_docs") * 0L).as("n_docs"),
+              (col("sum_dl") * 0L).as("sum_dl"))
+            if (!store.hasAppendTag(statsTable, s"$t.p")) {
+              store.appendBucketed(s"${name}_postings", postings,
+                Seq("term"), numBuckets)
+              store.appendTagged(statsTable, zero, s"$t.p")
+            }
+            failpoint("bm25-postings-marked")
+            if (!store.hasAppendTag(statsTable, s"$t.t")) {
+              store.appendBucketed(s"${name}_terms", terms,
+                Seq("term"), numBuckets)
+              store.appendTagged(statsTable, zero, s"$t.t")
+            }
+            failpoint("bm25-terms-marked")
+            store.appendTagged(statsTable, stats, t)
+            ()
+          case None =>
+            store.appendBucketed(s"${name}_postings", postings,
+              Seq("term"), numBuckets)
+            store.appendBucketed(s"${name}_terms", terms,
+              Seq("term"), numBuckets)
+            store.append(s"${name}_stats", stats)
         }
       } else {
         store.overwriteBucketed(s"${name}_postings", postings,

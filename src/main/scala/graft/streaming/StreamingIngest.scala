@@ -996,6 +996,11 @@ object StreamingIngest {
               store.overwrite(table, fresh)
               graft.ext.VectorIndex.buildIvfIndex(store, indexName,
                 fresh, vecCol, idCol, nCells, numBuckets)
+              // persist the table↔index sync contract where the pairing
+              // is created — retention cascades then reach this index
+              // with indexes = Nil and drift-check explicit lists
+              graft.ext.Retention.registerIndex(store, table,
+                graft.ext.Retention.Ivf(indexName, numBuckets))
             }
           }
         } finally fresh.unpersist(blocking = false)
@@ -1054,6 +1059,9 @@ object StreamingIngest {
               store.overwrite(table, fresh)
               graft.ext.NearDupIndex.buildNearDupIndex(store, indexName,
                 fresh, textCol, idCol, numBuckets)
+              // persist the table↔index sync contract at pairing creation
+              graft.ext.Retention.registerIndex(store, table,
+                graft.ext.Retention.NearDup(indexName, numBuckets))
             }
           }
         } finally fresh.unpersist(blocking = false)
@@ -1104,6 +1112,9 @@ object StreamingIngest {
               store.overwrite(table, fresh)
               graft.ext.Retrieval.buildBm25Index(store, indexName,
                 fresh, textCol, idCol, numBuckets)
+              // persist the table↔index sync contract at pairing creation
+              graft.ext.Retention.registerIndex(store, table,
+                graft.ext.Retention.Bm25(indexName, textCol, numBuckets))
             }
           }
         } finally fresh.unpersist(blocking = false)

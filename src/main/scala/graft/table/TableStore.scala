@@ -487,21 +487,34 @@ final class TableStore(spark: SparkSession, root: String,
     * rewrite writes back so it never silently flattens a uniformly
     * partitioned table. Cached entry listings make this O(entries)
     * metadata on first touch. */
-  private def inferredLayout(name: String, basis: Seq[String]): Seq[String] = {
-    val chains = basis.filterNot(isDvEntry)
+  private def inferredLayout(name: String, basis: Seq[String]): Seq[String] =
+    entryChains(name, basis) match {
+      case Seq(one) => one
+      case _        => Nil
+    }
+
+  /** The DISTINCT partition-column chains across `basis`' data entries
+    * (an empty chain = a flat snapshot; zero-row fallback snapshots are
+    * ignored — they carry no layout information and must not flatten a
+    * uniform chain). */
+  private def entryChains(name: String, basis: Seq[String]): Seq[Seq[String]] =
+    basis.filterNot(isDvEntry)
       .map(e => (e, enumerateEntry(name, e)._1))
       .filterNot { case (e, chain) =>
-        // a zero-row snapshot (the emptied-table fallback shape) carries
-        // no layout information — it must not flatten a uniform chain
         chain.isEmpty &&
           isZeroRowDir(new Path(tableDir(name), parseEntry(e)._1))
       }
       .map(_._2).distinct
-    chains match {
-      case Seq(one) => one
-      case _        => Nil
-    }
-  }
+
+  /** The distinct hive partition-column chains across the live data
+    * entries of `name` — `Seq(Nil)` for an all-flat table, one non-empty
+    * chain when uniformly partitioned, several entries when MIXED.
+    * [[tableLayout]] collapses this to Nil for both flat and mixed;
+    * layout-aware maintenance needs the difference (a mixed manifest
+    * must not be silently flattened by a fold). Cached directory
+    * metadata only. */
+  def entryLayouts(name: String): Seq[Seq[String]] =
+    entryChains(name, readManifest(name))
 
   /** Hive partition subdirectory names of one immutable entry directory,
     * listed once per store. */
@@ -783,13 +796,36 @@ final class TableStore(spark: SparkSession, root: String,
   }
 
   /** [[refreshBloomFilters]] with the sidecar's own recorded column set
-    * (the distinct `column` values). No-op without a sidecar. */
+    * (the distinct `column` values — which include the per-column
+    * sentinel rows, so the analyzed set survives a refresh that leaves
+    * zero data rows). No-op without a sidecar. */
   def refreshBloomFilters(name: String): Unit = {
     val btName = bloomTable(name)
     if (!exists(btName)) return
     val cols = scan(btName).select("column").distinct().collect()
       .map(_.getString(0)).toSeq
     if (cols.nonEmpty) refreshBloomFilters(name, cols)
+  }
+
+  /** Sentinel `file` value under which the Bloom sidecar records its
+    * ANALYZED COLUMN SET independent of data rows: one zero-position row
+    * per analyzed column, rewritten by every analyze/refresh. Without
+    * it, a refresh that finds all recorded files dead and nothing fresh
+    * would overwrite the sidecar EMPTY — and the no-argument
+    * [[refreshBloomFilters]] (the maintenance cadence) would then no-op
+    * forever, silently never regaining pruning (the zone-map twin
+    * survives emptiness because its column set lives in the SCHEMA via
+    * `__min` suffixes; this is the long-format equivalent). Probes never
+    * match it: no data file is named `__analyzed__`. */
+  private val BloomSentinel = "__analyzed__"
+
+  private def bloomSentinelRows(cols: Seq[String], bits: Int,
+      hashes: Int): DataFrame = {
+    import spark.implicits._
+    cols.toDF("column").select(
+      lit(BloomSentinel).as("file"), col("column"),
+      typedLit(Array.empty[Long]).as("positions"),
+      lit(bits).as("bits"), lit(hashes).as("hashes"))
   }
 
   /** The live data files (deletion-vector dirs excluded; an exclusion
@@ -855,7 +891,10 @@ final class TableStore(spark: SparkSession, root: String,
     require(params.length == 1,
       s"refreshBloomFilters: mixed bits/hashes in Bloom sidecar of $name")
     val (bits, hashes) = (params.head.getInt(0), params.head.getInt(1))
-    val d = sidecarDelta(name, bt)
+    // sentinels out of the delta (they are not files to keep alive) and
+    // regenerated into the result — the analyzed column set must survive
+    // even a refresh whose survivor AND fresh sets are both empty
+    val d = sidecarDelta(name, bt.where(col("file") =!= BloomSentinel))
     val next =
       if (!d.hasFresh) d.survivors
       else {
@@ -874,7 +913,8 @@ final class TableStore(spark: SparkSession, root: String,
           .withColumn("hashes", lit(hashes))
         d.survivors.unionByName(newPart)
       }
-    overwrite(btName, next)
+    overwrite(btName,
+      next.unionByName(bloomSentinelRows(cols, bits, hashes)))
   }
 
   /** `scan(name).where(colName BETWEEN lo AND hi)` with zone-map file
@@ -945,7 +985,8 @@ final class TableStore(spark: SparkSession, root: String,
       .agg(collect_set(col("pos")).as("positions"))
       .withColumn("bits", lit(bits))
       .withColumn("hashes", lit(hashes))
-    overwrite(bloomTable(name), bloom)
+    overwrite(bloomTable(name),
+      bloom.unionByName(bloomSentinelRows(cols, bits, hashes)))
   }
 
   /** The `hashes` Bloom positions of a value: `xxhash64(v, i) mod bits`
@@ -967,9 +1008,13 @@ final class TableStore(spark: SparkSession, root: String,
     def resid(df: DataFrame) = df.where(col(colName) === lit(value))
     val base = scan(name)
     if (!exists(bloomTable(name))) return resid(base)
-    val bt = scan(bloomTable(name)).where(col("column") === colName)
+    // "was it analyzed" is decided WITH the sentinel row (an analyzed
+    // column whose data rows all died must read unpruned, not throw);
+    // the skip set below is derived from data rows only
+    val btAll = scan(bloomTable(name)).where(col("column") === colName)
+    val bt = btAll.where(col("file") =!= BloomSentinel)
     // (probe hashing needs the column's type from the evolved schema)
-    val params = bt.select("bits", "hashes").distinct().collect()
+    val params = btAll.select("bits", "hashes").distinct().collect()
     if (params.isEmpty)
       throw new IllegalArgumentException(
         s"scanBloomPruned: Bloom sidecar of $name was not analyzed for " +
@@ -1564,16 +1609,23 @@ final class TableStore(spark: SparkSession, root: String,
 
   /** Numeric widening for a common field whose type differs between
     * snapshots (legacy/mixed-writer histories — store appends type-check,
-    * so new tables can't produce this). The result must satisfy BOTH
-    * masters at once: equal Spark's own tightest-common-type (what the
-    * per-snapshot unionByName chain would coerce to, so the fold stays a
-    * faithful stand-in for the replay) AND be a widening the parquet
-    * readers support as a read schema over the NARROWER physical files
-    * (integral→long, integral/float→double — the SPARK-40876 matrix,
-    * pinned by TableStoreSpec), because [[readState]]'s merged run hands
-    * the folded schema straight to the scan. Everything else —
-    * string-vs-numeric, decimal drift, long→float precedence loss —
-    * stays a [[TypeConflict]]. */
+    * so new tables can't produce this). The governing constraint is the
+    * PARQUET READER: the folded type must be a read schema the vectorized
+    * reader serves over the NARROWER physical files (integral→long,
+    * integral/float→double — the SPARK-40876 matrix, pinned by
+    * TableStoreSpec), because [[readState]]'s merged run hands the folded
+    * schema straight to the scan. DELIBERATE DIVERGENCE from the
+    * per-snapshot replay: sub-long integral mixes fold straight to LONG
+    * even where Spark's tightest-common-type is narrower (byte+short
+    * would union-coerce to SHORT) — int8→int16 promotion is outside the
+    * verified reader matrix, int-class→int64 is in it. Values are
+    * identical either way; only the folded SCHEMA is wider than the
+    * replay's for such mixes, and schema-sensitive consumers of a legacy
+    * integral-mixed history observe bigint from the merged path. The
+    * stable wider type is also what a consumer can rely on across folds
+    * (the replay's type shifts with which snapshots happen to be live).
+    * Everything else — string-vs-numeric, decimal drift, long→float
+    * precedence loss — stays a [[TypeConflict]]. */
   private def widenedType(
       a: org.apache.spark.sql.types.DataType,
       b: org.apache.spark.sql.types.DataType
@@ -2326,9 +2378,14 @@ final class TableStore(spark: SparkSession, root: String,
     * FileContext no-overwrite rename (see the constructor's filesystem
     * contract). The tmp never outlives the attempt on the link path;
     * rename-path losers delete theirs here, crash leftovers reap by GC. */
-  private def claimVersion(name: String, next: Long, payload: Array[Byte]): Boolean = {
-    val dir = tableDir(name)
-    val dst = versionFile(name, next)
+  private def claimVersion(name: String, next: Long, payload: Array[Byte]): Boolean =
+    exclusiveCreate(tableDir(name), versionFile(name, next), payload)
+
+  /** putIfAbsent of `dst` (under `dir`) with `payload` as content — the
+    * commit claim's atomic-create discipline factored out so other
+    * exactly-one-winner files (operator leases) ride the identical
+    * filesystem contract instead of reinventing it. */
+  private def exclusiveCreate(dir: Path, dst: Path, payload: Array[Byte]): Boolean = {
     val qdst = fs(dst).makeQualified(dst)
     val tmpName = s"vtmp-${java.util.UUID.randomUUID().toString.take(8)}"
     if (qdst.toUri.getScheme == "file") {
@@ -2381,6 +2438,108 @@ final class TableStore(spark: SparkSession, root: String,
       else { fs(dir).delete(tmp, false); false }
     }
   }
+
+  // ------------------------------------------------------------------
+  // Advisory operator leases: exactly-one-holder coordination for
+  // operations whose CORRECTNESS assumes a single operator per table at
+  // a time (the retention cascade's journal drain — a concurrent drain
+  // could replay an in-flight, untagged BM25 negation twice). The lease
+  // is one exclusive-created file (the commit claim's putIfAbsent
+  // discipline, so it is exactly as atomic as the commit protocol on
+  // every supported filesystem); a holder that dies leaves the file
+  // until `ttlMs` passes, after which takeover is arbitrated by an
+  // atomic rename of the stale file — exactly one contender wins the
+  // right to re-claim. ADVISORY: only callers that acquire the same
+  // `kind` coordinate; table commits never check it.
+  // ------------------------------------------------------------------
+
+  private def leaseFile(name: String, kind: String) =
+    new Path(tableDir(name), s"LEASE-$kind")
+  private def requireLeaseKind(kind: String): Unit =
+    require(kind.nonEmpty &&
+        kind.forall(c => c.isLetterOrDigit || c == '.' || c == '_'),
+      s"lease kind must be [A-Za-z0-9._]+: '$kind'")
+
+  /** The current holder and acquisition time (epoch ms) of the `kind`
+    * lease on `name`, or None when unheld. An unreadable/partial lease
+    * file (a holder that died inside the degraded non-link create path)
+    * reports acquisition time 0 — immediately stale, so it can never
+    * deadlock the table. */
+  def leaseInfo(name: String, kind: String): Option[(String, Long)] = {
+    requireLeaseKind(kind)
+    val f = leaseFile(name, kind)
+    if (!fs(f).exists(f)) None
+    else try {
+      val in = fs(f).open(f)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val lines = txt.split("\n")
+      Some((lines(0), lines(1).trim.toLong))
+    } catch {
+      case _: java.io.FileNotFoundException => None // released mid-probe
+      case scala.util.control.NonFatal(_) => Some(("unreadable", 0L))
+    }
+  }
+
+  /** Try to acquire the advisory `kind` lease on `name` for `holder`;
+    * true iff acquired. Held-and-fresh leases fail the attempt; a lease
+    * older than `ttlMs` is STALE (its holder is presumed dead — size the
+    * ttl above the longest legitimate hold) and is taken over: the stale
+    * file is atomically renamed aside (one winner among racing
+    * contenders), then the normal exclusive create runs — a third party
+    * that slips in between still wins cleanly, this contender just
+    * returns false. Pair every successful acquire with [[releaseLease]]
+    * in a finally block. */
+  def tryAcquireLease(name: String, kind: String, holder: String,
+      ttlMs: Long): Boolean = {
+    requireLeaseKind(kind)
+    require(holder.nonEmpty && !holder.contains("\n"),
+      "lease holder must be a non-empty single-line token")
+    require(ttlMs > 0, "lease ttlMs must be > 0")
+    val dir = tableDir(name)
+    val filesystem = fs(dir)
+    if (!filesystem.exists(dir)) filesystem.mkdirs(dir)
+    val f = leaseFile(name, kind)
+    leaseInfo(name, kind) match {
+      case Some((_, ts)) if System.currentTimeMillis() - ts < ttlMs =>
+        return false
+      case Some((h, _)) =>
+        // stale: park it aside (audit breadcrumb until deleted); the
+        // rename is the takeover arbitration — losers see the source
+        // vanish and fail
+        val parked = new Path(dir,
+          s"LEASE-$kind.stale-${java.util.UUID.randomUUID().toString.take(8)}")
+        if (!claimRename(f, parked)) return false
+        TableStore.log.warn(s"lease $kind on table '$name': taking over " +
+          s"from stale holder '$h' (older than $ttlMs ms)")
+        filesystem.delete(parked, false)
+        // reap breadcrumbs a crashed takeover left behind (tiny files)
+        filesystem.listStatus(dir).map(_.getPath)
+          .filter(_.getName.startsWith(s"LEASE-$kind.stale-"))
+          .foreach(p => filesystem.delete(p, false))
+      case None => ()
+    }
+    val payload = s"$holder\n${System.currentTimeMillis()}\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    exclusiveCreate(dir, f, payload)
+  }
+
+  /** Release the `kind` lease on `name` IF still held by `holder`; a
+    * lease taken over mid-hold (the holder outlived its ttl) is left
+    * alone with a warning — deleting it would free a lease some other
+    * operator now legitimately holds. */
+  def releaseLease(name: String, kind: String, holder: String): Unit =
+    leaseInfo(name, kind) match {
+      case Some((h, _)) if h == holder =>
+        val f = leaseFile(name, kind)
+        fs(f).delete(f, false); ()
+      case Some((h, _)) =>
+        TableStore.log.warn(s"lease $kind on table '$name': not releasing " +
+          s"— held by '$h', not '$holder' (this holder exceeded the " +
+          "staleness window and was taken over; its work may have raced)")
+      case None => ()
+    }
 
   /** Post-claim bookkeeping: CURRENT cache flip (tagged `#v:N`), version
     * retention pruning (never the head — takeRight includes it), then GC
