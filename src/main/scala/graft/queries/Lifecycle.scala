@@ -651,6 +651,33 @@ object Lifecycle {
       bm.unionByName(nd).orderBy("family", "q_id", "rank", "doc_id")
     }),
 
+    // the table↔index SYNC CONTRACT as data: the near-dup index is
+    // REGISTERED against the corpus at build time, and the retention
+    // sweep is called with `indexes = Nil` — it must reach the
+    // registered family through the registry alone (a caller that
+    // forgets an index can no longer leave it serving erased docs).
+    // One tombstone family over a sixth of the corpus: the cheap sibling
+    // of w_retention_cascade, which pins the journal + BM25 negation.
+    "w_cascade_registry" -> ((s, dir) => {
+      val store = new TableStore(s,
+        Files.createTempDirectory("graft_q_casreg").toString)
+      val docs = t(s, dir, "documents").where(col("doc_id") % 6 === 0)
+        .select("doc_id", "lang", "text")
+      store.overwritePartitioned("docs", docs, Seq("lang"))
+      graft.ext.NearDupIndex.buildNearDupIndex(store, "nd", docs, "text",
+        "doc_id", numBuckets = 8)
+      graft.ext.Retention.registerIndex(store, "docs",
+        graft.ext.Retention.NearDup("nd", 8))
+      val swept = graft.ext.Retention.expirePartitionsBelowCascade(store,
+        "docs", "lang", cutoff = "en", idCol = "doc_id", indexes = Nil)
+      require(swept, "w_cascade_registry: the sweep must drop something")
+      graft.ext.NearDupIndex.nearDupAgainstIndex(store, "nd",
+          Ext.nearDupBatch(docs.select("doc_id", "text")), "text",
+          "doc_id", threshold = 0.5)
+        .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+        .orderBy("batch_id", "corpus_id")
+    }),
+
     // the ONE maintenance entry point is equivalence-preserving by
     // contract: grow a partitioned table, expire a partition, DV-delete
     // keys, analyze zone maps, then maintain() — the fold materializes
@@ -981,6 +1008,16 @@ object Lifecycle {
          |SELECT 'neardup', batch_id, 0, corpus_id, jaccard
          |FROM (${Ext.incNearDupOracleSqlOver(survivors, subset)}) AS n
          |) AS u ORDER BY family, q_id, rank, doc_id""".stripMargin
+    },
+
+    "w_cascade_registry" -> {
+      val subset =
+        "(SELECT doc_id, text FROM documents WHERE doc_id % 6 = 0)"
+      val survivors = "(SELECT doc_id, text FROM documents " +
+        "WHERE lang >= 'en' AND doc_id % 6 = 0)"
+      s"""SELECT batch_id, corpus_id, jaccard
+         |FROM (${Ext.incNearDupOracleSqlOver(survivors, subset)}) AS n
+         |ORDER BY batch_id, corpus_id""".stripMargin
     },
 
     "w_maintain_fold" ->

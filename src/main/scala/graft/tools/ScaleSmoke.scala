@@ -1968,6 +1968,97 @@ object ScaleSmoke {
           f"replaces ($buildSec%.1fs)")
     }
 
+    // 40f. JOURNAL DRAIN at scale: a cascade that died right after its
+    // drop committed (the `committed-mark` window) leaves a ~5M-row
+    // journal across three index targets; the next operator's drain must
+    // replay every index delete FROM the journaled payload at O(journal)
+    // cost — bounded by the build it replaces, never an index rebuild —
+    // and the drained indexes must equal a fresh rebuild on the
+    // survivors (sampled probes across all three families).
+    time("journal drain 5M captured rows x 3 index targets") {
+      val days = 6
+      val docs6m = spark.range(0, 6000000L, 1, 64)
+        .select(col("id").as("doc_id"),
+          concat(lit("d"), lpad((col("id") % days).cast("string"), 2, "0"))
+            .as("day"),
+          concat_ws(" ", (0 until 8).map(j =>
+            concat(lit("w"), pmod(col("id") * (j + 3) + j, lit(50000)))): _*)
+            .as("text"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_sm_drain").toString
+      val store = new graft.table.TableStore(spark, dir)
+      store.overwritePartitioned("docs", docs6m, Seq("day"))
+      val targets = Seq(graft.ext.Retention.NearDup("nd"),
+        graft.ext.Retention.Bm25("bm", "text", numBuckets = 8),
+        graft.ext.Retention.Positional("pos"))
+      val tb = System.nanoTime()
+      graft.ext.NearDupIndex.buildNearDupIndex(store, "nd", docs6m,
+        "text", "doc_id", numBuckets = 8)
+      graft.ext.Retrieval.buildBm25Index(store, "bm", docs6m, "text",
+        "doc_id", numBuckets = 8)
+      graft.ext.Retrieval.buildPositionalIndex(store, "pos", docs6m,
+        "text", "doc_id", numBuckets = 8)
+      val buildSec = (System.nanoTime() - tb) / 1e9
+      // kill the cascade at the committed-mark window: drop committed,
+      // journal fully written (5M captured rows), zero index deletes done
+      graft.ext.Retention.failpoint = l =>
+        if (l == "committed-mark") throw new RuntimeException("simulated")
+      try {
+        try graft.ext.Retention.expirePartitionsBelowCascade(store, "docs",
+          "day", cutoff = "d05", idCol = "doc_id", indexes = targets)
+        catch { case e: RuntimeException
+          if e.getMessage.contains("simulated") => () }
+      } finally graft.ext.Retention.failpoint = _ => ()
+      val journaled = store
+        .scan(graft.ext.Retention.journalName("docs")).count()
+      assert(journaled == 5000000L, s"journal must hold 5M rows: $journaled")
+      // "new process": the journal is the only survivor of the death
+      val s1 = new graft.table.TableStore(spark, dir)
+      val t0 = System.nanoTime()
+      graft.ext.Retention.drainPendingCascades(s1, "docs")
+      val drainSec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale]   build ${buildSec}%6.1fs, drain of 5M-row journal" +
+        f" x 3 targets ${drainSec}%6.1fs")
+      assert(!s1.exists(graft.ext.Retention.journalStateName("docs")) ||
+        s1.scan(graft.ext.Retention.journalStateName("docs")).isEmpty,
+        "journal must be fully drained")
+      assert(s1.scan("docs").count() == 1000000L)
+      // sampled-probe equality vs a fresh rebuild on the survivors
+      val survivors = docs6m.where(col("day") >= "d05")
+      val fresh = new graft.table.TableStore(spark, java.nio.file.Files
+        .createTempDirectory("graft_sm_drain_f").toString)
+      graft.ext.NearDupIndex.buildNearDupIndex(fresh, "nd", survivors,
+        "text", "doc_id", numBuckets = 8)
+      graft.ext.Retrieval.buildBm25Index(fresh, "bm", survivors, "text",
+        "doc_id", numBuckets = 8)
+      graft.ext.Retrieval.buildPositionalIndex(fresh, "pos", survivors,
+        "text", "doc_id", numBuckets = 8)
+      def sampled(s: graft.table.TableStore): Seq[String] = {
+        // near-dup: clone of a dropped doc (dark) + of a survivor (hit)
+        val probe = docs6m.where(col("doc_id").isin(42L, 5999981L))
+          .select((col("doc_id") + 9000000L).as("doc_id"), col("text"))
+        val nd = graft.ext.NearDupIndex.nearDupAgainstIndex(s, "nd",
+          probe, "text", "doc_id", threshold = 0.8, materialize = false)
+        // BM25: terms shared by dropped and surviving docs — the negated
+        // counts must cancel to survivors-only scores
+        val bm = graft.ext.Retrieval.bm25TopKIndexed(s, "bm",
+          Seq((1L, "w17 w4003 w29"), (2L, "w31337 w999")), k = 10)
+        val phrase = docs6m.where(col("doc_id") === 5999981L)
+          .select("text").first().getString(0)
+          .split(" ").take(2).mkString(" ")
+        val pos = graft.ext.Retrieval.phraseOccurrences(s, "pos", phrase)
+        (nd.collect().toSeq ++ bm.collect().toSeq ++ pos.collect().toSeq)
+          .map(_.toString).sorted
+      }
+      val drained = sampled(s1)
+      assert(drained == sampled(fresh),
+        "drained indexes must equal a fresh rebuild on the survivors")
+      assert(drained.nonEmpty, "sampled probes must actually hit")
+      assert(drainSec < buildSec,
+        f"the drain ($drainSec%.1fs) must stay O(journal) — bounded by " +
+          f"the rebuild it replaces ($buildSec%.1fs)")
+    }
+
     // 40. deletion-vector vs rewrite delete on a 20M-row store table:
     // the DV commit writes only the key list (O(deleted)) while the
     // rewrite path pays the whole table again (O(table)); both must

@@ -74,6 +74,52 @@ class MaintenanceSpec extends SparkSpec {
     assert(store.partitionValues("docs", "date") == Seq("2026-01-03"))
   }
 
+  test("maintain refuses to flatten a MIXED-layout manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_maintmx")
+      .toString
+    val store = new graft.table.TableStore(spark, dir, gcGraceMs = 0L)
+    val docs = corpus()
+    store.overwritePartitioned("docs",
+      docs.where(col("doc_id") % 2 === 0), Seq("date"))
+    // a stray writer appends a FLAT snapshot: the manifest is now mixed
+    store.append("docs", docs.where(col("doc_id") % 2 === 1))
+    assert(store.tableLayout("docs").isEmpty &&
+      store.entryLayouts("docs").exists(_.nonEmpty), "fixture is mixed")
+    val entries = store.manifestEntries("docs")
+    val before = rows(store.scan("docs"))
+    Maintenance.maintain(store, "docs", maxSnapshots = 0)
+    // the fold was SKIPPED (folding would flatten the partitioned chain
+    // and hard-error every later partition-retention sweep); everything
+    // else still ran and results are unchanged
+    assert(store.manifestEntries("docs") == entries,
+      "a mixed manifest must not be silently re-laid-out by maintain")
+    assert(rows(store.scan("docs")) == before)
+    // an all-flat table still folds through compact()
+    store.overwrite("flat", docs)
+    store.append("flat", docs.where(lit(false)))
+    Maintenance.maintain(store, "flat", maxSnapshots = 0)
+    assert(store.manifestEntries("flat").size == 1)
+  }
+
+  test("maintain with indexes = Nil compacts the registered families") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_maintreg")
+      .toString
+    val store = new graft.table.TableStore(spark, dir, gcGraceMs = 0L)
+    val docs = corpus()
+    store.overwritePartitioned("docs", docs, Seq("date"))
+    NearDupIndex.buildNearDupIndex(store, "nd", docs, "text", "doc_id",
+      numBuckets = 2)
+    NearDupIndex.deleteFromNearDupIndex(store, "nd",
+      docs.where(col("doc_id") < 30).select("doc_id"))
+    Retention.registerIndex(store, "docs", Retention.NearDup("nd", 2))
+    Maintenance.maintain(store, "docs", maxSnapshots = 0)
+    assert(!store.exists("nd_tombstones"),
+      "the registered family must be physically compacted without the " +
+        "caller re-listing it")
+    assert(store.scan("nd_docs").agg(min(col("doc_id"))).head.getLong(0)
+      >= 30L)
+  }
+
   test("maintain drains a crashed cascade before touching anything") {
     val dir = java.nio.file.Files.createTempDirectory("graft_maintdr").toString
     val s0 = new graft.table.TableStore(spark, dir)

@@ -160,11 +160,17 @@ class RetentionCascadeSpec extends SparkSpec {
     probeAll(fresh, full)
   }
 
-  /** Run one crash-window scenario: arm the failpoint to die at `label`,
-    * run the cascade (must throw), then recover through a NEW store
-    * instance (the journal is the only survivor of the "process death")
-    * and assert all four families equal a fresh rebuild on survivors. */
-  private def crashRecoverScenario(label: String): Unit = {
+  /** Run one crash-window scenario: arm the failpoint to die at `label`
+    * (Retention's seam, or Retrieval's when `retrievalSeam` — the BM25
+    * sub-append windows), run the cascade (must throw), then recover
+    * through a NEW store instance (the journal is the only survivor of
+    * the "process death") and assert all four families equal a fresh
+    * rebuild on survivors. */
+  private def crashRecoverScenario(label: String,
+      retrievalSeam: Boolean = false): Unit = {
+    val arm: (String => Unit) => Unit =
+      if (retrievalSeam) f => Retrieval.failpoint = f
+      else f => Retention.failpoint = f
     val full = corpus()
     val survivors = full.where(col("date") >= "2026-01-02")
     val dir = java.nio.file.Files.createTempDirectory("graft_retcrash")
@@ -172,8 +178,8 @@ class RetentionCascadeSpec extends SparkSpec {
     val s0 = new graft.table.TableStore(spark, dir)
     s0.overwritePartitioned("docs", full, Seq("date"))
     buildAll(s0, full)
-    Retention.failpoint = l =>
-      if (l == label) throw new RuntimeException(s"simulated crash at $l")
+    arm(l =>
+      if (l == label) throw new RuntimeException(s"simulated crash at $l"))
     val died =
       try {
         Retention.expirePartitionsBelowCascade(s0, "docs", "date",
@@ -182,7 +188,7 @@ class RetentionCascadeSpec extends SparkSpec {
       } catch {
         case e: RuntimeException if e.getMessage.contains("simulated") =>
           true
-      } finally Retention.failpoint = _ => ()
+      } finally arm(_ => ())
     assert(died, s"failpoint $label must fire")
     // the drop itself committed (every window here is post-drop)…
     val s1 = new graft.table.TableStore(spark, dir) // "new process"
@@ -278,6 +284,167 @@ class RetentionCascadeSpec extends SparkSpec {
       "the half-landed erasure must be visible to a governance audit")
     Retention.drainPendingCascades(s1, "docs")
     assert(Retention.pendingCascades(s1, "docs").isEmpty)
+  }
+
+  test("crash between the BM25 postings landing and its marker-gap closing: replay resumes") {
+    // the .p marker committed but the terms/stats appends did not — the
+    // drain must SKIP the landed postings negation and run only the
+    // missing sub-appends; before the sub-append markers, this window
+    // replayed the postings negation twice (net-negative tf)
+    crashRecoverScenario("bm25-postings-marked", retrievalSeam = true)
+  }
+
+  test("crash between the BM25 terms landing and the stats append: replay resumes") {
+    crashRecoverScenario("bm25-terms-marked", retrievalSeam = true)
+  }
+
+  test("liveness-probe failure PARKS the journal; acknowledge clears it") {
+    val full = corpus()
+    val dir = java.nio.file.Files.createTempDirectory("graft_retpark")
+      .toString
+    val s0 = new graft.table.TableStore(spark, dir)
+    s0.overwritePartitioned("docs", full, Seq("date"))
+    NearDupIndex.buildNearDupIndex(s0, "nd", full, "text", "doc_id",
+      numBuckets = 2)
+    Retrieval.buildBm25Index(s0, "bm", full, "text", "doc_id",
+      numBuckets = 2)
+    // die after the drop commits but before the __commit__ marker — the
+    // window whose recovery needs the liveness probe
+    Retention.failpoint = l =>
+      if (l == "dropped") throw new RuntimeException("simulated")
+    try intercept[RuntimeException] {
+      Retention.expirePartitionsBelowCascade(s0, "docs", "date",
+        cutoff = "2026-01-02", idCol = "doc_id",
+        indexes = Seq(Retention.NearDup("nd"),
+          Retention.Bm25("bm", "text", numBuckets = 2)))
+    } finally Retention.failpoint = _ => ()
+    // destroy the evidence: the table is dropped before the next drain,
+    // so the probe cannot decide the drop's fate
+    val s1 = new graft.table.TableStore(spark, dir)
+    s1.drop("docs")
+    Retention.drainPendingCascades(s1, "docs")
+    // parked, not cleared: the audit record survives with the abandoned
+    // marker and the full index-target list (the remediation as data)…
+    val ab = Retention.abandonedCascades(s1, "docs")
+    assert(ab.where(col("kind") === "__abandoned__").count() == 1)
+    assert(ab.where(col("kind") === "neardup").count() == 1)
+    assert(ab.where(col("kind") === "bm25").count() == 1)
+    // …while the payload (copies of doomed content) is gone — the
+    // remediation is an index rebuild, never a replay
+    assert(!s1.exists(Retention.journalName("docs")) ||
+      s1.scan(Retention.journalName("docs")).isEmpty)
+    // repeated drains are no-ops on a parked cascade (no loop, no clear)
+    val before = rows(Retention.pendingCascades(s1, "docs"))
+    Retention.drainPendingCascades(s1, "docs")
+    Retention.drainPendingCascades(s1, "docs")
+    assert(rows(Retention.pendingCascades(s1, "docs")) == before)
+    // a non-abandoned id refuses the acknowledge path
+    intercept[IllegalArgumentException] {
+      Retention.acknowledgeAbandoned(s1, "docs", "no-such-cascade")
+    }
+    // explicit acknowledgement (after the rebuild) empties the record
+    val cid = ab.select("cascade_id").head.getString(0)
+    Retention.acknowledgeAbandoned(s1, "docs", cid)
+    assert(Retention.pendingCascades(s1, "docs").isEmpty)
+    assert(Retention.abandonedCascades(s1, "docs").isEmpty)
+  }
+
+  test("pendingCascades: hand-built empty schema matches the journaled state schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_retsch")
+      .toString
+    val s0 = new graft.table.TableStore(spark, dir)
+    val full = corpus()
+    s0.overwritePartitioned("docs", full, Seq("date"))
+    NearDupIndex.buildNearDupIndex(s0, "nd", full, "text", "doc_id",
+      numBuckets = 2)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val empty = shape(Retention.pendingCascades(s0, "docs"))
+    Retention.failpoint = l =>
+      if (l == "dropped") throw new RuntimeException("simulated")
+    try intercept[RuntimeException] {
+      Retention.expirePartitionsBelowCascade(s0, "docs", "date",
+        cutoff = "2026-01-02", idCol = "doc_id",
+        indexes = Seq(Retention.NearDup("nd")))
+    } finally Retention.failpoint = _ => ()
+    assert(empty == shape(Retention.pendingCascades(s0, "docs")),
+      "the empty frame's schema must track journalWrite's real state " +
+        "schema — a drifted column would surface only on the first crash")
+    Retention.drainPendingCascades(s0, "docs")
+  }
+
+  test("orphan payload rows (a crash inside journalWrite) are GC'd by the drain") {
+    val store = tmpStore()
+    val full = corpus()
+    store.overwritePartitioned("docs", full, Seq("date"))
+    // simulate journalWrite dying between its payload append and its
+    // state append: payload rows exist for a cascade id with NO state row
+    store.overwrite(Retention.journalName("docs"),
+      full.select("doc_id", "text")
+        .withColumn("__cascade_id", lit("deadbeef")))
+    Retention.drainPendingCascades(store, "docs")
+    assert(!store.exists(Retention.journalName("docs")) ||
+      store.scan(Retention.journalName("docs")).isEmpty,
+      "payload no state row points to must not outlive the drain — an " +
+        "erasure journal keeping invisible copies of doomed content")
+  }
+
+  test("registry: cascade with indexes = Nil reaches every registered family") {
+    val full = corpus()
+    val survivors = full.where(col("date") >= "2026-01-02")
+    val dir = java.nio.file.Files.createTempDirectory("graft_retreg")
+      .toString
+    val store = new graft.table.TableStore(spark, dir)
+    store.overwritePartitioned("docs", full, Seq("date"))
+    buildAll(store, full)
+    allTargets.foreach(t => Retention.registerIndex(store, "docs", t))
+    assert(Retention.registeredIndexes(store, "docs").size == 4)
+    val swept = Retention.expirePartitionsBelowCascade(store, "docs",
+      "date", cutoff = "2026-01-02", idCol = "doc_id", indexes = Nil)
+    assert(swept)
+    assert(probeAll(store, full) == freshFingerprint(store, full, survivors),
+      "indexes = Nil must resolve to the registered list — all four " +
+        "families erased, not just the ones a caller remembered")
+  }
+
+  test("registry: an explicit list that drifts from the registry fails fast") {
+    val full = corpus()
+    val store = tmpStore()
+    store.overwritePartitioned("docs", full, Seq("date"))
+    NearDupIndex.buildNearDupIndex(store, "nd", full, "text", "doc_id",
+      numBuckets = 2)
+    Retrieval.buildBm25Index(store, "bm", full, "text", "doc_id",
+      numBuckets = 2)
+    Retention.registerIndex(store, "docs", Retention.NearDup("nd", 2))
+    Retention.registerIndex(store, "docs",
+      Retention.Bm25("bm", "text", numBuckets = 2))
+    // listed ⊂ registered: the forgotten BM25 index would keep serving
+    // the erased docs — refuse
+    val e = intercept[IllegalArgumentException] {
+      Retention.expirePartitionsBelowCascade(store, "docs", "date",
+        cutoff = "2026-01-02", idCol = "doc_id",
+        indexes = Seq(Retention.NearDup("nd")))
+    }
+    assert(e.getMessage.contains("registry drift"))
+    // listed ⊄ registered: a never-registered index suggests stale state
+    intercept[IllegalArgumentException] {
+      Retention.expirePartitionsBelowCascade(store, "docs", "date",
+        cutoff = "2026-01-02", idCol = "doc_id",
+        indexes = Seq(Retention.NearDup("nd"),
+          Retention.Bm25("bm", "text", 2), Retention.Positional("pos")))
+    }
+    // a matching explicit list passes (tombstone numBuckets is a
+    // compaction knob, not identity), and nothing was half-swept above
+    assert(store.scan("docs").count() == 90)
+    val swept = Retention.expirePartitionsBelowCascade(store, "docs",
+      "date", cutoff = "2026-01-02", idCol = "doc_id",
+      indexes = Seq(Retention.NearDup("nd", 0),
+        Retention.Bm25("bm", "text", 2)))
+    assert(swept)
+    // unregister drops a family from the contract
+    Retention.unregisterIndex(store, "docs", "bm")
+    assert(Retention.registeredIndexes(store, "docs") ==
+      Seq(Retention.NearDup("nd", 2)))
   }
 
   test("cutoff below every partition is a no-op: no drop, no index writes") {

@@ -80,8 +80,10 @@ class BloomScanSpec extends SparkSpec {
     store.append("t", Seq((3L, Option.empty[String])).toDF("k", "h"))
     store.analyzeBloomFilters("t", Seq("h"))
     // the appended all-null snapshot contributes no sidecar rows but its
-    // file is still read (conservative keep)
+    // file is still read (conservative keep); the __analyzed__ sentinel
+    // (column-set record, not a file) is excluded from the count
     assert(store.scan(store.bloomTable("t"))
+      .where(col("file") =!= "__analyzed__")
       .select("file").distinct().count() == 1L)
     assert(store.scanBloomPruned("t", "h", "x").collect()
       .map(_.getLong(0)).toSeq == Seq(1L))

@@ -107,6 +107,39 @@ class SidecarRefreshSpec extends SparkSpec {
       "the re-analyze must cover the appended files")
   }
 
+  test("bloom analyzed-column set survives an all-files-dead refresh") {
+    val (store, _) = newStoreAt
+    store.overwrite("t", spark.range(0, 500)
+      .selectExpr("CAST(id AS STRING) AS h", "id AS v"))
+    store.analyzeBloomFilters("t", Seq("h"), bits = 4096, hashes = 3)
+    // every recorded file dies with nothing fresh to index: a takedown
+    // empties the table before the next append lands
+    store.overwrite("t", spark.range(0, 1).where(lit(false))
+      .selectExpr("CAST(id AS STRING) AS h", "id AS v"))
+    store.refreshBloomFilters("t") // maintenance cadence, no columns
+    // the sidecar has zero DATA rows but still records the analyzed set
+    assert(store.scan(store.bloomTable("t"))
+      .where(col("file") =!= "__analyzed__").isEmpty)
+    assert(store.scan(store.bloomTable("t"))
+      .select("column").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("h"))
+    // …so the NEXT maintenance refresh regains pruning instead of
+    // no-opping forever (the old failure: empty sidecar → no recorded
+    // columns → refresh(name) never indexes anything again)
+    store.append("t", spark.range(9000, 9500)
+      .selectExpr("CAST(id AS STRING) AS h", "id AS v"))
+    store.refreshBloomFilters("t")
+    val got = store.scanBloomPruned("t", "h", "9123").collect()
+    assert(got.length == 1 && got.head.getLong(1) == 9123L)
+    assert(store.scan(store.bloomTable("t"))
+      .where(col("file") =!= "__analyzed__").count() > 0,
+      "fresh files must be re-indexed after the empty window")
+    // params survived the emptiness too (probe hashes like the build)
+    val params = store.scan(store.bloomTable("t"))
+      .select("bits", "hashes").distinct().collect()
+    assert(params.length == 1 && params.head.getInt(0) == 4096)
+  }
+
   test("bloom refresh == full analyze, params inherited, pruning exact") {
     val (store, _) = newStoreAt
     store.overwrite("t", spark.range(0, 500)
