@@ -82,3 +82,25 @@ if [ $((N % 4)) -eq 0 ]; then
   run verifyp "$ROOT" tp "$KEPT_ROWS" 2 d2,d3,d4 2>&1 | grep VERIFYP_OK
   echo "[2jvm] OK: partitioned appends + cross-process drop verified"
 fi
+
+# ---- lease leg: two JVMs race the SAME retention-lease acquire through
+# a file barrier (both attempt before either releases) — exactly one may
+# win; afterwards a single acquire must succeed (the winner released).
+echo "[2jvm] lease leg: racing two JVMs for one retention lease"
+run lease "$ROOT" tl A 2 >"$ROOT/la.log" 2>&1 &
+PID_A=$!
+run lease "$ROOT" tl B 2 >"$ROOT/lb.log" 2>&1 &
+PID_B=$!
+wait "$PID_A" || { echo "[2jvm] lease racer A FAILED"; tail -20 "$ROOT/la.log"; exit 1; }
+wait "$PID_B" || { echo "[2jvm] lease racer B FAILED"; tail -20 "$ROOT/lb.log"; exit 1; }
+grep -h LEASE_RESULT "$ROOT/la.log" "$ROOT/lb.log"
+WINS=$(grep -h "LEASE_RESULT" "$ROOT/la.log" "$ROOT/lb.log" | grep -c "won=true" || true)
+if [ "$WINS" -ne 1 ]; then
+  echo "[2jvm] lease race FAILED: $WINS winners (must be exactly 1)"
+  exit 1
+fi
+run lease "$ROOT" tl C 1 >"$ROOT/lc.log" 2>&1 \
+  || { echo "[2jvm] post-race acquire FAILED"; tail -20 "$ROOT/lc.log"; exit 1; }
+grep -q "LEASE_RESULT C won=true" "$ROOT/lc.log" \
+  || { echo "[2jvm] post-race acquire must win a released lease"; exit 1; }
+echo "[2jvm] OK: exactly one cross-process lease winner; released cleanly"

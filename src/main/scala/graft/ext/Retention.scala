@@ -131,7 +131,11 @@ object Retention {
     * list that DRIFTS from the registry fails fast instead of silently
     * leaving an unlisted index covering erased docs. Idempotent upsert
     * keyed on (family, index name); the registry is a tiny ordinary store
-    * table (atomic commits, time travel). */
+    * table (atomic commits, time travel). The upsert itself is
+    * read-modify-write (registration happens once, at build time — not a
+    * hot path): two SIMULTANEOUS registrations of different indexes on
+    * one table can lose one; serialize registrations per table (the
+    * curate-and-index paths register from their single-writer stream). */
   def registerIndex(store: TableStore, table: String,
       target: IndexTarget): Unit = {
     val sp = store.session

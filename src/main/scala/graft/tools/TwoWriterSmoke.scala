@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   *   drop   <root> <table> <vals,csv>              dropPartitions on day
   *   verifyp <root> <table> <expectRows> <expectWriters> <keptDays,csv>
   *           assert rows + that only the kept day partitions survive
+  *   lease  <root> <table> <holderId> <nPeers>     barrier-synchronized
+  *           race for the retention lease: all peers attempt the SAME
+  *           acquire at the same instant (file barrier), print won=…;
+  *           the shell asserts exactly one winner — the cross-process
+  *           form of the one-retention-operator contract (in-JVM races
+  *           are covered by RetentionLeaseSpec; only separate processes
+  *           exercise the link(2)/O_EXCL claim for real)
   */
 object TwoWriterSmoke {
   def main(args: Array[String]): Unit = {
@@ -94,6 +101,27 @@ object TwoWriterSmoke {
         assert(store.partitionValues(table, "day").toSet == kept,
           "partitionValues must agree with the scanned survivors")
         println(s"VERIFYP_OK rows=$n writers=$writers days=${days.toSeq.sorted.mkString(",")}")
+      case "lease" =>
+        val (table, holderId, nPeers) = (args(2), args(3), args(4).toInt)
+        // file barrier: both JVMs reach the attempt before either tries,
+        // so the winner's release (below) can never hand the loser a
+        // second, non-racing chance to "win"
+        val barrier = new java.io.File(args(1), s"lease_barrier_$table")
+        barrier.mkdirs()
+        new java.io.File(barrier, s"ready-$holderId").createNewFile()
+        val deadline = System.currentTimeMillis() + 60000
+        while (barrier.listFiles().count(_.getName.startsWith("ready-"))
+            < nPeers && System.currentTimeMillis() < deadline)
+          Thread.sleep(5)
+        val won = store.tryAcquireLease(table, "retention", holderId,
+          ttlMs = 60000)
+        println(s"LEASE_RESULT $holderId won=$won")
+        if (won) {
+          // hold well past the loser's attempt window, then release so
+          // the shell's post-race single-acquire leg sees a free lease
+          Thread.sleep(1000)
+          store.releaseLease(table, "retention", holderId)
+        }
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()
