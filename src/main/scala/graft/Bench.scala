@@ -211,9 +211,12 @@ object Bench {
       .mkString("{", ",", "}")
     val setupTotal = setupTimes.map(_._2).sum
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    def ms0(v: Double): String =
+    // BigDecimal rounding, not the f-interpolator: f"" formats with the
+    // JVM default locale, which on comma-decimal locales emits 1,234 and
+    // breaks the driver's JSON tail-parse.
+    def ms(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val calibratedTotal = ms0(total * anchorCpuSec / cpuSec)
+    val calibratedTotal = ms(total * anchorCpuSec / cpuSec)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","calibrated_total":$calibratedTotal,"queries":$qs,"plans":$planJson,"plan_drift":$driftJson,"setup":$setupJson,"setup_total":$setupTotal,"calibration":$calibrationJson,"repeat":$repeat,"sf":"$sfDir"}"""
     if (outPath.nonEmpty) {
       val w = new java.io.PrintWriter(outPath)
@@ -230,11 +233,6 @@ object Bench {
     // plus the 20 slowest queries rounded to ms — sized to survive the
     // tail capture. Spark stops BEFORE printing so shutdown logging can't
     // land after the JSON.
-    // BigDecimal rounding, not the f-interpolator: f"" formats with the
-    // JVM default locale, which on comma-decimal locales emits 1,234 and
-    // breaks the driver's JSON tail-parse.
-    def ms(v: Double): String =
-      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val slowest = results.sortBy(-_._2).take(20)
       .map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")

@@ -10,13 +10,15 @@ object Maintenance {
 
   private val log = org.slf4j.LoggerFactory.getLogger("graft.maintenance")
 
-  /** ONE maintenance pass over `table`, in the order that keeps each step
-    * cheap and correct:
+  /** ONE maintenance pass over `table` — holding the table's RETENTION
+    * LEASE for the whole pass (a concurrent cascade/drain aborts cleanly
+    * instead of racing the fold or the index compactions) — in the order
+    * that keeps each step cheap and correct:
     *
     *  1. drain any pending retention-cascade journal
-    *     ([[Retention.drainPendingCascades]], under the table's retention
-    *     lease) — a crashed cascade's index deletes must land before
-    *     anything compacts the tombstones they write;
+    *     ([[Retention.drainPendingCascades]]) — a crashed cascade's
+    *     index deletes must land before anything compacts the
+    *     tombstones they write;
     *  2. fold the manifest once it exceeds `maxSnapshots`, LAYOUT-AWARE:
     *     a uniformly hive-partitioned table folds through
     *     [[TableStore.compactPartitioned]] (preserving the O(metadata)
@@ -44,8 +46,11 @@ object Maintenance {
     * rows, probe rows, manifest/sidecar/tombstone sizes across the pass. */
   def maintain(store: TableStore, table: String,
       indexes: Seq[Retention.IndexTarget] = Nil,
-      maxSnapshots: Int = 16): Unit = {
-    Retention.drainPendingCascades(store, table)
+      maxSnapshots: Int = 16): Unit = Retention.withLease(store, table) {
+    // ONE lease across the whole pass, not just the drain: the index
+    // compactions below fold the BM25 replay tags away, which is only
+    // safe while no cascade can be mid-negation on these indexes
+    Retention.drainInternal(store, table)
     val resolved = Retention.resolveIndexes(store, table, indexes)
     val layout = store.tableLayout(table)
     if (layout.nonEmpty)

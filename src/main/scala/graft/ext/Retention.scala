@@ -131,11 +131,13 @@ object Retention {
     * list that DRIFTS from the registry fails fast instead of silently
     * leaving an unlisted index covering erased docs. Idempotent upsert
     * keyed on (family, index name); the registry is a tiny ordinary store
-    * table (atomic commits, time travel). The upsert itself is
-    * read-modify-write (registration happens once, at build time — not a
-    * hot path): two SIMULTANEOUS registrations of different indexes on
-    * one table can lose one; serialize registrations per table (the
-    * curate-and-index paths register from their single-writer stream). */
+    * table (atomic commits, time travel). The upsert is deleteWhere +
+    * append — NOT read-modify-overwrite — so two simultaneous
+    * registrations of DIFFERENT indexes both land (a lost registration
+    * here would silently leave an index outside every `indexes = Nil`
+    * cascade); same-key concurrent re-registrations can at worst leave
+    * duplicate rows, which [[registeredIndexes]] dedups and the next
+    * re-register clears. */
   def registerIndex(store: TableStore, table: String,
       target: IndexTarget): Unit = {
     val sp = store.session
@@ -145,12 +147,10 @@ object Retention {
       .toDF("kind", "index_name", "text_col", "num_buckets")
       .withColumn("registered_ms", lit(System.currentTimeMillis()))
     val regName = indexRegistryName(table)
-    if (!store.exists(regName)) store.overwrite(regName, row)
-    else {
-      val kept = store.scan(regName)
-        .where(col("kind") =!= kind || col("index_name") =!= name)
-      store.overwrite(regName, kept.unionByName(row))
-    }
+    if (store.exists(regName))
+      store.deleteWhere(regName,
+        col("kind") === kind && col("index_name") === name)
+    store.append(regName, row) // CAS-creates the table when missing
   }
 
   /** Remove `indexName` from `table`'s registry (e.g. after dropping the
@@ -162,7 +162,8 @@ object Retention {
       store.deleteWhere(regName, col("index_name") === indexName)
   }
 
-  /** The registered index targets of `table` (empty when no registry). */
+  /** The registered index targets of `table` (empty when no registry;
+    * duplicate rows from racing same-key re-registrations dedup here). */
   def registeredIndexes(store: TableStore,
       table: String): Seq[IndexTarget] = {
     val regName = indexRegistryName(table)
@@ -171,7 +172,7 @@ object Retention {
       decodeTargetFields(r.getAs[String]("kind"),
         r.getAs[String]("index_name"), r.getAs[String]("text_col"),
         r.getAs[Int]("num_buckets")))
-      .sortBy(encodeTarget)
+      .distinct.sortBy(encodeTarget)
   }
 
   /** The identity of a target for drift comparison: family + name, plus
@@ -251,8 +252,12 @@ object Retention {
 
   /** Acquire the per-table retention lease around `body`, aborting
     * loudly if another operator holds it — the structural form of the
-    * one-retention-operator-per-table contract. */
-  private def withLease[T](store: TableStore, table: String)(body: => T): T = {
+    * one-retention-operator-per-table contract. `private[ext]` so
+    * [[Maintenance.maintain]] can hold ONE lease across its whole pass
+    * (drain + fold + index compaction): an unleased index compaction
+    * folding the BM25 replay tags away mid-negation of a concurrent
+    * cascade would re-open the double-negation window. */
+  private[ext] def withLease[T](store: TableStore, table: String)(body: => T): T = {
     val holder = s"retention-${java.util.UUID.randomUUID()}"
     if (!store.tryAcquireLease(table, LeaseKind, holder, leaseTtlMs)) {
       val who = store.leaseInfo(table, LeaseKind)
@@ -371,7 +376,7 @@ object Retention {
   def drainPendingCascades(store: TableStore, table: String): Unit =
     withLease(store, table) { drainInternal(store, table) }
 
-  private def drainInternal(store: TableStore, table: String): Unit = {
+  private[ext] def drainInternal(store: TableStore, table: String): Unit = {
     val stName = journalStateName(table)
     val all =
       if (!store.exists(stName)) Array.empty[org.apache.spark.sql.Row]
@@ -405,29 +410,38 @@ object Retention {
         val vals = targets.head.getSeq[String](
           targets.head.fieldIndex("part_values")).toSeq
         val idCol = targets.head.getAs[String]("id_col")
-        // Left = park (probe failed), Right = drop committed?
+        // Left = park (probe failed), Right = drop committed? The try
+        // covers ONLY the probe itself: a transient failure in the
+        // marker append below must propagate and retry at the next
+        // drain, never misdiagnose a fully-decidable cascade as
+        // fate-unknowable and destroy its replay payload.
         val fate: Either[Unit, Boolean] =
           if (committed) Right(true)
           else {
             // pre-marker crash window: the drop committed iff the doomed
             // values are gone from the live layout
-            try {
-              val live = store.partitionValues(table, pcol).toSet
-              Right(vals.forall(v => !live.contains(v)) && {
-                appendMarker(store, table, cid, CommitKind, -1); true
-              })
-            } catch {
-              case scala.util.control.NonFatal(e) =>
-                // table dropped or re-laid-out since the crash: the
-                // drop's fate is unknowable — PARK the journal as the
-                // durable record of a possibly-half-landed erasure
-                log.warn(s"pending cascade $cid on $table: liveness " +
-                  s"probe failed (${e.getMessage}) — PARKING its journal " +
-                  "as an abandoned-erasure audit record; if the drop " +
-                  "committed, the dropped docs stay findable until the " +
-                  "listed indexes are rebuilt — rebuild them, then " +
-                  "Retention.acknowledgeAbandoned to clear the record")
-                Left(())
+            val live: Option[Set[String]] =
+              try Some(store.partitionValues(table, pcol).toSet)
+              catch {
+                case scala.util.control.NonFatal(e) =>
+                  // table dropped or re-laid-out since the crash: the
+                  // drop's fate is unknowable — PARK the journal as the
+                  // durable record of a possibly-half-landed erasure
+                  log.warn(s"pending cascade $cid on $table: liveness " +
+                    s"probe failed (${e.getMessage}) — PARKING its " +
+                    "journal as an abandoned-erasure audit record; if " +
+                    "the drop committed, the dropped docs stay findable " +
+                    "until the listed indexes are rebuilt — rebuild " +
+                    "them, then Retention.acknowledgeAbandoned to clear " +
+                    "the record")
+                  None
+              }
+            live match {
+              case None => Left(())
+              case Some(lv) =>
+                Right(vals.forall(v => !lv.contains(v)) && {
+                  appendMarker(store, table, cid, CommitKind, -1); true
+                })
             }
           }
         fate match {

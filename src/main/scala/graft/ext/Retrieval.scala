@@ -409,8 +409,11 @@ object Retrieval {
             // real stats append stays LAST — its tag proves the whole
             // negation completed
             val statsTable = s"${name}_stats"
-            val zero = stats.select((col("n_docs") * 0L).as("n_docs"),
-              (col("sum_dl") * 0L).as("sum_dl"))
+            // a LITERAL one-row frame: deriving zero from `stats` would
+            // re-run the tfAll aggregation once per marker append
+            val sp = df.sparkSession
+            import sp.implicits._
+            val zero = Seq((0L, 0L)).toDF("n_docs", "sum_dl")
             if (!store.hasAppendTag(statsTable, s"$t.p")) {
               store.appendBucketed(s"${name}_postings", postings,
                 Seq("term"), numBuckets)

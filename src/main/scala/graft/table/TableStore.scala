@@ -2507,10 +2507,14 @@ final class TableStore(spark: SparkSession, root: String,
       case Some((h, _)) =>
         // stale: park it aside (audit breadcrumb until deleted); the
         // rename is the takeover arbitration — losers see the source
-        // vanish and fail
+        // vanish (FileNotFoundException on most filesystems) and FAIL
+        // the attempt, per this method's contract
         val parked = new Path(dir,
           s"LEASE-$kind.stale-${java.util.UUID.randomUUID().toString.take(8)}")
-        if (!claimRename(f, parked)) return false
+        val renamed =
+          try claimRename(f, parked)
+          catch { case _: java.io.FileNotFoundException => false }
+        if (!renamed) return false
         TableStore.log.warn(s"lease $kind on table '$name': taking over " +
           s"from stale holder '$h' (older than $ttlMs ms)")
         filesystem.delete(parked, false)
@@ -2528,12 +2532,44 @@ final class TableStore(spark: SparkSession, root: String,
   /** Release the `kind` lease on `name` IF still held by `holder`; a
     * lease taken over mid-hold (the holder outlived its ttl) is left
     * alone with a warning — deleting it would free a lease some other
-    * operator now legitimately holds. */
+    * operator now legitimately holds. The removal is rename-then-verify,
+    * not check-then-delete: a takeover landing between the holder check
+    * and a plain delete would have its FRESH lease deleted; here the
+    * rename atomically captures whichever file is current, the content
+    * is re-verified, and a mismatched (stolen) lease is restored through
+    * the same exclusive create — the residual hazard needs a THIRD
+    * racer inside the restore microseconds and is loudly logged. */
   def releaseLease(name: String, kind: String, holder: String): Unit =
     leaseInfo(name, kind) match {
       case Some((h, _)) if h == holder =>
         val f = leaseFile(name, kind)
-        fs(f).delete(f, false); ()
+        val dir = tableDir(name)
+        val tomb = new Path(dir,
+          s"LEASE-$kind.stale-${java.util.UUID.randomUUID().toString.take(8)}")
+        val renamed =
+          try claimRename(f, tomb)
+          catch { case _: java.io.FileNotFoundException => false }
+        if (renamed) {
+          val captured =
+            try {
+              val in = fs(tomb).open(tomb)
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            } catch { case scala.util.control.NonFatal(_) => "" }
+          if (captured.takeWhile(_ != '\n') != holder) {
+            // a ttl takeover re-assigned the lease between the check and
+            // the rename: restore the new holder's file
+            val restored = exclusiveCreate(dir, f, captured.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            if (!restored)
+              TableStore.log.error(s"lease $kind on table '$name': " +
+                s"release by superseded holder '$holder' displaced a " +
+                "takeover's lease and a third claimant beat the restore " +
+                "— two operators may briefly overlap; size the ttl above " +
+                "the longest legitimate hold")
+          }
+          fs(tomb).delete(tomb, false); ()
+        }
       case Some((h, _)) =>
         TableStore.log.warn(s"lease $kind on table '$name': not releasing " +
           s"— held by '$h', not '$holder' (this holder exceeded the " +

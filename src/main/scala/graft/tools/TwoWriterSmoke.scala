@@ -116,12 +116,15 @@ object TwoWriterSmoke {
         val won = store.tryAcquireLease(table, "retention", holderId,
           ttlMs = 60000)
         println(s"LEASE_RESULT $holderId won=$won")
-        if (won) {
-          // hold well past the loser's attempt window, then release so
-          // the shell's post-race single-acquire leg sees a free lease
-          Thread.sleep(1000)
-          store.releaseLease(table, "retention", holderId)
-        }
+        // a second barrier, not a sleep: the winner releases only after
+        // every peer has ATTEMPTED — a loser JVM stalled by a GC pause
+        // can never acquire a lease the winner already released and turn
+        // one race into two sequential wins
+        new java.io.File(barrier, s"attempted-$holderId").createNewFile()
+        while (barrier.listFiles().count(_.getName.startsWith("attempted-"))
+            < nPeers && System.currentTimeMillis() < deadline)
+          Thread.sleep(5)
+        if (won) store.releaseLease(table, "retention", holderId)
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

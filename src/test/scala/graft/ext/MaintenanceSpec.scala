@@ -120,6 +120,25 @@ class MaintenanceSpec extends SparkSpec {
       >= 30L)
   }
 
+  test("maintain holds the retention lease for its whole pass") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_maintls")
+      .toString
+    val store = new graft.table.TableStore(spark, dir, gcGraceMs = 0L)
+    store.overwritePartitioned("docs", corpus(), Seq("date"))
+    // while another retention operator holds the table, maintain must
+    // abort BEFORE folding or compacting anything (an unleased index
+    // compaction could fold a mid-negation cascade's replay tags away)
+    assert(store.tryAcquireLease("docs", "retention", "other-op",
+      ttlMs = 600000))
+    val e = intercept[IllegalStateException] {
+      Maintenance.maintain(store, "docs", maxSnapshots = 0)
+    }
+    assert(e.getMessage.contains("retention lease"))
+    store.releaseLease("docs", "retention", "other-op")
+    Maintenance.maintain(store, "docs", maxSnapshots = 0) // now proceeds
+    assert(store.manifestEntries("docs").size == 1)
+  }
+
   test("maintain drains a crashed cascade before touching anything") {
     val dir = java.nio.file.Files.createTempDirectory("graft_maintdr").toString
     val s0 = new graft.table.TableStore(spark, dir)
