@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions._
   * positional, IVF) need only the ids; BM25 is log-structured count
   * negation and needs the indexed (id, text) rows re-derived — which is
   * why the capture happens before the manifest commit, while the doomed
-  * partitions are still scannable.
+  * partitions are still scannable. [[deleteByKeysCascade]] is the
+  * ID-LEVEL form of the same operation: specific doc ids erased through
+  * an O(deleted) deletion-vector commit plus the same journaled index
+  * deletes — partition expiry for dates/sources, the key cascade for
+  * individual takedowns.
   *
   * CRASH DURABILITY — the pending-cascade journal: the capture is
   * persisted to two ordinary store tables BEFORE the drop commits
@@ -242,6 +246,12 @@ object Retention {
   private val AbandonedKind = "__abandoned__"
   private val LeaseKind = "retention"
 
+  /** Sentinel `partition_col` value under which an ID-LEVEL cascade
+    * journals its state: `part_values` then holds the single journal
+    * tag riding the deletion-vector entry, and the drain's committed-
+    * probe is [[TableStore.hasDeleteTag]] instead of a layout probe. */
+  private val DvTagSentinel = "__dv_tag__"
+
   /** Staleness window for the per-table retention lease: a lease older
     * than this is presumed orphaned by a dead operator and is taken
     * over. MUST exceed the longest legitimate cascade/drain on the
@@ -341,6 +351,88 @@ object Retention {
         "quiesce writers or retry")
   }
 
+  /** [[TableStore.deleteByKeysDV]] + index cascade: erase SPECIFIC doc
+    * ids from the table (one O(deleted) deletion-vector commit) AND from
+    * every listed/registered persistent index as ONE crash-durable
+    * operation — the ID-level sibling of [[dropPartitionsCascade]] (a
+    * GDPR-style takedown of individual documents where the partition
+    * form expires a date or source). Returns true iff a deletion vector
+    * committed; false = none of the ids are live in the table, so there
+    * is nothing to erase anywhere (an index covering exactly the table
+    * cannot hold a doc the table does not — the SYNC CONTRACT above).
+    *
+    * The capture is ONE semi-join scan of the table against the
+    * takedown-sized (broadcastable) id list — the floor for learning
+    * the indexed text of the doomed docs; cluster or zone-map the id
+    * column to prune it. The DV commit is conditional on the capture's
+    * manifest ([[TableStore.deleteByKeysDVFromBasis]]) — an id
+    * re-appended mid-cascade forces a re-capture instead of being
+    * erased from the table while staying findable — and carries the
+    * journal's tag, so the drain decides "did the delete commit?" from
+    * the tag's presence among the live dv entries rather than from the
+    * layout. Journal, markers, drain, park, lease, registry: the exact
+    * machinery of the partition cascade. One caveat the partition form
+    * does not have: the tag's window is the live manifest, so run table
+    * compaction through [[Maintenance.maintain]] (which drains first) —
+    * an out-of-band `compact` folding a pending cascade's dv tag away
+    * would make its drain resolve as an abort (under-deletion: re-run
+    * the cascade), never as erasing live docs. */
+  def deleteByKeysCascade(
+      store: TableStore, table: String, idCol: String,
+      doomedIds: DataFrame, indexes: Seq[IndexTarget]
+  ): Boolean = withLease(store, table) {
+    drainInternal(store, table)
+    val resolved = resolveIndexes(store, table, indexes)
+    if (resolved.isEmpty) {
+      // no indexes anywhere: just the table-side vector (presence
+      // unchecked — probing it would cost the scan this path avoids)
+      val ids = doomedIds.select(col(idCol)).distinct()
+      if (ids.isEmpty) false
+      else { store.deleteByKeysDV(table, Seq(idCol), ids); true }
+    } else {
+      val textCols = resolved.collect { case Bm25(_, t, _) => t }.distinct
+      val cols = (idCol +: textCols).distinct
+      var attempt = 0
+      while (attempt < 8) {
+        attempt += 1
+        val basis = store.manifestEntries(table)
+        val doomed = store.scanEntries(table, basis)
+          .join(doomedIds.select(col(idCol)).distinct(), Seq(idCol),
+            "left_semi")
+          .select(cols.map(col): _*)
+          .dropDuplicates(Seq(idCol))
+        if (doomed.isEmpty) return false
+        val cid = java.util.UUID.randomUUID().toString.replace("-", "")
+        val tag = s"rcdv.$cid"
+        journalWrite(store, table, cid, doomed, idCol, DvTagSentinel,
+          Seq(tag), resolved)
+        failpoint("journaled")
+        // the vector's key list reads from the JOURNALED payload — the
+        // same pinned rows the index deletes will replay from
+        store.deleteByKeysDVFromBasis(table, Seq(idCol),
+          store.scan(journalName(table))
+            .where(col("__cascade_id") === cid).select(idCol),
+          basis, tag) match {
+          case 1 =>
+            failpoint("dropped")
+            appendMarker(store, table, cid, CommitKind, -1)
+            failpoint("committed-mark")
+            runTargets(store, table, cid, idCol, resolved.zipWithIndex)
+            clearCascade(store, table, cid)
+            return true
+          case 0 => // defensive: capture was non-empty above
+            clearCascade(store, table, cid)
+            return false
+          case _ => // a commit landed mid-cascade: re-capture and retry
+            clearCascade(store, table, cid)
+        }
+      }
+      throw new IllegalStateException(
+        s"deleteByKeysCascade($table) kept racing concurrent commits — " +
+          "quiesce writers or retry")
+    }
+  }
+
   /** [[TableStore.expirePartitionsBelow]] + index cascade: drop every
     * partition sorting below `cutoff` (string order — ISO dates compare
     * correctly) and erase the dropped docs from the given indexes.
@@ -415,11 +507,38 @@ object Retention {
         // marker append below must propagate and retry at the next
         // drain, never misdiagnose a fully-decidable cascade as
         // fate-unknowable and destroy its replay payload.
+        def parkWarn(reason: String): Unit =
+          log.warn(s"pending cascade $cid on $table: liveness probe " +
+            s"failed ($reason) — PARKING its journal as an " +
+            "abandoned-erasure audit record; if the drop committed, the " +
+            "dropped docs stay findable until the listed indexes are " +
+            "rebuilt — rebuild them, then Retention.acknowledgeAbandoned " +
+            "to clear the record")
         val fate: Either[Unit, Boolean] =
           if (committed) Right(true)
-          else {
-            // pre-marker crash window: the drop committed iff the doomed
-            // values are gone from the live layout
+          else if (pcol == DvTagSentinel) {
+            // ID-level cascade, pre-marker crash window: the delete
+            // committed iff its tagged dv entry is live; a table that
+            // vanished since the crash makes the fate unknowable → park
+            val probed: Option[Boolean] =
+              try {
+                if (!store.exists(table)) {
+                  parkWarn("table no longer exists"); None
+                } else Some(store.hasDeleteTag(table, vals.head))
+              } catch {
+                case scala.util.control.NonFatal(e) =>
+                  parkWarn(e.getMessage); None
+              }
+            probed match {
+              case None => Left(())
+              case Some(landed) =>
+                Right(landed && {
+                  appendMarker(store, table, cid, CommitKind, -1); true
+                })
+            }
+          } else {
+            // partition cascade, pre-marker crash window: the drop
+            // committed iff the doomed values are gone from the layout
             val live: Option[Set[String]] =
               try Some(store.partitionValues(table, pcol).toSet)
               catch {
@@ -427,13 +546,7 @@ object Retention {
                   // table dropped or re-laid-out since the crash: the
                   // drop's fate is unknowable — PARK the journal as the
                   // durable record of a possibly-half-landed erasure
-                  log.warn(s"pending cascade $cid on $table: liveness " +
-                    s"probe failed (${e.getMessage}) — PARKING its " +
-                    "journal as an abandoned-erasure audit record; if " +
-                    "the drop committed, the dropped docs stay findable " +
-                    "until the listed indexes are rebuilt — rebuild " +
-                    "them, then Retention.acknowledgeAbandoned to clear " +
-                    "the record")
+                  parkWarn(e.getMessage)
                   None
               }
             live match {

@@ -651,6 +651,34 @@ object Lifecycle {
       bm.unionByName(nd).orderBy("family", "q_id", "rank", "doc_id")
     }),
 
+    // ID-level governance erasure end-to-end: a takedown list of
+    // SPECIFIC doc ids erased through one deleteByKeysCascade call — an
+    // O(deleted) deletion-vector commit bound to the capture's manifest
+    // plus the journaled BM25 count negation — and the swept index's
+    // ranking must equal the same retrieval computed over the surviving
+    // corpus alone, which is what the oracle replays (the strictest form
+    // of the contract: the negation must cancel exactly).
+    "w_takedown_cascade" -> ((s, dir) => {
+      val store = new TableStore(s,
+        Files.createTempDirectory("graft_q_dvcasc").toString)
+      val docs = t(s, dir, "documents").where(col("doc_id") % 6 === 1)
+        .select("doc_id", "text")
+      store.overwrite("docs", docs)
+      graft.ext.Retrieval.buildBm25Index(store, "bm", docs, "text",
+        "doc_id", numBuckets = 8)
+      val doomed = docs.where(col("doc_id") % 7 === 3).select("doc_id")
+      val erased = graft.ext.Retention.deleteByKeysCascade(store, "docs",
+        "doc_id", doomed,
+        Seq(graft.ext.Retention.Bm25("bm", "text", numBuckets = 8)))
+      require(erased, "w_takedown_cascade: the takedown must erase docs")
+      graft.ext.Retrieval.bm25TopKIndexed(store, "bm", Ext.Bm25Queries,
+          k = 10)
+        .select(col("query_id").as("q_id"),
+          col("rank").cast("long").as("rank"), col("doc_id"),
+          col("score").cast("double").as("score"))
+        .orderBy("q_id", "rank", "doc_id")
+    }),
+
     // the table↔index SYNC CONTRACT as data: the near-dup index is
     // REGISTERED against the corpus at build time, and the retention
     // sweep is called with `indexes = Nil` — it must reach the
@@ -1008,6 +1036,15 @@ object Lifecycle {
          |SELECT 'neardup', batch_id, 0, corpus_id, jaccard
          |FROM (${Ext.incNearDupOracleSqlOver(survivors, subset)}) AS n
          |) AS u ORDER BY family, q_id, rank, doc_id""".stripMargin
+    },
+
+    "w_takedown_cascade" -> {
+      val survivors = "(SELECT doc_id, text FROM documents " +
+        "WHERE doc_id % 6 = 1 AND doc_id % 7 <> 3)"
+      s"""SELECT query_id AS q_id, CAST(rank AS BIGINT) AS rank, doc_id,
+         |       CAST(score AS DOUBLE) AS score
+         |FROM (${Ext.bm25OracleSqlOver(survivors)}) AS b
+         |ORDER BY q_id, rank, doc_id""".stripMargin
     },
 
     "w_cascade_registry" -> {

@@ -1206,6 +1206,50 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** [[takedownIngestAvailableNow]] CASCADED into the persistent
+    * indexes: each takedown micro-batch erases its doc ids from the
+    * table AND from every listed index (empty `indexes` = the table's
+    * registered list, [[graft.ext.Retention.registerIndex]] — which the
+    * curate-and-index ingest paths populate, so the standing pair
+    * "curate stream + takedown stream" composes with no index list
+    * repeated anywhere). Effectively-once through RE-CAPTURE rather
+    * than batch tags: a replayed batch finds its ids already
+    * DV-deleted, captures nothing, and no-ops — while a crash
+    * mid-cascade is recovered by the journal drain at the head of the
+    * replayed batch's own cascade call. The one semantic difference
+    * from [[takedownIngestAvailableNow]]'s tagged vectors: an id
+    * RE-APPENDED between the original batch and its replay is captured
+    * and erased AGAIN (per-id at-least-once — a takedown stream treats
+    * the id as condemned; use the tagged plain path when a re-added id
+    * must survive replays). Each batch takes the table's retention
+    * lease; a concurrent retention operator fails the batch loudly
+    * rather than racing a drain. */
+  def takedownCascadeIngestAvailableNow(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      store: TableStore,
+      table: String,
+      checkpointDir: String,
+      idCol: String,
+      indexes: Seq[graft.ext.Retention.IndexTarget] = Nil
+  ): Unit = {
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .json(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (batch.limit(1).count() > 0L)
+          graft.ext.Retention.deleteByKeysCascade(store, table, idCol,
+            batch.select(idCol), indexes)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming variant with watermark, for unbounded inputs. */
   def tumblingAggStreaming(
       df: DataFrame,

@@ -1834,6 +1834,49 @@ final class TableStore(spark: SparkSession, root: String,
       if (tagged(cur)) None else Some(cur :+ dv))
   }
 
+  /** [[deleteByKeysDVTagged]] whose commit is additionally CONDITIONAL
+    * on the manifest still being `basis` — the capture-and-erase binding
+    * the ID-level retention cascade needs: a batch appended mid-cascade
+    * (possibly containing doomed ids the capture never saw) forces a
+    * re-capture instead of being erased from the table while staying
+    * findable through the indexes. Returns 1 = committed (or a live
+    * entry already carries `tag` — the replay case), 0 = empty key list
+    * (nothing to erase, nothing committed), -1 = the manifest moved off
+    * `basis` (re-capture and retry). */
+  private[graft] def deleteByKeysDVFromBasis(name: String, keys: Seq[String],
+      toDelete: DataFrame, basis: Seq[String], tag: String): Int = {
+    require(tag.nonEmpty &&
+        tag.forall(c => c.isLetterOrDigit || c == '.' || c == '_'),
+      s"tag must be [A-Za-z0-9._]+ (dashes delimit it in the name): '$tag'")
+    require(keys.nonEmpty, "deleteByKeysDVFromBasis: at least one key column")
+    val marker = s"-tag-$tag-"
+    def tagged(cur: Seq[String]) =
+      cur.exists(e => isDvEntry(e) && e.contains(marker))
+    if (tagged(readManifest(name))) return 1
+    val keyList = toDelete.select(keys.map(col): _*).distinct()
+    if (keyList.limit(1).count() == 0L) return 0
+    var raced = false
+    val dv = writeDeletionVector(name, keyList, s"tag-$tag-")
+    val done = commitOwning(name, dv)(cur => {
+      if (tagged(cur)) None // a replay's commit already landed
+      else if (cur != basis) { raced = true; None }
+      else Some(cur :+ dv)
+    })
+    if (done) 1 else if (raced) -1 else 1
+  }
+
+  /** True iff a live DELETION-VECTOR entry of `name` carries `tag` —
+    * the ID-level cascade's drop-committed probe (the partition form
+    * probes [[partitionValues]]; a DV delete leaves the layout intact,
+    * so its durability record is the tag riding the dv entry's own
+    * directory name). Same tag window as every append tag: the live
+    * manifest — a [[compact]] folds it away, which covers prompt journal
+    * drains, not arbitrarily delayed ones ([[graft.ext.Maintenance]]
+    * drains BEFORE it compacts, preserving the probe). */
+  def hasDeleteTag(name: String, tag: String): Boolean =
+    exists(name) && readManifest(name).exists(e =>
+      isDvEntry(e) && e.contains(s"-tag-$tag-"))
+
   /** Rewrite the manifest's chain into a single snapshot when it grows
     * past `maxSnapshots` entries (appends accumulate read-time union
     * branches, [[deleteByKeysDV]] accumulates anti-join branches;

@@ -1968,6 +1968,57 @@ object ScaleSmoke {
           f"replaces ($buildSec%.1fs)")
     }
 
+    // 40g. ID-LEVEL CASCADE at 2M docs: a takedown list of 20k specific
+    // doc ids erased from the table (one conditional deletion-vector
+    // commit) and from the near-dup + BM25 indexes in ONE
+    // deleteByKeysCascade call. The capture is a semi-join scan against
+    // the broadcast-sized id list (the floor for learning the doomed
+    // texts); everything downstream is takedown-sized. Identity checks
+    // mirror 40e; the wall-clock assertion pins cascade < build.
+    time("key cascade 2M docs x 20k takedown ids x neardup+bm25") {
+      val docs2m = spark.range(0, 2000000L, 1, 64)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 12).map(j =>
+            concat(lit("w"), pmod(col("id") * (j + 3) + j, lit(50000)))): _*)
+            .as("text"))
+      val store = new graft.table.TableStore(spark,
+        java.nio.file.Files.createTempDirectory("graft_sm_dvcasc").toString)
+      store.overwrite("docs", docs2m)
+      val tb = System.nanoTime()
+      graft.ext.NearDupIndex.buildNearDupIndex(store, "nd", docs2m, "text",
+        "doc_id", numBuckets = 8)
+      graft.ext.Retrieval.buildBm25Index(store, "bm", docs2m, "text",
+        "doc_id", numBuckets = 8)
+      val buildSec = (System.nanoTime() - tb) / 1e9
+      val doomed = spark.range(0, 2000000L, 1, 8)
+        .where(col("id") % 100 === 42).select(col("id").as("doc_id"))
+      val t0 = System.nanoTime()
+      val erased = graft.ext.Retention.deleteByKeysCascade(store, "docs",
+        "doc_id", doomed,
+        Seq(graft.ext.Retention.NearDup("nd"),
+          graft.ext.Retention.Bm25("bm", "text", numBuckets = 8)))
+      val cascadeSec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale]   index build ${buildSec}%6.1fs, key cascade " +
+        f"(20k ids) ${cascadeSec}%6.1fs")
+      assert(erased, "the takedown must erase something")
+      assert(store.scan("docs").count() == 2000000L - 20000L)
+      // doc 42 is doomed; its exact-clone probe must be dark
+      val probeDropped = docs2m.where(col("doc_id") === 42)
+        .select((col("doc_id") + 9000000L).as("doc_id"), col("text"))
+      assert(graft.ext.NearDupIndex.nearDupAgainstIndex(store, "nd",
+        probeDropped, "text", "doc_id", threshold = 0.8,
+        materialize = false).count() == 0, "doomed doc still findable")
+      // doc 19 survives; its clone probe must still match
+      val probeKept = docs2m.where(col("doc_id") === 19)
+        .select((col("doc_id") + 9000001L).as("doc_id"), col("text"))
+      assert(graft.ext.NearDupIndex.nearDupAgainstIndex(store, "nd",
+        probeKept, "text", "doc_id", threshold = 0.8,
+        materialize = false).count() >= 1, "survivor must stay findable")
+      assert(cascadeSec < buildSec,
+        f"key cascade ($cascadeSec%.1fs) must cost less than the rebuild " +
+          f"it replaces ($buildSec%.1fs)")
+    }
+
     // 40f. JOURNAL DRAIN at scale: a cascade that died right after its
     // drop committed (the `committed-mark` window) leaves a ~5M-row
     // journal across three index targets; the next operator's drain must

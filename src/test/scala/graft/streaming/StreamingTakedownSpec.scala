@@ -75,4 +75,74 @@ class StreamingTakedownSpec extends SparkSpec {
     assert(ids == before)
     assert(store.scan("docs").where(col("doc_id") === 50L).count() == 0)
   }
+
+  test("CASCADED takedown stream: ids erased from the table AND the registered indexes") {
+    import graft.ext.{NearDupIndex, Retention, Retrieval}
+    val work = Files.createTempDirectory("graft_stkdnc")
+    val src = work.resolve("src"); Files.createDirectories(src)
+    val store = new TableStore(spark, work.resolve("store").toString)
+    val ckpt = work.resolve("ckpt")
+
+    val docs = spark.range(0, 90).selectExpr("id AS doc_id",
+      "concat_ws(' ', transform(sequence(0, 13), " +
+        "j -> concat('w', pmod(id * 13 + j * 5, 97)))) AS text")
+    store.overwrite("docs", docs)
+    NearDupIndex.buildNearDupIndex(store, "nd", docs, "text", "doc_id",
+      numBuckets = 2)
+    Retrieval.buildBm25Index(store, "bm", docs, "text", "doc_id",
+      numBuckets = 2)
+    // the sync contract as data: the takedown stream is called with NO
+    // index list — it must reach both families through the registry
+    Retention.registerIndex(store, "docs", Retention.NearDup("nd", 2))
+    Retention.registerIndex(store, "docs",
+      Retention.Bm25("bm", "text", numBuckets = 2))
+
+    def write(name: String, ids: Long*): Unit = {
+      Files.writeString(src.resolve(name),
+        ids.map(id => s"""{"doc_id":$id}""").mkString("", "\n", "\n"))
+      ()
+    }
+    def ingest(): Unit = StreamingIngest.takedownCascadeIngestAvailableNow(
+      spark, src.toString, schema, store, "docs", ckpt.toString, "doc_id")
+    val doomed = Seq(0L, 5L, 10L, 15L, 20L, 40L)
+    write("t0.json", doomed.take(3): _*)
+    write("t1.json", doomed.drop(3): _*)
+    ingest()
+    assert(store.scan("docs").count() == 90L - doomed.size)
+
+    // both families must equal a fresh rebuild on the survivors
+    val survivors = docs.where(!col("doc_id").isin(doomed: _*))
+    val fresh = new TableStore(spark,
+      work.resolve("fresh").toString)
+    NearDupIndex.buildNearDupIndex(fresh, "nd", survivors, "text",
+      "doc_id", numBuckets = 2)
+    Retrieval.buildBm25Index(fresh, "bm", survivors, "text", "doc_id",
+      numBuckets = 2)
+    def fp(s: TableStore): Seq[String] = {
+      val batch = docs.where(col("doc_id").isin(5L, 63L)) // doomed, kept
+        .select((col("doc_id") + 1000L).as("doc_id"),
+          concat(col("text"), lit(" edited")).as("text"))
+      val nd = NearDupIndex.nearDupAgainstIndex(s, "nd", batch, "text",
+        "doc_id", threshold = 0.5, materialize = false)
+      val bm = Retrieval.bm25TopKIndexed(s, "bm",
+        Seq((1L, "w5 w18 w31"), (2L, "w44 w57")), k = 5)
+      (nd.collect().toSeq ++ bm.collect().toSeq).map(_.toString).sorted
+    }
+    assert(fp(store) == fp(fresh),
+      "cascaded takedown stream must leave both families == fresh rebuild")
+    // journal fully drained; replay from a wiped checkpoint no-ops
+    assert(Retention.pendingCascades(store, "docs").isEmpty)
+    def rmrf(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(p)) {
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    }
+    rmrf(ckpt)
+    val entries = store.manifestEntries("docs")
+    ingest()
+    assert(store.manifestEntries("docs") == entries,
+      "a replayed cascade batch captures nothing and commits nothing")
+    assert(fp(store) == fp(fresh), "replay must not double-negate BM25")
+  }
 }
