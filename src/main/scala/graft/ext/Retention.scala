@@ -135,15 +135,17 @@ object Retention {
     * list that DRIFTS from the registry fails fast instead of silently
     * leaving an unlisted index covering erased docs. Idempotent upsert
     * keyed on (family, index name); the registry is a tiny ordinary store
-    * table (atomic commits, time travel). The upsert is deleteWhere +
-    * append — NOT read-modify-overwrite — so two simultaneous
-    * registrations of DIFFERENT indexes both land (a lost registration
-    * here would silently leave an index outside every `indexes = Nil`
-    * cascade); same-key concurrent re-registrations can at worst leave
-    * duplicate rows, which [[registeredIndexes]] dedups and the next
-    * re-register clears. */
+    * table (atomic commits, time travel). Registration holds the
+    * RETENTION LEASE: the upsert is deleteWhere + append (two commits),
+    * and an unleased cascade reading between them would see a registry
+    * with the index briefly absent — skipping it from an `indexes = Nil`
+    * erasure with no error. Under the lease, registrations serialize
+    * with cascades/drains/maintenance AND with each other; a
+    * registration racing a long-running cascade aborts loudly (retry
+    * after it finishes — a registry change mid-erasure is itself a sync
+    * hazard). */
   def registerIndex(store: TableStore, table: String,
-      target: IndexTarget): Unit = {
+      target: IndexTarget): Unit = withLease(store, table) {
     val sp = store.session
     import sp.implicits._
     val (kind, name, textCol, nb) = encodeTarget(target)
@@ -158,25 +160,33 @@ object Retention {
   }
 
   /** Remove `indexName` from `table`'s registry (e.g. after dropping the
-    * index) — no-op when absent. */
+    * index) — no-op when absent. Holds the retention lease like
+    * [[registerIndex]]. */
   def unregisterIndex(store: TableStore, table: String,
-      indexName: String): Unit = {
+      indexName: String): Unit = withLease(store, table) {
     val regName = indexRegistryName(table)
     if (store.exists(regName))
       store.deleteWhere(regName, col("index_name") === indexName)
   }
 
-  /** The registered index targets of `table` (empty when no registry;
-    * duplicate rows from racing same-key re-registrations dedup here). */
+  /** The registered index targets of `table` (empty when no registry).
+    * Rows dedup by (family, name) keeping the NEWEST `registered_ms` —
+    * same-key duplicate rows cannot arise under the lease, but a
+    * registry written before the lease gating (or hand-edited) must
+    * never yield two targets for one index: the cascade would negate
+    * its BM25 counts twice. */
   def registeredIndexes(store: TableStore,
       table: String): Seq[IndexTarget] = {
     val regName = indexRegistryName(table)
     if (!store.exists(regName)) Nil
-    else store.scan(regName).collect().toSeq.map(r =>
-      decodeTargetFields(r.getAs[String]("kind"),
-        r.getAs[String]("index_name"), r.getAs[String]("text_col"),
-        r.getAs[Int]("num_buckets")))
-      .distinct.sortBy(encodeTarget)
+    else store.scan(regName).collect().toSeq
+      .map(r => (r.getAs[String]("kind"), r.getAs[String]("index_name"),
+        r.getAs[String]("text_col"), r.getAs[Int]("num_buckets"),
+        r.getAs[Long]("registered_ms")))
+      .groupBy(t => (t._1, t._2)).values
+      .map(_.maxBy(_._5))
+      .map(t => decodeTargetFields(t._1, t._2, t._3, t._4))
+      .toSeq.sortBy(encodeTarget)
   }
 
   /** The identity of a target for drift comparison: family + name, plus
@@ -254,10 +264,18 @@ object Retention {
 
   /** Staleness window for the per-table retention lease: a lease older
     * than this is presumed orphaned by a dead operator and is taken
-    * over. MUST exceed the longest legitimate cascade/drain on the
-    * table — a takeover of a live-but-slow operator re-opens the
-    * concurrent-drain window the lease exists to close. Process-global
-    * knob (one retention policy per deployment, not per call). */
+    * over. MUST exceed the longest legitimate LEASED OPERATION on the
+    * table — not just a cascade/drain but a full
+    * [[Maintenance.maintain]] pass, whose manifest fold + index
+    * compactions on a large table can dominate it — because a takeover
+    * of a live-but-slow holder re-opens the concurrent-operator window
+    * the lease exists to close (e.g. a cascade's BM25 negation racing
+    * the stolen-from maintain's index compaction). Size it generously:
+    * the cost of a too-large ttl is only how long a CRASHED operator's
+    * table stays blocked. Process-global knob (one retention policy per
+    * deployment, not per call); wall-clock based, so operators on
+    * different hosts need NTP-coarse clock agreement — skew adds to the
+    * effective window. */
   @volatile var leaseTtlMs: Long = 15 * 60 * 1000L
 
   /** Acquire the per-table retention lease around `body`, aborting
@@ -318,33 +336,38 @@ object Retention {
       // doomed directories; the journal append materializes the rows to
       // parquet, pinning them durably past the commit (and past a crash)
       val basis = store.manifestEntries(table)
+      // persisted: the emptiness probe and the journal write would
+      // otherwise each pay the (partition-pruned) capture scan
       val doomed = store.scanEntries(table, basis)
         .where(col(partitionCol).isin(values: _*))
         .select(cols.map(col): _*)
         .dropDuplicates(Seq(idCol))
-      val cid = java.util.UUID.randomUUID().toString.replace("-", "")
-      val hasDoomed = !doomed.isEmpty
-      if (hasDoomed)
-        journalWrite(store, table, cid, doomed, idCol, partitionCol,
-          values, indexes)
-      failpoint("journaled")
-      store.dropPartitionsFromBasis(table, partitionCol, values,
-        basis) match {
-        case 1 =>
-          failpoint("dropped")
-          if (hasDoomed) {
-            appendMarker(store, table, cid, CommitKind, -1)
-            failpoint("committed-mark")
-            runTargets(store, table, cid, idCol, indexes.zipWithIndex)
-            clearCascade(store, table, cid)
-          }
-          return true
-        case 0 =>
-          if (hasDoomed) clearCascade(store, table, cid)
-          return false
-        case _ => // a commit landed mid-cascade: re-capture and retry
-          if (hasDoomed) clearCascade(store, table, cid)
-      }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val cid = java.util.UUID.randomUUID().toString.replace("-", "")
+        val hasDoomed = !doomed.isEmpty
+        if (hasDoomed)
+          journalWrite(store, table, cid, doomed, idCol, partitionCol,
+            values, indexes)
+        failpoint("journaled")
+        store.dropPartitionsFromBasis(table, partitionCol, values,
+          basis) match {
+          case 1 =>
+            failpoint("dropped")
+            if (hasDoomed) {
+              appendMarker(store, table, cid, CommitKind, -1)
+              failpoint("committed-mark")
+              runTargets(store, table, cid, idCol, indexes.zipWithIndex)
+              clearCascade(store, table, cid)
+            }
+            return true
+          case 0 =>
+            if (hasDoomed) clearCascade(store, table, cid)
+            return false
+          case _ => // a commit landed mid-cascade: re-capture and retry
+            if (hasDoomed) clearCascade(store, table, cid)
+        }
+      } finally doomed.unpersist(blocking = false)
     }
     throw new IllegalStateException(
       s"dropPartitionsCascade($table) kept racing concurrent commits — " +
@@ -371,12 +394,13 @@ object Retention {
     * journal's tag, so the drain decides "did the delete commit?" from
     * the tag's presence among the live dv entries rather than from the
     * layout. Journal, markers, drain, park, lease, registry: the exact
-    * machinery of the partition cascade. One caveat the partition form
-    * does not have: the tag's window is the live manifest, so run table
-    * compaction through [[Maintenance.maintain]] (which drains first) —
-    * an out-of-band `compact` folding a pending cascade's dv tag away
-    * would make its drain resolve as an abort (under-deletion: re-run
-    * the cascade), never as erasing live docs. */
+    * machinery of the partition cascade. The drain's probe is fold-safe:
+    * the tag is the fast path, and a tag an out-of-band `compact` folded
+    * away (the fold materializes the vector and forgets the entry name)
+    * falls back to probing the journaled ids' liveness — all dead
+    * resolves as committed and the index deletes still run; any id live
+    * resolves as abort (under-deletion, re-runnable), never as erasing
+    * live docs from the indexes. */
   def deleteByKeysCascade(
       store: TableStore, table: String, idCol: String,
       doomedIds: DataFrame, indexes: Seq[IndexTarget]
@@ -396,36 +420,42 @@ object Retention {
       while (attempt < 8) {
         attempt += 1
         val basis = store.manifestEntries(table)
+        // persisted: the emptiness probe and the journal write below
+        // would otherwise each pay the table-vs-takedown semi-join scan
+        // (the cascade's dominant cost); unpersisted per attempt
         val doomed = store.scanEntries(table, basis)
           .join(doomedIds.select(col(idCol)).distinct(), Seq(idCol),
             "left_semi")
           .select(cols.map(col): _*)
           .dropDuplicates(Seq(idCol))
-        if (doomed.isEmpty) return false
-        val cid = java.util.UUID.randomUUID().toString.replace("-", "")
-        val tag = s"rcdv.$cid"
-        journalWrite(store, table, cid, doomed, idCol, DvTagSentinel,
-          Seq(tag), resolved)
-        failpoint("journaled")
-        // the vector's key list reads from the JOURNALED payload — the
-        // same pinned rows the index deletes will replay from
-        store.deleteByKeysDVFromBasis(table, Seq(idCol),
-          store.scan(journalName(table))
-            .where(col("__cascade_id") === cid).select(idCol),
-          basis, tag) match {
-          case 1 =>
-            failpoint("dropped")
-            appendMarker(store, table, cid, CommitKind, -1)
-            failpoint("committed-mark")
-            runTargets(store, table, cid, idCol, resolved.zipWithIndex)
-            clearCascade(store, table, cid)
-            return true
-          case 0 => // defensive: capture was non-empty above
-            clearCascade(store, table, cid)
-            return false
-          case _ => // a commit landed mid-cascade: re-capture and retry
-            clearCascade(store, table, cid)
-        }
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (doomed.isEmpty) return false
+          val cid = java.util.UUID.randomUUID().toString.replace("-", "")
+          val tag = s"rcdv.$cid"
+          journalWrite(store, table, cid, doomed, idCol, DvTagSentinel,
+            Seq(tag), resolved)
+          failpoint("journaled")
+          // the vector's key list reads from the JOURNALED payload — the
+          // same pinned rows the index deletes will replay from
+          store.deleteByKeysDVFromBasis(table, Seq(idCol),
+            store.scan(journalName(table))
+              .where(col("__cascade_id") === cid).select(idCol),
+            basis, tag) match {
+            case 1 =>
+              failpoint("dropped")
+              appendMarker(store, table, cid, CommitKind, -1)
+              failpoint("committed-mark")
+              runTargets(store, table, cid, idCol, resolved.zipWithIndex)
+              clearCascade(store, table, cid)
+              return true
+            case 0 => // defensive: capture was non-empty above
+              clearCascade(store, table, cid)
+              return false
+            case _ => // a commit landed mid-cascade: re-capture and retry
+              clearCascade(store, table, cid)
+          }
+        } finally doomed.unpersist(blocking = false)
       }
       throw new IllegalStateException(
         s"deleteByKeysCascade($table) kept racing concurrent commits — " +
@@ -518,13 +548,36 @@ object Retention {
           if (committed) Right(true)
           else if (pcol == DvTagSentinel) {
             // ID-level cascade, pre-marker crash window: the delete
-            // committed iff its tagged dv entry is live; a table that
-            // vanished since the crash makes the fate unknowable → park
+            // committed iff its tagged dv entry is live — the fast
+            // path. The tag's window is the live manifest, so an
+            // out-of-band compact between the crash and this drain may
+            // have FOLDED it away while materializing the vector; a
+            // missing tag therefore falls back to probing the journaled
+            // ids' liveness in the table: ALL dead → the delete
+            // happened (by this cascade's vector or any equivalent
+            // means) and the index deletes must still run — treating a
+            // foldable tag as proof of abort would clear the journal
+            // and leave every index serving the erased docs, silently.
+            // ANY id still live → abort (under-deletion, re-runnable —
+            // a doomed id re-appended since the crash resolves this
+            // way, matching the partition form's ambiguity rule: never
+            // erase live docs from the indexes). A table that vanished
+            // since the crash makes the fate unknowable → park.
             val probed: Option[Boolean] =
               try {
                 if (!store.exists(table)) {
                   parkWarn("table no longer exists"); None
-                } else Some(store.hasDeleteTag(table, vals.head))
+                } else if (store.hasDeleteTag(table, vals.head)) {
+                  Some(true)
+                } else {
+                  val anyLive = store.scan(table)
+                    .join(store.scan(journalName(table))
+                        .where(col("__cascade_id") === cid)
+                        .select(idCol),
+                      Seq(idCol), "left_semi")
+                    .limit(1).count() > 0
+                  Some(!anyLive)
+                }
               } catch {
                 case scala.util.control.NonFatal(e) =>
                   parkWarn(e.getMessage); None

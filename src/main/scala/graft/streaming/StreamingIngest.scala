@@ -1241,9 +1241,20 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (batch.limit(1).count() > 0L)
+        if (batch.limit(1).count() > 0L) {
+          // with NO indexes anywhere the cascade degenerates to an
+          // UNTAGGED vector per batch — a replay would commit a second
+          // one (and erase a re-added id with no journal at all); the
+          // plain tagged path exists for exactly that shape
+          require(indexes.nonEmpty ||
+              graft.ext.Retention.registeredIndexes(store, table).nonEmpty,
+            s"takedownCascadeIngestAvailableNow($table): no indexes " +
+              "listed and none registered — use " +
+              "takedownIngestAvailableNow (tagged, exactly-once) for an " +
+              "index-less takedown stream")
           graft.ext.Retention.deleteByKeysCascade(store, table, idCol,
             batch.select(idCol), indexes)
+        }
         ()
       }
       .start()

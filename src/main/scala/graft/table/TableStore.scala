@@ -2593,23 +2593,41 @@ final class TableStore(spark: SparkSession, root: String,
           try claimRename(f, tomb)
           catch { case _: java.io.FileNotFoundException => false }
         if (renamed) {
-          val captured =
+          // read with retries: an unreadable capture must be
+          // distinguished from a VERIFIED mismatch — "restoring" empty
+          // bytes would plant an immediately-stale unreadable lease,
+          // and in the takeover sub-case silently discard the new
+          // holder's content
+          def readTomb(attempt: Int): Option[String] =
             try {
               val in = fs(tomb).open(tomb)
-              try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-              finally in.close()
-            } catch { case scala.util.control.NonFatal(_) => "" }
-          if (captured.takeWhile(_ != '\n') != holder) {
-            // a ttl takeover re-assigned the lease between the check and
-            // the rename: restore the new holder's file
-            val restored = exclusiveCreate(dir, f, captured.getBytes(
-              java.nio.charset.StandardCharsets.UTF_8))
-            if (!restored)
-              TableStore.log.error(s"lease $kind on table '$name': " +
-                s"release by superseded holder '$holder' displaced a " +
-                "takeover's lease and a third claimant beat the restore " +
-                "— two operators may briefly overlap; size the ttl above " +
-                "the longest legitimate hold")
+              Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close())
+            } catch {
+              case scala.util.control.NonFatal(_) if attempt < 3 =>
+                Thread.sleep(10); readTomb(attempt + 1)
+              case scala.util.control.NonFatal(_) => None
+            }
+          readTomb(0) match {
+            case Some(captured)
+                if captured.takeWhile(_ != '\n') != holder =>
+              // a ttl takeover re-assigned the lease between the check
+              // and the rename: restore the new holder's file
+              val restored = exclusiveCreate(dir, f, captured.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+              if (!restored)
+                TableStore.log.error(s"lease $kind on table '$name': " +
+                  s"release by superseded holder '$holder' displaced a " +
+                  "takeover's lease and a third claimant beat the " +
+                  "restore — two operators may briefly overlap; size " +
+                  "the ttl above the longest legitimate hold")
+            case Some(_) => () // verified ours: released
+            case None =>
+              // persistently unreadable: overwhelmingly our own file
+              // (the rename captured whatever was current and we held
+              // the lease microseconds ago); release it and say so
+              TableStore.log.warn(s"lease $kind on table '$name': " +
+                "released without content verification (tomb unreadable)")
           }
           fs(tomb).delete(tomb, false); ()
         }

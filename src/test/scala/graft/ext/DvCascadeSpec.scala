@@ -106,11 +106,13 @@ class DvCascadeSpec extends SparkSpec {
       "an all-dead id list must not commit another vector")
   }
 
-  /** Crash-window scenario: die at `label`, recover through a NEW store
-    * by re-running the cascade (drains first, then finds nothing live),
-    * assert all four families equal a fresh rebuild. */
+  /** Crash-window scenario: die at `label`, optionally mutate the store
+    * `between` the crash and the recovery, then recover through a NEW
+    * store by re-running the cascade (drains first, then finds nothing
+    * live) and assert all four families equal a fresh rebuild. */
   private def crashRecoverScenario(label: String,
-      retrievalSeam: Boolean = false): Unit = {
+      retrievalSeam: Boolean = false,
+      between: graft.table.TableStore => Unit = _ => ()): Unit = {
     val arm: (String => Unit) => Unit =
       if (retrievalSeam) f => Retrieval.failpoint = f
       else f => Retention.failpoint = f
@@ -127,6 +129,7 @@ class DvCascadeSpec extends SparkSpec {
         doomedIds(full), allTargets)
     } finally arm(_ => ())
     val s1 = new graft.table.TableStore(spark, dir) // "new process"
+    between(s1)
     // every window here is post-DV-commit: the table side already holds
     assert(rows(s1.scan("docs")) == rows(survivors(full)))
     assert(s1.exists(Retention.journalStateName("docs")))
@@ -145,6 +148,15 @@ class DvCascadeSpec extends SparkSpec {
 
   test("crash between the commit marker and the index deletes: drain recovers") {
     crashRecoverScenario("committed-mark")
+  }
+
+  test("out-of-band compact folds the dv tag away: the liveness fallback still drains") {
+    // the fold materializes the vector and forgets its tagged entry —
+    // treating the missing tag as proof of abort would clear the journal
+    // and leave every index serving the erased docs; the drain must fall
+    // back to probing the journaled ids (all dead → the delete happened)
+    crashRecoverScenario("dropped",
+      between = s => s.compact("docs", maxSnapshots = 0))
   }
 
   test("crash mid-targets: only the missing deletes replay") {
