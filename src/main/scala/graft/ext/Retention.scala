@@ -580,7 +580,17 @@ object Retention {
                 }
               } catch {
                 case scala.util.control.NonFatal(e) =>
-                  parkWarn(e.getMessage); None
+                  // park only on STRUCTURAL evidence (the table vanished
+                  // mid-probe); a transient failure on a live table must
+                  // propagate and retry at the next drain — parking
+                  // destroys the replay payload
+                  val vanished =
+                    try !store.exists(table)
+                    catch {
+                      case scala.util.control.NonFatal(_) => false
+                    }
+                  if (vanished) { parkWarn(e.getMessage); None }
+                  else throw e
               }
             probed match {
               case None => Left(())
@@ -598,9 +608,21 @@ object Retention {
                 case scala.util.control.NonFatal(e) =>
                   // table dropped or re-laid-out since the crash: the
                   // drop's fate is unknowable — PARK the journal as the
-                  // durable record of a possibly-half-landed erasure
-                  parkWarn(e.getMessage)
-                  None
+                  // durable record of a possibly-half-landed erasure.
+                  // Park only on STRUCTURAL evidence (table gone, or the
+                  // partition chain no longer carries this column —
+                  // mixed and flat both read as a broken chain); a
+                  // transient failure on an intact table propagates and
+                  // retries at the next drain instead of destroying the
+                  // replay payload
+                  val structural =
+                    try !store.exists(table) ||
+                      !store.tableLayout(table).contains(pcol)
+                    catch {
+                      case scala.util.control.NonFatal(_) => false
+                    }
+                  if (structural) { parkWarn(e.getMessage); None }
+                  else throw e
               }
             live match {
               case None => Left(())
