@@ -1497,6 +1497,47 @@ final class TableStore(spark: SparkSession, root: String,
       .sortBy(keys.head, keys.tail: _*)
       .mode("overwrite")
       .saveAsTable(catalog)
+    // Persist the bucket spec NEXT TO THE DATA: the session catalog
+    // holding the bucketed-table registration is in-memory and per-JVM,
+    // so without this sidecar a NEW process could scan the files but
+    // never append into the buckets — a crashed cascade's BM25 negation
+    // would be unreplayable by the takeover operator (caught for real by
+    // the two-JVM chaos leg; every in-JVM spec shares the catalog and
+    // cannot see it). Crash atomicity is inherited from saveAsTable
+    // (itself non-atomic): a death inside this method leaves a broken
+    // bucketed table either way; the next overwriteBucketed repairs both.
+    val specF = new Path(tableDir(name), "BUCKETSPEC")
+    val out = fs(specF).create(specF, true)
+    try out.write(s"$numBuckets\n${keys.mkString(",")}\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Re-register a bucketed table from its [[overwriteBucketed]] sidecar
+    * when the (per-JVM, in-memory) session catalog has no entry — the
+    * cross-process durability half of the bucketed-table contract. No-op
+    * when already registered or when no sidecar/data exists (the caller's
+    * own existence check then fires its usual error). */
+  private def ensureBucketedRegistered(name: String): Unit = {
+    val catalog = bucketedCatalogName(name)
+    if (spark.catalog.tableExists(catalog)) return
+    val specF = new Path(tableDir(name), "BUCKETSPEC")
+    val dataDir = new Path(tableDir(name), "bucketed")
+    if (!fs(specF).exists(specF) || !fs(dataDir).exists(dataDir)) return
+    val txt = {
+      val in = fs(specF).open(specF)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val lines = txt.split("\n")
+    val nb = lines(0).trim.toInt
+    val keys = lines(1).trim.split(",").toSeq
+    val cols = spark.read.parquet(dataDir.toString).schema.toDDL
+    val keyList = keys.map(k => s"`$k`").mkString(", ")
+    spark.sql(s"CREATE TABLE `$catalog` ($cols) USING parquet " +
+      s"CLUSTERED BY ($keyList) SORTED BY ($keyList) INTO $nb BUCKETS " +
+      s"LOCATION '${dataDir.toString.replace("'", "''")}'")
+    ()
   }
 
   /** Append to a BUCKETED catalog table created by [[overwriteBucketed]]
@@ -1509,6 +1550,7 @@ final class TableStore(spark: SparkSession, root: String,
     * re-calling [[overwriteBucketed]] with the scan. */
   def appendBucketed(name: String, df: DataFrame, keys: Seq[String],
       numBuckets: Int): Unit = {
+    ensureBucketedRegistered(name)
     require(spark.catalog.tableExists(bucketedCatalogName(name)),
       s"appendBucketed: no bucketed table '$name' — overwriteBucketed first")
     df.write.format("parquet")
@@ -1524,9 +1566,12 @@ final class TableStore(spark: SparkSession, root: String,
     spark.catalog.refreshTable(bucketedCatalogName(name))
   }
 
-  /** Scan a bucketed table WITH its bucketing metadata (via the catalog). */
-  def scanBucketed(name: String): DataFrame =
+  /** Scan a bucketed table WITH its bucketing metadata (via the catalog;
+    * re-registered from the BUCKETSPEC sidecar in a fresh process). */
+  def scanBucketed(name: String): DataFrame = {
+    ensureBucketedRegistered(name)
     spark.table(bucketedCatalogName(name))
+  }
 
   /** Catalog entries are session-global while stores are root-scoped, so the
     * name embeds a stable hash of this store's root — two stores with the
@@ -2498,10 +2543,23 @@ final class TableStore(spark: SparkSession, root: String,
 
   private def leaseFile(name: String, kind: String) =
     new Path(tableDir(name), s"LEASE-$kind")
+  private def leaseHbFile(name: String, kind: String) =
+    new Path(tableDir(name), s"LEASE-$kind.hb")
   private def requireLeaseKind(kind: String): Unit =
     require(kind.nonEmpty &&
         kind.forall(c => c.isLetterOrDigit || c == '.' || c == '_'),
       s"lease kind must be [A-Za-z0-9._]+: '$kind'")
+
+  private def readSmallFile(f: Path): Option[String] =
+    if (!fs(f).exists(f)) None
+    else try {
+      val in = fs(f).open(f)
+      Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close())
+    } catch {
+      case _: java.io.FileNotFoundException => None // deleted mid-probe
+      case scala.util.control.NonFatal(_) => Some("")
+    }
 
   /** The current holder and acquisition time (epoch ms) of the `kind`
     * lease on `name`, or None when unheld. An unreadable/partial lease
@@ -2510,30 +2568,79 @@ final class TableStore(spark: SparkSession, root: String,
     * deadlock the table. */
   def leaseInfo(name: String, kind: String): Option[(String, Long)] = {
     requireLeaseKind(kind)
-    val f = leaseFile(name, kind)
-    if (!fs(f).exists(f)) None
-    else try {
-      val in = fs(f).open(f)
-      val txt =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val lines = txt.split("\n")
-      Some((lines(0), lines(1).trim.toLong))
-    } catch {
-      case _: java.io.FileNotFoundException => None // released mid-probe
-      case scala.util.control.NonFatal(_) => Some(("unreadable", 0L))
+    readSmallFile(leaseFile(name, kind)).map { txt =>
+      try {
+        val lines = txt.split("\n")
+        (lines(0), lines(1).trim.toLong)
+      } catch {
+        case scala.util.control.NonFatal(_) => ("unreadable", 0L)
+      }
+    }
+  }
+
+  /** Full lease state for staleness decisions and governance status:
+    * (holder, acquiredMs, declaredTtlMs, effectiveMs). `declaredTtlMs`
+    * is the ttl the HOLDER wrote at acquire time (0 when the payload
+    * predates the self-describing format — the claimant's own ttl then
+    * governs, the legacy behavior). `effectiveMs` is the acquisition
+    * time advanced by the holder's last [[heartbeatLease]], the instant
+    * staleness is measured from. */
+  def leaseStatus(name: String,
+      kind: String): Option[(String, Long, Long, Long)] =
+    leaseInfo(name, kind).map { case (h, ts) =>
+      val declaredTtl =
+        readSmallFile(leaseFile(name, kind)).flatMap { txt =>
+          txt.split("\n").lift(2).flatMap(_.trim.toLongOption)
+        }.getOrElse(0L)
+      val hbTs = readSmallFile(leaseHbFile(name, kind)).flatMap { txt =>
+        val lines = txt.split("\n")
+        // only the CURRENT holder's beats count: a previous holder's
+        // stray heartbeat must never keep a successor's lease fresh
+        if (lines.headOption.contains(h))
+          lines.lift(1).flatMap(_.trim.toLongOption)
+        else None
+      }.getOrElse(0L)
+      (h, ts, declaredTtl, math.max(ts, hbTs))
+    }
+
+  /** Renew the `kind` lease on `name` from its holder — the liveness
+    * heartbeat. Writes a sidecar beat file (plain overwrite — a torn
+    * read degrades to "no beat", never to a wrong holder) rather than
+    * touching the lease file itself, so renewal opens NO window in which
+    * the lease looks unheld. Returns false when the lease no longer
+    * names `holder` (a staleness takeover landed — the operation's
+    * single-operator assumption is broken and the caller must treat its
+    * own result as suspect). Call on a cadence well inside the declared
+    * ttl (ttl/3 is the convention). */
+  def heartbeatLease(name: String, kind: String, holder: String): Boolean = {
+    requireLeaseKind(kind)
+    leaseInfo(name, kind) match {
+      case Some((h, _)) if h == holder =>
+        val hb = leaseHbFile(name, kind)
+        val out = fs(hb).create(hb, true)
+        try out.write(s"$holder\n${System.currentTimeMillis()}\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      case _ => false // taken over (or released): stop believing the hold
     }
   }
 
   /** Try to acquire the advisory `kind` lease on `name` for `holder`;
-    * true iff acquired. Held-and-fresh leases fail the attempt; a lease
-    * older than `ttlMs` is STALE (its holder is presumed dead — size the
-    * ttl above the longest legitimate hold) and is taken over: the stale
-    * file is atomically renamed aside (one winner among racing
-    * contenders), then the normal exclusive create runs — a third party
-    * that slips in between still wins cleanly, this contender just
-    * returns false. Pair every successful acquire with [[releaseLease]]
-    * in a finally block. */
+    * true iff acquired. `ttlMs` is the ttl this holder DECLARES for its
+    * own hold — it is written into the lease payload, and staleness of
+    * the resulting lease is judged against it (plus any later
+    * [[heartbeatLease]] renewals), never against a claimant's policy: a
+    * short-ttl claimant cannot take over a live holder that declared a
+    * longer deadline. (Legacy two-line payloads carry no declared ttl;
+    * for those only, the claimant's `ttlMs` governs.) A lease whose
+    * holder is past its own deadline with no fresher heartbeat is STALE
+    * (the holder is presumed dead) and is taken over: the stale file is
+    * atomically renamed aside (one winner among racing contenders), then
+    * the normal exclusive create runs — a third party that slips in
+    * between still wins cleanly, this contender just returns false. Pair
+    * every successful acquire with [[releaseLease]] in a finally block
+    * and keep long holds fresh with [[heartbeatLease]]. */
   def tryAcquireLease(name: String, kind: String, holder: String,
       ttlMs: Long): Boolean = {
     requireLeaseKind(kind)
@@ -2544,10 +2651,12 @@ final class TableStore(spark: SparkSession, root: String,
     val filesystem = fs(dir)
     if (!filesystem.exists(dir)) filesystem.mkdirs(dir)
     val f = leaseFile(name, kind)
-    leaseInfo(name, kind) match {
-      case Some((_, ts)) if System.currentTimeMillis() - ts < ttlMs =>
+    leaseStatus(name, kind) match {
+      case Some((_, _, declaredTtl, effectiveTs))
+          if System.currentTimeMillis() - effectiveTs <
+            (if (declaredTtl > 0) declaredTtl else ttlMs) =>
         return false
-      case Some((h, _)) =>
+      case Some((h, ts, declaredTtl, effectiveTs)) =>
         // stale: park it aside (audit breadcrumb until deleted); the
         // rename is the takeover arbitration — losers see the source
         // vanish (FileNotFoundException on most filesystems) and FAIL
@@ -2559,17 +2668,36 @@ final class TableStore(spark: SparkSession, root: String,
           catch { case _: java.io.FileNotFoundException => false }
         if (!renamed) return false
         TableStore.log.warn(s"lease $kind on table '$name': taking over " +
-          s"from stale holder '$h' (older than $ttlMs ms)")
+          s"from stale holder '$h' (acquired epoch-ms $ts, last beat " +
+          s"$effectiveTs, declared ttl " +
+          s"${if (declaredTtl > 0) declaredTtl else s"none — claimant's $ttlMs"} ms)")
         filesystem.delete(parked, false)
-        // reap breadcrumbs a crashed takeover left behind (tiny files)
-        filesystem.listStatus(dir).map(_.getPath)
-          .filter(_.getName.startsWith(s"LEASE-$kind.stale-"))
-          .foreach(p => filesystem.delete(p, false))
+        val hb = leaseHbFile(name, kind)
+        if (filesystem.exists(hb)) filesystem.delete(hb, false)
+        // reap takeover breadcrumbs a crashed takeover left behind —
+        // ONLY the .stale- prefix (a release's in-flight .tomb- must
+        // never be reaped from under releaseLease's verification read),
+        // and only aged ones (a concurrent takeover's fresh breadcrumb
+        // is mid-use)
+        val now = System.currentTimeMillis()
+        filesystem.listStatus(dir)
+          .filter(st => st.getPath.getName.startsWith(s"LEASE-$kind.stale-")
+            && now - st.getModificationTime > 60000L)
+          .foreach(st => filesystem.delete(st.getPath, false))
       case None => ()
     }
-    val payload = s"$holder\n${System.currentTimeMillis()}\n"
+    val payload = s"$holder\n${System.currentTimeMillis()}\n$ttlMs\n"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    exclusiveCreate(dir, f, payload)
+    val won = exclusiveCreate(dir, f, payload)
+    if (won) {
+      // any beat file present now is a predecessor's stray (takeover
+      // deletes it; release can race its own delete) — drop it so it
+      // can never be misread against this holder
+      val hb = leaseHbFile(name, kind)
+      try if (filesystem.exists(hb)) filesystem.delete(hb, false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    won
   }
 
   /** Release the `kind` lease on `name` IF still held by `holder`; a
@@ -2587,8 +2715,15 @@ final class TableStore(spark: SparkSession, root: String,
       case Some((h, _)) if h == holder =>
         val f = leaseFile(name, kind)
         val dir = tableDir(name)
+        // .tomb- (release verification), DISTINCT from .stale- (takeover
+        // breadcrumbs): tryAcquireLease's breadcrumb reap matches only
+        // .stale-, so a concurrent takeover can never delete this tomb
+        // between the rename and the verification read below — which
+        // would force the unverified-release fallback and, in the
+        // displaced-takeover sub-case, silently discard the new holder's
+        // restored lease
         val tomb = new Path(dir,
-          s"LEASE-$kind.stale-${java.util.UUID.randomUUID().toString.take(8)}")
+          s"LEASE-$kind.tomb-${java.util.UUID.randomUUID().toString.take(8)}")
         val renamed =
           try claimRename(f, tomb)
           catch { case _: java.io.FileNotFoundException => false }
@@ -2629,7 +2764,16 @@ final class TableStore(spark: SparkSession, root: String,
               TableStore.log.warn(s"lease $kind on table '$name': " +
                 "released without content verification (tomb unreadable)")
           }
-          fs(tomb).delete(tomb, false); ()
+          fs(tomb).delete(tomb, false)
+          // the released hold's heartbeat sidecar (if any) is dead weight
+          // now; drop it when it still names this holder
+          val hb = leaseHbFile(name, kind)
+          try {
+            val ours = readSmallFile(hb)
+              .exists(_.takeWhile(_ != '\n') == holder)
+            if (ours) fs(hb).delete(hb, false)
+          } catch { case scala.util.control.NonFatal(_) => () }
+          ()
         }
       case Some((h, _)) =>
         TableStore.log.warn(s"lease $kind on table '$name': not releasing " +

@@ -80,23 +80,33 @@ class RetentionLeaseSpec extends SparkSpec {
     Retention.drainPendingCascades(store, "docs")
   }
 
-  test("a dead operator's lease blocks until the staleness window, then takes over") {
+  test("a dead operator's lease blocks until ITS OWN declared ttl, then takes over") {
     val dir = java.nio.file.Files.createTempDirectory("graft_retstale")
       .toString
     val store = new graft.table.TableStore(spark, dir)
     store.overwritePartitioned("docs", corpus(), Seq("date"))
-    // a crashed process leaves its lease file behind
+    // a crashed process leaves its long-ttl lease file behind
     assert(store.tryAcquireLease("docs", "retention", "dead-operator",
       ttlMs = 600000))
     intercept[IllegalStateException] {
       Retention.drainPendingCascades(store, "docs")
     }
+    // a SHORT-ttl claimant still cannot take over: staleness is the
+    // holder's declared deadline, never the claimant's policy
     val saved = Retention.leaseTtlMs
     Retention.leaseTtlMs = 1L
     try {
       Thread.sleep(10)
-      Retention.drainPendingCascades(store, "docs") // takeover, no throw
+      intercept[IllegalStateException] {
+        Retention.drainPendingCascades(store, "docs")
+      }
     } finally Retention.leaseTtlMs = saved
+    store.releaseLease("docs", "retention", "dead-operator")
+    // a holder that declared a short ttl and died expires past it
+    assert(store.tryAcquireLease("docs", "retention", "dead-2",
+      ttlMs = 40))
+    Thread.sleep(80)
+    Retention.drainPendingCascades(store, "docs") // takeover, no throw
     // the stale lease was consumed and the takeover's own lease released
     assert(store.leaseInfo("docs", "retention").isEmpty)
     Retention.drainPendingCascades(store, "docs")
@@ -108,13 +118,13 @@ class RetentionLeaseSpec extends SparkSpec {
     val store = new graft.table.TableStore(spark, dir)
     import spark.implicits._
     store.overwrite("t", Seq((1L, "x")).toDF("k", "v"))
-    assert(store.tryAcquireLease("t", "op", "a", ttlMs = 600000))
-    // fresh lease: no contender gets in regardless of policy
+    // a declares a SHORT ttl and goes silent (no heartbeat): past its
+    // own deadline any claimant may take over
+    assert(store.tryAcquireLease("t", "op", "a", ttlMs = 40))
+    // fresh lease: no contender gets in while a's deadline holds
     assert(!store.tryAcquireLease("t", "op", "b", ttlMs = 600000))
-    Thread.sleep(10)
-    // under b's own staleness policy (ttl 5 ms) a's lease is now stale:
-    // b takes over
-    assert(store.tryAcquireLease("t", "op", "b", ttlMs = 5))
+    Thread.sleep(80)
+    assert(store.tryAcquireLease("t", "op", "b", ttlMs = 600000))
     assert(store.leaseInfo("t", "op").exists(_._1 == "b"))
     // a fresh holder c cannot claim, and a's release must not free b's
     assert(!store.tryAcquireLease("t", "op", "c", ttlMs = 600000))
@@ -125,5 +135,85 @@ class RetentionLeaseSpec extends SparkSpec {
     assert(store.leaseInfo("t", "op").isEmpty)
     assert(store.tryAcquireLease("t", "op", "c", ttlMs = 600000))
     store.releaseLease("t", "op", "c")
+  }
+
+  test("the lease is self-describing: a short-ttl claimant cannot take over a live long-ttl holder") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_leasettl")
+      .toString
+    val store = new graft.table.TableStore(spark, dir)
+    import spark.implicits._
+    store.overwrite("t", Seq((1L, "x")).toDF("k", "v"))
+    assert(store.tryAcquireLease("t", "op", "long-holder", ttlMs = 600000))
+    Thread.sleep(30)
+    // before the holder-ttl fix this takeover succeeded: the claimant's
+    // 5 ms policy judged a LIVE holder stale and re-opened the
+    // concurrent-operator window mid-hold
+    assert(!store.tryAcquireLease("t", "op", "impatient", ttlMs = 5))
+    assert(store.leaseInfo("t", "op").exists(_._1 == "long-holder"))
+    val st = store.leaseStatus("t", "op").get
+    assert(st._3 == 600000L, "the declared ttl rides in the payload")
+    store.releaseLease("t", "op", "long-holder")
+  }
+
+  test("heartbeat keeps a hold fresh past its ttl; a takeover makes the next beat report loss") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_leasehb")
+      .toString
+    val store = new graft.table.TableStore(spark, dir)
+    import spark.implicits._
+    store.overwrite("t", Seq((1L, "x")).toDF("k", "v"))
+    assert(store.tryAcquireLease("t", "op", "worker", ttlMs = 150))
+    // beat past the original deadline: the hold stays fresh
+    (1 to 4).foreach { _ =>
+      Thread.sleep(80)
+      assert(store.heartbeatLease("t", "op", "worker"))
+      assert(!store.tryAcquireLease("t", "op", "rival", ttlMs = 600000),
+        "a freshly-beaten lease must not be stealable")
+    }
+    // the effective instant advanced with the beats
+    val st = store.leaseStatus("t", "op").get
+    assert(st._4 > st._2, "effectiveMs must reflect the last heartbeat")
+    // silence past the ttl: a rival takes over, and the holder's next
+    // beat reports the loss instead of resurrecting the old hold
+    Thread.sleep(300)
+    assert(store.tryAcquireLease("t", "op", "rival", ttlMs = 600000))
+    assert(!store.heartbeatLease("t", "op", "worker"),
+      "a superseded holder's beat must report takeover")
+    assert(store.leaseInfo("t", "op").exists(_._1 == "rival"))
+    store.releaseLease("t", "op", "rival")
+  }
+
+  test("withLease heartbeats: an operation longer than the ttl completes without takeover") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rethb")
+      .toString
+    val store = new graft.table.TableStore(spark, dir)
+    val full = corpus()
+    store.overwritePartitioned("docs", full, Seq("date"))
+    // an index so the cascade takes the journaled path (the failpoint
+    // below sits after the journal write)
+    NearDupIndex.buildNearDupIndex(store, "nd", full, "text", "doc_id",
+      numBuckets = 2, registerFor = Some("docs"))
+    val saved = Retention.leaseTtlMs
+    Retention.leaseTtlMs = 400L // heartbeat period = max(ttl/3, 50) = 133
+    // hold the cascade open ~3 ttls at the journaled failpoint: without
+    // the heartbeat, a concurrent claimant would legally take over
+    Retention.failpoint = l => if (l == "journaled") {
+      (1 to 6).foreach { _ =>
+        Thread.sleep(200)
+        // a rival probing mid-hold keeps failing — the beats keep the
+        // 400 ms lease fresh across a 1.2 s hold
+        assert(!store.tryAcquireLease("docs", "retention", "rival",
+          ttlMs = 600000))
+      }
+    }
+    try {
+      val swept = Retention.expirePartitionsBelowCascade(store, "docs",
+        "date", cutoff = "2026-01-02", idCol = "doc_id", indexes = Nil)
+      assert(swept, "the long-held cascade must complete normally")
+    } finally {
+      Retention.failpoint = _ => ()
+      Retention.leaseTtlMs = saved
+    }
+    assert(store.leaseInfo("docs", "retention").isEmpty,
+      "the lease releases cleanly after the long hold")
   }
 }

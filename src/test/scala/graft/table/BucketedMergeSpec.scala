@@ -39,6 +39,40 @@ class BucketedMergeSpec extends SparkSpec {
     assert(merged.where(col("v") === -1.0).count() == 500)
   }
 
+  test("a new process re-registers a bucketed table from its BUCKETSPEC sidecar") {
+    // the session catalog is in-memory and per-JVM: dropping the entry is
+    // the faithful in-JVM proxy for a NEW process opening the store (the
+    // two-JVM chaos leg covers the real thing — a takeover operator
+    // replaying a dead cascade's BM25 negation in a fresh JVM)
+    val root = Files.createTempDirectory("graft_bkts").toString
+    val store = new TableStore(spark, root)
+    val df = spark.range(0, 1000, 1, 4).toDF("k")
+      .withColumn("v", (col("k") % 13).cast("double"))
+    store.overwriteBucketed("t", df, Seq("k"), numBuckets = 4)
+    // the store's catalog-name scheme, replicated (root-hashed prefix)
+    val catalogName = "graft_bkt_" + Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        new org.apache.hadoop.fs.Path(root).toString)) + "_t"
+    assert(spark.catalog.tableExists(catalogName))
+    spark.sql(s"DROP TABLE `$catalogName`") // external: files survive
+    // scan re-registers WITH the bucket spec (not just the files)
+    val scanned = store.scanBucketed("t")
+    assert(scanned.count() == 1000)
+    // the restored registration still eliminates the exchange on a
+    // co-bucketed self-join — proof the BUCKETING metadata came back,
+    // not just the data
+    val joined = scanned.as("a").join(store.scanBucketed("t").as("b"), "k")
+    assert(!joined.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      "re-registered bucketing must keep the exchange-free join")
+    // and appends into the restored buckets work (the chaos-leg failure)
+    spark.sql(s"DROP TABLE `$catalogName`")
+    store.appendBucketed("t",
+      spark.range(1000, 1100, 1, 2).toDF("k")
+        .withColumn("v", lit(0.0)), Seq("k"), numBuckets = 4)
+    assert(store.scanBucketed("t").count() == 1100)
+  }
+
   test("same table name in two stores gets distinct catalog entries") {
     val a = new TableStore(spark, Files.createTempDirectory("graft_bkta").toString)
     val b = new TableStore(spark, Files.createTempDirectory("graft_bktb").toString)
