@@ -39,7 +39,13 @@ object Maintenance {
     *     summed and zero rows dropped). `indexes = Nil` resolves to the
     *     table's REGISTERED index list ([[Retention.registerIndex]]); an
     *     explicit list is drift-checked against the registry. Targets
-    *     with `numBuckets = 0` are delete-only and skipped here.
+    *     with `numBuckets = 0` are delete-only and skipped here;
+    *  5. refresh each registered materialized view
+    *     ([[Retention.View]] / [[Retention.defineView]]) — after a
+    *     step-2 fold this is the one full recompute the rewritten base
+    *     requires (the manifest superset broke), after plain appends it
+    *     is the O(delta + view) incremental fold; either way the view
+    *     leaves the pass consistent with the maintained base.
     *
     * Observable results are unchanged by construction — every step is a
     * fold or an equivalence-preserving rewrite; MaintenanceSpec pins scan
@@ -76,6 +82,13 @@ object Maintenance {
         VectorIndex.compactIvfIndex(store, n, nb)
       case Retention.Bm25(n, _, nb) if nb > 0 =>
         Retrieval.compactBm25Index(store, n, nb)
+      case Retention.View(n) =>
+        // derived state follows the maintained base (step 5); a view
+        // dropped without unregistering skips loudly, like the cascade
+        if (store.exists(n)) { new graft.table.MatView(store).refresh(n); () }
+        else log.warn(s"maintain($table): registered matview '$n' no " +
+          "longer exists — skipping its refresh (unregisterIndex before " +
+          "dropping a view)")
       case _ => () // delete-only target (numBuckets = 0): nothing physical
     }
   }

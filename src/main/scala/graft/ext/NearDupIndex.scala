@@ -55,11 +55,18 @@ object NearDupIndex {
         col("doc_id"))
   }
 
-  /** Build `<name>_bands` + `<name>_docs` from scratch. */
+  /** Build `<name>_bands` + `<name>_docs` from scratch. `registerFor`
+    * names the table the corpus was read from: when set, the index is
+    * registered as a retention-cascade target of that table at build
+    * time ([[Retention.registerIndex]]) — the default posture for a
+    * governed corpus, so an `indexes = Nil` erasure reaches this index
+    * without caller discipline. (A parameter, not automatic: the builder
+    * sees a DataFrame, not the table it came from. Registration takes
+    * the table's retention lease — don't call while holding it.) */
   def buildNearDupIndex(
       store: TableStore, name: String,
       corpus: DataFrame, textCol: String, idCol: String,
-      numBuckets: Int
+      numBuckets: Int, registerFor: Option[String] = None
   ): Unit = {
     val b = banded(corpus, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -68,6 +75,8 @@ object NearDupIndex {
     store.overwrite(s"${name}_docs",
       b.select(col(idCol).as("doc_id"), col("shingles")))
     b.unpersist(false)
+    registerFor.foreach(t => Retention.registerIndex(store, t,
+      Retention.NearDup(name, numBuckets)))
   }
 
   /** Append a (deduped, new-id) batch into the existing buckets — no

@@ -118,6 +118,18 @@ object Retention {
   final case class Bm25(name: String, textCol: String, numBuckets: Int)
       extends IndexTarget
 
+  /** Materialized view `name` ([[graft.table.MatView]]) derived from the
+    * table — the DERIVED-STATE family: its cascade "delete" is a
+    * [[graft.table.MatView.refresh]], which recomputes from the
+    * DV-applied / post-drop base, so the view stops serving the erased
+    * docs' aggregates as part of the SAME journaled, crash-durable
+    * operation as the index deletes (a refresh is idempotent, so a
+    * replay after a crash is harmless — the tombstone-family posture).
+    * Register at view definition time via [[defineView]]; unregister
+    * BEFORE dropping the view table, or the replay skips it with a loud
+    * warning. */
+  final case class View(name: String) extends IndexTarget
+
   /** Pending-cascade journal tables of `table` — ordinary store tables
     * (atomic commits, GC, time travel), takedown-sized. */
   def journalName(table: String): String = s"${table}_retjournal"
@@ -136,28 +148,83 @@ object Retention {
     * leaving an unlisted index covering erased docs. Idempotent upsert
     * keyed on (family, index name); the registry is a tiny ordinary store
     * table (atomic commits, time travel). Registration holds the
-    * RETENTION LEASE: the upsert is deleteWhere + append (two commits),
-    * and an unleased cascade reading between them would see a registry
-    * with the index briefly absent — skipping it from an `indexes = Nil`
-    * erasure with no error. Under the lease, registrations serialize
-    * with cascades/drains/maintenance AND with each other; a
-    * registration racing a long-running cascade aborts loudly (retry
-    * after it finishes — a registry change mid-erasure is itself a sync
-    * hazard). */
+    * RETENTION LEASE: under it, registrations serialize with
+    * cascades/drains/maintenance AND with each other; a registration
+    * racing a long-running cascade aborts loudly (retry after it
+    * finishes — a registry change mid-erasure is itself a sync hazard).
+    * The upsert is APPEND-then-deleteWhere, in that order: the new row
+    * lands durably before any older row is removed, so a crash between
+    * the two commits leaves transient duplicates ([[registeredIndexes]]
+    * dedups newest-wins) — never a registry with the index absent, which
+    * a later `indexes = Nil` cascade would silently skip, the exact
+    * under-deletion the registry exists to prevent. */
   def registerIndex(store: TableStore, table: String,
       target: IndexTarget): Unit = withLease(store, table) {
+    registerIndexLeased(store, table, target)
+  }
+
+  /** [[registerIndex]] body, for callers already inside [[withLease]]
+    * (the lease is NOT re-entrant — a nested acquire aborts). */
+  private def registerIndexLeased(store: TableStore, table: String,
+      target: IndexTarget): Unit = {
     val sp = store.session
     import sp.implicits._
     val (kind, name, textCol, nb) = encodeTarget(target)
-    val row = Seq((kind, name, textCol, nb))
-      .toDF("kind", "index_name", "text_col", "num_buckets")
-      .withColumn("registered_ms", lit(System.currentTimeMillis()))
     val regName = indexRegistryName(table)
-    if (store.exists(regName))
+    // ONE tiny scan serves three needs: idempotence (an identical
+    // registration — the streaming curate paths re-register every
+    // batch — is a no-op, zero commits), the strictly-increasing
+    // timestamp that makes newest-wins dedup total within a millisecond,
+    // and the had-older probe that decides whether a cleanup delete is
+    // due at all
+    val allRows: Array[org.apache.spark.sql.Row] =
+      if (!store.exists(regName)) Array.empty
+      else store.scan(regName)
+        .select("kind", "index_name", "text_col", "num_buckets",
+          "registered_ms")
+        .collect()
+    val existing = allRows.collect {
+      case r if r.getString(0) == kind && r.getString(1) == name =>
+        (r.getString(2), r.getInt(3), r.getLong(4))
+    }
+    if (existing.length == 1 && existing.head._1 == textCol &&
+        existing.head._2 == nb)
+      return // already registered exactly so
+    val prevMax =
+      if (allRows.isEmpty) 0L else allRows.map(_.getLong(4)).max
+    val ts = math.max(System.currentTimeMillis(), prevMax + 1)
+    store.append(regName, // CAS-creates the table when missing
+      Seq((kind, name, textCol, nb))
+        .toDF("kind", "index_name", "text_col", "num_buckets")
+        .withColumn("registered_ms", lit(ts)))
+    failpoint("registry-appended")
+    if (existing.nonEmpty)
       store.deleteWhere(regName,
-        col("kind") === kind && col("index_name") === name)
-    store.append(regName, row) // CAS-creates the table when missing
+        col("kind") === kind && col("index_name") === name &&
+          col("registered_ms") < ts)
   }
+
+  /** Create materialized view `view` = `SELECT keys, measures FROM table
+    * GROUP BY keys` ([[graft.table.MatView.define]]) AND register it as
+    * a cascade target, in ONE leased operation — the governed way to
+    * derive aggregate state from a table under retention. A view created
+    * this way is refreshed by every later [[dropPartitionsCascade]] /
+    * [[deleteByKeysCascade]] / [[Maintenance.maintain]] as a journaled
+    * cascade target: a crash between the table-side delete and the
+    * refresh drains like any index delete, so the view can never keep
+    * serving an erased doc's aggregates past the cascade — the same
+    * caller-discipline gap the registry closes for indexes, one tier up
+    * (a bare `MatView.define` leaves the refresh to the caller; the
+    * reference's post-load `_updated_at` restamp, aircan
+    * `lib/warehouse.py:337-357`, is its form of the "derived state
+    * follows the write" contract). */
+  def defineView(store: TableStore, table: String, view: String,
+      keys: Seq[String],
+      measures: Seq[graft.table.MatView.Measure]): Unit =
+    withLease(store, table) {
+      new graft.table.MatView(store).define(view, table, keys, measures)
+      registerIndexLeased(store, table, View(view))
+    }
 
   /** Remove `indexName` from `table`'s registry (e.g. after dropping the
     * index) — no-op when absent. Holds the retention lease like
@@ -200,6 +267,7 @@ object Retention {
       case Positional(n, _) => ("positional", n, "", 0)
       case Ivf(n, _)        => ("ivf", n, "", 0)
       case Bm25(n, tc, nb)  => ("bm25", n, tc, nb)
+      case View(n)          => ("matview", n, "", 0)
     }
 
   /** Resolve the effective index list for a cascade: no registry → the
@@ -233,6 +301,7 @@ object Retention {
       case Positional(n, nb) => ("positional", n, "", nb)
       case Ivf(n, nb)        => ("ivf", n, "", nb)
       case Bm25(n, tc, nb)   => ("bm25", n, tc, nb)
+      case View(n)           => ("matview", n, "", 0)
     }
 
   private def decodeTargetFields(kind: String, name: String,
@@ -241,6 +310,7 @@ object Retention {
     case "positional" => Positional(name, numBuckets)
     case "ivf"        => Ivf(name, numBuckets)
     case "bm25"       => Bm25(name, textCol, numBuckets)
+    case "matview"    => View(name)
     case other => throw new IllegalStateException(
       s"unknown index target kind: $other")
   }
@@ -280,25 +350,62 @@ object Retention {
 
   /** Acquire the per-table retention lease around `body`, aborting
     * loudly if another operator holds it — the structural form of the
-    * one-retention-operator-per-table contract. `private[ext]` so
-    * [[Maintenance.maintain]] can hold ONE lease across its whole pass
-    * (drain + fold + index compaction): an unleased index compaction
-    * folding the BM25 replay tags away mid-negation of a concurrent
-    * cascade would re-open the double-negation window. */
+    * one-retention-operator-per-table contract. The hold HEARTBEATS
+    * (every ttl/3, [[TableStore.heartbeatLease]]): a legitimate
+    * operation that outlives [[leaseTtlMs]] — a big cascade, a
+    * [[Maintenance.maintain]] whose fold + index compactions dominate
+    * the window — stays fresh instead of being taken over mid-flight,
+    * which would re-open the exact concurrent-operator window (double
+    * BM25 negation) the lease exists to close. If a takeover lands
+    * anyway (the heartbeat thread starved past the deadline, or clocks
+    * skewed), the NEXT beat detects it and the operation FAILS loudly at
+    * exit rather than reporting success for work that may have raced the
+    * usurper. `private[ext]` so [[Maintenance.maintain]] can hold ONE
+    * lease across its whole pass. NOT re-entrant: a nested acquire on
+    * the same table aborts like any second operator. */
   private[ext] def withLease[T](store: TableStore, table: String)(body: => T): T = {
     val holder = s"retention-${java.util.UUID.randomUUID()}"
     if (!store.tryAcquireLease(table, LeaseKind, holder, leaseTtlMs)) {
-      val who = store.leaseInfo(table, LeaseKind)
-        .map { case (h, ts) =>
-          s"held by '$h' since epoch-ms $ts" }
+      val who = store.leaseStatus(table, LeaseKind)
+        .map { case (h, ts, ttl, eff) =>
+          s"held by '$h' since epoch-ms $ts (declared ttl $ttl ms, " +
+            s"fresh as of $eff)" }
         .getOrElse("released mid-probe — safe to retry now")
       throw new IllegalStateException(
         s"retention lease on table '$table' unavailable ($who): one " +
           "retention operator per table at a time — retry after it " +
-          s"finishes, or after the ${leaseTtlMs} ms staleness window if " +
-          "its process died (Retention.leaseTtlMs)")
+          "finishes; a DEAD holder's lease expires after its own " +
+          "declared ttl with no heartbeat (Retention.leaseTtlMs for " +
+          "operations started here)")
     }
-    try body finally store.releaseLease(table, LeaseKind, holder)
+    val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val hb = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, s"graft-retention-heartbeat-$table")
+        t.setDaemon(true); t
+      })
+    val period = math.max(leaseTtlMs / 3, 50L)
+    hb.scheduleWithFixedDelay(() => {
+      // a transient fs error is NOT a takeover: skip the beat and let the
+      // next one retry — the ttl is sized in multiples of the period
+      try { if (!store.heartbeatLease(table, LeaseKind, holder)) lost.set(true) }
+      catch { case scala.util.control.NonFatal(_) => () }
+    }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    try {
+      val out = body
+      if (lost.get)
+        throw new IllegalStateException(
+          s"retention lease on table '$table' was taken over " +
+            s"mid-operation (holder '$holder' missed its heartbeat " +
+            "deadline): the single-operator assumption broke, so this " +
+            "operation's result must be treated as suspect — check " +
+            "pendingCascades/abandonedCascades and re-verify the indexes")
+      out
+    } finally {
+      hb.shutdownNow()
+      hb.awaitTermination(2, java.util.concurrent.TimeUnit.SECONDS)
+      if (!lost.get) store.releaseLease(table, LeaseKind, holder)
+    }
   }
 
   /** [[TableStore.dropPartitions]] + index cascade. Returns true iff the
@@ -738,6 +845,60 @@ object Retention {
     }
   }
 
+  /** The whole governance state of `table` in ONE frame — the four
+    * probes an operator otherwise chains ([[pendingCascades]],
+    * [[abandonedCascades]], [[TableStore.leaseStatus]],
+    * [[registeredIndexes]]) answered together: is any erasure
+    * half-landed, is an operator live on the table, and which derived
+    * structures a cascade will reach. Columns `(aspect, name, detail,
+    * since_ms)`:
+    *   - `lease`: the current holder (detail carries declared ttl +
+    *     last-heartbeat instant; since_ms = acquisition);
+    *   - `pending`: a journaled cascade awaiting drain (detail:
+    *     commit-marker state, done/total targets, target list);
+    *   - `abandoned`: a PARKED cascade — rebuild its listed targets,
+    *     then [[acknowledgeAbandoned]];
+    *   - `registered`: one row per registry target (indexes + views).
+    * Driver-sized by construction: journal state, registry and lease are
+    * all tiny tables/files. */
+  def status(store: TableStore, table: String): DataFrame = {
+    val sp = store.session
+    import sp.implicits._
+    val lease = store.leaseStatus(table, LeaseKind).map {
+      case (h, ts, ttl, eff) =>
+        ("lease", h, s"declared_ttl_ms=$ttl fresh_as_of_ms=$eff", ts)
+    }.toSeq
+    val st = pendingCascades(store, table).collect()
+    val cascades = st.groupBy(_.getAs[String]("cascade_id")).toSeq
+      .map { case (cid, rows) =>
+        val parked = rows.exists(_.getAs[String]("kind") == AbandonedKind)
+        val committed = rows.exists(_.getAs[String]("kind") == CommitKind)
+        val done = rows.count(_.getAs[String]("kind") == DoneKind)
+        val targets = rows.filterNot(r =>
+          Set(CommitKind, DoneKind, AbandonedKind)(r.getAs[String]("kind")))
+        val names = targets
+          .map(r => r.getAs[String]("kind") + ":" +
+            r.getAs[String]("index_name"))
+          .sorted.mkString(",")
+        (if (parked) "abandoned" else "pending", cid,
+          s"committed=$committed done=$done/${targets.length} " +
+            s"targets=$names",
+          targets.headOption.map(_.getAs[Long]("created_ms")).getOrElse(0L))
+      }
+    val regName = indexRegistryName(table)
+    val registered =
+      if (!store.exists(regName)) Nil
+      else registeredIndexes(store, table).map { t =>
+        val (kind, name, tc, nb) = encodeTarget(t)
+        val extras = (if (tc.nonEmpty) s" text_col=$tc" else "") +
+          (if (nb > 0) s" num_buckets=$nb" else "")
+        ("registered", name, s"family=$kind$extras", 0L)
+      }
+    (lease ++ cascades ++ registered)
+      .toDF("aspect", "name", "detail", "since_ms")
+      .orderBy("aspect", "name")
+  }
+
   private def decodeTarget(r: org.apache.spark.sql.Row): IndexTarget =
     decodeTargetFields(r.getAs[String]("kind"),
       r.getAs[String]("index_name"), r.getAs[String]("text_col"),
@@ -756,12 +917,8 @@ object Retention {
     val sp = doomed.sparkSession
     import sp.implicits._
     val meta = indexes.zipWithIndex.map { case (t, i) =>
-      t match {
-        case NearDup(n, _)    => (cid, i, "neardup", n, "", 0)
-        case Positional(n, _) => (cid, i, "positional", n, "", 0)
-        case Ivf(n, _)        => (cid, i, "ivf", n, "", 0)
-        case Bm25(n, tc, nb)  => (cid, i, "bm25", n, tc, nb)
-      }
+      val (kind, n, tc, nb) = encodeTarget(t)
+      (cid, i, kind, n, tc, nb)
     }
     val state = meta
       .toDF("cascade_id", "seq", "kind", "index_name", "text_col",
@@ -818,6 +975,17 @@ object Retention {
           Retrieval.deleteFromBm25IndexTagged(store, n,
             payload.select(col(idCol), col(textCol)), textCol, idCol,
             numBuckets, tag = s"rc.$cid.$i")
+        case View(n) =>
+          // derived state follows the erasure: recompute the view from
+          // the post-delete base (idempotent — safe to replay). A view
+          // dropped since registration is skipped loudly rather than
+          // wedging the journal: there is nothing left serving the
+          // erased docs' aggregates. Unregister before dropping to keep
+          // the registry honest.
+          if (store.exists(n)) { new graft.table.MatView(store).refresh(n); () }
+          else log.warn(s"cascade $cid: registered matview '$n' no " +
+            "longer exists — skipping its refresh (unregisterIndex " +
+            "before dropping a view)")
       }
       failpoint(s"target-pre-mark-$i")
       appendMarker(store, table, cid, DoneKind, i)

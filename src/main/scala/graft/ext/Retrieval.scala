@@ -295,10 +295,16 @@ object Retrieval {
   def buildBm25Index(
       store: TableStore, name: String,
       df: DataFrame, textCol: String, idCol: String,
-      numBuckets: Int
-  ): Unit =
+      numBuckets: Int, registerFor: Option[String] = None
+  ): Unit = {
     writeBm25Index(store, name, df, textCol, idCol, numBuckets,
       append = false)
+    // registerFor = the table df was read from: registers this index as
+    // a retention-cascade target at build time so `indexes = Nil`
+    // erasures reach it (takes that table's retention lease)
+    registerFor.foreach(t => Retention.registerIndex(store, t,
+      Retention.Bm25(name, textCol, numBuckets)))
+  }
 
   /** Grow a [[buildBm25Index]] index with a batch of NEW documents (ids
     * must be disjoint from what is already indexed — re-ingesting a doc
@@ -537,14 +543,17 @@ object Retrieval {
   def buildPositionalIndex(
       store: TableStore, name: String,
       df: DataFrame, textCol: String, idCol: String,
-      numBuckets: Int
-  ): Unit =
+      numBuckets: Int, registerFor: Option[String] = None
+  ): Unit = {
     store.overwriteBucketed(s"${name}_pos",
       df.select(col(idCol).cast("bigint").as("doc_id"),
           posexplode(TextStats.wsTokens(col(textCol))).as(Seq("pos0", "term")))
         .select(col("term"), col("doc_id"),
           (col("pos0") + 1).cast("bigint").as("pos")),
       Seq("term"), numBuckets)
+    registerFor.foreach(t => Retention.registerIndex(store, t,
+      Retention.Positional(name, numBuckets)))
+  }
 
   /** Exact-phrase occurrences served from a [[buildPositionalIndex]] index:
     * (doc_id, start_pos) for every place the phrase's tokens appear

@@ -52,7 +52,8 @@ object VectorIndex {
       store: TableStore, name: String,
       corpus: DataFrame, vecCol: String, idCol: String,
       nCells: Int, numBuckets: Int,
-      codebook: Option[DataFrame] = None // (cell_id, cell_vec)
+      codebook: Option[DataFrame] = None, // (cell_id, cell_vec)
+      registerFor: Option[String] = None
   ): Unit = {
     val cells = codebook.getOrElse(
       corpus.orderBy(col(idCol).asc).limit(nCells)
@@ -60,6 +61,10 @@ object VectorIndex {
     store.overwrite(s"${name}_cells", cells)
     writeAssigned(store, name, corpus, vecCol, idCol, numBuckets,
       append = false)
+    // registerFor = the table the corpus was read from: build-time
+    // registration as a retention-cascade target (takes its lease)
+    registerFor.foreach(t => Retention.registerIndex(store, t,
+      Retention.Ivf(name, numBuckets)))
   }
 
   /** Assign a batch against the stored codebook and append it into the

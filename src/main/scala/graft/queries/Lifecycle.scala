@@ -628,14 +628,15 @@ object Lifecycle {
       val docs = t(s, dir, "documents").where(col("doc_id") % 3 === 0)
         .select("doc_id", "lang", "text")
       store.overwritePartitioned("docs", docs, Seq("lang"))
+      // build-time registration: the sweep below names NO indexes — the
+      // registry is the sync contract, so a caller can no longer forget
+      // one and leave it serving erased docs
       graft.ext.NearDupIndex.buildNearDupIndex(store, "nd", docs, "text",
-        "doc_id", numBuckets = 8)
+        "doc_id", numBuckets = 8, registerFor = Some("docs"))
       graft.ext.Retrieval.buildBm25Index(store, "bm", docs, "text",
-        "doc_id", numBuckets = 8)
+        "doc_id", numBuckets = 8, registerFor = Some("docs"))
       val swept = graft.ext.Retention.expirePartitionsBelowCascade(store,
-        "docs", "lang", cutoff = "en", idCol = "doc_id",
-        indexes = Seq(graft.ext.Retention.NearDup("nd"),
-          graft.ext.Retention.Bm25("bm", "text", numBuckets = 8)))
+        "docs", "lang", cutoff = "en", idCol = "doc_id", indexes = Nil)
       require(swept, "w_retention_cascade: the sweep must drop something")
       val bm = graft.ext.Retrieval.bm25TopKIndexed(store, "bm",
           Ext.Bm25Queries, k = 10)
@@ -665,11 +666,10 @@ object Lifecycle {
         .select("doc_id", "text")
       store.overwrite("docs", docs)
       graft.ext.Retrieval.buildBm25Index(store, "bm", docs, "text",
-        "doc_id", numBuckets = 8)
+        "doc_id", numBuckets = 8, registerFor = Some("docs"))
       val doomed = docs.where(col("doc_id") % 7 === 3).select("doc_id")
       val erased = graft.ext.Retention.deleteByKeysCascade(store, "docs",
-        "doc_id", doomed,
-        Seq(graft.ext.Retention.Bm25("bm", "text", numBuckets = 8)))
+        "doc_id", doomed, indexes = Nil) // registry-resolved
       require(erased, "w_takedown_cascade: the takedown must erase docs")
       graft.ext.Retrieval.bm25TopKIndexed(store, "bm", Ext.Bm25Queries,
           k = 10)
@@ -693,9 +693,7 @@ object Lifecycle {
         .select("doc_id", "lang", "text")
       store.overwritePartitioned("docs", docs, Seq("lang"))
       graft.ext.NearDupIndex.buildNearDupIndex(store, "nd", docs, "text",
-        "doc_id", numBuckets = 8)
-      graft.ext.Retention.registerIndex(store, "docs",
-        graft.ext.Retention.NearDup("nd", 8))
+        "doc_id", numBuckets = 8, registerFor = Some("docs"))
       val swept = graft.ext.Retention.expirePartitionsBelowCascade(store,
         "docs", "lang", cutoff = "en", idCol = "doc_id", indexes = Nil)
       require(swept, "w_cascade_registry: the sweep must drop something")
@@ -704,6 +702,33 @@ object Lifecycle {
           "doc_id", threshold = 0.5)
         .select(col("batch_id"), col("corpus_id"), col("jaccard"))
         .orderBy("batch_id", "corpus_id")
+    }),
+
+    // derived state follows the erasure: a materialized aggregate view
+    // created through Retention.defineView is a REGISTERED cascade
+    // target, so one deleteByKeysCascade call (indexes = Nil — registry
+    // resolved) both commits the deletion vector AND refreshes the view
+    // as a journaled, crash-durable target. The gate returns the VIEW's
+    // contents (a plain table scan — no base work at read time); the
+    // oracle computes the same aggregate over the survivors alone, the
+    // strictest form of "no erased doc's aggregates keep being served".
+    "w_matview_cascade" -> ((s, dir) => {
+      val store = new TableStore(s,
+        Files.createTempDirectory("graft_q_mvcasc").toString)
+      val docs = t(s, dir, "documents").where(col("doc_id") % 6 === 2)
+        .select("doc_id", "lang", "n_chars")
+      store.overwrite("docs", docs)
+      graft.ext.Retention.defineView(store, "docs", "docs_by_lang",
+        Seq("lang"), Seq(
+          graft.table.MatView.Count("n_docs"),
+          graft.table.MatView.Sum("n_chars", "sum_chars"),
+          graft.table.MatView.Min("n_chars", "min_chars"),
+          graft.table.MatView.Max("n_chars", "max_chars")))
+      val doomed = docs.where(col("doc_id") % 5 === 1).select("doc_id")
+      val erased = graft.ext.Retention.deleteByKeysCascade(store, "docs",
+        "doc_id", doomed, indexes = Nil)
+      require(erased, "w_matview_cascade: the takedown must erase docs")
+      new graft.table.MatView(store).read("docs_by_lang").orderBy("lang")
     }),
 
     // the ONE maintenance entry point is equivalence-preserving by
@@ -1056,6 +1081,14 @@ object Lifecycle {
          |FROM (${Ext.incNearDupOracleSqlOver(survivors, subset)}) AS n
          |ORDER BY batch_id, corpus_id""".stripMargin
     },
+
+    "w_matview_cascade" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM documents
+        |WHERE doc_id % 6 = 2 AND doc_id % 5 <> 1
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "w_maintain_fold" ->
       """SELECT lang, COUNT(*) AS n_docs,

@@ -91,6 +91,26 @@ object Smoke {
       println("ERROR: should have thrown")
     } catch { case e: IllegalArgumentException => println(s"OK: ${e.getMessage}") }
 
+    println("=== governance status (Retention.status: one frame) ===")
+    locally {
+      import org.apache.spark.sql.functions.col
+      val docs = spark.range(0, 40).selectExpr("id AS doc_id",
+        "concat('w', id % 7, ' w', id % 11, ' w', id % 13) AS text",
+        "concat('2026-01-0', id % 3 + 1) AS day")
+      store.overwrite("gov_docs", docs)
+      graft.ext.NearDupIndex.buildNearDupIndex(store, "gov_nd", docs,
+        "text", "doc_id", numBuckets = 2, registerFor = Some("gov_docs"))
+      graft.ext.Retention.defineView(store, "gov_docs", "gov_by_day",
+        Seq("day"), Seq(graft.table.MatView.Count("n_docs")))
+      graft.ext.Retention.deleteByKeysCascade(store, "gov_docs", "doc_id",
+        docs.where(col("doc_id") % 4 === 0).select("doc_id"), indexes = Nil)
+      // lease holder, pending/abandoned cascades, registered targets —
+      // the four probes in one frame (idle here: cascade just drained)
+      graft.ext.Retention.status(store, "gov_docs").show(false)
+      println("view after cascade (erased ids gone from the aggregate):")
+      new graft.table.MatView(store).read("gov_by_day").orderBy("day").show(false)
+    }
+
     println("=== streaming ingest (AvailableNow + checkpoint resume) ===")
     val streamDir = work.resolve("stream_in")
     Files.createDirectories(streamDir)
