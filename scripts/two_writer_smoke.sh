@@ -104,3 +104,29 @@ run lease "$ROOT" tl C 1 >"$ROOT/lc.log" 2>&1 \
 grep -q "LEASE_RESULT C won=true" "$ROOT/lc.log" \
   || { echo "[2jvm] post-race acquire must win a released lease"; exit 1; }
 echo "[2jvm] OK: exactly one cross-process lease winner; released cleanly"
+
+# ---- chaos leg: a cascade JVM is KILLED (halt 137, a SIGKILL stand-in)
+# mid-erasure at the committed-mark window — deletion vector landed, BM25
+# negation not. A second JVM must (a) fail to drain while the dead
+# holder's lease is inside its declared ttl, (b) take over past the
+# holder's own deadline, (c) drain the journal, (d) leave the index equal
+# to a fresh rebuild over the survivors. This ties lease takeover and
+# journal drain together across REAL process death — in-JVM specs cover
+# the same windows but share a process.
+# ttl sized to cover the second JVM's Spark startup (~20-30s): its FIRST
+# drain attempt must land while the dead lease is still fresh.
+CHAOS_TTL=90000
+echo "[2jvm] chaos leg: killing a cascade mid-erasure, then takeover+drain"
+RC=0
+run cascade_kill "$ROOT" tc "$CHAOS_TTL" >"$ROOT/ck.log" 2>&1 || RC=$?
+if [ "$RC" -ne 137 ]; then
+  echo "[2jvm] cascade_kill must halt with 137, got $RC"; tail -20 "$ROOT/ck.log"; exit 1
+fi
+grep -q "CASCADE_KILLED at committed-mark" "$ROOT/ck.log" \
+  || { echo "[2jvm] kill window never reached"; tail -20 "$ROOT/ck.log"; exit 1; }
+run takeover_drain "$ROOT" tc "$CHAOS_TTL" >"$ROOT/td.log" 2>&1 \
+  || { echo "[2jvm] takeover_drain FAILED"; tail -30 "$ROOT/td.log"; exit 1; }
+grep -h "DRAIN_BLOCKED\|TAKEOVER_DRAIN_OK" "$ROOT/td.log"
+grep -q "TAKEOVER_DRAIN_OK" "$ROOT/td.log" \
+  || { echo "[2jvm] takeover_drain never confirmed"; exit 1; }
+echo "[2jvm] OK: dead operator's lease honored until its ttl, then taken over; journal drained == fresh rebuild"

@@ -29,8 +29,35 @@ import org.apache.spark.sql.functions._
   *           form of the one-retention-operator contract (in-JVM races
   *           are covered by RetentionLeaseSpec; only separate processes
   *           exercise the link(2)/O_EXCL claim for real)
+  *   cascade_kill <root> <table> <ttlMs>   build a corpus + registered
+  *           BM25 index, then HALT the JVM (exit 137, a SIGKILL
+  *           stand-in) mid-cascade at the committed-mark window — the
+  *           deletion vector has committed, the index negation has not,
+  *           and the dead process's lease (declared ttl = ttlMs) is left
+  *           behind
+  *   takeover_drain <root> <table> <ttlMs>   the second operator after a
+  *           cascade_kill: its first drain must FAIL (the dead holder's
+  *           lease is still inside its declared ttl), then past the
+  *           holder's deadline the staleness takeover must win, the
+  *           journal must drain, and the swept index must equal a fresh
+  *           rebuild over the survivors — lease takeover + journal drain
+  *           tied together across REAL process death (in-JVM crash specs
+  *           cover the windows; only this leg covers the lease file +
+  *           journal surviving an actual dead JVM)
   */
 object TwoWriterSmoke {
+
+  /** Deterministic corpus both chaos-leg PROCESSES derive identically
+    * (no shared file needed — the formula is the contract). */
+  private def chaosCorpus(
+      spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    (0 until 120).map { i =>
+      val words = (0 until 12).map(j => s"w${(i * 13 + j * 5) % 97}")
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = args(0)
     val spark = GraftSession.get("local[4]", 8)
@@ -105,26 +132,91 @@ object TwoWriterSmoke {
         val (table, holderId, nPeers) = (args(2), args(3), args(4).toInt)
         // file barrier: both JVMs reach the attempt before either tries,
         // so the winner's release (below) can never hand the loser a
-        // second, non-racing chance to "win"
+        // second, non-racing chance to "win". A barrier timeout FAILS
+        // the leg loudly: proceeding would let a stalled loser acquire
+        // after the winner's release and report a spurious second win —
+        // the shell would then blame the lease for a broken barrier.
         val barrier = new java.io.File(args(1), s"lease_barrier_$table")
         barrier.mkdirs()
+        def await(prefix: String): Unit = {
+          // each barrier gets its OWN deadline — sharing one lets a slow
+          // first phase eat the second's budget
+          val deadline = System.currentTimeMillis() + 60000
+          while (barrier.listFiles().count(_.getName.startsWith(prefix))
+              < nPeers) {
+            if (System.currentTimeMillis() >= deadline)
+              sys.error(s"lease leg: barrier '$prefix' timed out waiting " +
+                s"for $nPeers peers — the BARRIER broke, not the lease")
+            Thread.sleep(5)
+          }
+        }
         new java.io.File(barrier, s"ready-$holderId").createNewFile()
-        val deadline = System.currentTimeMillis() + 60000
-        while (barrier.listFiles().count(_.getName.startsWith("ready-"))
-            < nPeers && System.currentTimeMillis() < deadline)
-          Thread.sleep(5)
+        await("ready-")
         val won = store.tryAcquireLease(table, "retention", holderId,
           ttlMs = 60000)
         println(s"LEASE_RESULT $holderId won=$won")
-        // a second barrier, not a sleep: the winner releases only after
-        // every peer has ATTEMPTED — a loser JVM stalled by a GC pause
-        // can never acquire a lease the winner already released and turn
-        // one race into two sequential wins
         new java.io.File(barrier, s"attempted-$holderId").createNewFile()
-        while (barrier.listFiles().count(_.getName.startsWith("attempted-"))
-            < nPeers && System.currentTimeMillis() < deadline)
-          Thread.sleep(5)
+        await("attempted-")
         if (won) store.releaseLease(table, "retention", holderId)
+      case "cascade_kill" =>
+        val (table, ttl) = (args(2), args(3).toLong)
+        val docs = chaosCorpus(spark)
+        store.overwrite(table, docs)
+        graft.ext.Retrieval.buildBm25Index(store, s"${table}_bm", docs,
+          "text", "doc_id", numBuckets = 2, registerFor = Some(table))
+        graft.ext.Retention.leaseTtlMs = ttl
+        graft.ext.Retention.failpoint = l =>
+          if (l == "committed-mark") {
+            // the DV has committed, the BM25 negation has not, the lease
+            // file (declared ttl) survives this process
+            println("CASCADE_KILLED at committed-mark")
+            System.out.flush()
+            Runtime.getRuntime.halt(137)
+          }
+        graft.ext.Retention.deleteByKeysCascade(store, table, "doc_id",
+          docs.where(col("doc_id") % 5 === 0).select("doc_id"),
+          indexes = Nil)
+        sys.error("unreachable: the committed-mark failpoint must halt")
+      case "takeover_drain" =>
+        val (table, ttl) = (args(2), args(3).toLong)
+        val blocked =
+          try {
+            graft.ext.Retention.drainPendingCascades(store, table); false
+          } catch { case _: IllegalStateException => true }
+        if (!blocked) sys.error("first drain must FAIL while the dead " +
+          "holder's lease is inside its declared ttl")
+        println("DRAIN_BLOCKED while the dead holder's lease is fresh")
+        // past the holder's own deadline the staleness takeover wins
+        var drained = false
+        val deadline = System.currentTimeMillis() + ttl + 120000
+        while (!drained) {
+          if (System.currentTimeMillis() >= deadline)
+            sys.error(s"takeover never succeeded within ttl+120s")
+          Thread.sleep(500)
+          try {
+            graft.ext.Retention.drainPendingCascades(store, table)
+            drained = true
+          } catch { case _: IllegalStateException => () }
+        }
+        // the drained index must equal a fresh rebuild over survivors
+        val docs = chaosCorpus(spark)
+        val survivors = docs.where(col("doc_id") % 5 =!= 0)
+        val fresh = new TableStore(spark,
+          new java.io.File(args(1), "fresh_rebuild").toString)
+        graft.ext.Retrieval.buildBm25Index(fresh, s"${table}_bm",
+          survivors, "text", "doc_id", numBuckets = 2)
+        val q = Seq((1L, "w5 w18 w31"), (2L, "w44 w57"))
+        def probe(s: TableStore) =
+          graft.ext.Retrieval.bm25TopKIndexed(s, s"${table}_bm", q, k = 5)
+            .collect().toSeq.map(_.toString).sorted
+        val (got, want) = (probe(store), probe(fresh))
+        assert(got == want,
+          s"drained index != fresh rebuild:\n$got\nvs\n$want")
+        assert(store.scan(table).count() == survivors.count(),
+          "the killed cascade's DV must hold on the table side")
+        val pending = graft.ext.Retention.pendingCascades(store, table)
+        assert(pending.isEmpty, "the journal must be fully drained")
+        println("TAKEOVER_DRAIN_OK rows=" + store.scan(table).count())
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()
