@@ -217,7 +217,64 @@ object Bench {
     def ms(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val calibratedTotal = ms(total * anchorCpuSec / cpuSec)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","calibrated_total":$calibratedTotal,"queries":$qs,"plans":$planJson,"plan_drift":$driftJson,"setup":$setupJson,"setup_total":$setupTotal,"calibration":$calibrationJson,"repeat":$repeat,"sf":"$sfDir"}"""
+    // Per-query ratios vs the COMMITTED timing baseline
+    // (bench_baseline.json: per-query raw seconds + the cpu probe of the
+    // run that produced them). Both sides are stated in anchor-box
+    // seconds before dividing, so a uniform box drift cancels per query —
+    // the per-query form of calibrated_total. One anomalous query (the
+    // r13 ext_lm_kneser_ney reading: 3.1x with a byte-identical plan sha)
+    // then shows up as a single outlier entry instead of a week of
+    // plan-sha archaeology.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+      "bench_baseline.json")
+    val timeBaseline: Option[(Double, Map[String, Double])] = {
+      val f = new java.io.File(baselinePath)
+      if (!f.exists()) None
+      else {
+        val src = scala.io.Source.fromFile(f)
+        val content = try src.mkString finally src.close()
+        val cpu = "\"cpu_sec\":\\s*([0-9.]+)".r.findFirstMatchIn(content)
+          .map(_.group(1).toDouble)
+        val meta = Set("cpu_sec", "anchor_cpu_sec", "io_sec", "repeat")
+        val qs = "\"([A-Za-z0-9_]+)\":\\s*([0-9.]+)".r.findAllMatchIn(content)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filterNot(kv => meta(kv._1)).toMap
+        cpu.map(c => (c, qs))
+      }
+    }
+    val ratios: Seq[(String, Double, Double, Double)] = timeBaseline match {
+      case None => Nil
+      case Some((baseCpu, baseQs)) =>
+        results.flatMap { case (name, raw, _) =>
+          baseQs.get(name).map { baseRaw =>
+            val calNow = raw * anchorCpuSec / cpuSec
+            val calBase = baseRaw * anchorCpuSec / baseCpu
+            (name, calNow / math.max(calBase, 1e-9), calNow, calBase)
+          }
+        }
+    }
+    val ratiosJson = ratios.map { case (k, r, _, _) =>
+      s"\"" + k + "\":" + ms(r)
+    }.mkString("{", ",", "}")
+    // compact-line form: the worst deviators only (calibrated >=0.5s on
+    // one side, ratio outside [0.75, 1.33]), worst-first, capped at 8 —
+    // sized for the driver's tail window
+    val outliers = ratios
+      .filter { case (_, r, cn, cb) =>
+        math.max(cn, cb) >= 0.5 && (r > 1.33 || r < 0.75) }
+      .sortBy { case (_, r, _, _) => -math.abs(math.log(r)) }
+      .take(8)
+    val outliersJson = outliers.map { case (k, r, cn, cb) =>
+      "\"" + k + "\":{\"ratio\":" + ms(r) + ",\"cal\":" + ms(cn) +
+        ",\"base\":" + ms(cb) + "}"
+    }.mkString("{", ",", "}")
+    val ratioMedian =
+      if (ratios.isEmpty) "null"
+      else {
+        val sortedR = ratios.map(_._2).sorted
+        ms(sortedR((sortedR.size - 1) / 2))
+      }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","calibrated_total":$calibratedTotal,"queries":$qs,"plans":$planJson,"plan_drift":$driftJson,"ratios_vs_baseline":$ratiosJson,"ratio_median":$ratioMedian,"setup":$setupJson,"setup_total":$setupTotal,"calibration":$calibrationJson,"repeat":$repeat,"sf":"$sfDir"}"""
     if (outPath.nonEmpty) {
       val w = new java.io.PrintWriter(outPath)
       try w.println(line) finally w.close()
@@ -236,7 +293,7 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(20)
       .map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${ms(total)},"unit":"sec","calibrated_total":$calibratedTotal,"queries":$slowest,"n_queries":${results.size},"plan_drift":$driftJson,"setup_total":${ms(setupTotal)},"calibration":$calibrationJson,"repeat":$repeat,"full":"$outPath","plans_file":"$plansPath","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${ms(total)},"unit":"sec","calibrated_total":$calibratedTotal,"queries":$slowest,"n_queries":${results.size},"plan_drift":$driftJson,"ratio_outliers":$outliersJson,"ratio_median":$ratioMedian,"ratio_n":${ratios.size},"setup_total":${ms(setupTotal)},"calibration":$calibrationJson,"repeat":$repeat,"full":"$outPath","plans_file":"$plansPath","sf":"$sfDir"}"""
     spark.stop()
     println(line)
     println(compact)
