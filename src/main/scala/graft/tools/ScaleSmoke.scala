@@ -2019,6 +2019,64 @@ object ScaleSmoke {
           f"it replaces ($buildSec%.1fs)")
     }
 
+    // 40h. MATVIEW CASCADE at 2M docs: a registered materialized
+    // aggregate view (count/sum by a 1k-key column) rides the same
+    // registry-resolved key cascade as the indexes — one
+    // deleteByKeysCascade call commits the deletion vector AND refreshes
+    // the view, so the erased docs' aggregates leave derived state in
+    // the same operation. The refresh recomputes the aggregate over the
+    // DV-applied base (a vector breaks append-folding by design) —
+    // O(base) but narrow; the assertion pins cascade+refresh < the
+    // build+define it replaces, and the view equals the survivor
+    // aggregate exactly.
+    time("matview cascade 2M docs x 20k ids (registered view)") {
+      val docs2m = spark.range(0, 2000000L, 1, 64)
+        .select(col("id").as("doc_id"),
+          pmod(col("id"), lit(1000)).as("grp"),
+          concat_ws(" ", (0 until 12).map(j =>
+            concat(lit("w"), pmod(col("id") * (j + 3) + j, lit(50000)))): _*)
+            .as("text"))
+      val store = new graft.table.TableStore(spark,
+        java.nio.file.Files.createTempDirectory("graft_sm_mvcasc").toString)
+      store.overwrite("docs", docs2m)
+      val tb = System.nanoTime()
+      graft.ext.NearDupIndex.buildNearDupIndex(store, "nd", docs2m, "text",
+        "doc_id", numBuckets = 8, registerFor = Some("docs"))
+      graft.ext.Retention.defineView(store, "docs", "docs_by_grp",
+        Seq("grp"), Seq(graft.table.MatView.Count("n_docs"),
+          graft.table.MatView.Sum("doc_id", "sum_ids")))
+      val buildSec = (System.nanoTime() - tb) / 1e9
+      val doomed = spark.range(0, 2000000L, 1, 8)
+        .where(col("id") % 100 === 42).select(col("id").as("doc_id"))
+      val t0 = System.nanoTime()
+      val erased = graft.ext.Retention.deleteByKeysCascade(store, "docs",
+        "doc_id", doomed, indexes = Nil) // registry: view + index
+      val cascadeSec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale]   build+define ${buildSec}%6.1fs, cascade+" +
+        f"refresh (20k ids) ${cascadeSec}%6.1fs")
+      assert(erased, "the takedown must erase something")
+      // the view must equal the survivor aggregate EXACTLY — no erased
+      // doc's contribution may survive in derived state
+      val expect = docs2m.where(col("doc_id") % 100 =!= 42)
+        .groupBy("grp").agg(count(lit(1)).as("n_docs"),
+          sum("doc_id").as("sum_ids"))
+      val view = new graft.table.MatView(store).read("docs_by_grp")
+      // 10 groups vanish ENTIRELY (grp ≡ 42 mod 1000 ⊂ id ≡ 42 mod 100):
+      // the refresh must drop whole rows, not just shrink counts
+      val expectRows = expect.count()
+      assert(expectRows == 990L)
+      assert(view.count() == expectRows, s"view rows = ${view.count()}")
+      assert(view.join(expect, Seq("grp")).count() == expectRows,
+        "view must cover exactly the surviving groups")
+      assert(view.join(expect, Seq("grp"))
+        .where(view("n_docs") =!= expect("n_docs") ||
+          view("sum_ids") =!= expect("sum_ids")).isEmpty,
+        "view must equal the survivor aggregate")
+      assert(cascadeSec < buildSec,
+        f"matview cascade ($cascadeSec%.1fs) must cost less than the " +
+          f"build+define it replaces ($buildSec%.1fs)")
+    }
+
     // 40f. JOURNAL DRAIN at scale: a cascade that died right after its
     // drop committed (the `committed-mark` window) leaves a ~5M-row
     // journal across three index targets; the next operator's drain must
