@@ -759,7 +759,13 @@ object Retention {
       }
     }
     gcOrphanPayload(store, table)
+    // advisory last-drain stamp for status(): "when did recovery last
+    // look at this table" — a torn/missing stamp only reads as "never"
+    store.writeSidecarFile(table, LastDrainFile,
+      s"${System.currentTimeMillis()}\n")
   }
+
+  private val LastDrainFile = "SIDECAR-retention-lastdrain"
 
   /** GC payload rows no state row points to — the crash window inside
     * [[journalWrite]] between its payload append and its state append.
@@ -858,7 +864,10 @@ object Retention {
     *     commit-marker state, done/total targets, target list);
     *   - `abandoned`: a PARKED cascade — rebuild its listed targets,
     *     then [[acknowledgeAbandoned]];
-    *   - `registered`: one row per registry target (indexes + views).
+    *   - `registered`: one row per registry target (indexes + views);
+    *   - `last_drain`: when [[drainPendingCascades]] (or any cascade
+    *     head, or [[Maintenance.maintain]]) last completed a recovery
+    *     pass over this table — absent means never.
     * Driver-sized by construction: journal state, registry and lease are
     * all tiny tables/files. */
   def status(store: TableStore, table: String): DataFrame = {
@@ -894,7 +903,10 @@ object Retention {
           (if (nb > 0) s" num_buckets=$nb" else "")
         ("registered", name, s"family=$kind$extras", 0L)
       }
-    (lease ++ cascades ++ registered)
+    val lastDrain = store.readSidecarFile(table, LastDrainFile)
+      .flatMap(_.trim.toLongOption)
+      .map(ts => ("last_drain", "", "", ts)).toSeq
+    (lease ++ cascades ++ registered ++ lastDrain)
       .toDF("aspect", "name", "detail", "since_ms")
       .orderBy("aspect", "name")
   }

@@ -2541,6 +2541,30 @@ final class TableStore(spark: SparkSession, root: String,
   // `kind` coordinate; table commits never check it.
   // ------------------------------------------------------------------
 
+  /** Write a small per-table sidecar file (operator bookkeeping — e.g.
+    * the retention drain's last-run stamp). Plain overwrite: content
+    * must be advisory (a torn read degrades to "absent", never to a
+    * correctness input). Names are prefix-restricted so they can never
+    * collide with commit machinery (`v-`/`snap-`/`dv-`/CURRENT/LEASE-),
+    * and GC ignores them by construction. */
+  def writeSidecarFile(name: String, fileName: String,
+      content: String): Unit = {
+    require(fileName.startsWith("SIDECAR-") &&
+        fileName.forall(c => c.isLetterOrDigit || c == '.' || c == '_' ||
+          c == '-'),
+      s"sidecar file name must be SIDECAR-[A-Za-z0-9._-]+: '$fileName'")
+    val dir = tableDir(name)
+    if (!fs(dir).exists(dir)) fs(dir).mkdirs(dir)
+    val f = new Path(dir, fileName)
+    val out = fs(f).create(f, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read a [[writeSidecarFile]] sidecar; None when absent or torn. */
+  def readSidecarFile(name: String, fileName: String): Option[String] =
+    readSmallFile(new Path(tableDir(name), fileName)).filter(_.nonEmpty)
+
   private def leaseFile(name: String, kind: String) =
     new Path(tableDir(name), s"LEASE-$kind")
   private def leaseHbFile(name: String, kind: String) =

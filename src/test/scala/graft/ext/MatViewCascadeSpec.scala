@@ -211,7 +211,9 @@ class MatViewCascadeSpec extends SparkSpec {
     assert(p.length == 1, "one crashed cascade pending")
     assert(p.head.getString(2).contains("targets=matview:v,neardup:nd"))
     Retention.drainPendingCascades(store, "docs")
-    assert(!Retention.status(store, "docs").collect()
-      .exists(_.getString(0) == "pending"))
+    val after = Retention.status(store, "docs").collect()
+    assert(!after.exists(_.getString(0) == "pending"))
+    assert(after.exists(_.getString(0) == "last_drain"),
+      "a completed drain must stamp last_drain")
   }
 }
