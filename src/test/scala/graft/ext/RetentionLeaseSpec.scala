@@ -193,14 +193,18 @@ class RetentionLeaseSpec extends SparkSpec {
     NearDupIndex.buildNearDupIndex(store, "nd", full, "text", "doc_id",
       numBuckets = 2, registerFor = Some("docs"))
     val saved = Retention.leaseTtlMs
-    Retention.leaseTtlMs = 400L // heartbeat period = max(ttl/3, 50) = 133
-    // hold the cascade open ~3 ttls at the journaled failpoint: without
-    // the heartbeat, a concurrent claimant would legally take over
+    Retention.leaseTtlMs = 3000L // heartbeat period = ttl/3 = 1000 ms
+    // hold the cascade open ~1.5 ttls at the journaled failpoint: without
+    // the heartbeat, a concurrent claimant would legally take over.
+    // Margins are sized for a LOADED box (the full suite runs 95 other
+    // suites): a takeover needs the beat thread starved ~2 s past its
+    // 1 s cadence, not a mere scheduler hiccup — a 400 ms ttl variant
+    // flaked exactly that way under full-suite load
     Retention.failpoint = l => if (l == "journaled") {
       (1 to 6).foreach { _ =>
-        Thread.sleep(200)
+        Thread.sleep(700)
         // a rival probing mid-hold keeps failing — the beats keep the
-        // 400 ms lease fresh across a 1.2 s hold
+        // 3 s lease fresh across a ~4.2 s hold
         assert(!store.tryAcquireLease("docs", "retention", "rival",
           ttlMs = 600000))
       }
