@@ -274,7 +274,20 @@ object Bench {
         val sortedR = ratios.map(_._2).sorted
         ms(sortedR((sortedR.size - 1) / 2))
       }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","calibrated_total":$calibratedTotal,"queries":$qs,"plans":$planJson,"plan_drift":$driftJson,"ratios_vs_baseline":$ratiosJson,"ratio_median":$ratioMedian,"setup":$setupJson,"setup_total":$setupTotal,"calibration":$calibrationJson,"repeat":$repeat,"sf":"$sfDir"}"""
+    // RAW (uncalibrated) median alongside: the two medians agreeing says
+    // the queries moved; calibrated ≫ raw (or ≪) says the CPU PROBE
+    // moved — same-box probe spread of 30% was observed across two
+    // otherwise-flat complete runs (raw median 0.985), so the artifact
+    // must let a reader tell instrument noise from query drift without
+    // a third run
+    val ratioMedianRaw = timeBaseline match {
+      case None => "null"
+      case Some((_, baseQs)) =>
+        val raw = results.flatMap { case (name, rawSec, _) =>
+          baseQs.get(name).map(b => rawSec / math.max(b, 1e-9)) }.sorted
+        if (raw.isEmpty) "null" else ms(raw((raw.size - 1) / 2))
+    }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","calibrated_total":$calibratedTotal,"queries":$qs,"plans":$planJson,"plan_drift":$driftJson,"ratios_vs_baseline":$ratiosJson,"ratio_median":$ratioMedian,"ratio_median_raw":$ratioMedianRaw,"setup":$setupJson,"setup_total":$setupTotal,"calibration":$calibrationJson,"repeat":$repeat,"sf":"$sfDir"}"""
     if (outPath.nonEmpty) {
       val w = new java.io.PrintWriter(outPath)
       try w.println(line) finally w.close()
@@ -293,7 +306,7 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(20)
       .map { case (k, v, _) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${ms(total)},"unit":"sec","calibrated_total":$calibratedTotal,"queries":$slowest,"n_queries":${results.size},"plan_drift":$driftJson,"ratio_outliers":$outliersJson,"ratio_median":$ratioMedian,"ratio_n":${ratios.size},"setup_total":${ms(setupTotal)},"calibration":$calibrationJson,"repeat":$repeat,"full":"$outPath","plans_file":"$plansPath","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${ms(total)},"unit":"sec","calibrated_total":$calibratedTotal,"queries":$slowest,"n_queries":${results.size},"plan_drift":$driftJson,"ratio_outliers":$outliersJson,"ratio_median":$ratioMedian,"ratio_median_raw":$ratioMedianRaw,"ratio_n":${ratios.size},"setup_total":${ms(setupTotal)},"calibration":$calibrationJson,"repeat":$repeat,"full":"$outPath","plans_file":"$plansPath","sf":"$sfDir"}"""
     spark.stop()
     println(line)
     println(compact)
