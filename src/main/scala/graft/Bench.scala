@@ -235,8 +235,16 @@ object Bench {
         val content = try src.mkString finally src.close()
         val cpu = "\"cpu_sec\":\\s*([0-9.]+)".r.findFirstMatchIn(content)
           .map(_.group(1).toDouble)
+        // scope the pair scan to the "queries" OBJECT (flat — values are
+        // numbers, no nested braces): a flat whole-file scan with
+        // last-wins toMap would let a full bench artifact (which carries
+        // the same query keys again under "ratios_vs_baseline") silently
+        // replace every baseline seconds value with its ~1.0 ratio
+        val qsBlock = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r
+          .findFirstMatchIn(content).map(_.group(1)).getOrElse(content)
         val meta = Set("cpu_sec", "anchor_cpu_sec", "io_sec", "repeat")
-        val qs = "\"([A-Za-z0-9_]+)\":\\s*([0-9.]+)".r.findAllMatchIn(content)
+        val qs = "\"([A-Za-z0-9_]+)\":\\s*([0-9.]+)".r
+          .findAllMatchIn(qsBlock)
           .map(m => m.group(1) -> m.group(2).toDouble)
           .filterNot(kv => meta(kv._1)).toMap
         cpu.map(c => (c, qs))

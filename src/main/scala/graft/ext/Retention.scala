@@ -605,20 +605,40 @@ object Retention {
   def drainPendingCascades(store: TableStore, table: String): Unit =
     withLease(store, table) { drainInternal(store, table) }
 
+  /** One cascade's journal-state rows, decoded: progress markers
+    * separated from target rows. The SINGLE decode of the journal-state
+    * schema — the drain and [[status]] both read through it, so a new
+    * marker kind or schema change cannot silently diverge the two. */
+  private final case class JournalGroup(cascadeId: String,
+      committed: Boolean, abandoned: Boolean, doneSeqs: Set[Int],
+      targets: Seq[org.apache.spark.sql.Row])
+
+  private def journalGroups(
+      rows: Array[org.apache.spark.sql.Row]): Seq[JournalGroup] =
+    rows.groupBy(_.getAs[String]("cascade_id")).toSeq.map {
+      case (cid, rs) =>
+        JournalGroup(cid,
+          committed = rs.exists(_.getAs[String]("kind") == CommitKind),
+          abandoned = rs.exists(_.getAs[String]("kind") == AbandonedKind),
+          doneSeqs = rs.filter(_.getAs[String]("kind") == DoneKind)
+            .map(_.getAs[Int]("seq")).toSet,
+          targets = rs.filterNot(r =>
+              Set(CommitKind, DoneKind, AbandonedKind)(
+                r.getAs[String]("kind")))
+            .sortBy(_.getAs[Int]("seq")).toSeq)
+    }
+
   private[ext] def drainInternal(store: TableStore, table: String): Unit = {
     val stName = journalStateName(table)
     val all =
       if (!store.exists(stName)) Array.empty[org.apache.spark.sql.Row]
       else store.scan(stName).collect() // targets × pending cascades
-    all.groupBy(_.getAs[String]("cascade_id")).foreach { case (cid, rows) =>
-      val committed = rows.exists(_.getAs[String]("kind") == CommitKind)
-      val abandoned = rows.exists(_.getAs[String]("kind") == AbandonedKind)
-      val done = rows.filter(_.getAs[String]("kind") == DoneKind)
-        .map(_.getAs[Int]("seq")).toSet
-      val targets = rows
-        .filterNot(r => Set(CommitKind, DoneKind, AbandonedKind)(
-          r.getAs[String]("kind")))
-        .sortBy(_.getAs[Int]("seq"))
+    journalGroups(all).foreach { g =>
+      val cid = g.cascadeId
+      val committed = g.committed
+      val abandoned = g.abandoned
+      val done = g.doneSeqs
+      val targets = g.targets
       // state rows with the payload already cleared = a clearCascade was
       // interrupted between its two drops; every target had completed
       // (payload clears only after the last delete) — just finish clearing
@@ -878,22 +898,17 @@ object Retention {
         ("lease", h, s"declared_ttl_ms=$ttl fresh_as_of_ms=$eff", ts)
     }.toSeq
     val st = pendingCascades(store, table).collect()
-    val cascades = st.groupBy(_.getAs[String]("cascade_id")).toSeq
-      .map { case (cid, rows) =>
-        val parked = rows.exists(_.getAs[String]("kind") == AbandonedKind)
-        val committed = rows.exists(_.getAs[String]("kind") == CommitKind)
-        val done = rows.count(_.getAs[String]("kind") == DoneKind)
-        val targets = rows.filterNot(r =>
-          Set(CommitKind, DoneKind, AbandonedKind)(r.getAs[String]("kind")))
-        val names = targets
-          .map(r => r.getAs[String]("kind") + ":" +
-            r.getAs[String]("index_name"))
-          .sorted.mkString(",")
-        (if (parked) "abandoned" else "pending", cid,
-          s"committed=$committed done=$done/${targets.length} " +
-            s"targets=$names",
-          targets.headOption.map(_.getAs[Long]("created_ms")).getOrElse(0L))
-      }
+    val cascades = journalGroups(st).map { g =>
+      val names = g.targets
+        .map(r => r.getAs[String]("kind") + ":" +
+          r.getAs[String]("index_name"))
+        .sorted.mkString(",")
+      (if (g.abandoned) "abandoned" else "pending", g.cascadeId,
+        s"committed=${g.committed} done=${g.doneSeqs.size}/" +
+          s"${g.targets.length} targets=$names",
+        g.targets.headOption.map(_.getAs[Long]("created_ms"))
+          .getOrElse(0L))
+    }
     val regName = indexRegistryName(table)
     val registered =
       if (!store.exists(regName)) Nil

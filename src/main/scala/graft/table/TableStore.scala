@@ -1511,6 +1511,8 @@ final class TableStore(spark: SparkSession, root: String,
     try out.write(s"$numBuckets\n${keys.mkString(",")}\n"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    bucketSpecValidated.put(bucketedCatalogName(name),
+      fs(specF).getFileStatus(specF).getModificationTime)
   }
 
   /** Re-register a bucketed table from its [[overwriteBucketed]] sidecar
@@ -1518,12 +1520,22 @@ final class TableStore(spark: SparkSession, root: String,
     * cross-process durability half of the bucketed-table contract. No-op
     * when already registered or when no sidecar/data exists (the caller's
     * own existence check then fires its usual error). */
+  /** catalog name → BUCKETSPEC modification time at last validation, so
+    * the steady-state scan/append path pays ONE getFileStatus instead of
+    * a sidecar read + DESCRIBE per call; any cross-process re-bucket
+    * rewrites the sidecar and bumps its mtime, invalidating the entry. */
+  private val bucketSpecValidated =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private def ensureBucketedRegistered(name: String): Unit = {
     val catalog = bucketedCatalogName(name)
-    if (spark.catalog.tableExists(catalog)) return
     val specF = new Path(tableDir(name), "BUCKETSPEC")
     val dataDir = new Path(tableDir(name), "bucketed")
     if (!fs(specF).exists(specF) || !fs(dataDir).exists(dataDir)) return
+    val specMtime = fs(specF).getFileStatus(specF).getModificationTime
+    val cached = bucketSpecValidated.get(catalog)
+    if (cached != null && cached.longValue == specMtime &&
+        spark.catalog.tableExists(catalog)) return
     val txt = {
       val in = fs(specF).open(specF)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -1532,11 +1544,41 @@ final class TableStore(spark: SparkSession, root: String,
     val lines = txt.split("\n")
     val nb = lines(0).trim.toInt
     val keys = lines(1).trim.split(",").toSeq
+    if (spark.catalog.tableExists(catalog)) {
+      // cross-session staleness guard: another PROCESS may have
+      // re-bucketed this table (overwriteBucketed rewrites files +
+      // sidecar in ITS session only) — a stale registration here would
+      // silently plan exchange-free joins assuming the old bucket
+      // count/keys over the new files. The sidecar is authoritative;
+      // a mismatched entry drops and re-registers.
+      val desc = spark.sql(s"DESCRIBE FORMATTED `$catalog`").collect()
+      val catNb = desc.find(_.getString(0) == "Num Buckets")
+        .flatMap(_.getString(1).trim.toIntOption)
+      val catKeys = desc.find(_.getString(0) == "Bucket Columns")
+        .map(_.getString(1).replaceAll("[\\[\\]`\\s]", "")
+          .split(",").toSeq)
+      if (catNb.contains(nb) && catKeys.contains(keys)) {
+        bucketSpecValidated.put(catalog, specMtime)
+        return
+      }
+      TableStore.log.warn(s"bucketed table '$name': session-catalog " +
+        s"spec (buckets=${catNb.orNull}, keys=${catKeys.orNull}) no " +
+        s"longer matches the BUCKETSPEC sidecar (buckets=$nb, " +
+        s"keys=$keys) — another process re-bucketed it; re-registering " +
+        "from the sidecar")
+      spark.sql(s"DROP TABLE `$catalog`")
+      ()
+    }
     val cols = spark.read.parquet(dataDir.toString).schema.toDDL
     val keyList = keys.map(k => s"`$k`").mkString(", ")
+    // backslash escaping, not SQL-92 quote doubling: Spark's lexer reads
+    // '…''…' as two adjacent strings, so a path with an apostrophe would
+    // fail to parse instead of escaping
+    val loc = dataDir.toString.replace("\\", "\\\\").replace("'", "\\'")
     spark.sql(s"CREATE TABLE `$catalog` ($cols) USING parquet " +
       s"CLUSTERED BY ($keyList) SORTED BY ($keyList) INTO $nb BUCKETS " +
-      s"LOCATION '${dataDir.toString.replace("'", "''")}'")
+      s"LOCATION '$loc'")
+    bucketSpecValidated.put(catalog, specMtime)
     ()
   }
 
@@ -2585,70 +2627,97 @@ final class TableStore(spark: SparkSession, root: String,
       case scala.util.control.NonFatal(_) => Some("")
     }
 
+  /** ONE atomic read of the lease file, fully parsed. All lease logic
+    * derives from a single snapshot: an earlier version read the file
+    * once for (holder, ts) and AGAIN for the declared ttl, and a
+    * release + re-acquire landing between the two reads paired the OLD
+    * holder's acquisition time with the NEW holder's ttl — a claimant
+    * could then judge a brand-new live lease stale and take it over. */
+  private sealed trait LeaseRead
+  private case object LeaseMissing extends LeaseRead
+  private case object LeaseUnreadable extends LeaseRead
+  private final case class LeaseHeld(holder: String, acquiredMs: Long,
+      declaredTtlMs: Long) extends LeaseRead
+
+  private def readLease(name: String, kind: String): LeaseRead = {
+    requireLeaseKind(kind)
+    readSmallFile(leaseFile(name, kind)) match {
+      case None => LeaseMissing
+      case Some(txt) =>
+        val lines = txt.split("\n")
+        (for {
+          holder <- lines.headOption.filter(_.nonEmpty)
+          ts <- lines.lift(1).flatMap(_.trim.toLongOption)
+        } yield LeaseHeld(holder, ts,
+          lines.lift(2).flatMap(_.trim.toLongOption).getOrElse(0L)))
+          .getOrElse(LeaseUnreadable)
+    }
+  }
+
   /** The current holder and acquisition time (epoch ms) of the `kind`
     * lease on `name`, or None when unheld. An unreadable/partial lease
     * file (a holder that died inside the degraded non-link create path)
     * reports acquisition time 0 — immediately stale, so it can never
     * deadlock the table. */
-  def leaseInfo(name: String, kind: String): Option[(String, Long)] = {
-    requireLeaseKind(kind)
-    readSmallFile(leaseFile(name, kind)).map { txt =>
-      try {
-        val lines = txt.split("\n")
-        (lines(0), lines(1).trim.toLong)
-      } catch {
-        case scala.util.control.NonFatal(_) => ("unreadable", 0L)
-      }
+  def leaseInfo(name: String, kind: String): Option[(String, Long)] =
+    readLease(name, kind) match {
+      case LeaseMissing => None
+      case LeaseUnreadable => Some(("unreadable", 0L))
+      case LeaseHeld(h, ts, _) => Some((h, ts))
     }
-  }
 
   /** Full lease state for staleness decisions and governance status:
-    * (holder, acquiredMs, declaredTtlMs, effectiveMs). `declaredTtlMs`
-    * is the ttl the HOLDER wrote at acquire time (0 when the payload
-    * predates the self-describing format — the claimant's own ttl then
-    * governs, the legacy behavior). `effectiveMs` is the acquisition
-    * time advanced by the holder's last [[heartbeatLease]], the instant
-    * staleness is measured from. */
+    * (holder, acquiredMs, declaredTtlMs, effectiveMs) — all derived
+    * from ONE read of the lease file. `declaredTtlMs` is the ttl the
+    * HOLDER wrote at acquire time (0 when the payload predates the
+    * self-describing format — the claimant's own ttl then governs, the
+    * legacy behavior). `effectiveMs` is the acquisition time advanced by
+    * the holder's last [[heartbeatLease]], the instant staleness is
+    * measured from. */
   def leaseStatus(name: String,
       kind: String): Option[(String, Long, Long, Long)] =
-    leaseInfo(name, kind).map { case (h, ts) =>
-      val declaredTtl =
-        readSmallFile(leaseFile(name, kind)).flatMap { txt =>
-          txt.split("\n").lift(2).flatMap(_.trim.toLongOption)
+    readLease(name, kind) match {
+      case LeaseMissing => None
+      case LeaseUnreadable => Some(("unreadable", 0L, 0L, 0L))
+      case LeaseHeld(h, ts, ttl) =>
+        val hbTs = readSmallFile(leaseHbFile(name, kind)).flatMap { txt =>
+          val lines = txt.split("\n")
+          // only the CURRENT holder's beats count: a previous holder's
+          // stray heartbeat must never keep a successor's lease fresh
+          if (lines.headOption.contains(h))
+            lines.lift(1).flatMap(_.trim.toLongOption)
+          else None
         }.getOrElse(0L)
-      val hbTs = readSmallFile(leaseHbFile(name, kind)).flatMap { txt =>
-        val lines = txt.split("\n")
-        // only the CURRENT holder's beats count: a previous holder's
-        // stray heartbeat must never keep a successor's lease fresh
-        if (lines.headOption.contains(h))
-          lines.lift(1).flatMap(_.trim.toLongOption)
-        else None
-      }.getOrElse(0L)
-      (h, ts, declaredTtl, math.max(ts, hbTs))
+        Some((h, ts, ttl, math.max(ts, hbTs)))
     }
 
   /** Renew the `kind` lease on `name` from its holder — the liveness
     * heartbeat. Writes a sidecar beat file (plain overwrite — a torn
     * read degrades to "no beat", never to a wrong holder) rather than
     * touching the lease file itself, so renewal opens NO window in which
-    * the lease looks unheld. Returns false when the lease no longer
-    * names `holder` (a staleness takeover landed — the operation's
-    * single-operator assumption is broken and the caller must treat its
-    * own result as suspect). Call on a cadence well inside the declared
-    * ttl (ttl/3 is the convention). */
-  def heartbeatLease(name: String, kind: String, holder: String): Boolean = {
-    requireLeaseKind(kind)
-    leaseInfo(name, kind) match {
-      case Some((h, _)) if h == holder =>
+    * the lease looks unheld. Returns false ONLY on positive evidence the
+    * lease no longer names `holder` (a staleness takeover landed, or the
+    * lease was released — the single-operator assumption is broken and
+    * the caller must treat its own result as suspect); an UNREADABLE
+    * lease file (transient fs error, torn concurrent write) THROWS
+    * instead, so a retrying caller does not misread a hiccup as a
+    * takeover. Call on a cadence well inside the declared ttl (ttl/3 is
+    * the convention). */
+  def heartbeatLease(name: String, kind: String, holder: String): Boolean =
+    readLease(name, kind) match {
+      case LeaseHeld(h, _, _) if h == holder =>
         val hb = leaseHbFile(name, kind)
         val out = fs(hb).create(hb, true)
         try out.write(s"$holder\n${System.currentTimeMillis()}\n"
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
         true
-      case _ => false // taken over (or released): stop believing the hold
+      case LeaseUnreadable =>
+        throw new java.io.IOException(
+          s"lease $kind on table '$name': unreadable during heartbeat — " +
+            "transient; retry next beat")
+      case _ => false // positively released or taken over
     }
-  }
 
   /** Try to acquire the advisory `kind` lease on `name` for `holder`;
     * true iff acquired. `ttlMs` is the ttl this holder DECLARES for its
@@ -2698,15 +2767,21 @@ final class TableStore(spark: SparkSession, root: String,
         filesystem.delete(parked, false)
         val hb = leaseHbFile(name, kind)
         if (filesystem.exists(hb)) filesystem.delete(hb, false)
-        // reap takeover breadcrumbs a crashed takeover left behind —
-        // ONLY the .stale- prefix (a release's in-flight .tomb- must
-        // never be reaped from under releaseLease's verification read),
-        // and only aged ones (a concurrent takeover's fresh breadcrumb
-        // is mid-use)
+        // reap breadcrumbs crashed operators left behind: takeover
+        // .stale- files AND release .tomb- files (a releaser that died
+        // between its rename and its delete) — but only AGED ones: a
+        // fresh .tomb- is inside releaseLease's rename→verify→delete
+        // microseconds and must never be reaped from under the
+        // verification read, which is why the prefixes are distinct and
+        // the age gate is generous
         val now = System.currentTimeMillis()
         filesystem.listStatus(dir)
-          .filter(st => st.getPath.getName.startsWith(s"LEASE-$kind.stale-")
-            && now - st.getModificationTime > 60000L)
+          .filter { st =>
+            val n = st.getPath.getName
+            (n.startsWith(s"LEASE-$kind.stale-") ||
+              n.startsWith(s"LEASE-$kind.tomb-")) &&
+            now - st.getModificationTime > 60000L
+          }
           .foreach(st => filesystem.delete(st.getPath, false))
       case None => ()
     }

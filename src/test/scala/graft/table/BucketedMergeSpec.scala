@@ -73,6 +73,54 @@ class BucketedMergeSpec extends SparkSpec {
     assert(store.scanBucketed("t").count() == 1100)
   }
 
+  test("a foreign re-bucket invalidates this session's stale registration") {
+    // another PROCESS re-buckets a table (new files + new BUCKETSPEC);
+    // this session's catalog still holds the old spec — trusting it
+    // would plan exchange-free joins assuming the old bucket count over
+    // the new files, silently. The sidecar is authoritative: the next
+    // access must re-register. Proxy for the foreign process: build the
+    // re-bucketed table in a second store (distinct catalog entry) and
+    // copy its files + sidecar over this store's.
+    val rootA = Files.createTempDirectory("graft_bktf_a").toString
+    val rootB = Files.createTempDirectory("graft_bktf_b").toString
+    val a = new TableStore(spark, rootA)
+    val b = new TableStore(spark, rootB)
+    val dfOld = spark.range(0, 400, 1, 4).toDF("k")
+      .withColumn("v", lit(1.0))
+    val dfNew = spark.range(0, 900, 1, 4).toDF("k")
+      .withColumn("v", lit(2.0))
+    a.overwriteBucketed("t", dfOld, Seq("k"), numBuckets = 4)
+    assert(a.scanBucketed("t").count() == 400)
+    b.overwriteBucketed("t", dfNew, Seq("k"), numBuckets = 8)
+    // "foreign process": replace a's files + sidecar with b's
+    def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(src).forEach { p =>
+        val to = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(to)
+        else java.nio.file.Files.copy(p, to,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val aDir = java.nio.file.Paths.get(rootA, "t", "bucketed")
+    org.apache.commons.io.FileUtils.deleteDirectory(aDir.toFile)
+    copyTree(java.nio.file.Paths.get(rootB, "t", "bucketed"), aDir)
+    // Hadoop's local fs pairs each file with a .crc sidecar — replace
+    // both, or the read fails its checksum against the stale crc
+    Seq("BUCKETSPEC", ".BUCKETSPEC.crc").foreach { f =>
+      val src = java.nio.file.Paths.get(rootB, "t", f)
+      if (java.nio.file.Files.exists(src))
+        java.nio.file.Files.copy(src,
+          java.nio.file.Paths.get(rootA, "t", f),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // the stale 4-bucket registration must be replaced from the sidecar
+    assert(a.scanBucketed("t").count() == 900)
+    a.appendBucketed("t", spark.range(900, 950, 1, 2).toDF("k")
+      .withColumn("v", lit(3.0)), Seq("k"), numBuckets = 8)
+    assert(a.scanBucketed("t").count() == 950)
+  }
+
   test("same table name in two stores gets distinct catalog entries") {
     val a = new TableStore(spark, Files.createTempDirectory("graft_bkta").toString)
     val b = new TableStore(spark, Files.createTempDirectory("graft_bktb").toString)
