@@ -43,6 +43,18 @@ object GraftSession {
       // makes the read side honor it.
       .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // Commit-protocol overhead (guide §6/§7.3 "commit … can be very
+      // slow with many files"): the engine's lakehouse tier issues MANY
+      // small parquet writes per operation (snapshots, deletion vectors,
+      // journal/marker/stats appends), and each pays the Hadoop
+      // FileOutputCommitter's job-commit walk on the DRIVER. v2 moves the
+      // rename to task commit (one rename per file, in parallel, at task
+      // end) — safe here because TableStore never exposes a directory
+      // until its manifest CAS commits, so a failed write's partial files
+      // are unreferenced orphans reaped by the store's own GC either way.
+      // _SUCCESS markers are dead weight under an external manifest.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .config("spark.ui.enabled", "false")
 
   def get(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession = {

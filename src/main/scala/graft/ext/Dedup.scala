@@ -76,16 +76,22 @@ object Dedup {
       idCol: String,
       threshold: Double
   ): DataFrame = {
-    // Shingles+signature are computed once and persisted: four consumers
-    // (4 band-key projections via self-join sides, plus the two
-    // verification sides) would otherwise each recompute the md5-heavy
-    // signature pipeline from the scan — and project-collapse would
-    // duplicate the sig expression into every band key. (At 100 TB swap
-    // the in-memory persist for a checkpoint/scratch-table write.)
+    // Shingles+signature are computed once and MATERIALIZED (lazy
+    // localCheckpoint, not persist): four consumers (4 band-key
+    // projections via self-join sides, plus the two verification sides)
+    // would otherwise each recompute the md5-heavy signature pipeline
+    // from the scan — and project-collapse would duplicate the sig
+    // expression into every band key. The checkpoint additionally CUTS
+    // THE LINEAGE, so every downstream action plans against a narrow
+    // LogicalRDD instead of re-analyzing + re-codegen'ing the
+    // HOF/md5 expression forest per action — measured r14: the driver
+    // spent ~45% of these gates RUNNABLE in codegen source generation
+    // of plans that persist() left in place. (At 100 TB swap
+    // localCheckpoint for a reliable checkpoint/scratch-table write.)
     val shingled = df
       .select(col(idCol), TextHash.shingles(col(textCol)).as("shingles"),
         minhashSig(df, textCol).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
     val banded = shingled
 
     // Band join carries ONLY (band, key, id) — never the shingle arrays.

@@ -252,10 +252,21 @@ object LanguageModel {
   ): (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(minCount >= 1, "minCount below 1 is meaningless")
     val D = Discount
+    // The three reference-corpus passes (trigram counts, bigram types,
+    // vocabulary) are MATERIALIZED eagerly: every one of the five model
+    // tables below derives from them, and leaving them lazy repeats the
+    // explode-heavy subtrees under every broadcast exchange — the r14
+    // plan carried 370 physical operators / 158 Exchanges for plain KN,
+    // with driver-side codegen source generation dominating the gate.
+    // Checkpointing the vocab-bounded count tables (the KenLM "write the
+    // intermediate ARPA counts" posture) collapses the scoring plan to
+    // the five small aggregate+join subtrees. Model math is untouched —
+    // same expressions over the same counts.
     val tri = ref
       .select(explode(trigramTriples(col(textCol))).as("t"))
       .groupBy(col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
       .agg(count(lit(1)).as("c3"))
+      .localCheckpoint(eager = true)
     val hist2 = tri.groupBy("w1", "w2")
       .agg(sum("c3").as("c2p"), count(lit(1)).as("t3"))
     val n3 = tri.groupBy("w2", "w3").agg(count(lit(1)).as("n3"))
@@ -266,8 +277,11 @@ object LanguageModel {
       .select(element_at(split(col("p.bg"), " "), 1).as("w1"),
         col("p.w2").as("w2"))
       .distinct()
+      .localCheckpoint(eager = true)
     val n2 = bigTypes.groupBy(col("w2").as("w")).agg(count(lit(1)).as("n2"))
-    val uni = ref.select(explode(TextStats.wsTokens(col(textCol))).as("w")).distinct()
+    val uni = ref.select(explode(TextStats.wsTokens(col(textCol))).as("w"))
+      .distinct()
+      .localCheckpoint(eager = true)
     val tot = bigTypes.agg(count(lit(1)).as("__b"))
       .crossJoin(n2.agg(count(lit(1)).as("__v1")))
       .crossJoin(uni.agg(count(lit(1)).as("__v")))
@@ -410,10 +424,15 @@ object LanguageModel {
       sum(when(c === 2, 1L).otherwise(0L)).as(s"${p}_2"),
       sum(when(c >= 3, 1L).otherwise(0L)).as(s"${p}_3p"))
     val q = (p: Column) => round(log(p) * lit(LpScale)).cast("long")
+    // same materialization posture as [[trainKneserNey]] — the modified
+    // form re-reads tri/n3/n2 once more each for the count-of-count
+    // statistics, so the lazy plan was even wider (3165 lines / 226
+    // Exchanges in the r14 dump)
     val tri = ref
       .select(explode(trigramTriples(col(textCol))).as("t"))
       .groupBy(col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
       .agg(count(lit(1)).as("c3"))
+      .localCheckpoint(eager = true)
     val l3Stats = tri.agg(ccAgg(col("c3"), "cc3_").head, ccAgg(col("c3"), "cc3_").tail: _*)
     val (da1, da2, da3) = mknDiscounts(k => col(s"cc3_$k"))
     val hist2 = tri.groupBy("w1", "w2")
@@ -430,10 +449,13 @@ object LanguageModel {
       .select(element_at(split(col("p.bg"), " "), 1).as("w1"),
         col("p.w2").as("w2"))
       .distinct()
+      .localCheckpoint(eager = true)
     val n2 = bigTypes.groupBy(col("w2").as("w")).agg(count(lit(1)).as("n2"))
     val l1Stats = n2.agg(ccAgg(col("n2"), "cc1_").head, ccAgg(col("n2"), "cc1_").tail: _*)
     val (dc1, dc2, dc3) = mknDiscounts(k => col(s"cc1_$k"))
-    val uni = ref.select(explode(TextStats.wsTokens(col(textCol))).as("w")).distinct()
+    val uni = ref.select(explode(TextStats.wsTokens(col(textCol))).as("w"))
+      .distinct()
+      .localCheckpoint(eager = true)
     val tot = bigTypes.agg(count(lit(1)).as("__b"))
       .crossJoin(n2.agg(count(lit(1)).as("__v1")))
       .crossJoin(uni.agg(count(lit(1)).as("__v")))

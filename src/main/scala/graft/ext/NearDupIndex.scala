@@ -68,13 +68,15 @@ object NearDupIndex {
       corpus: DataFrame, textCol: String, idCol: String,
       numBuckets: Int, registerFor: Option[String] = None
   ): Unit = {
-    val b = banded(corpus, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lazy localCheckpoint (not persist): the two table writes below
+    // then plan against a narrow LogicalRDD instead of each re-analyzing
+    // and re-codegen'ing the md5/HOF signature forest (driver-side
+    // codegen source generation dominated these gates in the r14 profile)
+    val b = banded(corpus, textCol, idCol).localCheckpoint(eager = false)
     store.overwriteBucketed(s"${name}_bands", bandRows(b, idCol),
       Seq("key"), numBuckets)
     store.overwrite(s"${name}_docs",
       b.select(col(idCol).as("doc_id"), col("shingles")))
-    b.unpersist(false)
     registerFor.foreach(t => Retention.registerIndex(store, t,
       Retention.NearDup(name, numBuckets)))
   }
@@ -86,13 +88,12 @@ object NearDupIndex {
       batch: DataFrame, textCol: String, idCol: String,
       numBuckets: Int
   ): Unit = {
-    val b = banded(batch, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // same lineage-cut posture as the builder (see buildNearDupIndex)
+    val b = banded(batch, textCol, idCol).localCheckpoint(eager = false)
     store.appendBucketed(s"${name}_bands", bandRows(b, idCol),
       Seq("key"), numBuckets)
     store.append(s"${name}_docs",
       b.select(col(idCol).as("doc_id"), col("shingles")))
-    b.unpersist(false)
   }
 
   /** DELETE corpus docs from the index (takedowns): a tombstone table the
@@ -146,8 +147,10 @@ object NearDupIndex {
       maxProbeLiterals: Int = 10000,
       materialize: Boolean = true
   ): DataFrame = {
-    val b = banded(batch, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lazy localCheckpoint: the probe issues 3+ downstream actions
+    // (key collect, pairs checkpoint, verify) — each would re-plan the
+    // signature forest under persist(); the checkpoint cuts it once
+    val b = banded(batch, textCol, idCol).localCheckpoint(eager = false)
     val bBands = bandRows(b, idCol)
       .select(col("band"), col("key"), col("doc_id").as("batch_id"))
     val probeKeys = bBands.select("key").distinct()
@@ -186,11 +189,9 @@ object NearDupIndex {
       .where(col("jaccard") >= threshold)
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))
     if (materialize) {
-      // candidate-pair-sized result, eagerly cut from the batch cache —
-      // same scope/cluster caveats as incrementalNearDupPairs
-      val m = out.localCheckpoint(true)
-      b.unpersist(false)
-      m
+      // candidate-pair-sized result, eagerly cut from the batch
+      // checkpoint — same scope/cluster caveats as incrementalNearDupPairs
+      out.localCheckpoint(true)
     } else out
   }
 }

@@ -13,9 +13,15 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkList
   */
 object GateProfile {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
-    val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get("local[32]", 32)
+    args.foreach(profileOne(spark, dir, _))
+    spark.stop()
+  }
+
+  private def profileOne(spark: org.apache.spark.sql.SparkSession,
+      dir: String, name: String): Unit = {
+    println(s"\n[gate-profile] ===== $name =====")
 
     final case class JobRec(id: Int, desc: String, start: Long,
         var end: Long = -1L, var nTasks: Int = 0)
@@ -54,8 +60,50 @@ object GateProfile {
     spark.sqlContext.clearCache()
     System.gc()
     spark.sparkContext.addSparkListener(listener)
+    // poor-man's sampling profiler: every 20 ms grab all stacks, count
+    // RUNNABLE non-executor threads' top interesting frame — says what the
+    // DRIVER is doing between jobs (planning? fs? commit? codegen?)
+    val samples = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val sampling = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val sampler = new Thread(() => {
+      while (sampling.get) {
+        val all = Thread.getAllStackTraces
+        all.forEach { (t, st) =>
+          val n = t.getName
+          if (t.getState == Thread.State.RUNNABLE &&
+              !n.startsWith("Executor task launch") &&
+              !n.contains("sampler") && st.nonEmpty) {
+            val interesting = st.find { f =>
+              val c = f.getClassName
+              (c.startsWith("org.apache.spark.sql.catalyst") ||
+               c.startsWith("org.apache.spark.sql.execution") ||
+               c.startsWith("org.apache.spark.sql.classic") ||
+               c.startsWith("org.apache.hadoop") ||
+               c.startsWith("org.apache.parquet") ||
+               c.startsWith("org.codehaus.janino") ||
+               c.startsWith("graft")) && !c.contains("Profile")
+            }.getOrElse(st.head)
+            val key = n.replaceAll("[-0-9]+$", "#") + " @ " +
+              interesting.getClassName.split("\\.").takeRight(2).mkString(".") +
+              "." + interesting.getMethodName
+            samples.merge(key, 1, (a, b) => a + b)
+          }
+        }
+        Thread.sleep(20)
+      }
+    }, "graft-gate-sampler")
+    sampler.setDaemon(true)
+    sampler.start()
     once("timed  ")
+    sampling.set(false)
+    sampler.join(500)
     spark.sparkContext.removeSparkListener(listener)
+    locally {
+      import scala.jdk.CollectionConverters._
+      val top = samples.asScala.toSeq.sortBy(-_._2.intValue).take(25)
+      println(s"[gate-profile] driver-side RUNNABLE samples (20ms ticks):")
+      top.foreach { case (k, c) => println(f"[gate-profile]   ${c.intValue}%5d  $k") }
+    }
 
     import scala.jdk.CollectionConverters._
     val recs = jobs.values.asScala.toSeq.sortBy(_.start)
@@ -73,6 +121,5 @@ object GateProfile {
       case _ => ()
     }
     println(f"[gate-profile] inter-job driver gap total ${gapMs / 1000.0}%.3fs")
-    spark.stop()
   }
 }
