@@ -464,11 +464,18 @@ object Dedup {
   ): DataFrame = {
     require(n > 0, "n must be positive")
     require(minDocs >= 2, "minDocs below 2 flags every position")
+    // lazy localCheckpoint: the positioned gram table feeds both the
+    // document-frequency aggregate and the final join-back — under a lazy
+    // plan the md5-per-gram pipeline was paid on both branches (and its
+    // expression forest re-codegen'd per action); the checkpoint is the
+    // in-query form of the persisted positioned-gram index a steady-state
+    // pipeline would keep
     val positioned = corpus
       .select(col(idCol), TextHash.shingles(col(textCol), n).as("__grams"))
       .select(col(idCol), posexplode(col("__grams")).as(Seq("pos", "g")))
       .select(col(idCol), col("pos").cast("bigint").as("pos"),
         TextHash.hmod60(col("g")).as("gh"))
+      .localCheckpoint(eager = false)
     val flagged = positioned
       .select(col(idCol), col("gh")).distinct()
       .groupBy("gh").agg(count(lit(1)).as("n_docs"))
@@ -544,6 +551,7 @@ object Dedup {
       minDocs: Int = 2
   ): DataFrame = {
     val flagged = duplicatedSpans(corpus, textCol, idCol, n, minDocs)
+      .localCheckpoint(eager = false) // consumed by canon AND cuts below
     val canon = flagged.groupBy("gh")
       .agg(min(struct(col(idCol).as("d"), col("pos").as("p"))).as("c"))
     val cuts = flagged.join(canon, "gh")

@@ -388,6 +388,9 @@ object Retrieval {
       numBuckets: Int, append: Boolean, sign: Int = 1,
       statsTag: Option[String] = None
   ): Unit = {
+    // lazy localCheckpoint (not persist): the three table writes below
+    // each re-planned the tokenize+explode+aggregate lineage under
+    // persist(); the checkpoint pays the pass once and cuts the plan
     val tfAll = df
       .select(col(idCol).cast("bigint").as("doc_id"),
         TextStats.wsTokens(col(textCol)).as("__toks"))
@@ -396,8 +399,8 @@ object Retrieval {
           array(lit(null).cast("string")))).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg((count(lit(1)) * sign).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+      .localCheckpoint(eager = false)
+    locally {
       val postings = tfAll.where(col("term").isNotNull)
         .select("term", "doc_id", "dl", "tf")
       val terms = postings.groupBy("term")
@@ -447,7 +450,7 @@ object Retrieval {
         store.overwriteBucketed(s"${name}_terms", terms, Seq("term"), numBuckets)
         store.overwrite(s"${name}_stats", stats)
       }
-    } finally tfAll.unpersist()
+    }
   }
 
   /** Compact a BM25 index: fold the append/delete log into one clean
