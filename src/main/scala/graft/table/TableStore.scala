@@ -265,7 +265,14 @@ final class TableStore(spark: SparkSession, root: String,
     // relation however many partitions a retention sweep removed
     def readSnap(sn: String) = {
       val (phys, excl) = parseEntry(sn)
-      val df = anchored(sn, spark.read).parquet(snapPath(phys))
+      // explicit schema from the per-entry footer cache: without it every
+      // snapshot read launches Spark's footer-inference job (one per
+      // fresh directory — measured as SchemaMergeUtils.mergeSchemasInParallel
+      // hotspots in the commit-heavy gates); entry dirs are immutable so
+      // the cached schema is exact, and writeDataDir primes the cache for
+      // directories this store just wrote
+      val df = anchored(sn, spark.read.schema(entryFooterSchema(name, sn)))
+        .parquet(snapPath(phys))
       if (excl.isEmpty) df else df.where(exclusionFilter(excl))
     }
     // Evolved schema = what the per-snapshot unionByName chain would
@@ -634,8 +641,10 @@ final class TableStore(spark: SparkSession, root: String,
     order.foldLeft(df) { (acc, cols) =>
       val group = metas.collect { case (c, e) if c == cols => e }
       // one MULTI-PATH relation per key-column set, not one relation per
-      // vector — K takedowns before a compaction stay one scan node
-      val keys = spark.read
+      // vector — K takedowns before a compaction stay one scan node.
+      // Explicit schema (same column set across the group by construction;
+      // parquet matches fields by name) skips the footer-inference job.
+      val keys = spark.read.schema(entryFooterSchema(name, group.head))
         .parquet(group.map(e => new Path(tableDir(name), e).toString): _*)
         .select(cols.map(col): _*)
       val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
@@ -2059,6 +2068,7 @@ final class TableStore(spark: SparkSession, root: String,
     fs(dir).mkdirs(dir)
     val p = new Path(dir, entry)
     TableStore.markPending(pendingKey(name, entry))
+    var wroteFlat = partitionBy.isEmpty
     try {
       val w = df.write.mode("overwrite")
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
@@ -2071,12 +2081,52 @@ final class TableStore(spark: SparkSession, root: String,
       // documented nothing-to-drop case.
       if (partitionBy.nonEmpty &&
           !fs(p).listStatus(p).exists(s => s.isDirectory ||
-            s.getPath.getName.startsWith("part-")))
+            s.getPath.getName.startsWith("part-"))) {
         df.write.mode("overwrite").parquet(p.toString)
+        wroteFlat = true
+      }
     } catch { case e: Throwable =>
       TableStore.unmarkPending(pendingKey(name, entry)); throw e
     }
+    // Prime the footer-schema cache from the frame just written: the
+    // read-back schema is deterministic — file-source reads force every
+    // level nullable, and hive partition columns move to the END as
+    // STRINGS (partition-type inference is disabled session-wide) — so
+    // later scans of this immutable directory skip the footer-inference
+    // Spark job entirely (one job per fresh directory otherwise; the
+    // commit-heavy gates paid it on every journal/marker/stats read).
+    val readBack =
+      if (wroteFlat)
+        org.apache.spark.sql.types.StructType(
+          df.schema.fields.map(f =>
+            f.copy(dataType = allNullable(f.dataType), nullable = true)))
+      else
+        org.apache.spark.sql.types.StructType(
+          df.schema.fields.filterNot(f => partitionBy.contains(f.name))
+            .map(f =>
+              f.copy(dataType = allNullable(f.dataType), nullable = true)) ++
+          partitionBy.map(c => org.apache.spark.sql.types.StructField(
+            c, org.apache.spark.sql.types.StringType, nullable = true)))
+    footerSchemaCache.put(fs(p).makeQualified(p).toString, readBack)
     entry
+  }
+
+  /** Recursive nullable-forcing — what Spark's file-source relation does
+    * to every inferred schema (`asNullable` is private[spark]); the
+    * write-time schema priming above must match it exactly or a primed
+    * schema would differ from what a cold inference returns. */
+  private def allNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = allNullable(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        a.copy(elementType = allNullable(a.elementType), containsNull = true)
+      case m: MapType => m.copy(keyType = allNullable(m.keyType),
+        valueType = allNullable(m.valueType), valueContainsNull = true)
+      case o => o
+    }
   }
 
   /** Commit `compute` and ALWAYS clear `entry`'s in-flight mark when the
