@@ -86,6 +86,16 @@ object GraftExtensions {
         CharGramBucketsExpression(children.head, lit(1), lit(2))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_feature_buckets"),
+      new ExpressionInfo(classOf[FeatureBucketsExpression].getName, "graft_feature_buckets"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_feature_buckets(text, buckets) takes two arguments")
+        require(children(1).foldable, "graft_feature_buckets buckets must be a literal")
+        FeatureBucketsExpression(children.head,
+          children(1).eval(null).asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_fp_rolling"),
       new ExpressionInfo(classOf[RollingFingerprintExpression].getName, "graft_fp_rolling"),
       (children: Seq[Expression]) => {
