@@ -687,9 +687,13 @@ object Dedup {
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val banded = minhashBands(df, textCol, idCol)
     val bandStructs = (0 until TextHash.Bands).map(b => col(s"b$b"))
+    // lazy localCheckpoint of the NARROW band rows: the self-join below
+    // consumes this frame on both sides — under a lazy plan the md5-heavy
+    // signature pipeline ran (and was re-codegen'd) once per side
     val exploded = banded
       .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+      .localCheckpoint(eager = false)
     val a = exploded.select(col(idCol).as("a_id"), col("band"), col("key"))
     val b = exploded.select(col(idCol).as("b_id"), col("band"), col("key"))
     a.join(b, Seq("band", "key"))
@@ -748,9 +752,11 @@ object Dedup {
   def bruteForcePairs(
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double, maxSample: Int = 10000): DataFrame = {
+    // lazy localCheckpoint: the count probe and both product sides would
+    // each re-plan (and re-codegen) the shingle HOF tree under persist()
     val shingled = df
       .select(col(idCol), TextHash.shingles(col(textCol)).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
     val n = shingled.count()
     require(n <= maxSample,
       s"bruteForcePairs: $n rows exceeds maxSample=$maxSample — " +

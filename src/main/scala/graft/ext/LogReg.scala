@@ -88,9 +88,14 @@ object LogReg {
     require(lrNum > 0 && lrDen > 0, "learning rate must be positive")
     val spark = labeled.sparkSession
     import spark.implicits._
+    // lazy localCheckpoint (not persist): LogicalRDD keeps the repartition's
+    // output partitioning, so the per-iteration co-partitioned joins still
+    // plan exchange-free — but each of the 2T+2 downstream actions now
+    // plans against the checkpoint instead of re-analyzing the hashed
+    // feature lineage
     val feats = features(labeled, textCol, idCol, label, buckets)
-      .repartition(col("__doc")).persist()
-    try {
+      .repartition(col("__doc")).localCheckpoint(eager = false)
+    locally {
       val n = feats.where(col("b") === -1L).count()
       require(n > 0, "labeled slice is empty")
       // weight state: model-sized (≤ buckets+1), driver-held between
@@ -131,7 +136,7 @@ object LogReg {
         }
       }
       w.toSeq.map { case (b, v) => (b, v.toLong) }.toDF("b", "wq")
-    } finally feats.unpersist()
+    }
   }
 
   /** Score every corpus doc under trained `weights`: (idCol, zq, p4,

@@ -55,7 +55,11 @@ object Graph {
   ): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     require(dampingPpm >= 0 && dampingPpm <= 1000000L, "dampingPpm in [0, 1e6]")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // the edge list is consumed by nodes, outdeg, AND every iteration's
+    // contribution join — materialize it once instead of re-deriving the
+    // caller's upstream lineage (often itself a join) 2+iterations times
+    val e = truncated(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
     val nodes = truncated(
       e.select(col("src").as("node")).unionByName(e.select(col("dst").as("node")))
         .distinct())
