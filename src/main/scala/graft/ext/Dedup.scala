@@ -257,7 +257,7 @@ object Dedup {
     val bShingled = batch
       .select(col(idCol), TextHash.shingles(col(textCol)).as("b_sh"),
         minhashSig(batch, textCol).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false) // lineage-cut: bands + verify sides
     val bBands = bandsOf(bShingled, col("sig"), "batch_id")
     val probe = bBands.select("band", "key").distinct()
     val cBands = bandsOf(corpus, minhashSig(corpus, textCol), "corpus_id")
@@ -798,7 +798,7 @@ object Dedup {
     val shingled = df
       .select(col(idCol), TextHash.shingles(col(textCol)).as("shingles"),
         minhashSig(df, textCol).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false) // lineage-cut: band sides + verify
     val bandCols = (0 until TextHash.Bands).map { b =>
       val slice = (0 until TextHash.RowsPerBand)
         .map(r => element_at(col("sig"), b * TextHash.RowsPerBand + r + 1))

@@ -90,7 +90,7 @@ object GramIndex {
         array_distinct(TextHash.shingles(col(textCol), n)).as("__grams"))
       .select(col(idCol),
         size(col("__grams")).cast("bigint").as("n_grams"), col("__grams"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false) // lineage-cut: probe + final join
     val seen = cand
       .select(col(idCol), explode(col("__grams")).as("g"))
       .select(col(idCol), TextHash.hmod60(col("g")).as("gh"))

@@ -449,7 +449,7 @@ object Retention {
         .where(col(partitionCol).isin(values: _*))
         .select(cols.map(col): _*)
         .dropDuplicates(Seq(idCol))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager = false) // pins rows AND cuts the scan lineage
       try {
         val cid = java.util.UUID.randomUUID().toString.replace("-", "")
         val hasDoomed = !doomed.isEmpty
@@ -535,7 +535,7 @@ object Retention {
             "left_semi")
           .select(cols.map(col): _*)
           .dropDuplicates(Seq(idCol))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(eager = false) // pins rows AND cuts the scan lineage
         try {
           if (doomed.isEmpty) return false
           val cid = java.util.UUID.randomUUID().toString.replace("-", "")

@@ -828,7 +828,7 @@ object Similarity {
     // assignment itself) — persist the narrow (id, cell_id) result so the
     // codebook scoring runs once, not once per consumer
     val cells = assignCells(corpus, vecCol, idCol, nCells, codebook)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false) // lineage-cut: 2 consumers below
     // skew guard: per-cell sizes are an nCells-row aggregate — broadcast
     // back, never a window sort over the full assignment
     val sizes = cells.groupBy("cell_id").agg(count(lit(1)).as("__csz"))
@@ -841,7 +841,7 @@ object Similarity {
             col("cell_id").cast("string")))))
       .select(col(idCol), col("cell_id"))
     val withCell = corpus.join(guarded, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false) // consumed by the pair scan AND the keep join
     val dropped = blockedNearDupPairs(withCell, vecCol, idCol, "cell_id", threshold)
       .select(col("b_id").as(idCol)).distinct()
       .withColumn("__dup", lit(true))
@@ -849,12 +849,7 @@ object Similarity {
       .join(dropped, Seq(idCol), "left")
       .select(col(idCol), col("cell_id"),
         col("__dup").isNull.as("keep"))
-    if (materialize) {
-      val m = out.localCheckpoint(eager = true)
-      withCell.unpersist(blocking = false)
-      cells.unpersist(blocking = false)
-      m
-    } else out
+    if (materialize) out.localCheckpoint(eager = true) else out
   }
 
   /** Incremental (steady-state crawl) semantic dedup — SemDeDup composed

@@ -2434,10 +2434,10 @@ final class TableStore(spark: SparkSession, root: String,
 
     val bd = diffFrames(base, theirs, keys)
       .select(keys.map(col) :+ col("op").as("op_branch"): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false) // lineage-cut: joined + returned below
     val md = diffFrames(base, ours, keys)
       .select(keys.map(col) :+ col("op").as("op_main"): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
     val both = bd.join(md, keys)
     // identical-change exemption: ours row null-safe-equals theirs row
     val nonKey = ours.columns.filter(c => !keys.contains(c))
@@ -2450,7 +2450,7 @@ final class TableStore(spark: SparkSession, root: String,
       .join(t, keys, "left")
       .where(!(col("__orow") <=> col("__trow")))
       .select(keys.map(col) :+ col("op_main") :+ col("op_branch"): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
     ThreeWay(ours, theirs, bd.select(keys.map(col): _*), conflicts,
       conflicts.limit(1).count() > 0L, basisMain, basisBranch)
   }
