@@ -762,7 +762,16 @@ object Dedup {
       s"bruteForcePairs: $n rows exceeds maxSample=$maxSample — " +
         "brute-force truth is for bounded samples; raise maxSample only " +
         "if you accept O(n^2) pairs")
+    // spread the product's LEFT side across the cluster: the nested-loop
+    // join's task count is the left side's partition count, and a
+    // sample-sized scan otherwise lands in ONE partition — the whole
+    // O(n²) verification then runs single-task (measured: one 5.3 s
+    // single-task job at sf0.1). Explicit numPartitions so AQE does not
+    // coalesce the tiny-by-bytes shuffle back to one task; keyed by id
+    // (deterministic), sized from the session's parallelism.
+    val slices = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
     val a = shingled.select(col(idCol).as("a_id"), col("sh").as("a_sh"))
+      .repartition(slices, col("a_id"))
     val b = shingled.select(col(idCol).as("b_id"), col("sh").as("b_sh"))
     a.join(b, col("a_id") < col("b_id"))
       .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))

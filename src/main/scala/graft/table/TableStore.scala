@@ -112,7 +112,9 @@ final class TableStore(spark: SparkSession, root: String,
     val r = new Path(root)
     val f = fs(r)
     if (!f.exists(r)) Nil
-    else f.listStatus(r).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+    else f.listStatus(r).filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(_.startsWith(".reap-")) // drop()'s rename-then-reap limbo
+      .toSeq.sorted
   }
 
   /** Raw pointer-file lines (comments included); Nil when absent. */
@@ -2025,7 +2027,19 @@ final class TableStore(spark: SparkSession, root: String,
   def drop(name: String): Unit = {
     val d = tableDir(name)
     val filesystem = fs(d)
-    if (filesystem.exists(d)) filesystem.delete(d, true)
+    if (filesystem.exists(d)) {
+      // rename-then-reap: the recursive delete of a many-file table dir is
+      // pure reclamation, but it ran synchronously on the caller's thread
+      // (measured as the top driver-side hotspot of the cascade gates —
+      // fs.FileUtil.deleteImpl). The atomic rename makes the table vanish
+      // instantly (and a re-create of the same name is immediately safe);
+      // the unreferenced trash dir is deleted on the background reaper.
+      // Fallback to the synchronous delete if the rename is refused.
+      val trash = new Path(root,
+        s".reap-$name-${java.util.UUID.randomUUID().toString.take(8)}")
+      if (filesystem.rename(d, trash)) TableStore.deleteAsync(filesystem, trash)
+      else { filesystem.delete(d, true); () }
+    }
   }
 
   /** `SELECT COALESCE(MAX(col),0)+1` — next row-number start; missing table
@@ -2985,7 +2999,11 @@ final class TableStore(spark: SparkSession, root: String,
           !live.contains(n) &&
           !TableStore.isPending(st.getPath.toUri.getPath) &&
           now - st.getModificationTime >= gcGraceMs)
-        filesystem.delete(st.getPath, true)
+        // dead-snapshot reclamation off the committing thread: the dir is
+        // unreferenced by every live pointer and snapshot names are never
+        // reused, so a deferred recursive delete races nothing; a re-listed
+        // still-queued dir just re-enqueues an idempotent delete
+        TableStore.deleteAsync(filesystem, st.getPath)
       else if (!st.isDirectory && n.startsWith("vtmp-") &&
           now - st.getModificationTime >= math.max(gcGraceMs, 60000L))
         filesystem.delete(st.getPath, false)
@@ -2995,6 +3013,37 @@ final class TableStore(spark: SparkSession, root: String,
 
 object TableStore {
   private[table] val log = org.slf4j.LoggerFactory.getLogger("graft.table")
+
+  /** Background reclamation thread: recursive deletes of UNREFERENCED
+    * directories (commit GC, drop()'s renamed trash) run here instead of
+    * on the committing/calling thread. Single daemon thread — deletion
+    * throughput is not the constraint, keeping the caller's latency free
+    * of O(files) unlink syscalls is. */
+  private val reaper = java.util.concurrent.Executors.newSingleThreadExecutor(
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-table-reaper")
+      t.setDaemon(true); t
+    })
+
+  /** Barrier for tests and space-sensitive callers: returns once every
+    * reclamation enqueued BEFORE the call has finished (the reaper is a
+    * single FIFO thread, so one queued no-op is a full drain). */
+  def awaitReap(): Unit = {
+    reaper.submit(new Runnable { override def run(): Unit = () }).get()
+    ()
+  }
+
+  private[table] def deleteAsync(
+      filesystem: org.apache.hadoop.fs.FileSystem, p: Path): Unit = {
+    reaper.submit(new Runnable {
+      override def run(): Unit =
+        try { filesystem.delete(p, true); () }
+        catch { case scala.util.control.NonFatal(e) =>
+          log.warn(s"background reap of $p failed (left for a later GC): " +
+            e.getMessage) }
+    })
+    ()
+  }
 
   /** TEST SEAM: the link(2) primitive the `file://` claim path uses —
     * ConcurrentCommitSpec swaps it for one that throws

@@ -252,6 +252,7 @@ class DvDeleteSpec extends SparkSpec {
       .count(_.startsWith("dv-"))
     assert(dvDirs == 1)
     store.overwrite("t", base) // drops the DV from every retained pointer
+    graft.table.TableStore.awaitReap() // async reclamation since r14
     assert(dvDirs == 0, "unreferenced dv dir must GC on the next commit")
   }
 }

@@ -119,6 +119,7 @@ class PartitionedTableSpec extends SparkSpec {
     val zhFiles = allFiles.filter(_.contains("lang=zh"))
     val survivorFiles = allFiles -- zhFiles
     assert(store.dropPartitions("t", "lang", Seq("fr", "zh")))
+    graft.table.TableStore.awaitReap() // async reclamation since r14
     // surviving snapshots' files (incl. the dropped-but-co-resident
     // lang=fr dirs) are untouched; the zh snapshot lost its EVERY
     // partition, so its entry left the manifest and the dir GC'd like
@@ -166,6 +167,7 @@ class PartitionedTableSpec extends SparkSpec {
       .iterator().asScala.count(_.getFileName.toString == "lang=fr")
     assert(frDirs == 1, "before compact the bytes are invisible but on disk")
     store.compact("t", maxSnapshots = 0) // folds subsets; old snap dir GCs
+    graft.table.TableStore.awaitReap() // async reclamation since r14
     assert(frDirs == 0,
       "dropped partition bytes must reclaim once compact retires the snapshot")
     assert(rows(store.scan("t").select("k", "lang", "v")) ==

@@ -103,8 +103,10 @@ class TableStoreSpec extends SparkSpec {
     assert(after.size == 2, "append must add a snapshot, not rewrite")
     assert(after.intersect(before) == before, "old snapshot must survive append")
     assert(store.scan("t").count() == 8)
-    // overwrite GCs all previous snapshots
+    // overwrite GCs all previous snapshots (reclamation is asynchronous
+    // since r14 — drain the reaper before counting)
     store.overwrite("t", spark.range(2).toDF("v"))
+    graft.table.TableStore.awaitReap()
     assert(snapDirs.size == 1)
   }
 
@@ -114,6 +116,7 @@ class TableStoreSpec extends SparkSpec {
     (1 to 4).foreach(i => store.append("t", spark.range(i * 10, i * 10 + 2).toDF("v")))
     val before = store.scan("t").collect().map(_.getLong(0)).sorted.toSeq
     store.compact("t", maxSnapshots = 3)
+    graft.table.TableStore.awaitReap() // async reclamation since r14
     import scala.jdk.CollectionConverters._
     val snapCount = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "t"))
       .iterator().asScala.count(_.getFileName.toString.startsWith("snap-"))
@@ -291,6 +294,7 @@ class TableStoreSpec extends SparkSpec {
     spark.range(100, 110).toDF("v").write.parquet(orphan.toString)
     assert(store.scan("t").count() == 3, "orphan must not be visible")
     store.overwrite("t", spark.range(5).toDF("v")) // next commit GCs
+    graft.table.TableStore.awaitReap() // async reclamation since r14
     assert(!java.nio.file.Files.exists(orphan), "orphan must be GC'd on commit")
     assert(store.scan("t").count() == 5)
   }
