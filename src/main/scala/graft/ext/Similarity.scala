@@ -827,8 +827,13 @@ object Similarity {
     // step and feeds TWO consumers (the skew-guard sizes and the guarded
     // assignment itself) — persist the narrow (id, cell_id) result so the
     // codebook scoring runs once, not once per consumer
-    val cells = assignCells(corpus, vecCol, idCol, nCells, codebook)
-      .localCheckpoint(eager = false) // lineage-cut: 2 consumers below
+    // lineage-cut at the reuse points ONLY on the materializing path:
+    // materialize=false exists so callers (and PlanSpec's contract
+    // assertions) can see the full un-cut plan
+    def cut(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(eager = false)
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = cut(assignCells(corpus, vecCol, idCol, nCells, codebook))
     // skew guard: per-cell sizes are an nCells-row aggregate — broadcast
     // back, never a window sort over the full assignment
     val sizes = cells.groupBy("cell_id").agg(count(lit(1)).as("__csz"))
@@ -840,8 +845,7 @@ object Similarity {
               "— raise nCells (or maxClusterSize) for this corpus: cell "),
             col("cell_id").cast("string")))))
       .select(col(idCol), col("cell_id"))
-    val withCell = corpus.join(guarded, idCol)
-      .localCheckpoint(eager = false) // consumed by the pair scan AND the keep join
+    val withCell = cut(corpus.join(guarded, idCol))
     val dropped = blockedNearDupPairs(withCell, vecCol, idCol, "cell_id", threshold)
       .select(col("b_id").as(idCol)).distinct()
       .withColumn("__dup", lit(true))
