@@ -53,6 +53,14 @@ object GraftSession {
       // until its manifest CAS commits, so a failed write's partial files
       // are unreferenced orphans reaped by the store's own GC either way.
       // _SUCCESS markers are dead weight under an external manifest.
+      // SESSION-WIDE CONTRACT (like the partition-inference note above):
+      // these settings also govern a user's direct df.write.parquet
+      // through this session, where v2 + no-_SUCCESS means a mid-job
+      // failure can leave silently-readable partial files with no marker
+      // to detect incompleteness. All DURABLE writes must go through
+      // TableStore (whose manifest hides partials); direct writes from a
+      // Graft session are for scratch/export paths where the caller owns
+      // atomicity — or use a separate vanilla SparkSession.
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .config("spark.ui.enabled", "false")

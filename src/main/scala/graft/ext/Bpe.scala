@@ -141,9 +141,7 @@ object Bpe {
     * local variant is executor-loss-fragile — fine single-JVM, set
     * `sc.setCheckpointDir` on a dynamically-allocated cluster). */
   private def truncated(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+    graft.ops.Lineage.cut(df, eager = true)
 
   /** Learn `numMerges` merges from a corpus: whitespace pre-tokenization,
     * character-level initial alphabet, highest-total-count pair wins each
@@ -176,11 +174,11 @@ object Bpe {
             call_function("replace",
               col("enc"), lit(s"$S$l$E$S$r$E"), lit(s"$S$l$r$E")).as("enc"),
             col("cnt")))
-        vocab.unpersist(blocking = false)
+        graft.ops.Lineage.release(vocab)
         vocab = next
       }
     }
-    vocab.unpersist(blocking = false)
+    graft.ops.Lineage.release(vocab)
     merges.toSeq
   }
 

@@ -144,35 +144,60 @@ object Dedup {
     * rows keep-decision = `id == cluster`. */
   def duplicateClusters(pairs: DataFrame, maxIterations: Int = 25,
       edgeParts: Int = 4): DataFrame = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .distinct()
-      .coalesce(edgeParts)
-      .localCheckpoint(eager = true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(eager = true)
+    val edges = graft.ops.Lineage.cut(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .distinct()
+        .coalesce(edgeParts))
+    var labels = graft.ops.Lineage.cut(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
+    // the superseded round to release AFTER its successor materializes:
+    // labels is a projection over the checkpointed `updated`, so the
+    // release target is the cut frame itself, not the projection
+    var prevCut: DataFrame = labels
     var changed = 1L
     var iter = 0
+    val reliable =
+      pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
     while (changed > 0 && iter < maxIterations) {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min("label").as("nl"))
-      val updated = labels
+      val next = labels
         .join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
           // non-null only when the label strictly improves; SUM skips nulls
           when(col("nl") < col("label"), lit(1L)).as("chg"))
-        .localCheckpoint(eager = true)
-      changed = updated.agg(coalesce(sum("chg"), lit(0L))).head().getLong(0)
-      labels.unpersist(blocking = false)
+      // ONE job per round, not two: the convergence statistic rides the
+      // materialization job as an accumulator instead of a separate
+      // aggregate action re-reading the checkpointed blocks (§2.2 fewer
+      // actions). With a reliable checkpoint dir configured (cluster
+      // posture) keep the two-action form — the reliable checkpoint is
+      // the lineage-safety contract there.
+      val updated =
+        if (reliable) {
+          val u = graft.ops.Lineage.cut(next)
+          changed = u.agg(coalesce(sum("chg"), lit(0L))).head().getLong(0)
+          u
+        } else {
+          val (u, c) = org.apache.spark.sql.GraftBridge
+            .cutWithNonNullCount(next, "chg")
+          changed = c
+          u
+        }
+      // real block release (Dataset.unpersist is a no-op on checkpointed
+      // frames); the new round is already materialized, so nothing can
+      // need the old blocks again
+      graft.ops.Lineage.release(prevCut)
+      prevCut = updated
       labels = updated.select("id", "label")
       iter += 1
     }
     // The final labels frame is checkpointed (returned to the caller, and
     // lineage-free so this is safe); the edge blocks are no longer needed.
-    edges.unpersist(blocking = false)
+    graft.ops.Lineage.release(edges)
     labels.select(col("id"), col("label").as("cluster"))
   }
 
@@ -254,10 +279,10 @@ object Dedup {
         .select(col(outId), explode(array(bandCols: _*)).as("bk"))
         .select(col(outId), col("bk.band").as("band"), col("bk.key").as("key"))
     }
-    val bShingled = batch
+    val bShingled = graft.ops.Lineage.cut(batch
       .select(col(idCol), TextHash.shingles(col(textCol)).as("b_sh"),
-        minhashSig(batch, textCol).as("sig"))
-      .localCheckpoint(eager = false) // lineage-cut: bands + verify sides
+        minhashSig(batch, textCol).as("sig")),
+      eager = false) // lineage-cut: bands + verify sides
     val bBands = bandsOf(bShingled, col("sig"), "batch_id")
     val probe = bBands.select("band", "key").distinct()
     val cBands = bandsOf(corpus, minhashSig(corpus, textCol), "corpus_id")
@@ -279,8 +304,10 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))
     if (materialize) {
-      val m = out.localCheckpoint(true)
-      bShingled.unpersist(false)
+      val m = graft.ops.Lineage.cut(out)
+      // real block release of the batch checkpoint (Dataset.unpersist was
+      // a silent no-op here after the persist→localCheckpoint swap)
+      graft.ops.Lineage.release(bShingled)
       m
     } else out
   }
@@ -470,12 +497,12 @@ object Dedup {
     // expression forest re-codegen'd per action); the checkpoint is the
     // in-query form of the persisted positioned-gram index a steady-state
     // pipeline would keep
-    val positioned = corpus
+    val positioned = graft.ops.Lineage.cut(corpus
       .select(col(idCol), TextHash.shingles(col(textCol), n).as("__grams"))
       .select(col(idCol), posexplode(col("__grams")).as(Seq("pos", "g")))
       .select(col(idCol), col("pos").cast("bigint").as("pos"),
-        TextHash.hmod60(col("g")).as("gh"))
-      .localCheckpoint(eager = false)
+        TextHash.hmod60(col("g")).as("gh")),
+      eager = false)
     val flagged = positioned
       .select(col(idCol), col("gh")).distinct()
       .groupBy("gh").agg(count(lit(1)).as("n_docs"))
@@ -550,8 +577,9 @@ object Dedup {
       n: Int = 8,
       minDocs: Int = 2
   ): DataFrame = {
-    val flagged = duplicatedSpans(corpus, textCol, idCol, n, minDocs)
-      .localCheckpoint(eager = false) // consumed by canon AND cuts below
+    val flagged = graft.ops.Lineage.cut(
+      duplicatedSpans(corpus, textCol, idCol, n, minDocs),
+      eager = false) // consumed by canon AND cuts below
     val canon = flagged.groupBy("gh")
       .agg(min(struct(col(idCol).as("d"), col("pos").as("p"))).as("c"))
     val cuts = flagged.join(canon, "gh")
@@ -644,8 +672,19 @@ object Dedup {
         col("n_paras"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
-  /** Exact Jaccard similarity of two string-array columns (as sets). */
+  /** Exact Jaccard similarity of two string-array columns (as sets).
+    * The codegen'd zero-allocation kernel when the graft extensions are
+    * registered, else the declarative spec — byte-identical
+    * (JaccardNativeSpec; the simhash dispatch pattern). */
   def jaccard(a: Column, b: Column): Column =
+    if (org.apache.spark.sql.SparkSession.getActiveSession
+          .exists(_.catalog.functionExists("graft_jaccard")))
+      call_function("graft_jaccard", a, b)
+    else jaccardDeclarative(a, b)
+
+  /** The readable spec of [[jaccard]] (and the oracle-generation
+    * template). */
+  def jaccardDeclarative(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
@@ -690,10 +729,10 @@ object Dedup {
     // lazy localCheckpoint of the NARROW band rows: the self-join below
     // consumes this frame on both sides — under a lazy plan the md5-heavy
     // signature pipeline ran (and was re-codegen'd) once per side
-    val exploded = banded
+    val exploded = graft.ops.Lineage.cut(banded
       .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
-      .localCheckpoint(eager = false)
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key")),
+      eager = false)
     val a = exploded.select(col(idCol).as("a_id"), col("band"), col("key"))
     val b = exploded.select(col(idCol).as("b_id"), col("band"), col("key"))
     a.join(b, Seq("band", "key"))
@@ -743,38 +782,56 @@ object Dedup {
   }
 
   /** Brute-force near-dup truth pairs over a SAMPLE: every (a < b) pair
-    * with exact shingle-set Jaccard ≥ threshold. Deliberately quadratic —
+    * with exact shingle-set Jaccard ≥ threshold. The TRUTH is quadratic —
     * this is the ground-truth leg of near-dup evaluation, meant for a
     * labeled/bounded sample, never the corpus (the `maxSample` fail-fast
     * enforces that, the [[graft.ext.Similarity]] `maxClusterSize`
-    * discipline). The (a < b) range join is a nested-loop product by
-    * construction; with n ≤ maxSample rows both sides broadcast. */
+    * discipline). The EXECUTION is not a nested-loop product, though:
+    * `jaccard = c / (|A| + |B| − c)` where c = |A∩B|, so the only
+    * pair-level quantity needed is the shared-shingle count — an
+    * explode → equi-join on the shingle value → count per (a, b) pair,
+    * which an equi-join computes for exactly the pairs with c ≥ 1 (a
+    * pair sharing NO shingle has jaccard 0 and cannot meet a positive
+    * threshold). Identical output to materializing
+    * `size(array_intersect)/size(array_union)` per pair — same integer
+    * numerator/denominator, same double division — with no per-pair
+    * wide-array allocation: the n²/2 `array_intersect`/`array_union`
+    * evaluations of the former nested-loop form ran 32 concurrent
+    * allocation storms in one local[32] JVM and regressed 4.4× on the
+    * r14 driver box (22.2 s vs 5.1 s; the same code read 1.1 s on the
+    * builder's box — GC-bound, not plan-bound). */
   def bruteForcePairs(
       df: DataFrame, textCol: String, idCol: String,
       threshold: Double, maxSample: Int = 10000): DataFrame = {
-    // lazy localCheckpoint: the count probe and both product sides would
+    require(threshold > 0.0,
+      "bruteForcePairs: threshold must be positive — the shared-shingle " +
+        "equi-join enumerates only pairs with a non-empty intersection " +
+        "(jaccard 0 pairs cannot meet a positive threshold)")
+    // lazy localCheckpoint: the count probe and both join sides would
     // each re-plan (and re-codegen) the shingle HOF tree under persist()
-    val shingled = df
-      .select(col(idCol), TextHash.shingles(col(textCol)).as("sh"))
-      .localCheckpoint(eager = false)
+    val shingled = graft.ops.Lineage.cut(df
+      .select(col(idCol), array_distinct(TextHash.shingles(col(textCol)))
+        .as("sh")),
+      eager = false)
     val n = shingled.count()
     require(n <= maxSample,
       s"bruteForcePairs: $n rows exceeds maxSample=$maxSample — " +
         "brute-force truth is for bounded samples; raise maxSample only " +
         "if you accept O(n^2) pairs")
-    // spread the product's LEFT side across the cluster: the nested-loop
-    // join's task count is the left side's partition count, and a
-    // sample-sized scan otherwise lands in ONE partition — the whole
-    // O(n²) verification then runs single-task (measured: one 5.3 s
-    // single-task job at sf0.1). Explicit numPartitions so AQE does not
-    // coalesce the tiny-by-bytes shuffle back to one task; keyed by id
-    // (deterministic), sized from the session's parallelism.
-    val slices = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
-    val a = shingled.select(col(idCol).as("a_id"), col("sh").as("a_sh"))
-      .repartition(slices, col("a_id"))
-    val b = shingled.select(col(idCol).as("b_id"), col("sh").as("b_sh"))
-    a.join(b, col("a_id") < col("b_id"))
-      .withColumn("jaccard", jaccard(col("a_sh"), col("b_sh")))
+    // distinct-element rows: set semantics, matching array_intersect /
+    // array_union (which deduplicate); sz = |set|
+    val sets = shingled.select(col(idCol), size(col("sh")).as("sz"),
+      explode(col("sh")).as("shingle"))
+    val a = sets.select(col(idCol).as("a_id"), col("sz").as("a_sz"),
+      col("shingle"))
+    val b = sets.select(col(idCol).as("b_id"), col("sz").as("b_sz"),
+      col("shingle"))
+    a.join(b, "shingle")
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "a_sz", "b_sz")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jaccard", col("c").cast("double") /
+        (col("a_sz") + col("b_sz") - col("c")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }

@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.ops.Lineage.CutOps
 import graft.table.TableStore
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -68,7 +69,7 @@ object GramIndex {
   ): Unit =
     store.overwriteBucketed(s"${name}_grams",
       store.scanBucketed(s"${name}_grams").distinct()
-        .localCheckpoint(true),
+        .cutLineage(),
       Seq("gh"), numBuckets)
 
   /** [[Dedup.ngramNovelty]] served from the persistent index: identical
@@ -90,7 +91,7 @@ object GramIndex {
         array_distinct(TextHash.shingles(col(textCol), n)).as("__grams"))
       .select(col(idCol),
         size(col("__grams")).cast("bigint").as("n_grams"), col("__grams"))
-      .localCheckpoint(eager = false) // lineage-cut: probe + final join
+      .cutLineage(eager = false) // lineage-cut: probe + final join
     val seen = cand
       .select(col(idCol), explode(col("__grams")).as("g"))
       .select(col(idCol), TextHash.hmod60(col("g")).as("gh"))

@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.ops.Lineage.CutOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -266,7 +267,7 @@ object LanguageModel {
       .select(explode(trigramTriples(col(textCol))).as("t"))
       .groupBy(col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
       .agg(count(lit(1)).as("c3"))
-      .localCheckpoint(eager = true)
+      .cutLineage()
     val hist2 = tri.groupBy("w1", "w2")
       .agg(sum("c3").as("c2p"), count(lit(1)).as("t3"))
     val n3 = tri.groupBy("w2", "w3").agg(count(lit(1)).as("n3"))
@@ -277,11 +278,11 @@ object LanguageModel {
       .select(element_at(split(col("p.bg"), " "), 1).as("w1"),
         col("p.w2").as("w2"))
       .distinct()
-      .localCheckpoint(eager = true)
+      .cutLineage()
     val n2 = bigTypes.groupBy(col("w2").as("w")).agg(count(lit(1)).as("n2"))
     val uni = ref.select(explode(TextStats.wsTokens(col(textCol))).as("w"))
       .distinct()
-      .localCheckpoint(eager = true)
+      .cutLineage()
     val tot = bigTypes.agg(count(lit(1)).as("__b"))
       .crossJoin(n2.agg(count(lit(1)).as("__v1")))
       .crossJoin(uni.agg(count(lit(1)).as("__v")))
@@ -432,7 +433,7 @@ object LanguageModel {
       .select(explode(trigramTriples(col(textCol))).as("t"))
       .groupBy(col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
       .agg(count(lit(1)).as("c3"))
-      .localCheckpoint(eager = true)
+      .cutLineage()
     val l3Stats = tri.agg(ccAgg(col("c3"), "cc3_").head, ccAgg(col("c3"), "cc3_").tail: _*)
     val (da1, da2, da3) = mknDiscounts(k => col(s"cc3_$k"))
     val hist2 = tri.groupBy("w1", "w2")
@@ -449,13 +450,13 @@ object LanguageModel {
       .select(element_at(split(col("p.bg"), " "), 1).as("w1"),
         col("p.w2").as("w2"))
       .distinct()
-      .localCheckpoint(eager = true)
+      .cutLineage()
     val n2 = bigTypes.groupBy(col("w2").as("w")).agg(count(lit(1)).as("n2"))
     val l1Stats = n2.agg(ccAgg(col("n2"), "cc1_").head, ccAgg(col("n2"), "cc1_").tail: _*)
     val (dc1, dc2, dc3) = mknDiscounts(k => col(s"cc1_$k"))
     val uni = ref.select(explode(TextStats.wsTokens(col(textCol))).as("w"))
       .distinct()
-      .localCheckpoint(eager = true)
+      .cutLineage()
     val tot = bigTypes.agg(count(lit(1)).as("__b"))
       .crossJoin(n2.agg(count(lit(1)).as("__v1")))
       .crossJoin(uni.agg(count(lit(1)).as("__v")))

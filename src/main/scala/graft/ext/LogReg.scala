@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.ops.Lineage.CutOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -94,8 +95,8 @@ object LogReg {
     // plans against the checkpoint instead of re-analyzing the hashed
     // feature lineage
     val feats = features(labeled, textCol, idCol, label, buckets)
-      .repartition(col("__doc")).localCheckpoint(eager = false)
-    locally {
+      .repartition(col("__doc")).cutLineage(eager = false)
+    try {
       val n = feats.where(col("b") === -1L).count()
       require(n > 0, "labeled slice is empty")
       // weight state: model-sized (≤ buckets+1), driver-held between
@@ -136,6 +137,12 @@ object LogReg {
         }
       }
       w.toSeq.map { case (b, v) => (b, v.toLong) }.toDF("b", "wq")
+    } finally {
+      // the returned weights are driver-local — the feature checkpoint's
+      // blocks are dead here; Dataset.unpersist would be a no-op on the
+      // checkpointed frame, so release through the LogicalRDD (restores
+      // the explicit lifecycle the persist→checkpoint swap dropped)
+      graft.ops.Lineage.release(feats)
     }
   }
 

@@ -73,7 +73,13 @@ object Maintenance {
     else store.compact(table, maxSnapshots)
     store.refreshZoneMaps(table)
     store.refreshBloomFilters(table)
-    resolved.foreach {
+    // the per-family compactions and view refreshes touch DISJOINT
+    // tables (each family its own index tables, each view its own table;
+    // the base fold already landed above) — overlap them on a small
+    // driver pool (§2.6) instead of serializing their planning+commit
+    // latencies. Resulting table states are identical: each step is the
+    // same fold it was, just concurrent with its siblings.
+    graft.ops.Overlap.par(resolved.map(target => () => target match {
       case Retention.NearDup(n, nb) if nb > 0 =>
         NearDupIndex.compactNearDupIndex(store, n, nb)
       case Retention.Positional(n, nb) if nb > 0 =>
@@ -90,6 +96,6 @@ object Maintenance {
           "longer exists — skipping its refresh (unregisterIndex before " +
           "dropping a view)")
       case _ => () // delete-only target (numBuckets = 0): nothing physical
-    }
+    }))
   }
 }

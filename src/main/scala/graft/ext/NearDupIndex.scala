@@ -3,6 +3,7 @@ package graft.ext
 import graft.table.TableStore
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ops.Lineage
 
 /** Persistent MinHash-LSH near-dup index — the third member of the
   * persistent index family ([[Retrieval.buildBm25Index]] for text ranking,
@@ -72,11 +73,17 @@ object NearDupIndex {
     // then plan against a narrow LogicalRDD instead of each re-analyzing
     // and re-codegen'ing the md5/HOF signature forest (driver-side
     // codegen source generation dominated these gates in the r14 profile)
-    val b = banded(corpus, textCol, idCol).localCheckpoint(eager = false)
-    store.overwriteBucketed(s"${name}_bands", bandRows(b, idCol),
-      Seq("key"), numBuckets)
-    store.overwrite(s"${name}_docs",
-      b.select(col(idCol).as("doc_id"), col("shingles")))
+    // EAGER cut (was lazy): the two writes below run concurrently, so the
+    // shared md5/HOF signature pass materializes once up front instead of
+    // racing its first materialization across the pool
+    val b = Lineage.cut(banded(corpus, textCol, idCol))
+    // bands and docs are independent tables — overlap the writes (§2.6)
+    graft.ops.Overlap.par(Seq(
+      () => store.overwriteBucketed(s"${name}_bands", bandRows(b, idCol),
+        Seq("key"), numBuckets),
+      () => store.overwrite(s"${name}_docs",
+        b.select(col(idCol).as("doc_id"), col("shingles")))))
+    Lineage.release(b)
     registerFor.foreach(t => Retention.registerIndex(store, t,
       Retention.NearDup(name, numBuckets)))
   }
@@ -88,12 +95,14 @@ object NearDupIndex {
       batch: DataFrame, textCol: String, idCol: String,
       numBuckets: Int
   ): Unit = {
-    // same lineage-cut posture as the builder (see buildNearDupIndex)
-    val b = banded(batch, textCol, idCol).localCheckpoint(eager = false)
-    store.appendBucketed(s"${name}_bands", bandRows(b, idCol),
-      Seq("key"), numBuckets)
-    store.append(s"${name}_docs",
-      b.select(col(idCol).as("doc_id"), col("shingles")))
+    // same lineage-cut + overlap posture as the builder
+    val b = Lineage.cut(banded(batch, textCol, idCol))
+    graft.ops.Overlap.par(Seq(
+      () => store.appendBucketed(s"${name}_bands", bandRows(b, idCol),
+        Seq("key"), numBuckets),
+      () => store.append(s"${name}_docs",
+        b.select(col(idCol).as("doc_id"), col("shingles")))))
+    Lineage.release(b)
   }
 
   /** DELETE corpus docs from the index (takedowns): a tombstone table the
@@ -121,17 +130,26 @@ object NearDupIndex {
     // size-gated anti-join (TableStore.antiJoinKeys): a routine takedown
     // list broadcasts, a bulk-erasure tombstone table past the session
     // broadcast threshold shuffles instead of OOMing an executor
-    val bands = store.antiJoinKeys(store.scanBucketed(s"${name}_bands"),
-        s"${name}_tombstones", "doc_id", "doc_id")
-      .select("band", "key", "doc_id")
-      .localCheckpoint(true)
-    val docsT = store.antiJoinKeys(store.scan(s"${name}_docs"),
-        s"${name}_tombstones", "doc_id", "doc_id")
-      .select("doc_id", "shingles")
-      .localCheckpoint(true)
-    store.overwriteBucketed(s"${name}_bands", bands, Seq("key"), numBuckets)
-    store.overwrite(s"${name}_docs", docsT)
+    // the two anti-join captures and the two rewrites are pairwise
+    // independent — overlap both phases (§2.6); the captures must fully
+    // materialize BEFORE either overwrite clobbers the files they read
+    var bands: DataFrame = null
+    var docsT: DataFrame = null
+    graft.ops.Overlap.par(Seq(
+      () => bands = Lineage.cut(
+        store.antiJoinKeys(store.scanBucketed(s"${name}_bands"),
+            s"${name}_tombstones", "doc_id", "doc_id")
+          .select("band", "key", "doc_id")),
+      () => docsT = Lineage.cut(
+        store.antiJoinKeys(store.scan(s"${name}_docs"),
+            s"${name}_tombstones", "doc_id", "doc_id")
+          .select("doc_id", "shingles"))))
+    graft.ops.Overlap.par(Seq(
+      () => store.overwriteBucketed(s"${name}_bands", bands,
+        Seq("key"), numBuckets),
+      () => store.overwrite(s"${name}_docs", docsT)))
     store.drop(s"${name}_tombstones")
+    Lineage.release(bands); Lineage.release(docsT)
   }
 
   /** Screen a crawl batch against the indexed corpus: candidate pairs from
@@ -150,7 +168,7 @@ object NearDupIndex {
     // lazy localCheckpoint: the probe issues 3+ downstream actions
     // (key collect, pairs checkpoint, verify) — each would re-plan the
     // signature forest under persist(); the checkpoint cuts it once
-    val b = banded(batch, textCol, idCol).localCheckpoint(eager = false)
+    val b = Lineage.cut(banded(batch, textCol, idCol), eager = false)
     val bBands = bandRows(b, idCol)
       .select(col("band"), col("key"), col("doc_id").as("batch_id"))
     val probeKeys = bBands.select("key").distinct()
@@ -175,7 +193,7 @@ object NearDupIndex {
         store.antiJoinKeys(pairs0, s"${name}_tombstones",
           "doc_id", "corpus_id")
       else pairs0
-    val pairs = if (materialize) pairs1.localCheckpoint(true) else pairs1
+    val pairs = if (materialize) Lineage.cut(pairs1) else pairs1
     val candIds = pairs.select(col("corpus_id")).distinct()
     val cShingles = store.scan(s"${name}_docs")
       .select(col("doc_id").as("corpus_id"), col("shingles").as("c_sh"))
@@ -191,7 +209,7 @@ object NearDupIndex {
     if (materialize) {
       // candidate-pair-sized result, eagerly cut from the batch
       // checkpoint — same scope/cluster caveats as incrementalNearDupPairs
-      out.localCheckpoint(true)
+      Lineage.cut(out)
     } else out
   }
 }

@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.ops.Lineage.CutOps
 import graft.table.TableStore
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -449,7 +450,7 @@ object Retention {
         .where(col(partitionCol).isin(values: _*))
         .select(cols.map(col): _*)
         .dropDuplicates(Seq(idCol))
-        .localCheckpoint(eager = false) // pins rows AND cuts the scan lineage
+        .cutLineage(eager = false) // pins rows AND cuts the scan lineage
       try {
         val cid = java.util.UUID.randomUUID().toString.replace("-", "")
         val hasDoomed = !doomed.isEmpty
@@ -474,7 +475,7 @@ object Retention {
           case _ => // a commit landed mid-cascade: re-capture and retry
             if (hasDoomed) clearCascade(store, table, cid)
         }
-      } finally doomed.unpersist(blocking = false)
+      } finally graft.ops.Lineage.release(doomed)
     }
     throw new IllegalStateException(
       s"dropPartitionsCascade($table) kept racing concurrent commits — " +
@@ -535,7 +536,7 @@ object Retention {
             "left_semi")
           .select(cols.map(col): _*)
           .dropDuplicates(Seq(idCol))
-          .localCheckpoint(eager = false) // pins rows AND cuts the scan lineage
+          .cutLineage(eager = false) // pins rows AND cuts the scan lineage
         try {
           if (doomed.isEmpty) return false
           val cid = java.util.UUID.randomUUID().toString.replace("-", "")
@@ -562,7 +563,7 @@ object Retention {
             case _ => // a commit landed mid-cascade: re-capture and retry
               clearCascade(store, table, cid)
           }
-        } finally doomed.unpersist(blocking = false)
+        } finally graft.ops.Lineage.release(doomed)
       }
       throw new IllegalStateException(
         s"deleteByKeysCascade($table) kept racing concurrent commits — " +
@@ -938,9 +939,6 @@ object Retention {
       doomed: DataFrame, idCol: String, partitionCol: String,
       values: Seq[String], indexes: Seq[IndexTarget]): Unit = {
     val payload = doomed.withColumn("__cascade_id", lit(cid))
-    if (store.exists(journalName(table)))
-      store.append(journalName(table), payload)
-    else store.overwrite(journalName(table), payload)
     val sp = doomed.sparkSession
     import sp.implicits._
     val meta = indexes.zipWithIndex.map { case (t, i) =>
@@ -955,9 +953,22 @@ object Retention {
       .withColumn("part_values",
         array(values.map(lit): _*).cast("array<string>"))
       .withColumn("created_ms", lit(System.currentTimeMillis()))
-    if (store.exists(journalStateName(table)))
-      store.append(journalStateName(table), state)
-    else store.overwrite(journalStateName(table), state)
+    // independent tables — overlap the two commits (§2.6). Crash windows:
+    // payload-without-state was always possible (payload wrote first) and
+    // is invisible-but-harmless until the next drain clears it;
+    // state-without-payload (new with the overlap) decodes as a cascade
+    // whose drop never committed with an EMPTY capture — the drain aborts
+    // it cleanly (partition values still live) touching no index, which
+    // is correct because the drop below never ran either.
+    graft.ops.Overlap.par(Seq(
+      () =>
+        if (store.exists(journalName(table)))
+          store.append(journalName(table), payload)
+        else store.overwrite(journalName(table), payload),
+      () =>
+        if (store.exists(journalStateName(table)))
+          store.append(journalStateName(table), state)
+        else store.overwrite(journalStateName(table), state)))
   }
 
   /** Append a `__commit__`/`__done__` progress marker (same schema as
@@ -984,7 +995,22 @@ object Retention {
       idCol: String, targets: Seq[(IndexTarget, Int)]): Unit = {
     lazy val payload = store.scan(journalName(table))
       .where(col("__cascade_id") === cid)
-    targets.foreach { case (t, i) =>
+    // targets touch DISJOINT index tables and each marks its own
+    // completion — overlap them (§2.6). The drain's recovery contract is
+    // per-target (replay exactly the not-yet-__done__ ones), so a crash
+    // with an arbitrary subset landed recovers identically whether the
+    // subset came from sequential or concurrent execution; within a
+    // target the delete→marker order is preserved on its own thread.
+    graft.ops.Overlap.par(targets.map(ti => () => runOneTarget(
+      store, table, cid, idCol, ti._1, ti._2)))
+  }
+
+  private def runOneTarget(store: TableStore, table: String, cid: String,
+      idCol: String, target: IndexTarget, idx: Int): Unit = {
+    lazy val payload = store.scan(journalName(table))
+      .where(col("__cascade_id") === cid)
+    locally {
+      val (t, i) = (target, idx)
       t match {
         case NearDup(n, _) =>
           NearDupIndex.deleteFromNearDupIndex(store, n,

@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.ops.Lineage.CutOps
 import graft.table.TableStore
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -399,8 +400,13 @@ object Retrieval {
           array(lit(null).cast("string")))).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg((count(lit(1)) * sign).as("tf"))
-      .localCheckpoint(eager = false)
-    locally {
+      // append path: lazy — the ordered tag-protocol sub-appends fuse the
+      // materialization into the first one. Overwrite path: EAGER — the
+      // three writes below run concurrently, and concurrent first-
+      // materialization of a lazy checkpoint serializes on block locks;
+      // materializing up front gives the pool clean block reads
+      .cutLineage(eager = !append)
+    try {
       val postings = tfAll.where(col("term").isNotNull)
         .select("term", "doc_id", "dl", "tf")
       val terms = postings.groupBy("term")
@@ -445,11 +451,22 @@ object Retrieval {
             store.append(s"${name}_stats", stats)
         }
       } else {
-        store.overwriteBucketed(s"${name}_postings", postings,
-          Seq("term"), numBuckets)
-        store.overwriteBucketed(s"${name}_terms", terms, Seq("term"), numBuckets)
-        store.overwrite(s"${name}_stats", stats)
+        // the three tables are independent and the tf pass is already
+        // materialized behind the checkpoint — overlap the writes (§2.6):
+        // each thread pays its own planning/codegen/commit latency while
+        // the others' jobs run, instead of serializing ~3 driver gaps
+        graft.ops.Overlap.par(Seq(
+          () => store.overwriteBucketed(s"${name}_postings", postings,
+            Seq("term"), numBuckets),
+          () => store.overwriteBucketed(s"${name}_terms", terms,
+            Seq("term"), numBuckets),
+          () => store.overwrite(s"${name}_stats", stats)))
       }
+    } finally {
+      // all three writes have landed (or failed) — release the tf
+      // checkpoint's blocks (the explicit lifecycle the persist→
+      // checkpoint swap dropped; Dataset.unpersist is a no-op here)
+      graft.ops.Lineage.release(tfAll)
     }
   }
 
@@ -468,14 +485,14 @@ object Retrieval {
       .agg(sum(col("tf")).as("tf"), max(col("dl")).as("dl"))
       .where(col("tf") > 0)
       .select("term", "doc_id", "dl", "tf")
-      .localCheckpoint(true) // read fully before the overwrite clobbers it
+      .cutLineage() // read fully before the overwrite clobbers it
     val terms = store.scanBucketed(s"${name}_terms")
       .groupBy("term").agg(sum(col("df")).as("df"))
       .where(col("df") > 0)
-      .localCheckpoint(true)
+      .cutLineage()
     val stats = store.scan(s"${name}_stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-      .localCheckpoint(true)
+      .cutLineage()
     store.overwriteBucketed(s"${name}_postings", postings,
       Seq("term"), numBuckets)
     store.overwriteBucketed(s"${name}_terms", terms, Seq("term"), numBuckets)
@@ -494,7 +511,7 @@ object Retrieval {
     val live = store.antiJoinKeys(store.scanBucketed(s"${name}_pos"),
         s"${name}_pos_tombstones", "doc_id", "doc_id")
       .select("term", "doc_id", "pos")
-      .localCheckpoint(true)
+      .cutLineage()
     store.overwriteBucketed(s"${name}_pos", live, Seq("term"), numBuckets)
     store.drop(s"${name}_pos_tombstones")
   }

@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.ops.Lineage.CutOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -331,7 +332,7 @@ object Sampling {
     val work = df.sort(col(idCol))
       .withColumn(pid, spark_partition_id())
       .withColumn(mono, monotonically_increasing_id())
-      .localCheckpoint(eager = true)
+      .cutLineage()
     val stats = work.groupBy(col(pid))
       .agg(sum(col(tokenCol).cast("long")).as("toks"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)

@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.ops.Lineage.CutOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -831,7 +832,7 @@ object Similarity {
     // materialize=false exists so callers (and PlanSpec's contract
     // assertions) can see the full un-cut plan
     def cut(df: DataFrame): DataFrame =
-      if (materialize) df.localCheckpoint(eager = false)
+      if (materialize) df.cutLineage(eager = false)
       else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cells = cut(assignCells(corpus, vecCol, idCol, nCells, codebook))
     // skew guard: per-cell sizes are an nCells-row aggregate — broadcast
@@ -853,7 +854,7 @@ object Similarity {
       .join(dropped, Seq(idCol), "left")
       .select(col(idCol), col("cell_id"),
         col("__dup").isNull.as("keep"))
-    if (materialize) out.localCheckpoint(eager = true) else out
+    if (materialize) out.cutLineage() else out
   }
 
   /** Incremental (steady-state crawl) semantic dedup — SemDeDup composed

@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.ops.Lineage.CutOps
 import graft.table.TableStore
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -125,7 +126,7 @@ object VectorIndex {
     val live = store.antiJoinKeys(store.scanBucketed(s"${name}_vecs"),
         s"${name}_tombstones", "vec_id", "vec_id")
       .select("cell_id", "vec_id", "vec")
-      .localCheckpoint(true)
+      .cutLineage()
     store.overwriteBucketed(s"${name}_vecs", live, Seq("cell_id"), numBuckets)
     store.drop(s"${name}_tombstones")
   }

@@ -36,9 +36,7 @@ object Graph {
   val Mass: Long = 1000000000000L
 
   private def truncated(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+    Lineage.cut(df, eager = true)
 
   /** PageRank over a directed edge list (srcCol, dstCol) — duplicate
     * edges count as parallel links (weight = multiplicity). Nodes are
@@ -89,10 +87,16 @@ object Graph {
             expr(s"(${dampingPpm}L * __dang div 1000000L) div __n")).as("r"),
           col("__n"))
       val t = truncated(next)
-      ranks.unpersist(blocking = false)
+      // Dataset.unpersist is a silent no-op on checkpointed frames (the
+      // CacheManager never saw them) — release the superseded round's
+      // blocks through the LogicalRDD directly
+      Lineage.release(ranks)
       ranks = t
       i += 1
     }
+    // the loop's inputs are dead once the final ranks are materialized
+    // (the returned projection reads only the last checkpointed frame)
+    Lineage.release(e); Lineage.release(nodes); Lineage.release(outdeg)
     ranks.select(col("node"), col("r").as("rank_q"))
   }
 

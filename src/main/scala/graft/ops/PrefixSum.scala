@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Lineage.CutOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -46,7 +47,7 @@ object PrefixSum {
     val work = df.sort(order: _*)
       .withColumn(pid, spark_partition_id())
       .withColumn(mono, monotonically_increasing_id())
-      .localCheckpoint(eager = true)
+      .cutLineage()
     val aggs = sums.zipWithIndex.map { case ((v, _), i) =>
       sum(col(v).cast("long")).as(s"__s$i")
     }

@@ -96,6 +96,13 @@ object GraftExtensions {
           children(1).eval(null).asInstanceOf[Number].intValue())
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_jaccard"),
+      new ExpressionInfo(classOf[JaccardExpression].getName, "graft_jaccard"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_jaccard(a, b) takes two arguments")
+        JaccardExpression(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_fp_rolling"),
       new ExpressionInfo(classOf[RollingFingerprintExpression].getName, "graft_fp_rolling"),
       (children: Seq[Expression]) => {

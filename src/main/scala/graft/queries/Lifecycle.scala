@@ -628,13 +628,23 @@ object Lifecycle {
       val docs = t(s, dir, "documents").where(col("doc_id") % 3 === 0)
         .select("doc_id", "lang", "text")
       store.overwritePartitioned("docs", docs, Seq("lang"))
+      // the two index builds write disjoint tables — overlap them (§2.6);
+      // registration stays sequential AFTER both (the retention lease is
+      // single-holder and non-reentrant, and registration order does not
+      // affect the registry's final state). Same registry, same indexes,
+      // same probe output as the sequential build-and-register form.
+      graft.ops.Overlap.par(Seq(
+        () => graft.ext.NearDupIndex.buildNearDupIndex(store, "nd", docs,
+          "text", "doc_id", numBuckets = 8),
+        () => graft.ext.Retrieval.buildBm25Index(store, "bm", docs,
+          "text", "doc_id", numBuckets = 8)))
       // build-time registration: the sweep below names NO indexes — the
       // registry is the sync contract, so a caller can no longer forget
       // one and leave it serving erased docs
-      graft.ext.NearDupIndex.buildNearDupIndex(store, "nd", docs, "text",
-        "doc_id", numBuckets = 8, registerFor = Some("docs"))
-      graft.ext.Retrieval.buildBm25Index(store, "bm", docs, "text",
-        "doc_id", numBuckets = 8, registerFor = Some("docs"))
+      graft.ext.Retention.registerIndex(store, "docs",
+        graft.ext.Retention.NearDup("nd", 8))
+      graft.ext.Retention.registerIndex(store, "docs",
+        graft.ext.Retention.Bm25("bm", "text", 8))
       val swept = graft.ext.Retention.expirePartitionsBelowCascade(store,
         "docs", "lang", cutoff = "en", idCol = "doc_id", indexes = Nil)
       require(swept, "w_retention_cascade: the sweep must drop something")

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.ops.Lineage.CutOps
 import graft.ops.Merge
 import graft.table.TableStore
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -977,14 +978,14 @@ object StreamingIngest {
         val batch = batch0.withColumn(vecCol,
           col(vecCol).cast("array<float>"))
         val fresh =
-          if (!store.exists(table)) batch.localCheckpoint(eager = true)
+          if (!store.exists(table)) batch.cutLineage()
           else {
             val dupIds = graft.ext.VectorIndex.ivfTopKIndexed(
               store, indexName, batch, vecCol, idCol, k = 1, nProbe)
               .where(col("cosine") >= threshold)
               .select(col("q_id").as(idCol)).distinct()
             batch.join(dupIds, Seq(idCol), "left_anti")
-              .localCheckpoint(eager = true)
+              .cutLineage()
           }
         try {
           if (!fresh.isEmpty) {
@@ -1003,7 +1004,7 @@ object StreamingIngest {
                 graft.ext.Retention.Ivf(indexName, numBuckets))
             }
           }
-        } finally fresh.unpersist(blocking = false)
+        } finally graft.ops.Lineage.release(fresh)
         ()
       }
       .start()
@@ -1038,7 +1039,7 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val fresh =
-          if (!store.exists(table)) batch.localCheckpoint(eager = true)
+          if (!store.exists(table)) batch.cutLineage()
           else {
             val dupIds = graft.ext.NearDupIndex.nearDupAgainstIndex(
               store, indexName, batch, textCol, idCol, threshold)
@@ -1047,7 +1048,7 @@ object StreamingIngest {
             // anti-join output still must pin BEFORE the appends below
             // (the indexIngest lazy-recompute lesson)
             batch.join(dupIds, Seq(idCol), "left_anti")
-              .localCheckpoint(eager = true)
+              .cutLineage()
           }
         try {
           if (!fresh.isEmpty) {
@@ -1064,7 +1065,7 @@ object StreamingIngest {
                 graft.ext.Retention.NearDup(indexName, numBuckets))
             }
           }
-        } finally fresh.unpersist(blocking = false)
+        } finally graft.ops.Lineage.release(fresh)
         ()
       }
       .start()
@@ -1101,7 +1102,7 @@ object StreamingIngest {
         // lazy frame would see its own rows as duplicates and silently
         // append an empty batch to the index (batch-sized, so the
         // materialization is micro-batch-cheap)
-        val fresh = batch.join(keep, idCol).localCheckpoint(eager = true)
+        val fresh = batch.join(keep, idCol).cutLineage()
         try {
           if (!fresh.isEmpty) {
             if (store.exists(table)) {
@@ -1117,7 +1118,7 @@ object StreamingIngest {
                 graft.ext.Retention.Bm25(indexName, textCol, numBuckets))
             }
           }
-        } finally fresh.unpersist(blocking = false)
+        } finally graft.ops.Lineage.release(fresh)
         ()
       }
       .start()

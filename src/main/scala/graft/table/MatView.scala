@@ -66,10 +66,12 @@ final class MatView(store: TableStore) {
         // pure appends: new snapshots are unaffected by any deletion
         // vector already folded (vectors only erase rows that PRECEDE
         // them in the manifest), so the delta folds in directly
-        val deltaDf = delta
-          .map(sn => store.session.read.parquet(
-            new Path(store.tableDir(d.base), sn).toString))
-          .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+        // through the store's entry reader, not raw spark.read.parquet:
+        // the per-entry footer-schema cache (primed at write) skips the
+        // footer-inference Spark job each raw read paid per delta
+        // snapshot, and the run-merged relation keeps the plan one scan
+        // wide however many appends landed since the last refresh
+        val deltaDf = store.scanEntries(d.base, delta)
         merge(store.scan(view), aggregate(deltaDf, d.keys, d.measures),
           d.keys, d.measures)
       } else

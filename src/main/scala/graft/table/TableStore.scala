@@ -1,5 +1,6 @@
 package graft.table
 
+import graft.ops.Lineage.CutOps
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -2327,7 +2328,7 @@ final class TableStore(spark: SparkSession, root: String,
       // can reap the snapshots the lazy frame reads — materialize first
       // (edit-sized by construction; localCheckpoint cuts the file lineage)
       val report =
-        if (tw.hasConflicts) tw.conflicts.localCheckpoint(true)
+        if (tw.hasConflicts) tw.conflicts.cutLineage()
         else spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           tw.conflicts.schema)
@@ -2381,7 +2382,7 @@ final class TableStore(spark: SparkSession, root: String,
     val resolvable = policy != TableStore.MergePolicy.Fail
     if (!tw.hasConflicts || resolvable) {
       val report =
-        if (tw.hasConflicts) tw.conflicts.localCheckpoint(true)
+        if (tw.hasConflicts) tw.conflicts.cutLineage()
         else spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           tw.conflicts.schema)
@@ -2448,10 +2449,10 @@ final class TableStore(spark: SparkSession, root: String,
 
     val bd = diffFrames(base, theirs, keys)
       .select(keys.map(col) :+ col("op").as("op_branch"): _*)
-      .localCheckpoint(eager = false) // lineage-cut: joined + returned below
+      .cutLineage(eager = false) // lineage-cut: joined + returned below
     val md = diffFrames(base, ours, keys)
       .select(keys.map(col) :+ col("op").as("op_main"): _*)
-      .localCheckpoint(eager = false)
+      .cutLineage(eager = false)
     val both = bd.join(md, keys)
     // identical-change exemption: ours row null-safe-equals theirs row
     val nonKey = ours.columns.filter(c => !keys.contains(c))
@@ -2464,7 +2465,7 @@ final class TableStore(spark: SparkSession, root: String,
       .join(t, keys, "left")
       .where(!(col("__orow") <=> col("__trow")))
       .select(keys.map(col) :+ col("op_main") :+ col("op_branch"): _*)
-      .localCheckpoint(eager = false)
+      .cutLineage(eager = false)
     ThreeWay(ours, theirs, bd.select(keys.map(col): _*), conflicts,
       conflicts.limit(1).count() > 0L, basisMain, basisBranch)
   }
@@ -3008,6 +3009,23 @@ final class TableStore(spark: SparkSession, root: String,
           now - st.getModificationTime >= math.max(gcGraceMs, 60000L))
         filesystem.delete(st.getPath, false)
     }
+  }
+
+  // CRASH RECOVERY for drop()'s rename-then-reap: a JVM that died between
+  // the rename and the background reap leaves a `.reap-*` trash dir that
+  // list() hides and nothing else ever reclaims (the commit-time GC walks
+  // only inside table dirs). Re-enqueue any such orphan at construction —
+  // deletion is idempotent, so racing another process's still-live reaper
+  // is harmless. One root listStatus; nothing for a fresh root. (Class-body
+  // tail: runs after fsCache and friends are initialized.)
+  locally {
+    val r = new Path(root)
+    val f = fs(r)
+    if (f.exists(r))
+      f.listStatus(r).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith(".reap-"))
+          TableStore.deleteAsync(f, st.getPath)
+      }
   }
 }
 

@@ -25,6 +25,52 @@ class TableStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](store.scan("t"))
   }
 
+  test("orphaned .reap-* trash dirs from a crashed drop reclaim at construction") {
+    val (store, dir) = newStoreAt
+    store.overwrite("t", spark.range(5).toDF("v"))
+    // simulate a JVM that died between drop()'s rename and the background
+    // reap: the trash dir exists, no in-memory queue entry survives
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val trash = new org.apache.hadoop.fs.Path(root, ".reap-t-deadbeef")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(root, "t"), trash))
+    TableStore.awaitReap() // drain anything the first store enqueued
+    assert(fs.exists(trash), "trash dir must survive the 'crash'")
+    // "new process": constructing a store on the root re-enqueues it
+    val s2 = new TableStore(spark, dir, gcGraceMs = 0L)
+    TableStore.awaitReap()
+    assert(!fs.exists(trash), "construction sweep must reclaim the orphan")
+    assert(s2.list().isEmpty)
+  }
+
+  test("primed footer schema == cold inference for nested partitioned writes") {
+    // writeDataDir primes the footer-schema cache with a PREDICTED
+    // read-back schema (allNullable + partition cols appended as
+    // strings); scans then pass it as the explicit read schema and never
+    // run footer inference. If the prediction ever diverged from Spark's
+    // actual file-source schema rewriting (nullable-forcing, partition
+    // handling), scans would silently read wrong — this pins prediction
+    // == inference on the nasty shapes: nested struct/array/map under a
+    // hive partition column, and a flat write.
+    val (primed, dir) = newStoreAt
+    val df = spark.range(6).toDF("id")
+      .withColumn("part", (col("id") % 2).cast("string"))
+      .withColumn("s", struct(col("id").as("a"),
+        struct((col("id") * 2).as("b")).as("inner")))
+      .withColumn("arr", array(col("id"), col("id") + 1))
+      .withColumn("m", map(col("id").cast("string"), col("id")))
+    primed.overwritePartitioned("t", df, Seq("part"))
+    primed.overwrite("flat", df.drop("part"))
+    // a NEW store on the same root has an empty cache → real inference
+    val cold = new TableStore(spark, dir, gcGraceMs = 0L)
+    assert(primed.scan("t").schema == cold.scan("t").schema,
+      "partitioned: primed schema must equal cold footer inference")
+    assert(primed.scan("flat").schema == cold.scan("flat").schema,
+      "flat: primed schema must equal cold footer inference")
+    assert(primed.scan("t").orderBy("id").collect().toSeq ==
+      cold.scan("t").orderBy("id").collect().toSeq)
+  }
+
   test("overwrite replaces state atomically (old snapshot GC'd)") {
     val store = newStore
     store.overwrite("t", spark.range(5).toDF("v"))
