@@ -44,7 +44,18 @@ object TextHash {
     s"(('0x' || substr(md5($e),1,15))::BIGINT % $P)"
 
   /** Word n-gram shingles of a text column (falls back to the whole text
-    * when fewer than n tokens).
+    * when fewer than n tokens). The codegen'd native kernel when the
+    * graft extensions are registered (HOF lambdas are interpreted row
+    * kernels AND a large chunk of generated plan source), else the
+    * declarative spec — byte-identical (WordGramsNativeSpec). */
+  def shingles(text: Column, n: Int = 3): Column =
+    if (org.apache.spark.sql.SparkSession.getActiveSession
+          .exists(_.catalog.functionExists("graft_word_grams")))
+      call_function("graft_word_grams", text, lit(n))
+    else shinglesDeclarative(text, n)
+
+  /** The readable spec of [[shingles]] (and the oracle-generation
+    * template; [[shinglesSql]] mirrors it in DuckDB).
     *
     * The token array is LET-BOUND via a single-element-array transform:
     * Catalyst has no let expression, and referencing `split(text)` directly
@@ -52,7 +63,7 @@ object TextHash {
     * full split for every `element_at` — O(tokens²) work per document that
     * dominated the whole LSH pipeline. Binding it as a lambda variable
     * evaluates the split exactly once per row. */
-  def shingles(text: Column, n: Int = 3): Column =
+  def shinglesDeclarative(text: Column, n: Int = 3): Column =
     element_at(
       transform(
         array(split(text, " ")), // bind once

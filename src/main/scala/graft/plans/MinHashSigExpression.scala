@@ -96,6 +96,16 @@ object GraftExtensions {
           children(1).eval(null).asInstanceOf[Number].intValue())
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_word_grams"),
+      new ExpressionInfo(classOf[WordGramsExpression].getName, "graft_word_grams"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_word_grams(text, n) takes two arguments")
+        require(children(1).foldable, "graft_word_grams n must be a literal")
+        WordGramsExpression(children.head,
+          children(1).eval(null).asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_jaccard"),
       new ExpressionInfo(classOf[JaccardExpression].getName, "graft_jaccard"),
       (children: Seq[Expression]) => {
